@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders for the graft star schema.
+  *
+  * Subjects ↔ `customer`, visits ↔ `orders`, measurements ↔ `lineitem`,
+  * metadata ↔ `part`, incremental-load stream ↔ `events`, plus the
+  * LLM-pipeline tables `documents` and `embeddings`.
+  *
+  * All loads are plain parquet scans so Catalyst predicate pushdown /
+  * column pruning apply to every downstream query. At cluster scale the
+  * same loaders work unchanged against a directory of many files.
+  */
+object Tables {
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` it
+    * arrives as LongType nanos. Convert to a microsecond timestamp with
+    * integer `div` (the raw nanos exceed 2^53, so double division would
+    * corrupt them).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Decimal-exact sum reported as double: `CAST(SUM(CAST(x AS
+    * DECIMAL(18,scale))) AS DOUBLE)`. Decimal aggregation is exact, so
+    * the result is bit-identical across engines regardless of row
+    * order / partial-aggregation tree shape — unlike a double sum,
+    * whose low bits depend on reduction order. Used by every oracle-
+    * checked float aggregate (SURVEY §5).
+    */
+  def dsum(c: org.apache.spark.sql.Column, scale: Int = 2): org.apache.spark.sql.Column =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double")
+
+  /** Decimal-exact mean as double (exact decimal sum, then one double
+    * division — deterministic).
+    */
+  def davg(c: org.apache.spark.sql.Column, scale: Int = 2): org.apache.spark.sql.Column =
+    (sum(c.cast(s"decimal(28,$scale)")).cast("double") / count(c))
+}

@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.{Qdef, Tables}
+import graft.Qdef.{DAVG, DSUM}
+import graft.Tables.{davg, dsum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cohort query semantics — SURVEY §2.5, modeled on lens-warehouse's
+  * query model: a query is an AND of OR-groups of atoms (criteria);
+  * each atom yields the set of matching subjects; results are subject
+  * populations and their counts, plus per-item value statistics /
+  * histograms / code-list frequencies and metadata search.
+  *
+  * Subjects are customers (`c_custkey`). Scale design: every atom
+  * reduces to a distinct key set FIRST (partial-agg distinct, tiny
+  * output), then set algebra runs on key sets only — OR is
+  * union+distinct, AND is a chain of left-semi joins (broadcast-able
+  * when a side is small), NOT is a left-anti join. At 100 TB the fact
+  * scan dominates and each atom is one pushed-down scan; the
+  * intersections never shuffle more than the key sets themselves.
+  */
+object Cohort {
+
+  /** A criterion: rows of `source` matching `predicate`, keyed by
+    * `subjectKey` → distinct subject set.
+    */
+  final case class Atom(name: String, keys: DataFrame)
+
+  def atom(name: String, source: DataFrame, predicate: org.apache.spark.sql.Column,
+      subjectKey: org.apache.spark.sql.Column): Atom =
+    Atom(name, source.filter(predicate).select(subjectKey.as("subject")).distinct())
+
+  def or(atoms: Seq[Atom]): DataFrame =
+    atoms.map(_.keys).reduce(_ union _).distinct()
+
+  def and(sets: Seq[DataFrame]): DataFrame =
+    sets.reduce((a, b) => a.join(b, Seq("subject"), "left_semi"))
+
+  def not(base: DataFrame, minus: DataFrame): DataFrame =
+    base.join(minus, Seq("subject"), "left_anti")
+
+  /** CNF query: AND of OR-groups. */
+  def cnf(groups: Seq[Seq[Atom]]): DataFrame = and(groups.map(or))
+
+  def countSubjects(set: DataFrame): DataFrame =
+    set.agg(count(lit(1)).as("n_subjects"))
+
+  // ------------------------------------------------------------ atoms
+  // urgent:   subject has a visit (order) with priority 1-URGENT
+  // returns:  subject has a measurement (lineitem) with returnflag R
+  // building: subject attribute c_mktsegment = BUILDING
+  // rich:     subject attribute c_acctbal > 7000
+
+  private def urgent(s: SparkSession, d: String): Atom =
+    atom("urgent", Tables.orders(s, d), col("o_orderpriority") === "1-URGENT", col("o_custkey"))
+
+  private def returns(s: SparkSession, d: String): Atom = {
+    val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R").select("l_orderkey")
+    val keys = li.join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("subject")).distinct()
+    Atom("returns", keys)
+  }
+
+  private def building(s: SparkSession, d: String): Atom =
+    atom("building", Tables.customer(s, d), col("c_mktsegment") === "BUILDING", col("c_custkey"))
+
+  private def rich(s: SparkSession, d: String): Atom =
+    atom("rich", Tables.customer(s, d), col("c_acctbal") > 7000, col("c_custkey"))
+
+  // ---------------------------------------------------------- queries
+
+  private val oracleAtoms = Map(
+    "urgent" -> "SELECT o_custkey AS subject FROM orders WHERE o_orderpriority = '1-URGENT'",
+    "returns" -> ("SELECT o_custkey AS subject FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "WHERE l_returnflag = 'R'"),
+    "building" -> "SELECT c_custkey AS subject FROM customer WHERE c_mktsegment = 'BUILDING'",
+    "rich" -> "SELECT c_custkey AS subject FROM customer WHERE c_acctbal > 7000")
+
+  private def oset(name: String) = s"(SELECT DISTINCT subject FROM (${oracleAtoms(name)}) src_$name)"
+
+  private val q40 = Qdef(
+    "q40_cohort_atom_counts",
+    (s, d) =>
+      Seq(urgent(s, d), returns(s, d), building(s, d), rich(s, d))
+        .map(a => a.keys.agg(count(lit(1)).as("n_subjects")).withColumn("atom", lit(a.name))
+          .select("atom", "n_subjects"))
+        .reduce(_ union _)
+        .orderBy("atom"),
+    Some(oracleAtoms.toSeq.sortBy(_._1).map { case (n, _) =>
+      s"SELECT '$n' AS atom, COUNT(*) AS n_subjects FROM ${oset(n)} t_$n"
+    }.mkString(" UNION ALL ") + " ORDER BY atom"))
+
+  private val q41 = Qdef(
+    "q41_cohort_and",
+    (s, d) =>
+      countSubjects(and(Seq(urgent(s, d).keys, building(s, d).keys, rich(s, d).keys))),
+    Some(s"""SELECT COUNT(*) AS n_subjects FROM
+            (${oset("urgent")} INTERSECT ${oset("building")} INTERSECT ${oset("rich")}) t"""))
+
+  private val q42 = Qdef(
+    "q42_cohort_or",
+    (s, d) => countSubjects(or(Seq(urgent(s, d), returns(s, d)))),
+    Some(s"""SELECT COUNT(*) AS n_subjects FROM
+            (${oset("urgent")} UNION ${oset("returns")}) t"""))
+
+  private val q43 = Qdef(
+    "q43_cohort_cnf",
+    (s, d) =>
+      countSubjects(cnf(Seq(Seq(urgent(s, d), returns(s, d)), Seq(building(s, d), rich(s, d))))),
+    Some(s"""SELECT COUNT(*) AS n_subjects FROM
+            ((${oset("urgent")} UNION ${oset("returns")})
+             INTERSECT
+             (${oset("building")} UNION ${oset("rich")})) t"""))
+
+  private val q44 = Qdef(
+    "q44_cohort_not",
+    (s, d) => countSubjects(not(building(s, d).keys, urgent(s, d).keys)),
+    Some(s"""SELECT COUNT(*) AS n_subjects FROM
+            (${oset("building")} EXCEPT ${oset("urgent")}) t"""))
+
+  /** Item value statistics per form — lens-warehouse's numeric-item
+    * stats endpoint (min/max/mean/stddev/median). Decimal-exact
+    * moments; exact interpolated median (quantity values are integral
+    * so the interpolation is FP-exact in both engines).
+    */
+  private val q45 = Qdef(
+    "q45_item_stats",
+    (s, d) => {
+      val sApp = dsum(col("l_quantity"))
+      val sq = dsum(col("l_quantity") * col("l_quantity"), 4)
+      val n = count(col("l_quantity"))
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          min(col("l_quantity")).as("min_q"),
+          max(col("l_quantity")).as("max_q"),
+          davg(col("l_quantity")).as("avg_q"),
+          sqrt((sq - sApp * sApp / n) / (n - lit(1))).as("std_q"),
+          expr("percentile(l_quantity, 0.5)").as("med_q"),
+          n.as("n_obs"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""SELECT l_returnflag,
+            MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q,
+            ${DAVG("l_quantity")} AS avg_q,
+            SQRT((${DSUM("l_quantity * l_quantity", 4)} - ${DSUM("l_quantity")} * ${DSUM("l_quantity")} / COUNT(l_quantity)) / (COUNT(l_quantity) - 1)) AS std_q,
+            quantile_cont(l_quantity, 0.5) AS med_q,
+            COUNT(l_quantity) AS n_obs
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Fixed-width value histogram — lens-warehouse's item histogram. */
+  private val q46 = Qdef(
+    "q46_item_histogram",
+    (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("bucket", floor(col("o_totalprice") / 50000).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+    Some("""SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n
+            FROM orders GROUP BY 1 ORDER BY bucket"""))
+
+  /** Code-list value frequencies with population share. */
+  private val q47 = Qdef(
+    "q47_value_frequencies",
+    (s, d) => {
+      val counts = Tables.orders(s, d).groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("share",
+          col("n").cast("double") /
+            sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()).cast("double"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, n, CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
+            FROM (SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1) t
+            ORDER BY o_orderpriority"""))
+
+  /** Metadata search — find items/forms by name pattern. */
+  private val q48 = Qdef(
+    "q48_metadata_search",
+    (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").like("%blue%") || col("p_name").rlike("^small .*(bolt|rod)$"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, p_name, p_type FROM part
+            WHERE p_name LIKE '%blue%' OR regexp_matches(p_name, '^small .*(bolt|rod)$')
+            ORDER BY p_partkey"""))
+
+  val all: Seq[Qdef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48)
+}

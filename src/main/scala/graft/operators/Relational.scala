@@ -1,0 +1,546 @@
+package graft.operators
+
+import graft.{Qdef, Tables}
+import graft.Qdef.{DAVG, DSUM}
+import graft.Tables.{davg, dsum}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core — SURVEY §2.1–§2.4 and §2.6.
+  *
+  * Everything is declarative DataFrame code so Catalyst handles
+  * pushdown / pruning / join selection; dimension sides of star joins
+  * carry explicit `broadcast` hints, fact⋈fact joins shuffle on their
+  * keys (AQE re-plans skew at runtime). Each query ends in a total
+  * ORDER BY purely for oracle determinism — at production scale the
+  * caller drops the sort (and Catalyst's EliminateSorts removes it
+  * under any downstream aggregate anyway).
+  */
+object Relational {
+
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
+  // ---------------------------------------------------------------- §2.1
+
+  private val q01 = Qdef(
+    "q01_scan_project",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_quantity") < 25)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice"),
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity < 25
+            ORDER BY l_orderkey, l_linenumber, l_extendedprice"""))
+
+  private val q02 = Qdef(
+    "q02_filter_pred",
+    (s, d) =>
+      Tables.orders(s, d)
+        .filter(
+          (col("o_orderstatus") === "O" && col("o_totalprice").between(50000, 150000)) ||
+          (col("o_orderpriority").like("1-%") && !(col("o_orderstatus") === "F")))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders
+            WHERE (o_orderstatus = 'O' AND o_totalprice BETWEEN 50000 AND 150000)
+               OR (o_orderpriority LIKE '1-%' AND NOT (o_orderstatus = 'F'))
+            ORDER BY o_orderkey"""))
+
+  /** Flagship: TPC-H Q1 shape (grouped multi-aggregate over the big fact). */
+  val q03 = Qdef(
+    "q03_agg_group",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= ts("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+            ${DSUM("l_quantity")} AS sum_qty,
+            ${DSUM("l_extendedprice")} AS sum_base_price,
+            ${DSUM("l_extendedprice * (1 - l_discount)", 6)} AS sum_disc_price,
+            ${DSUM("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+            ${DAVG("l_quantity")} AS avg_qty,
+            ${DAVG("l_extendedprice")} AS avg_price,
+            ${DAVG("l_discount", 6)} AS avg_disc,
+            COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Global aggregate; stddev via decimal-exact moments so the double
+    * result is bit-identical to the oracle (plain stddev's low bits
+    * depend on reduction order).
+    */
+  private val q04 = Qdef(
+    "q04_agg_global",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val sApp = dsum(col("o_totalprice"))
+      val sqApp = dsum(col("o_totalprice") * col("o_totalprice"), 4)
+      val n = count(col("o_totalprice"))
+      o.agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        davg(col("o_totalprice")).as("avg_price"),
+        sqrt((sqApp - sApp * sApp / n) / (n - lit(1))).as("std_price"))
+    },
+    Some(s"""SELECT COUNT(*) AS n_orders,
+            COUNT(DISTINCT o_custkey) AS n_custs,
+            ${DSUM("o_totalprice")} AS sum_price,
+            MIN(o_totalprice) AS min_price,
+            MAX(o_totalprice) AS max_price,
+            ${DAVG("o_totalprice")} AS avg_price,
+            SQRT((${DSUM("o_totalprice * o_totalprice", 4)} - ${DSUM("o_totalprice")} * ${DSUM("o_totalprice")} / COUNT(o_totalprice)) / (COUNT(o_totalprice) - 1)) AS std_price
+            FROM orders"""))
+
+  private val q05 = Qdef(
+    "q05_distinct",
+    (s, d) =>
+      Tables.customer(s, d).select("c_mktsegment").distinct().orderBy("c_mktsegment"),
+    Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"))
+
+  private val q06 = Qdef(
+    "q06_count_distinct_group",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_custs"), count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  private val q07 = Qdef(
+    "q07_case_expr",
+    (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "low")
+            .when(col("o_totalprice") < 150000, "mid")
+            .otherwise("high"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bucket"),
+    Some(s"""SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                        WHEN o_totalprice < 150000 THEN 'mid'
+                        ELSE 'high' END AS bucket,
+            COUNT(*) AS n, ${DSUM("o_totalprice")} AS sum_price
+            FROM orders GROUP BY 1 ORDER BY bucket"""))
+
+  private val q08 = Qdef(
+    "q08_having",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        .filter(col("n_orders") >= 8)
+        .orderBy("o_custkey"),
+    Some(s"""SELECT o_custkey, COUNT(*) AS n_orders, ${DSUM("o_totalprice")} AS spend
+            FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8 ORDER BY o_custkey"""))
+
+  // ---------------------------------------------------------------- §2.2
+
+  private val q10 = Qdef(
+    "q10_join_inner",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderdate") >= ts("1998-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(dsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy("o_orderpriority"),
+    Some(s"""SELECT o_orderpriority, ${DSUM("l_extendedprice")} AS revenue, COUNT(*) AS n_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** TPC-H Q5 shape: fact⋈fact shuffle join + broadcast dimensions. */
+  private val q11 = Qdef(
+    "q11_join_multiway",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1999-01-01"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("n_name")
+    },
+    Some(s"""SELECT n_name, ${DSUM("l_extendedprice * (1 - l_discount)", 6)} AS revenue, COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+              AND c_mktsegment = 'BUILDING' AND r_name = 'ASIA'
+            GROUP BY n_name ORDER BY n_name"""))
+
+  private val q12 = Qdef(
+    "q12_join_left",
+    (s, d) =>
+      Tables.nation(s, d)
+        .join(Tables.customer(s, d), col("n_nationkey") === col("c_nationkey"), "left")
+        .groupBy("n_name")
+        .agg(count(col("c_custkey")).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("n_name"),
+    Some(s"""SELECT n_name, COUNT(c_custkey) AS n_cust, ${DSUM("c_acctbal")} AS sum_bal
+            FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+            GROUP BY n_name ORDER BY n_name"""))
+
+  private val q13 = Qdef(
+    "q13_join_semi",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey"""))
+
+  private val q14 = Qdef(
+    "q14_join_anti",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_acctbal FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+            ORDER BY c_custkey"""))
+
+  private val q15 = Qdef(
+    "q15_join_full",
+    (s, d) => {
+      val sup = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_supp"))
+      val cus = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_cust"))
+      sup.join(cus, col("nk_s") === col("nk_c"), "full_outer")
+        .select(coalesce(col("nk_s"), col("nk_c")).as("nationkey"), col("n_supp"), col("n_cust"))
+        .orderBy("nationkey")
+    },
+    Some("""SELECT COALESCE(nk_s, nk_c) AS nationkey, n_supp, n_cust
+            FROM (SELECT s_nationkey AS nk_s, COUNT(*) AS n_supp FROM supplier GROUP BY 1) a
+            FULL OUTER JOIN (SELECT c_nationkey AS nk_c, COUNT(*) AS n_cust FROM customer
+                             WHERE c_acctbal > 9000 GROUP BY 1) b
+            ON nk_s = nk_c ORDER BY nationkey"""))
+
+  private val q16 = Qdef(
+    "q16_cross_join",
+    (s, d) =>
+      Tables.region(s, d).select("r_name")
+        .crossJoin(Tables.orders(s, d).select("o_orderstatus").distinct())
+        .orderBy("r_name", "o_orderstatus"),
+    Some("""SELECT r_name, o_orderstatus
+            FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) t
+            ORDER BY r_name, o_orderstatus"""))
+
+  private val q17 = Qdef(
+    "q17_in_subquery",
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).filter(col("c_mktsegment") === "AUTOMOBILE")
+            .select("c_custkey"),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus"),
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS n, ${DSUM("o_totalprice")} AS sum_price
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Scalar subquery; the scalar is a decimal-exact mean so the filter
+    * threshold is bit-identical to the oracle's.
+    */
+  private val q18 = Qdef(
+    "q18_scalar_subquery",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val gavg = li.agg(davg(col("l_extendedprice")).as("gavg"))
+      li.crossJoin(broadcast(gavg))
+        .filter(col("l_extendedprice") > col("gavg") * 1.5)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_expensive"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""SELECT l_returnflag, COUNT(*) AS n_expensive FROM lineitem
+            WHERE l_extendedprice > (SELECT ${DAVG("l_extendedprice")} FROM lineitem) * 1.5
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // ---------------------------------------------------------------- §2.3
+
+  private val q20 = Qdef(
+    "q20_sort_limit",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"""))
+
+  private val q21 = Qdef(
+    "q21_topk_per_group",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    },
+    Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders) t
+            WHERE rn <= 3 ORDER BY o_orderpriority, rn"""))
+
+  /** Running (prefix) sum — the window aggregate is decimal so every
+    * prefix is exact, not dependent on the engine's frame evaluation.
+    */
+  private val q22 = Qdef(
+    "q22_window_running",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast("decimal(28,2)")).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "running_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2)))
+                        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+            FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  private val q23 = Qdef(
+    "q23_window_rank",
+    (s, d) => {
+      val w = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal").desc)
+      Tables.supplier(s, d)
+        .select(col("s_nationkey"), col("s_suppkey"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+        .orderBy("s_nationkey", "rnk", "s_suppkey")
+    },
+    Some("""SELECT s_nationkey, s_suppkey,
+                   RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS rnk,
+                   DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS drnk
+            FROM supplier ORDER BY s_nationkey, rnk, s_suppkey"""))
+
+  /** Lag over event time; the delta is integer microseconds (both
+    * engines floor ns→µs identically) to keep it float-free.
+    */
+  private val q24 = Qdef(
+    "q24_window_lag",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .select("user_id", "event_id", "gap_us")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+                   us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+            FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events) t
+            ORDER BY user_id, event_id"""))
+
+  // ---------------------------------------------------------------- §2.4
+
+  private def urgentKeys(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+
+  private def buildingKeys(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+
+  private val q30 = Qdef(
+    "q30_union",
+    (s, d) =>
+      urgentKeys(s, d).union(buildingKeys(s, d)).distinct().orderBy("custkey"),
+    Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION
+            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            ORDER BY custkey"""))
+
+  private val q31 = Qdef(
+    "q31_intersect",
+    (s, d) =>
+      urgentKeys(s, d).intersect(buildingKeys(s, d)).orderBy("custkey"),
+    Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            INTERSECT
+            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            ORDER BY custkey"""))
+
+  private val q32 = Qdef(
+    "q32_except",
+    (s, d) =>
+      buildingKeys(s, d).except(urgentKeys(s, d)).orderBy("custkey"),
+    Some("""SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            EXCEPT
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            ORDER BY custkey"""))
+
+  private val q33 = Qdef(
+    "q33_rollup",
+    (s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus", "o_orderpriority"),
+    Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${DSUM("o_totalprice")} AS sum_price
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  private val q34 = Qdef(
+    "q34_cube",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${DSUM("l_quantity")} AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private val q35 = Qdef(
+    "q35_pivot",
+    (s, d) => {
+      val wide = Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .groupBy("day")
+        .pivot("event_type", eventTypes)
+        .count()
+      eventTypes.foldLeft(wide)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+        .orderBy("day")
+    },
+    Some(s"""SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+            ${eventTypes.map(t => s"COUNT(*) FILTER (WHERE event_type = '$t') AS \"$t\"").mkString(", ")}
+            FROM events GROUP BY 1 ORDER BY day"""))
+
+  private val q36 = Qdef(
+    "q36_unpivot",
+    (s, d) => {
+      val nations = Tables.nation(s, d).select("n_nationkey")
+      val nc = Tables.customer(s, d).groupBy(col("c_nationkey")).agg(count(lit(1)).as("cnt_c"))
+      val ns = Tables.supplier(s, d).groupBy(col("s_nationkey")).agg(count(lit(1)).as("cnt_s"))
+      nations
+        .join(nc, col("n_nationkey") === col("c_nationkey"), "left")
+        .join(ns, col("n_nationkey") === col("s_nationkey"), "left")
+        .select(col("n_nationkey"),
+          coalesce(col("cnt_c"), lit(0L)).as("n_cust"),
+          coalesce(col("cnt_s"), lit(0L)).as("n_supp"))
+        .unpivot(Array(col("n_nationkey")), Array(col("n_cust"), col("n_supp")), "metric", "value")
+        .orderBy("n_nationkey", "metric")
+    },
+    Some("""SELECT n_nationkey, 'n_cust' AS metric,
+                   (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey) AS value
+            FROM nation
+            UNION ALL
+            SELECT n_nationkey, 'n_supp' AS metric,
+                   (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey) AS value
+            FROM nation
+            ORDER BY n_nationkey, metric"""))
+
+  // ---------------------------------------------------------------- §2.6
+
+  private val q50 = Qdef(
+    "q50_time_series",
+    (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("month", date_trunc("month", col("o_orderdate")))
+        .groupBy("month")
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("month"),
+    Some(s"""SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+            ${DSUM("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+            FROM orders GROUP BY 1 ORDER BY month"""))
+
+  /** Batch twin of the streaming tumbling-window aggregate (st01). */
+  private val q51 = Qdef(
+    "q51_tumbling_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .groupBy("hour", "event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("hour", "event_type"),
+    Some(s"""SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
+            COUNT(*) AS n, ${DSUM("value")} AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+
+  /** Gap-based sessionization (30 min), float-free via integer µs. */
+  private val q52 = Qdef(
+    "q52_sessionize",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .withColumn("is_new", when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1))
+        .groupBy("user_id")
+        .agg(count(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id,
+                   COUNT(*) FILTER (WHERE gap_us IS NULL OR gap_us > 1800000000) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM (SELECT user_id, us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+                  FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events) a) b
+            GROUP BY user_id ORDER BY user_id"""))
+
+  private val q53 = Qdef(
+    "q53_json_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("k"),
+    Some(s"""SELECT CAST(json_extract_string(props, '$$.k') AS INT) AS k,
+            COUNT(*) AS n, ${DSUM("value")} AS sum_value
+            FROM events GROUP BY 1 ORDER BY k"""))
+
+  val all: Seq[Qdef] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08,
+    q10, q11, q12, q13, q14, q15, q16, q17, q18,
+    q20, q21, q22, q23, q24,
+    q30, q31, q32, q33, q34, q35, q36,
+    q50, q51, q52, q53)
+}
