@@ -1,0 +1,201 @@
+package graft.dedup
+
+import graft.{Qdef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table — SURVEY §2.7.
+  *
+  * Exact dedup is a hash-groupBy (one shuffle on the 16-byte digest,
+  * map-side partial agg). Near-dup goes through the standard
+  * shingle → signature → band/bucket → in-bucket-pairs pipeline:
+  * the only shuffles are on compact band/bucket keys, and candidate
+  * verification is per-bucket pairwise only — never all-pairs — so
+  * the plan survives a 100×/1000× scale-up as long as band count and
+  * shingle width keep bucket sizes bounded (SURVEY §4).
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+
+  private val q60 = Qdef(
+    "q60_dedup_exact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("text_hash"),
+    Some("""SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text) ORDER BY text_hash"""))
+
+  private val q61 = Qdef(
+    "q61_dedup_exact_norm",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(normText(col("text")).cast("binary")).as("text_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("text_hash"),
+    Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
+            MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY 1 ORDER BY text_hash"""))
+
+  // ---------------------------------------------------- minhash + LSH
+
+  /** 64-permutation MinHash signatures. Shingles are exploded once and
+    * reduced with 64 partial-aggregating `min(xxhash64(h, i))` columns —
+    * a single shuffle on doc_id with map-side combine, no per-doc loop.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int = 3, perms: Int = 64): DataFrame = {
+    val exploded = docs.select(col("doc_id"), explode(shingleHashes(col("text"), k)).as("h"))
+    val aggs = (0 until perms).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    exploded
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until perms).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: hash each (band, r-slice of signature) to a bucket,
+    * self-join on the bucket key, keep ordered distinct pairs. bands=32,
+    * rows=2 puts the S-curve threshold at ~(1/32)^(1/2)≈0.18 with
+    * near-certain recall at jaccard ≥ 0.8 (miss prob (1-j²)^32 ≈ 1e-15).
+    */
+  def lshCandidates(sig: DataFrame, bands: Int = 32, rows: Int = 2): DataFrame = {
+    val banded = sig
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows))).as("bh")))).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  private val q62 = Qdef(
+    "q62_dedup_minhash_lsh",
+    (s, d) =>
+      lshCandidates(minhashSignatures(Tables.documents(s, d)))
+        .orderBy("id_a", "id_b"),
+    None)
+
+  // -------------------------------------------- candidate verification
+
+  /** Exact 3-shingle Jaccard over LSH candidates only (the verify step
+    * is per-candidate, not all-pairs). Oracle computes the same pairs
+    * by brute force — integer-set sizes divide to bit-identical doubles.
+    */
+  private val q64 = Qdef(
+    "q64_dedup_ngram_jaccard",
+    (s, d) => {
+      val sets = Tables.documents(s, d)
+        .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+      val cand = lshCandidates(minhashSignatures(Tables.documents(s, d)))
+      cand
+        .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .filter(size(array_union(col("sh_a"), col("sh_b"))) > 0 && col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+            g AS (SELECT doc_id,
+                    list_distinct(list_transform(generate_series(1, len(toks)-2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                  FROM t WHERE len(toks) >= 3),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+                  FROM g a JOIN g b ON a.doc_id < b.doc_id
+                  WHERE len(list_distinct(a.sh || b.sh)) > 0)
+            SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""))
+
+  // ---------------------------------------------------------- simhash
+
+  /** 64-bit SimHash per doc: tokens exploded once, 64 signed bit-sums
+    * as partial aggregates, bits OR-packed into one long.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val sums = (0 until 64).map(i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    tok
+      .groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64)
+          .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _)
+          .as("simhash"))
+  }
+
+  /** Near-dup pairs by hamming distance ≤ 3, candidate-generated by
+    * exact match on one of four 16-bit chunks (any pair within hamming
+    * 3 must agree on ≥1 chunk — pigeonhole), verified with bit_count.
+    */
+  private val q63 = Qdef(
+    "q63_dedup_simhash",
+    (s, d) => {
+      val sh = simhash(Tables.documents(s, d))
+      val chunked = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("j"),
+            shiftrightunsigned(col("simhash"), 16 * j).bitwiseAND(0xFFFF).as("chunk"))): _*)).as("e"))
+        .select(col("doc_id"), col("simhash"), col("e.j").as("j"), col("e.chunk").as("chunk"))
+      val a = chunked.as("a")
+      val b = chunked.as("b")
+      a.join(b,
+          col("a.j") === col("b.j") && col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
+    },
+    None)
+
+  // ----------------------------------------- embedding-cosine near-dup
+
+  /** Random-hyperplane LSH near-dup over the embeddings table: 8 sign
+    * bits → bucket, 1-bit multiprobe for recall, in-bucket cosine ≥ τ.
+    */
+  def embeddingNearDups(emb: DataFrame, planes: Int = 8, tau: Double = 0.4): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val rnd = new scala.util.Random(7)
+    val hp: Seq[Seq[Double]] = Seq.fill(planes)(Seq.fill(64)(rnd.nextGaussian()))
+    def planeCol(j: Int): Column = typedLit(hp(j))
+    val bucket = (0 until planes)
+      .map(j => when(dotD(col("embedding"), planeCol(j)) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val e = emb.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("nrm"), bucket.as("bucket"))
+    // 1-bit multiprobe: each row also advertises every bucket at hamming
+    // distance 1, so pairs split by a single borderline plane still meet.
+    val probes = e.select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"),
+      explode(array(
+        col("bucket") +: (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("probe"))
+    val a = probes.as("a")
+    val b = e.as("b")
+    a.join(b, col("a.probe") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosine(col("a.embedding"), col("b.embedding"), col("a.nrm"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= tau)
+      .distinct()
+  }
+
+  private val q65 = Qdef(
+    "q65_dedup_embedding",
+    (s, d) => embeddingNearDups(Tables.embeddings(s, d)).orderBy("id_a", "id_b"),
+    None)
+
+  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65)
+}

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-pipeline operators (SURVEY §2.7/§2.9).
+  *
+  * Everything is a composition of `org.apache.spark.sql.functions._`
+  * (higher-order array functions + codegen'd string/hash functions) —
+  * no UDFs, so every derived column stays inside whole-stage codegen
+  * and Catalyst can prune/push around it.
+  */
+object TextFunctions {
+
+  /** Lower-cased, whitespace-collapsed, trimmed text (dedup canon form). */
+  def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens of the lower-cased text. */
+  def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Word k-shingles ("w1 w2 w3") of a token array; empty when the doc
+    * has fewer than k tokens (lazy CASE keeps `sequence` from seeing a
+    * negative range).
+    */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + lit(1), lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct xxhash64 values of the k-shingle set — the unit all
+    * near-dup operators work over (8 bytes/shingle instead of the
+    * string, which is what survives a 100 TB shuffle).
+    */
+  def shingleHashes(text: Column, k: Int): Column =
+    array_distinct(transform(shingles(tokens(text), k), s => xxhash64(s)))
+
+  // Fixed per-language signature word lists (language-ID + quality
+  // signals). Tiny by design: the scale path is a broadcast lookup,
+  // and literal IN-lists keep the whole scorer inside codegen.
+  val stopEn = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+  val stopDe = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf")
+  val stopFr = Seq("le", "la", "les", "et", "est", "une", "que", "pour", "dans", "sur")
+  val stopEs = Seq("el", "los", "las", "y", "es", "un", "una", "por", "con", "para")
+  val stopZh = Seq("的", "是", "不", "了", "在", "有", "我", "他", "这", "中")
+
+  /** Number of DISTINCT tokens that belong to a fixed word list.
+    * Distinct-hit semantics (array_intersect) chosen because they are
+    * bit-for-bit reproducible in the DuckDB oracle via list_intersect.
+    */
+  def distinctHits(toks: Column, words: Seq[String]): Column =
+    size(array_intersect(toks, array(words.map(lit): _*)))
+
+  /** SQL IN-list literal for the same word list (oracle twin). */
+  def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+}

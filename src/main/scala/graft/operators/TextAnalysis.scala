@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{Qdef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — SURVEY §2.9.
+  *
+  * Token counting, language-ID, quality scoring and fingerprinting are
+  * all single-pass per-row `functions._` compositions (no shuffle at
+  * all until the final oracle ORDER BY) — at 100 TB these run as one
+  * codegen'd scan stage with full column pruning.
+  */
+object TextAnalysis {
+
+  private val q80 = Qdef(
+    "q80_token_count",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+          size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+            .cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+            len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id"""))
+
+  /** Stopword-signature language-ID. Scores are distinct-hit counts per
+    * language word list; prediction is the argmax with a fixed
+    * tie-break order (en > de > fr > es > zh). The synthetic corpus
+    * shares one vocabulary across langs, so accuracy is incidental —
+    * the oracle checks the scoring computation itself.
+    */
+  private val q81 = Qdef(
+    "q81_langid", {
+      (s, d) =>
+        val toks = tokens(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            distinctHits(toks, stopEn).cast("long").as("s_en"),
+            distinctHits(toks, stopDe).cast("long").as("s_de"),
+            distinctHits(toks, stopFr).cast("long").as("s_fr"),
+            distinctHits(toks, stopEs).cast("long").as("s_es"),
+            distinctHits(toks, stopZh).cast("long").as("s_zh"))
+          .withColumn("pred_lang",
+            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+              col("s_en") >= col("s_es") && col("s_en") >= col("s_zh"), "en")
+              .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") &&
+                col("s_de") >= col("s_zh"), "de")
+              .when(col("s_fr") >= col("s_es") && col("s_fr") >= col("s_zh"), "fr")
+              .when(col("s_es") >= col("s_zh"), "es")
+              .otherwise("zh"))
+          .withColumn("is_match", (col("lang") === col("pred_lang")).cast("long"))
+          .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+             sc AS (SELECT doc_id, lang,
+                     CAST(len(list_intersect(toks, ${inList(stopEn)})) AS BIGINT) AS s_en,
+                     CAST(len(list_intersect(toks, ${inList(stopDe)})) AS BIGINT) AS s_de,
+                     CAST(len(list_intersect(toks, ${inList(stopFr)})) AS BIGINT) AS s_fr,
+                     CAST(len(list_intersect(toks, ${inList(stopEs)})) AS BIGINT) AS s_es,
+                     CAST(len(list_intersect(toks, ${inList(stopZh)})) AS BIGINT) AS s_zh
+                   FROM t),
+             p AS (SELECT *,
+                     CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                          WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+                          WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                          WHEN s_es >= s_zh THEN 'es'
+                          ELSE 'zh' END AS pred_lang
+                   FROM sc)
+             SELECT doc_id, lang, s_en, s_de, s_fr, s_es, s_zh, pred_lang,
+                    CAST(lang = pred_lang AS BIGINT) AS is_match
+             FROM p ORDER BY doc_id"""))
+
+  /** Length / punctuation / stopword quality score. Every ratio divides
+    * two engine-identical integers in double precision, and the
+    * composite multiplies them in one fixed order — bit-identical to
+    * the oracle without any rounding.
+    */
+  private val q82 = Qdef(
+    "q82_quality_score", {
+      (s, d) =>
+        val toks = tokens(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_m"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+            length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_nonws_chars"),
+            length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("long").as("n_punct_chars"),
+            distinctHits(toks, stopEn).cast("long").as("n_stop_hits"))
+          .withColumn("mean_tok_len", col("n_nonws_chars").cast("double") / col("n_tokens").cast("double"))
+          .withColumn("punct_ratio", col("n_punct_chars").cast("double") / col("n_chars_m").cast("double"))
+          .withColumn("stop_ratio", col("n_stop_hits").cast("double") / col("n_tokens").cast("double"))
+          .withColumn("quality",
+            least(lit(1.0), col("n_tokens").cast("double") / 200.0) *
+              (lit(1.0) - col("punct_ratio")) * (lit(0.5) + lit(0.5) * col("stop_ratio")))
+          .orderBy("doc_id")
+    },
+    Some(s"""WITH m AS (SELECT doc_id,
+                    CAST(length(text) AS BIGINT) AS n_chars_m,
+                    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nonws_chars,
+                    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct_chars,
+                    CAST(len(list_intersect(string_split_regex(trim(lower(text)), '\\s+'), ${inList(stopEn)})) AS BIGINT) AS n_stop_hits
+                  FROM documents),
+             r AS (SELECT *,
+                    CAST(n_nonws_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
+                    CAST(n_punct_chars AS DOUBLE) / CAST(n_chars_m AS DOUBLE) AS punct_ratio,
+                    CAST(n_stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio
+                  FROM m)
+             SELECT doc_id, n_chars_m, n_tokens, n_nonws_chars, n_punct_chars, n_stop_hits,
+                    mean_tok_len, punct_ratio, stop_ratio,
+                    least(1.0, CAST(n_tokens AS DOUBLE) / 200.0) * (1.0 - punct_ratio) * (0.5 + 0.5 * stop_ratio) AS quality
+             FROM r ORDER BY doc_id"""))
+
+  /** Winnowing-style document fingerprint: xxhash64 of the normalized
+    * text (exact identity), plus the mod-8-selected subset of shingle
+    * hashes (robust sketch) — rows-only checked (no xxhash64 in DuckDB).
+    */
+  private val q83 = Qdef(
+    "q83_fingerprint",
+    (s, d) => {
+      val sh = shingleHashes(col("text"), 3)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          xxhash64(normText(col("text"))).as("doc_hash"),
+          sort_array(filter(sh, h => pmod(h, lit(8)) === 0)).as("fingerprint"),
+          array_min(sh).as("min_shingle_hash"),
+          size(sh).cast("long").as("n_shingles"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  val all: Seq[Qdef] = Seq(q80, q81, q82, q83)
+}
