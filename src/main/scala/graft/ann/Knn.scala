@@ -64,48 +64,83 @@ object Knn {
                   FROM p)
             SELECT qid, nid, rank, cos FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
 
-  /** Random-hyperplane bucket signature shared by q71. */
-  def lshBuckets(e: DataFrame, planes: Int = 8): DataFrame = {
+  /** Multi-table random-hyperplane bucketing (OR-amplified LSH): each
+    * row lands in `tables` compact (table, bucket) keys. For top-k
+    * neighbors around cos 0.3–0.5, 16 tables of 4 planes give
+    * 1-(1-p^4)^16 ≈ 0.9+ recall while keeping 2^4 buckets per table.
+    */
+  def lshTables(e: DataFrame, tables: Int = 16, planes: Int = 4): DataFrame = {
     val rnd = new scala.util.Random(11)
-    val hp: Seq[Seq[Double]] = Seq.fill(planes)(Seq.fill(64)(rnd.nextGaussian()))
-    val bucket = (0 until planes)
-      .map(j => when(dotD(col("embedding"), typedLit(hp(j))) > 0, lit(1L << j)).otherwise(lit(0L)))
+    val hp: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      IndexedSeq.fill(tables)(IndexedSeq.fill(planes)(Seq.fill(64)(rnd.nextGaussian())))
+    def bucketOf(t: Int): Column = (0 until planes)
+      .map(j => when(dotD(col("embedding"), typedLit(hp(t)(j))) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
-    e.withColumn("bucket", bucket)
+    e.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"), bucketOf(t).as("bkt"))): _*)).as("e"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("e.tbl").as("tbl"), col("e.bkt").as("bkt"))
   }
 
-  /** LSH ANN: each query probes its own bucket plus every 1-bit
-    * neighbor bucket (multiprobe), so candidates arrive via a shuffle
-    * on the small bucket key instead of a cross join.
+  /** LSH ANN: queries meet corpus rows via a shuffle on the small
+    * (table, bucket) key instead of a cross join; any-table collision
+    * is enough (candidates deduped before ranking).
     */
   private val q71 = Qdef(
     "q71_knn_lsh",
     (s, d) => {
-      val e = lshBuckets(corpus(s, d))
+      val e = lshTables(corpus(s, d))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("nrm").as("qn"), col("bucket").as("qb"))
-        .select(col("qid"), col("qe"), col("qn"),
-          explode(array(
-            col("qb") +: (0 until 8).map(j => col("qb").bitwiseXOR(lit(1L << j))): _*)).as("probe"))
+          col("nrm").as("qn"), col("tbl").as("qtbl"), col("bkt").as("qbkt"))
       topK(
-        q.join(e, q("probe") === e("bucket") && col("vec_id") =!= col("qid"))
+        q.join(e, col("qtbl") === col("tbl") && col("qbkt") === col("bkt") &&
+            col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id").as("nid"),
             cosine(col("qe"), col("embedding"), col("qn"), col("nrm")).as("cos"))
           .distinct())
     },
     None)
 
-  /** IVF ANN: deterministic seed centroids (every 31st vector), corpus
-    * assigned to its nearest cell via broadcast-centroid argmin, each
-    * query probes its 2 nearest cells (nprobe=2).
+  /** Lloyd-iterated IVF centroids: deterministic seeds (every 31st
+    * vector), then `iters` rounds of broadcast-argmin assignment and
+    * element-wise mean recompute (posexplode → per-dimension avg —
+    * two narrow shuffles per round on (cell, pos), never on vectors).
+    * At cluster scale the training runs on a sample; assignment stays
+    * a broadcast map-side pass over the full corpus.
+    */
+  def ivfCentroids(e: DataFrame, iters: Int = 3): DataFrame = {
+    var cents = e.filter(pmod(col("vec_id"), lit(31)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("ce"))
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("dist", distSq(col("embedding"), col("ce")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cid"), col("embedding"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy("cid", "pos")
+        .agg(avg("col").as("v"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("cid"), col("pv.v").as("ce"))
+    }
+    cents
+  }
+
+  /** IVF ANN: corpus rows live in their nearest cell; each query probes
+    * its `nprobe` nearest cells. The candidate join shuffles on the
+    * small cell id — scanned fraction ≈ nprobe/#cells (4/16 here;
+    * a production index would use k=thousands of cells, same plan).
     */
   private val q72 = Qdef(
     "q72_knn_ivf",
     (s, d) => {
       val e = corpus(s, d)
-      val cents = e.filter(pmod(col("vec_id"), lit(31)) === 0)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val cents = ivfCentroids(e)
       def nearestCells(rows: DataFrame, n: Int): DataFrame = {
         val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
         rows.crossJoin(broadcast(cents))
@@ -115,7 +150,7 @@ object Knn {
           .drop("ce", "dist", "rn")
       }
       val assigned = nearestCells(e, 1).withColumnRenamed("cid", "cell")
-      val qCells = nearestCells(e.filter(col("vec_id") < 10), 2)
+      val qCells = nearestCells(e.filter(col("vec_id") < 10), 4)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("cid").as("cell"))
       topK(

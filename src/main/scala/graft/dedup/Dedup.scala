@@ -165,31 +165,43 @@ object Dedup {
 
   // ----------------------------------------- embedding-cosine near-dup
 
-  /** Random-hyperplane LSH near-dup over the embeddings table: 8 sign
-    * bits → bucket, 1-bit multiprobe for recall, in-bucket cosine ≥ τ.
+  /** Random-hyperplane LSH near-dup over the embeddings table, with
+    * OR-amplification: `tables` independent hash tables of `planes`
+    * sign bits each; a pair is a candidate if it collides in ANY table,
+    * then verified with exact cosine ≥ τ. For p = P(one plane agrees)
+    * = 1 − θ/π, recall = 1 − (1 − p^planes)^tables — at τ=0.4
+    * (p≈0.63) the 12×4 default gives ≈0.87; raise `planes` (and
+    * `tables`) for higher thresholds to keep buckets small. Each row
+    * is exploded `tables` times onto compact (table, bucket) keys —
+    * one shuffle, per-bucket pairwise verification only (SURVEY §4).
     */
-  def embeddingNearDups(emb: DataFrame, planes: Int = 8, tau: Double = 0.4): DataFrame = {
+  def embeddingNearDups(
+      emb: DataFrame,
+      tables: Int = 12,
+      planes: Int = 4,
+      tau: Double = 0.4): DataFrame = {
     import graft.functions.VectorFunctions._
     val rnd = new scala.util.Random(7)
-    val hp: Seq[Seq[Double]] = Seq.fill(planes)(Seq.fill(64)(rnd.nextGaussian()))
-    def planeCol(j: Int): Column = typedLit(hp(j))
-    val bucket = (0 until planes)
-      .map(j => when(dotD(col("embedding"), planeCol(j)) > 0, lit(1L << j)).otherwise(lit(0L)))
+    val hp: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      IndexedSeq.fill(tables)(IndexedSeq.fill(planes)(Seq.fill(64)(rnd.nextGaussian())))
+    def bucketOf(t: Int): Column = (0 until planes)
+      .map(j => when(dotD(col("embedding"), typedLit(hp(t)(j))) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
-    val e = emb.select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("nrm"), bucket.as("bucket"))
-    // 1-bit multiprobe: each row also advertises every bucket at hamming
-    // distance 1, so pairs split by a single borderline plane still meet.
-    val probes = e.select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"),
-      explode(array(
-        col("bucket") +: (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("probe"))
-    val a = probes.as("a")
-    val b = e.as("b")
-    a.join(b, col("a.probe") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    val e = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val banded = e.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"), bucketOf(t).as("bkt"))): _*)).as("e"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("e.tbl").as("tbl"), col("e.bkt").as("bkt"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         cosine(col("a.embedding"), col("b.embedding"), col("a.nrm"), col("b.nrm")).as("cos"))
-      .filter(col("cos") >= tau)
       .distinct()
+      .filter(col("cos") >= tau)
   }
 
   private val q65 = Qdef(

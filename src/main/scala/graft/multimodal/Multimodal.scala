@@ -1,0 +1,125 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One media row: the payload is an opaque binary column; everything
+  * the engine needs to plan (kind, dimensions, frame count, sample
+  * rate) lives in typed metadata columns, so partition pruning and
+  * predicate pushdown work without touching payload bytes.
+  */
+final case class MediaRow(
+    media_id: Long,
+    kind: String,          // "image" | "audio" | "video"
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    sample_rate: Int,
+    payload: Array[Byte])
+
+/** Fixed-size feature vector produced by the (stubbed) decoder. */
+final case class MediaFeatures(
+    media_id: Long,
+    kind: String,
+    feature: Array[Float])
+
+/** One sampled frame of a video payload. */
+final case class SampledFrame(
+    media_id: Long,
+    frame_index: Int,
+    frame_bytes: Array[Byte])
+
+/** Multimodal-column plumbing — SURVEY §2.10 (mm01–mm03).
+  *
+  * Image/audio/video are opaque `binary` columns plus typed metadata.
+  * The real decode (jpeg/pcm/h264) is STUBBED — this container has no
+  * media libraries — behind [[Multimodal.stubDecode]], a deterministic
+  * fake keyed on the payload bytes. Everything Spark-side is real and
+  * load-bearing at scale: the schema, the `mapPartitions` batch shape
+  * (one iterator pass per partition, no per-row task overhead, the
+  * exact seam where a vectorized native decoder or a Python worker
+  * would plug in), and the metadata-only pruning path.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Deterministic synthetic media table derived from `documents`
+    * (payload = utf-8 text bytes; metadata keyed off doc_id). Stands in
+    * for a real `spark.read.format("binaryFile")` / parquet-of-blobs
+    * source with identical downstream plumbing.
+    */
+  def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        (pmod(col("doc_id"), lit(16)) * 64 + 256).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(9)) * 64 + 256).cast("int").as("height"),
+        (pmod(col("doc_id"), lit(7)) * 30 + 30).cast("int").as("n_frames"),
+        when(pmod(col("doc_id"), lit(3)) === 1, 16000).otherwise(0).cast("int").as("sample_rate"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** STUB decoder: a deterministic 64→`dim` fake "embedding" from a
+    * rolling FNV-1a over payload bytes. Replace the body with a real
+    * decoder (libjpeg/ffmpeg via JNI, or an arrow batch to a Python
+    * worker) without touching the plan shape.
+    */
+  def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < payload.length) {
+      h ^= payload(i) & 0xffL
+      h *= 0x100000001b3L
+      out(i % dim) += ((h >>> 40).toInt % 1000) / 1000.0f
+      i += 1
+    }
+    out
+  }
+
+  /** mm02: per-partition batched decode → fixed-size features. One
+    * state setup per partition (where a real decoder would init its
+    * native context), then a pure iterator pass — streaming, no
+    * per-partition materialization.
+    */
+  def decodeFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here
+      rows.map(r => MediaFeatures(r.media_id, r.kind, stubDecode(r.payload, dim)))
+    }
+  }
+
+  /** mm03: sample every `stride`-th frame of video payloads. Frame
+    * extraction is stubbed as an even byte-slicing of the payload (a
+    * real implementation seeks keyframes); the row fan-out, schema and
+    * partition behavior are the real thing. Emits ceil(n_frames/stride)
+    * rows per video.
+    */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int = 10): Dataset[SampledFrame] = {
+    implicit val enc = Encoders.product[SampledFrame]
+    media.filter(_.kind == "video").flatMap { r =>
+      val frames = math.max(r.n_frames, 1)
+      val bytesPerFrame = math.max(r.payload.length / frames, 1)
+      (0 until frames by stride).iterator.map { f =>
+        val from = math.min(f * bytesPerFrame, r.payload.length)
+        val until = math.min(from + bytesPerFrame, r.payload.length)
+        SampledFrame(r.media_id, f, java.util.Arrays.copyOfRange(r.payload, from, until))
+      }
+    }
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** One raw event of the warehouse's incremental-load stream (schema of
+  * `events.parquet`, minus the free-form `props` JSON).
+  */
+final case class Event(
+    event_id: Long,
+    ts: Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double)
+
+/** Open-session accumulator kept in `GroupState` (one per user). */
+final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
+
+/** One closed session, emitted when the event-time watermark passes the
+  * session gap.
+  */
+final case class ClosedSession(
+    user_id: Long,
+    session_start_us: Long,
+    n_events: Long,
+    duration_us: Long)
+
+/** Structured-Streaming twins of the batch event queries — SURVEY §2.6
+  * (st01/st02). The incremental-load workload of the reference (append
+  * of new visits) maps to `readStream` over the events source; these
+  * transforms are source-agnostic (`MemoryStream` in tests, a file or
+  * Kafka source in production — same plan either way).
+  */
+object EventStreams {
+
+  /** st01: hourly tumbling-window aggregate with a watermark — the
+    * streaming twin of q51. State is bounded: windows older than the
+    * watermark are finalized and evicted, so the query runs forever on
+    * an unbounded stream. The aggregation is hash-partial per
+    * micro-batch (map-side combine), shuffled on (window, event_type).
+    */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  /** st02: gap-based sessionization (30 min default) via
+    * `flatMapGroupsWithState` with an event-time timeout — the
+    * streaming twin of q52. State per user is O(1) (one open session),
+    * closed sessions are emitted exactly once when the watermark
+    * passes `lastUs + gap`. Keys shuffle once on user_id; at cluster
+    * scale state is sharded across executors by the same hash.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+
+    def update(
+        userId: Long,
+        rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(ClosedSession(userId, s.startUs, s.nEvents, s.lastUs - s.startUs))
+      } else {
+        val closed = Iterator.newBuilder[ClosedSession]
+        var cur = state.getOption
+        // Micro-batch rows are not ordered; sort the (small) per-user
+        // slice by event time before folding it into the session.
+        rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          val us = e.ts.getTime * 1000L
+          cur match {
+            case Some(s) if us - s.lastUs <= gapUs =>
+              cur = Some(s.copy(lastUs = math.max(s.lastUs, us), nEvents = s.nEvents + 1))
+            case Some(s) =>
+              closed += ClosedSession(userId, s.startUs, s.nEvents, s.lastUs - s.startUs)
+              cur = Some(SessionState(us, us, 1))
+            case None =>
+              cur = Some(SessionState(us, us, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes.toLong * 60L * 1000L)
+        }
+        closed.result().iterator
+      }
+    }
+
+    implicit val outEnc = Encoders.product[ClosedSession]
+    implicit val stEnc = Encoders.product[SessionState]
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

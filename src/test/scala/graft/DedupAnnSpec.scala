@@ -1,0 +1,86 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** Brute-force oracles for the rows-only [R] operators (SURVEY §5):
+  * q62/q63/q65 dedup candidate generators and q71/q72 ANN, all at
+  * sf0.001 where an all-pairs reference is affordable.
+  */
+class DedupAnnSpec extends SparkSpec {
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("q62: MinHash-LSH candidates have full recall of true jaccard>=0.8 pairs") {
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+    val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("j",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("j") >= 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = pairs("q62_dedup_minhash_lsh")
+    assert(truth.nonEmpty, "test data has no planted near-dups")
+    assert((truth -- cand).isEmpty, s"LSH missed true pairs: ${truth -- cand}")
+    assert(cand.forall { case (x, y) => x < y })
+  }
+
+  test("q63: simhash chunk-candidate pairs = exact all-pairs hamming<=3 (pigeonhole recall)") {
+    val sh = Dedup.simhash(Tables.documents(spark, sf))
+    val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("ha"))
+    val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("hb"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs("q63_dedup_simhash") === truth)
+  }
+
+  test("q65: embedding near-dup pairs are precise; 1-bit multiprobe recall measured") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("ea"), col("eb"), col("na"), col("nb")))
+      .filter(col("cos") >= 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs("q65_dedup_embedding")
+    assert((got -- truth).isEmpty, "false positives: returned pair below threshold")
+    assert(truth.nonEmpty)
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.8, s"multiprobe recall $recall below 0.8 (truth=${truth.size}, got=${got.size})")
+  }
+
+  private def neighborSets(name: String): Map[Long, Set[Long]] =
+    SparkEntry.queries(name)(spark, sf)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  test("q71/q72: ANN recall@5 vs brute force") {
+    val brute = neighborSets("q70_knn_brute")
+    for ((name, floor) <- Seq("q71_knn_lsh" -> 0.6, "q72_knn_ivf" -> 0.6)) {
+      val approx = neighborSets(name)
+      assert(approx.keySet === brute.keySet, s"$name lost whole queries")
+      // (toSeq: Set.map would dedup equal per-query recall values)
+      val recall = brute.keys.toSeq.map(q => (brute(q) & approx(q)).size.toDouble / brute(q).size).sum / brute.size
+      info(f"$name recall@5 = $recall%.3f")
+      assert(recall >= floor, f"$name recall@5 $recall%.3f below $floor")
+    }
+  }
+
+  test("q83: fingerprint is deterministic and one row per doc") {
+    val f1 = SparkEntry.queries("q83_fingerprint")(spark, sf).collect()
+    val f2 = SparkEntry.queries("q83_fingerprint")(spark, sf).collect()
+    assert(f1.map(_.toSeq).toSeq === f2.map(_.toSeq).toSeq)
+    assert(f1.length === Tables.documents(spark, sf).count())
+    assert(f1.map(_.getLong(0)).distinct.length === f1.length)
+  }
+}

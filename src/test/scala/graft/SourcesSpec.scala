@@ -1,0 +1,43 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+/** io01–io03 — source/sink round-trips (SURVEY §2.11). */
+class SourcesSpec extends SparkSpec {
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
+    val cols = df.columns.sorted.toIndexedSeq
+    df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+  }
+
+  test("io01: partitioned parquet round-trip; partition filter prunes files") {
+    val out = tmpDir("io01")
+    val nation = Tables.nation(spark, sf)
+    Sources.writeParquet(nation, out, partitionCols = Seq("n_regionkey"))
+    val back = Sources.readParquet(spark, out)
+    assert(canon(back.select(nation.columns.map(col): _*)) === canon(nation))
+    // partition pruning: the filtered scan must report a partition filter
+    val pruned = back.filter(col("n_regionkey") === 1)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(n_regionkey"), s"no partition filter in:\n$scan")
+  }
+
+  test("io02: csv round-trip with explicit schema preserves types and values") {
+    val out = tmpDir("io02")
+    val region = Tables.region(spark, sf)
+    Sources.writeCsv(region, out)
+    val back = Sources.readCsv(spark, out, region.schema)
+    assert(back.schema === region.schema)
+    assert(canon(back) === canon(region))
+  }
+
+  test("io03: json-lines round-trip with explicit schema") {
+    val out = tmpDir("io03")
+    val customer = Tables.customer(spark, sf).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    Sources.writeJsonLines(customer, out)
+    val back = Sources.readJsonLines(spark, out, customer.schema)
+    assert(back.schema === customer.schema)
+    assert(canon(back) === canon(customer))
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{ClosedSession, Event, EventStreams}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** st01/st02 — Structured Streaming twins of q51/q52 (SURVEY §2.6). */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("st01: streamed tumbling-window agg matches the batch q51 answer") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val batchEvents = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .collect()
+
+    val input = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(input.toDF(), watermark = "2 hours")
+      .writeStream
+      .format("memory")
+      .queryName("st01_out")
+      .outputMode("append")
+      .start()
+    try {
+      // Two micro-batches to exercise partial-state carry-over, then a
+      // far-future sentinel to push the watermark past every window.
+      val (first, rest) = batchEvents.splitAt(batchEvents.length / 2)
+      input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(rest.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(Event(-1L, ts("2099-01-01 00:00:00"), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("st01_out")
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("hour"), col("event_type"), col("n"), round(col("sum_value"), 3).as("sum_value"))
+        .collect().map(_.toSeq).toSet
+      val batch = Tables.events(spark, sf)
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .groupBy("hour", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+        .collect().map(_.toSeq).toSet
+
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("st02: flatMapGroupsWithState sessionization closes sessions on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream
+      .format("memory")
+      .queryName("st02_out")
+      .outputMode("append")
+      .start()
+    try {
+      // user 1: two sessions (gap 45 min > 30); user 2: one session.
+      input.addData(
+        Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2026-01-01 10:10:00"), 1, "click", 1.0),
+        Event(3, ts("2026-01-01 10:55:00"), 1, "click", 1.0),
+        Event(4, ts("2026-01-01 10:05:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      // Sentinel advances the watermark far enough to time out all state.
+      input.addData(Event(99, ts("2026-01-02 00:00:00"), 9, "x", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(100, ts("2026-01-03 00:00:00"), 9, "x", 0.0))
+      q.processAllAvailable()
+
+      val out = spark.table("st02_out").as[ClosedSession].collect()
+        .filter(_.user_id < 9).sortBy(s => (s.user_id, s.session_start_us))
+      def us(s: String) = ts(s).getTime * 1000L
+      assert(out.toSeq === Seq(
+        ClosedSession(1, us("2026-01-01 10:00:00"), 2, 600000000L),
+        ClosedSession(1, us("2026-01-01 10:55:00"), 1, 0L),
+        ClosedSession(2, us("2026-01-01 10:05:00"), 1, 0L)))
+    } finally q.stop()
+  }
+
+  test("st02 twin: session counts per user agree with batch q52 on sf0.001") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val batchEvents = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .collect()
+    val maxTs = batchEvents.map(_.ts.getTime).max
+
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("st02_twin").outputMode("append").start()
+    try {
+      input.addData(batchEvents.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(Event(-1, new Timestamp(maxTs + 86400L * 1000), -1, "sentinel", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-2, new Timestamp(maxTs + 2 * 86400L * 1000), -1, "sentinel", 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("st02_twin").as[ClosedSession].collect()
+        .filter(_.user_id >= 0)
+        .groupBy(_.user_id).view.mapValues(_.length).toMap
+      val batch = SparkEntry.queries("q52_sessionize")(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}
