@@ -111,24 +111,37 @@ object Knn {
     * a broadcast map-side pass over the full corpus.
     */
   def ivfCentroids(e: DataFrame, iters: Int = 3): DataFrame = {
-    var cents = e.filter(pmod(col("vec_id"), lit(31)) === 0)
-      .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("ce"))
+    val spark = e.sparkSession
+    import spark.implicits._
+    // Materialize the (tiny: k × 64 doubles) centroid set on the driver
+    // after every step — each Lloyd iteration must cut the lineage, or
+    // the unmaterialized loop re-plans iteration i inside iteration i+1
+    // and the tree grows exponentially. Standard iterative-ML practice.
+    // Deterministic seed sample capped at ~64 cells (a production
+    // index scales k with corpus size and trains on a sample; the
+    // probe fraction nprobe/k is the constant that matters).
+    val n = e.count()
+    val step = math.max(1L, n / 64L)
+    var cents: Seq[(Long, Seq[Double])] = e
+      .filter(pmod(col("vec_id"), lit(step)) === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
     for (_ <- 0 until iters) {
+      val cdf = broadcast(cents.toDF("cid", "ce"))
       val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-      val assigned = e.crossJoin(broadcast(cents))
+      cents = e.crossJoin(cdf)
         .withColumn("dist", distSq(col("embedding"), col("ce")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("cid"), col("embedding"))
-      cents = assigned
         .select(col("cid"), posexplode(col("embedding")))
         .groupBy("cid", "pos")
         .agg(avg("col").as("v"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
         .select(col("cid"), col("pv.v").as("ce"))
+        .as[(Long, Seq[Double])].collect().toSeq
     }
-    cents
+    broadcast(cents.toDF("cid", "ce"))
   }
 
   /** IVF ANN: corpus rows live in their nearest cell; each query probes
@@ -150,7 +163,7 @@ object Knn {
           .drop("ce", "dist", "rn")
       }
       val assigned = nearestCells(e, 1).withColumnRenamed("cid", "cell")
-      val qCells = nearestCells(e.filter(col("vec_id") < 10), 4)
+      val qCells = nearestCells(e.filter(col("vec_id") < 10), 16)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("cid").as("cell"))
       topK(

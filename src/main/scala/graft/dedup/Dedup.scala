@@ -42,18 +42,18 @@ object Dedup {
 
   // ---------------------------------------------------- minhash + LSH
 
-  /** 64-permutation MinHash signatures. Shingles are exploded once and
-    * reduced with 64 partial-aggregating `min(xxhash64(h, i))` columns —
-    * a single shuffle on doc_id with map-side combine, no per-doc loop.
+  /** 64-permutation MinHash signatures, computed per row by the
+    * codegen'd [[graft.functions.MinHashSig]] expression — a pure
+    * narrow map over the scan, NO shuffle at all (the earlier
+    * explode + 64-column min-aggregate formulation paid a groupBy
+    * shuffle and interpreted shingle lambdas). Docs with fewer than
+    * k tokens have no shingles and drop out, matching the
+    * explode-then-aggregate semantics.
     */
-  def minhashSignatures(docs: DataFrame, k: Int = 3, perms: Int = 64): DataFrame = {
-    val exploded = docs.select(col("doc_id"), explode(shingleHashes(col("text"), k)).as("h"))
-    val aggs = (0 until perms).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    exploded
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), array((0 until perms).map(i => col(s"m$i")): _*).as("sig"))
-  }
+  def minhashSignatures(docs: DataFrame, k: Int = 3, perms: Int = 64): DataFrame =
+    docs
+      .select(col("doc_id"), minhashSig(shingleHashes(col("text"), k), perms).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** LSH banding: hash each (band, r-slice of signature) to a bucket,
     * self-join on the bucket key, keep ordered distinct pairs. bands=32,
@@ -63,9 +63,9 @@ object Dedup {
   def lshCandidates(sig: DataFrame, bands: Int = 32, rows: Int = 2): DataFrame = {
     val banded = sig
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), xxhash64(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows))).as("bh")))).as("e"))
-      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+        posexplode(call_function("graft_band_hashes", col("sig"), lit(bands), lit(rows))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bh")
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,

@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static helpers called from both interpreted eval and generated code
+  * (the same pattern Spark's own regexp expressions use): one tight
+  * JVM pass per document instead of a tree of interpreted higher-order
+  * array lambdas.
+  */
+object TextExprHelpers {
+
+  /** Distinct xxhash64 values (seed 42, same as Spark's `xxhash64`) of
+    * the word k-shingles of `trim(lower(text))` split on whitespace —
+    * the fast twin of the
+    * `array_distinct(transform(shingles(tokens(text), k), xxhash64))`
+    * composition it replaces. Returns null when the doc has < k tokens
+    * (mirrors the empty-array-then-absent-after-explode behavior).
+    */
+  def shingleHashes(text: UTF8String, k: Int): ArrayData = {
+    if (text == null) return null
+    val toks = text.toLowerCase.trim.split(UTF8String.fromString("\\s+"), -1)
+    if (toks.length < k) return null
+    val space = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + k <= toks.length) {
+      val sh = UTF8String.concatWs(space, java.util.Arrays.copyOfRange(toks, i, i + k): _*)
+      seen.add(XxHash64Function.hash(sh, StringType, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** `perms`-permutation MinHash signature of a shingle-hash set:
+    * m_i = min over shingles of xxhash64(seed=i)(h). One per-row pass —
+    * no explode, no aggregation shuffle.
+    */
+  def minhashSig(sh: ArrayData, perms: Int): ArrayData = {
+    if (sh == null || sh.numElements() == 0) return null
+    val sig = Array.fill(perms)(Long.MaxValue)
+    var i = 0
+    while (i < sh.numElements()) {
+      val h = sh.getLong(i)
+      var p = 0
+      while (p < perms) {
+        val v = XxHash64Function.hash(h, LongType, p)
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** Helper for LSH banding: hash each of `bands` contiguous
+  * `rowsPerBand`-slices of a signature to one long.
+  */
+object BandHelpers {
+  def bandHashes(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    if (sig == null) return null
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XxHash64Function.hash(b.toLong, LongType, 42L)
+      var r = 0
+      while (r < rowsPerBand) {
+        val idx = b * rowsPerBand + r
+        if (idx < sig.numElements()) h = XxHash64Function.hash(sig.getLong(idx), LongType, h)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_band_hashes(sig, bands, rows)` — codegen'd LSH band hashes
+  * (index in the output array = band id, pairs with `posexplode`).
+  */
+case class BandHashes(child: Expression, bands: Int, rowsPerBand: Int) extends UnaryExpression {
+  require(bands >= 1 && rowsPerBand >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_band_hashes"
+
+  override protected def nullSafeEval(sig: Any): Any =
+    BandHelpers.bandHashes(sig.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, sig =>
+      s"${ev.value} = graft.functions.BandHelpers.bandHashes($sig, $bands, $rowsPerBand);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_shingle_hashes(text, k)` — codegen'd scalar producing the
+  * distinct xxhash64 k-shingle set of a document.
+  */
+case class ShingleHashes64(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "shingle width must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextExprHelpers.shingleHashes(t.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ec = nullSafeCodeGen(ctx, ev, t =>
+      s"""
+         |${ev.value} = graft.functions.TextExprHelpers.shingleHashes($t, $k);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+    ec
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_minhash(shingle_hashes, perms)` — codegen'd MinHash
+  * signature over a shingle-hash array.
+  */
+case class MinHashSig(child: Expression, perms: Int) extends UnaryExpression {
+  require(perms >= 1, "permutation count must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(sh: Any): Any =
+    TextExprHelpers.minhashSig(sh.asInstanceOf[ArrayData], perms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, sh =>
+      s"""
+         |${ev.value} = graft.functions.TextExprHelpers.minhashSig($sh, $perms);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

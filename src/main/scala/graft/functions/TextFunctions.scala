@@ -30,10 +30,20 @@ object TextFunctions {
 
   /** Distinct xxhash64 values of the k-shingle set — the unit all
     * near-dup operators work over (8 bytes/shingle instead of the
-    * string, which is what survives a 100 TB shuffle).
+    * string, which is what survives a 100 TB shuffle). Backed by the
+    * codegen'd [[ShingleHashes64]] expression (the higher-order
+    * `transform`/`slice`/`array_join` composition is CodegenFallback —
+    * interpreted — and dominated the dedup profile); null (not empty)
+    * for docs with fewer than k tokens.
     */
   def shingleHashes(text: Column, k: Int): Column =
-    array_distinct(transform(shingles(tokens(text), k), s => xxhash64(s)))
+    call_function("graft_shingle_hashes", text, lit(k))
+
+  /** MinHash signature of a shingle-hash set (codegen'd, per-row —
+    * no explode/aggregate shuffle).
+    */
+  def minhashSig(sh: Column, perms: Int): Column =
+    call_function("graft_minhash", sh, lit(perms))
 
   // Fixed per-language signature word lists (language-ID + quality
   // signals). Tiny by design: the scale path is a broadcast lookup,

@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector hot path (SURVEY §7 r2,
+  * pulled into r1 after profiling).
+  *
+  * The `functions._` higher-order versions (`aggregate` over
+  * `zip_with`) are `CodegenFallback`: every pair evaluation walks an
+  * interpreted lambda per element with boxing — measured 26 s for 2.3 M
+  * cosine pairs at sf0.1. These expressions generate a tight primitive
+  * loop inside whole-stage codegen instead (with a matching interpreted
+  * `nullSafeEval` for completeness).
+  *
+  * CONTRACT: the fold is a sequential left-to-right double
+  * accumulation, identical to both the higher-order version it
+  * replaces and DuckDB's `list_sum(list_transform(...))` — this is
+  * what keeps q70's oracle hash-exact. Array elements must be non-null
+  * (embedding columns; enforced upstream by schema).
+  */
+private[graft] trait VectorBinaryLoop extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def elemGet(e: Expression): String =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => "getFloat"
+      case DoubleType => "getDouble"
+      case t          => throw new IllegalArgumentException(s"vector op over array<$t>")
+    }
+
+  /** Java statement(s) updating `acc` from `(double) xi` and `(double) yi`. */
+  protected def updateJava(acc: String, xi: String, yi: String): String
+  protected def updateEval(acc: Double, xi: Double, yi: Double): Double
+
+  private def getD(e: Expression, a: ArrayData, i: Int): Double =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => a.getFloat(i).toDouble
+      case _         => a.getDouble(i)
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc = updateEval(acc, getD(left, x, i), getD(right, y, i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.${elemGet(left)}($i);
+         |  double $yi = (double) $b.${elemGet(right)}($i);
+         |  ${updateJava(acc, xi, yi)}
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+}
+
+/** Sequential-fold double dot product of two float/double arrays. */
+case class DotProductD(left: Expression, right: Expression) extends VectorBinaryLoop {
+  override protected def updateJava(acc: String, xi: String, yi: String): String =
+    s"$acc += $xi * $yi;"
+  override protected def updateEval(acc: Double, xi: Double, yi: Double): Double =
+    acc + xi * yi
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_dot"
+}
+
+/** Sequential-fold squared euclidean distance. */
+case class DistSqD(left: Expression, right: Expression) extends VectorBinaryLoop {
+  override protected def updateJava(acc: String, xi: String, yi: String): String =
+    s"double d = $xi - $yi; $acc += d * d;"
+  override protected def updateEval(acc: Double, xi: Double, yi: Double): Double = {
+    val d = xi - yi
+    acc + d * d
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_distsq"
+}
+
+/** Sequential-fold L2 norm (sqrt of sum of squares). */
+case class NormL2(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_norm2"
+
+  private def getter: String =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => "getFloat"
+      case DoubleType => "getDouble"
+      case t          => throw new IllegalArgumentException(s"norm over array<$t>")
+    }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    while (i < x.numElements()) {
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      acc += v * v
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = (double) $a.$getter($i);
+         |  $acc += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-session registration so `functions.call_function` can resolve
+  * the graft expressions by name (called idempotently from
+  * [[graft.Tables.load]], the chokepoint every query passes through).
+  */
+object VectorExpressions {
+  val names: Seq[String] =
+    Seq("graft_dot", "graft_distsq", "graft_norm2", "graft_shingle_hashes", "graft_minhash")
+
+  private def litInt(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot", es => DotProductD(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_distsq", es => DistSqD(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_norm2", es => NormL2(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      es => ShingleHashes64(es(0), litInt(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      es => MinHashSig(es(0), litInt(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_band_hashes",
+      es => BandHashes(es(0), litInt(es(1)), litInt(es(2))), "built-in")
+  }
+}
