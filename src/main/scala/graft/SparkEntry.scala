@@ -8,7 +8,8 @@ object SparkEntry {
   /** All checkable operators, assembled from the per-module registries. */
   def defs: Seq[Qdef] =
     operators.Relational.all ++ operators.Cohort.all ++
-      dedup.Dedup.all ++ ann.Knn.all ++ operators.TextAnalysis.all
+      dedup.Dedup.all ++ ann.Knn.all ++ operators.TextAnalysis.all ++
+      operators.Sketches.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -149,8 +149,9 @@ case class NormL2(child: Expression) extends UnaryExpression {
   * [[graft.Tables.load]], the chokepoint every query passes through).
   */
 object VectorExpressions {
-  val names: Seq[String] =
-    Seq("graft_dot", "graft_distsq", "graft_norm2", "graft_shingle_hashes", "graft_minhash")
+  val names: Seq[String] = Seq(
+    "graft_dot", "graft_distsq", "graft_norm2",
+    "graft_shingle_hashes", "graft_minhash", "graft_band_hashes")
 
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()

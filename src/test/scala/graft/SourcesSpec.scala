@@ -32,6 +32,32 @@ class SourcesSpec extends SparkSpec {
     assert(canon(back) === canon(region))
   }
 
+  test("io04: bucketed tables join with zero shuffle exchanges") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("io04_orders")
+    lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("io04_lineitem")
+    try {
+      val joined = spark.table("io04_orders")
+        .join(spark.table("io04_lineitem").hint("merge"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_custkey").agg(sum("l_quantity").as("q"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located bucketed join: the join itself needs no exchange —
+      // the only shuffle allowed is the final groupBy aggregation
+      val joinPart = plan.split("HashAggregate").last
+      assert(!joinPart.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() === Tables.orders(spark, sf)
+        .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_custkey").count().count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS io04_orders")
+      spark.sql("DROP TABLE IF EXISTS io04_lineitem")
+    }
+  }
+
   test("io03: json-lines round-trip with explicit schema") {
     val out = tmpDir("io03")
     val customer = Tables.customer(spark, sf).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
