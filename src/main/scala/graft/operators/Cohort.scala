@@ -162,15 +162,19 @@ object Cohort {
     Some("""SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n
             FROM orders GROUP BY 1 ORDER BY bucket"""))
 
-  /** Code-list value frequencies with population share. */
+  /** Code-list value frequencies with population share. The global
+    * total arrives via a broadcast cross join of a 1-row aggregate —
+    * not an unpartitioned window, which would funnel all groups
+    * through a single partition.
+    */
   private val q47 = Qdef(
     "q47_value_frequencies",
     (s, d) => {
       val counts = Tables.orders(s, d).groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
       counts
-        .withColumn("share",
-          col("n").cast("double") /
-            sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()).cast("double"))
+        .crossJoin(broadcast(counts.agg(sum("n").as("total"))))
+        .withColumn("share", col("n").cast("double") / col("total").cast("double"))
+        .select("o_orderpriority", "n", "share")
         .orderBy("o_orderpriority")
     },
     Some("""SELECT o_orderpriority, n, CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
@@ -189,5 +193,28 @@ object Cohort {
             WHERE p_name LIKE '%blue%' OR regexp_matches(p_name, '^small .*(bolt|rod)$')
             ORDER BY p_partkey"""))
 
-  val all: Seq[Qdef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48)
+  /** Visit-level population (lens-warehouse queries run against
+    * subjects OR visits): visits = orders, atoms keyed by o_orderkey.
+    * An urgent visit in 1997 that contains a returned measurement.
+    */
+  private val q49 = Qdef(
+    "q49_cohort_visits",
+    (s, d) => {
+      val urgent97 = atom("urgent97", Tables.orders(s, d),
+        col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1998-01-01",
+        col("o_orderkey"))
+      val withReturn = atom("with_return", Tables.lineitem(s, d),
+        col("l_returnflag") === "R", col("l_orderkey"))
+      countSubjects(and(Seq(urgent97.keys, withReturn.keys)))
+        .withColumnRenamed("n_subjects", "n_visits")
+    },
+    Some("""SELECT COUNT(*) AS n_visits FROM
+            ((SELECT DISTINCT o_orderkey AS subject FROM orders
+              WHERE o_orderpriority = '1-URGENT'
+                AND o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01')
+             INTERSECT
+             (SELECT DISTINCT l_orderkey AS subject FROM lineitem WHERE l_returnflag = 'R')) t"""))
+
+  val all: Seq[Qdef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
 }
