@@ -537,10 +537,86 @@ object Relational {
             COUNT(*) AS n, ${DSUM("value")} AS sum_value
             FROM events GROUP BY 1 ORDER BY k"""))
 
+  /** As-of join — for each purchase, the latest click of the same user
+    * at or before it. Spark has no ASOF operator; the scalable
+    * formulation is NOT an inequality join (quadratic per key) but a
+    * tagged union + one window pass: sort (user, time) once, carry the
+    * last-seen right row forward. One shuffle, linear work, any key
+    * cardinality. Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  private val q54 = Qdef(
+    "q54_asof_join",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val a = e.filter(col("event_type") === "purchase")
+      val b = e.filter(col("event_type") === "click")
+      val tagged = a.select(col("user_id"), col("us"), lit(1).as("tag"),
+          col("event_id").as("aid"), lit(null).cast("long").as("bid"),
+          lit(null).cast("long").as("bus"))
+        .unionByName(b.select(col("user_id"), col("us"), lit(0).as("tag"),
+          lit(null).cast("long").as("aid"), col("event_id").as("bid"),
+          col("us").as("bus")))
+      // tag orders a click before a purchase at the same microsecond →
+      // "at or before" (>=) semantics, matching the oracle's a.us >= b.us
+      val w = Window.partitionBy("user_id").orderBy("us", "tag", "bid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("b_event_id", last("bid", ignoreNulls = true).over(w))
+        .withColumn("b_us", last("bus", ignoreNulls = true).over(w))
+        .filter(col("aid").isNotNull)
+        .select(col("aid").as("a_event_id"), col("b_event_id"),
+          (col("us") - col("b_us")).as("gap_us"))
+        .orderBy("a_event_id")
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+            a AS (SELECT event_id AS a_event_id, user_id, us AS a_us FROM e WHERE event_type = 'purchase'),
+            b AS (SELECT event_id AS b_event_id, user_id, us AS b_us FROM e WHERE event_type = 'click')
+            SELECT a.a_event_id, b.b_event_id, a.a_us - b.b_us AS gap_us
+            FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.a_us >= b.b_us
+            ORDER BY a_event_id"""))
+
+  /** Range join — clicks within 5 minutes after each view, same user.
+    * Scale path: quantize time into 5-minute bins and equi-join on
+    * (user, bin) with each view probing its own and the next bin —
+    * the shuffle key stays compact and hash-joinable instead of an
+    * inequality-only (broadcast-nested-loop) join.
+    */
+  private val q55 = Qdef(
+    "q55_range_join",
+    (s, d) => {
+      val winUs = 300000000L // 5 min in µs
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id"), col("us").as("v_us"),
+          floor(col("us") / winUs).as("bin"))
+        .withColumn("probe", explode(array(col("bin"), col("bin") + 1)))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("us").as("c_us"),
+          floor(col("us") / winUs).as("c_bin"))
+      v.join(c,
+          col("user_id") === col("c_user") && col("probe") === col("c_bin") &&
+            col("c_us") > col("v_us") && col("c_us") <= col("v_us") + winUs,
+          "left")
+        .groupBy("v_id")
+        .agg(count(col("c_id")).as("n_clicks_5m"))
+        .orderBy("v_id")
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+            v AS (SELECT event_id AS v_id, user_id, us AS v_us FROM e WHERE event_type = 'view'),
+            c AS (SELECT event_id AS c_id, user_id AS c_user, us AS c_us FROM e WHERE event_type = 'click')
+            SELECT v.v_id, COUNT(c.c_id) AS n_clicks_5m
+            FROM v LEFT JOIN c ON v.user_id = c.c_user
+                               AND c.c_us > v.v_us AND c.c_us <= v.v_us + 300000000
+            GROUP BY v.v_id ORDER BY v.v_id"""))
+
   val all: Seq[Qdef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q20, q21, q22, q23, q24,
     q30, q31, q32, q33, q34, q35, q36,
-    q50, q51, q52, q53)
+    q50, q51, q52, q53, q54, q55)
 }

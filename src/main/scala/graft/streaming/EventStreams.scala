@@ -101,4 +101,15 @@ object EventStreams {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  /** st03: exactly-once incremental load — the reference's "append new
+    * visits" ETL shape. Duplicate deliveries (at-least-once sources,
+    * replayed batches) are dropped on the event id within the
+    * watermark horizon; state is bounded because ids older than the
+    * watermark are evicted.
+    */
+  def dedupedAppend(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
 }

@@ -87,6 +87,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st03: streamed dedup drops replayed events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupedAppend(input.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("st03_out").outputMode("append").start()
+    try {
+      val e1 = Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0)
+      val e2 = Event(2, ts("2026-01-01 10:01:00"), 1, "view", 1.0)
+      input.addData(e1, e2, e1) // duplicate within one batch
+      q.processAllAvailable()
+      input.addData(e2, Event(3, ts("2026-01-01 10:02:00"), 2, "click", 1.0)) // replay across batches
+      q.processAllAvailable()
+      val ids = spark.table("st03_out").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("st02 twin: session counts per user agree with batch q52 on sf0.001") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
