@@ -13,12 +13,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // noop sink: forces full computation of every output column
+    // (count() would let Catalyst prune work for scan-shaped queries).
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     // Untimed warm-up: JVM/codegen/parquet-footer costs land here, not
     // on whichever query the Map happens to order first.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try exec(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
