@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan shape regression tests — the properties PLANS.md
+  * reviews by hand, asserted so a refactor can't silently lose them.
+  * String-matching executedPlan is crude but stable for these shapes.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: filters and column pruning reach the parquet scan") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), s"no pushed filters:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "date predicate not pushed")
+    // pruned scan: none of the untouched wide columns appear in ReadSchema
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q11: star join broadcasts every dimension") {
+    val p = plan("q11_join_multiway")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts === 5, s"expected 5 broadcast joins, got $broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), "a dimension fell back to sort-merge at test scale")
+  }
+
+  test("q13/q14: EXISTS and NOT EXISTS plan as semi/anti joins") {
+    assert(plan("q13_join_semi").contains("LeftSemi"))
+    assert(plan("q14_join_anti").contains("LeftAnti"))
+  }
+
+  test("minhash signatures are a pure narrow map - no shuffle") {
+    val sig = dedup.Dedup.minhashSignatures(Tables.documents(spark, sf))
+    val p = sig.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"signature computation shuffles:\n$p")
+    assert(p.contains("graft_minhash") || p.contains("graftminhash"),
+      s"native minhash expression missing from plan:\n$p")
+  }
+
+  test("q70: corpus-side stays unshuffled before topK; query set broadcasts") {
+    val p = plan("q70_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query set not broadcast:\n$p")
+  }
+
+  test("cohort AND plans as a chain of semi joins over distinct key sets") {
+    val p = plan("q41_cohort_and")
+    assert(p.contains("LeftSemi"), s"cohort AND lost its semi-join shape:\n$p")
+  }
+}
