@@ -216,5 +216,6 @@ object Cohort {
              INTERSECT
              (SELECT DISTINCT l_orderkey AS subject FROM lineitem WHERE l_returnflag = 'R')) t"""))
 
-  val all: Seq[Qdef] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
+  val all: Seq[Qdef] =
+    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, CohortQuery.q4a)
 }

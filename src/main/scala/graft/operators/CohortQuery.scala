@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Declarative cohort queries — the JSON query surface of the
+  * reference (a query is an AND of OR-groups of criteria, optionally
+  * minus exclusion criteria, evaluated against a subject or visit
+  * population). A reference user posts a query description and gets a
+  * population + count back; this is that endpoint as a library call:
+  *
+  * {{{
+  * {
+  *   "population": "subject",          // or "visit"
+  *   "and": [
+  *     {"or": [ {"source": "orders", "field": "o_orderpriority",
+  *               "op": "eq", "value": "1-URGENT"} ]},
+  *     {"or": [ {"source": "customer", "field": "c_acctbal",
+  *               "op": "gt", "value": 7000} ]}
+  *   ],
+  *   "not": [ {"source": "lineitem", "field": "l_returnflag",
+  *             "op": "eq", "value": "R"} ]
+  * }
+  * }}}
+  *
+  * ops: eq ne gt ge lt le like in between. Atoms resolve to distinct
+  * key sets before any set algebra (SURVEY §4), so the evaluation
+  * plan is identical to the hand-composed [[Cohort]] combinators.
+  */
+object CohortQuery {
+
+  /** subject-population keys: how each source maps to c_custkey. */
+  private def subjectKey(spark: SparkSession, dir: String, source: String): (DataFrame, Column) =
+    source match {
+      case "customer" => (Tables.customer(spark, dir), col("c_custkey"))
+      case "orders"   => (Tables.orders(spark, dir), col("o_custkey"))
+      case "lineitem" =>
+        // measurements hang off visits; key them to the visit's subject
+        val j = Tables.lineitem(spark, dir)
+          .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+        (j, col("o_custkey"))
+      case s => throw new IllegalArgumentException(s"unknown subject source: $s")
+    }
+
+  /** visit-population keys: how each source maps to o_orderkey. */
+  private def visitKey(spark: SparkSession, dir: String, source: String): (DataFrame, Column) =
+    source match {
+      case "orders"   => (Tables.orders(spark, dir), col("o_orderkey"))
+      case "lineitem" => (Tables.lineitem(spark, dir), col("l_orderkey"))
+      case s => throw new IllegalArgumentException(s"unknown visit source: $s")
+    }
+
+  private def lit0(v: JValue): Any = v match {
+    case JString(s)  => s
+    case JInt(i)     => i.toLong
+    case JLong(l)    => l
+    case JDouble(d)  => d
+    case JDecimal(d) => d.toDouble
+    case JBool(b)    => b
+    case other       => throw new IllegalArgumentException(s"unsupported literal: $other")
+  }
+
+  private def predicate(field: String, op: String, value: JValue): Column = {
+    val c = col(field)
+    op match {
+      case "eq"   => c === lit(lit0(value))
+      case "ne"   => c =!= lit(lit0(value))
+      case "gt"   => c > lit(lit0(value))
+      case "ge"   => c >= lit(lit0(value))
+      case "lt"   => c < lit(lit0(value))
+      case "le"   => c <= lit(lit0(value))
+      case "like" => c.like(lit0(value).toString)
+      case "in" => value match {
+        case JArray(vs) => c.isin(vs.map(lit0): _*)
+        case other      => throw new IllegalArgumentException(s"'in' needs an array, got $other")
+      }
+      case "between" => value match {
+        case JArray(lo :: hi :: Nil) => c >= lit(lit0(lo)) && c <= lit(lit0(hi))
+        case other => throw new IllegalArgumentException(s"'between' needs [lo, hi], got $other")
+      }
+      case other => throw new IllegalArgumentException(s"unknown op: $other")
+    }
+  }
+
+  private def atomKeys(
+      spark: SparkSession, dir: String, population: String, atom: JValue): DataFrame = {
+    val source = (atom \ "source").asInstanceOf[JString].s
+    val field = (atom \ "field").asInstanceOf[JString].s
+    val op = (atom \ "op").asInstanceOf[JString].s
+    val value = atom \ "value"
+    val (df, key) = population match {
+      case "subject" => subjectKey(spark, dir, source)
+      case "visit"   => visitKey(spark, dir, source)
+      case p => throw new IllegalArgumentException(s"unknown population: $p")
+    }
+    df.filter(predicate(field, op, value)).select(key.as("subject")).distinct()
+  }
+
+  /** Evaluate a JSON query spec → distinct population key set. */
+  def population(spark: SparkSession, dir: String, json: String): DataFrame = {
+    val spec = JsonMethods.parse(json)
+    val pop = spec \ "population" match {
+      case JString(p) => p
+      case JNothing   => "subject"
+      case other      => throw new IllegalArgumentException(s"bad population: $other")
+    }
+    val groups = spec \ "and" match {
+      case JArray(gs) => gs.map { g =>
+        g \ "or" match {
+          case JArray(atoms) => atoms.map(a => atomKeys(spark, dir, pop, a))
+          case JNothing      => List(atomKeys(spark, dir, pop, g)) // bare atom = 1-ary OR
+          case other         => throw new IllegalArgumentException(s"bad or-group: $other")
+        }
+      }
+      case other => throw new IllegalArgumentException(s"query needs an 'and' array, got $other")
+    }
+    val base = Cohort.and(groups.map(g => g.reduce(_ union _).distinct()))
+    spec \ "not" match {
+      case JArray(atoms) =>
+        atoms.foldLeft(base)((acc, a) => Cohort.not(acc, atomKeys(spark, dir, pop, a)))
+      case JNothing => base
+      case other    => throw new IllegalArgumentException(s"bad not-list: $other")
+    }
+  }
+
+  /** Evaluate a spec → 1-row count (the reference's query result). */
+  def count(spark: SparkSession, dir: String, json: String): DataFrame =
+    Cohort.countSubjects(population(spark, dir, json))
+
+  /** The demo spec used by the oracle-checked q4a query. */
+  val demoSpec: String =
+    """{
+      |  "population": "subject",
+      |  "and": [
+      |    {"or": [
+      |      {"source": "orders",   "field": "o_orderpriority", "op": "eq", "value": "1-URGENT"},
+      |      {"source": "lineitem", "field": "l_returnflag",    "op": "eq", "value": "R"}
+      |    ]},
+      |    {"or": [
+      |      {"source": "customer", "field": "c_mktsegment", "op": "eq", "value": "BUILDING"},
+      |      {"source": "customer", "field": "c_acctbal",    "op": "gt", "value": 7000}
+      |    ]}
+      |  ],
+      |  "not": [
+      |    {"source": "customer", "field": "c_acctbal", "op": "lt", "value": 0}
+      |  ]
+      |}""".stripMargin
+
+  val q4a: graft.Qdef = graft.Qdef(
+    "q4a_cohort_json_dsl",
+    (s, d) => count(s, d, demoSpec),
+    Some("""SELECT COUNT(*) AS n_subjects FROM (
+              ((SELECT DISTINCT o_custkey AS subject FROM orders WHERE o_orderpriority = '1-URGENT'
+                UNION
+                SELECT DISTINCT o_custkey AS subject FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R')
+               INTERSECT
+               (SELECT DISTINCT c_custkey AS subject FROM customer WHERE c_mktsegment = 'BUILDING'
+                UNION
+                SELECT DISTINCT c_custkey AS subject FROM customer WHERE c_acctbal > 7000))
+              EXCEPT
+              SELECT DISTINCT c_custkey AS subject FROM customer WHERE c_acctbal < 0) t"""))
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Cohort, CohortQuery}
+import org.apache.spark.sql.functions._
+
+/** JSON cohort-query DSL semantics (SURVEY §2.5). */
+class CohortQuerySpec extends SparkSpec {
+
+  test("DSL CNF equals hand-composed combinators") {
+    val json =
+      """{"and": [
+        |  {"or": [{"source": "orders", "field": "o_orderpriority", "op": "eq", "value": "1-URGENT"}]},
+        |  {"or": [{"source": "customer", "field": "c_mktsegment", "op": "eq", "value": "BUILDING"},
+        |          {"source": "customer", "field": "c_acctbal", "op": "gt", "value": 7000}]}
+        |]}""".stripMargin
+    val dsl = CohortQuery.population(spark, sf, json).collect().map(_.getLong(0)).toSet
+    val urgent = Cohort.atom("u", Tables.orders(spark, sf),
+      col("o_orderpriority") === "1-URGENT", col("o_custkey"))
+    val building = Cohort.atom("b", Tables.customer(spark, sf),
+      col("c_mktsegment") === "BUILDING", col("c_custkey"))
+    val rich = Cohort.atom("r", Tables.customer(spark, sf),
+      col("c_acctbal") > 7000, col("c_custkey"))
+    val direct = Cohort.and(Seq(urgent.keys, Cohort.or(Seq(building, rich))))
+      .collect().map(_.getLong(0)).toSet
+    assert(dsl === direct)
+  }
+
+  test("bare atom works as a 1-ary OR-group; ops in/between/like parse") {
+    val json =
+      """{"and": [
+        |  {"source": "orders", "field": "o_orderpriority", "op": "in", "value": ["1-URGENT", "2-HIGH"]},
+        |  {"source": "customer", "field": "c_acctbal", "op": "between", "value": [0, 5000]},
+        |  {"source": "customer", "field": "c_name", "op": "like", "value": "Customer%"}
+        |]}""".stripMargin
+    val n = CohortQuery.count(spark, sf, json).head().getLong(0)
+    assert(n > 0)
+  }
+
+  test("visit population keys atoms by order, not customer") {
+    val json =
+      """{"population": "visit", "and": [
+        |  {"source": "orders", "field": "o_orderpriority", "op": "eq", "value": "1-URGENT"},
+        |  {"source": "lineitem", "field": "l_returnflag", "op": "eq", "value": "R"}
+        |]}""".stripMargin
+    val n = CohortQuery.count(spark, sf, json).head().getLong(0)
+    // must equal the hand-built visit cohort q49 minus its date filter superset
+    val urgentVisits = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("subject")).distinct()
+    val returnVisits = Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("subject")).distinct()
+    assert(n === Cohort.and(Seq(urgentVisits, returnVisits)).count())
+  }
+
+  test("malformed specs fail loudly") {
+    intercept[IllegalArgumentException] {
+      CohortQuery.population(spark, sf, """{"and": [{"source": "nope", "field": "x", "op": "eq", "value": 1}]}""")
+    }
+    intercept[IllegalArgumentException] {
+      CohortQuery.population(spark, sf, """{"or": []}""") // no 'and' root
+    }
+    intercept[IllegalArgumentException] {
+      CohortQuery.population(spark, sf,
+        """{"and": [{"source": "orders", "field": "o_orderkey", "op": "xor", "value": 1}]}""")
+    }
+  }
+}
