@@ -12,11 +12,11 @@ import org.apache.spark.sql.functions._
   * Brute force (q70) is the correctness baseline: corpus × broadcast
   * query set, cosine in sequential-fold double math that the DuckDB
   * oracle reproduces bit-for-bit, top-k by window rank. The scale
-  * paths avoid the full cross product: q71 buckets by random-
-  * hyperplane signs (shuffle on an 8-bit key), q72 partitions the
-  * corpus into IVF cells around broadcast centroids and probes the
-  * query's 2 nearest cells. Norms are computed once per row, never
-  * per pair.
+  * paths avoid the full cross product: q71 buckets by OR-amplified
+  * random-hyperplane signs (shuffle on compact (table, bucket) keys),
+  * q72 partitions the corpus into IVF cells around broadcast
+  * Lloyd-trained centroids and probes each query's nearest cells.
+  * Norms are computed once per row, never per pair.
   */
 object Knn {
 
@@ -110,7 +110,7 @@ object Knn {
     * At cluster scale the training runs on a sample; assignment stays
     * a broadcast map-side pass over the full corpus.
     */
-  def ivfCentroids(e: DataFrame, iters: Int = 3): DataFrame = {
+  def ivfCentroids(e: DataFrame, iters: Int = 2): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     // Materialize the (tiny: k × 64 doubles) centroid set on the driver
@@ -146,7 +146,7 @@ object Knn {
 
   /** IVF ANN: corpus rows live in their nearest cell; each query probes
     * its `nprobe` nearest cells. The candidate join shuffles on the
-    * small cell id — scanned fraction ≈ nprobe/#cells (4/16 here;
+    * small cell id — scanned fraction ≈ nprobe/#cells (16/64 here;
     * a production index would use k=thousands of cells, same plan).
     */
   private val q72 = Qdef(

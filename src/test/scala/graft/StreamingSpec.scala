@@ -106,6 +106,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st01 file source: readStream over a json-lines directory, incremental batches") {
+    import spark.implicits._
+    val dir = tmpDir("st01files")
+    val schema = org.apache.spark.sql.Encoders.product[Event].schema
+
+    def writeBatch(name: String, events: Seq[Event]): Unit =
+      events.toDF().coalesce(1).write.mode("append").json(s"$dir/in")
+
+    writeBatch("b1", Seq(
+      Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2026-01-01 10:30:00"), 1, "view", 2.0)))
+
+    val stream = spark.readStream.schema(schema).json(s"$dir/in")
+    val q = EventStreams.tumblingCounts(stream, watermark = "2 hours")
+      .writeStream.format("memory").queryName("st01_files").outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // second file arrives later — the file source must pick it up
+      writeBatch("b2", Seq(Event(3, ts("2026-01-01 10:45:00"), 2, "click", 3.0)))
+      q.processAllAvailable()
+      writeBatch("b3", Seq(Event(9, ts("2026-01-02 00:00:00"), 9, "sentinel", 0.0)))
+      q.processAllAvailable()
+      val rows = spark.table("st01_files")
+        .filter(col("event_type") =!= "sentinel")
+        .select("event_type", "n", "sum_value")
+        .collect().map(_.toSeq).toSet
+      assert(rows === Set(Seq("click", 2L, 4.0), Seq("view", 1L, 2.0)))
+    } finally q.stop()
+  }
+
   test("st02 twin: session counts per user agree with batch q52 on sf0.001") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
