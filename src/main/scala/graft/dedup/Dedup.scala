@@ -209,5 +209,69 @@ object Dedup {
     (s, d) => embeddingNearDups(Tables.embeddings(s, d)).orderBy("id_a", "id_b"),
     None)
 
-  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65)
+  // ------------------------------------------- cluster resolution
+
+  /** Resolve near-dup pairs into clusters (connected components) by
+    * iterative min-label propagation: every doc starts labeled with
+    * its own id; each round every doc takes the min label among itself
+    * and its neighbors; converged when nothing changes (≤ component
+    * diameter rounds — near-dup clusters are small, so 2-4 in
+    * practice, capped). Each round is one shuffle on doc_id;
+    * `localCheckpoint` cuts lineage so round i+1 does not re-plan
+    * round i (a reliable checkpoint dir serves the same purpose on a
+    * cluster). Returns (doc_id, cluster_id = min doc_id of the
+    * component) for every doc that appears in a pair.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min("label").as("nlabel"))
+      val updated = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = updated
+      it += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** The deduplicated corpus: drop every doc that belongs to a
+    * near-dup cluster but is not its canonical (min-id) member.
+    * Docs in no pair survive untouched (left anti join on losers).
+    */
+  def dedupedCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = nearDupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** End-to-end resolve over the verified-jaccard pairs: cluster
+    * summary (canonical id, member count) for every multi-doc cluster.
+    */
+  private val q66 = Qdef(
+    "q66_dedup_resolve",
+    (s, d) => {
+      val pairs = q64.run(s, d).select("id_a", "id_b")
+      nearDupClusters(pairs)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster_id")
+    },
+    None)
+
+  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66)
 }

@@ -76,6 +76,33 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("q66: cluster resolution equals brute-force union-find; corpus keeps one per cluster") {
+    val pairsDf = SparkEntry.queries("q64_dedup_ngram_jaccard")(spark, sf).select("id_a", "id_b")
+    val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force union-find on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val got = graft.dedup.Dedup.nearDupClusters(pairsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+
+    val docs = Tables.documents(spark, sf)
+    val kept = graft.dedup.Dedup.dedupedCorpus(docs, pairsDf)
+    val losers = expected.count { case (id, root) => id != root }
+    assert(kept.count() === docs.count() - losers)
+    // every cluster still has exactly its canonical member present
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    expected.values.toSet.foreach((root: Long) => assert(keptIds.contains(root)))
+  }
+
   test("q83: fingerprint is deterministic and one row per doc") {
     val f1 = SparkEntry.queries("q83_fingerprint")(spark, sf).collect()
     val f2 = SparkEntry.queries("q83_fingerprint")(spark, sf).collect()
