@@ -40,6 +40,24 @@ object TextExprHelpers {
     new GenericArrayData(out)
   }
 
+  /** All word k-shingles of a document as strings (non-distinct —
+    * occurrence counts matter for vocabulary building). Null when the
+    * doc has fewer than k tokens.
+    */
+  def shingleStrings(text: UTF8String, k: Int): ArrayData = {
+    if (text == null) return null
+    val toks = text.toLowerCase.trim.split(UTF8String.fromString("\\s+"), -1)
+    if (toks.length < k) return null
+    val space = UTF8String.fromString(" ")
+    val out = new Array[AnyRef](toks.length - k + 1)
+    var i = 0
+    while (i + k <= toks.length) {
+      out(i) = UTF8String.concatWs(space, java.util.Arrays.copyOfRange(toks, i, i + k): _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** `perms`-permutation MinHash signature of a shingle-hash set:
     * m_i = min over shingles of xxhash64(seed=i)(h). One per-row pass —
     * no explode, no aggregation shuffle.
@@ -125,6 +143,29 @@ case class ShingleHashes64(child: Expression, k: Int) extends UnaryExpression {
        """.stripMargin)
     ec
   }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_shingle_strings(text, k)` — codegen'd scalar producing all
+  * word k-shingles of a document as strings (vocabulary building).
+  */
+case class ShingleStrings(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "shingle width must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_strings"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextExprHelpers.shingleStrings(t.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""
+         |${ev.value} = graft.functions.TextExprHelpers.shingleStrings($t, $k);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -151,7 +151,8 @@ case class NormL2(child: Expression) extends UnaryExpression {
 object VectorExpressions {
   val names: Seq[String] = Seq(
     "graft_dot", "graft_distsq", "graft_norm2",
-    "graft_shingle_hashes", "graft_minhash", "graft_band_hashes")
+    "graft_shingle_hashes", "graft_minhash", "graft_band_hashes",
+    "graft_shingle_strings")
 
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -167,5 +168,7 @@ object VectorExpressions {
       es => MinHashSig(es(0), litInt(es(1))), "built-in")
     reg.createOrReplaceTempFunction("graft_band_hashes",
       es => BandHashes(es(0), litInt(es(1)), litInt(es(2))), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_strings",
+      es => ShingleStrings(es(0), litInt(es(1))), "built-in")
   }
 }

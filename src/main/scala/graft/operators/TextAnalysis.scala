@@ -134,5 +134,26 @@ object TextAnalysis {
     },
     None)
 
-  val all: Seq[Qdef] = Seq(q80, q81, q82, q83)
+  /** Corpus bigram vocabulary: top-50 word bigrams by occurrence —
+    * the vocabulary-building shape (explode per-row shingles, one
+    * count shuffle with map-side combine, top-k). Deterministic ties
+    * by bigram text.
+    */
+  private val q84 = Qdef(
+    "q84_ngram_vocab",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(call_function("graft_shingle_strings", col("text"), lit(2))).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(50),
+    Some("""WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+            g AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+                  FROM t WHERE len(toks) >= 2)
+            SELECT bigram, COUNT(*) AS n FROM g GROUP BY bigram
+            ORDER BY n DESC, bigram LIMIT 50"""))
+
+  val all: Seq[Qdef] = Seq(q80, q81, q82, q83, q84)
 }
