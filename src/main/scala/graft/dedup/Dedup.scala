@@ -223,8 +223,13 @@ object Dedup {
     * component) for every doc that appears in a pair.
     */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // materialize the edge list once — `pairs` is usually the whole
+    // candidate pipeline (minhash → LSH → verify), and every CC
+    // iteration joins against edges; without the checkpoint each
+    // round would re-execute that upstream pipeline
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint(true)
@@ -235,14 +240,16 @@ object Dedup {
         .join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst").as("doc_id"))
         .agg(min("label").as("nlabel"))
+      // carry the previous label through so convergence is a cheap
+      // filter on the (already materialized) checkpoint — not a
+      // second shuffle join against the old frame
       val updated = labels
         .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint(true)
-      converged = updated.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = updated
+      converged = updated.filter(col("label") =!= col("old")).isEmpty
+      labels = updated.select("doc_id", "label")
       it += 1
     }
     labels.withColumnRenamed("label", "cluster_id")
