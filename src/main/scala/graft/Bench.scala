@@ -17,9 +17,11 @@ object Bench {
     // (count() would let Catalyst prune work for scan-shaped queries).
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
-    // Untimed warm-up: JVM/codegen/parquet-footer costs land here, not
-    // on whichever query the Map happens to order first.
-    try exec(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    // Untimed warm-up over the BENCHMARKED dataset (entry() reads
+    // sf0.001): JVM/codegen and the sfDir parquet footers/file listing
+    // land here, not on whichever query the Map orders first.
+    try exec(SparkEntry.queries("q03_agg_group")(spark, sfDir))
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try exec(fn(spark, sfDir)) catch { case _: Throwable => () }

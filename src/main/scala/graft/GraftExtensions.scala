@@ -45,5 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_band_hashes"),
       info("graft_band_hashes", "_FUNC_(sig, bands, rows) - LSH band hashes"),
       es => BandHashes(es(0), litInt(es(1)), litInt(es(2)))))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_strings"),
+      info("graft_shingle_strings", "_FUNC_(text, k) - word k-shingles as strings"),
+      es => ShingleStrings(es(0), litInt(es(1)))))
   }
 }

@@ -69,10 +69,15 @@ object Knn {
     * neighbors around cos 0.3–0.5, 16 tables of 4 planes give
     * 1-(1-p^4)^16 ≈ 0.9+ recall while keeping 2^4 buckets per table.
     */
-  def lshTables(e: DataFrame, tables: Int = 16, planes: Int = 4): DataFrame = {
-    val rnd = new scala.util.Random(11)
+  def lshTables(
+      e: DataFrame,
+      tables: Int = 16,
+      planes: Int = 4,
+      seed: Int = 11,
+      dims: Int = 64): DataFrame = {
+    val rnd = new scala.util.Random(seed)
     val hp: IndexedSeq[IndexedSeq[Seq[Double]]] =
-      IndexedSeq.fill(tables)(IndexedSeq.fill(planes)(Seq.fill(64)(rnd.nextGaussian())))
+      IndexedSeq.fill(tables)(IndexedSeq.fill(planes)(Seq.fill(dims)(rnd.nextGaussian())))
     def bucketOf(t: Int): Column = (0 until planes)
       .map(j => when(dotD(col("embedding"), typedLit(hp(t)(j))) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
@@ -152,7 +157,10 @@ object Knn {
   private val q72 = Qdef(
     "q72_knn_ivf",
     (s, d) => {
-      val e = corpus(s, d)
+      // materialize the corpus+norm projection once: training (count,
+      // 2 Lloyd assignment passes), cell assignment, and query probing
+      // would otherwise each re-run the scan+norm pipeline
+      val e = corpus(s, d).localCheckpoint(true)
       val cents = ivfCentroids(e)
       def nearestCells(rows: DataFrame, n: Int): DataFrame = {
         val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))

@@ -157,8 +157,11 @@ object Dedup {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
-        .distinct()
+        // filter BEFORE distinct: random 16-bit chunk collisions grow
+        // quadratically with corpus size and would otherwise all be
+        // shuffled just to be discarded
         .filter(col("hamming") <= 3)
+        .distinct()
         .orderBy("id_a", "id_b")
     },
     None)
@@ -181,18 +184,8 @@ object Dedup {
       planes: Int = 4,
       tau: Double = 0.4): DataFrame = {
     import graft.functions.VectorFunctions._
-    val rnd = new scala.util.Random(7)
-    val hp: IndexedSeq[IndexedSeq[Seq[Double]]] =
-      IndexedSeq.fill(tables)(IndexedSeq.fill(planes)(Seq.fill(64)(rnd.nextGaussian())))
-    def bucketOf(t: Int): Column = (0 until planes)
-      .map(j => when(dotD(col("embedding"), typedLit(hp(t)(j))) > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
     val e = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-    val banded = e.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("tbl"), bucketOf(t).as("bkt"))): _*)).as("e"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("e.tbl").as("tbl"), col("e.bkt").as("bkt"))
+    val banded = graft.ann.Knn.lshTables(e, tables, planes, seed = 7)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -252,6 +245,12 @@ object Dedup {
       labels = updated.select("doc_id", "label")
       it += 1
     }
+    // a silently-unconverged result would split components and leave
+    // duplicate "canonicals" in the corpus — fail loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxIters rounds " +
+          "(a component's diameter exceeds maxIters; raise it)")
     labels.withColumnRenamed("label", "cluster_id")
   }
 

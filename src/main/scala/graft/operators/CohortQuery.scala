@@ -86,11 +86,18 @@ object CohortQuery {
     }
   }
 
+  private def strField(atom: JValue, name: String): String =
+    atom \ name match {
+      case JString(s) => s
+      case JNothing   => throw new IllegalArgumentException(s"atom is missing '$name': $atom")
+      case other      => throw new IllegalArgumentException(s"atom '$name' must be a string, got $other")
+    }
+
   private def atomKeys(
       spark: SparkSession, dir: String, population: String, atom: JValue): DataFrame = {
-    val source = (atom \ "source").asInstanceOf[JString].s
-    val field = (atom \ "field").asInstanceOf[JString].s
-    val op = (atom \ "op").asInstanceOf[JString].s
+    val source = strField(atom, "source")
+    val field = strField(atom, "field")
+    val op = strField(atom, "op")
     val value = atom \ "value"
     val (df, key) = population match {
       case "subject" => subjectKey(spark, dir, source)

@@ -543,6 +543,12 @@ object Relational {
     * tagged union + one window pass: sort (user, time) once, carry the
     * last-seen right row forward. One shuffle, linear work, any key
     * cardinality. Oracle: DuckDB's native ASOF LEFT JOIN.
+    *
+    * Tie note: among right rows with identical (user, us) this window
+    * picks max event_id deterministically, while ASOF's choice among
+    * exact-timestamp ties is unspecified — the events data has no
+    * duplicate (user_id, ts) pairs (verified), so the hash check is
+    * stable; re-check if the generator ever changes.
     */
   private val q54 = Qdef(
     "q54_asof_join",

@@ -20,13 +20,23 @@ object Skew {
     * carries one row per (key, salt) — negligible. Works for any
     * commutative-associative aggregate passed as (partial, finish).
     */
+  /** Deterministic per-row salt: hash of the full row content. rand()
+    * would be a nondeterministic shuffle key — under stage retry,
+    * re-executed map tasks would re-salt rows differently than the
+    * partitions already consumed, corrupting the aggregate
+    * (SPARK-23207-class bug). Identical rows share a salt, which is
+    * harmless for skew spreading.
+    */
+  private def rowSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salts))
+
   def saltedAgg(
       df: DataFrame,
       keys: Seq[String],
       salts: Int,
       partial: Seq[Column],
       finish: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(xxhash64(rand(seed = 7)), lit(salts)))
+    val salted = df.withColumn("__salt", rowSalt(df, salts))
     salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)
@@ -46,7 +56,7 @@ object Skew {
       factKey: String,
       dimKey: String,
       salts: Int): DataFrame = {
-    val f = fact.withColumn("__salt", pmod(xxhash64(rand(seed = 11)), lit(salts)))
+    val f = fact.withColumn("__salt", rowSalt(fact, salts))
     val d = dim.withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
     f.join(d, f(factKey) === d(dimKey) && f("__salt") === d("__salt"))
       .drop("__salt")

@@ -59,6 +59,11 @@ object EventStreams {
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[ClosedSession] = {
     val gapUs = gapMinutes.toLong * 60L * 1000000L
 
+    // true microseconds: getTime alone is ms-truncated, which would
+    // diverge from the batch q52 twin (unix_micros) on sub-ms gaps
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+
     def update(
         userId: Long,
         rows: Iterator[Event],
@@ -72,8 +77,8 @@ object EventStreams {
         var cur = state.getOption
         // Micro-batch rows are not ordered; sort the (small) per-user
         // slice by event time before folding it into the session.
-        rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-          val us = e.ts.getTime * 1000L
+        rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+          val us = micros(e.ts)
           cur match {
             case Some(s) if us - s.lastUs <= gapUs =>
               cur = Some(s.copy(lastUs = math.max(s.lastUs, us), nEvents = s.nEvents + 1))
