@@ -43,7 +43,7 @@ object Tables {
   }
 
   /** Decimal-exact sum reported as double: `CAST(SUM(CAST(x AS
-    * DECIMAL(18,scale))) AS DOUBLE)`. Decimal aggregation is exact, so
+    * DECIMAL(28,scale))) AS DOUBLE)`. Decimal aggregation is exact, so
     * the result is bit-identical across engines regardless of row
     * order / partial-aggregation tree shape — unlike a double sum,
     * whose low bits depend on reduction order. Used by every oracle-
@@ -56,5 +56,5 @@ object Tables {
     * division — deterministic).
     */
   def davg(c: org.apache.spark.sql.Column, scale: Int = 2): org.apache.spark.sql.Column =
-    (sum(c.cast(s"decimal(28,$scale)")).cast("double") / count(c))
+    dsum(c, scale) / count(c)
 }

@@ -24,6 +24,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any stale result from a previous run — a leftover
+        // parquet would let the DuckDB gate pass on old data
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

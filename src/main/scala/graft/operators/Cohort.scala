@@ -31,11 +31,15 @@ object Cohort {
       subjectKey: org.apache.spark.sql.Column): Atom =
     Atom(name, source.filter(predicate).select(subjectKey.as("subject")).distinct())
 
-  def or(atoms: Seq[Atom]): DataFrame =
+  def or(atoms: Seq[Atom]): DataFrame = {
+    require(atoms.nonEmpty, "cohort OR-group needs at least one atom")
     atoms.map(_.keys).reduce(_ union _).distinct()
+  }
 
-  def and(sets: Seq[DataFrame]): DataFrame =
+  def and(sets: Seq[DataFrame]): DataFrame = {
+    require(sets.nonEmpty, "cohort AND needs at least one criteria group")
     sets.reduce((a, b) => a.join(b, Seq("subject"), "left_semi"))
+  }
 
   def not(base: DataFrame, minus: DataFrame): DataFrame =
     base.join(minus, Seq("subject"), "left_anti")

@@ -532,7 +532,7 @@ object Relational {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .groupBy("k")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-        .orderBy("k"),
+        .orderBy(col("k").asc_nulls_last), // DuckDB default NULLS LAST parity
     Some(s"""SELECT CAST(json_extract_string(props, '$$.k') AS INT) AS k,
             COUNT(*) AS n, ${DSUM("value")} AS sum_value
             FROM events GROUP BY 1 ORDER BY k"""))
