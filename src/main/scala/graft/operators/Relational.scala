@@ -619,10 +619,35 @@ object Relational {
                                AND c.c_us > v.v_us AND c.c_us <= v.v_us + 300000000
             GROUP BY v.v_id ORDER BY v.v_id"""))
 
+  /** Month-over-month retention: of the customers who ordered in
+    * month m, how many also order in m+1. Two scans of the distinct
+    * (customer, month) set — itself a partial-agg distinct — self-
+    * joined on (customer, next month); the rate divides two
+    * engine-identical integers.
+    */
+  private val q56 = Qdef(
+    "q56_retention",
+    (s, d) => {
+      val um = Tables.orders(s, d)
+        .select(col("o_custkey"), to_date(date_trunc("month", col("o_orderdate"))).as("m"))
+        .distinct()
+      val b = um.select(col("o_custkey").as("b_cust"), col("m").as("b_m"))
+      um.join(b, col("o_custkey") === col("b_cust") && col("b_m") === add_months(col("m"), 1), "left")
+        .groupBy("m")
+        .agg(count(lit(1)).as("active"), count(col("b_cust")).as("retained"))
+        .withColumn("retention", col("retained").cast("double") / col("active").cast("double"))
+        .orderBy("m")
+    },
+    Some("""WITH um AS (SELECT DISTINCT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS m FROM orders)
+            SELECT a.m, COUNT(*) AS active, COUNT(b.o_custkey) AS retained,
+                   CAST(COUNT(b.o_custkey) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS retention
+            FROM um a LEFT JOIN um b ON a.o_custkey = b.o_custkey AND b.m = a.m + INTERVAL 1 MONTH
+            GROUP BY a.m ORDER BY a.m"""))
+
   val all: Seq[Qdef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q20, q21, q22, q23, q24,
     q30, q31, q32, q33, q34, q35, q36,
-    q50, q51, q52, q53, q54, q55)
+    q50, q51, q52, q53, q54, q55, q56)
 }
