@@ -644,10 +644,46 @@ object Relational {
             FROM um a LEFT JOIN um b ON a.o_custkey = b.o_custkey AND b.m = a.m + INTERVAL 1 MONTH
             GROUP BY a.m ORDER BY a.m"""))
 
+  /** Ordered funnel: users who viewed, then clicked after the view,
+    * then purchased after the click. One distinct-user-stage pass,
+    * then sequential min-after-min per user — a single shuffle on
+    * user_id, no self-joins (the naive 3-way event self-join is
+    * quadratic on hot users).
+    */
+  private val q57 = Qdef(
+    "q57_funnel",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val perUser = e.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("us"))).as("t_view"))
+      val withClick = e.join(perUser, "user_id")
+        .groupBy(col("user_id"), col("t_view"))
+        .agg(min(when(col("event_type") === "click" && col("us") > col("t_view"), col("us"))).as("t_click"))
+      val withBuy = e.join(withClick, "user_id")
+        .groupBy(col("user_id"), col("t_view"), col("t_click"))
+        .agg(min(when(col("event_type") === "purchase" && col("us") > col("t_click"), col("us"))).as("t_buy"))
+      withBuy.agg(
+        count(col("t_view")).as("n_view"),
+        count(col("t_click")).as("n_view_click"),
+        count(col("t_buy")).as("n_view_click_buy"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+            v AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN us END) AS t_view
+                  FROM e GROUP BY user_id),
+            c AS (SELECT e.user_id, v.t_view,
+                         MIN(CASE WHEN e.event_type = 'click' AND e.us > v.t_view THEN e.us END) AS t_click
+                  FROM e JOIN v ON e.user_id = v.user_id GROUP BY e.user_id, v.t_view),
+            b AS (SELECT e.user_id, c.t_view, c.t_click,
+                         MIN(CASE WHEN e.event_type = 'purchase' AND e.us > c.t_click THEN e.us END) AS t_buy
+                  FROM e JOIN c ON e.user_id = c.user_id GROUP BY e.user_id, c.t_view, c.t_click)
+            SELECT COUNT(t_view) AS n_view, COUNT(t_click) AS n_view_click,
+                   COUNT(t_buy) AS n_view_click_buy FROM b"""))
+
   val all: Seq[Qdef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18,
     q20, q21, q22, q23, q24,
     q30, q31, q32, q33, q34, q35, q36,
-    q50, q51, q52, q53, q54, q55, q56)
+    q50, q51, q52, q53, q54, q55, q56, q57)
 }

@@ -58,6 +58,16 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("io05: orc round-trip with predicate pushdown") {
+    val out = tmpDir("io05")
+    val supplier = Tables.supplier(spark, sf)
+    Sources.writeOrc(supplier, out)
+    val back = Sources.readOrc(spark, out)
+    assert(canon(back) === canon(supplier))
+    val plan = back.filter(col("s_nationkey") === 3).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(s_nationkey"), s"no orc pushdown:\n$plan")
+  }
+
   test("io03: json-lines round-trip with explicit schema") {
     val out = tmpDir("io03")
     val customer = Tables.customer(spark, sf).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")

@@ -138,6 +138,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st04: stream-stream interval join (clicks within 10 min after views)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val v = views.toDF().withWatermark("ts", "1 hour")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val c = clicks.toDF().withWatermark("ts", "1 hour")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val joined = v.join(c,
+      col("v_user") === col("c_user") &&
+        col("c_ts") > col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("st04_out").outputMode("append").start()
+    try {
+      views.addData(Event(1, ts("2026-01-01 10:00:00"), 1, "view", 0))
+      clicks.addData(
+        Event(2, ts("2026-01-01 10:05:00"), 1, "click", 0), // within window
+        Event(3, ts("2026-01-01 10:20:00"), 1, "click", 0), // outside window
+        Event(4, ts("2026-01-01 10:05:00"), 2, "click", 0)) // other user
+      q.processAllAvailable()
+      val got = spark.table("st04_out").select("v_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("st02 twin: session counts per user agree with batch q52 on sf0.001") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
