@@ -48,5 +48,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_shingle_strings"),
       info("graft_shingle_strings", "_FUNC_(text, k) - word k-shingles as strings"),
       es => ShingleStrings(es(0), litInt(es(1)))))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg", "_FUNC_(hash, nitems, nbits) - bloom filter aggregate"),
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), es(1), es(2))))
+    ext.injectFunction((FunctionIdentifier("graft_might_contain"),
+      info("graft_might_contain", "_FUNC_(bloom, hash) - bloom membership probe"),
+      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))))
   }
 }

@@ -152,7 +152,7 @@ object VectorExpressions {
   val names: Seq[String] = Seq(
     "graft_dot", "graft_distsq", "graft_norm2",
     "graft_shingle_hashes", "graft_minhash", "graft_band_hashes",
-    "graft_shingle_strings")
+    "graft_shingle_strings", "graft_bloom_agg", "graft_might_contain")
 
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
@@ -170,5 +170,14 @@ object VectorExpressions {
       es => BandHashes(es(0), litInt(es(1)), litInt(es(2))), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_strings",
       es => ShingleStrings(es(0), litInt(es(1))), "built-in")
+    // Spark's bloom-filter expressions exist in catalyst but are not
+    // SQL-registered (they back the optimizer's runtime filters);
+    // expose them for the explicit join-prefilter pattern.
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_might_contain",
+      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)),
+      "built-in")
   }
 }

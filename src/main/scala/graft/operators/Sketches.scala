@@ -63,5 +63,50 @@ object Sketches {
     },
     None)
 
-  val all: Seq[Qdef] = Seq(q90, q91, q92)
+  /** Bloom-filter join pre-filter: build a bloom over the (small)
+    * filtered dimension's keys, semi-filter the fact scan with
+    * `might_contain` BEFORE the shuffle, then finish with the exact
+    * join. At 100 TB this is the difference between shuffling the
+    * whole fact table and shuffling only candidate rows (Catalyst
+    * injects the same shape itself as a runtime filter when stats
+    * allow; this makes the pattern explicit and testable). False
+    * positives are filtered by the exact join — results are identical
+    * to the plain join, only the shuffled volume changes.
+    */
+  def bloomPrefilteredJoin(
+      fact: org.apache.spark.sql.DataFrame,
+      factKey: String,
+      dim: org.apache.spark.sql.DataFrame,
+      dimKey: String,
+      expectedKeys: Long = 10000L): org.apache.spark.sql.DataFrame = {
+    // might_contain requires a CONSTANT bloom binary (that is how the
+    // optimizer's own runtime filters inject it: as the materialized
+    // result of a scalar subquery). The filter is a few KB — collect
+    // it once and inline it as a literal in the fact-side scan filter.
+    val bf: Array[Byte] = dim
+      .agg(call_function("graft_bloom_agg",
+        xxhash64(col(dimKey)), lit(expectedKeys), lit(8 * expectedKeys)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    fact
+      .filter(call_function("graft_might_contain", lit(bf), xxhash64(col(factKey))))
+      .join(broadcast(dim), col(factKey) === col(dimKey))
+  }
+
+  /** q93: revenue of lineitems whose part is a "blue" part, via the
+    * bloom pre-filter (rows-only; equality to the exact join is the
+    * spec's assertion).
+    */
+  private val q93 = Qdef(
+    "q93_bloom_join",
+    (s, d) => {
+      val blueParts = Tables.part(s, d)
+        .filter(col("p_name").contains("blue"))
+        .select("p_partkey")
+      bloomPrefilteredJoin(Tables.lineitem(s, d), "l_partkey", blueParts, "p_partkey")
+        .agg(graft.Tables.dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    None)
+
+  val all: Seq[Qdef] = Seq(q90, q91, q92, q93)
 }

@@ -48,6 +48,18 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("q93: bloom-prefiltered join equals the exact join") {
+    import graft.operators.Sketches
+    val li = Tables.lineitem(spark, sf)
+    val blue = Tables.part(spark, sf).filter(col("p_name").contains("blue")).select("p_partkey")
+    val exact = li.join(blue, col("l_partkey") === col("p_partkey"))
+      .agg(Tables.dsum(col("l_extendedprice")).as("r"), count(lit(1)).as("n")).head()
+    val bloomed = Sketches.bloomPrefilteredJoin(li, "l_partkey", blue, "p_partkey")
+      .agg(Tables.dsum(col("l_extendedprice")).as("r"), count(lit(1)).as("n")).head()
+    assert(bloomed.getDouble(0) === exact.getDouble(0))
+    assert(bloomed.getLong(1) === exact.getLong(1))
+  }
+
   test("GraftExtensions injects all graft functions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
