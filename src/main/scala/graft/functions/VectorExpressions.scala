@@ -149,35 +149,43 @@ case class NormL2(child: Expression) extends UnaryExpression {
   * [[graft.Tables.load]], the chokepoint every query passes through).
   */
 object VectorExpressions {
-  val names: Seq[String] = Seq(
-    "graft_dot", "graft_distsq", "graft_norm2",
-    "graft_shingle_hashes", "graft_minhash", "graft_band_hashes",
-    "graft_shingle_strings", "graft_bloom_agg", "graft_might_contain")
 
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
 
+  /** Single source of truth — (name, usage, builder) — consumed by
+    * both the per-session registration below and
+    * [[graft.GraftExtensions]], so the two surfaces cannot drift.
+    * The bloom pair wraps Spark's catalyst expressions, which back
+    * the optimizer's runtime filters but are not SQL-registered.
+    */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", "_FUNC_(a, b) - sequential-fold double dot product",
+      es => DotProductD(es(0), es(1))),
+    ("graft_distsq", "_FUNC_(a, b) - squared euclidean distance",
+      es => DistSqD(es(0), es(1))),
+    ("graft_norm2", "_FUNC_(a) - L2 norm",
+      es => NormL2(es.head)),
+    ("graft_shingle_hashes", "_FUNC_(text, k) - distinct xxhash64 word k-shingles",
+      es => ShingleHashes64(es(0), litInt(es(1)))),
+    ("graft_minhash", "_FUNC_(shingles, perms) - MinHash signature",
+      es => MinHashSig(es(0), litInt(es(1)))),
+    ("graft_band_hashes", "_FUNC_(sig, bands, rows) - LSH band hashes",
+      es => BandHashes(es(0), litInt(es(1)), litInt(es(2)))),
+    ("graft_shingle_strings", "_FUNC_(text, k) - word k-shingles as strings",
+      es => ShingleStrings(es(0), litInt(es(1)))),
+    ("graft_bloom_agg", "_FUNC_(hash, nitems, nbits) - bloom filter aggregate",
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), es(1), es(2))),
+    ("graft_might_contain", "_FUNC_(bloom, hash) - bloom membership probe",
+      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))))
+
+  val names: Seq[String] = builders.map(_._1)
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot", es => DotProductD(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_distsq", es => DistSqD(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_norm2", es => NormL2(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_shingle_hashes",
-      es => ShingleHashes64(es(0), litInt(es(1))), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash",
-      es => MinHashSig(es(0), litInt(es(1))), "built-in")
-    reg.createOrReplaceTempFunction("graft_band_hashes",
-      es => BandHashes(es(0), litInt(es(1)), litInt(es(2))), "built-in")
-    reg.createOrReplaceTempFunction("graft_shingle_strings",
-      es => ShingleStrings(es(0), litInt(es(1))), "built-in")
-    // Spark's bloom-filter expressions exist in catalyst but are not
-    // SQL-registered (they back the optimizer's runtime filters);
-    // expose them for the explicit join-prefilter pattern.
-    reg.createOrReplaceTempFunction("graft_bloom_agg",
-      es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        es(0), es(1), es(2)), "built-in")
-    reg.createOrReplaceTempFunction("graft_might_contain",
-      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)),
-      "built-in")
+    builders.foreach { case (name, _, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }

@@ -67,6 +67,9 @@ class MultimodalSpec extends SparkSpec {
     val m0 = media.filter(_.kind == "video").orderBy("media_id").head()
     val f0 = frames.filter(_.media_id == m0.media_id).orderBy("frame_index").head()
     assert(f0.frame_index === 0)
-    assert(new String(m0.payload, "UTF-8").startsWith(new String(f0.frame_bytes, "UTF-8")))
+    // byte-level compare: a UTF-8 decode would break spuriously if a
+    // slice boundary ever split a multi-byte character
+    assert(java.util.Arrays.equals(
+      m0.payload.slice(0, f0.frame_bytes.length), f0.frame_bytes))
   }
 }

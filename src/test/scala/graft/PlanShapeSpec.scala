@@ -43,8 +43,13 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q70: corpus-side stays unshuffled before topK; query set broadcasts") {
     val p = plan("q70_knn_brute")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"query set not broadcast:\n$p")
+    val joinIdx = p.indexOf("NestedLoopJoin")
+    assert(joinIdx >= 0, s"no broadcast join in plan:\n$p")
+    // everything under the join (plans print top-down, children after
+    // the parent) must be shuffle-free: only BroadcastExchange allowed
+    val below = p.substring(joinIdx)
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(below).length
+    assert(shuffles === 0, s"corpus side shuffles before topK:\n$p")
   }
 
   test("cohort AND plans as a chain of semi joins over distinct key sets") {

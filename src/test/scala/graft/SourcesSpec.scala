@@ -6,9 +6,13 @@ import org.apache.spark.sql.functions._
 /** io01–io03 — source/sink round-trips (SURVEY §2.11). */
 class SourcesSpec extends SparkSpec {
 
-  private def canon(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
+  /** (row count, row set) — the count catches duplicated reads that a
+    * bare Set comparison would collapse away.
+    */
+  private def canon(df: org.apache.spark.sql.DataFrame): (Long, Set[Seq[Any]]) = {
     val cols = df.columns.sorted.toIndexedSeq
-    df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val rows = df.select(cols.map(col): _*).collect().map(_.toSeq)
+    (rows.length.toLong, rows.toSet)
   }
 
   test("io01: partitioned parquet round-trip; partition filter prunes files") {

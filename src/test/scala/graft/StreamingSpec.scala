@@ -15,10 +15,14 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
 
+    // sort by event time so the two-batch split below is a valid
+    // stream prefix — an out-of-order first half could advance the
+    // watermark past second-half events and drop them as late
     val batchEvents = Tables.events(spark, sf)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[Event]
       .collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
 
     val input = MemoryStream[Event]
     val q = EventStreams.tumblingCounts(input.toDF(), watermark = "2 hours")
@@ -111,10 +115,10 @@ class StreamingSpec extends SparkSpec {
     val dir = tmpDir("st01files")
     val schema = org.apache.spark.sql.Encoders.product[Event].schema
 
-    def writeBatch(name: String, events: Seq[Event]): Unit =
+    def writeBatch(events: Seq[Event]): Unit =
       events.toDF().coalesce(1).write.mode("append").json(s"$dir/in")
 
-    writeBatch("b1", Seq(
+    writeBatch(Seq(
       Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0),
       Event(2, ts("2026-01-01 10:30:00"), 1, "view", 2.0)))
 
@@ -126,9 +130,9 @@ class StreamingSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       // second file arrives later — the file source must pick it up
-      writeBatch("b2", Seq(Event(3, ts("2026-01-01 10:45:00"), 2, "click", 3.0)))
+      writeBatch(Seq(Event(3, ts("2026-01-01 10:45:00"), 2, "click", 3.0)))
       q.processAllAvailable()
-      writeBatch("b3", Seq(Event(9, ts("2026-01-02 00:00:00"), 9, "sentinel", 0.0)))
+      writeBatch(Seq(Event(9, ts("2026-01-02 00:00:00"), 9, "sentinel", 0.0)))
       q.processAllAvailable()
       val rows = spark.table("st01_files")
         .filter(col("event_type") =!= "sentinel")
