@@ -17,11 +17,15 @@ object Bench {
     // (count() would let Catalyst prune work for scan-shaped queries).
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
-    // Untimed warm-up over the BENCHMARKED dataset (entry() reads
-    // sf0.001): JVM/codegen and the sfDir parquet footers/file listing
-    // land here, not on whichever query the Map orders first.
-    try exec(SparkEntry.queries("q03_agg_group")(spark, sfDir))
-    catch { case _: Throwable => () }
+    // Untimed warm-up over the BENCHMARKED dataset: a plain scan of
+    // every table warms the JVM/codegen machinery and the sfDir
+    // parquet footers/file listing WITHOUT running any benchmarked
+    // query — so each query (q03 included) pays its own plan/codegen
+    // cost exactly once and timings are comparable across queries.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try exec(Tables.load(spark, sfDir, t)) catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try exec(fn(spark, sfDir)) catch { case _: Throwable => () }

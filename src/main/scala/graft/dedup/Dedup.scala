@@ -185,15 +185,26 @@ object Dedup {
       tau: Double = 0.4): DataFrame = {
     import graft.functions.VectorFunctions._
     val e = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    // Candidate stage carries ONLY (vec_id, tbl, bkt): the banding
+    // shuffle and the bucket self-join never ship embedding arrays.
     val banded = graft.ann.Knn.lshTables(e, tables, planes, seed = 7)
+      .select("vec_id", "tbl", "bkt")
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b,
+    // Dedup pairs BEFORE the cosine verify: a pair colliding in all
+    // `tables` hash tables would otherwise pay `tables` cosines (and
+    // ship both arrays through the join each time). After distinct,
+    // each unique pair joins its two embeddings back exactly once.
+    val cand = a.join(b,
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        cosine(col("a.embedding"), col("b.embedding"), col("a.nrm"), col("b.nrm")).as("cos"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= tau)
   }
 
@@ -215,17 +226,30 @@ object Dedup {
     * cluster). Returns (doc_id, cluster_id = min doc_id of the
     * component) for every doc that appears in a pair.
     */
+  /** Lineage cut for iterative loops. Defaults to `localCheckpoint`
+    * (executor-local blocks — fastest, fine on local[n] and for short
+    * loops), but a lost executor mid-loop loses blocks and KILLS the
+    * query on a real cluster: for 100 TB runs set
+    * `spark.conf.set("graft.checkpointDir", "hdfs://...")` and the
+    * loop uses reliable `checkpoint` instead (same plan, recoverable).
+    */
+  private def cut(df: DataFrame, eager: Boolean): DataFrame =
+    df.sparkSession.conf.getOption("graft.checkpointDir") match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     // materialize the edge list once — `pairs` is usually the whole
     // candidate pipeline (minhash → LSH → verify), and every CC
     // iteration joins against edges; without the checkpoint each
     // round would re-execute that upstream pipeline
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint(true)
+    val edges = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))), eager = true)
+    var labels = cut(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")), eager = true)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -233,15 +257,17 @@ object Dedup {
         .join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst").as("doc_id"))
         .agg(min("label").as("nlabel"))
-      // carry the previous label through so convergence is a cheap
-      // filter on the (already materialized) checkpoint — not a
-      // second shuffle join against the old frame
-      val updated = labels
+      // carry the previous label through so convergence falls out of
+      // the same pass. The checkpoint is LAZY: the convergence count
+      // below is the action that materializes it, so each round runs
+      // exactly ONE job (the old eager-checkpoint-then-isEmpty shape
+      // paid two).
+      val updated = cut(labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      converged = updated.filter(col("label") =!= col("old")).isEmpty
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")),
+        eager = false)
+      converged = updated.filter(col("label") =!= col("old")).count() == 0L
       labels = updated.select("doc_id", "label")
       it += 1
     }
@@ -267,6 +293,10 @@ object Dedup {
 
   /** End-to-end resolve over the verified-jaccard pairs: cluster
     * summary (canonical id, member count) for every multi-doc cluster.
+    *
+    * Oracle: q64's (hash-green) pair SQL feeds a recursive
+    * transitive-closure CTE — cluster_id = min reachable doc_id, the
+    * exact min-label-CC fixpoint the Spark loop converges to.
     */
   private val q66 = Qdef(
     "q66_dedup_resolve",
@@ -277,7 +307,26 @@ object Dedup {
         .agg(count(lit(1)).as("n_members"))
         .orderBy("cluster_id")
     },
-    None)
+    Some("""WITH RECURSIVE
+            t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+            g AS (SELECT doc_id,
+                    list_distinct(list_transform(generate_series(1, len(toks)-2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                  FROM t WHERE len(toks) >= 3),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+                  FROM g a JOIN g b ON a.doc_id < b.doc_id
+                  WHERE len(list_distinct(a.sh || b.sh)) > 0),
+            pr AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.8),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                      UNION ALL SELECT id_b, id_a FROM pr),
+            reach AS (SELECT src AS node, src AS r FROM edges
+                      UNION
+                      SELECT e.src AS node, rr.r FROM edges e JOIN reach rr ON rr.node = e.dst),
+            labels AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+            SELECT cluster_id, COUNT(*) AS n_members FROM labels
+            GROUP BY cluster_id ORDER BY cluster_id"""))
 
   val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66)
 }

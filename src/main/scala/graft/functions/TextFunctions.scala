@@ -54,6 +54,16 @@ object TextFunctions {
   val stopEs = Seq("el", "los", "las", "y", "es", "un", "una", "por", "con", "para")
   val stopZh = Seq("的", "是", "不", "了", "在", "有", "我", "他", "这", "中")
 
+  /** Winnowing-style fingerprint sketch: the sorted mod-`m`-selected
+    * subset of the distinct k-shingle hashes. This is the raw
+    * `array<long>` form for library callers (containment/overlap
+    * tests); driver-visible queries expose only its scalar digest
+    * (see q83 — the harness cannot hash array columns). Null when the
+    * doc has fewer than k tokens, like [[shingleHashes]].
+    */
+  def fingerprintSketch(text: Column, k: Int, m: Int): Column =
+    sort_array(filter(shingleHashes(text, k), h => pmod(h, lit(m)) === 0))
+
   /** Number of DISTINCT tokens that belong to a fixed word list.
     * Distinct-hit semantics (array_intersect) chosen because they are
     * bit-for-bit reproducible in the DuckDB oracle via list_intersect.

@@ -144,6 +144,62 @@ case class NormL2(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Static twin of [[ArgMinCell]]'s loop, shared by interpreted eval and
+  * generated code (same pattern as [[TextExprHelpers]]).
+  */
+object ArgMinHelper {
+  def argmin(x: ArrayData, cents: Array[Array[Double]], isFloat: Boolean): Int = {
+    var best = -1
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ce = cents(c)
+      val n = math.min(x.numElements(), ce.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = (if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)) - ce(i)
+        acc += d * d
+        i += 1
+      }
+      // strict < keeps the FIRST minimum: with centroids ordered by
+      // cid this reproduces the old window tie-break (dist, cid)
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
+/** `graft_argmin_cell(embedding, centroid_matrix)` — index of the
+  * nearest (squared-euclidean) centroid among a LITERAL centroid
+  * matrix. This is what makes IVF cell assignment a pure narrow map:
+  * the k×dims centroid table rides along as a plan constant (same way
+  * broadcast-hash-join keys do), so assigning 100 TB of vectors is one
+  * codegen'd scan — no k× crossJoin fan-out, no row_number shuffle.
+  */
+case class ArgMinCell(child: Expression, cents: Seq[Seq[Double]]) extends UnaryExpression {
+  require(cents.nonEmpty, "argmin over an empty centroid set")
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_argmin_cell"
+
+  private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any): Any =
+    ArgMinHelper.argmin(a.asInstanceOf[ArrayData], centArr, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("cents", centArr, "double[][]")
+      s"${ev.value} = graft.functions.ArgMinHelper.argmin($a, $ref, $isFloat);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Per-session registration so `functions.call_function` can resolve
   * the graft expressions by name (called idempotently from
   * [[graft.Tables.load]], the chokepoint every query passes through).
@@ -152,6 +208,18 @@ object VectorExpressions {
 
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
+
+  /** Evaluate a foldable array<array<double>> argument (a `typedLit`
+    * centroid matrix) to its Scala form at plan-build time.
+    */
+  private def litMatrix(e: Expression): Seq[Seq[Double]] = {
+    require(e.foldable, "centroid matrix must be a literal")
+    val ad = e.eval().asInstanceOf[ArrayData]
+    (0 until ad.numElements()).map { i =>
+      val row = ad.getArray(i)
+      (0 until row.numElements()).map(row.getDouble).toSeq
+    }
+  }
 
   /** Single source of truth — (name, usage, builder) — consumed by
     * both the per-session registration below and
@@ -166,6 +234,8 @@ object VectorExpressions {
       es => DistSqD(es(0), es(1))),
     ("graft_norm2", "_FUNC_(a) - L2 norm",
       es => NormL2(es.head)),
+    ("graft_argmin_cell", "_FUNC_(a, cents) - index of nearest centroid in a literal matrix",
+      es => ArgMinCell(es(0), litMatrix(es(1)))),
     ("graft_shingle_hashes", "_FUNC_(text, k) - distinct xxhash64 word k-shingles",
       es => ShingleHashes64(es(0), litInt(es(1)))),
     ("graft_minhash", "_FUNC_(shingles, perms) - MinHash signature",

@@ -87,14 +87,21 @@ object Sketches {
       .agg(call_function("graft_bloom_agg",
         xxhash64(col(dimKey)), lit(expectedKeys), lit(8 * expectedKeys)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    // No broadcast hint on the finishing join: a dim small enough to
+    // broadcast gets broadcast by AQE/size stats anyway, while a dim
+    // that is big enough to NEED a bloom pre-filter must be free to
+    // plan as a shuffle join (a forced driver broadcast would OOM —
+    // the bloom itself stays a few KB regardless of dim row count).
     fact
       .filter(call_function("graft_might_contain", lit(bf), xxhash64(col(factKey))))
-      .join(broadcast(dim), col(factKey) === col(dimKey))
+      .join(dim, col(factKey) === col(dimKey))
   }
 
   /** q93: revenue of lineitems whose part is a "blue" part, via the
-    * bloom pre-filter (rows-only; equality to the exact join is the
-    * spec's assertion).
+    * bloom pre-filter. Bloom false positives are removed by the exact
+    * join, so the result is BY CONSTRUCTION identical to the plain
+    * join — which is exactly what the DuckDB oracle runs (the sketch
+    * changes shuffled volume, never the answer).
     */
   private val q93 = Qdef(
     "q93_bloom_join",
@@ -106,7 +113,9 @@ object Sketches {
         .agg(graft.Tables.dsum(col("l_extendedprice")).as("revenue"),
           count(lit(1)).as("n_lines"))
     },
-    None)
+    Some(s"""SELECT ${Qdef.DSUM("l_extendedprice")} AS revenue, COUNT(*) AS n_lines
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE p_name LIKE '%blue%'"""))
 
   val all: Seq[Qdef] = Seq(q90, q91, q92, q93)
 }

@@ -119,17 +119,26 @@ object TextAnalysis {
   /** Winnowing-style document fingerprint: xxhash64 of the normalized
     * text (exact identity), plus the mod-8-selected subset of shingle
     * hashes (robust sketch) — rows-only checked (no xxhash64 in DuckDB).
+    *
+    * Driver contract (CORRECTNESS r1 lesson): every output column must
+    * be SCALAR — the harness sorts/hashes columns with pandas, which
+    * cannot factorize an array column. The raw sketch array stays
+    * available as [[graft.functions.TextFunctions.fingerprintSketch]]
+    * (invariants covered in DedupAnnSpec); here it is collapsed to a
+    * stable digest (xxhash64 over the sorted array) plus its size.
     */
   private val q83 = Qdef(
     "q83_fingerprint",
     (s, d) => {
       val sh = shingleHashes(col("text"), 3)
+      val fp = fingerprintSketch(col("text"), 3, 8)
       Tables.documents(s, d)
         .select(col("doc_id"),
           xxhash64(normText(col("text"))).as("doc_hash"),
-          sort_array(filter(sh, h => pmod(h, lit(8)) === 0)).as("fingerprint"),
+          xxhash64(fp).as("fingerprint_hash"),
+          coalesce(size(fp), lit(0)).cast("long").as("n_fp_hashes"),
           array_min(sh).as("min_shingle_hash"),
-          size(sh).cast("long").as("n_shingles"))
+          coalesce(size(sh), lit(0)).cast("long").as("n_shingles"))
         .orderBy("doc_id")
     },
     None)

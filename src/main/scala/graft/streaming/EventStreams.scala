@@ -80,8 +80,21 @@ object EventStreams {
         rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
           val us = micros(e.ts)
           cur match {
-            case Some(s) if us - s.lastUs <= gapUs =>
-              cur = Some(s.copy(lastUs = math.max(s.lastUs, us), nEvents = s.nEvents + 1))
+            // Merge only when the event falls within `gap` of the open
+            // session's SPAN [startUs, lastUs]. A watermark-admitted
+            // late event from an earlier batch can precede startUs —
+            // extending startUs keeps session_start_us/duration_us
+            // consistent with the batch q52 twin (which sorts all
+            // events before splitting on gaps).
+            case Some(s) if us - s.lastUs <= gapUs && s.startUs - us <= gapUs =>
+              cur = Some(SessionState(
+                math.min(s.startUs, us), math.max(s.lastUs, us), s.nEvents + 1))
+            // More than `gap` BEFORE the open session: it belongs to an
+            // already-gone earlier session; emit it as its own closed
+            // singleton rather than wrongly absorbing it.
+            case Some(s) if us < s.startUs =>
+              closed += ClosedSession(userId, us, 1, 0)
+            // More than `gap` after: close and reopen.
             case Some(s) =>
               closed += ClosedSession(userId, s.startUs, s.nEvents, s.lastUs - s.startUs)
               cur = Some(SessionState(us, us, 1))

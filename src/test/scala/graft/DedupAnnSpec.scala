@@ -103,11 +103,40 @@ class DedupAnnSpec extends SparkSpec {
     expected.values.toSet.foreach((root: Long) => assert(keptIds.contains(root)))
   }
 
-  test("q83: fingerprint is deterministic and one row per doc") {
+  test("q83: fingerprint is deterministic, one row per doc, all-scalar schema") {
     val f1 = SparkEntry.queries("q83_fingerprint")(spark, sf).collect()
     val f2 = SparkEntry.queries("q83_fingerprint")(spark, sf).collect()
     assert(f1.map(_.toSeq).toSeq === f2.map(_.toSeq).toSeq)
     assert(f1.length === Tables.documents(spark, sf).count())
     assert(f1.map(_.getLong(0)).distinct.length === f1.length)
+    // driver contract (r1 red row): pandas cannot hash array columns,
+    // so every driver-visible column must be scalar
+    SparkEntry.queries("q83_fingerprint")(spark, sf).schema.foreach { f =>
+      assert(!f.dataType.typeName.contains("array"),
+        s"q83 column ${f.name} is non-scalar (${f.dataType})")
+    }
+  }
+
+  test("q83: raw fingerprint sketch is a sorted mod-8 subset of the shingle hashes") {
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        shingleHashes(col("text"), 3).as("sh"),
+        fingerprintSketch(col("text"), 3, 8).as("fp"))
+      .collect()
+    assert(rows.exists(r => !r.isNullAt(2) && r.getSeq[Long](2).nonEmpty),
+      "no doc produced a non-empty sketch")
+    rows.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), "sketch nullness must track shingles")
+      if (!r.isNullAt(2)) {
+        val sh = r.getSeq[Long](1).toSet
+        val fp = r.getSeq[Long](2)
+        assert(fp === fp.sorted, s"doc ${r.getLong(0)}: sketch not sorted")
+        assert(fp.forall(h => math.floorMod(h, 8L) == 0L),
+          s"doc ${r.getLong(0)}: non-mod-8 hash in sketch")
+        assert(fp.toSet.subsetOf(sh), s"doc ${r.getLong(0)}: sketch not a subset")
+        assert(fp === sh.toSeq.filter(h => math.floorMod(h, 8L) == 0L).sorted,
+          s"doc ${r.getLong(0)}: sketch misses qualifying hashes")
+      }
+    }
   }
 }

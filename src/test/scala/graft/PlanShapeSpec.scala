@@ -52,6 +52,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles === 0, s"corpus side shuffles before topK:\n$p")
   }
 
+  test("q72: IVF cell assignment is a pure narrow map - no shuffle, codegen argmin") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        functions.VectorFunctions.norm2(col("embedding")).as("nrm"))
+    val cents = ann.Knn.ivfCentroids(e, iters = 1)
+    val p = ann.Knn.assignCell(e, cents).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"cell assignment shuffles:\n$p")
+    assert(p.contains("graft_argmin_cell") || p.contains("graftargmincell"),
+      s"native argmin expression missing from plan:\n$p")
+  }
+
   test("cohort AND plans as a chain of semi joins over distinct key sets") {
     val p = plan("q41_cohort_and")
     assert(p.contains("LeftSemi"), s"cohort AND lost its semi-join shape:\n$p")

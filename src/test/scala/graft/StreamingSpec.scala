@@ -91,6 +91,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st02: watermark-admitted late event in a later batch extends session start") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("st02_late").outputMode("append").start()
+    try {
+      // batch 1: user 2 at 12:00 advances the watermark to 11:30
+      input.addData(Event(1, ts("2026-01-01 12:00:00"), 2, "x", 0.0))
+      q.processAllAvailable()
+      // batch 2: user 1 opens a session [11:58, 11:59]
+      input.addData(
+        Event(2, ts("2026-01-01 11:58:00"), 1, "click", 1.0),
+        Event(3, ts("2026-01-01 11:59:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 3: LATE user-1 event at 11:35 — admitted (>= watermark
+      // 11:30), 23 min before session start (within gap): must merge
+      // AND extend session_start_us, matching the batch q52 twin
+      input.addData(Event(4, ts("2026-01-01 11:35:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(98, ts("2026-01-02 00:00:00"), 9, "x", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(99, ts("2026-01-03 00:00:00"), 9, "x", 0.0))
+      q.processAllAvailable()
+
+      def us(s: String) = ts(s).getTime * 1000L
+      val out = spark.table("st02_late").as[ClosedSession].collect()
+        .filter(_.user_id == 1).sortBy(_.session_start_us)
+      assert(out.toSeq === Seq(
+        ClosedSession(1, us("2026-01-01 11:35:00"), 3, 24L * 60 * 1000000)))
+    } finally q.stop()
+  }
+
   test("st03: streamed dedup drops replayed events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

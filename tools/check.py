@@ -12,12 +12,20 @@ are designed to make that hold).
 import json, math, sys
 import duckdb
 
+def cell_key(v):
+    # Type-stable sort key: NaN gets its own flag instead of a string
+    # substitute (a column mixing NaN and numbers must not raise), and
+    # values only ever compare within their own type bucket.
+    if isinstance(v, float) and math.isnan(v):
+        return (v is None, str(type(v)), True, 0.0)
+    return (v is None, str(type(v)), False, 0.0 if v is None else v)
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(r[i] for i in order))
-    return sorted(cols), sorted(out, key=lambda t: tuple((v is None, str(type(v)), v if not isinstance(v, float) or not math.isnan(v) else 'nan') for v in t))
+    return sorted(cols), sorted(out, key=lambda t: tuple(cell_key(v) for v in t))
 
 def cell_eq(a, b):
     if a is None or b is None:
