@@ -1,0 +1,136 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Versioned snapshot store: reproducible as-of reads over a mutable
+  * warehouse (SURVEY §2.13).
+  *
+  * The reference warehouse sits on an immutable-database store, so
+  * every query there is implicitly "as of transaction t" and re-running
+  * a cohort count after new imports still reproduces the old answer.
+  * graft gets the same property with a directory-versioning convention
+  * (the public Delta/Iceberg idea reduced to its core):
+  *
+  * ```
+  * <root>/_manifest        one line per committed version:
+  *                         "<version>\t<full|delta>\t<relative path>"
+  * <root>/v1/  v2/ ...     parquet data per version
+  * ```
+  *
+  * - `commit` writes a FULL snapshot (new base).
+  * - `commitDelta` writes only changed/new rows (an incremental import
+  *   batch — the reference's "import visit" shape). Optional boolean
+  *   `_deleted` column marks tombstones.
+  * - `asOf(version)` = latest full snapshot ≤ version, then the delta
+  *   chain up to `version` applied key-wise, last writer wins.
+  *
+  * Scale: an as-of read is one union of parquet scans plus ONE shuffle
+  * on the merge key (window rank) — delta files are small relative to
+  * the base, and a periodic `compact` turns a long chain back into a
+  * full snapshot. The manifest is a few bytes per version; data files
+  * are immutable once written (same as any log-structured table
+  * format), so concurrent readers never see a torn version. Writers
+  * are assumed single at a time (the reference's importer is too);
+  * production systems add optimistic manifest CAS on top.
+  */
+object Snapshots {
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(root: String): Path = new Path(root, "_manifest")
+
+  /** (version, kind, path) entries, version-ascending. */
+  def versions(spark: SparkSession, root: String): Seq[(Long, String, String)] = {
+    val f = fs(spark, root)
+    val mp = manifestPath(root)
+    if (!f.exists(mp)) return Seq.empty
+    val in = f.open(mp)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(v, kind, path) = line.split("\t", 3)
+      (v.toLong, kind, path)
+    }.toSeq.sortBy(_._1)
+  }
+
+  private def appendManifest(
+      spark: SparkSession, root: String, version: Long, kind: String, rel: String): Unit = {
+    val f = fs(spark, root)
+    val existing = versions(spark, root)
+    val lines = (existing :+ ((version, kind, rel)))
+      .map { case (v, k, p) => s"$v\t$k\t$p" }.mkString("", "\n", "\n")
+    // write-new-then-rename: readers see the old or the new manifest,
+    // never a partial one
+    val tmp = new Path(root, s"_manifest.tmp$version")
+    val out = f.create(tmp, true)
+    try out.write(lines.getBytes("UTF-8")) finally out.close()
+    if (f.exists(manifestPath(root))) f.delete(manifestPath(root), false)
+    if (!f.rename(tmp, manifestPath(root)))
+      throw new IllegalStateException(s"manifest rename failed for $root v$version")
+  }
+
+  private def nextVersion(spark: SparkSession, root: String): Long =
+    versions(spark, root).lastOption.map(_._1 + 1).getOrElse(1L)
+
+  /** Commit a full snapshot; returns the new version number. */
+  def commit(df: DataFrame, root: String): Long = {
+    val v = nextVersion(df.sparkSession, root)
+    df.write.mode("errorifexists").parquet(s"$root/v$v")
+    appendManifest(df.sparkSession, root, v, "full", s"v$v")
+    v
+  }
+
+  /** Commit an incremental batch: upserts keyed by the read-time merge
+    * key; rows with a true `_deleted` column are tombstones.
+    */
+  def commitDelta(df: DataFrame, root: String): Long = {
+    val v = nextVersion(df.sparkSession, root)
+    df.write.mode("errorifexists").parquet(s"$root/v$v")
+    appendManifest(df.sparkSession, root, v, "delta", s"v$v")
+    v
+  }
+
+  /** Read the table as of `version` (reproducible forever): base = the
+    * latest full snapshot ≤ version, then deltas (base, version]
+    * merged last-writer-wins on `keys`, tombstones dropped.
+    */
+  def asOf(spark: SparkSession, root: String, version: Long, keys: Seq[String]): DataFrame = {
+    val all = versions(spark, root).filter(_._1 <= version)
+    require(all.nonEmpty, s"no version <= $version in $root")
+    val baseV = all.filter(_._2 == "full").map(_._1).maxOption
+      .getOrElse(throw new IllegalStateException(s"no full snapshot <= $version in $root"))
+    val chain = all.filter(_._1 >= baseV)
+    val frames = chain.map { case (v, _, rel) =>
+      val df = spark.read.parquet(s"$root/$rel")
+      val withDel =
+        if (df.columns.contains("_deleted")) df
+        else df.withColumn("_deleted", lit(false))
+      withDel.withColumn("_v", lit(v))
+    }
+    val merged = frames.reduce(_ unionByName _)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_v").desc)
+    merged
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !col("_deleted"))
+      .drop("_rn", "_v", "_deleted")
+  }
+
+  /** Latest committed version (0 when the store is empty). */
+  def latestVersion(spark: SparkSession, root: String): Long =
+    versions(spark, root).lastOption.map(_._1).getOrElse(0L)
+
+  /** Read the latest version. */
+  def latest(spark: SparkSession, root: String, keys: Seq[String]): DataFrame =
+    asOf(spark, root, latestVersion(spark, root), keys)
+
+  /** Fold the delta chain into a new full snapshot (bounds the merge
+    * fan-in for future reads; old versions stay readable).
+    */
+  def compact(spark: SparkSession, root: String, keys: Seq[String]): Long =
+    commit(latest(spark, root, keys), root)
+}
