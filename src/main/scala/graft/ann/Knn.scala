@@ -80,8 +80,14 @@ object Knn {
       planes: Int = 4,
       seed: Int = 11,
       dims: Option[Int] = None): DataFrame = {
-    val d = dims.getOrElse(
-      e.select(size(col("embedding")).as("d")).head.getInt(0))
+    val dOpt = dims.orElse(
+      e.select(size(col("embedding")).as("d")).head(1).headOption.map(_.getInt(0)))
+    if (dOpt.isEmpty)
+      // empty corpus: no rows to bucket; keep the banded schema so
+      // downstream joins stay well-typed instead of throwing here
+      return e.select(col("vec_id"), col("embedding"), col("nrm"),
+        lit(0).as("tbl"), lit(0L).as("bkt")).filter(lit(false))
+    val d = dOpt.get
     val rnd = new scala.util.Random(seed)
     val hp: IndexedSeq[IndexedSeq[Seq[Double]]] =
       IndexedSeq.fill(tables)(IndexedSeq.fill(planes)(Seq.fill(d)(rnd.nextGaussian())))

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.{Qdef, Tables}
+import graft.sources.Snapshots
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance operators — SURVEY §2.13/§2.14.
+  *
+  * The reference warehouse is fed by transactional import batches over
+  * an immutable store: every read is implicitly "as of version t", and
+  * an import is an upsert (new visits, corrected subjects, retracted
+  * rows). These operators give graft the same three capabilities:
+  *
+  *  - q94/q95: reproducible as-of reads over a [[Snapshots]] store
+  *    (version-pinned cohort counts survive later imports);
+  *  - q96: batch MERGE/upsert — one-shuffle last-writer-wins merge of
+  *    an update batch into a target table, with tombstones;
+  *  - q97: multi-level metadata tree navigation (study-event → form →
+  *    item-group analog): subtree counts for every node of the
+  *    hierarchy in ONE rollup pass, not one query per level.
+  *
+  * Scale: the snapshot queries read base + delta parquet and shuffle
+  * once on the merge key; merge is one full-outer-shaped shuffle on
+  * the key; the tree query is a single rollup aggregation (map-side
+  * partial per grouping set).
+  */
+object Warehouse {
+
+  /** MERGE an update batch into `target`, keyed by `keys`: an update
+    * row replaces the target row with the same key, a row with
+    * `_deleted = true` retracts it, and unmatched update rows insert.
+    * One shuffle on `keys` (priority-union + window rank — the same
+    * merge shape [[Snapshots.asOf]] uses for its delta chain).
+    */
+  def merge(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    // normalize: absent _deleted column, or NULL in a nullable one,
+    // both mean "live row" (same rule as Snapshots.asOf)
+    def norm(df: DataFrame): DataFrame =
+      if (df.columns.contains("_deleted"))
+        df.withColumn("_deleted", coalesce(col("_deleted"), lit(false)))
+      else df.withColumn("_deleted", lit(false))
+    val t = norm(target).withColumn("_src", lit(0))
+    val u = norm(updates).withColumn("_src", lit(1))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_src").desc)
+    t.unionByName(u)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !col("_deleted"))
+      .drop("_rn", "_src", "_deleted")
+  }
+
+  // ---------------------------------------------------------------
+  // Versioned orders store, derived deterministically from the sfDir
+  // so the DuckDB oracle can re-express each version in plain SQL:
+  //   v1 (full)  = orders as-is
+  //   v2 (delta) = keys ≡ 3 (mod 10) amended to status 'R',
+  //                keys ≡ 7 (mod 10) tombstoned
+  // ---------------------------------------------------------------
+
+  private def snapshotRoot(sfDir: String): String =
+    s"target/graft-snapshots/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/orders"
+
+  /** Build (or reuse) the two-version store for `sfDir`. Idempotent:
+    * a partial build from a killed run is wiped and redone.
+    */
+  private def ensureStore(s: SparkSession, d: String): String = synchronized {
+    val root = snapshotRoot(d)
+    if (Snapshots.latestVersion(s, root) != 2L) {
+      val p = new Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val orders = Tables.orders(s, d)
+      Snapshots.commit(orders, root)
+      Snapshots.commitDelta(
+        orders
+          .filter(col("o_orderkey") % 10 === 3 || col("o_orderkey") % 10 === 7)
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 10 === 3, lit("R")).otherwise(col("o_orderstatus")))
+          .withColumn("_deleted", col("o_orderkey") % 10 === 7),
+        root)
+    }
+    root
+  }
+
+  private def statusAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"), Tables.dsum(col("o_totalprice")).as("sum_price"))
+      .select(col("status"), col("n_orders"), col("sum_price"))
+      .orderBy("status")
+
+  /** q94: as-of read pinned to v1 — reproducible even though v2 has
+    * since amended and deleted rows. Oracle = the raw table: that IS
+    * the reproducibility claim.
+    */
+  private val q94 = Qdef(
+    "q94_snapshot_asof",
+    (s, d) => statusAgg(Snapshots.asOf(s, ensureStore(s, d), 1L, Seq("o_orderkey"))),
+    Some(s"""SELECT o_orderstatus AS status, count(*) AS n_orders,
+                    ${Qdef.DSUM("o_totalprice")} AS sum_price
+             FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** q95: read of the latest version — base + delta merged
+    * last-writer-wins, tombstones dropped.
+    */
+  private val q95 = Qdef(
+    "q95_snapshot_latest",
+    (s, d) => statusAgg(Snapshots.latest(s, ensureStore(s, d), Seq("o_orderkey"))),
+    Some(s"""SELECT CASE WHEN o_orderkey % 10 = 3 THEN 'R' ELSE o_orderstatus END AS status,
+                    count(*) AS n_orders, ${Qdef.DSUM("o_totalprice")} AS sum_price
+             FROM orders WHERE o_orderkey % 10 <> 7 GROUP BY 1 ORDER BY 1"""))
+
+  /** q96: batch MERGE of a correction batch into orders — keys ≡ 0
+    * (mod 5) re-priced +1000, of those the keys ≡ 0 (mod 17) retracted.
+    */
+  private val q96 = Qdef(
+    "q96_merge_upsert",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      val updates = orders
+        .filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .withColumn("_deleted", col("o_orderkey") % 17 === 0)
+      statusAgg(merge(orders, updates, Seq("o_orderkey")))
+    },
+    Some(s"""SELECT o_orderstatus AS status, count(*) AS n_orders,
+                    ${Qdef.DSUM("CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END")} AS sum_price
+             FROM orders
+             WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 17 = 0)
+             GROUP BY 1 ORDER BY 1"""))
+
+  /** q97: metadata tree navigation — subtree item counts and price
+    * totals for EVERY node (root, each brand, each brand/type) of the
+    * metadata hierarchy matching a search, in one rollup pass.
+    */
+  private val q97 = Qdef(
+    "q97_metadata_tree",
+    (s, d) => {
+      // grouping() is only defined inside the rollup's aggregate list
+      val lvl = (lit(2) - grouping(col("p_brand")).cast("int")
+        - grouping(col("p_type")).cast("int")).cast("int")
+      Tables.part(s, d)
+        .filter(col("p_name").contains("widget"))
+        .rollup(col("p_brand"), col("p_type"))
+        .agg(count(lit(1)).as("n_items"), Tables.dsum(col("p_retailprice")).as("sum_price"),
+          lvl.as("level"))
+        .withColumn("path",
+          when(col("level") === 0, lit("(root)"))
+            .when(col("level") === 1, col("p_brand"))
+            .otherwise(concat_ws("/", col("p_brand"), col("p_type"))))
+        .select(col("level"), col("path"), col("n_items"), col("sum_price"))
+        .orderBy("level", "path")
+    },
+    Some(s"""SELECT CAST(2 - GROUPING(p_brand) - GROUPING(p_type) AS INT) AS level,
+                    CASE WHEN GROUPING(p_brand) = 1 THEN '(root)'
+                         WHEN GROUPING(p_type) = 1 THEN p_brand
+                         ELSE p_brand || '/' || p_type END AS path,
+                    count(*) AS n_items, ${Qdef.DSUM("p_retailprice")} AS sum_price
+             FROM part WHERE p_name LIKE '%widget%'
+             GROUP BY ROLLUP(p_brand, p_type)
+             ORDER BY 1, 2"""))
+
+  val all: Seq[Qdef] = Seq(q94, q95, q96, q97)
+}

@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * (the public Delta/Iceberg idea reduced to its core):
   *
   * ```
-  * <root>/_manifest        one line per committed version:
+  * <root>/_manifest.v<N>   self-contained manifest as of version N,
+  *                         one line per committed version:
   *                         "<version>\t<full|delta>\t<relative path>"
   * <root>/v1/  v2/ ...     parquet data per version
   * ```
@@ -30,32 +31,55 @@ import org.apache.spark.sql.functions._
   * Scale: an as-of read is one union of parquet scans plus ONE shuffle
   * on the merge key (window rank) — delta files are small relative to
   * the base, and a periodic `compact` turns a long chain back into a
-  * full snapshot. The manifest is a few bytes per version; data files
-  * are immutable once written (same as any log-structured table
-  * format), so concurrent readers never see a torn version. Writers
-  * are assumed single at a time (the reference's importer is too);
-  * production systems add optimistic manifest CAS on top.
+  * full snapshot. Manifests and data files are immutable once written
+  * (same as any log-structured table format): a commit publishes a NEW
+  * `_manifest.v<N>` file and readers resolve the latest by listing, so
+  * a reader concurrent with a commit sees the previous complete
+  * manifest or the new complete one, never a partial or missing one.
+  * `create(..., overwrite = false)` on the manifest doubles as a cheap
+  * single-winner CAS if two writers race on the same version number.
+  *
+  * Each commit is assumed to carry at most one row per merge key (the
+  * reference's import batches do); duplicate keys WITHIN one version
+  * would tie in the last-writer-wins rank.
   */
 object Snapshots {
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def manifestPath(root: String): Path = new Path(root, "_manifest")
+  private val ManifestName = "_manifest\\.v(\\d+)".r
+
+  /** Path of the newest committed manifest, if any. Immutable files +
+    * list-latest means a concurrent commit can never leave a reader
+    * with a partial or missing manifest.
+    */
+  private def latestManifest(f: FileSystem, root: String): Option[Path] = {
+    val dir = new Path(root)
+    if (!f.exists(dir)) return None
+    f.listStatus(dir).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case ManifestName(v) => Some((v.toLong, st.getPath))
+        case _ => None
+      })
+      .sortBy(_._1).lastOption.map(_._2)
+  }
 
   /** (version, kind, path) entries, version-ascending. */
   def versions(spark: SparkSession, root: String): Seq[(Long, String, String)] = {
     val f = fs(spark, root)
-    val mp = manifestPath(root)
-    if (!f.exists(mp)) return Seq.empty
-    val in = f.open(mp)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map { line =>
-      val Array(v, kind, path) = line.split("\t", 3)
-      (v.toLong, kind, path)
-    }.toSeq.sortBy(_._1)
+    latestManifest(f, root) match {
+      case None => Seq.empty
+      case Some(mp) =>
+        val in = f.open(mp)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        text.linesIterator.filter(_.nonEmpty).map { line =>
+          val Array(v, kind, path) = line.split("\t", 3)
+          (v.toLong, kind, path)
+        }.toSeq.sortBy(_._1)
+    }
   }
 
   private def appendManifest(
@@ -64,14 +88,10 @@ object Snapshots {
     val existing = versions(spark, root)
     val lines = (existing :+ ((version, kind, rel)))
       .map { case (v, k, p) => s"$v\t$k\t$p" }.mkString("", "\n", "\n")
-    // write-new-then-rename: readers see the old or the new manifest,
-    // never a partial one
-    val tmp = new Path(root, s"_manifest.tmp$version")
-    val out = f.create(tmp, true)
+    // publish a NEW immutable manifest file; overwrite=false makes a
+    // same-version writer race a loud failure instead of a lost commit
+    val out = f.create(new Path(root, s"_manifest.v$version"), false)
     try out.write(lines.getBytes("UTF-8")) finally out.close()
-    if (f.exists(manifestPath(root))) f.delete(manifestPath(root), false)
-    if (!f.rename(tmp, manifestPath(root)))
-      throw new IllegalStateException(s"manifest rename failed for $root v$version")
   }
 
   private def nextVersion(spark: SparkSession, root: String): Long =
@@ -107,8 +127,12 @@ object Snapshots {
     val chain = all.filter(_._1 >= baseV)
     val frames = chain.map { case (v, _, rel) =>
       val df = spark.read.parquet(s"$root/$rel")
+      // normalize: absent column OR a NULL in a nullable _deleted both
+      // mean "live row" — a bare `!_deleted` would null out and drop
+      // upserts whose tombstone flag was never set
       val withDel =
-        if (df.columns.contains("_deleted")) df
+        if (df.columns.contains("_deleted"))
+          df.withColumn("_deleted", coalesce(col("_deleted"), lit(false)))
         else df.withColumn("_deleted", lit(false))
       withDel.withColumn("_v", lit(v))
     }

@@ -56,7 +56,14 @@ object EventStreams {
     * passes `lastUs + gap`. Keys shuffle once on user_id; at cluster
     * scale state is sharded across executors by the same hash.
     */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+  def sessionize(
+      events: Dataset[Event],
+      gapMinutes: Int = 30,
+      // allowed lateness; defaults to the gap. Deployments that admit
+      // very late data (lateness >> gap) still sessionize it correctly:
+      // >gap-early admitted events accumulate in their own "earlier
+      // session" below instead of polluting the open one.
+      lateness: Option[String] = None): Dataset[ClosedSession] = {
     val gapUs = gapMinutes.toLong * 60L * 1000000L
 
     // true microseconds: getTime alone is ms-truncated, which would
@@ -75,6 +82,18 @@ object EventStreams {
       } else {
         val closed = Iterator.newBuilder[ClosedSession]
         var cur = state.getOption
+        // Watermark-admitted late events that lie more than `gap`
+        // BEFORE the open session belong to earlier, already-gone
+        // sessions. Accumulate them in their own open "earlier
+        // session" so consecutive ones within `gap` of each other
+        // close as ONE session (as the batch q52 twin would), not as
+        // per-event singletons.
+        var earlier: Option[SessionState] = None
+        def closeEarlier(): Unit = {
+          earlier.foreach(s =>
+            closed += ClosedSession(userId, s.startUs, s.nEvents, s.lastUs - s.startUs))
+          earlier = None
+        }
         // Micro-batch rows are not ordered; sort the (small) per-user
         // slice by event time before folding it into the session.
         rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
@@ -87,13 +106,30 @@ object EventStreams {
             // consistent with the batch q52 twin (which sorts all
             // events before splitting on gaps).
             case Some(s) if us - s.lastUs <= gapUs && s.startUs - us <= gapUs =>
-              cur = Some(SessionState(
-                math.min(s.startUs, us), math.max(s.lastUs, us), s.nEvents + 1))
-            // More than `gap` BEFORE the open session: it belongs to an
-            // already-gone earlier session; emit it as its own closed
-            // singleton rather than wrongly absorbing it.
+              earlier match {
+                // the earlier chain reaches this event, and this event
+                // reaches the main session: the batch twin would see
+                // one unbroken run — bridge everything into one session
+                case Some(eS) if us - eS.lastUs <= gapUs =>
+                  cur = Some(SessionState(
+                    math.min(eS.startUs, math.min(s.startUs, us)),
+                    math.max(s.lastUs, us), s.nEvents + eS.nEvents + 1))
+                  earlier = None
+                case _ =>
+                  cur = Some(SessionState(
+                    math.min(s.startUs, us), math.max(s.lastUs, us), s.nEvents + 1))
+              }
+            // More than `gap` before the open session (first case not
+            // matching with us < startUs implies startUs - us > gap):
+            // extend or start the earlier session.
             case Some(s) if us < s.startUs =>
-              closed += ClosedSession(userId, us, 1, 0)
+              earlier match {
+                case Some(eS) if us - eS.lastUs <= gapUs =>
+                  earlier = Some(SessionState(eS.startUs, us, eS.nEvents + 1))
+                case _ =>
+                  closeEarlier()
+                  earlier = Some(SessionState(us, us, 1))
+              }
             // More than `gap` after: close and reopen.
             case Some(s) =>
               closed += ClosedSession(userId, s.startUs, s.nEvents, s.lastUs - s.startUs)
@@ -102,6 +138,9 @@ object EventStreams {
               cur = Some(SessionState(us, us, 1))
           }
         }
+        // anything still in `earlier` is > gap before the surviving
+        // open session — no later event in any batch can merge with it
+        closeEarlier()
         cur.foreach { s =>
           state.update(s)
           state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes.toLong * 60L * 1000L)
@@ -113,7 +152,7 @@ object EventStreams {
     implicit val outEnc = Encoders.product[ClosedSession]
     implicit val stEnc = Encoders.product[SessionState]
     events
-      .withWatermark("ts", s"$gapMinutes minutes")
+      .withWatermark("ts", lateness.getOrElse(s"$gapMinutes minutes"))
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, ClosedSession](
         org.apache.spark.sql.streaming.OutputMode.Append(),

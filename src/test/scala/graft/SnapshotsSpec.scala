@@ -1,0 +1,100 @@
+package graft
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Versioned snapshot store (SURVEY §2.13): full+delta+tombstone
+  * round-trips, as-of reproducibility, nullable `_deleted` normalization,
+  * compaction, and manifest immutability.
+  */
+class SnapshotsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rowsOf(df: DataFrame): Set[(Int, String, Long)] =
+    df.select(col("id"), col("name"), col("amount"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+
+  test("full snapshot round-trips and asOf(1) is stable across later commits") {
+    val root = tmpDir("snap-full")
+    val v1data = Seq((1, "a", 10L), (2, "b", 20L), (3, "c", 30L))
+      .toDF("id", "name", "amount")
+    val v1 = Snapshots.commit(v1data, root)
+    assert(v1 === 1L)
+    assert(rowsOf(Snapshots.asOf(spark, root, 1, Seq("id"))) === rowsOf(v1data))
+
+    // later delta must not change the v1 answer (reproducible as-of)
+    Snapshots.commitDelta(
+      Seq((2, "b2", 21L)).toDF("id", "name", "amount"), root)
+    assert(rowsOf(Snapshots.asOf(spark, root, 1, Seq("id"))) === rowsOf(v1data))
+  }
+
+  test("delta chain: upsert + insert + tombstone, last writer wins") {
+    val root = tmpDir("snap-delta")
+    Snapshots.commit(
+      Seq((1, "a", 10L), (2, "b", 20L), (3, "c", 30L)).toDF("id", "name", "amount"),
+      root)
+    // v2: update id=2, insert id=4, delete id=3
+    Snapshots.commitDelta(
+      Seq((2, "b2", 21L, false), (4, "d", 40L, false), (3, "c", 30L, true))
+        .toDF("id", "name", "amount", "_deleted"),
+      root)
+    // v3: update id=2 again — the LATEST write must win over v2's
+    Snapshots.commitDelta(
+      Seq((2, "b3", 22L, false)).toDF("id", "name", "amount", "_deleted"),
+      root)
+
+    assert(rowsOf(Snapshots.asOf(spark, root, 2, Seq("id"))) ===
+      Set((1, "a", 10L), (2, "b2", 21L), (4, "d", 40L)))
+    assert(rowsOf(Snapshots.latest(spark, root, Seq("id"))) ===
+      Set((1, "a", 10L), (2, "b3", 22L), (4, "d", 40L)))
+  }
+
+  test("nullable _deleted (when() without otherwise) does not drop upserts") {
+    val root = tmpDir("snap-nullable")
+    Snapshots.commit(
+      Seq((1, "a", 10L), (2, "b", 20L)).toDF("id", "name", "amount"), root)
+    // the ADVICE shape: tombstone column built via when() with no
+    // otherwise → NULL for live rows; a bare !_deleted would drop them
+    val delta = Seq((1, "a2", 11L), (2, "b", 20L))
+      .toDF("id", "name", "amount")
+      .withColumn("_deleted", when(col("id") === 2, lit(true)))
+    Snapshots.commitDelta(delta, root)
+    assert(rowsOf(Snapshots.latest(spark, root, Seq("id"))) ===
+      Set((1, "a2", 11L)))
+  }
+
+  test("compact folds the chain into a full snapshot; history stays readable") {
+    val root = tmpDir("snap-compact")
+    Snapshots.commit(Seq((1, "a", 10L), (2, "b", 20L)).toDF("id", "name", "amount"), root)
+    Snapshots.commitDelta(
+      Seq((2, "b2", 21L, false), (1, "a", 10L, true)).toDF("id", "name", "amount", "_deleted"),
+      root)
+    val before = rowsOf(Snapshots.latest(spark, root, Seq("id")))
+    val v3 = Snapshots.compact(spark, root, Seq("id"))
+    assert(v3 === 3L)
+    assert(Snapshots.versions(spark, root).map(t => (t._1, t._2)) ===
+      Seq((1L, "full"), (2L, "delta"), (3L, "full")))
+    assert(rowsOf(Snapshots.asOf(spark, root, 3, Seq("id"))) === before)
+    // pre-compaction history still reproducible
+    assert(rowsOf(Snapshots.asOf(spark, root, 1, Seq("id"))) ===
+      Set((1, "a", 10L), (2, "b", 20L)))
+  }
+
+  test("manifests are immutable per version; empty store behaves gracefully") {
+    val root = tmpDir("snap-manifest")
+    assert(Snapshots.versions(spark, root).isEmpty)
+    assert(Snapshots.latestVersion(spark, root) === 0L)
+    intercept[IllegalArgumentException] {
+      Snapshots.asOf(spark, root, 1, Seq("id"))
+    }
+    Snapshots.commit(Seq((1, "a", 10L)).toDF("id", "name", "amount"), root)
+    Snapshots.commitDelta(
+      Seq((1, "a2", 11L)).toDF("id", "name", "amount"), root)
+    // one immutable manifest file per committed version — a reader
+    // concurrent with a commit always finds a complete manifest
+    val names = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(names.contains("_manifest.v1") && names.contains("_manifest.v2"))
+  }
+}

@@ -125,6 +125,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st02: >gap-early late events within gap of each other close as ONE session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Event]
+    // allowed lateness (3 h) >> gap (30 min): events far earlier than
+    // the open session can still be admitted by the watermark
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30, lateness = Some("3 hours"))
+      .writeStream.format("memory").queryName("st02_earlier").outputMode("append").start()
+    try {
+      // batch 1: user 1 opens a session at 12:00 (watermark after: 09:00)
+      input.addData(Event(1, ts("2026-01-01 12:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: two admitted late events at 10:00 and 10:20 — both
+      // > gap before the open session, within gap of EACH OTHER. The
+      // batch q52 twin sees one 2-event session [10:00, 10:20], not
+      // two singletons.
+      input.addData(
+        Event(2, ts("2026-01-01 10:00:00"), 1, "click", 1.0),
+        Event(3, ts("2026-01-01 10:20:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(98, ts("2026-01-02 00:00:00"), 9, "x", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(99, ts("2026-01-03 00:00:00"), 9, "x", 0.0))
+      q.processAllAvailable()
+
+      def us(s: String) = ts(s).getTime * 1000L
+      val out = spark.table("st02_earlier").as[ClosedSession].collect()
+        .filter(_.user_id == 1).sortBy(_.session_start_us)
+      assert(out.toSeq === Seq(
+        ClosedSession(1, us("2026-01-01 10:00:00"), 2, 20L * 60 * 1000000),
+        ClosedSession(1, us("2026-01-01 12:00:00"), 1, 0L)))
+    } finally q.stop()
+  }
+
   test("st03: streamed dedup drops replayed events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
