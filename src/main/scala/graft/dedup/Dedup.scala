@@ -88,22 +88,26 @@ object Dedup {
     * is per-candidate, not all-pairs). Oracle computes the same pairs
     * by brute force — integer-set sizes divide to bit-identical doubles.
     */
+  /** LSH candidates verified by exact shingle-set jaccard ≥ `minJ` —
+    * the shared upstream of q64 (which adds the oracle's total sort)
+    * and q66 (which must NOT pay that sort just to build edges).
+    */
+  def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String, minJ: Double = 0.8): DataFrame = {
+    val sets = Tables.documents(s, d)
+      .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+    lshCandidates(minhashSignatures(Tables.documents(s, d)))
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(size(array_union(col("sh_a"), col("sh_b"))) > 0 && col("jaccard") >= minJ)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   private val q64 = Qdef(
     "q64_dedup_ngram_jaccard",
-    (s, d) => {
-      val sets = Tables.documents(s, d)
-        .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
-      val cand = lshCandidates(minhashSignatures(Tables.documents(s, d)))
-      cand
-        .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-        .filter(size(array_union(col("sh_a"), col("sh_b"))) > 0 && col("jaccard") >= 0.8)
-        .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
-    },
+    (s, d) => verifiedPairs(s, d).orderBy("id_a", "id_b"),
     Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
             g AS (SELECT doc_id,
                     list_distinct(list_transform(generate_series(1, len(toks)-2),
@@ -301,7 +305,10 @@ object Dedup {
   private val q66 = Qdef(
     "q66_dedup_resolve",
     (s, d) => {
-      val pairs = q64.run(s, d).select("id_a", "id_b")
+      // verifiedPairs, NOT q64.run: the oracle's total ORDER BY would
+      // cost a full sort shuffle only to be thrown away by the
+      // symmetric-edge union
+      val pairs = verifiedPairs(s, d).select("id_a", "id_b")
       nearDupClusters(pairs)
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_members"))

@@ -116,32 +116,48 @@ object TextAnalysis {
                     least(1.0, CAST(n_tokens AS DOUBLE) / 200.0) * (1.0 - punct_ratio) * (0.5 + 0.5 * stop_ratio) AS quality
              FROM r ORDER BY doc_id"""))
 
-  /** Winnowing-style document fingerprint: xxhash64 of the normalized
-    * text (exact identity), plus the mod-8-selected subset of shingle
-    * hashes (robust sketch) — rows-only checked (no xxhash64 in DuckDB).
+  /** Bottom-k document fingerprint: md5 of the 8 smallest md5(3-gram
+    * shingle) hashes — a public winnowing/bottom-k sketch whose hash
+    * (md5) both engines share, so the WHOLE query is oracle-checkable
+    * (the r1 xxhash64 variant was rows-only: DuckDB has no xxhash64).
+    * The rolling-hash sketch stays available as
+    * [[graft.functions.TextFunctions.fingerprintSketch]] (invariants
+    * covered in DedupAnnSpec).
     *
     * Driver contract (CORRECTNESS r1 lesson): every output column must
     * be SCALAR — the harness sorts/hashes columns with pandas, which
-    * cannot factorize an array column. The raw sketch array stays
-    * available as [[graft.functions.TextFunctions.fingerprintSketch]]
-    * (invariants covered in DedupAnnSpec); here it is collapsed to a
-    * stable digest (xxhash64 over the sorted array) plus its size.
+    * cannot factorize an array column.
+    *
+    * Scale: one codegen'd scan; the only interpreted piece is the
+    * per-doc `transform(_, md5)` (one pass over each doc's shingles,
+    * no shuffle, no pairwise work).
     */
   private val q83 = Qdef(
     "q83_fingerprint",
     (s, d) => {
-      val sh = shingleHashes(col("text"), 3)
-      val fp = fingerprintSketch(col("text"), 3, 8)
+      val sh = call_function("graft_shingle_strings", col("text"), lit(3))
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), transform(sh, x => md5(x)).as("hs"))
         .select(col("doc_id"),
-          xxhash64(normText(col("text"))).as("doc_hash"),
-          xxhash64(fp).as("fingerprint_hash"),
-          coalesce(size(fp), lit(0)).cast("long").as("n_fp_hashes"),
-          array_min(sh).as("min_shingle_hash"),
-          coalesce(size(sh), lit(0)).cast("long").as("n_shingles"))
+          md5(col("text")).as("doc_digest"),
+          md5(concat_ws("", slice(sort_array(col("hs")), 1, 8))).as("fingerprint"),
+          coalesce(array_min(col("hs")), lit("")).as("min_shingle_md5"),
+          coalesce(size(col("hs")), lit(0)).cast("long").as("n_shingles"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""WITH t AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+            h AS (SELECT doc_id, text,
+                    CASE WHEN len(toks) >= 3
+                         THEN list_transform(generate_series(1, len(toks) - 2),
+                                i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                         ELSE CAST([] AS VARCHAR[]) END AS hs
+                  FROM t)
+            SELECT doc_id,
+                   md5(text) AS doc_digest,
+                   md5(array_to_string(list_sort(hs)[1:8], '')) AS fingerprint,
+                   coalesce(list_min(hs), '') AS min_shingle_md5,
+                   CAST(len(hs) AS BIGINT) AS n_shingles
+            FROM h ORDER BY doc_id"""))
 
   /** Corpus bigram vocabulary: top-50 word bigrams by occurrence —
     * the vocabulary-building shape (explode per-row shingles, one
