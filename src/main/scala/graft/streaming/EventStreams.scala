@@ -159,6 +159,39 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  /** st05: continuous-load source breadth. A deterministic
+    * `rate-micro-batch` stream mapped onto the Event schema — the
+    * stand-in for the reference's continuous import feed. In
+    * production the ONLY change is the source line
+    * (`format("kafka")` + `from_json(value)`); every downstream
+    * transform ([[tumblingCounts]], [[sessionize]], [[dedupedAppend]])
+    * takes the DataFrame unchanged, which is the point: graft's
+    * streaming operators are source-agnostic.
+    *
+    * Each micro-batch carries `rowsPerBatch` rows sharing one event
+    * time that advances `advanceMs` per batch, so window/watermark
+    * behavior is reproducible in tests (unlike the wall-clock `rate`
+    * source).
+    */
+  def rateEvents(
+      spark: org.apache.spark.sql.SparkSession,
+      rowsPerBatch: Int = 90,
+      startMs: Long = 0L,
+      advanceMs: Long = 3600000L): DataFrame =
+    spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch.toLong)
+      .option("startTimestamp", startMs)
+      .option("advanceMillisPerBatch", advanceMs)
+      .load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        (col("value") % 50).as("user_id"),
+        when(col("value") % 3 === 0, "click")
+          .when(col("value") % 3 === 1, "view")
+          .otherwise("buy").as("event_type"),
+        ((col("value") % 100) / 10.0).as("value"))
+
   /** st03: exactly-once incremental load — the reference's "append new
     * visits" ETL shape. Duplicate deliveries (at-least-once sources,
     * replayed batches) are dropped on the event id within the

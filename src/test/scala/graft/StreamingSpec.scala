@@ -160,6 +160,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st05: rate-micro-batch source drives tumblingCounts (kafka-shaped continuous load)") {
+    // 90 consecutive values per batch → exactly 30 per event_type in
+    // every 1-hour window; batches advance event time 1 h each, so the
+    // 30-min watermark closes one window per subsequent batch.
+    val src = EventStreams.rateEvents(spark, rowsPerBatch = 90)
+    val q = EventStreams.tumblingCounts(src, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("st05_out").outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 90000
+      while (spark.table("st05_out").isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      val rows = spark.table("st05_out")
+        .select("event_type", "n").collect()
+      assert(rows.nonEmpty, "no window closed within the deadline")
+      rows.foreach { r =>
+        assert(Set("click", "view", "buy").contains(r.getString(0)))
+        assert(r.getLong(1) === 30L, s"window count for ${r.getString(0)}")
+      }
+    } finally q.stop()
+  }
+
   test("st03: streamed dedup drops replayed events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
