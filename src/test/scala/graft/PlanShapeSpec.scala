@@ -68,4 +68,27 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q41_cohort_and")
     assert(p.contains("LeftSemi"), s"cohort AND lost its semi-join shape:\n$p")
   }
+
+  test("merge is ONE key shuffle (priority union, no join)") {
+    import org.apache.spark.sql.functions._
+    val t = Tables.orders(spark, sf)
+    val u = t.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("_deleted", col("o_orderkey") % 17 === 0)
+    val p = operators.Warehouse.merge(t, u, Seq("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    // the merge itself: exactly one hashpartitioning exchange on the
+    // merge key feeding the window rank; no join operator at all
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 1, s"merge should shuffle once on the key, got $shuffles:\n$p")
+    assert(!p.contains("Join"), s"merge should be a union+window, not a join:\n$p")
+  }
+
+  test("q97: metadata tree is a single rollup pass with partial aggregation") {
+    val p = plan("q97_metadata_tree")
+    assert(p.contains("Expand"), s"rollup lost its grouping-sets Expand:\n$p")
+    // one aggregation exchange (plus the final tiny sort for the oracle
+    // ORDER BY) — no per-level rescan of part
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"tree query rescans the metadata table:\n$p")
+  }
 }
