@@ -4,7 +4,6 @@ import graft.{Qdef, Tables}
 import graft.sources.Snapshots
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Warehouse-maintenance operators — SURVEY §2.13/§2.14.
@@ -36,19 +35,9 @@ object Warehouse {
     * merge shape [[Snapshots.asOf]] uses for its delta chain).
     */
   def merge(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
-    // normalize: absent _deleted column, or NULL in a nullable one,
-    // both mean "live row" (same rule as Snapshots.asOf)
-    def norm(df: DataFrame): DataFrame =
-      if (df.columns.contains("_deleted"))
-        df.withColumn("_deleted", coalesce(col("_deleted"), lit(false)))
-      else df.withColumn("_deleted", lit(false))
-    val t = norm(target).withColumn("_src", lit(0))
-    val u = norm(updates).withColumn("_src", lit(1))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_src").desc)
-    t.unionByName(u)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && !col("_deleted"))
-      .drop("_rn", "_src", "_deleted")
+    val t = Snapshots.normDeleted(target).withColumn("_src", lit(0))
+    val u = Snapshots.normDeleted(updates).withColumn("_src", lit(1))
+    Snapshots.lastWriterWins(t.unionByName(u), keys, "_src")
   }
 
   // ---------------------------------------------------------------

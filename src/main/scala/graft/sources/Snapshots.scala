@@ -88,10 +88,42 @@ object Snapshots {
     val existing = versions(spark, root)
     val lines = (existing :+ ((version, kind, rel)))
       .map { case (v, k, p) => s"$v\t$k\t$p" }.mkString("", "\n", "\n")
-    // publish a NEW immutable manifest file; overwrite=false makes a
-    // same-version writer race a loud failure instead of a lost commit
-    val out = f.create(new Path(root, s"_manifest.v$version"), false)
+    // write-to-tmp-then-rename: a created-but-unwritten manifest must
+    // never be listable under its final name (a reader between create
+    // and close would see an empty store). The ManifestName pattern
+    // matches whole names only, so readers skip the .tmp file. Rename
+    // refuses an existing destination, which keeps the same-version
+    // writer race a loud failure instead of a lost commit.
+    val tmp = new Path(root, s"_manifest.v$version.tmp")
+    val out = f.create(tmp, true)
     try out.write(lines.getBytes("UTF-8")) finally out.close()
+    val dest = new Path(root, s"_manifest.v$version")
+    if (f.exists(dest) || !f.rename(tmp, dest))
+      throw new IllegalStateException(
+        s"manifest publish race: v$version already committed in $root")
+  }
+
+  /** Normalize the tombstone column: an absent `_deleted` column, or a
+    * NULL in a nullable one, both mean "live row" — a bare `!_deleted`
+    * would null out and drop upserts whose flag was never set.
+    */
+  private[graft] def normDeleted(df: DataFrame): DataFrame =
+    if (df.columns.contains("_deleted"))
+      df.withColumn("_deleted", coalesce(col("_deleted"), lit(false)))
+    else df.withColumn("_deleted", lit(false))
+
+  /** Last-writer-wins resolution: keep the row with the highest
+    * `prioCol` per key, drop tombstones. ONE shuffle on `keys` — the
+    * single merge shape shared by [[asOf]]'s delta chain and
+    * [[graft.operators.Warehouse.merge]]'s update batches.
+    */
+  private[graft] def lastWriterWins(
+      merged: DataFrame, keys: Seq[String], prioCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(prioCol).desc)
+    merged
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !col("_deleted"))
+      .drop("_rn", prioCol, "_deleted")
   }
 
   private def nextVersion(spark: SparkSession, root: String): Long =
@@ -126,22 +158,9 @@ object Snapshots {
       .getOrElse(throw new IllegalStateException(s"no full snapshot <= $version in $root"))
     val chain = all.filter(_._1 >= baseV)
     val frames = chain.map { case (v, _, rel) =>
-      val df = spark.read.parquet(s"$root/$rel")
-      // normalize: absent column OR a NULL in a nullable _deleted both
-      // mean "live row" — a bare `!_deleted` would null out and drop
-      // upserts whose tombstone flag was never set
-      val withDel =
-        if (df.columns.contains("_deleted"))
-          df.withColumn("_deleted", coalesce(col("_deleted"), lit(false)))
-        else df.withColumn("_deleted", lit(false))
-      withDel.withColumn("_v", lit(v))
+      normDeleted(spark.read.parquet(s"$root/$rel")).withColumn("_v", lit(v))
     }
-    val merged = frames.reduce(_ unionByName _)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_v").desc)
-    merged
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && !col("_deleted"))
-      .drop("_rn", "_v", "_deleted")
+    lastWriterWins(frames.reduce(_ unionByName _), keys, "_v")
   }
 
   /** Latest committed version (0 when the store is empty). */

@@ -16,8 +16,15 @@ final case class Event(
     event_type: String,
     value: Double)
 
-/** Open-session accumulator kept in `GroupState` (one per user). */
+/** One open session interval. */
 final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
+
+/** All open sessions for one user, start-ascending. Usually one; very
+  * late admitted events (allowed lateness > gap) can hold earlier
+  * sessions open concurrently — at most ~lateness/gap of them, so the
+  * per-key state stays O(1) for any fixed watermark policy.
+  */
+final case class SessionsState(sessions: Seq[SessionState])
 
 /** One closed session, emitted when the event-time watermark passes the
   * session gap.
@@ -51,18 +58,22 @@ object EventStreams {
 
   /** st02: gap-based sessionization (30 min default) via
     * `flatMapGroupsWithState` with an event-time timeout — the
-    * streaming twin of q52. State per user is O(1) (one open session),
-    * closed sessions are emitted exactly once when the watermark
-    * passes `lastUs + gap`. Keys shuffle once on user_id; at cluster
-    * scale state is sharded across executors by the same hash.
+    * streaming twin of q52. State per user is the list of OPEN
+    * sessions (one, unless allowed lateness exceeds the gap — then at
+    * most ~lateness/gap), merged with each batch's events by the same
+    * interval fold the batch twin uses; a session closes exactly once,
+    * when the watermark passes `lastUs + gap` (timeout or next batch,
+    * whichever first). Keys shuffle once on user_id; at cluster scale
+    * state is sharded across executors by the same hash.
     */
   def sessionize(
       events: Dataset[Event],
       gapMinutes: Int = 30,
       // allowed lateness; defaults to the gap. Deployments that admit
-      // very late data (lateness >> gap) still sessionize it correctly:
-      // >gap-early admitted events accumulate in their own "earlier
-      // session" below instead of polluting the open one.
+      // very late data (lateness >> gap) still sessionize it
+      // correctly: admitted events older than the open session merge
+      // into (or reopen) their own earlier sessions, even across
+      // micro-batches.
       lateness: Option[String] = None): Dataset[ClosedSession] = {
     val gapUs = gapMinutes.toLong * 60L * 1000000L
 
@@ -71,90 +82,50 @@ object EventStreams {
     def micros(t: Timestamp): Long =
       t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
 
+    // Interval-merge fold: open sessions from state plus this batch's
+    // events (as 1-event intervals), start-sorted, merged wherever the
+    // next interval starts within `gap` of the running one — EXACTLY
+    // the batch q52 definition, so very late admitted events (allowed
+    // lateness > gap) merge correctly even when they arrive across
+    // different micro-batches. A session closes only when the
+    // watermark passes its `last + gap` boundary: beyond that no
+    // admissible event (ts >= watermark) can reach it, so it can
+    // never grow again. The timeout path is the same code with an
+    // empty row slice.
     def update(
         userId: Long,
         rows: Iterator[Event],
-        state: GroupState[SessionState]): Iterator[ClosedSession] = {
-      if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        Iterator.single(ClosedSession(userId, s.startUs, s.nEvents, s.lastUs - s.startUs))
+        state: GroupState[SessionsState]): Iterator[ClosedSession] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val open = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+      val intervals = (open ++ rows.map { e =>
+        val us = micros(e.ts); SessionState(us, us, 1)
+      }).sortBy(s => (s.startUs, s.lastUs))
+      val merged = intervals.foldLeft(List.empty[SessionState]) { (acc, s) =>
+        acc match {
+          case h :: t if s.startUs - h.lastUs <= gapUs =>
+            SessionState(h.startUs, math.max(h.lastUs, s.lastUs), h.nEvents + s.nEvents) :: t
+          case _ => s :: acc
+        }
+      }.reverse
+      val (done, stillOpen) = merged.partition(s => s.lastUs + gapUs <= wmUs)
+      if (stillOpen.isEmpty) {
+        if (state.exists) state.remove()
       } else {
-        val closed = Iterator.newBuilder[ClosedSession]
-        var cur = state.getOption
-        // Watermark-admitted late events that lie more than `gap`
-        // BEFORE the open session belong to earlier, already-gone
-        // sessions. Accumulate them in their own open "earlier
-        // session" so consecutive ones within `gap` of each other
-        // close as ONE session (as the batch q52 twin would), not as
-        // per-event singletons.
-        var earlier: Option[SessionState] = None
-        def closeEarlier(): Unit = {
-          earlier.foreach(s =>
-            closed += ClosedSession(userId, s.startUs, s.nEvents, s.lastUs - s.startUs))
-          earlier = None
-        }
-        // Micro-batch rows are not ordered; sort the (small) per-user
-        // slice by event time before folding it into the session.
-        rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
-          val us = micros(e.ts)
-          cur match {
-            // Merge only when the event falls within `gap` of the open
-            // session's SPAN [startUs, lastUs]. A watermark-admitted
-            // late event from an earlier batch can precede startUs —
-            // extending startUs keeps session_start_us/duration_us
-            // consistent with the batch q52 twin (which sorts all
-            // events before splitting on gaps).
-            case Some(s) if us - s.lastUs <= gapUs && s.startUs - us <= gapUs =>
-              earlier match {
-                // the earlier chain reaches this event, and this event
-                // reaches the main session: the batch twin would see
-                // one unbroken run — bridge everything into one session
-                case Some(eS) if us - eS.lastUs <= gapUs =>
-                  cur = Some(SessionState(
-                    math.min(eS.startUs, math.min(s.startUs, us)),
-                    math.max(s.lastUs, us), s.nEvents + eS.nEvents + 1))
-                  earlier = None
-                case _ =>
-                  cur = Some(SessionState(
-                    math.min(s.startUs, us), math.max(s.lastUs, us), s.nEvents + 1))
-              }
-            // More than `gap` before the open session (first case not
-            // matching with us < startUs implies startUs - us > gap):
-            // extend or start the earlier session.
-            case Some(s) if us < s.startUs =>
-              earlier match {
-                case Some(eS) if us - eS.lastUs <= gapUs =>
-                  earlier = Some(SessionState(eS.startUs, us, eS.nEvents + 1))
-                case _ =>
-                  closeEarlier()
-                  earlier = Some(SessionState(us, us, 1))
-              }
-            // More than `gap` after: close and reopen.
-            case Some(s) =>
-              closed += ClosedSession(userId, s.startUs, s.nEvents, s.lastUs - s.startUs)
-              cur = Some(SessionState(us, us, 1))
-            case None =>
-              cur = Some(SessionState(us, us, 1))
-          }
-        }
-        // anything still in `earlier` is > gap before the surviving
-        // open session — no later event in any batch can merge with it
-        closeEarlier()
-        cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes.toLong * 60L * 1000L)
-        }
-        closed.result().iterator
+        state.update(SessionsState(stillOpen))
+        val timeoutMs = stillOpen.map(_.lastUs).min / 1000L + gapMinutes.toLong * 60L * 1000L
+        // setTimeoutTimestamp must stay ahead of the watermark
+        state.setTimeoutTimestamp(math.max(timeoutMs, state.getCurrentWatermarkMs() + 1L))
       }
+      done.iterator.map(s => ClosedSession(userId, s.startUs, s.nEvents, s.lastUs - s.startUs))
     }
 
     implicit val outEnc = Encoders.product[ClosedSession]
-    implicit val stEnc = Encoders.product[SessionState]
+    implicit val stEnc = Encoders.product[SessionsState]
     events
       .withWatermark("ts", lateness.getOrElse(s"$gapMinutes minutes"))
       .groupByKey(_.user_id)(Encoders.scalaLong)
-      .flatMapGroupsWithState[SessionState, ClosedSession](
+      .flatMapGroupsWithState[SessionsState, ClosedSession](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(update)
   }

@@ -138,13 +138,14 @@ class StreamingSpec extends SparkSpec {
       // batch 1: user 1 opens a session at 12:00 (watermark after: 09:00)
       input.addData(Event(1, ts("2026-01-01 12:00:00"), 1, "click", 1.0))
       q.processAllAvailable()
-      // batch 2: two admitted late events at 10:00 and 10:20 — both
-      // > gap before the open session, within gap of EACH OTHER. The
-      // batch q52 twin sees one 2-event session [10:00, 10:20], not
-      // two singletons.
-      input.addData(
-        Event(2, ts("2026-01-01 10:00:00"), 1, "click", 1.0),
-        Event(3, ts("2026-01-01 10:20:00"), 1, "click", 1.0))
+      // batches 2 and 3: two admitted late events at 10:00 and 10:20,
+      // in SEPARATE micro-batches — both > gap before the open
+      // session, within gap of each other. The batch q52 twin sees
+      // one 2-event session [10:00, 10:20], not two singletons; the
+      // earlier session must stay open in state across batches.
+      input.addData(Event(2, ts("2026-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts("2026-01-01 10:20:00"), 1, "click", 1.0))
       q.processAllAvailable()
       input.addData(Event(98, ts("2026-01-02 00:00:00"), 9, "x", 0.0))
       q.processAllAvailable()
