@@ -42,6 +42,20 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Register every warehouse table as a temp view so users can run
+    * plain `spark.sql` against the star schema (the reference exposes
+    * a query surface over named entities; this is graft's SQL door —
+    * the graft_* functions are already registered per session, so SQL
+    * text can use them too). Views are lazy: each query still plans
+    * straight from the pruned parquet scans.
+    */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => load(s, d, t).createOrReplaceTempView(t))
+    events(s, d).createOrReplaceTempView("events")
+  }
+
   /** Decimal-exact sum reported as double: `CAST(SUM(CAST(x AS
     * DECIMAL(28,scale))) AS DOUBLE)`. Decimal aggregation is exact, so
     * the result is bit-identical across engines regardless of row

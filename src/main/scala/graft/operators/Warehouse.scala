@@ -156,5 +156,24 @@ object Warehouse {
              GROUP BY ROLLUP(p_brand, p_type)
              ORDER BY 1, 2"""))
 
-  val all: Seq[Qdef] = Seq(q94, q95, q96, q97)
+  /** q98: CDC changes feed between store versions — one row per key
+    * the v2 import touched, tagged insert/update/delete ("what did
+    * this import batch do?", the reference's history-query shape).
+    * Source statuses are {P,O,F}, so every amended key is a real
+    * update (no no-op-amend rows to exclude).
+    */
+  private val q98 = Qdef(
+    "q98_snapshot_changes",
+    (s, d) =>
+      Snapshots.changes(s, ensureStore(s, d), 1L, 2L, Seq("o_orderkey"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 10 = 3 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority,
+                   CASE WHEN o_orderkey % 10 = 7 THEN 'delete' ELSE 'update' END AS _change
+            FROM orders
+            WHERE o_orderkey % 10 IN (3, 7)
+            ORDER BY o_orderkey"""))
+
+  val all: Seq[Qdef] = Seq(q94, q95, q96, q97, q98)
 }

@@ -176,4 +176,38 @@ object Snapshots {
     */
   def compact(spark: SparkSession, root: String, keys: Seq[String]): Long =
     commit(latest(spark, root, keys), root)
+
+  /** CDC-style changes between two versions: one row per key whose
+    * visible state differs between `asOf(fromV)` and `asOf(toV)`,
+    * tagged `_change ∈ {insert, update, delete}`. The history-query
+    * shape of the reference's immutable store ("what did this import
+    * batch do?"), computed as one full-outer join of the two as-of
+    * reads on the key — non-key columns come from the `toV` side for
+    * inserts/updates and the `fromV` side for deletes.
+    */
+  def changes(
+      spark: SparkSession, root: String, fromV: Long, toV: Long,
+      keys: Seq[String]): DataFrame = {
+    require(fromV < toV, s"changes requires fromV < toV, got $fromV >= $toV")
+    val before = asOf(spark, root, fromV, keys)
+    val after = asOf(spark, root, toV, keys)
+    val dataCols = after.columns.filterNot(keys.contains).toSeq
+    val b = before.select(
+      keys.map(col) ++ dataCols.map(c => col(c).as(s"_b_$c")) :+ lit(true).as("_in_b"): _*)
+    val a = after.select(
+      keys.map(col) ++ dataCols.map(c => col(c).as(s"_a_$c")) :+ lit(true).as("_in_a"): _*)
+    val joined = b.join(a, keys, "full_outer")
+    val changedData = dataCols
+      .map(c => !(col(s"_b_$c") <=> col(s"_a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined
+      .withColumn("_change",
+        when(col("_in_b").isNull, lit("insert"))
+          .when(col("_in_a").isNull, lit("delete"))
+          .when(changedData, lit("update")))
+      .filter(col("_change").isNotNull)
+      .select(keys.map(col) ++ dataCols.map(c =>
+        when(col("_change") === "delete", col(s"_b_$c"))
+          .otherwise(col(s"_a_$c")).as(c)) :+ col("_change"): _*)
+  }
 }

@@ -82,6 +82,27 @@ class SnapshotsSpec extends SparkSpec {
       Set((1, "a", 10L), (2, "b", 20L)))
   }
 
+  test("changes() classifies insert/update/delete and skips no-op rewrites") {
+    val root = tmpDir("snap-changes")
+    Snapshots.commit(
+      Seq((1, "a", 10L), (2, "b", 20L), (3, "c", 30L)).toDF("id", "name", "amount"),
+      root)
+    // v2: id=2 updated, id=3 deleted, id=4 inserted, id=1 rewritten
+    // with IDENTICAL values (a no-op that must NOT appear as a change)
+    Snapshots.commitDelta(
+      Seq((1, "a", 10L, false), (2, "b2", 21L, false), (3, "c", 30L, true),
+        (4, "d", 40L, false)).toDF("id", "name", "amount", "_deleted"),
+      root)
+    val out = Snapshots.changes(spark, root, 1L, 2L, Seq("id"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(out === Set(
+      (2, "b2", 21L, "update"),
+      (3, "c", 30L, "delete"),
+      (4, "d", 40L, "insert")))
+  }
+
   test("manifests are immutable per version; empty store behaves gracefully") {
     val root = tmpDir("snap-manifest")
     assert(Snapshots.versions(spark, root).isEmpty)

@@ -1,5 +1,20 @@
 package graft
 
+class CatalogSpec extends SparkSpec {
+  test("registerViews exposes the star schema and graft functions to spark.sql") {
+    Tables.registerViews(spark, sf)
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+    ).collect()(0).getLong(0)
+    assert(n > 0)
+    // graft's codegen functions are callable from SQL text too
+    val d = spark.sql(
+      "SELECT graft_norm2(embedding) AS nrm FROM embeddings LIMIT 1"
+    ).collect()(0).getDouble(0)
+    assert(d > 0.0)
+  }
+}
+
 import graft.sources.Sources
 import org.apache.spark.sql.functions._
 
