@@ -175,5 +175,46 @@ object Warehouse {
             WHERE o_orderkey % 10 IN (3, 7)
             ORDER BY o_orderkey"""))
 
-  val all: Seq[Qdef] = Seq(q94, q95, q96, q97, q98)
+  /** q99: incremental aggregate maintenance — the v2 state of the
+    * status aggregate computed WITHOUT re-aggregating the base:
+    * base aggregate (in production: the already-materialized one)
+    * plus signed delta contributions — subtract the before-image of
+    * touched keys, add the batch's surviving rows. Decimal partials
+    * stay decimal until the final cast, so the result is bit-identical
+    * to the full recompute — and the oracle IS q95's full recompute.
+    *
+    * Scale: the base is never shuffled — one (reusable) aggregate
+    * scan plus one semi-join scan for before-images of the
+    * delta-touched keys (delta batches are small, so that join
+    * broadcasts); everything else is delta-sized. This is the pattern
+    * that turns a 100 TB re-aggregation into an import-batch-sized
+    * update. Assumes ≤1 row per key per version (the store's
+    * documented contract).
+    */
+  private val q99 = Qdef(
+    "q99_incremental_agg",
+    (s, d) => {
+      val root = ensureStore(s, d)
+      val base = Snapshots.read(s, root, 1L)
+      val delta = Snapshots.read(s, root, 2L)
+      def dec(df: DataFrame, sign: Int) =
+        df.groupBy(col("o_orderstatus").as("status"))
+          .agg((count(lit(1)) * sign).as("n"),
+            (sum(col("o_totalprice").cast("decimal(28,2)")) * sign).as("p"))
+      val before = base.join(delta.select("o_orderkey"), Seq("o_orderkey"), "left_semi")
+      val after = delta.filter(!coalesce(col("_deleted"), lit(false)))
+      dec(base, 1).unionByName(dec(before, -1)).unionByName(dec(after, 1))
+        .groupBy("status")
+        .agg(sum("n").as("n_orders"), sum("p").cast("double").as("sum_price"))
+        .filter(col("n_orders") > 0)
+        .select(col("status"), col("n_orders"), col("sum_price"))
+        .orderBy("status")
+    },
+    // identical to q95's oracle: incremental maintenance must land on
+    // exactly the full-recompute answer
+    Some(s"""SELECT CASE WHEN o_orderkey % 10 = 3 THEN 'R' ELSE o_orderstatus END AS status,
+                    count(*) AS n_orders, ${Qdef.DSUM("o_totalprice")} AS sum_price
+             FROM orders WHERE o_orderkey % 10 <> 7 GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[Qdef] = Seq(q94, q95, q96, q97, q98, q99)
 }

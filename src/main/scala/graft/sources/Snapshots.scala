@@ -163,6 +163,15 @@ object Snapshots {
     lastWriterWins(frames.reduce(_ unionByName _), keys, "_v")
   }
 
+  /** Raw committed frame of exactly `version` (no merge applied):
+    * a full snapshot's rows, or one delta batch including tombstones.
+    */
+  def read(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val entry = versions(spark, root).find(_._1 == version)
+      .getOrElse(throw new IllegalArgumentException(s"no version $version in $root"))
+    spark.read.parquet(s"$root/${entry._3}")
+  }
+
   /** Latest committed version (0 when the store is empty). */
   def latestVersion(spark: SparkSession, root: String): Long =
     versions(spark, root).lastOption.map(_._1).getOrElse(0L)
