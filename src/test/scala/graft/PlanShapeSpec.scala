@@ -83,6 +83,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"merge should be a union+window, not a join:\n$p")
   }
 
+  test("q99: incremental agg never shuffles base rows into the delta join") {
+    val p = plan("q99_incremental_agg")
+    // the before-image lookup must be a broadcast semi join (delta side
+    // broadcasts); a shuffled join here would drag the whole base
+    // through an exchange and defeat the incremental pattern
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"before-image lookup is not a broadcast semi join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"base shuffled for the delta join:\n$p")
+  }
+
   test("q97: metadata tree is a single rollup pass with partial aggregation") {
     val p = plan("q97_metadata_tree")
     assert(p.contains("Expand"), s"rollup lost its grouping-sets Expand:\n$p")
