@@ -58,6 +58,32 @@ object TextExprHelpers {
     new GenericArrayData(out)
   }
 
+  /** Longest run of equal adjacent elements in a SORTED string array —
+    * i.e. the multiplicity of the most frequent element. Sorting first
+    * turns "mode count" into a single adjacent-compare pass, so
+    * per-document n-gram repetition (Gopher/C4-style quality rules)
+    * stays a pure narrow map: no explode, no per-doc groupBy shuffle.
+    * Elements must be non-null (shingle/token arrays are).
+    */
+  def maxRunLength(a: ArrayData): Int = {
+    val n = a.numElements()
+    if (n == 0) return 0
+    var best = 1
+    var run = 1
+    var prev = a.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = a.getUTF8String(i)
+      if (cur.equals(prev)) {
+        run += 1
+        if (run > best) best = run
+      } else run = 1
+      prev = cur
+      i += 1
+    }
+    best
+  }
+
   /** `perms`-permutation MinHash signature of a shingle-hash set:
     * m_i = min over shingles of xxhash64(seed=i)(h). One per-row pass —
     * no explode, no aggregation shuffle.
@@ -166,6 +192,24 @@ case class ShingleStrings(child: Expression, k: Int) extends UnaryExpression {
          |${ev.value} = graft.functions.TextExprHelpers.shingleStrings($t, $k);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_max_run(sorted_strings)` — codegen'd longest-equal-run
+  * count over a sorted string array (= top element multiplicity).
+  */
+case class MaxRunLength(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_max_run"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextExprHelpers.maxRunLength(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextExprHelpers.maxRunLength($a);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -244,6 +244,8 @@ object VectorExpressions {
       es => BandHashes(es(0), litInt(es(1)), litInt(es(2)))),
     ("graft_shingle_strings", "_FUNC_(text, k) - word k-shingles as strings",
       es => ShingleStrings(es(0), litInt(es(1)))),
+    ("graft_max_run", "_FUNC_(sorted) - longest equal-adjacent run in a sorted string array",
+      es => MaxRunLength(es.head)),
     ("graft_bloom_agg", "_FUNC_(hash, nitems, nbits) - bloom filter aggregate",
       es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         es(0), es(1), es(2))),

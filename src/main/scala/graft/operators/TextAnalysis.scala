@@ -180,5 +180,101 @@ object TextAnalysis {
             SELECT bigram, COUNT(*) AS n FROM g GROUP BY bigram
             ORDER BY n DESC, bigram LIMIT 50"""))
 
-  val all: Seq[Qdef] = Seq(q80, q81, q82, q83, q84)
+  /** Gopher/C4-style per-document repetition metrics: duplicate-token
+    * fraction, top-token fraction, top-bigram fraction. The most
+    * frequent element's multiplicity is computed as the longest equal
+    * run of the SORTED token/bigram array (codegen'd
+    * [[graft.functions.MaxRunLength]]) — documents are independent, so
+    * the whole query is one narrow codegen'd scan: no explode, no
+    * per-doc groupBy shuffle, which is what keeps it linear at 100 TB.
+    * The oracle computes the same multiplicities the orthodox way
+    * (unnest + GROUP BY + MAX) — two different algorithms, identical
+    * integers, so every frac divides bit-identically.
+    */
+  private val q85 = Qdef(
+    "q85_repetition", {
+      (s, d) =>
+        val toks = tokens(col("text"))
+        val bigrams = call_function("graft_shingle_strings", col("text"), lit(2))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+            call_function("graft_max_run", sort_array(toks)).cast("long").as("top_token_count"),
+            coalesce(call_function("graft_max_run", sort_array(bigrams)), lit(0))
+              .cast("long").as("top_bigram_count"),
+            coalesce(size(bigrams), lit(0)).cast("long").as("n_bigrams"))
+          .withColumn("dup_token_frac",
+            (col("n_tokens") - col("n_distinct_tokens")).cast("double") /
+              col("n_tokens").cast("double"))
+          .withColumn("top_token_frac",
+            col("top_token_count").cast("double") / col("n_tokens").cast("double"))
+          .withColumn("top_bigram_frac",
+            when(col("n_bigrams") > 0,
+              col("top_bigram_count").cast("double") / col("n_bigrams").cast("double"))
+              .otherwise(lit(0.0)))
+          .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+            base AS (SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+                       CAST(CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END AS BIGINT) AS n_bigrams
+                     FROM t),
+            tokc AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_token_count FROM (
+                       SELECT doc_id, tk, COUNT(*) AS c
+                       FROM (SELECT doc_id, unnest(toks) AS tk FROM t) GROUP BY doc_id, tk)
+                     GROUP BY doc_id),
+            bgc AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_count FROM (
+                      SELECT doc_id, b, COUNT(*) AS c
+                      FROM (SELECT doc_id,
+                              unnest(list_transform(generate_series(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i+1])) AS b
+                            FROM t WHERE len(toks) >= 2) GROUP BY doc_id, b)
+                    GROUP BY doc_id)
+            SELECT base.doc_id, n_tokens, n_distinct_tokens, top_token_count,
+                   COALESCE(top_bigram_count, 0) AS top_bigram_count, n_bigrams,
+                   CAST(n_tokens - n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_token_frac,
+                   CAST(top_token_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+                   CASE WHEN n_bigrams > 0
+                        THEN CAST(COALESCE(top_bigram_count, 0) AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM base JOIN tokc USING (doc_id) LEFT JOIN bgc USING (doc_id)
+            ORDER BY doc_id"""))
+
+  /** Deterministic train/val/test split — the standard
+    * hash-the-stable-id recipe (e.g. C4/Dolma-style pipelines): bucket
+    * by the first two hex chars of md5(doc_id), ~80/10/10. Hashing
+    * beats rand() for the same reason the skew salts do
+    * ([[graft.operators.Skew]]): stage retries and later re-runs
+    * reproduce the exact same assignment, and adding documents never
+    * reshuffles existing ones between splits. md5 is shared by both
+    * engines, so the whole assignment is oracle-checkable; the split
+    * decision itself is a comparison on the hex prefix (no numeric
+    * conversion needed). One narrow map + one partial-agg shuffle.
+    */
+  private val q86 = Qdef(
+    "q86_hash_split", {
+      (s, d) =>
+        val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            min("doc_id").as("min_doc_id"))
+          .orderBy("split", "lang")
+    },
+    Some("""WITH a AS (SELECT lang, doc_id, n_chars,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                        ELSE 'test' END AS split
+                 FROM documents)
+            SELECT split, lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(doc_id) AS min_doc_id
+            FROM a GROUP BY split, lang ORDER BY split, lang"""))
+
+  val all: Seq[Qdef] = Seq(q80, q81, q82, q83, q84, q85, q86)
 }

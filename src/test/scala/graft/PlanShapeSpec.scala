@@ -28,6 +28,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "a dimension fell back to sort-merge at test scale")
   }
 
+  test("q21: top-k per group gets the partial WindowGroupLimit pushdown") {
+    // Catalyst's InferWindowGroupLimit turns the row_number()<=k filter
+    // into a map-side rank limit BEFORE the hash exchange — each task
+    // ships at most k rows per group instead of its whole partition.
+    // This is the property that makes window top-k viable at 100 TB,
+    // so lock it: a refactor that breaks the filter pattern (e.g.
+    // filtering on a derived column) would silently lose it.
+    val p = plan("q21_topk_per_group")
+    val partial = p.indexOf("WindowGroupLimit")
+    assert(partial >= 0 && p.contains("Partial"),
+      s"partial window-group-limit missing:\n$p")
+    val hashEx = p.indexOf("Exchange hashpartitioning")
+    assert(hashEx >= 0 && p.indexOf("Partial", hashEx) > hashEx,
+      s"partial limit not below the hash exchange:\n$p")
+  }
+
   test("q13/q14: EXISTS and NOT EXISTS plan as semi/anti joins") {
     assert(plan("q13_join_semi").contains("LeftSemi"))
     assert(plan("q14_join_anti").contains("LeftAnti"))

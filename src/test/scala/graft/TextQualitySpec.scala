@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q85 repetition metrics + q86 hash split (SURVEY §2.9). The DuckDB
+  * oracle is the primary check; these specs pin the pieces the oracle
+  * can't see: the codegen max-run expression against a brute-force
+  * twin, split determinism, and the narrow-map plan shape.
+  */
+class TextQualitySpec extends SparkSpec {
+
+  test("graft_max_run equals the explode+groupBy mode count on every doc") {
+    val docs = Tables.documents(spark, sf)
+    val narrow = docs
+      .select(col("doc_id"),
+        call_function("graft_max_run",
+          sort_array(split(trim(lower(col("text"))), "\\s+"))).as("m"))
+    val brute = docs
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .groupBy("doc_id", "t").count()
+      .groupBy("doc_id").agg(max("count").as("m"))
+    assert(narrow.join(brute, Seq("doc_id"))
+      .filter(narrow("m") =!= brute("m").cast("int")).isEmpty,
+      "max-run disagrees with brute-force mode count")
+  }
+
+  test("graft_max_run edge cases: empty, single, all-equal, runs") {
+    val df = spark.sql(
+      """SELECT graft_max_run(array()) AS e,
+               graft_max_run(array('a')) AS one,
+               graft_max_run(array('a','a','a')) AS all3,
+               graft_max_run(array('a','a','b','b','b','c')) AS mixed""")
+    val r = df.collect().head
+    assert(r.getInt(0) === 0 && r.getInt(1) === 1 && r.getInt(2) === 3 && r.getInt(3) === 3)
+  }
+
+  test("q85: fractions bounded, bigram count consistent with token count") {
+    val rows = SparkEntry.queries("q85_repetition")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("n_bigrams") === math.max(nTok - 1, 0L))
+      Seq("dup_token_frac", "top_token_frac", "top_bigram_frac").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c out of range: $v")
+      }
+      assert(r.getAs[Long]("top_token_count") >= 1L)
+    }
+  }
+
+  test("q85: one narrow codegen'd scan - only the final sort shuffles") {
+    val p = SparkEntry.queries("q85_repetition")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_max_run"), s"native expression missing:\n$p")
+    val shuffles = "Exchange".r.findAllIn(p).length
+    assert(shuffles === 1, s"expected only the ORDER BY exchange, got $shuffles:\n$p")
+  }
+
+  test("q86: splits partition the corpus deterministically at ~80/10/10") {
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+    val agg = SparkEntry.queries("q86_hash_split")(spark, sf).collect()
+    assert(agg.map(_.getAs[Long]("n_docs")).sum === total, "splits lose or duplicate docs")
+    val bySplit = agg.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(Set("train", "val", "test").subsetOf(bySplit.keySet))
+    val trainFrac = bySplit("train").toDouble / total
+    // 205/256 ≈ 0.80 expected; 500 docs → ±4 binomial sigmas ≈ ±0.072
+    assert(trainFrac > 0.72 && trainFrac < 0.88, s"train fraction $trainFrac")
+    // determinism: same assignment on a second run (hash, not rand())
+    val again = SparkEntry.queries("q86_hash_split")(spark, sf).collect()
+    assert(agg.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+}
