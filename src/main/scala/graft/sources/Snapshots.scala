@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Versioned snapshot store: reproducible as-of reads over a mutable
   * warehouse (SURVEY §2.13).
@@ -185,6 +186,26 @@ object Snapshots {
     */
   def compact(spark: SparkSession, root: String, keys: Seq[String]): Long =
     commit(latest(spark, root, keys), root)
+
+  /** Continuous ingest: sink a streaming frame into the store, one
+    * delta version per non-empty micro-batch — the reference's
+    * transactional "import batch" fed by a stream instead of a file
+    * drop. Rows with a true `_deleted` column are tombstones, exactly
+    * as in [[commitDelta]].
+    *
+    * Delivery is at-least-once (foreachBatch): after a failure a
+    * replayed batch re-commits the same upserts under a fresh version.
+    * That is effect-idempotent for every merged read — last-writer-wins
+    * over identical content — so `latest`/`asOf` never see duplicates;
+    * only the raw version numbering records the replay.
+    */
+  def streamInto(stream: DataFrame, root: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { commitDelta(batch, root); () }
+      }
+      .start()
 
   /** CDC-style changes between two versions: one row per key whose
     * visible state differs between `asOf(fromV)` and `asOf(toV)`,

@@ -290,4 +290,43 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("st06: streaming ingest commits one delta per micro-batch; as-of reproduces boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.Snapshots
+
+    val root = tmpDir("st06-store") + "/orders"
+    Snapshots.commit(
+      Seq((1L, "O", 10.0), (2L, "O", 20.0), (3L, "O", 30.0)).toDF("k", "status", "price"),
+      root)
+
+    val input = MemoryStream[StoreUpd]
+    val q = Snapshots.streamInto(input.toDF(), root, tmpDir("st06-ckpt"))
+    try {
+      input.addData(StoreUpd(2L, "F", 21.0, _deleted = false)) // v2: amend k=2
+      q.processAllAvailable()
+      input.addData( // v3: insert k=4, tombstone k=1
+        StoreUpd(4L, "O", 40.0, _deleted = false),
+        StoreUpd(1L, "X", 0.0, _deleted = true))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(graft.sources.Snapshots.latestVersion(spark, root) === 3L,
+      "each non-empty micro-batch should commit exactly one delta version")
+
+    def state(v: Long): Seq[(Long, String, Double)] =
+      Snapshots.asOf(spark, root, v, Seq("k"))
+        .select("k", "status", "price").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+
+    // latest: amend applied, insert present, tombstoned key gone
+    assert(state(3L) === Seq((2L, "F", 21.0), (3L, "O", 30.0), (4L, "O", 40.0)))
+    // the v2 boundary stays reproducible after v3 committed
+    assert(state(2L) === Seq((1L, "O", 10.0), (2L, "F", 21.0), (3L, "O", 30.0)))
+    assert(state(1L) === Seq((1L, "O", 10.0), (2L, "O", 20.0), (3L, "O", 30.0)))
+  }
 }
+
+/** st06 stream element: an upsert (or tombstone) for the snapshot store. */
+case class StoreUpd(k: Long, status: String, price: Double, _deleted: Boolean)
