@@ -35,4 +35,44 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(candCount < n * n * 32 / 100, s"candidate explosion: $candCount")
     info(f"8x fan-out: ${n * 8} docs, $candCount candidate pairs, $secs%.1f s")
   }
+
+  test("snapshot store: 16-delta chain merges in ONE shuffle; compact bounds scan fan-in") {
+    import graft.sources.Snapshots
+    val sf01 = "/root/testdata/sf0.01"
+    val root = tmpDir("scale-store") + "/orders"
+    val orders = Tables.orders(spark, sf01)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val total = orders.count()
+
+    Snapshots.commit(orders, root)
+    // 16 import batches, each amending a disjoint 1/64 slice of the keys
+    (0 until 16).foreach { i =>
+      Snapshots.commitDelta(
+        orders.filter(col("o_orderkey") % 64 === i).withColumn("o_orderstatus", lit("A")),
+        root)
+    }
+
+    val t0 = System.nanoTime()
+    val latest = Snapshots.latest(spark, root, Seq("o_orderkey"))
+    // the scale property: merging a 17-frame chain is ONE key shuffle
+    // (union → window rank), not one join or shuffle per delta
+    val p = latest.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"delta-chain merge should be a single key shuffle:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), "unexpected extra shuffle")
+
+    assert(latest.count() === total, "upsert-only chain changed cardinality")
+    val amended = latest.filter(col("o_orderstatus") === "A").count()
+    assert(amended === orders.filter(col("o_orderkey") % 64 < 16).count())
+    val mergeSecs = (System.nanoTime() - t0) / 1e9
+
+    // compaction folds the chain: later reads scan ONE file set again
+    Snapshots.compact(spark, root, Seq("o_orderkey"))
+    val after = Snapshots.latest(spark, root, Seq("o_orderkey"))
+    val scans = "Scan parquet".r
+      .findAllIn(after.queryExecution.executedPlan.toString).length
+    assert(scans === 1, s"compacted read should scan only the new base, saw $scans scans")
+    assert(after.count() === total)
+    info(f"17-frame merge over $total%d keys: $mergeSecs%.1f s, 1 shuffle; post-compact scans: $scans")
+  }
 }
