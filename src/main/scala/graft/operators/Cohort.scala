@@ -220,6 +220,50 @@ object Cohort {
              INTERSECT
              (SELECT DISTINCT l_orderkey AS subject FROM lineitem WHERE l_returnflag = 'R')) t"""))
 
+  /** As-of cohort counts — the reference's flagship property: its
+    * immutable store makes every query implicitly "as of transaction
+    * t", so a cohort count is reproducible after later imports. Here
+    * the same CNF (has a returned-status visit AND has an urgent
+    * visit) is evaluated against two pinned versions of the orders
+    * store: v2's import amends statuses and retracts visits, so the
+    * two counts differ deterministically — and re-running at v1 still
+    * returns the v1 answer. One as-of merge + two key-set semi-joins
+    * per version; at 100 TB the as-of read shape is q94/q95's.
+    */
+  private val q4b = Qdef(
+    "q4b_cohort_asof",
+    (s, d) => {
+      val root = Warehouse.store(s, d)
+      def countAt(v: Long): DataFrame = {
+        val visits = graft.sources.Snapshots.asOf(s, root, v, Seq("o_orderkey"))
+        val returned = Atom("returned",
+          visits.filter(col("o_orderstatus") === "R")
+            .select(col("o_custkey").as("subject")).distinct())
+        val urgent = Atom("urgent",
+          visits.filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("subject")).distinct())
+        countSubjects(cnf(Seq(Seq(returned), Seq(urgent))))
+          .select(lit(v).as("version"), col("n_subjects"))
+      }
+      countAt(1L).unionByName(countAt(2L)).orderBy("version")
+    },
+    Some("""WITH v2 AS (SELECT o_custkey,
+                   CASE WHEN o_orderkey % 10 = 3 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+                   o_orderpriority
+                 FROM orders WHERE o_orderkey % 10 <> 7),
+            c1 AS (SELECT COUNT(*) AS n_subjects FROM (
+                     SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'R'
+                     INTERSECT
+                     SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t1),
+            c2 AS (SELECT COUNT(*) AS n_subjects FROM (
+                     SELECT DISTINCT o_custkey FROM v2 WHERE o_orderstatus = 'R'
+                     INTERSECT
+                     SELECT DISTINCT o_custkey FROM v2 WHERE o_orderpriority = '1-URGENT') t2)
+            SELECT CAST(1 AS BIGINT) AS version, n_subjects FROM c1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT) AS version, n_subjects FROM c2
+            ORDER BY version"""))
+
   val all: Seq[Qdef] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, CohortQuery.q4a)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, CohortQuery.q4a, q4b)
 }

@@ -79,6 +79,11 @@ object Warehouse {
     */
   def warm(s: SparkSession, d: String): Unit = { ensureStore(s, d); () }
 
+  /** Root of the deterministic two-version store (building it if
+    * needed) — shared with the as-of cohort query in [[Cohort]].
+    */
+  private[operators] def store(s: SparkSession, d: String): String = ensureStore(s, d)
+
   private def statusAgg(df: DataFrame): DataFrame =
     df.groupBy(col("o_orderstatus").as("status"))
       .agg(count(lit(1)).as("n_orders"), Tables.dsum(col("o_totalprice")).as("sum_price"))
