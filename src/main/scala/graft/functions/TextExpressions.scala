@@ -63,22 +63,24 @@ object TextExprHelpers {
     * turns "mode count" into a single adjacent-compare pass, so
     * per-document n-gram repetition (Gopher/C4-style quality rules)
     * stays a pure narrow map: no explode, no per-doc groupBy shuffle.
-    * Elements must be non-null (shingle/token arrays are).
+    * Null elements are ignored (never part of a run) — the registered
+    * SQL function must not NPE on a nullable array, even though the
+    * shipped call sites only feed containsNull=false arrays.
     */
   def maxRunLength(a: ArrayData): Int = {
     val n = a.numElements()
-    if (n == 0) return 0
-    var best = 1
-    var run = 1
-    var prev = a.getUTF8String(0)
-    var i = 1
+    var best = 0
+    var run = 0
+    var prev: UTF8String = null
+    var i = 0
     while (i < n) {
       val cur = a.getUTF8String(i)
-      if (cur.equals(prev)) {
-        run += 1
+      if (cur == null) { run = 0; prev = null }
+      else {
+        run = if (prev != null && cur.equals(prev)) run + 1 else 1
         if (run > best) best = run
-      } else run = 1
-      prev = cur
+        prev = cur
+      }
       i += 1
     }
     best

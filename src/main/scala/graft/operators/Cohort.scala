@@ -234,15 +234,16 @@ object Cohort {
     "q4b_cohort_asof",
     (s, d) => {
       val root = Warehouse.store(s, d)
+      // status 'F' exists at BOTH versions (base statuses are {P,O,F};
+      // the v2 import amends some F rows to 'R' and retracts others),
+      // so each arm is a non-trivial population and the two counts
+      // differ deterministically — an 'R'-based atom would be empty at
+      // v1 and verify nothing about the as-of read.
       def countAt(v: Long): DataFrame = {
         val visits = graft.sources.Snapshots.asOf(s, root, v, Seq("o_orderkey"))
-        val returned = Atom("returned",
-          visits.filter(col("o_orderstatus") === "R")
-            .select(col("o_custkey").as("subject")).distinct())
-        val urgent = Atom("urgent",
-          visits.filter(col("o_orderpriority") === "1-URGENT")
-            .select(col("o_custkey").as("subject")).distinct())
-        countSubjects(cnf(Seq(Seq(returned), Seq(urgent))))
+        countSubjects(cnf(Seq(
+          Seq(atom("finished", visits, col("o_orderstatus") === "F", col("o_custkey"))),
+          Seq(atom("urgent", visits, col("o_orderpriority") === "1-URGENT", col("o_custkey"))))))
           .select(lit(v).as("version"), col("n_subjects"))
       }
       countAt(1L).unionByName(countAt(2L)).orderBy("version")
@@ -252,11 +253,11 @@ object Cohort {
                    o_orderpriority
                  FROM orders WHERE o_orderkey % 10 <> 7),
             c1 AS (SELECT COUNT(*) AS n_subjects FROM (
-                     SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'R'
+                     SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
                      INTERSECT
                      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t1),
             c2 AS (SELECT COUNT(*) AS n_subjects FROM (
-                     SELECT DISTINCT o_custkey FROM v2 WHERE o_orderstatus = 'R'
+                     SELECT DISTINCT o_custkey FROM v2 WHERE o_orderstatus = 'F'
                      INTERSECT
                      SELECT DISTINCT o_custkey FROM v2 WHERE o_orderpriority = '1-URGENT') t2)
             SELECT CAST(1 AS BIGINT) AS version, n_subjects FROM c1

@@ -130,23 +130,31 @@ object Snapshots {
   private def nextVersion(spark: SparkSession, root: String): Long =
     versions(spark, root).lastOption.map(_._1 + 1).getOrElse(1L)
 
-  /** Commit a full snapshot; returns the new version number. */
-  def commit(df: DataFrame, root: String): Long = {
+  /** Write data under an attempt-unique directory, then publish it via
+    * the manifest. The manifest is the ONLY source of truth: a crash
+    * between the data write and the manifest append leaves an orphan
+    * directory that no reader ever sees and a retry starts from a
+    * fresh name — a deterministic `v<N>` data path would instead wedge
+    * every retry on errorifexists (the standard log-structured-table
+    * fix: unique file names, atomic manifest publish).
+    */
+  private def writeAndPublish(df: DataFrame, root: String, kind: String): Long = {
     val v = nextVersion(df.sparkSession, root)
-    df.write.mode("errorifexists").parquet(s"$root/v$v")
-    appendManifest(df.sparkSession, root, v, "full", s"v$v")
+    val rel = s"v$v-${java.util.UUID.randomUUID.toString.take(8)}"
+    df.write.mode("errorifexists").parquet(s"$root/$rel")
+    appendManifest(df.sparkSession, root, v, kind, rel)
     v
   }
+
+  /** Commit a full snapshot; returns the new version number. */
+  def commit(df: DataFrame, root: String): Long =
+    writeAndPublish(df, root, "full")
 
   /** Commit an incremental batch: upserts keyed by the read-time merge
     * key; rows with a true `_deleted` column are tombstones.
     */
-  def commitDelta(df: DataFrame, root: String): Long = {
-    val v = nextVersion(df.sparkSession, root)
-    df.write.mode("errorifexists").parquet(s"$root/v$v")
-    appendManifest(df.sparkSession, root, v, "delta", s"v$v")
-    v
-  }
+  def commitDelta(df: DataFrame, root: String): Long =
+    writeAndPublish(df, root, "delta")
 
   /** Read the table as of `version` (reproducible forever): base = the
     * latest full snapshot ≤ version, then deltas (base, version]
@@ -203,7 +211,11 @@ object Snapshots {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { commitDelta(batch, root); () }
+        // persist: the emptiness probe and the commit write would
+        // otherwise each recompute the micro-batch from the source
+        batch.persist()
+        try if (!batch.isEmpty) { commitDelta(batch, root); () }
+        finally { batch.unpersist(); () }
       }
       .start()
 

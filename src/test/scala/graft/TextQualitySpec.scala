@@ -24,14 +24,18 @@ class TextQualitySpec extends SparkSpec {
       "max-run disagrees with brute-force mode count")
   }
 
-  test("graft_max_run edge cases: empty, single, all-equal, runs") {
+  test("graft_max_run edge cases: empty, single, all-equal, runs, null elements") {
     val df = spark.sql(
       """SELECT graft_max_run(array()) AS e,
                graft_max_run(array('a')) AS one,
                graft_max_run(array('a','a','a')) AS all3,
-               graft_max_run(array('a','a','b','b','b','c')) AS mixed""")
+               graft_max_run(array('a','a','b','b','b','c')) AS mixed,
+               graft_max_run(array(CAST(NULL AS STRING), 'a', 'a', NULL, 'b')) AS withnull,
+               graft_max_run(array(CAST(NULL AS STRING), NULL)) AS allnull""")
     val r = df.collect().head
     assert(r.getInt(0) === 0 && r.getInt(1) === 1 && r.getInt(2) === 3 && r.getInt(3) === 3)
+    // nulls are ignored and break runs
+    assert(r.getInt(4) === 2 && r.getInt(5) === 0)
   }
 
   test("q85: fractions bounded, bigram count consistent with token count") {
