@@ -335,5 +335,47 @@ object Dedup {
             SELECT cluster_id, COUNT(*) AS n_members FROM labels
             GROUP BY cluster_id ORDER BY cluster_id"""))
 
-  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66)
+  // ------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag training docs sharing any word
+    * 5-gram with a held-out eval set (the public GPT-3/Llama-report
+    * n-gram-overlap recipe). The eval side reduces to a distinct
+    * shingle set FIRST — eval suites are tiny next to a 100 TB corpus,
+    * so that set broadcasts and the corpus-side explode is filtered by
+    * the broadcast join BEFORE the per-doc count shuffle: most
+    * shingles drop at the scan stage and never ship.
+    */
+  def contaminated(corpus: DataFrame, benchmark: DataFrame, k: Int = 5): DataFrame = {
+    def docShingles(df: DataFrame) = df.select(col("doc_id"),
+      explode(array_distinct(
+        call_function("graft_shingle_strings", col("text"), lit(k)))).as("sh"))
+    val benchSet = docShingles(benchmark).select("sh").distinct()
+    docShingles(corpus)
+      .join(broadcast(benchSet), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  private val q67 = Qdef(
+    "q67_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      contaminated(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+            g AS (SELECT doc_id,
+                    list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                           toks[i+3] || ' ' || toks[i+4])) AS sh
+                  FROM t WHERE len(toks) >= 5),
+            b AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id % 7 = 0),
+            c AS (SELECT doc_id, unnest(sh) AS s FROM g WHERE doc_id % 7 <> 0)
+            SELECT doc_id, COUNT(*) AS n_shared
+            FROM c JOIN b USING (s)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67)
 }

@@ -44,6 +44,26 @@ class PlanShapeSpec extends SparkSpec {
       s"partial limit not below the hash exchange:\n$p")
   }
 
+  test("q67: benchmark shingle set broadcasts; corpus filtered before the count shuffle") {
+    val p = plan("q67_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+    // the corpus-side explode must meet the broadcast join BEFORE any
+    // hash exchange: only the post-filter per-doc count may shuffle
+    // plans print top-down (parents first): the per-doc count's hash
+    // exchange sits ABOVE the join; the corpus branch (the `:-` child,
+    // between the join and the BroadcastExchange subtree) must be
+    // narrow — scan → filter → explode, never a shuffle. The hash
+    // exchange inside the BroadcastExchange subtree is the
+    // benchmark-side distinct and is benchmark-sized by design.
+    val bcast = p.indexOf("BroadcastHashJoin")
+    val bex = p.indexOf("BroadcastExchange", bcast)
+    assert(bex > bcast, s"no broadcast exchange under the join:\n$p")
+    assert(p.indexOf("Exchange hashpartitioning") < bcast,
+      s"count shuffle not above the broadcast filter:\n$p")
+    assert(!p.substring(bcast, bex).contains("Exchange"),
+      s"corpus shingles shuffled before the broadcast filter:\n$p")
+  }
+
   test("q13/q14: EXISTS and NOT EXISTS plan as semi/anti joins") {
     assert(plan("q13_join_semi").contains("LeftSemi"))
     assert(plan("q14_join_anti").contains("LeftAnti"))
