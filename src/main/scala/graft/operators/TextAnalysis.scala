@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Qdef, Tables}
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — SURVEY §2.9.
@@ -276,5 +277,101 @@ object TextAnalysis {
                    MIN(doc_id) AS min_doc_id
             FROM a GROUP BY split, lang ORDER BY split, lang"""))
 
-  val all: Seq[Qdef] = Seq(q80, q81, q82, q83, q84, q85, q86)
+  /** Deterministic per-source sampling for mixture construction (keep
+    * source A at 100%, B at 25%, ... — the public Pile/Dolma-style
+    * weighting step). Same hash-threshold recipe as [[q86]]'s split,
+    * with TWO deliberate differences: a per-source rate expressed as a
+    * 4-hex-char threshold (65536 levels), and a ":mix" salt on the
+    * hashed id so the keep/drop decision is INDEPENDENT of the split
+    * assignment — sharing q86's raw md5(doc_id) prefix would send
+    * every low-rate survivor into the train split. Pure narrow filter
+    * + one partial-agg shuffle.
+    */
+  def sampleByRates(docs: org.apache.spark.sql.DataFrame,
+      rates: Map[String, Double]): org.apache.spark.sql.DataFrame = {
+    val bucket = substring(
+      md5(concat(col("doc_id").cast("string"), lit(":mix")).cast("binary")), 1, 4)
+    val keep = rates.foldLeft(lit(false)) { case (acc, (src, r)) =>
+      when(col("source") === src,
+        if (r >= 1.0) lit(true)
+        else bucket < lit(f"${(r * 65536).toLong}%04x")).otherwise(acc)
+    }
+    docs.filter(keep)
+  }
+
+  private val mixRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (i % 4 match {
+      case 0 => 1.0
+      case 1 => 0.5
+      case 2 => 0.25
+      case 3 => 0.1
+    })).toMap
+
+  private val q87 = Qdef(
+    "q87_source_mix",
+    (s, d) =>
+      sampleByRates(Tables.documents(s, d), mixRates)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars"))
+        .orderBy("source"),
+    Some {
+      val cases = mixRates.toSeq.sorted.map { case (src, r) =>
+        if (r >= 1.0) s"WHEN source = '$src' THEN TRUE"
+        else f"WHEN source = '$src' THEN substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 4) < '${(r * 65536).toLong}%04x'"
+      }.mkString(" ")
+      s"""SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM documents WHERE CASE $cases ELSE FALSE END
+          GROUP BY source ORDER BY source"""
+    })
+
+  /** Concat-and-chunk sequence packing: per source shard, documents
+    * are concatenated in doc_id order and cut into fixed
+    * `budget`-token training chunks (docs may straddle a boundary —
+    * the standard pretraining packer). A partitioned running sum
+    * assigns each doc its chunk span; chunk stats aggregate the
+    * spans. The window partitions by source — an unpartitioned global
+    * cumsum would serialize 100 TB through one task; per-shard packing
+    * is also what any parallel packer does in practice. Shuffles: one
+    * per-shard window sort + the chunk aggregate.
+    */
+  private val q88 = Qdef(
+    "q88_pack_chunks", {
+      (s, d) =>
+        val budget = 256L
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+          .withColumn("cum_after", sum("n_tokens").over(w))
+          .withColumn("cum_before", col("cum_after") - col("n_tokens"))
+          .withColumn("chunk",
+            explode(sequence(expr(s"cum_before div $budget"),
+              expr(s"(cum_after - 1) div $budget"))))
+          // tokens of this doc landing inside this chunk
+          .withColumn("toks_in_chunk",
+            least(col("cum_after"), (col("chunk") + 1) * budget) -
+              greatest(col("cum_before"), col("chunk") * budget))
+          .groupBy("source", "chunk")
+          .agg(count(lit(1)).as("n_docs"), sum("toks_in_chunk").as("n_tokens"))
+          .orderBy("source", "chunk")
+    },
+    Some("""WITH t AS (SELECT doc_id, source,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                 FROM documents),
+            c AS (SELECT *,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_after,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS BIGINT) AS cum_before
+                  FROM t),
+            e AS (SELECT source, doc_id, cum_before, cum_after,
+                   unnest(generate_series(cum_before // 256, (cum_after - 1) // 256)) AS chunk
+                  FROM c),
+            x AS (SELECT source, chunk,
+                   least(cum_after, (chunk + 1) * 256) -
+                   greatest(cum_before, chunk * 256) AS toks_in_chunk
+                  FROM e)
+            SELECT source, chunk, COUNT(*) AS n_docs,
+                   CAST(SUM(toks_in_chunk) AS BIGINT) AS n_tokens
+            FROM x GROUP BY source, chunk ORDER BY source, chunk"""))
+
+  val all: Seq[Qdef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88)
 }

@@ -60,6 +60,47 @@ class TextQualitySpec extends SparkSpec {
     assert(shuffles === 1, s"expected only the ORDER BY exchange, got $shuffles:\n$p")
   }
 
+  test("q87: mixture rates order as configured; sampling independent of the split hash") {
+    val docs = Tables.documents(spark, sf)
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val kept = SparkEntry.queries("q87_source_mix")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_kept")).toMap
+    // full-rate sources keep everything; sampled sources keep a subset
+    def rateOf(src: String): Double = src.drop(3).toInt % 4 match {
+      case 0 => 1.0; case 1 => 0.5; case 2 => 0.25; case _ => 0.1
+    }
+    perSource.foreach { case (src, total) =>
+      val k = kept.getOrElse(src, 0L)
+      if (rateOf(src) >= 1.0) assert(k === total, s"$src should keep all")
+      else assert(k <= total, s"$src kept more than its population")
+    }
+    // aggregate keep-rate of the 0.1 tier is below the 0.5 tier
+    def tierRate(r: Double): Double = {
+      val srcs = perSource.keys.filter(s => rateOf(s) == r)
+      srcs.map(s => kept.getOrElse(s, 0L)).sum.toDouble / srcs.map(perSource).sum
+    }
+    assert(tierRate(0.1) < tierRate(0.5), "rate tiers out of order")
+  }
+
+  test("q88: every non-final chunk holds exactly the token budget") {
+    val rows = SparkEntry.queries("q88_pack_chunks")(spark, sf).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, chunks) =>
+      val maxChunk = chunks.map(_.getAs[Long]("chunk")).max
+      chunks.filter(_.getAs[Long]("chunk") < maxChunk).foreach { c =>
+        assert(c.getAs[Long]("n_tokens") === 256L,
+          s"$src chunk ${c.getAs[Long]("chunk")} not full")
+      }
+      // chunk ids are contiguous from 0 (concat-and-chunk leaves no gaps)
+      assert(chunks.map(_.getAs[Long]("chunk")).sorted.toSeq === (0L to maxChunk))
+    }
+    // token conservation: chunk totals equal the corpus token count
+    val total = Tables.documents(spark, sf)
+      .select(sum(size(split(trim(col("text")), "\\s+")).cast("long"))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === total)
+  }
+
   test("q86: splits partition the corpus deterministically at ~80/10/10") {
     val docs = Tables.documents(spark, sf)
     val total = docs.count()
