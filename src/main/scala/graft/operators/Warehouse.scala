@@ -180,21 +180,59 @@ object Warehouse {
             WHERE o_orderkey % 10 IN (3, 7)
             ORDER BY o_orderkey"""))
 
+  /** Signed partial-aggregate contribution of `df`: one row per group
+    * with count and decimal-sum partials (decimal stays decimal until
+    * presentation, so maintained results are bit-identical to full
+    * recomputes regardless of how many batches were folded in).
+    */
+  def aggState(df: DataFrame, groupCol: String, valCol: String, sign: Int = 1): DataFrame =
+    df.groupBy(col(groupCol).as("_g"))
+      .agg((count(lit(1)) * sign).as("_n"),
+        (sum(col(valCol).cast("decimal(28,2)")) * sign).as("_p"))
+
+  /** Apply ONE import batch to a maintained aggregate state WITHOUT
+    * re-aggregating the base table: state minus the contributions of
+    * the touched keys' before-images (rows of `prevTable` the batch
+    * replaces or retracts) plus the contributions of the batch's
+    * surviving rows. `prevTable` is the table as of the previous
+    * version — in production the already-stored snapshot, so every
+    * input here is batch-sized except the one semi-join scan for
+    * before-images (which broadcasts the batch keys). Assumes ≤1 row
+    * per key per batch (the store's documented contract).
+    */
+  def applyBatchToAgg(state: DataFrame, prevTable: DataFrame, batch: DataFrame,
+      keys: Seq[String], groupCol: String, valCol: String): DataFrame = {
+    val b = Snapshots.normDeleted(batch)
+    val before = prevTable.join(b.select(keys.map(col): _*), keys, "left_semi")
+    val after = b.filter(!col("_deleted"))
+    state
+      .unionByName(aggState(before, groupCol, valCol, -1))
+      .unionByName(aggState(after, groupCol, valCol, 1))
+      .groupBy("_g")
+      .agg(sum("_n").as("_n"), sum("_p").as("_p"))
+  }
+
+  /** Present a maintained state: drop emptied groups, cast partials. */
+  def presentAgg(state: DataFrame, groupName: String, nName: String, sumName: String): DataFrame =
+    state.filter(col("_n") > 0)
+      .select(col("_g").as(groupName), col("_n").as(nName),
+        col("_p").cast("double").as(sumName))
+      .orderBy(groupName)
+
   /** q99: incremental aggregate maintenance — the v2 state of the
     * status aggregate computed WITHOUT re-aggregating the base:
     * base aggregate (in production: the already-materialized one)
-    * plus signed delta contributions — subtract the before-image of
-    * touched keys, add the batch's surviving rows. Decimal partials
-    * stay decimal until the final cast, so the result is bit-identical
-    * to the full recompute — and the oracle IS q95's full recompute.
+    * plus signed delta contributions via [[applyBatchToAgg]]. The
+    * result is bit-identical to the full recompute — the oracle IS
+    * q95's full recompute. st07 folds the same function over a
+    * STREAMED delta chain.
     *
     * Scale: the base is never shuffled — one (reusable) aggregate
     * scan plus one semi-join scan for before-images of the
     * delta-touched keys (delta batches are small, so that join
     * broadcasts); everything else is delta-sized. This is the pattern
     * that turns a 100 TB re-aggregation into an import-batch-sized
-    * update. Assumes ≤1 row per key per version (the store's
-    * documented contract).
+    * update.
     */
   private val q99 = Qdef(
     "q99_incremental_agg",
@@ -202,18 +240,10 @@ object Warehouse {
       val root = ensureStore(s, d)
       val base = Snapshots.read(s, root, 1L)
       val delta = Snapshots.read(s, root, 2L)
-      def dec(df: DataFrame, sign: Int) =
-        df.groupBy(col("o_orderstatus").as("status"))
-          .agg((count(lit(1)) * sign).as("n"),
-            (sum(col("o_totalprice").cast("decimal(28,2)")) * sign).as("p"))
-      val before = base.join(delta.select("o_orderkey"), Seq("o_orderkey"), "left_semi")
-      val after = delta.filter(!coalesce(col("_deleted"), lit(false)))
-      dec(base, 1).unionByName(dec(before, -1)).unionByName(dec(after, 1))
-        .groupBy("status")
-        .agg(sum("n").as("n_orders"), sum("p").cast("double").as("sum_price"))
-        .filter(col("n_orders") > 0)
-        .select(col("status"), col("n_orders"), col("sum_price"))
-        .orderBy("status")
+      presentAgg(
+        applyBatchToAgg(aggState(base, "o_orderstatus", "o_totalprice"),
+          base, delta, Seq("o_orderkey"), "o_orderstatus", "o_totalprice"),
+        "status", "n_orders", "sum_price")
     },
     // identical to q95's oracle: incremental maintenance must land on
     // exactly the full-recompute answer

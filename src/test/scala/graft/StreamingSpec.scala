@@ -326,6 +326,54 @@ class StreamingSpec extends SparkSpec {
     assert(state(2L) === Seq((1L, "O", 10.0), (2L, "F", 21.0), (3L, "O", 30.0)))
     assert(state(1L) === Seq((1L, "O", 10.0), (2L, "O", 20.0), (3L, "O", 30.0)))
   }
+
+  test("st07: maintained aggregate tracks a streamed delta chain bit-identically") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.Snapshots
+    import graft.operators.Warehouse
+
+    val root = tmpDir("st07-store") + "/t"
+    Snapshots.commit(
+      Seq((1L, "O", 10.0), (2L, "O", 20.0), (3L, "F", 30.0), (4L, "F", 40.0))
+        .toDF("k", "status", "price"),
+      root)
+
+    val input = MemoryStream[StoreUpd]
+    val q = Snapshots.streamInto(input.toDF(), root, tmpDir("st07-ckpt"))
+    try {
+      input.addData(StoreUpd(2L, "F", 25.0, _deleted = false)) // amend: moves groups
+      q.processAllAvailable()
+      input.addData(
+        StoreUpd(5L, "P", 50.0, _deleted = false), // insert new group
+        StoreUpd(3L, "X", 0.0, _deleted = true))   // retract
+      q.processAllAvailable()
+      input.addData(StoreUpd(4L, "F", 44.0, _deleted = false)) // amend in place
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val topV = Snapshots.latestVersion(spark, root)
+    assert(topV === 4L)
+
+    // fold the maintenance step over every streamed batch — after each
+    // version the maintained state must equal the full recompute of
+    // asOf(v), bit-for-bit (decimal partials, double presentation)
+    var state = Warehouse.aggState(Snapshots.read(spark, root, 1L), "status", "price")
+    (2L to topV).foreach { v =>
+      state = Warehouse.applyBatchToAgg(
+        state,
+        Snapshots.asOf(spark, root, v - 1, Seq("k")),
+        Snapshots.read(spark, root, v),
+        Seq("k"), "status", "price")
+      val maintained = Warehouse.presentAgg(state, "status", "n", "sum_price")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      val recomputed = Warehouse.presentAgg(
+        Warehouse.aggState(Snapshots.asOf(spark, root, v, Seq("k")), "status", "price"),
+        "status", "n", "sum_price")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(maintained === recomputed, s"maintained state diverged at v$v")
+    }
+  }
 }
 
 /** st06 stream element: an upsert (or tombstone) for the snapshot store. */
