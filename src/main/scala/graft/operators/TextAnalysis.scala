@@ -335,43 +335,53 @@ object TextAnalysis {
     * per-shard window sort + the chunk aggregate.
     */
   private val q88 = Qdef(
-    "q88_pack_chunks", {
-      (s, d) =>
-        val budget = 256L
-        val w = Window.partitionBy("source").orderBy("doc_id")
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-          .withColumn("cum_after", sum("n_tokens").over(w))
-          .withColumn("cum_before", col("cum_after") - col("n_tokens"))
-          .withColumn("chunk",
-            explode(sequence(expr(s"cum_before div $budget"),
-              expr(s"(cum_after - 1) div $budget"))))
-          // tokens of this doc landing inside this chunk
-          .withColumn("toks_in_chunk",
-            least(col("cum_after"), (col("chunk") + 1) * budget) -
-              greatest(col("cum_before"), col("chunk") * budget))
-          .groupBy("source", "chunk")
-          .agg(count(lit(1)).as("n_docs"), sum("toks_in_chunk").as("n_tokens"))
-          .orderBy("source", "chunk")
-    },
-    Some("""WITH t AS (SELECT doc_id, source,
+    "q88_pack_chunks",
+    (s, d) =>
+      packChunks(Tables.documents(s, d), budget = 256L, shards = 2)
+        .orderBy("source", "shard", "chunk"),
+    Some("""WITH t AS (SELECT doc_id, source, doc_id % 2 AS shard,
                    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
                  FROM documents),
             c AS (SELECT *,
-                   CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_after,
-                   CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS BIGINT) AS cum_before
+                   CAST(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id) AS BIGINT) AS cum_after,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id) - n_tokens AS BIGINT) AS cum_before
                   FROM t),
-            e AS (SELECT source, doc_id, cum_before, cum_after,
+            e AS (SELECT source, shard, doc_id, cum_before, cum_after,
                    unnest(generate_series(cum_before // 256, (cum_after - 1) // 256)) AS chunk
                   FROM c),
-            x AS (SELECT source, chunk,
+            x AS (SELECT source, shard, chunk,
                    least(cum_after, (chunk + 1) * 256) -
                    greatest(cum_before, chunk * 256) AS toks_in_chunk
                   FROM e)
-            SELECT source, chunk, COUNT(*) AS n_docs,
+            SELECT source, shard, chunk, COUNT(*) AS n_docs,
                    CAST(SUM(toks_in_chunk) AS BIGINT) AS n_tokens
-            FROM x GROUP BY source, chunk ORDER BY source, chunk"""))
+            FROM x GROUP BY source, shard, chunk ORDER BY source, shard, chunk"""))
+
+  /** Packing worker: per (source, shard) the docs are concatenated in
+    * doc_id order and cut into `budget`-token chunks. `shards`
+    * sub-divides each source deterministically (`doc_id % shards`) —
+    * window parallelism is #sources × shards, so a corpus with few
+    * huge sources still spreads across the cluster; each shard packs
+    * independently, exactly like parallel packer workers do.
+    */
+  def packChunks(docs: org.apache.spark.sql.DataFrame, budget: Long,
+      shards: Int = 1): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+    docs
+      .select(col("doc_id"), col("source"), (col("doc_id") % shards).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("cum_after", sum("n_tokens").over(w))
+      .withColumn("cum_before", col("cum_after") - col("n_tokens"))
+      .withColumn("chunk",
+        explode(sequence(expr(s"cum_before div $budget"),
+          expr(s"(cum_after - 1) div $budget"))))
+      // tokens of this doc landing inside this chunk
+      .withColumn("toks_in_chunk",
+        least(col("cum_after"), (col("chunk") + 1) * budget) -
+          greatest(col("cum_before"), col("chunk") * budget))
+      .groupBy("source", "shard", "chunk")
+      .agg(count(lit(1)).as("n_docs"), sum("toks_in_chunk").as("n_tokens"))
+  }
 
   val all: Seq[Qdef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88)
 }

@@ -85,12 +85,13 @@ class TextQualitySpec extends SparkSpec {
 
   test("q88: every non-final chunk holds exactly the token budget") {
     val rows = SparkEntry.queries("q88_pack_chunks")(spark, sf).collect()
-    val bySource = rows.groupBy(_.getAs[String]("source"))
-    bySource.foreach { case (src, chunks) =>
+    val byWorker = rows.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("shard")))
+    assert(byWorker.keys.map(_._2).toSet === Set(0L, 1L), "expected 2 shards per source")
+    byWorker.foreach { case ((src, shard), chunks) =>
       val maxChunk = chunks.map(_.getAs[Long]("chunk")).max
       chunks.filter(_.getAs[Long]("chunk") < maxChunk).foreach { c =>
         assert(c.getAs[Long]("n_tokens") === 256L,
-          s"$src chunk ${c.getAs[Long]("chunk")} not full")
+          s"$src/$shard chunk ${c.getAs[Long]("chunk")} not full")
       }
       // chunk ids are contiguous from 0 (concat-and-chunk leaves no gaps)
       assert(chunks.map(_.getAs[Long]("chunk")).sorted.toSeq === (0L to maxChunk))
