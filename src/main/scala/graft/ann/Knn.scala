@@ -216,5 +216,55 @@ object Knn {
     },
     None)
 
-  val all: Seq[Qdef] = Seq(q70, q71, q72)
+  /** Symmetric per-vector int8 quantization (the standard ANN /
+    * embedding-storage compression step): scale = max|x|/127, code =
+    * round(x/scale) ∈ [-127, 127]. A pure narrow map — at 100 TB this
+    * is a scan-shaped rewrite that cuts embedding bytes 4×, and the
+    * codes join back into [[lshTables]]/IVF probing unchanged.
+    *
+    * The query form emits the integer invariants (Σq, Σ|q|) rather
+    * than the code array: integers are engine-exact (float→double
+    * widening, one division and HALF_UP rounding are bit-identical in
+    * Spark and DuckDB), and the driver harness needs scalar columns.
+    * Higher-order `transform`/`aggregate` are interpreted
+    * (CodegenFallback) — acceptable here because quantization is a
+    * one-time storage rewrite, not a per-query hot path; a production
+    * writer would mirror [[graft.functions.VectorExpressions]] with a
+    * codegen'd quantize kernel.
+    */
+  def quantizeInt8(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      (array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0).as("scale"))
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dims"),
+        col("scale"),
+        when(col("scale") > 0,
+          aggregate(
+            transform(col("embedding"),
+              x => round(x.cast("double") / col("scale")).cast("long")),
+            lit(0L), (acc, q) => acc + q)).otherwise(lit(0L)).as("q_sum"),
+        when(col("scale") > 0,
+          aggregate(
+            transform(col("embedding"),
+              x => abs(round(x.cast("double") / col("scale"))).cast("long")),
+            lit(0L), (acc, q) => acc + q)).otherwise(lit(0L)).as("q_l1"))
+
+  private val q73 = Qdef(
+    "q73_vec_quantize",
+    (s, d) => quantizeInt8(Tables.embeddings(s, d)).orderBy("vec_id"),
+    Some("""WITH s AS (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+                 FROM embeddings)
+            SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dims, scale,
+                   CASE WHEN scale > 0
+                        THEN CAST(list_sum(list_transform(embedding,
+                               x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))) AS BIGINT)
+                        ELSE 0 END AS q_sum,
+                   CASE WHEN scale > 0
+                        THEN CAST(list_sum(list_transform(embedding,
+                               x -> abs(CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)))) AS BIGINT)
+                        ELSE 0 END AS q_l1
+            FROM s ORDER BY vec_id"""))
+
+  val all: Seq[Qdef] = Seq(q70, q71, q72, q73)
 }

@@ -3,6 +3,7 @@ package graft.dedup
 import graft.{Qdef, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table — SURVEY §2.7.
@@ -377,5 +378,71 @@ object Dedup {
             FROM c JOIN b USING (s)
             GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67)
+  // ------------------------------------------------- passage-level dedup
+
+  /** C4/RefinedWeb-style duplicated-span scoring: cut each document
+    * into non-overlapping `width`-token passages (trailing remainder
+    * ignored), hash each, and score every document by the fraction of
+    * its passages that occur more than once corpus-wide; `keep` flags
+    * docs at or under `maxDupFrac`. This catches boilerplate and
+    * template reuse that document-level near-dup (q62-q65) misses.
+    *
+    * Scale shape: passage hashing is a narrow map + explode onto
+    * 16-byte keys (fan-out n_tokens/width, i.e. SMALLER than the
+    * token stream); corpus-wide multiplicity is one window keyed by
+    * the passage hash (one shuffle, count only — the passage text
+    * never ships); the per-doc rollup shuffles compact (doc_id,
+    * counts) rows. No step is ever pairwise.
+    */
+  def passageDedup(docs: DataFrame, width: Int = 10, maxDupFrac: Double = 0.5): DataFrame = {
+    val passages = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= width,
+          transform(sequence(lit(0), floor(size(col("toks")) / width).cast("int") - 1),
+            j => md5(concat_ws(" ", slice(col("toks"), j * width + 1, lit(width))).cast("binary"))))
+          .otherwise(typedLit(Array.empty[String]))).as("phash"))
+    val counted = passages
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("phash")))
+    val perDoc = counted.groupBy("doc_id").agg(
+      count(lit(1)).as("n_passages"),
+      sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
+    // short docs have zero passages and fell out at the explode; the
+    // left join restores them as trivially-kept rows
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_passages"), lit(0L)).as("n_passages"),
+        coalesce(col("n_dup_passages"), lit(0L)).as("n_dup_passages"))
+      .withColumn("dup_frac",
+        when(col("n_passages") > 0,
+          col("n_dup_passages").cast("double") / col("n_passages").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep", col("dup_frac") <= maxDupFrac)
+  }
+
+  private val q68 = Qdef(
+    "q68_passage_dedup",
+    (s, d) => passageDedup(Tables.documents(s, d)).orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+            w AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) // 10)) AS j
+                  FROM t WHERE len(toks) >= 10),
+            p AS (SELECT doc_id, md5(array_to_string(toks[(j-1)*10+1 : (j-1)*10+10], ' ')) AS phash FROM w),
+            c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY phash) AS cnt FROM p),
+            d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages,
+                    CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages
+                  FROM c GROUP BY doc_id),
+            f AS (SELECT documents.doc_id,
+                    COALESCE(n_passages, 0) AS n_passages,
+                    COALESCE(n_dup_passages, 0) AS n_dup_passages
+                  FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id)
+            SELECT doc_id, n_passages, n_dup_passages,
+                   CASE WHEN n_passages > 0
+                        THEN CAST(n_dup_passages AS DOUBLE) / CAST(n_passages AS DOUBLE)
+                        ELSE 0.0 END AS dup_frac,
+                   (CASE WHEN n_passages > 0
+                         THEN CAST(n_dup_passages AS DOUBLE) / CAST(n_passages AS DOUBLE)
+                         ELSE 0.0 END) <= 0.5 AS keep
+            FROM f ORDER BY doc_id"""))
+
+  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68)
 }

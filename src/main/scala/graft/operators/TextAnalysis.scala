@@ -383,5 +383,105 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum("toks_in_chunk").as("n_tokens"))
   }
 
-  val all: Seq[Qdef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88)
+  /** BM25 keyword scoring (k1=1.2, b=0.75, Lucene-style
+    * idf = ln(1 + (N-df+0.5)/(df+0.5))) over whitespace tokens.
+    *
+    * Scale shape: per-doc term frequencies are a narrow map (no
+    * inverted index needed for a fixed small query-term set); the
+    * corpus stats (N, Σdl, per-term df) are ONE tiny global aggregate
+    * broadcast back — so the whole query is two scans and zero big
+    * shuffles. Scores are rounded to 4 dp and the ORDER BY uses the
+    * rounded value, so the ranking is stable across engines (the only
+    * transcendental, ln, is term-global).
+    */
+  def bm25(docs: org.apache.spark.sql.DataFrame, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(
+      col("doc_id") +:
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("dl") +:
+        terms.map(t =>
+          size(filter(tokens(col("text")), x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum("dl").as("sum_dl") +:
+        terms.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t")): _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val score = terms.map { t =>
+      val tf = col(s"tf_$t").cast("double")
+      val df = col(s"df_$t").cast("double")
+      val idf = log(lit(1.0) + (col("n_docs").cast("double") - df + lit(0.5)) / (df + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .withColumn("score_r", round(score, 4))
+      .select(col("doc_id") +: col("dl") +: terms.map(t => col(s"tf_$t")) :+ col("score_r"): _*)
+      .orderBy(col("score_r").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  private val bm25Terms = Seq("merge", "filter", "stream")
+
+  private val q8a = Qdef(
+    "q8a_bm25",
+    (s, d) => bm25(Tables.documents(s, d), bm25Terms),
+    Some {
+      val tfCols = bm25Terms.map(t =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(", ")
+      val dfCols = bm25Terms.map(t =>
+        s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(", ")
+      val scoreTerms = bm25Terms.map(t =>
+        s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5))
+            * (CAST(tf_$t AS DOUBLE) * 2.2)
+            / (CAST(tf_$t AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))""")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+          base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, $tfCols FROM t),
+          stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl, $dfCols FROM base),
+          sc AS (SELECT doc_id, dl, ${bm25Terms.map(t => s"tf_$t").mkString(", ")},
+                   round($scoreTerms, 4) AS score_r
+                 FROM base, stats)
+          SELECT doc_id, dl, ${bm25Terms.map(t => s"tf_$t").mkString(", ")}, score_r
+          FROM sc ORDER BY score_r DESC, doc_id LIMIT 20"""
+    })
+
+  /** Default PII-shaped patterns (RE2-compatible, so the same strings
+    * run in Java regex and DuckDB): email, IPv4, phone-ish digit runs.
+    * The synthetic corpus contains none of these (no digits at all) —
+    * redaction behavior on matching text is covered by the synthetic
+    * spec in TextQualitySpec; [[q89]] exercises the same operator
+    * non-vacuously with a word pattern that does occur.
+    */
+  val piiPatterns: Seq[String] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
+    "\\+?\\d[\\d\\s().-]{6,}\\d")
+
+  /** Redact every match of `patterns` in `textCol`, counting matches
+    * per row. One narrow codegen'd map — no shuffle, no UDF.
+    */
+  def scrubPatterns(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      patterns: Seq[String], replacement: String = "[REDACTED]"): org.apache.spark.sql.DataFrame = {
+    val pat = patterns.map(p => s"(?:$p)").mkString("|")
+    docs
+      .withColumn("n_redactions",
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long"))
+      .withColumn(textCol, regexp_replace(col(textCol), pat, replacement))
+  }
+
+  private val redactPat = "\\b(?:customer|vector|stream)\\b"
+
+  private val q89 = Qdef(
+    "q89_redact",
+    (s, d) =>
+      scrubPatterns(Tables.documents(s, d), "text", Seq(redactPat))
+        .select(col("doc_id"), col("n_redactions"),
+          md5(col("text").cast("binary")).as("scrubbed_hash"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '\b(?:customer|vector|stream)\b', 0)) AS BIGINT) AS n_redactions,
+            md5(regexp_replace(text, '\b(?:customer|vector|stream)\b', '[REDACTED]', 'g')) AS scrubbed_hash
+            FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Qdef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q8a, q89)
 }

@@ -54,4 +54,53 @@ object Sources {
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  // --------------------------------------------- z-order layout (io06)
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Morton (Z-order) key over ≥2 numeric columns, each linearly
+    * scaled to `bits` bits between the column's min and max and then
+    * bit-interleaved. Rows close in EVERY dimension get close z
+    * values, so a range-partitioned, z-sorted layout co-locates them
+    * in the same files — multi-column data skipping from one sort
+    * order, which single-column sorting cannot give.
+    */
+  def zorderKey(scaled: Seq[Column], bits: Int): Column = {
+    require(scaled.size * bits <= 63, s"z key ${scaled.size}x$bits bits exceeds a long")
+    val n = scaled.size
+    (0 until bits).flatMap { i =>
+      scaled.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` z-ordered on `cols` into `numFiles` range-partitioned
+    * parquet files. Column min/max for the scaling come from one tiny
+    * global aggregate (2×|cols| doubles on the driver — bounded at
+    * any corpus size, the same stats any layout optimizer collects).
+    * Degenerate columns (min == max) scale to 0. Linear scaling keeps
+    * the whole key a narrow map; rank-based scaling would resist skew
+    * better but costs a per-column sort — the public Delta/Iceberg
+    * z-order implementations make the same trade by default.
+    */
+  def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
+      numFiles: Int = 16, bits: Int = 12): Unit = {
+    val mins = cols.map(c => min(col(c).cast("double")).as(s"mn_$c"))
+    val maxs = cols.map(c => max(col(c).cast("double")).as(s"mx_$c"))
+    val st = df.agg((mins ++ maxs).head, (mins ++ maxs).tail: _*).head()
+    val top = (1L << bits) - 1
+    val scaled = cols.map { c =>
+      val (mn, mx) = (st.getAs[Double](s"mn_$c"), st.getAs[Double](s"mx_$c"))
+      if (mx <= mn) lit(0L)
+      else least(lit(top), floor((col(c).cast("double") - mn) / (mx - mn) * top)).cast("long")
+    }
+    df.withColumn("_z", zorderKey(scaled, bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

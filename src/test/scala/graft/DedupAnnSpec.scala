@@ -139,4 +139,60 @@ class DedupAnnSpec extends SparkSpec {
       }
     }
   }
+
+  test("q68: passage dedup agrees with an explode+groupBy recomputation and is non-vacuous") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q68_passage_dedup")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.length === docs.count(), "one row per document")
+    // brute twin: different formulation (groupBy count joined back vs window)
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val passages = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 10)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), floor(size(col("toks")) / 10).cast("int") - 1),
+          j => concat_ws(" ", slice(col("toks"), j * 10 + 1, lit(10))))).as("passage"))
+    val cnt = passages.groupBy("passage").agg(count(lit(1)).as("c"))
+    val brute = passages.join(cnt, "passage")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("np"), sum(when(col("c") > 1, 1L).otherwise(0L)).as("nd"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    var dupDocs = 0
+    rows.foreach { r =>
+      val (np, nd) = brute.getOrElse(r.getLong(0), (0L, 0L))
+      assert(r.getLong(1) === np, s"doc ${r.getLong(0)} n_passages")
+      assert(r.getLong(2) === nd, s"doc ${r.getLong(0)} n_dup_passages")
+      if (nd > 0) dupDocs += 1
+      assert(r.getBoolean(4) === (r.getDouble(3) <= 0.5))
+    }
+    assert(dupDocs > 0, "corpus has no duplicated passages — check is vacuous")
+  }
+
+  test("q73: int8 quantization invariants — code range and reconstruction bound") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+    val checked = e
+      .select(col("vec_id"), col("embedding"),
+        (array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        array_max(transform(col("embedding"),
+          x => abs(round(x.cast("double") / col("scale"))))).as("max_code"),
+        array_max(transform(col("embedding"),
+          x => abs(x.cast("double") - round(x.cast("double") / col("scale")) * col("scale"))))
+          .as("max_err"))
+      .collect()
+    checked.foreach { r =>
+      val scale = r.getDouble(1)
+      assert(scale > 0.0)
+      assert(r.getDouble(2) <= 127.0, s"vec ${r.getLong(0)} code out of int8 range")
+      assert(r.getDouble(3) <= scale / 2 * (1 + 1e-12), s"vec ${r.getLong(0)} reconstruction error")
+    }
+    // the oracle-facing integer invariants are consistent with each other
+    val q = SparkEntry.queries("q73_vec_quantize")(spark, sf).collect()
+    q.foreach { r =>
+      assert(math.abs(r.getLong(3)) <= r.getLong(4), "|q_sum| must be <= q_l1")
+      assert(r.getLong(4) <= 127L * r.getLong(1), "q_l1 must be <= 127*dims")
+    }
+  }
 }

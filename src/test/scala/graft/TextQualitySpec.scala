@@ -117,4 +117,38 @@ class TextQualitySpec extends SparkSpec {
     val again = SparkEntry.queries("q86_hash_split")(spark, sf).collect()
     assert(agg.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("q89/scrubPatterns: PII patterns redact synthetic emails, IPs, phones") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact john.doe+x@example.com or jane@sub.domain.org today"),
+      (2L, "server at 192.168.1.254 and 10.0.0.1 responded"),
+      (3L, "call +1 (555) 123-4567 now"),  // digit-run phone shape
+      (4L, "nothing sensitive here at all"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .scrubPatterns(rows, "text", graft.operators.TextAnalysis.piiPatterns)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_redactions")).toSeq === Seq(2L, 2L, 1L, 0L, 0L))
+    out.take(3).foreach { r =>
+      val t = r.getAs[String]("text")
+      assert(t.contains("[REDACTED]"), s"no redaction in: $t")
+      assert(!t.contains("@") && !t.contains("192.168") && !t.contains("555"),
+        s"sensitive content survived: $t")
+    }
+    assert(out(3).getAs[String]("text") === "nothing sensitive here at all")
+  }
+
+  test("q8a: bm25 scores are positive, monotone in tf at equal length, top-k ordered") {
+    val rows = SparkEntry.queries("q8a_bm25")(spark, sf).collect()
+    assert(rows.length === 20)
+    val scores = rows.map(_.getAs[Double]("score_r"))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.toSeq === scores.sorted.reverse.toSeq, "not score-descending")
+    // every returned doc contains at least one query term
+    rows.foreach { r =>
+      val tfSum = r.getAs[Long]("tf_merge") + r.getAs[Long]("tf_filter") + r.getAs[Long]("tf_stream")
+      assert(tfSum > 0, s"doc ${r.getAs[Long]("doc_id")} scored with zero term hits")
+    }
+  }
 }
