@@ -266,5 +266,90 @@ object Knn {
                         ELSE 0 END AS q_l1
             FROM s ORDER BY vec_id"""))
 
-  val all: Seq[Qdef] = Seq(q70, q71, q72, q73)
+  /** Corpus in dequantized-int8 view: each element snapped to its
+    * nearest of 255 levels (round(x/scale)*scale). The search-time
+    * stand-in for stored int8 codes — exact doubles on both engines,
+    * so the two-stage query below stays hash-checkable.
+    */
+  private def dequantized(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      (array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0).as("scale"))
+      .select(col("vec_id"), col("embedding"),
+        when(col("scale") > 0,
+          transform(col("embedding"), x => round(x.cast("double") / col("scale")) * col("scale")))
+          .otherwise(transform(col("embedding"), x => x.cast("double"))).as("q8"))
+      .select(col("vec_id"), col("embedding"), col("q8"), norm2(col("q8")).as("nrm8"))
+
+  /** Quantized search + full-precision re-rank — the standard
+    * compressed-index serving pattern: stage 1 scores ALL pairs on the
+    * int8 view (4× less memory traffic per vector at scale; here the
+    * dequantized stand-in), keeps top-`rerank` per query; stage 2
+    * re-scores only those ≤ rerank×|queries| survivors against the
+    * full-precision vectors and emits top-k. The expensive exact
+    * cosine runs on a candidate set that no longer grows with corpus
+    * size — at 100 TB stage 1 is where bytes are saved and stage 2 is
+    * constant-sized. Stage 1 here is brute-force for checkability;
+    * composing with [[lshTables]] buckets instead is a one-line swap
+    * of the pair source.
+    */
+  private val q74 = Qdef(
+    "q74_knn_quantized",
+    (s, d) => {
+      val rerank = 20
+      val dq = dequantized(corpus(s, d).select(col("vec_id"), col("embedding")))
+      val q = dq.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("q8").as("qe8"), col("nrm8").as("qn8"))
+      val w8 = Window.partitionBy("qid").orderBy(col("cos8").desc, col("nid"))
+      val cand = dq.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          cosine(col("qe8"), col("q8"), col("qn8"), col("nrm8")).as("cos8"))
+        .withColumn("rk8", row_number().over(w8))
+        .filter(col("rk8") <= rerank)
+        .select("qid", "nid", "cos8")
+      val e = corpus(s, d)
+      val qf = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      cand
+        .join(e.select(col("vec_id").as("nid"), col("embedding"), col("nrm")), "nid")
+        .join(broadcast(qf), "qid")
+        .select(col("qid"), col("nid"), col("cos8"),
+          cosine(col("qe"), col("embedding"), col("qn"), col("nrm")).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select("qid", "nid", "rank", "cos8", "cos")
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH s AS (SELECT vec_id, embedding,
+                    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+                  FROM embeddings),
+            dq AS (SELECT vec_id, embedding,
+                    CASE WHEN scale > 0
+                         THEN list_transform(embedding, x -> round(CAST(x AS DOUBLE) / scale) * scale)
+                         ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS q8
+                   FROM s),
+            n8 AS (SELECT vec_id, q8, sqrt(list_sum(list_transform(q8, x -> x * x))) AS nrm8 FROM dq),
+            qs AS (SELECT vec_id AS qid, q8 AS qe8, nrm8 AS qn8 FROM n8 WHERE vec_id < 10),
+            c AS (SELECT qs.qid, n8.vec_id AS nid,
+                    list_sum(list_transform(list_zip(qs.qe8, n8.q8),
+                      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (qs.qn8 * n8.nrm8) AS cos8
+                  FROM n8, qs WHERE n8.vec_id <> qs.qid),
+            r1 AS (SELECT qid, nid, cos8,
+                    row_number() OVER (PARTITION BY qid ORDER BY cos8 DESC, nid) AS rk8 FROM c),
+            cand AS (SELECT qid, nid, cos8 FROM r1 WHERE rk8 <= 20),
+            e AS (SELECT vec_id, embedding,
+                    sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                  FROM embeddings),
+            x AS (SELECT cand.qid, cand.nid, cand.cos8,
+                    list_sum(list_transform(list_zip(eq.embedding, en.embedding),
+                      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (eq.nrm * en.nrm) AS cos
+                  FROM cand JOIN e en ON en.vec_id = cand.nid
+                            JOIN e eq ON eq.vec_id = cand.qid),
+            r2 AS (SELECT qid, nid, cos8, cos,
+                    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM x)
+            SELECT qid, nid, rank, cos8, cos FROM r2 WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  val all: Seq[Qdef] = Seq(q70, q71, q72, q73, q74)
 }

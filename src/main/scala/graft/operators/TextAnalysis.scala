@@ -483,5 +483,31 @@ object TextAnalysis {
             md5(regexp_replace(text, '\b(?:customer|vector|stream)\b', '[REDACTED]', 'g')) AS scrubbed_hash
             FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Qdef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q8a, q89)
+  /** Deterministic global corpus shuffle — the shuffle-before-sharding
+    * step of a training pipeline, keyed by md5(seed:doc_id) instead of
+    * rand() for the usual reasons (stage-retry stability, exact
+    * reproducibility per seed, and a NEW seed gives an independent
+    * order). Sorting by the hash is a range-partitioned sort — it
+    * scales out; no single task ever sees the whole corpus.
+    */
+  def deterministicShuffle(docs: org.apache.spark.sql.DataFrame, seed: String): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("shuffle_key",
+        md5(concat(lit(s"$seed:"), col("doc_id").cast("string")).cast("binary")))
+      .orderBy("shuffle_key")
+
+  /** Query form: first 50 docs of seed "s42"'s order. Sort + limit
+    * plans as TakeOrderedAndProject (per-partition top-50, tiny driver
+    * merge — no global sort materialization).
+    */
+  private val q8b = Qdef(
+    "q8b_shuffle",
+    (s, d) =>
+      deterministicShuffle(Tables.documents(s, d), "s42")
+        .select("doc_id", "shuffle_key")
+        .limit(50),
+    Some("""SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents ORDER BY shuffle_key LIMIT 50"""))
+
+  val all: Seq[Qdef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q8a, q89, q8b)
 }

@@ -251,5 +251,53 @@ object Warehouse {
                     count(*) AS n_orders, ${Qdef.DSUM("o_totalprice")} AS sum_price
              FROM orders WHERE o_orderkey % 10 <> 7 GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[Qdef] = Seq(q94, q95, q96, q97, q98, q99)
+  /** Import-batch data-quality validation — the checks a warehouse
+    * runs before committing an import (the reference's transactional
+    * ETL implies them; Deequ-style constraint checking is the public
+    * Spark shape): null keys, duplicate primary keys, out-of-range
+    * values, and referential orphans against a dimension.
+    *
+    * Scale shape: all column checks ride ONE aggregate pass over the
+    * fact (conditional partial aggs — one scan, one 1-row result);
+    * the referential check is a broadcast anti join against the key
+    * set (dims broadcast; for a fact-fact integrity check the same
+    * code plans as a shuffled anti join). Output is tall
+    * (check, n) so adding checks never changes the schema.
+    */
+  def qualityChecks(orders: org.apache.spark.sql.DataFrame,
+      customer: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val profile = orders.agg(
+      count(lit(1)).as("rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkey"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpositive_price"),
+      sum(when(col("o_orderdate") < to_timestamp(lit("1995-01-01 00:00:00")) ||
+        col("o_orderdate") >= to_timestamp(lit("2001-01-01 00:00:00")), 1L)
+        .otherwise(0L)).as("date_out_of_range"))
+      .selectExpr("""stack(5,
+          'rows', rows,
+          'null_custkey', null_custkey,
+          'dup_orderkey', dup_orderkey,
+          'nonpositive_price', nonpositive_price,
+          'date_out_of_range', date_out_of_range) AS (chk, n)""")
+    val orphans = orders
+      .join(broadcast(customer.select("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("orphan_custkey").as("chk"), col("n"))
+    profile.unionByName(orphans).orderBy("chk")
+  }
+
+  private val q9a = Qdef(
+    "q9a_quality_checks",
+    (s, d) => qualityChecks(Tables.orders(s, d), Tables.customer(s, d)),
+    Some("""SELECT 'rows' AS chk, COUNT(*) AS n FROM orders
+            UNION ALL SELECT 'null_custkey', COUNT(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+            UNION ALL SELECT 'dup_orderkey', COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+            UNION ALL SELECT 'nonpositive_price', COUNT(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+            UNION ALL SELECT 'date_out_of_range', COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00' OR o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') FROM orders
+            UNION ALL SELECT 'orphan_custkey', COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL
+            ORDER BY chk"""))
+
+  val all: Seq[Qdef] = Seq(q94, q95, q96, q97, q98, q99, q9a)
 }

@@ -173,4 +173,19 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** st08: streaming ingest hygiene — the scrub + quality-gate step of
+    * a continuous document feed, run as a stateless per-row transform
+    * (no watermark, no state store): PII-shaped redaction
+    * ([[graft.operators.TextAnalysis.scrubPatterns]]) plus a minimum
+    * token-count keep flag. Stateless streaming transforms execute the
+    * exact batch plan per micro-batch, so the batch q89/q82 semantics
+    * carry over unchanged — which is why this needs a test (the
+    * streaming wrapper) but no separate query entry.
+    */
+  def scrubbedDocs(docs: DataFrame, minTokens: Int = 5): DataFrame =
+    graft.operators.TextAnalysis
+      .scrubPatterns(docs, "text", graft.operators.TextAnalysis.piiPatterns)
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("keep", col("n_tokens") >= minTokens)
 }

@@ -137,4 +137,39 @@ class PlanShapeSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans === 1, s"tree query rescans the metadata table:\n$p")
   }
+
+  test("q68: passage multiplicity shuffles only on compact keys, never pairwise") {
+    val p = plan("q68_passage_dedup")
+    // shuffles: phash window, doc_id rollup(+join), final ORDER BY —
+    // every one keyed by a 16-byte hash or a long, no join of passage
+    // text against passage text
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"passage dedup grew a pairwise step:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 6, s"too many exchanges ($exchanges) for the passage pipeline:\n$p")
+  }
+
+  test("q8a: corpus stats arrive via ONE broadcast; tf scan is not shuffled") {
+    val p = plan("q8a_bm25")
+    // the tiny (1-row) stats aggregate is cross-joined back by broadcast;
+    // the per-doc tf computation itself must not hash-shuffle the corpus
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"stats not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled to meet its own stats:\n$p")
+  }
+
+  test("q73: quantization is a pure narrow map until the oracle sort") {
+    val p = plan("q73_vec_quantize")
+    // the ONLY exchange is the deterministic ORDER BY's range partition
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quantization hash-shuffled a narrow map:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"more than the final sort exchange:\n$p")
+  }
+
+  test("q8b: deterministic shuffle plans as TakeOrdered, not a global sort") {
+    val p = plan("q8b_shuffle")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"sort+limit did not fuse into TakeOrdered:\n$p")
+  }
 }

@@ -36,6 +36,24 @@ class ScaleSmokeSpec extends SparkSpec {
     info(f"8x fan-out: ${n * 8} docs, $candCount candidate pairs, $secs%.1f s")
   }
 
+  test("passage dedup stays linear under an 8x corpus fan-out") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val fanned = (0 until 8)
+      .map(i => docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ union _)
+      .repartition(8)
+    val out = Dedup.passageDedup(fanned).collect()
+    assert(out.length === n * 8, "one row per fanned doc")
+    // every copied doc's passages now occur >= 8 times corpus-wide, so
+    // every doc with at least one passage must be fully duplicated
+    out.filter(_.getLong(1) > 0).foreach { r =>
+      assert(r.getLong(2) === r.getLong(1),
+        s"doc ${r.getLong(0)}: copies must make every passage a duplicate")
+      assert(!r.getBoolean(4), "fully-duplicated docs must be dropped")
+    }
+  }
+
   test("snapshot store: 16-delta chain merges in ONE shuffle; compact bounds scan fan-in") {
     import graft.sources.Snapshots
     val sf01 = "/root/testdata/sf0.01"

@@ -374,6 +374,38 @@ class StreamingSpec extends SparkSpec {
       assert(maintained === recomputed, s"maintained state diverged at v$v")
     }
   }
+  test("st08: streaming scrub + quality gate redacts PII and flags short docs per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.scrubbedDocs(input.toDF().toDF("doc_id", "text"), minTokens = 4)
+      .writeStream
+      .format("memory")
+      .queryName("st08_out")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(
+        (1L, "reach me at alice@example.com for the full data set details"),
+        (2L, "too short"))
+      q.processAllAvailable()
+      input.addData((3L, "server 10.0.0.7 logged a perfectly ordinary clean event today"))
+      q.processAllAvailable()
+
+      val out = spark.table("st08_out").orderBy("doc_id").collect()
+      assert(out.length === 3)
+      assert(out(0).getAs[Long]("n_redactions") === 1L)
+      assert(out(0).getAs[String]("text").contains("[REDACTED]"))
+      assert(!out(0).getAs[String]("text").contains("@"))
+      assert(out(0).getAs[Boolean]("keep"))
+      assert(out(1).getAs[Long]("n_redactions") === 0L)
+      assert(!out(1).getAs[Boolean]("keep"), "2-token doc must fail the 4-token gate")
+      assert(out(2).getAs[Long]("n_redactions") === 1L)
+      assert(!out(2).getAs[String]("text").contains("10.0.0.7"))
+      assert(out(2).getAs[Boolean]("keep"))
+    } finally q.stop()
+  }
 }
 
 /** st06 stream element: an upsert (or tombstone) for the snapshot store. */
