@@ -232,9 +232,15 @@ object Knn {
     * writer would mirror [[graft.functions.VectorExpressions]] with a
     * codegen'd quantize kernel.
     */
+  /** Per-vector int8 scale = max|x|/127 — the ONE definition shared by
+    * [[quantizeInt8]] and [[dequantized]] (q73 and q74 are only
+    * mutually consistent while these stay in lockstep).
+    */
+  private def int8Scale(embedding: Column): Column =
+    array_max(transform(embedding, x => abs(x.cast("double")))) / 127.0
+
   def quantizeInt8(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), col("embedding"),
-      (array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0).as("scale"))
+    e.select(col("vec_id"), col("embedding"), int8Scale(col("embedding")).as("scale"))
       .select(col("vec_id"),
         size(col("embedding")).cast("long").as("dims"),
         col("scale"),
@@ -272,8 +278,7 @@ object Knn {
     * so the two-stage query below stays hash-checkable.
     */
   private def dequantized(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), col("embedding"),
-      (array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0).as("scale"))
+    e.select(col("vec_id"), col("embedding"), int8Scale(col("embedding")).as("scale"))
       .select(col("vec_id"), col("embedding"),
         when(col("scale") > 0,
           transform(col("embedding"), x => round(x.cast("double") / col("scale")) * col("scale")))

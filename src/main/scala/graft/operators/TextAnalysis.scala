@@ -398,7 +398,7 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): org.apache.spark.sql.DataFrame = {
     val base = docs.select(
       col("doc_id") +:
-        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("dl") +:
+        size(tokens(col("text"))).cast("long").as("dl") +:
         terms.map(t =>
           size(filter(tokens(col("text")), x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
     val stats = base.agg(
@@ -505,7 +505,11 @@ object TextAnalysis {
     (s, d) =>
       deterministicShuffle(Tables.documents(s, d), "s42")
         .select("doc_id", "shuffle_key")
-        .limit(50),
+        .limit(50)
+        // explicit logical order: limit alone guarantees nothing about
+        // row order (today Sort+Limit fuses into TakeOrdered, but the
+        // hash gate must not depend on a physical-plan detail)
+        .orderBy("shuffle_key"),
     Some("""SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
             FROM documents ORDER BY shuffle_key LIMIT 50"""))
 

@@ -266,14 +266,17 @@ object Warehouse {
     */
   def qualityChecks(orders: org.apache.spark.sql.DataFrame,
       customer: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // coalesce: sum() over an EMPTY import batch is NULL, but a clean
+    // empty batch must report 0 violations (the oracle's COUNT FILTER
+    // does; a caller's `n === 0` assertion would see NULL otherwise)
     val profile = orders.agg(
       count(lit(1)).as("rows"),
-      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+      coalesce(sum(when(col("o_custkey").isNull, 1L).otherwise(0L)), lit(0L)).as("null_custkey"),
       (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkey"),
-      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpositive_price"),
-      sum(when(col("o_orderdate") < to_timestamp(lit("1995-01-01 00:00:00")) ||
+      coalesce(sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)), lit(0L)).as("nonpositive_price"),
+      coalesce(sum(when(col("o_orderdate") < to_timestamp(lit("1995-01-01 00:00:00")) ||
         col("o_orderdate") >= to_timestamp(lit("2001-01-01 00:00:00")), 1L)
-        .otherwise(0L)).as("date_out_of_range"))
+        .otherwise(0L)), lit(0L)).as("date_out_of_range"))
       .selectExpr("""stack(5,
           'rows', rows,
           'null_custkey', null_custkey,

@@ -183,9 +183,14 @@ object EventStreams {
     * carry over unchanged — which is why this needs a test (the
     * streaming wrapper) but no separate query entry.
     */
-  def scrubbedDocs(docs: DataFrame, minTokens: Int = 5): DataFrame =
-    graft.operators.TextAnalysis
-      .scrubPatterns(docs, "text", graft.operators.TextAnalysis.piiPatterns)
+  def scrubbedDocs(docs: DataFrame, minTokens: Int = 5): DataFrame = {
+    // token count on the RAW text, before the scrub collapses
+    // multi-token PII into one '[REDACTED]' — the gate must judge the
+    // document, not the redaction artifact
+    val withTok = docs
       .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+    graft.operators.TextAnalysis
+      .scrubPatterns(withTok, "text", graft.operators.TextAnalysis.piiPatterns)
       .withColumn("keep", col("n_tokens") >= minTokens)
+  }
 }
