@@ -265,6 +265,46 @@ object Cohort {
             SELECT CAST(2 AS BIGINT) AS version, n_subjects FROM c2
             ORDER BY version"""))
 
+  /** Temporal cohort criterion — the clinical "event B within N days
+    * after event A" pattern (adverse event after exposure, follow-up
+    * visit after treatment): subjects with a `thenType` event no
+    * earlier than, and within `withinDays` of, a `firstType` event.
+    *
+    * Scale: both event slices are pushed-down scans; they meet in ONE
+    * shuffle on user_id with the time window as a residual join
+    * predicate, and the left-semi form never materializes the
+    * (view × purchase) pair fan-out — each subject emits at most one
+    * row. Composes with [[cnf]] like any other atom.
+    */
+  def temporalAtom(events: DataFrame, firstType: String, thenType: String,
+      withinDays: Int): Atom = {
+    val a = events.filter(col("event_type") === firstType)
+      .select(col("user_id"), col("ts").as("ts_a"))
+    val b = events.filter(col("event_type") === thenType)
+      .select(col("user_id").as("uid_b"), col("ts").as("ts_b"))
+    val followed = a.join(b,
+      col("user_id") === col("uid_b") &&
+        col("ts_b") >= col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $withinDays DAYS"),
+      "left_semi")
+    Atom(s"${firstType}_then_$thenType",
+      followed.select(col("user_id").as("subject")).distinct())
+  }
+
+  /** q4c: count of subjects who purchased within 7 days after a view —
+    * a temporal conversion criterion expressed as a cohort atom.
+    */
+  private val q4c = Qdef(
+    "q4c_cohort_temporal",
+    (s, d) =>
+      countSubjects(temporalAtom(Tables.events(s, d), "view", "purchase", 7).keys),
+    Some("""SELECT COUNT(*) AS n_subjects FROM (
+              SELECT DISTINCT a.user_id FROM events a
+              WHERE a.event_type = 'view' AND EXISTS (
+                SELECT 1 FROM events b
+                WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+                  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 7 DAY)) t"""))
+
   val all: Seq[Qdef] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, CohortQuery.q4a, q4b)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, CohortQuery.q4a, q4b, q4c)
 }
