@@ -513,5 +513,63 @@ object TextAnalysis {
     Some("""SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
             FROM documents ORDER BY shuffle_key LIMIT 50"""))
 
-  val all: Seq[Qdef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q8a, q89, q8b)
+  /** Statistical LM quality scoring (the KenLM-style perplexity-proxy
+    * filter of public pipelines, with the corpus itself as the model):
+    * score each doc by its mean bigram log-probability under the
+    * corpus bigram model, P(w2|w1) ≈ C(w1 w2)/C(w1).
+    *
+    * Scale shape: the model is two count aggregations (bigram,
+    * unigram) over the corpus — vocab-bounded, so it BROADCASTS into
+    * the scoring join; scoring is the doc-bigram stream meeting the
+    * broadcast model, then one per-doc rollup. Cross-engine hash
+    * exactness: each distinct bigram's log-prob is rounded to 8 dp
+    * (ln is per-MODEL-ENTRY, not per-occurrence) and summed as
+    * DECIMAL(28,10) — exact, order-independent addition — before one
+    * final double division by the bigram count.
+    */
+  def lmScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bigrams = docs.select(col("doc_id"),
+      explode(call_function("graft_shingle_strings", col("text"), lit(2))).as("bigram"))
+    val bigramCounts = bigrams.groupBy("bigram").agg(count(lit(1)).as("cb"))
+    val unigramCounts = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val model = bigramCounts
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(unigramCounts, col("w1") === col("w"))
+      .select(col("bigram"),
+        round(log(col("cb").cast("double") / col("cu").cast("double")), 8)
+          .cast("decimal(28,10)").as("logp"))
+    val scored = bigrams
+      .join(broadcast(model), "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("logp").as("sum_logp"))
+      .withColumn("avg_logp", col("sum_logp").cast("double") / col("n_bigrams").cast("double"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_logp"), lit(0.0)).as("avg_logp"))
+  }
+
+  private val q8c = Qdef(
+    "q8c_lm_score",
+    (s, d) => lmScore(Tables.documents(s, d)).orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+            b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+                  FROM t WHERE len(toks) >= 2),
+            cb AS (SELECT bigram, COUNT(*) AS cb FROM b GROUP BY bigram),
+            cu AS (SELECT w, COUNT(*) AS cu FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+            model AS (SELECT bigram,
+                    CAST(round(ln(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE)), 8) AS DECIMAL(28,10)) AS logp
+                  FROM cb JOIN cu ON split_part(bigram, ' ', 1) = w),
+            sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, SUM(logp) AS sum_logp
+                   FROM b JOIN model USING (bigram) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(n_bigrams, 0) AS n_bigrams,
+                   COALESCE(CAST(sum_logp AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0) AS avg_logp
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+            ORDER BY d.doc_id"""))
+
+  val all: Seq[Qdef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q8a, q89, q8b, q8c)
 }

@@ -139,6 +139,19 @@ class TextQualitySpec extends SparkSpec {
     assert(out(3).getAs[String]("text") === "nothing sensitive here at all")
   }
 
+  test("q8c: bigram-LM scores are log-probs (<= 0); short docs score 0 with 0 bigrams") {
+    val rows = SparkEntry.queries("q8c_lm_score")(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (n, s) = (r.getLong(1), r.getDouble(2))
+      if (n > 0) assert(s <= 0.0, s"doc ${r.getLong(0)}: positive log-prob $s")
+      else assert(s === 0.0)
+    }
+    // the model assigns P(w2|w1) <= 1 with equality only for deterministic
+    // continuations; a word-soup corpus must have SOME entropy
+    assert(rows.exists(r => r.getDouble(2) < -0.5), "implausibly confident model")
+  }
+
   test("q8a: bm25 scores are positive, monotone in tf at equal length, top-k ordered") {
     val rows = SparkEntry.queries("q8a_bm25")(spark, sf).collect()
     assert(rows.length === 20)
