@@ -122,4 +122,18 @@ object Multimodal {
       }
     }
   }
+
+  /** mm04: decoded features as an ANN-ready embedding frame — the
+    * bridge from the multimodal decode seam into the §2.8 similarity
+    * pipeline (media dedup / retrieval over decoded embeddings). The
+    * schema contract is [[graft.ann.Knn.lshTables]]'s (vec_id,
+    * embedding, nrm); swapping the stub decoder for a real one changes
+    * nothing downstream.
+    */
+  def featureEmbeddings(feats: Dataset[MediaFeatures]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    feats.toDF()
+      .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+      .withColumn("nrm", graft.functions.VectorFunctions.norm2(col("embedding")))
+  }
 }

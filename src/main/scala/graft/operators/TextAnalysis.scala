@@ -571,5 +571,71 @@ object TextAnalysis {
             FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
             ORDER BY d.doc_id"""))
 
-  val all: Seq[Qdef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q8a, q89, q8b, q8c)
+  /** Learn `nMerges` BPE merges from the corpus — the vocabulary-
+    * construction step of a tokenizer pipeline. The DISTRIBUTED part
+    * is the word-frequency aggregation (one count shuffle over the
+    * corpus, map-side combined); merge learning then runs on the
+    * collected word-count table, which is vocab-bounded (≪ corpus —
+    * the same corpus/vocab split every public BPE trainer makes:
+    * counts once over the data, trains on the counts). Ties break by
+    * (count desc, pair lexicographic), so the learned merges are
+    * deterministic for a given corpus.
+    *
+    * Returns (left_symbol, right_symbol, weighted_pair_count) in
+    * merge order.
+    */
+  def bpeMerges(docs: org.apache.spark.sql.DataFrame, nMerges: Int): Seq[(String, String, Long)] = {
+    val wordCounts: Array[(Array[String], Long)] = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    var words = wordCounts
+    val merges = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 0 until nMerges) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (pairCounts.nonEmpty) {
+        val ((l, r), c) = pairCounts.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((l, r, c))
+        words = words.map { case (syms, wc) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, wc)
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** Query form: first 20 merges with ranks. Rows-only (the merge
+    * loop is not SQL-expressible); TextQualitySpec pins a
+    * hand-computed example and the first-merge-equals-brute-force
+    * invariant on the real corpus.
+    */
+  private val q8d = Qdef(
+    "q8d_bpe_merges",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      bpeMerges(Tables.documents(s, d), 20).zipWithIndex
+        .map { case ((l, r, c), i) => (i.toLong + 1, l, r, c) }
+        .toDF("rank", "left", "right", "pair_count")
+    },
+    None)
+
+  val all: Seq[Qdef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q8a, q89, q8b, q8c, q8d)
 }

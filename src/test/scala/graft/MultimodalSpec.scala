@@ -38,21 +38,25 @@ class MultimodalSpec extends SparkSpec {
   test("mm04: decoded features feed the ANN path end-to-end") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions._
-    // media → stub decode → feature vectors → cosine top-3 neighbors
-    // of the first image: the full multimodal-similarity composition
-    val feats = Multimodal.decodeFeatures(media, dim = 16).toDF()
-      .select(col("media_id"), col("feature"), norm2(col("feature")).as("nrm"))
+    // media → stub decode → featureEmbeddings bridge → cosine top-3 of
+    // one image + LSH bucketing: the full multimodal-similarity
+    // composition on the §2.8 schema contract
+    val feats = Multimodal.featureEmbeddings(Multimodal.decodeFeatures(media, dim = 16))
       .filter(col("nrm") > 0)
-    val q = feats.filter(col("media_id") === 3)
-      .select(col("media_id").as("qid"), col("feature").as("qf"), col("nrm").as("qn"))
+    val q = feats.filter(col("vec_id") === 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qf"), col("nrm").as("qn"))
     val top = feats.crossJoin(broadcast(q))
-      .filter(col("media_id") =!= col("qid"))
-      .select(col("media_id"), cosine(col("qf"), col("feature"), col("qn"), col("nrm")).as("cos"))
-      .orderBy(col("cos").desc, col("media_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("vec_id"), cosine(col("qf"), col("embedding"), col("qn"), col("nrm")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
       .limit(3)
       .collect()
     assert(top.length === 3)
     assert(top.forall(r => r.getDouble(1) <= 1.0 + 1e-9 && r.getDouble(1) >= -1.0 - 1e-9))
+    // and the same frame drops into the LSH index unchanged: every
+    // vector lands in exactly `tables` buckets
+    val buckets = graft.ann.Knn.lshTables(feats, tables = 4, planes = 3)
+    assert(buckets.count() === feats.count() * 4)
   }
 
   test("mm03: frame sampling fans out ceil(n_frames/stride) rows per video, payload sliced") {

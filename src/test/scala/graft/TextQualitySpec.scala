@@ -152,6 +152,35 @@ class TextQualitySpec extends SparkSpec {
     assert(rows.exists(r => r.getDouble(2) < -0.5), "implausibly confident model")
   }
 
+  test("q8d: BPE merges match a hand-computed example and the brute-force first pair") {
+    import spark.implicits._
+    // "abab"x3 + "abc"x2: pair counts a-b:8, b-a:3, b-c:2 → merge 1 = (a,b).
+    // After it: ab-ab:3, ab-c:2 → merge 2 = (ab,ab).
+    val tiny = Seq((1L, "abab abab abab abc abc")).toDF("doc_id", "text")
+    val m = graft.operators.TextAnalysis.bpeMerges(tiny, 2)
+    assert(m === Seq(("a", "b", 8L), ("ab", "ab", 3L)))
+
+    // real corpus: the first learned merge must be the true most
+    // frequent character pair (brute-forced independently here)
+    val docs = Tables.documents(spark, sf)
+    val first = graft.operators.TextAnalysis.bpeMerges(docs, 1).head
+    val brute = docs.select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").count().collect()
+      .flatMap(r => r.getString(0).sliding(2).filter(_.length == 2)
+        .map(p => (p(0).toString, p(1).toString) -> r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .minBy { case ((a, b), n) => (-n, a, b) }
+    assert((first._1, first._2) === brute._1)
+    assert(first._3 === brute._2)
+
+    // query form: 20 ranked rows, counts positive
+    val rows = SparkEntry.queries("q8d_bpe_merges")(spark, sf).collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 20L))
+    assert(rows.forall(_.getLong(3) > 0))
+  }
+
   test("q8a: bm25 scores are positive, monotone in tf at equal length, top-k ordered") {
     val rows = SparkEntry.queries("q8a_bm25")(spark, sf).collect()
     assert(rows.length === 20)
