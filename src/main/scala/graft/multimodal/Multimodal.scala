@@ -135,5 +135,9 @@ object Multimodal {
     feats.toDF()
       .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
       .withColumn("nrm", graft.functions.VectorFunctions.norm2(col("embedding")))
+      // degenerate payloads (empty media) decode to the zero vector;
+      // a zero norm would turn every downstream cosine into NaN and
+      // silently poison top-k orderings, so the bridge drops them here
+      .filter(col("nrm") > 0)
   }
 }

@@ -298,12 +298,16 @@ object Cohort {
     "q4c_cohort_temporal",
     (s, d) =>
       countSubjects(temporalAtom(Tables.events(s, d), "view", "purchase", 7).keys),
-    Some("""SELECT COUNT(*) AS n_subjects FROM (
-              SELECT DISTINCT a.user_id FROM events a
+    // ts normalized to micros (epoch_ns // 1000) like every event
+    // oracle: Spark's Tables.events truncates TIMESTAMP(NANOS) to µs,
+    // so a raw-ns comparison would diverge on sub-µs data
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events)
+            SELECT COUNT(*) AS n_subjects FROM (
+              SELECT DISTINCT a.user_id FROM e a
               WHERE a.event_type = 'view' AND EXISTS (
-                SELECT 1 FROM events b
+                SELECT 1 FROM e b
                 WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
-                  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 7 DAY)) t"""))
+                  AND b.us >= a.us AND b.us <= a.us + CAST(604800000000 AS BIGINT))) t"""))
 
   val all: Seq[Qdef] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, CohortQuery.q4a, q4b, q4c)

@@ -519,9 +519,13 @@ object TextAnalysis {
     * corpus bigram model, P(w2|w1) ≈ C(w1 w2)/C(w1).
     *
     * Scale shape: the model is two count aggregations (bigram,
-    * unigram) over the corpus — vocab-bounded, so it BROADCASTS into
-    * the scoring join; scoring is the doc-bigram stream meeting the
-    * broadcast model, then one per-doc rollup. Cross-engine hash
+    * unigram) over the corpus. Its row count is the number of DISTINCT
+    * OBSERVED BIGRAMS — which on natural text grows with the corpus
+    * (Heaps-law), not just the vocabulary — so the scoring join
+    * carries no broadcast hint: size stats/AQE broadcast a small model
+    * (closed domains, pruned models) and shuffle-join a large one on
+    * the bigram key. Production LM filters prune the model (min-count,
+    * top-K) precisely to keep it broadcastable. Cross-engine hash
     * exactness: each distinct bigram's log-prob is rounded to 8 dp
     * (ln is per-MODEL-ENTRY, not per-occurrence) and summed as
     * DECIMAL(28,10) — exact, order-independent addition — before one
@@ -541,7 +545,7 @@ object TextAnalysis {
         round(log(col("cb").cast("double") / col("cu").cast("double")), 8)
           .cast("decimal(28,10)").as("logp"))
     val scored = bigrams
-      .join(broadcast(model), "bigram")
+      .join(model, "bigram")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("logp").as("sum_logp"))
       .withColumn("avg_logp", col("sum_logp").cast("double") / col("n_bigrams").cast("double"))
@@ -590,7 +594,14 @@ object TextAnalysis {
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
       .collect()
-      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+      .map { r =>
+        // split on CODE POINTS, not UTF-16 units: per-char would break
+        // astral-plane characters (emoji, CJK ext-B) into unpaired
+        // surrogate halves and learn garbage symbols
+        val syms = r.getString(0).codePoints().toArray
+          .map(cp => new String(Character.toChars(cp)))
+        (syms, r.getLong(1))
+      }
     var words = wordCounts
     val merges = Seq.newBuilder[(String, String, Long)]
     for (_ <- 0 until nMerges) {

@@ -41,8 +41,8 @@ class MultimodalSpec extends SparkSpec {
     // media → stub decode → featureEmbeddings bridge → cosine top-3 of
     // one image + LSH bucketing: the full multimodal-similarity
     // composition on the §2.8 schema contract
+    // zero-norm rows are dropped by the bridge itself (NaN-cosine guard)
     val feats = Multimodal.featureEmbeddings(Multimodal.decodeFeatures(media, dim = 16))
-      .filter(col("nrm") > 0)
     val q = feats.filter(col("vec_id") === 3)
       .select(col("vec_id").as("qid"), col("embedding").as("qf"), col("nrm").as("qn"))
     val top = feats.crossJoin(broadcast(q))
