@@ -378,6 +378,77 @@ object Relational {
             FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events) t
             ORDER BY user_id, event_id"""))
 
+  /** q25: NTILE bucketing per group (quartiles of account balance
+    * within each market segment) — the percentile-assignment shape.
+    * The window partitions by segment, so no single task ever sees the
+    * whole table; the tie-break on c_custkey makes the assignment
+    * total-ordered and thus engine-identical.
+    */
+  private val q25 = Qdef(
+    "q25_ntile",
+    (s, d) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+    Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
+                   NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+            FROM customer ORDER BY c_mktsegment, c_custkey"""))
+
+  /** q26: explicit window frames — per-user first/latest event type
+    * (unbounded frame) and a 3-row moving average of the value (ROWS
+    * 2 PRECEDING). Frame sums add ≤3 doubles in frame order on both
+    * engines; rounded to 6 dp for the oracle.
+    */
+  private val q26 = Qdef(
+    "q26_window_frames",
+    (s, d) => {
+      val base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val whole = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val trail = base.rowsBetween(-2, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          first(col("event_type")).over(whole).as("first_type"),
+          last(col("event_type")).over(whole).as("last_type"),
+          round(avg(col("value")).over(trail), 6).as("avg3"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, value, epoch_ns(ts) // 1000 AS us FROM events)
+            SELECT user_id, event_id,
+                   FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+                   LAST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+                   round(AVG(value) OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
+            FROM e ORDER BY user_id, event_id"""))
+
+  /** q19: salted hot-key aggregation — l_returnflag has only three
+    * values, the worst aggregation skew shape (every row funnels into
+    * 3 reducers). [[Skew.saltedAgg]] spreads each key over 16 salt
+    * buckets in the partial phase; the finish phase shuffles one row
+    * per (key, salt). The oracle is the PLAIN aggregate: salting must
+    * never change the answer (decimal partials keep the sum exact
+    * across the two phases).
+    */
+  private val q19 = Qdef(
+    "q19_skew_agg",
+    (s, d) =>
+      Skew.saltedAgg(
+        Tables.lineitem(s, d).select("l_returnflag", "l_quantity"),
+        Seq("l_returnflag"),
+        salts = 16,
+        partial = Seq(count(lit(1)).as("pn"),
+          sum(col("l_quantity").cast("decimal(28,2)")).as("pq")),
+        finish = Seq(sum("pn").as("n_items"),
+          sum("pq").cast("double").as("sum_qty")))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   // ---------------------------------------------------------------- §2.4
 
   private def urgentKeys(s: SparkSession, d: String): DataFrame =
@@ -682,8 +753,8 @@ object Relational {
 
   val all: Seq[Qdef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18,
-    q20, q21, q22, q23, q24,
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19,
+    q20, q21, q22, q23, q24, q25, q26,
     q30, q31, q32, q33, q34, q35, q36,
     q50, q51, q52, q53, q54, q55, q56, q57)
 }
