@@ -172,4 +172,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"sort+limit did not fuse into TakeOrdered:\n$p")
   }
+
+  test("q19: salted agg is two phases - first exchange keyed by (key, salt)") {
+    val p = plan("q19_skew_agg")
+    // the partial-phase hash exchange must carry the salt (spreading
+    // the hot key); a second, bare-key exchange finishes the agg.
+    // NOTE plans print top-down, so the salted exchange is the LAST
+    // hashpartitioning line, not the first.
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.exists(_.contains("__salt")), s"no salt-keyed exchange:\n$p")
+    assert(hashEx.exists(!_.contains("__salt")), s"no bare-key finish exchange:\n$p")
+  }
 }
