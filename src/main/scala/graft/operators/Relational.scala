@@ -549,6 +549,41 @@ object Relational {
             FROM nation
             ORDER BY n_nationkey, metric"""))
 
+  /** q37: GROUPING SETS — the general form rollup/cube specialize.
+    * Spark's DataFrame API exposes only rollup/cube, so this goes
+    * through `spark.sql` over a temp view of the joined base (the view
+    * is lazy — the plan still starts from pruned parquet scans with the
+    * dims broadcast). `grouping(...)` disambiguates a real NULL key
+    * from a grouping-set placeholder; the composed gid (grouping(a)*2 +
+    * grouping(b)) is portable across engines, unlike engine-specific
+    * GROUPING_ID bit orders.
+    */
+  private val q37 = Qdef(
+    "q37_grouping_sets",
+    (s, d) => {
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select("n_name", "o_orderstatus", "o_totalprice")
+        .createOrReplaceTempView("q37_base")
+      s.sql(s"""SELECT n_name, o_orderstatus,
+                       grouping(n_name) * 2 + grouping(o_orderstatus) AS gid,
+                       COUNT(*) AS n, ${DSUM("o_totalprice")} AS revenue
+                FROM q37_base
+                GROUP BY GROUPING SETS ((n_name), (o_orderstatus), (n_name, o_orderstatus), ())
+                ORDER BY gid, n_name, o_orderstatus""")
+    },
+    Some(s"""WITH base AS (
+              SELECT n_name, o_orderstatus, o_totalprice
+              FROM orders JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON c_nationkey = n_nationkey)
+            SELECT n_name, o_orderstatus,
+                   GROUPING(n_name) * 2 + GROUPING(o_orderstatus) AS gid,
+                   COUNT(*) AS n, ${DSUM("o_totalprice")} AS revenue
+            FROM base
+            GROUP BY GROUPING SETS ((n_name), (o_orderstatus), (n_name, o_orderstatus), ())
+            ORDER BY gid, n_name NULLS FIRST, o_orderstatus NULLS FIRST"""))
+
   // ---------------------------------------------------------------- §2.6
 
   private val q50 = Qdef(
@@ -751,10 +786,99 @@ object Relational {
             SELECT COUNT(t_view) AS n_view, COUNT(t_click) AS n_view_click,
                    COUNT(t_buy) AS n_view_click_buy FROM b"""))
 
+  /** q58: time-series gap fill — the dense-grid + forward-fill shape
+    * every monitoring/era query needs (the reference's time-series
+    * views assume a continuous axis). Grid = per-key hour range
+    * exploded from `sequence()` (bounded: keys × hours, independent of
+    * row count); left join back on the composite key; forward fill via
+    * the portable count-of-non-nulls trick (running count of observed
+    * buckets numbers each fill-group, then the group's single non-null
+    * value is broadcast with a per-group max) — no IGNORE NULLS
+    * dependence, identical semantics on both engines. One shuffle on
+    * (event_type, hour), one on event_type for the running window.
+    */
+  private val q58 = Qdef(
+    "q58_gap_fill",
+    (s, d) => {
+      val h = Tables.events(s, d)
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .groupBy("event_type", "hour")
+        .agg(count(lit(1)).as("n"))
+      val grid = h.groupBy("event_type")
+        .agg(min("hour").as("mn"), max("hour").as("mx"))
+        .select(col("event_type"),
+          explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("hour"))
+      val run = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(h, Seq("event_type", "hour"), "left")
+        .withColumn("grp", count(col("n")).over(run))
+        .withColumn("n_filled", max(col("n")).over(Window.partitionBy("event_type", "grp")))
+        .withColumn("was_gap", col("n").isNull)
+        .select("event_type", "hour", "n_filled", "was_gap")
+        .orderBy("event_type", "hour")
+    },
+    Some("""WITH h AS (SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS hour, COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            b AS (SELECT event_type, MIN(hour) AS mn, MAX(hour) AS mx FROM h GROUP BY 1),
+            grid AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour FROM b),
+            j AS (SELECT g.event_type, g.hour, h.n,
+                         COUNT(h.n) OVER (PARTITION BY g.event_type ORDER BY g.hour
+                           ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM grid g LEFT JOIN h ON h.event_type = g.event_type AND h.hour = g.hour)
+            SELECT event_type, hour, MAX(n) OVER (PARTITION BY event_type, grp) AS n_filled,
+                   (n IS NULL) AS was_gap
+            FROM j ORDER BY event_type, hour"""))
+
+  /** q5a: overlapping-interval merge ("era" construction — the
+    * classic clinical-warehouse operator that folds overlapping visit
+    * or exposure intervals into continuous eras). Each event opens a
+    * 30-minute interval; per subject, intervals whose start lies at or
+    * under the running max end are merged. The scalable formulation is
+    * the single window pass (sort once per user, carry max(end)
+    * forward, flag interval starts, prefix-sum the flags into era
+    * ids) — one shuffle on user_id, linear work, no self-join (the
+    * naive overlap self-join is quadratic on hot subjects). All
+    * arithmetic is integer microseconds → hash-exact oracle.
+    */
+  private val q5a = Qdef(
+    "q5a_interval_merge",
+    (s, d) => {
+      val byStart = Window.partitionBy("user_id").orderBy("s", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) + 1800000000L).as("e"))
+        .withColumn("pmax",
+          max(col("e")).over(byStart.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("is_new",
+          when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+        .withColumn("grp",
+          sum(col("is_new")).over(byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "grp")
+        .agg(min("s").as("ms"), max("e").as("me"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"), sum(col("me") - col("ms")).as("covered_us"))
+        .orderBy("user_id")
+    },
+    Some("""WITH iv AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS s,
+                               epoch_ns(ts) // 1000 + 1800000000 AS e FROM events),
+            m AS (SELECT user_id, event_id, s, e,
+                         MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                  FROM iv),
+            g AS (SELECT user_id, s, e,
+                         SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY s, event_id
+                             ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM m),
+            mg AS (SELECT user_id, grp, MIN(s) AS ms, MAX(e) AS me FROM g GROUP BY 1, 2)
+            SELECT user_id, COUNT(*) AS n_intervals, CAST(SUM(me - ms) AS BIGINT) AS covered_us
+            FROM mg GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Qdef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26,
-    q30, q31, q32, q33, q34, q35, q36,
-    q50, q51, q52, q53, q54, q55, q56, q57)
+    q30, q31, q32, q33, q34, q35, q36, q37,
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q5a)
 }
