@@ -163,6 +163,26 @@ object EventStreams {
           .otherwise("buy").as("event_type"),
         ((col("value") % 100) / 10.0).as("value"))
 
+  /** st0a: socket-source adapter — newline-delimited JSON events over
+    * a TCP socket, parsed into the Event schema with `from_json`. With
+    * the file-source test (st09) this completes the source-breadth
+    * story: MemoryStream / rate / file / socket all feed the same
+    * transforms unchanged, and a production Kafka source is again only
+    * the source line (`format("kafka")` + the same `from_json`).
+    * Spark's socket source is single-connection and non-replayable
+    * (driver-side receive, no offsets) — a test/dev conduit, never the
+    * 100 TB path; the parse-and-shape plan it feeds is the real,
+    * scale-tested artifact.
+    */
+  def socketEvents(
+      spark: org.apache.spark.sql.SparkSession,
+      host: String,
+      port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+      .select(from_json(col("value"), Encoders.product[Event].schema).as("e"))
+      .select("e.*")
+
   /** st03: exactly-once incremental load — the reference's "append new
     * visits" ETL shape. Duplicate deliveries (at-least-once sources,
     * replayed batches) are dropped on the event id within the

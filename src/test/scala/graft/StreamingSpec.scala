@@ -201,7 +201,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("st01 file source: readStream over a json-lines directory, incremental batches") {
+  test("st09: file source readStream over a json-lines directory, incremental batches") {
     import spark.implicits._
     val dir = tmpDir("st01files")
     val schema = org.apache.spark.sql.Encoders.product[Event].schema
@@ -231,6 +231,53 @@ class StreamingSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
       assert(rows === Set(Seq("click", 2L, 4.0), Seq("view", 1L, 2.0)))
     } finally q.stop()
+  }
+
+  test("st0a: socket source json-lines feed drives tumblingCounts") {
+    val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val port = server.getLocalPort
+    @volatile var writer: java.io.PrintWriter = null
+    val accepted = new java.util.concurrent.CountDownLatch(1)
+    val acceptor = new Thread(() => {
+      val sock = server.accept()
+      writer = new java.io.PrintWriter(sock.getOutputStream, true)
+      accepted.countDown()
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    val src = EventStreams.socketEvents(spark, "localhost", port)
+    val q = EventStreams.tumblingCounts(src, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("st0a_out").outputMode("append").start()
+    try {
+      assert(accepted.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "socket source never connected")
+      def send(id: Long, isoTs: String, user: Long, typ: String, v: Double): Unit =
+        writer.println(
+          s"""{"event_id":$id,"ts":"$isoTs","user_id":$user,"event_type":"$typ","value":$v}""")
+      send(1, "2026-01-01T10:00:00", 1, "click", 1.0)
+      send(2, "2026-01-01T10:20:00", 1, "click", 2.0)
+      // watermark only advances between micro-batches, and the socket
+      // source batches whatever has arrived — keep nudging it forward
+      // with far-future sentinels until the 10:00 window closes
+      val deadline = System.currentTimeMillis() + 90000
+      var sentinelId = 100L
+      while (spark.table("st0a_out").filter(col("event_type") === "click").isEmpty
+          && System.currentTimeMillis() < deadline) {
+        send(sentinelId, s"2026-01-02T00:00:0${sentinelId % 10}", 9, "sentinel", 0.0)
+        sentinelId += 1
+        Thread.sleep(500)
+      }
+      val rows = spark.table("st0a_out")
+        .filter(col("event_type") === "click")
+        .select("event_type", "n", "sum_value").collect()
+      assert(rows.length === 1, "expected exactly the closed 10:00 click window")
+      assert(rows(0).getLong(1) === 2L)
+      assert(rows(0).getDouble(2) === 3.0)
+    } finally {
+      q.stop()
+      server.close()
+    }
   }
 
   test("st04: stream-stream interval join (clicks within 10 min after views)") {
