@@ -444,5 +444,67 @@ object Dedup {
                          ELSE 0.0 END) <= 0.5 AS keep
             FROM f ORDER BY doc_id"""))
 
-  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68)
+  /** q69: incremental ingest near-dup filter — the continuous-load
+    * twin of q64. An incoming batch (doc_id % 7 == 3 stands in for
+    * "today's crawl") is checked against the existing corpus: batch
+    * docs with any corpus neighbor at 3-shingle jaccard ≥ 0.8 are
+    * dropped, the rest keep. The scale shape is the asymmetric LSH
+    * join: band keys are a narrow codegen map on both sides, and the
+    * SMALL side — the new batch — is broadcast, so the (unbounded)
+    * corpus band table never shuffles; at 100 TB that corpus band
+    * table is a persisted index (snapshot store) scanned once per
+    * ingest, and only verified candidates move. Verification joins
+    * shingle sets back per unique candidate pair, exactly like q64
+    * (full-recall LSH parameters, so the brute-force oracle matches).
+    */
+  private val q69 = Qdef(
+    "q69_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isInc = col("doc_id") % 7 === 3
+      def bandKeys(sig: DataFrame, idAs: String): DataFrame = sig
+        .select(col("doc_id").as(idAs),
+          posexplode(call_function("graft_band_hashes", col("sig"), lit(32), lit(2))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bh")
+      val sigs = minhashSignatures(docs)
+      val incBands = bandKeys(sigs.filter(isInc), "inc_id")
+      val corpBands = bandKeys(sigs.filter(!isInc), "corp_id")
+      val cand = broadcast(incBands).join(corpBands, Seq("band", "bh"))
+        .select("inc_id", "corp_id").distinct()
+      val sets = docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+      val matches = cand
+        .join(sets.select(col("doc_id").as("inc_id"), col("sh").as("sh_a")), "inc_id")
+        .join(sets.select(col("doc_id").as("corp_id"), col("sh").as("sh_b")), "corp_id")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .filter(size(array_union(col("sh_a"), col("sh_b"))) > 0 && col("jaccard") >= 0.8)
+        .groupBy(col("inc_id").as("doc_id"))
+        .agg(min("corp_id").as("dup_of"), count(lit(1)).as("n_matches"))
+      docs.filter(isInc).select("doc_id")
+        .join(matches, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("dup_of").isNull.as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+            g AS (SELECT doc_id,
+                    list_distinct(list_transform(generate_series(1, len(toks)-2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                  FROM t WHERE len(toks) >= 3),
+            m AS (SELECT i.doc_id, MIN(c.doc_id) AS dup_of, COUNT(*) AS n_matches
+                  FROM g i JOIN g c ON i.doc_id % 7 = 3 AND c.doc_id % 7 <> 3
+                    AND len(list_distinct(i.sh || c.sh)) > 0
+                    AND CAST(len(list_intersect(i.sh, c.sh)) AS DOUBLE) /
+                        CAST(len(list_distinct(i.sh || c.sh)) AS DOUBLE) >= 0.8
+                  GROUP BY i.doc_id)
+            SELECT d.doc_id AS doc_id, m.dup_of, COALESCE(m.n_matches, 0) AS n_matches,
+                   (m.dup_of IS NULL) AS keep
+            FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+            WHERE d.doc_id % 7 = 3
+            ORDER BY d.doc_id"""))
+
+  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
 }
