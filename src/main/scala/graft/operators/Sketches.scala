@@ -174,5 +174,59 @@ object Sketches {
              FROM lineitem JOIN part ON l_partkey = p_partkey
              WHERE p_name LIKE '%blue%'"""))
 
-  val all: Seq[Qdef] = Seq(q90, q91, q92, q93)
+  /** q9b: heavy hitters (frequent items) — the top-k token census a
+    * corpus profile needs, with a Count-Min sketch riding along as the
+    * mergeable 100 TB artifact. The exact side is one shuffled
+    * token-count aggregate with a deterministic (count desc, token)
+    * top-k; the sketch side is `count_min_sketch` — per-partition
+    * partial sketches merge associatively, so at scale per-shard
+    * sketches roll up without rescanning tokens (same property as the
+    * HLL rollup in q92). The sketch binary is a few KB independent of
+    * corpus size; probing the k winners happens driver-side on that
+    * constant (bounded, like the bloom in [[bloomPrefilteredJoin]]).
+    * CMS guarantees estimate ≥ exact, and ≤ exact + eps·N with
+    * probability 1-delta — both sides of that bound become the
+    * tolerance boolean the oracle pins to TRUE.
+    */
+  private val q9b = Qdef(
+    "q9b_sketch_topk",
+    (s, d) => {
+      val eps = 0.0001
+      val tok = Tables.documents(s, d)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      val top = tok.groupBy("token").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("token"))
+        .limit(20)
+      val row = tok.agg(
+        expr(s"count_min_sketch(token, ${eps}d, 0.99d, 1)").as("cms"),
+        count(lit(1)).as("total")).head()
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("cms")))
+      val slack = (eps * row.getAs[Long]("total")).toLong
+      val est = udfFreeEstimates(s, top.collect().map(r =>
+        (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0)))), slack)
+      est.orderBy(col("exact_n").desc, col("token"))
+    },
+    Some("""WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+                         FROM documents),
+            top AS (SELECT token, COUNT(*) AS exact_n FROM tok GROUP BY token
+                    ORDER BY exact_n DESC, token LIMIT 20)
+            SELECT token, exact_n, TRUE AS cms_ok FROM top
+            ORDER BY exact_n DESC, token"""))
+
+  /** The k probed winners re-enter the engine as a tiny local frame —
+    * a deliberate, bounded driver hop (k rows, one sketch), never a
+    * data-path collect.
+    */
+  private def udfFreeEstimates(
+      s: org.apache.spark.sql.SparkSession,
+      probed: Array[(String, Long, Long)],
+      slack: Long): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    probed.toSeq
+      .map { case (t, n, e) => (t, n, e >= n && e <= n + slack) }
+      .toDF("token", "exact_n", "cms_ok")
+  }
+
+  val all: Seq[Qdef] = Seq(q90, q91, q92, q93, q9b)
 }
