@@ -61,12 +61,26 @@ object Dedup {
     * rows=2 puts the S-curve threshold at ~(1/32)^(1/2)≈0.18 with
     * near-certain recall at jaccard ≥ 0.8 (miss prob (1-j²)^32 ≈ 1e-15).
     */
-  def lshCandidates(sig: DataFrame, bands: Int = 32, rows: Int = 2): DataFrame = {
-    val banded = sig
+  /** Tuned LSH banding parameters — the recall derivation on
+    * [[lshCandidates]] and q69's full-recall-vs-brute-force oracle
+    * both depend on these, so they live in exactly one place.
+    */
+  val LshBands = 32
+  val LshRows = 2
+
+  /** The banding projection shared by the self-join (q62) and the
+    * asymmetric batch-vs-corpus join (q69): one compact (band, bh)
+    * key pair per band per doc, computed by a narrow codegen map.
+    */
+  def bandedKeys(sig: DataFrame, bands: Int = LshBands, rows: Int = LshRows): DataFrame =
+    sig
       .select(col("doc_id"),
         posexplode(call_function("graft_band_hashes", col("sig"), lit(bands), lit(rows))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bh")
+
+  def lshCandidates(sig: DataFrame, bands: Int = LshBands, rows: Int = LshRows): DataFrame = {
+    val banded = bandedKeys(sig, bands, rows)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -462,14 +476,9 @@ object Dedup {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val isInc = col("doc_id") % 7 === 3
-      def bandKeys(sig: DataFrame, idAs: String): DataFrame = sig
-        .select(col("doc_id").as(idAs),
-          posexplode(call_function("graft_band_hashes", col("sig"), lit(32), lit(2))))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bh")
       val sigs = minhashSignatures(docs)
-      val incBands = bandKeys(sigs.filter(isInc), "inc_id")
-      val corpBands = bandKeys(sigs.filter(!isInc), "corp_id")
+      val incBands = bandedKeys(sigs.filter(isInc)).withColumnRenamed("doc_id", "inc_id")
+      val corpBands = bandedKeys(sigs.filter(!isInc)).withColumnRenamed("doc_id", "corp_id")
       val cand = broadcast(incBands).join(corpBands, Seq("band", "bh"))
         .select("inc_id", "corp_id").distinct()
       val sets = docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))

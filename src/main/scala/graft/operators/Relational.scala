@@ -549,30 +549,29 @@ object Relational {
             FROM nation
             ORDER BY n_nationkey, metric"""))
 
-  /** q37: GROUPING SETS — the general form rollup/cube specialize.
-    * Spark's DataFrame API exposes only rollup/cube, so this goes
-    * through `spark.sql` over a temp view of the joined base (the view
-    * is lazy — the plan still starts from pruned parquet scans with the
-    * dims broadcast). `grouping(...)` disambiguates a real NULL key
+  /** q37: GROUPING SETS — the general form rollup/cube specialize,
+    * via Spark 4's native `Dataset.groupingSets` (no SQL hop, no
+    * session state). `grouping(...)` disambiguates a real NULL key
     * from a grouping-set placeholder; the composed gid (grouping(a)*2 +
     * grouping(b)) is portable across engines, unlike engine-specific
     * GROUPING_ID bit orders.
     */
   private val q37 = Qdef(
     "q37_grouping_sets",
-    (s, d) => {
+    (s, d) =>
       Tables.orders(s, d)
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .select("n_name", "o_orderstatus", "o_totalprice")
-        .createOrReplaceTempView("q37_base")
-      s.sql(s"""SELECT n_name, o_orderstatus,
-                       grouping(n_name) * 2 + grouping(o_orderstatus) AS gid,
-                       COUNT(*) AS n, ${DSUM("o_totalprice")} AS revenue
-                FROM q37_base
-                GROUP BY GROUPING SETS ((n_name), (o_orderstatus), (n_name, o_orderstatus), ())
-                ORDER BY gid, n_name, o_orderstatus""")
-    },
+        .groupingSets(
+          Seq(Seq(col("n_name")), Seq(col("o_orderstatus")),
+            Seq(col("n_name"), col("o_orderstatus")), Seq()),
+          col("n_name"), col("o_orderstatus"))
+        .agg(
+          (grouping(col("n_name")) * 2 + grouping(col("o_orderstatus"))).as("gid"),
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("gid", "n_name", "o_orderstatus"),
     Some(s"""WITH base AS (
               SELECT n_name, o_orderstatus, o_totalprice
               FROM orders JOIN customer ON o_custkey = c_custkey

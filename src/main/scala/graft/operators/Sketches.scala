@@ -184,9 +184,12 @@ object Sketches {
     * HLL rollup in q92). The sketch binary is a few KB independent of
     * corpus size; probing the k winners happens driver-side on that
     * constant (bounded, like the bloom in [[bloomPrefilteredJoin]]).
-    * CMS guarantees estimate ≥ exact, and ≤ exact + eps·N with
-    * probability 1-delta — both sides of that bound become the
-    * tolerance boolean the oracle pins to TRUE.
+    * CMS guarantees estimate ≥ exact always; the upper bound
+    * (exact + eps·N) holds only with per-item probability 1-delta, so
+    * the tolerance boolean uses 5× that slack plus a constant — the
+    * exceedance probability decays exponentially per sketch row
+    * (~(1/10)^7 ≈ 1e-7 at 5×), so the boolean never flips on a gate
+    * dataset while still catching a broken sketch outright.
     */
   private val q9b = Qdef(
     "q9b_sketch_topk",
@@ -202,7 +205,7 @@ object Sketches {
         count(lit(1)).as("total")).head()
       val cms = org.apache.spark.util.sketch.CountMinSketch
         .readFrom(new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("cms")))
-      val slack = (eps * row.getAs[Long]("total")).toLong
+      val slack = 5L * (eps * row.getAs[Long]("total")).toLong + 10L
       val est = udfFreeEstimates(s, top.collect().map(r =>
         (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0)))), slack)
       est.orderBy(col("exact_n").desc, col("token"))

@@ -234,7 +234,8 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("st0a: socket source json-lines feed drives tumblingCounts") {
-    val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val loopback = java.net.InetAddress.getLoopbackAddress
+    val server = new java.net.ServerSocket(0, 1, loopback)
     val port = server.getLocalPort
     @volatile var writer: java.io.PrintWriter = null
     val accepted = new java.util.concurrent.CountDownLatch(1)
@@ -246,7 +247,9 @@ class StreamingSpec extends SparkSpec {
     acceptor.setDaemon(true)
     acceptor.start()
 
-    val src = EventStreams.socketEvents(spark, "localhost", port)
+    // same literal address on both ends — "localhost" can resolve to a
+    // different loopback family than the ServerSocket's bind address
+    val src = EventStreams.socketEvents(spark, loopback.getHostAddress, port)
     val q = EventStreams.tumblingCounts(src, watermark = "30 minutes")
       .writeStream.format("memory").queryName("st0a_out").outputMode("append").start()
     try {
