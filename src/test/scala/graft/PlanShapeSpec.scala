@@ -183,4 +183,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx.exists(_.contains("__salt")), s"no salt-keyed exchange:\n$p")
     assert(hashEx.exists(!_.contains("__salt")), s"no bare-key finish exchange:\n$p")
   }
+
+  test("q69: batch side broadcasts; corpus band keys never hash-shuffle") {
+    val p = plan("q69_incremental_dedup")
+    // the incoming batch's band keys must arrive via BroadcastExchange,
+    // and the corpus branch under that join must be narrow (scan → sig
+    // → explode), or per-ingest cost would scale with the corpus. The
+    // band join is the DEEPEST join (plans print top-down, so it is
+    // the last BroadcastHashJoin line and everything after it is its
+    // subtree): no hash exchange may appear below it.
+    val bandJoin = p.linesIterator.indexWhere(l =>
+      l.contains("BroadcastHashJoin [band"))
+    assert(bandJoin >= 0, s"band join not broadcast:\n$p")
+    val below = p.linesIterator.drop(bandJoin).mkString("\n")
+    assert(below.contains("BroadcastExchange"),
+      s"no broadcast exchange under the band join:\n$p")
+    assert(!below.contains("Exchange hashpartitioning"),
+      s"corpus band keys shuffled below the broadcast band join:\n$p")
+  }
+
+  test("q5a: interval merge reuses ONE subject shuffle for windows and aggregates") {
+    val p = plan("q5a_interval_merge")
+    // one hash exchange on user_id feeds both window passes AND both
+    // groupBys (their keys are prefixed by the window partition key);
+    // the only other exchange is the oracle-determinism range sort.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 1, s"expected exactly 1 hash exchange, got $hashEx:\n$p")
+  }
+
+  test("q58: both gap-fill windows share the event_type partitioning") {
+    val p = plan("q58_gap_fill")
+    // running-count window (event_type) and fill-group max window
+    // (event_type, grp) must sit on one exchange: the second key is a
+    // superset prefix, so a second hash exchange means a regression.
+    val windows = "Window".r.findAllIn(p).length
+    assert(windows >= 2, s"expected 2 window passes:\n$p")
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("event_type") && !l.contains("hour"))
+    assert(hashEx === 1,
+      s"expected exactly 1 event_type-keyed exchange feeding both windows, got $hashEx:\n$p")
+  }
 }
