@@ -471,31 +471,38 @@ object Dedup {
     * shingle sets back per unique candidate pair, exactly like q64
     * (full-recall LSH parameters, so the brute-force oracle matches).
     */
+  /** The q69 pipeline as a user-callable API: per batch doc, its
+    * corpus verdict — `dup_of` (smallest matching corpus id or null),
+    * `n_matches`, and the `keep` flag. Batch and corpus need
+    * (doc_id, text); ids must be disjoint across the two frames.
+    */
+  def incrementalNearDups(batch: DataFrame, corpus: DataFrame, minJ: Double = 0.8): DataFrame = {
+    val incBands = bandedKeys(minhashSignatures(batch)).withColumnRenamed("doc_id", "inc_id")
+    val corpBands = bandedKeys(minhashSignatures(corpus)).withColumnRenamed("doc_id", "corp_id")
+    val cand = broadcast(incBands).join(corpBands, Seq("band", "bh"))
+      .select("inc_id", "corp_id").distinct()
+    val matches = cand
+      .join(batch.select(col("doc_id").as("inc_id"), shingleHashes(col("text"), 3).as("sh_a")), "inc_id")
+      .join(corpus.select(col("doc_id").as("corp_id"), shingleHashes(col("text"), 3).as("sh_b")), "corp_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(size(array_union(col("sh_a"), col("sh_b"))) > 0 && col("jaccard") >= minJ)
+      .groupBy(col("inc_id").as("doc_id"))
+      .agg(min("corp_id").as("dup_of"), count(lit(1)).as("n_matches"))
+    batch.select("doc_id")
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   private val q69 = Qdef(
     "q69_incremental_dedup",
     (s, d) => {
       val docs = Tables.documents(s, d)
       val isInc = col("doc_id") % 7 === 3
-      val sigs = minhashSignatures(docs)
-      val incBands = bandedKeys(sigs.filter(isInc)).withColumnRenamed("doc_id", "inc_id")
-      val corpBands = bandedKeys(sigs.filter(!isInc)).withColumnRenamed("doc_id", "corp_id")
-      val cand = broadcast(incBands).join(corpBands, Seq("band", "bh"))
-        .select("inc_id", "corp_id").distinct()
-      val sets = docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
-      val matches = cand
-        .join(sets.select(col("doc_id").as("inc_id"), col("sh").as("sh_a")), "inc_id")
-        .join(sets.select(col("doc_id").as("corp_id"), col("sh").as("sh_b")), "corp_id")
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-        .filter(size(array_union(col("sh_a"), col("sh_b"))) > 0 && col("jaccard") >= 0.8)
-        .groupBy(col("inc_id").as("doc_id"))
-        .agg(min("corp_id").as("dup_of"), count(lit(1)).as("n_matches"))
-      docs.filter(isInc).select("doc_id")
-        .join(matches, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("dup_of"),
-          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-          col("dup_of").isNull.as("keep"))
+      incrementalNearDups(docs.filter(isInc), docs.filter(!isInc))
         .orderBy("doc_id")
     },
     Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

@@ -36,6 +36,29 @@ class ScaleSmokeSpec extends SparkSpec {
     info(f"8x fan-out: ${n * 8} docs, $candCount candidate pairs, $secs%.1f s")
   }
 
+  test("incremental dedup drops every batch doc against an 8x fanned corpus") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val batch = docs.select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text"))
+    val corpus = (0 until 8)
+      .map(i => docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ union _)
+      .repartition(8)
+
+    val rows = Dedup.incrementalNearDups(batch, corpus).collect()
+    assert(rows.length === n, "one verdict row per batch doc")
+    // every batch doc's exact text sits in the corpus 8 times: every
+    // doc that has shingles at all (>= 3 tokens → a signature) must be
+    // dropped with at least its 8 identical copies as matches
+    val withSig = Dedup.minhashSignatures(batch).count()
+    val dropped = rows.filterNot(_.getBoolean(3))
+    assert(dropped.length === withSig,
+      s"expected all $withSig shingled batch docs dropped, got ${dropped.length}")
+    dropped.foreach { r =>
+      assert(r.getLong(2) >= 8L, s"doc ${r.getLong(0)}: identical copies missed")
+    }
+  }
+
   test("passage dedup stays linear under an 8x corpus fan-out") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
