@@ -522,5 +522,47 @@ object Dedup {
             WHERE d.doc_id % 7 = 3
             ORDER BY d.doc_id"""))
 
-  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
+  /** q6a: blocked edit-distance dedup — the classic entity-resolution
+    * recipe (cheap deterministic blocking key, exact pairwise verify
+    * inside each block) as the character-level complement to the
+    * token-level jaccard family. Blocking on the first 20 normalized
+    * chars makes candidate generation one shuffle on a compact key
+    * with in-block pairwise work only; levenshtein runs on the 400-char
+    * truncation so per-pair cost is bounded. At 100 TB block sizes are
+    * the knob: a hot prefix needs a wider key or a salt, exactly like
+    * any skewed join key (SURVEY §4). Both engines implement classic
+    * Wagner-Fischer levenshtein over codepoints, and the similarity is
+    * one identically-written division — hash-exact.
+    */
+  private val q6a = Qdef(
+    "q6a_dedup_blocked_edit",
+    (s, d) => {
+      val n = Tables.documents(s, d)
+        .select(col("doc_id"), substring(normText(col("text")), 1, 400).as("t"))
+        .withColumn("blk", substring(col("t"), 1, 20))
+        .filter(length(col("t")) > 0)
+      val a = n.select(col("doc_id").as("id_a"), col("t").as("ta"), col("blk"))
+      val b = n.select(col("doc_id").as("id_b"), col("t").as("tb"), col("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("lev", levenshtein(col("ta"), col("tb")))
+        .withColumn("mx", greatest(length(col("ta")), length(col("tb"))))
+        .withColumn("edit_sim", lit(1.0) - col("lev").cast("double") / col("mx").cast("double"))
+        .filter(col("edit_sim") >= 0.8)
+        .select("id_a", "id_b", "lev", "edit_sim")
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH n AS (SELECT doc_id,
+                   substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 400) AS t
+                 FROM documents),
+            b AS (SELECT doc_id, t, substr(t, 1, 20) AS blk FROM n WHERE len(t) > 0),
+            p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                         levenshtein(a.t, c.t) AS lev,
+                         GREATEST(len(a.t), len(c.t)) AS mx
+                  FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id)
+            SELECT id_a, id_b, lev, 1.0 - CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE) AS edit_sim
+            FROM p WHERE 1.0 - CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE) >= 0.8
+            ORDER BY id_a, id_b"""))
+
+  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q6a)
 }
