@@ -530,15 +530,18 @@ object Dedup {
     * with in-block pairwise work only; levenshtein runs on the 400-char
     * truncation so per-pair cost is bounded. At 100 TB block sizes are
     * the knob: a hot prefix needs a wider key or a salt, exactly like
-    * any skewed join key (SURVEY §4). Both engines implement classic
-    * Wagner-Fischer levenshtein over codepoints, and the similarity is
-    * one identically-written division — hash-exact.
+    * any skewed join key (SURVEY §4). Cross-engine parity caveat:
+    * Spark's levenshtein counts code points but DuckDB's counts UTF-8
+    * BYTES, so both sides first squash non-ASCII to '?' — on pure
+    * ASCII the two definitions coincide and the similarity is one
+    * identically-written division — hash-exact for any input corpus.
     */
   private val q6a = Qdef(
     "q6a_dedup_blocked_edit",
     (s, d) => {
       val n = Tables.documents(s, d)
-        .select(col("doc_id"), substring(normText(col("text")), 1, 400).as("t"))
+        .select(col("doc_id"),
+          substring(regexp_replace(normText(col("text")), "[^\\x20-\\x7E]", "?"), 1, 400).as("t"))
         .withColumn("blk", substring(col("t"), 1, 20))
         .filter(length(col("t")) > 0)
       val a = n.select(col("doc_id").as("id_a"), col("t").as("ta"), col("blk"))
@@ -553,7 +556,8 @@ object Dedup {
         .orderBy("id_a", "id_b")
     },
     Some("""WITH n AS (SELECT doc_id,
-                   substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 400) AS t
+                   substr(regexp_replace(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                                         '[^\x20-\x7E]', '?', 'g'), 1, 400) AS t
                  FROM documents),
             b AS (SELECT doc_id, t, substr(t, 1, 20) AS blk FROM n WHERE len(t) > 0),
             p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,

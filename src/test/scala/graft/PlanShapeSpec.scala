@@ -188,14 +188,18 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q69_incremental_dedup")
     // the incoming batch's band keys must arrive via BroadcastExchange,
     // and the corpus branch under that join must be narrow (scan → sig
-    // → explode), or per-ingest cost would scale with the corpus. The
-    // band join is the DEEPEST join (plans print top-down, so it is
-    // the last BroadcastHashJoin line and everything after it is its
-    // subtree): no hash exchange may appear below it.
-    val bandJoin = p.linesIterator.indexWhere(l =>
-      l.contains("BroadcastHashJoin [band"))
-    assert(bandJoin >= 0, s"band join not broadcast:\n$p")
-    val below = p.linesIterator.drop(bandJoin).mkString("\n")
+    // → explode), or per-ingest cost would scale with the corpus.
+    // Anchor: exactly ONE band-keyed broadcast join may exist (a
+    // second would make the text-scoping below ambiguous — fail loud),
+    // and in a top-down print the text after it covers its subtree
+    // plus later siblings of its ancestors; none of that region may
+    // hash-shuffle, which is strictly stronger than the corpus-branch
+    // property being locked.
+    val bandJoins = p.linesIterator.zipWithIndex
+      .filter(_._1.contains("BroadcastHashJoin [band")).toSeq
+    assert(bandJoins.length === 1,
+      s"expected exactly 1 band-keyed broadcast join, got ${bandJoins.length}:\n$p")
+    val below = p.linesIterator.drop(bandJoins.head._2).mkString("\n")
     assert(below.contains("BroadcastExchange"),
       s"no broadcast exchange under the band join:\n$p")
     assert(!below.contains("Exchange hashpartitioning"),
