@@ -291,6 +291,22 @@ object Cohort {
       followed.select(col("user_id").as("subject")).distinct())
   }
 
+  /** Era-count criterion — the "exposure era" shape of a clinical
+    * warehouse (events within a gap window fold into continuous eras;
+    * the criterion asks for subjects with at least `minEras` of them).
+    * Built on [[Relational.mergedEras]]'s single user_id shuffle; the
+    * era count is a per-subject aggregate on the already-partitioned
+    * data, so the atom costs one shuffle total and composes with
+    * [[cnf]] like any other atom.
+    */
+  def eraAtom(events: DataFrame, windowUs: Long, minEras: Long): Atom =
+    Atom(s"eras_ge_$minEras",
+      Relational.mergedEras(events, windowUs)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_eras"))
+        .filter(col("n_eras") >= minEras)
+        .select(col("user_id").as("subject")))
+
   /** q4c: count of subjects who purchased within 7 days after a view —
     * a temporal conversion criterion expressed as a cohort atom.
     */
@@ -309,6 +325,28 @@ object Cohort {
                 WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
                   AND b.us >= a.us AND b.us <= a.us + CAST(604800000000 AS BIGINT))) t"""))
 
+  /** q4d: subjects with at least 65 half-hour activity eras — the
+    * era-duration criterion as a checkable cohort count.
+    */
+  private val q4d = Qdef(
+    "q4d_cohort_era",
+    (s, d) =>
+      countSubjects(eraAtom(Tables.events(s, d), 1800000000L, 65L).keys),
+    Some("""WITH iv AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS s,
+                               epoch_ns(ts) // 1000 + 1800000000 AS e FROM events),
+            m AS (SELECT user_id, event_id, s, e,
+                         MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                  FROM iv),
+            g AS (SELECT user_id, s, e,
+                         SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY s, event_id
+                             ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM m),
+            mg AS (SELECT user_id, grp FROM g GROUP BY 1, 2),
+            q AS (SELECT user_id FROM mg GROUP BY user_id HAVING COUNT(*) >= 65)
+            SELECT COUNT(*) AS n_subjects FROM q"""))
+
   val all: Seq[Qdef] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, CohortQuery.q4a, q4b, q4c)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, CohortQuery.q4a, q4b, q4c, q4d)
 }

@@ -839,26 +839,36 @@ object Relational {
     * naive overlap self-join is quadratic on hot subjects). All
     * arithmetic is integer microseconds → hash-exact oracle.
     */
+  /** Per-subject merged eras (one row per era: user_id, grp, ms, me) —
+    * the single-window-pass core of q5a, also consumed by the cohort
+    * era criterion ([[Cohort.eraAtom]]). Each event opens a
+    * `windowUs`-long interval; per subject, intervals whose start lies
+    * at or under the running max end fold into one era. One shuffle on
+    * user_id, linear per subject, no overlap self-join.
+    */
+  def mergedEras(events: DataFrame, windowUs: Long = 1800000000L): DataFrame = {
+    val byStart = Window.partitionBy("user_id").orderBy("s", "event_id")
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + windowUs).as("e"))
+      .withColumn("pmax",
+        max(col("e")).over(byStart.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("grp",
+        sum(col("is_new")).over(byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "grp")
+      .agg(min("s").as("ms"), max("e").as("me"))
+  }
+
   private val q5a = Qdef(
     "q5a_interval_merge",
-    (s, d) => {
-      val byStart = Window.partitionBy("user_id").orderBy("s", "event_id")
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("s"),
-          (unix_micros(col("ts")) + 1800000000L).as("e"))
-        .withColumn("pmax",
-          max(col("e")).over(byStart.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("is_new",
-          when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
-        .withColumn("grp",
-          sum(col("is_new")).over(byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "grp")
-        .agg(min("s").as("ms"), max("e").as("me"))
+    (s, d) =>
+      mergedEras(Tables.events(s, d))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_intervals"), sum(col("me") - col("ms")).as("covered_us"))
-        .orderBy("user_id")
-    },
+        .orderBy("user_id"),
     Some("""WITH iv AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS s,
                                epoch_ns(ts) // 1000 + 1800000000 AS e FROM events),
             m AS (SELECT user_id, event_id, s, e,
