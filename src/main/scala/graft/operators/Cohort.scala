@@ -348,5 +348,6 @@ object Cohort {
             SELECT COUNT(*) AS n_subjects FROM q"""))
 
   val all: Seq[Qdef] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, CohortQuery.q4a, q4b, q4c, q4d)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
+      CohortQuery.q4a, q4b, q4c, q4d, CohortQuery.q4e)
 }

@@ -54,6 +54,15 @@ object CohortQuery {
       case s => throw new IllegalArgumentException(s"unknown visit source: $s")
     }
 
+  /** user-population keys (the event stream's subject axis) — the
+    * population the typed temporal/era atoms key by.
+    */
+  private def userKey(spark: SparkSession, dir: String, source: String): (DataFrame, Column) =
+    source match {
+      case "events" => (Tables.events(spark, dir), col("user_id"))
+      case s => throw new IllegalArgumentException(s"unknown user source: $s")
+    }
+
   private def lit0(v: JValue): Any = v match {
     case JString(s)  => s
     case JInt(i)     => i.toLong
@@ -93,18 +102,52 @@ object CohortQuery {
       case other      => throw new IllegalArgumentException(s"atom '$name' must be a string, got $other")
     }
 
+  private def numField(atom: JValue, name: String): Long =
+    atom \ name match {
+      case JInt(i)  => i.toLong
+      case JLong(l) => l
+      case JNothing => throw new IllegalArgumentException(s"atom is missing '$name': $atom")
+      case other    => throw new IllegalArgumentException(s"atom '$name' must be an integer, got $other")
+    }
+
+  /** One criterion → distinct key set. `type` picks the atom family:
+    * plain field predicates (default), or the typed event-shape
+    * criteria — `temporal` ({first, then, withinDays}, q4c semantics)
+    * and `era` ({windowMinutes, minEras}, q4d semantics) — which key
+    * by user_id and therefore require the `user` population.
+    */
   private def atomKeys(
       spark: SparkSession, dir: String, population: String, atom: JValue): DataFrame = {
-    val source = strField(atom, "source")
-    val field = strField(atom, "field")
-    val op = strField(atom, "op")
-    val value = atom \ "value"
-    val (df, key) = population match {
-      case "subject" => subjectKey(spark, dir, source)
-      case "visit"   => visitKey(spark, dir, source)
-      case p => throw new IllegalArgumentException(s"unknown population: $p")
+    val typ = atom \ "type" match {
+      case JString(t) => t
+      case JNothing   => "field"
+      case other      => throw new IllegalArgumentException(s"bad atom type: $other")
     }
-    df.filter(predicate(field, op, value)).select(key.as("subject")).distinct()
+    typ match {
+      case "field" =>
+        val source = strField(atom, "source")
+        val field = strField(atom, "field")
+        val op = strField(atom, "op")
+        val value = atom \ "value"
+        val (df, key) = population match {
+          case "subject" => subjectKey(spark, dir, source)
+          case "visit"   => visitKey(spark, dir, source)
+          case "user"    => userKey(spark, dir, source)
+          case p => throw new IllegalArgumentException(s"unknown population: $p")
+        }
+        df.filter(predicate(field, op, value)).select(key.as("subject")).distinct()
+      case "temporal" =>
+        require(population == "user", "temporal atoms key by user_id — use population 'user'")
+        Cohort.temporalAtom(Tables.events(spark, dir),
+          strField(atom, "first"), strField(atom, "then"),
+          numField(atom, "withinDays").toInt).keys
+      case "era" =>
+        require(population == "user", "era atoms key by user_id — use population 'user'")
+        Cohort.eraAtom(Tables.events(spark, dir),
+          numField(atom, "windowMinutes") * 60000000L,
+          numField(atom, "minEras")).keys
+      case other => throw new IllegalArgumentException(s"unknown atom type: $other")
+    }
   }
 
   /** Evaluate a JSON query spec → distinct population key set. */
@@ -156,6 +199,52 @@ object CohortQuery {
       |    {"source": "customer", "field": "c_acctbal", "op": "lt", "value": 0}
       |  ]
       |}""".stripMargin
+
+  /** The event-shape demo spec for q4e: era AND (temporal OR field)
+    * NOT field, over the user population — every typed atom family in
+    * one declarative query.
+    */
+  val eventsSpec: String =
+    """{
+      |  "population": "user",
+      |  "and": [
+      |    {"type": "era", "windowMinutes": 30, "minEras": 60},
+      |    {"or": [
+      |      {"type": "temporal", "first": "view", "then": "purchase", "withinDays": 1},
+      |      {"source": "events", "field": "value", "op": "between", "value": [250, 300]}
+      |    ]}
+      |  ],
+      |  "not": [
+      |    {"source": "events", "field": "value", "op": "gt", "value": 300}
+      |  ]
+      |}""".stripMargin
+
+  val q4e: graft.Qdef = graft.Qdef(
+    "q4e_cohort_dsl_events",
+    (s, d) => count(s, d, eventsSpec),
+    Some("""WITH e AS (SELECT user_id, event_type, value, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+            iv AS (SELECT user_id, event_id, us AS s, us + 1800000000 AS e FROM e),
+            m AS (SELECT user_id, event_id, s, e,
+                         MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                  FROM iv),
+            g AS (SELECT user_id, s,
+                         SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY s, event_id
+                             ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM m),
+            mg AS (SELECT user_id, grp FROM g GROUP BY 1, 2),
+            q AS (SELECT user_id FROM mg GROUP BY user_id HAVING COUNT(*) >= 60),
+            t AS (SELECT DISTINCT a.user_id FROM e a WHERE a.event_type = 'view' AND EXISTS (
+                    SELECT 1 FROM e b WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+                      AND b.us >= a.us AND b.us <= a.us + CAST(86400000000 AS BIGINT))),
+            f AS (SELECT DISTINCT user_id FROM e WHERE value BETWEEN 250 AND 300),
+            x AS (SELECT DISTINCT user_id FROM e WHERE value > 300)
+            SELECT COUNT(*) AS n_subjects FROM (
+              (SELECT user_id FROM q
+               INTERSECT
+               (SELECT user_id FROM t UNION SELECT user_id FROM f))
+              EXCEPT SELECT user_id FROM x) z"""))
 
   val q4a: graft.Qdef = graft.Qdef(
     "q4a_cohort_json_dsl",
