@@ -3,7 +3,6 @@ package graft.dedup
 import graft.{Qdef, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table — SURVEY §2.7.
@@ -403,10 +402,15 @@ object Dedup {
     *
     * Scale shape: passage hashing is a narrow map + explode onto
     * 16-byte keys (fan-out n_tokens/width, i.e. SMALLER than the
-    * token stream); corpus-wide multiplicity is one window keyed by
-    * the passage hash (one shuffle, count only — the passage text
-    * never ships); the per-doc rollup shuffles compact (doc_id,
-    * counts) rows. No step is ever pairwise.
+    * token stream); corpus-wide multiplicity is a groupBy on the
+    * passage hash — NOT a window: window counts have no map-side
+    * partial aggregation, so a boilerplate passage occurring 10⁸
+    * times (exactly what this operator exists to catch) would land
+    * every copy in one reducer. The groupBy partial-aggregates hot
+    * hashes inside each map task, and the join back on phash is a
+    * plain equi-join AQE can skew-split — no single-task bottleneck.
+    * The per-doc rollup then shuffles compact (doc_id, counts) rows.
+    * No step is ever pairwise.
     */
   def passageDedup(docs: DataFrame, width: Int = 10, maxDupFrac: Double = 0.5): DataFrame = {
     val passages = docs
@@ -416,11 +420,18 @@ object Dedup {
           transform(sequence(lit(0), floor(size(col("toks")) / width).cast("int") - 1),
             j => md5(concat_ws(" ", slice(col("toks"), j * width + 1, lit(width))).cast("binary"))))
           .otherwise(typedLit(Array.empty[String]))).as("phash"))
-    val counted = passages
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("phash")))
-    val perDoc = counted.groupBy("doc_id").agg(
-      count(lit(1)).as("n_passages"),
-      sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
+    // only the duplicated hashes join back (typically a small fraction
+    // of distinct passages), and the count itself never ships — a
+    // passage is "dup" iff its hash appears in this set
+    val dupHashes = passages
+      .groupBy("phash").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select(col("phash"), lit(1L).as("is_dup"))
+    val perDoc = passages
+      .join(dupHashes, Seq("phash"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_passages"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_passages"))
     // short docs have zero passages and fell out at the explode; the
     // left join restores them as trivially-kept rows
     docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
@@ -522,42 +533,191 @@ object Dedup {
             WHERE d.doc_id % 7 = 3
             ORDER BY d.doc_id"""))
 
+  // ----------------------------------- persisted band index (q6b)
+
+  /** Build and persist the LSH band index of `corpus` into a
+    * [[graft.sources.Snapshots]] store at `root` — the one-time
+    * full-corpus shingle pass that [[incrementalNearDups]] would
+    * otherwise repeat on EVERY ingest batch. The index rows are the
+    * compact (doc_id, band, bh) keys only (never text or signatures);
+    * a doc's bands are immutable, so the store is append-only.
+    */
+  def commitBandIndex(corpus: DataFrame, root: String): Long =
+    graft.sources.Snapshots.commit(bandedKeys(minhashSignatures(corpus)), root)
+
+  /** The stored band index: a raw union of every committed segment.
+    * Append-only means NO last-writer-wins merge — an as-of style
+    * window here would shuffle the whole index per ingest; the union
+    * of parquet scans is narrow and AQE-coalesced instead.
+    */
+  def readBandIndex(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
+    import graft.sources.Snapshots
+    val vs = Snapshots.versions(spark, root)
+    require(vs.nonEmpty, s"no band index committed at $root (run commitBandIndex first)")
+    vs.map { case (v, _, _) => Snapshots.read(spark, root, v) }.reduce(_ unionByName _)
+  }
+
+  /** Ingest verdicts for `batch` against the PERSISTED band index —
+    * same output contract as [[incrementalNearDups]], but candidate
+    * generation never touches corpus text: the (tiny) batch bands
+    * broadcast against the stored index scan. Verification shingles
+    * ONLY the candidate corpus docs: the batch-bounded candidate set
+    * (with its shingles) broadcasts against the corpus scan, corpus
+    * text rides THROUGH that join, and `sh_b` is computed after it —
+    * so at 100 TB the per-ingest cost is one index scan, one corpus
+    * scan, and shingling of a candidate-bounded slice, never a
+    * full-corpus re-shingle. The whole pipeline uses the candidate
+    * set exactly once, so nothing upstream is computed twice.
+    */
+  def ingestAgainstIndex(
+      batch: DataFrame, corpusText: DataFrame, root: String, minJ: Double = 0.8): DataFrame = {
+    val spark = batch.sparkSession
+    val incBands = bandedKeys(minhashSignatures(batch)).withColumnRenamed("doc_id", "inc_id")
+    val corpBands = readBandIndex(spark, root).withColumnRenamed("doc_id", "corp_id")
+    val cand = broadcast(incBands).join(corpBands, Seq("band", "bh"))
+      .select("inc_id", "corp_id").distinct()
+    val candSh = cand
+      .join(batch.select(col("doc_id").as("inc_id"), shingleHashes(col("text"), 3).as("sh_a")), "inc_id")
+    val matches = broadcast(candSh)
+      .join(corpusText.select(col("doc_id").as("corp_id"), col("text").as("_ct")), "corp_id")
+      .withColumn("sh_b", shingleHashes(col("_ct"), 3))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(size(array_union(col("sh_a"), col("sh_b"))) > 0 && col("jaccard") >= minJ)
+      .groupBy(col("inc_id").as("doc_id"))
+      .agg(min("corp_id").as("dup_of"), count(lit(1)).as("n_matches"))
+    batch.select("doc_id")
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("dup_of").isNull.as("keep"))
+  }
+
+  /** [[ingestAgainstIndex]] + index maintenance: verdicts are
+    * materialized, then the ACCEPTED docs' bands are committed back
+    * as a delta segment so the next ingest sees them — the
+    * band-index twin of the snapshot store's import-batch cycle.
+    * Only the (small) batch is re-shingled for the commit.
+    */
+  def ingestAndCommit(
+      batch: DataFrame, corpusText: DataFrame, root: String, minJ: Double = 0.8): DataFrame = {
+    val verdicts = ingestAgainstIndex(batch, corpusText, root, minJ).localCheckpoint(true)
+    val keepers = batch.join(
+      verdicts.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    graft.sources.Snapshots.commitDelta(bandedKeys(minhashSignatures(keepers)), root)
+    verdicts
+  }
+
+  /** q6b: two successive ingest batches against the persisted index.
+    * Batch 1 (doc_id ≡ 3 mod 7) is screened against the corpus index
+    * and its keepers' bands are committed; batch 2 (≡ 5 mod 7) is
+    * then screened against corpus ∪ batch-1 keepers THROUGH THE
+    * STORE — the result is batch 2's verdicts, which the oracle
+    * reproduces by brute-force jaccard against the same two-stage
+    * corpus (full-recall LSH parameters, as in q69). A fresh store
+    * root per invocation keeps the query deterministic under
+    * re-runs; the plan lock in PlanShapeSpec asserts the second
+    * ingest never re-shingles corpus text for banding.
+    */
+  private val q6b = Qdef(
+    "q6b_band_index_ingest",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 7 =!= 5)
+      val b1 = docs.filter(col("doc_id") % 7 === 3)
+      val b2 = docs.filter(col("doc_id") % 7 === 5)
+      val root = s"target/graft-bandindex/${java.util.UUID.randomUUID.toString.take(8)}"
+      commitBandIndex(corpus, root)
+      val v1 = ingestAndCommit(b1, corpus, root)
+      val corpus2 = corpus.unionByName(
+        b1.join(v1.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi"))
+      ingestAgainstIndex(b2, corpus2, root).orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+            g AS (SELECT doc_id,
+                    list_distinct(list_transform(generate_series(1, len(toks)-2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                  FROM t WHERE len(toks) >= 3),
+            m1 AS (SELECT i.doc_id
+                   FROM g i JOIN g c ON i.doc_id % 7 = 3 AND c.doc_id % 7 NOT IN (3, 5)
+                     AND len(list_distinct(i.sh || c.sh)) > 0
+                     AND CAST(len(list_intersect(i.sh, c.sh)) AS DOUBLE) /
+                         CAST(len(list_distinct(i.sh || c.sh)) AS DOUBLE) >= 0.8
+                   GROUP BY i.doc_id),
+            c2 AS (SELECT doc_id FROM documents WHERE doc_id % 7 NOT IN (3, 5)
+                   UNION ALL
+                   SELECT doc_id FROM documents
+                   WHERE doc_id % 7 = 3 AND doc_id NOT IN (SELECT doc_id FROM m1)),
+            m2 AS (SELECT i.doc_id, MIN(c.doc_id) AS dup_of, COUNT(*) AS n_matches
+                   FROM g i JOIN g c ON i.doc_id % 7 = 5
+                     AND c.doc_id IN (SELECT doc_id FROM c2)
+                     AND len(list_distinct(i.sh || c.sh)) > 0
+                     AND CAST(len(list_intersect(i.sh, c.sh)) AS DOUBLE) /
+                         CAST(len(list_distinct(i.sh || c.sh)) AS DOUBLE) >= 0.8
+                   GROUP BY i.doc_id)
+            SELECT d.doc_id AS doc_id, m2.dup_of, COALESCE(m2.n_matches, 0) AS n_matches,
+                   (m2.dup_of IS NULL) AS keep
+            FROM documents d LEFT JOIN m2 ON d.doc_id = m2.doc_id
+            WHERE d.doc_id % 7 = 5
+            ORDER BY d.doc_id"""))
+
   /** q6a: blocked edit-distance dedup — the classic entity-resolution
     * recipe (cheap deterministic blocking key, exact pairwise verify
     * inside each block) as the character-level complement to the
     * token-level jaccard family. Blocking on the first 20 normalized
     * chars makes candidate generation one shuffle on a compact key
     * with in-block pairwise work only; levenshtein runs on the 400-char
-    * truncation so per-pair cost is bounded. At 100 TB block sizes are
-    * the knob: a hot prefix needs a wider key or a salt, exactly like
-    * any skewed join key (SURVEY §4). Cross-engine parity caveat:
-    * Spark's levenshtein counts code points but DuckDB's counts UTF-8
-    * BYTES, so both sides first squash non-ASCII to '?' — on pure
-    * ASCII the two definitions coincide and the similarity is one
-    * identically-written division — hash-exact for any input corpus.
+    * truncation so per-pair cost is bounded. Cross-engine parity
+    * caveat: Spark's levenshtein counts code points but DuckDB's
+    * counts UTF-8 BYTES, so both sides first squash non-ASCII to '?'
+    * — BEFORE lowercasing, because Java and DuckDB Unicode lowercasing
+    * can change code-point counts differently (e.g. U+0130) and shift
+    * the truncation/blocking boundaries; squashing first leaves both
+    * engines lowercasing pure ASCII, where the definitions coincide —
+    * hash-exact for any input corpus.
+    *
+    * Block sizes are the scale knob: in-block work is pairwise, so a
+    * hot shared prefix (templated web boilerplate) would go quadratic
+    * silently. Per-block counts are therefore measured IN the pipeline
+    * (one extra agg on the compact block key) and any block over
+    * `maxBlock` fails loudly (the [[nearDupClusters]] precedent) with
+    * the offending prefix in the message — at 100 TB the operator
+    * stops and tells you to widen the key or exact-dedup first, it
+    * never wedges a reducer. The guard stage is wired UPSTREAM of the
+    * pairwise join, so it trips before any quadratic work runs.
     */
+  def blockedEditDups(docs: DataFrame, minSim: Double = 0.8, maxBlock: Int = 4096): DataFrame = {
+    val n = docs
+      .select(col("doc_id"),
+        substring(normText(regexp_replace(col("text"), "[^\\x20-\\x7E]", "?")), 1, 400).as("t"))
+      .withColumn("blk", substring(col("t"), 1, 20))
+      .filter(length(col("t")) > 0)
+    // every blk appears in okBlocks (the assert throws instead of
+    // filtering), so the inner join below is a pure guard gate
+    val okBlocks = n.groupBy("blk").agg(count(lit(1)).as("bsz"))
+      .filter(isnull(assert_true(col("bsz") <= lit(maxBlock),
+        concat(lit(s"blockedEditDups: block over $maxBlock docs for prefix '"), col("blk"),
+          lit("' - widen the blocking key or run exact dedup (q60) first")))))
+      .select("blk")
+    val blocked = n.join(okBlocks, Seq("blk"))
+    val a = blocked.select(col("doc_id").as("id_a"), col("t").as("ta"), col("blk"))
+    val b = blocked.select(col("doc_id").as("id_b"), col("t").as("tb"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("lev", levenshtein(col("ta"), col("tb")))
+      .withColumn("mx", greatest(length(col("ta")), length(col("tb"))))
+      .withColumn("edit_sim", lit(1.0) - col("lev").cast("double") / col("mx").cast("double"))
+      .filter(col("edit_sim") >= minSim)
+      .select("id_a", "id_b", "lev", "edit_sim")
+  }
+
   private val q6a = Qdef(
     "q6a_dedup_blocked_edit",
-    (s, d) => {
-      val n = Tables.documents(s, d)
-        .select(col("doc_id"),
-          substring(regexp_replace(normText(col("text")), "[^\\x20-\\x7E]", "?"), 1, 400).as("t"))
-        .withColumn("blk", substring(col("t"), 1, 20))
-        .filter(length(col("t")) > 0)
-      val a = n.select(col("doc_id").as("id_a"), col("t").as("ta"), col("blk"))
-      val b = n.select(col("doc_id").as("id_b"), col("t").as("tb"), col("blk"))
-      a.join(b, Seq("blk"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("lev", levenshtein(col("ta"), col("tb")))
-        .withColumn("mx", greatest(length(col("ta")), length(col("tb"))))
-        .withColumn("edit_sim", lit(1.0) - col("lev").cast("double") / col("mx").cast("double"))
-        .filter(col("edit_sim") >= 0.8)
-        .select("id_a", "id_b", "lev", "edit_sim")
-        .orderBy("id_a", "id_b")
-    },
+    (s, d) => blockedEditDups(Tables.documents(s, d)).orderBy("id_a", "id_b"),
     Some("""WITH n AS (SELECT doc_id,
-                   substr(regexp_replace(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
-                                         '[^\x20-\x7E]', '?', 'g'), 1, 400) AS t
+                   substr(trim(regexp_replace(lower(regexp_replace(text, '[^\x20-\x7E]', '?', 'g')),
+                                              '\s+', ' ', 'g')), 1, 400) AS t
                  FROM documents),
             b AS (SELECT doc_id, t, substr(t, 1, 20) AS blk FROM n WHERE len(t) > 0),
             p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
@@ -568,5 +728,5 @@ object Dedup {
             FROM p WHERE 1.0 - CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE) >= 0.8
             ORDER BY id_a, id_b"""))
 
-  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q6a)
+  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q6a, q6b)
 }

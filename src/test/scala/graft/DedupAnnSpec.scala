@@ -103,6 +103,31 @@ class DedupAnnSpec extends SparkSpec {
     expected.values.toSet.foreach((root: Long) => assert(keptIds.contains(root)))
   }
 
+  test("q6b: index-backed ingest verdicts equal the direct incremental pipeline") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 7 =!= 5)
+    val b1 = docs.filter(col("doc_id") % 7 === 3)
+    val b2 = docs.filter(col("doc_id") % 7 === 5)
+    val root = tmpDir("bandindex-sem") + "/idx"
+    Dedup.commitBandIndex(corpus, root)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Option[Long], Long, Boolean)] =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2), r.getBoolean(3))).toSet
+
+    // first ingest: stored-index verdicts == recompute-everything verdicts
+    val v1 = Dedup.ingestAndCommit(b1, corpus, root)
+    assert(rows(v1) === rows(Dedup.incrementalNearDups(b1, corpus)))
+
+    // second ingest sees corpus ∪ batch-1 keepers THROUGH THE STORE:
+    // the delta segment committed above must stand in for re-banding
+    val keepers1 = b1.join(v1.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val corpus2 = corpus.unionByName(keepers1)
+    val v2 = Dedup.ingestAgainstIndex(b2, corpus2, root)
+    assert(rows(v2) === rows(Dedup.incrementalNearDups(b2, corpus2)))
+    assert(v2.count() === b2.count(), "one verdict row per batch-2 doc")
+  }
+
   test("q83: fingerprint is deterministic, one row per doc, all-scalar schema") {
     val f1 = SparkEntry.queries("q83_fingerprint")(spark, sf).collect()
     val f2 = SparkEntry.queries("q83_fingerprint")(spark, sf).collect()

@@ -140,13 +140,25 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q68: passage multiplicity shuffles only on compact keys, never pairwise") {
     val p = plan("q68_passage_dedup")
-    // shuffles: phash window, doc_id rollup(+join), final ORDER BY —
+    // shuffles: phash agg+join, doc_id rollup(+join), final ORDER BY —
     // every one keyed by a 16-byte hash or a long, no join of passage
     // text against passage text
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"passage dedup grew a pairwise step:\n$p")
     val exchanges = "Exchange".r.findAllIn(p).length
-    assert(exchanges <= 6, s"too many exchanges ($exchanges) for the passage pipeline:\n$p")
+    assert(exchanges <= 7, s"too many exchanges ($exchanges) for the passage pipeline:\n$p")
+  }
+
+  test("q68: multiplicity is a partial-agg groupBy on phash, never a window") {
+    // a count-over-Window(phash) has NO map-side partial aggregation:
+    // every copy of a hot boilerplate passage would serialize into one
+    // task. Lock the skew-safe shape: a HashAggregate keyed by phash
+    // with a partial phase, and no Window operator anywhere in q68.
+    val p = plan("q68_passage_dedup")
+    assert(!p.contains("Window"), s"passage multiplicity regressed to a window:\n$p")
+    val phashAgg = p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("phash") && l.contains("partial_count"))
+    assert(phashAgg, s"no partial-agg count keyed by phash:\n$p")
   }
 
   test("q8a: corpus stats arrive via ONE broadcast; tf scan is not shuffled") {
@@ -204,6 +216,31 @@ class PlanShapeSpec extends SparkSpec {
       s"no broadcast exchange under the band join:\n$p")
     assert(!below.contains("Exchange hashpartitioning"),
       s"corpus band keys shuffled below the broadcast band join:\n$p")
+  }
+
+  test("q6b: ingest against the stored band index never re-shingles the corpus for banding") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 3)
+    val batch = docs.filter(col("doc_id") % 7 === 3)
+    val root = tmpDir("bandindex-lock") + "/idx"
+    dedup.Dedup.commitBandIndex(corpus, root)
+    val p = dedup.Dedup.ingestAgainstIndex(batch, corpus, root)
+      .queryExecution.executedPlan.toString
+    // the corpus bands must arrive from the persisted parquet index...
+    assert(p.contains("bandindex-lock"), s"stored band index not scanned:\n$p")
+    // ...and minhash/banding runs on the BATCH side only: the ingest
+    // plan computes exactly as many minhash signatures as a pure
+    // batch-banding plan — the corpus contributes ZERO (re-shingling
+    // the corpus per ingest batch is the shape this index removes)
+    val batchOnly = dedup.Dedup.bandedKeys(dedup.Dedup.minhashSignatures(batch))
+      .queryExecution.executedPlan.toString
+    val nBatch = "graft_minhash".r.findAllIn(batchOnly).length
+    val nIngest = "graft_minhash".r.findAllIn(p).length
+    assert(nBatch > 0, s"no minhash in the batch-banding plan:\n$batchOnly")
+    assert(nIngest === nBatch,
+      s"ingest computes $nIngest minhash signatures vs $nBatch for the batch alone " +
+        s"- corpus is being re-shingled:\n$p")
   }
 
   test("q5a: interval merge reuses ONE subject shuffle for windows and aggregates") {

@@ -12,13 +12,25 @@ import org.apache.spark.sql.functions._
   */
 class ScaleSmokeSpec extends SparkSpec {
 
+  /** Copy stride derived from the data, not hardcoded: a fixed 1e6
+    * offset would collide fanned ids with real ids against a larger
+    * SF dir and spuriously break the exact-copy-count invariants.
+    */
+  private def stride(docs: org.apache.spark.sql.DataFrame): Long =
+    docs.agg(max("doc_id")).head().getLong(0) + 1L
+
+  private def fanOut(docs: org.apache.spark.sql.DataFrame, copies: Int): org.apache.spark.sql.DataFrame = {
+    val st = stride(docs)
+    (0 until copies)
+      .map(i => docs.select((col("doc_id") + lit(i * st)).as("doc_id"), col("text")))
+      .reduce(_ union _)
+      .repartition(8)
+  }
+
   test("dedup pipeline survives an 8x corpus fan-out") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
-    val fanned = (0 until 8)
-      .map(i => docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
-      .reduce(_ union _)
-      .repartition(8)
+    val fanned = fanOut(docs, 8)
     assert(fanned.count() === n * 8)
 
     val t0 = System.nanoTime()
@@ -39,11 +51,10 @@ class ScaleSmokeSpec extends SparkSpec {
   test("incremental dedup drops every batch doc against an 8x fanned corpus") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
-    val batch = docs.select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text"))
-    val corpus = (0 until 8)
-      .map(i => docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
-      .reduce(_ union _)
-      .repartition(8)
+    // batch ids sit one stride past the 8 corpus copies — disjoint by
+    // construction at any SF
+    val batch = docs.select((col("doc_id") + lit(8 * stride(docs))).as("doc_id"), col("text"))
+    val corpus = fanOut(docs, 8)
 
     val rows = Dedup.incrementalNearDups(batch, corpus).collect()
     assert(rows.length === n, "one verdict row per batch doc")
@@ -62,10 +73,7 @@ class ScaleSmokeSpec extends SparkSpec {
   test("passage dedup stays linear under an 8x corpus fan-out") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
-    val fanned = (0 until 8)
-      .map(i => docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
-      .reduce(_ union _)
-      .repartition(8)
+    val fanned = fanOut(docs, 8)
     val out = Dedup.passageDedup(fanned).collect()
     assert(out.length === n * 8, "one row per fanned doc")
     // every copied doc's passages now occur >= 8 times corpus-wide, so
@@ -75,6 +83,28 @@ class ScaleSmokeSpec extends SparkSpec {
         s"doc ${r.getLong(0)}: copies must make every passage a duplicate")
       assert(!r.getBoolean(4), "fully-duplicated docs must be dropped")
     }
+  }
+
+  test("q6a: hot-prefix corpus trips the block-size guard before any pairwise work") {
+    // templated corpora share blocking prefixes — in-block work is
+    // pairwise, so an unguarded hot block goes quadratic silently.
+    // 64 docs sharing one 20-char prefix with maxBlock=16 must fail
+    // loudly (and name the prefix), never return a partial answer.
+    val spark2 = spark
+    import spark2.implicits._
+    val hot = (0 until 64)
+      .map(i => (i.toLong, s"boilerplate header x $i unique tail ${i * 31}"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.blockedEditDups(hot, maxBlock = 16).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(m => m.contains("blockedEditDups") && m.contains("boilerplate")),
+      s"guard did not fire with the offending prefix: ${messages(ex).mkString(" | ")}")
+    // and under the threshold the same corpus resolves normally
+    val ok = Dedup.blockedEditDups(hot, maxBlock = 64).collect()
+    assert(ok.nonEmpty, "near-identical templated docs must pair up under the threshold")
   }
 
   test("snapshot store: 16-delta chain merges in ONE shuffle; compact bounds scan fan-in") {
