@@ -286,46 +286,85 @@ object Knn {
       .select(col("vec_id"), col("embedding"), col("q8"), norm2(col("q8")).as("nrm8"))
 
   /** Quantized search + full-precision re-rank — the standard
-    * compressed-index serving pattern: stage 1 scores ALL pairs on the
-    * int8 view (4× less memory traffic per vector at scale; here the
-    * dequantized stand-in), keeps top-`rerank` per query; stage 2
-    * re-scores only those ≤ rerank×|queries| survivors against the
-    * full-precision vectors and emits top-k. The expensive exact
-    * cosine runs on a candidate set that no longer grows with corpus
-    * size — at 100 TB stage 1 is where bytes are saved and stage 2 is
-    * constant-sized. Stage 1 here is brute-force for checkability;
-    * composing with [[lshTables]] buckets instead is a one-line swap
-    * of the pair source.
+    * compressed-index serving pattern: stage 1 scores candidate pairs
+    * on the int8 view (4× less memory traffic per vector at scale;
+    * here the dequantized stand-in), keeps top-`rerank` per query;
+    * stage 2 re-scores only those ≤ rerank×|queries| survivors
+    * against the full-precision vectors and emits top-k. The
+    * expensive exact cosine runs on a candidate set that no longer
+    * grows with corpus size — at 100 TB stage 1 is where bytes are
+    * saved and stage 2 is constant-sized.
+    *
+    * Stage-1 candidates come from [[lshTables]] buckets BY DEFAULT —
+    * a shuffle on compact (table, bucket) keys, per-bucket pairs
+    * only, the same shape q71 locks — so the default plan has no
+    * O(corpus × queries) step anywhere. `bruteStage1 = true` swaps in
+    * the exhaustive cross join; it exists ONLY as the oracle/gate
+    * path (q74 below), where hash-exactness needs a deterministic
+    * stage-1 that DuckDB can reproduce, and as the yardstick the
+    * recall spec measures the bucketed default against.
+    */
+  def quantizedTopK(
+      emb: DataFrame,
+      k: Int = K,
+      rerank: Int = 20,
+      bruteStage1: Boolean = false,
+      queryPred: Column = col("vec_id") < 10): DataFrame = {
+    val dq = dequantized(emb.select(col("vec_id"), col("embedding")))
+    val q = dq.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("q8").as("qe8"), col("nrm8").as("qn8"))
+    val pairs8 =
+      if (bruteStage1)
+        dq.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"),
+            cosine(col("qe8"), col("q8"), col("qn8"), col("nrm8")).as("cos8"))
+      else {
+        // bucket the QUANTIZED view (the vectors stage 1 actually
+        // reads); candidates dedup before the cosine, arrays never
+        // ship through the bucket join — exactly the q71 shape
+        val banded = lshTables(
+          dq.select(col("vec_id"), col("q8").as("embedding"), col("nrm8").as("nrm")))
+          .select("vec_id", "tbl", "bkt")
+        val qb = banded.filter(queryPred)
+          .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
+        qb.join(banded, Seq("tbl", "bkt"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"))
+          .distinct()
+          .join(dq.select(col("vec_id").as("nid"), col("q8"), col("nrm8")), "nid")
+          .join(broadcast(q), "qid")
+          .select(col("qid"), col("nid"),
+            cosine(col("qe8"), col("q8"), col("qn8"), col("nrm8")).as("cos8"))
+      }
+    val w8 = Window.partitionBy("qid").orderBy(col("cos8").desc, col("nid"))
+    val cand = pairs8
+      .withColumn("rk8", row_number().over(w8))
+      .filter(col("rk8") <= rerank)
+      .select("qid", "nid", "cos8")
+    val e = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val qf = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    cand
+      .join(e.select(col("vec_id").as("nid"), col("embedding"), col("nrm")), "nid")
+      .join(broadcast(qf), "qid")
+      .select(col("qid"), col("nid"), col("cos8"),
+        cosine(col("qe"), col("embedding"), col("qn"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "cos8", "cos")
+  }
+
+  /** q74 gate: the brute stage-1 form of [[quantizedTopK]] — the one
+    * place the all-pairs scan is allowed, because the DuckDB oracle
+    * must reproduce stage 1 exactly. Library callers get the bucketed
+    * default.
     */
   private val q74 = Qdef(
     "q74_knn_quantized",
-    (s, d) => {
-      val rerank = 20
-      val dq = dequantized(corpus(s, d).select(col("vec_id"), col("embedding")))
-      val q = dq.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("q8").as("qe8"), col("nrm8").as("qn8"))
-      val w8 = Window.partitionBy("qid").orderBy(col("cos8").desc, col("nid"))
-      val cand = dq.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"),
-          cosine(col("qe8"), col("q8"), col("qn8"), col("nrm8")).as("cos8"))
-        .withColumn("rk8", row_number().over(w8))
-        .filter(col("rk8") <= rerank)
-        .select("qid", "nid", "cos8")
-      val e = corpus(s, d)
-      val qf = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-      cand
-        .join(e.select(col("vec_id").as("nid"), col("embedding"), col("nrm")), "nid")
-        .join(broadcast(qf), "qid")
-        .select(col("qid"), col("nid"), col("cos8"),
-          cosine(col("qe"), col("embedding"), col("qn"), col("nrm")).as("cos"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= K)
-        .select("qid", "nid", "rank", "cos8", "cos")
-        .orderBy("qid", "rank")
-    },
+    (s, d) =>
+      quantizedTopK(Tables.embeddings(s, d), bruteStage1 = true).orderBy("qid", "rank"),
     Some("""WITH s AS (SELECT vec_id, embedding,
                     list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
                   FROM embeddings),

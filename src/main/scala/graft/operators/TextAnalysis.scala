@@ -490,10 +490,17 @@ object TextAnalysis {
     * order). Sorting by the hash is a range-partitioned sort — it
     * scales out; no single task ever sees the whole corpus.
     */
+  /** The ONE definition of the shuffle key — shared by the query form
+    * below and [[graft.sources.Sources.shardedShuffleWrite]] (the two
+    * must order identically or the written shards would not be a
+    * prefix-consistent extension of the query's sample).
+    */
+  def shuffleKey(seed: String): org.apache.spark.sql.Column =
+    md5(concat(lit(s"$seed:"), col("doc_id").cast("string")).cast("binary"))
+
   def deterministicShuffle(docs: org.apache.spark.sql.DataFrame, seed: String): org.apache.spark.sql.DataFrame =
     docs
-      .withColumn("shuffle_key",
-        md5(concat(lit(s"$seed:"), col("doc_id").cast("string")).cast("binary")))
+      .withColumn("shuffle_key", shuffleKey(seed))
       .orderBy("shuffle_key")
 
   /** Query form: first 50 docs of seed "s42"'s order. Sort + limit

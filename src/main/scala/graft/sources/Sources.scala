@@ -91,11 +91,23 @@ object Sources {
     val mins = cols.map(c => min(col(c).cast("double")).as(s"mn_$c"))
     val maxs = cols.map(c => max(col(c).cast("double")).as(s"mx_$c"))
     val st = df.agg((mins ++ maxs).head, (mins ++ maxs).tail: _*).head()
+    // empty input (or an all-null z column) has no min/max to scale
+    // against — write as-is instead of NPEing on the unboxed null
+    if (cols.exists(c => st.isNullAt(st.fieldIndex(s"mn_$c")) ||
+        st.isNullAt(st.fieldIndex(s"mx_$c")))) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val top = (1L << bits) - 1
     val scaled = cols.map { c =>
       val (mn, mx) = (st.getAs[Double](s"mn_$c"), st.getAs[Double](s"mx_$c"))
       if (mx <= mn) lit(0L)
-      else least(lit(top), floor((col(c).cast("double") - mn) / (mx - mn) * top)).cast("long")
+      // NULL/NaN cells scale to bucket 0 rather than nulling the whole
+      // interleaved key (which would silently strand those rows in one
+      // un-clustered _z=null range)
+      else coalesce(
+        least(lit(top), floor((col(c).cast("double") - mn) / (mx - mn) * top)).cast("long"),
+        lit(0L))
     }
     df.withColumn("_z", zorderKey(scaled, bits))
       .repartitionByRange(numFiles, col("_z"))
@@ -103,4 +115,26 @@ object Sources {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  // ------------------------------- sharded shuffle write (q8b artifact)
+
+  /** The training-pipeline artifact of q8b's deterministic shuffle:
+    * the FULL corpus written as `numShards` range-partitioned parquet
+    * files in one global order keyed by
+    * [[graft.operators.TextAnalysis.shuffleKey]] — shard i's keys all
+    * sort strictly before shard i+1's, rows sorted within each shard,
+    * so a trainer streaming part-00000, part-00001, … reads exactly
+    * the seed's permutation. `repartitionByRange` samples the key
+    * distribution, so shards stay balanced for any seed and corpus
+    * size; no task ever holds more than one shard — this scales out
+    * where the q8b query form's TakeOrdered sample (top-50 probe)
+    * deliberately does not write anything.
+    */
+  def shardedShuffleWrite(
+      docs: DataFrame, seed: String, path: String, numShards: Int = 64): Unit =
+    docs
+      .withColumn("shuffle_key", graft.operators.TextAnalysis.shuffleKey(seed))
+      .repartitionByRange(numShards, col("shuffle_key"))
+      .sortWithinPartitions("shuffle_key")
+      .write.mode("overwrite").parquet(path)
 }

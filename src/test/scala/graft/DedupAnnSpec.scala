@@ -76,6 +76,20 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("q74: bucketed default stage-1 recall@5 vs the brute gate form") {
+    val emb = Tables.embeddings(spark, sf)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "nid").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val brute = sets(graft.ann.Knn.quantizedTopK(emb, bruteStage1 = true))
+    val bucketed = sets(graft.ann.Knn.quantizedTopK(emb))
+    assert(bucketed.keySet === brute.keySet, "bucketed stage-1 lost whole queries")
+    val recall = brute.keys.toSeq
+      .map(q => (brute(q) & bucketed(q)).size.toDouble / brute(q).size).sum / brute.size
+    info(f"q74 bucketed stage-1 recall@5 = $recall%.3f")
+    assert(recall >= 0.6, f"bucketed stage-1 recall $recall%.3f below 0.6")
+  }
+
   test("q66: cluster resolution equals brute-force union-find; corpus keeps one per cluster") {
     val pairsDf = SparkEntry.queries("q64_dedup_ngram_jaccard")(spark, sf).select("id_a", "id_b")
     val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1)))

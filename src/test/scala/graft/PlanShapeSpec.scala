@@ -170,6 +170,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled to meet its own stats:\n$p")
   }
 
+  test("q74 default: bucketed stage-1 - the quantized search has no all-pairs step") {
+    // the shipped default must never scan corpus × queries: stage-1
+    // candidates come from LSH buckets (compact-key shuffle), the
+    // cross join survives only behind bruteStage1=true for the oracle
+    val p = ann.Knn.quantizedTopK(Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"default quantized search still cross-joins the corpus:\n$p")
+  }
+
   test("q73: quantization is a pure narrow map until the oracle sort") {
     val p = plan("q73_vec_quantize")
     // the ONLY exchange is the deterministic ORDER BY's range partition

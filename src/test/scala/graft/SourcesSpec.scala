@@ -118,4 +118,36 @@ class SourcesSpec extends SparkSpec {
     // round-trip completeness
     assert(canon(spark.read.parquet(zOut)) === canon(events))
   }
+
+  test("q8b artifact: sharded shuffle write is one global order across sorted shard files") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val dir = tmpDir("q8b_shards") + "/shards"
+    Sources.shardedShuffleWrite(docs, "s42", dir, numShards = 8)
+
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    assert(files.length === 8, s"expected 8 shard files, got ${files.length}")
+
+    // shard i strictly precedes shard i+1; rows sorted within each file
+    var prevMax = ""
+    val allKeys = scala.collection.mutable.ArrayBuffer[String]()
+    files.foreach { f =>
+      val keys = spark.read.parquet(f.getPath)
+        .select("shuffle_key").collect().map(_.getString(0)).toSeq
+      assert(keys == keys.sorted, s"${f.getName} not sorted within the shard")
+      assert(keys.nonEmpty, s"${f.getName} is an empty shard (range sampling collapsed)")
+      assert(prevMax < keys.head, s"${f.getName} overlaps the previous shard's key range")
+      prevMax = keys.last
+      allKeys ++= keys
+    }
+    assert(allKeys.length.toLong === n, "shards lost or duplicated rows")
+
+    // streaming the files in name order replays exactly the q8b sample
+    val q = SparkEntry.queries("q8b_shuffle")(spark, sf)
+      .select("shuffle_key").collect().map(_.getString(0)).toSeq
+    assert(allKeys.take(q.length).toSeq === q,
+      "shard concatenation diverges from the q8b query order")
+  }
 }

@@ -269,12 +269,16 @@ class StreamingSpec extends SparkSpec {
           && System.currentTimeMillis() < deadline) {
         send(sentinelId, s"2026-01-02T00:00:0${sentinelId % 10}", 9, "sentinel", 0.0)
         sentinelId += 1
-        Thread.sleep(500)
+        Thread.sleep(250)
       }
       val rows = spark.table("st0a_out")
         .filter(col("event_type") === "click")
         .select("event_type", "n", "sum_value").collect()
-      assert(rows.length === 1, "expected exactly the closed 10:00 click window")
+      // on timeout, show what DID arrive — "0 rows" alone says nothing
+      // about whether the socket, the watermark, or the window is stuck
+      assert(rows.length === 1,
+        s"expected exactly the closed 10:00 click window; sink so far: " +
+          spark.table("st0a_out").collect().map(_.toSeq).mkString("[", ", ", "]"))
       assert(rows(0).getLong(1) === 2L)
       assert(rows(0).getDouble(2) === 3.0)
     } finally {
