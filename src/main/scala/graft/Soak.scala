@@ -1,0 +1,134 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf≈1 fan-out soak for the dedup/ANN fan-out family (SURVEY §7.5;
+  * r3 verdict item 5): upscale sf0.1 by 10× — distinct ids, IDENTICAL
+  * texts/vectors, deliberately the adversarial case: every LSH bucket's
+  * membership grows 10×, every true near-dup pair multiplies by
+  * C(10,2) = 45, and exact copies collide in EVERY band. Measures
+  * candidate growth, bucket-size distributions (the quantity SURVEY §4
+  * says bounds all fan-out work), and wall times.
+  *
+  * Not part of `sbt test` (minutes, not seconds): run manually with
+  * `sbt "runMain graft.Soak"`; findings are recorded in PLANS.md.
+  */
+object Soak {
+
+  private def timed[T](name: String)(f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[soak] $name: $secs%.1f s")
+    (r, secs)
+  }
+
+  /** max / p99 / mean over per-bucket member counts, plus the pairwise
+    * work they imply (Σ sz·(sz−1)/2 — the in-bucket candidate slots a
+    * self-join would generate, computed WITHOUT running the join).
+    */
+  private def bucketStats(buckets: DataFrame, keys: Seq[String]): (Long, Long, Long, Double, Long) = {
+    val sz = buckets.groupBy(keys.map(col): _*).count()
+    val row = sz.agg(
+      count(lit(1)).as("n"),
+      max("count").as("mx"),
+      expr("percentile_approx(count, 0.99)").as("p99"),
+      avg("count").as("mean"),
+      sum(col("count") * (col("count") - 1) / 2).as("slots")).head()
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3),
+      row.getAs[Any](4).toString.toDouble.toLong)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SOAK_COPIES", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-soak")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def fan(df: DataFrame, idCol: String): DataFrame = {
+      val stride = df.agg(max(idCol)).head().getLong(0) + 1L
+      (0 until copies)
+        .map(i => df.withColumn(idCol, col(idCol) + lit(i * stride)))
+        .reduce(_ unionByName _)
+        .repartition(64)
+        .localCheckpoint(true)
+    }
+
+    // ---------------- documents family ----------------
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val n0 = docs.count()
+    val fanned = fan(docs, "doc_id")
+    println(s"[soak] corpus: $n0 docs x $copies = ${n0 * copies}")
+
+    // q62: MinHash-LSH band buckets + candidates
+    val sigs = Dedup.minhashSignatures(fanned)
+    val (bs62, _) = timed("q62_bucket_stats")(
+      bucketStats(Dedup.bandedKeys(sigs), Seq("band", "bh")))
+    println(s"[soak] q62 buckets: n=${bs62._1} max=${bs62._2} p99=${bs62._3} " +
+      f"mean=${bs62._4}%.2f pair_slots=${bs62._5}")
+    val (cand62, s62) = timed("q62_candidates")(Dedup.lshCandidates(sigs).count())
+    println(s"[soak] q62 candidates: $cand62")
+
+    // q68: passage dedup full corpus
+    val (agg68, s68) = timed("q68_passage_dedup")(
+      Dedup.passageDedup(fanned)
+        .agg(count(lit(1)), sum("n_passages"), sum("n_dup_passages"),
+          sum(when(col("keep"), 0L).otherwise(1L))).head())
+    println(s"[soak] q68: rows=${agg68.getLong(0)} passages=${agg68.getLong(1)} " +
+      s"dup_passages=${agg68.getLong(2)} dropped_docs=${agg68.getLong(3)}")
+
+    // q69: one fresh batch (one more copy) vs the fanned corpus
+    val stride = docs.agg(max("doc_id")).head().getLong(0) + 1L
+    val batch = docs.withColumn("doc_id", col("doc_id") + lit(copies * stride))
+    val (v69, s69) = timed("q69_incremental")(
+      Dedup.incrementalNearDups(batch, fanned)
+        .agg(count(lit(1)), sum(when(col("keep"), 0L).otherwise(1L))).head())
+    println(s"[soak] q69: verdicts=${v69.getLong(0)} dropped=${v69.getLong(1)}")
+
+    // q6b: persisted index — build once (corpus-sized), ingest (batch-sized)
+    val root = s"target/graft-soak-index/${java.util.UUID.randomUUID.toString.take(8)}"
+    val (_, sIdx) = timed("q6b_index_build")(Dedup.commitBandIndex(fanned, root))
+    val (v6b, s6b) = timed("q6b_ingest")(
+      Dedup.ingestAgainstIndex(batch, fanned, root)
+        .agg(count(lit(1)), sum(when(col("keep"), 0L).otherwise(1L))).head())
+    println(s"[soak] q6b: verdicts=${v6b.getLong(0)} dropped=${v6b.getLong(1)} " +
+      f"(index build $sIdx%.1f s amortized across ingests of $s6b%.1f s)")
+
+    // ---------------- embeddings family ----------------
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val e0 = emb.count()
+    val fe = fan(emb, "vec_id")
+    val feN = fe.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.norm2(col("embedding")).as("nrm"))
+    println(s"[soak] embeddings: $e0 x $copies = ${e0 * copies}")
+
+    // default (12 tables × 4 planes) vs scale-tuned (12 × 8) bucket
+    // geometry: the pair_slots column IS the q65 cost model
+    for (planes <- Seq(4, 8)) {
+      val (bs, _) = timed(s"q65_bucket_stats_planes$planes")(
+        bucketStats(graft.ann.Knn.lshTables(feN, tables = 12, planes = planes, seed = 7)
+          .select("vec_id", "tbl", "bkt"), Seq("tbl", "bkt")))
+      println(s"[soak] q65 planes=$planes buckets: n=${bs._1} max=${bs._2} p99=${bs._3} " +
+        f"mean=${bs._4}%.2f pair_slots=${bs._5}")
+    }
+    // run the actual pipeline at the scale-tuned geometry
+    val (pairs65, s65) = timed("q65_neardups_planes8")(
+      Dedup.embeddingNearDups(fe, tables = 12, planes = 8).count())
+    println(s"[soak] q65 planes=8 verified pairs: $pairs65")
+
+    println(f"""{"soak_sf":"$sfDir x $copies","q62_cand":$cand62,"q62_secs":$s62%.1f,""" +
+      f""""q68_secs":$s68%.1f,"q69_secs":$s69%.1f,"q6b_ingest_secs":$s6b%.1f,""" +
+      f""""q65_pairs":$pairs65,"q65_secs":$s65%.1f}""")
+    spark.stop()
+  }
+}

@@ -196,6 +196,17 @@ object Dedup {
     * is exploded `tables` times onto compact (table, bucket) keys —
     * one shuffle, per-bucket pairwise verification only (SURVEY §4).
     */
+  /** Plane count that keeps the EXPECTED bucket population near
+    * `targetBucket` for an n-row corpus (mean bucket = n/2^planes per
+    * table). The sf1 soak (PLANS.md round 4) measured why the knob is
+    * not optional: at 20k vectors the 4-plane default leaves
+    * 1250-member mean buckets — 158M in-bucket pair slots — while 8
+    * planes cut the pairwise work 13×. Recall at a given τ then sets
+    * `tables`: recall = 1 − (1 − p^planes)^tables, p = 1 − θ/π.
+    */
+  def planesFor(n: Long, targetBucket: Int = 128): Int =
+    math.max(4, math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
+
   def embeddingNearDups(
       emb: DataFrame,
       tables: Int = 12,

@@ -76,6 +76,20 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("q65: planesFor tracks corpus size (soak-calibrated bucket geometry)") {
+    // calibrated against the round-4 soak: 4 planes at gate scale,
+    // 8 at the 20k-vector fan-out where 4 went quadratic
+    assert(Dedup.planesFor(2000) === 4)
+    assert(Dedup.planesFor(20000) === 8)
+    // monotone, and mean bucket n/2^planes stays <= target for large n
+    val sizes = Seq(1000L, 10000L, 100000L, 1000000L, 100000000L)
+    val planes = sizes.map(Dedup.planesFor(_))
+    assert(planes === planes.sorted)
+    sizes.zip(planes).filter(_._1 >= 1000).foreach { case (n, p) =>
+      assert(n.toDouble / math.pow(2, p) <= 128.0, s"n=$n planes=$p mean bucket too big")
+    }
+  }
+
   test("q74: bucketed default stage-1 recall@5 vs the brute gate form") {
     val emb = Tables.embeddings(spark, sf)
     def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
