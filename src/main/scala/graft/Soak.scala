@@ -38,7 +38,7 @@ object Soak {
       avg("count").as("mean"),
       sum(col("count") * (col("count") - 1) / 2).as("slots")).head()
     (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3),
-      row.getAs[Any](4).toString.toDouble.toLong)
+      row.getDouble(4).toLong)
   }
 
   def main(args: Array[String]): Unit = {

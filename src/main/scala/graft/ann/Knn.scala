@@ -303,6 +303,13 @@ object Knn {
     * path (q74 below), where hash-exactness needs a deterministic
     * stage-1 that DuckDB can reproduce, and as the yardstick the
     * recall spec measures the bucketed default against.
+    *
+    * Contract note (shared with q71): the bucketed form emits rows
+    * only for queries that collide with SOMETHING — an outlier query
+    * alone in its bucket in every table returns no rows at all,
+    * where the brute form always returns k. Callers that must
+    * distinguish "no neighbors found" from "query unknown" should
+    * left-join their query set against the result.
     */
   def quantizedTopK(
       emb: DataFrame,

@@ -565,20 +565,30 @@ object Dedup {
     import graft.sources.Snapshots
     val vs = Snapshots.versions(spark, root)
     require(vs.nonEmpty, s"no band index committed at $root (run commitBandIndex first)")
-    vs.map { case (v, _, _) => Snapshots.read(spark, root, v) }.reduce(_ unionByName _)
+    // latest full snapshot + its subsequent deltas: a rebuilt index
+    // (a second full commit) SUPERSEDES earlier segments — a raw
+    // union of everything would scan every band key once per rebuild
+    val baseV = vs.filter(_._2 == "full").map(_._1).maxOption.getOrElse(
+      throw new IllegalStateException(s"no full band-index snapshot in $root"))
+    vs.filter(_._1 >= baseV)
+      .map { case (v, _, _) => Snapshots.read(spark, root, v) }
+      .reduce(_ unionByName _)
   }
 
   /** Ingest verdicts for `batch` against the PERSISTED band index —
     * same output contract as [[incrementalNearDups]], but candidate
     * generation never touches corpus text: the (tiny) batch bands
     * broadcast against the stored index scan. Verification shingles
-    * ONLY the candidate corpus docs: the batch-bounded candidate set
-    * (with its shingles) broadcasts against the corpus scan, corpus
-    * text rides THROUGH that join, and `sh_b` is computed after it —
-    * so at 100 TB the per-ingest cost is one index scan, one corpus
-    * scan, and shingling of a candidate-bounded slice, never a
-    * full-corpus re-shingle. The whole pipeline uses the candidate
-    * set exactly once, so nothing upstream is computed twice.
+    * ONLY the candidate corpus docs: the COMPACT candidate id pairs
+    * broadcast against the corpus scan (never shingle arrays — a hot
+    * batch doc with many corpus neighbors would replicate its array
+    * once per candidate inside the broadcast), corpus text rides
+    * THROUGH that join, the batch-sized shingle table joins after it,
+    * and `sh_b` is computed last — so at 100 TB the per-ingest cost
+    * is one index scan, one corpus scan, and shingling of a
+    * candidate-bounded slice, never a full-corpus re-shingle. The
+    * candidate set is used exactly once, so nothing upstream is
+    * computed twice.
     */
   def ingestAgainstIndex(
       batch: DataFrame, corpusText: DataFrame, root: String, minJ: Double = 0.8): DataFrame = {
@@ -587,10 +597,10 @@ object Dedup {
     val corpBands = readBandIndex(spark, root).withColumnRenamed("doc_id", "corp_id")
     val cand = broadcast(incBands).join(corpBands, Seq("band", "bh"))
       .select("inc_id", "corp_id").distinct()
-    val candSh = cand
-      .join(batch.select(col("doc_id").as("inc_id"), shingleHashes(col("text"), 3).as("sh_a")), "inc_id")
-    val matches = broadcast(candSh)
+    val matches = broadcast(cand)
       .join(corpusText.select(col("doc_id").as("corp_id"), col("text").as("_ct")), "corp_id")
+      .join(broadcast(
+        batch.select(col("doc_id").as("inc_id"), shingleHashes(col("text"), 3).as("sh_a"))), "inc_id")
       .withColumn("sh_b", shingleHashes(col("_ct"), 3))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -626,10 +636,14 @@ object Dedup {
     * then screened against corpus ∪ batch-1 keepers THROUGH THE
     * STORE — the result is batch 2's verdicts, which the oracle
     * reproduces by brute-force jaccard against the same two-stage
-    * corpus (full-recall LSH parameters, as in q69). A fresh store
-    * root per invocation keeps the query deterministic under
-    * re-runs; the plan lock in PlanShapeSpec asserts the second
-    * ingest never re-shingles corpus text for banding.
+    * corpus (full-recall LSH parameters, as in q69). A fresh
+    * temp-dir store per invocation keeps the query deterministic
+    * under re-runs, and the store is deleted before returning (the
+    * result is materialized first — unlike every other Qdef this one
+    * has filesystem side effects, and bench/verify loops must not
+    * accumulate orphan corpus-sized indexes). The plan lock in
+    * PlanShapeSpec asserts the second ingest never re-shingles
+    * corpus text for banding.
     */
   private val q6b = Qdef(
     "q6b_band_index_ingest",
@@ -638,12 +652,21 @@ object Dedup {
       val corpus = docs.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 7 =!= 5)
       val b1 = docs.filter(col("doc_id") % 7 === 3)
       val b2 = docs.filter(col("doc_id") % 7 === 5)
-      val root = s"target/graft-bandindex/${java.util.UUID.randomUUID.toString.take(8)}"
-      commitBandIndex(corpus, root)
-      val v1 = ingestAndCommit(b1, corpus, root)
-      val corpus2 = corpus.unionByName(
-        b1.join(v1.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi"))
-      ingestAgainstIndex(b2, corpus2, root).orderBy("doc_id")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bandindex")
+      val root = s"$tmp/idx"
+      try {
+        commitBandIndex(corpus, root)
+        val v1 = ingestAndCommit(b1, corpus, root)
+        val corpus2 = corpus.unionByName(
+          b1.join(v1.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi"))
+        // materialize before the store disappears out from under the
+        // (otherwise lazy) parquet scans
+        ingestAgainstIndex(b2, corpus2, root).orderBy("doc_id").localCheckpoint(true)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(tmp.toString)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      }
     },
     Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
             g AS (SELECT doc_id,
@@ -681,12 +704,19 @@ object Dedup {
     * with in-block pairwise work only; levenshtein runs on the 400-char
     * truncation so per-pair cost is bounded. Cross-engine parity
     * caveat: Spark's levenshtein counts code points but DuckDB's
-    * counts UTF-8 BYTES, so both sides first squash non-ASCII to '?'
-    * — BEFORE lowercasing, because Java and DuckDB Unicode lowercasing
-    * can change code-point counts differently (e.g. U+0130) and shift
-    * the truncation/blocking boundaries; squashing first leaves both
+    * counts UTF-8 BYTES, so both sides first squash to '?' everything
+    * outside printable ASCII + tab/LF/CR — BEFORE lowercasing,
+    * because Java and DuckDB Unicode lowercasing can change
+    * code-point counts differently (e.g. U+0130) and shift the
+    * truncation/blocking boundaries; squashing first leaves both
     * engines lowercasing pure ASCII, where the definitions coincide —
-    * hash-exact for any input corpus.
+    * hash-exact for any input corpus. Tab/LF/CR are deliberately
+    * PRESERVED through the squash so the \s+ collapse still folds
+    * line-wrapping differences into single spaces (squashing them to
+    * '?' would stop re-wrapped copies — the dominant near-dup case —
+    * from ever pairing); they are exactly the control chars both
+    * engines' \s agrees on, while \x0B/\x0C (where Java and RE2 \s
+    * disagree) get squashed like any other non-printable.
     *
     * Block sizes are the scale knob: in-block work is pairwise, so a
     * hot shared prefix (templated web boilerplate) would go quadratic
@@ -701,7 +731,8 @@ object Dedup {
   def blockedEditDups(docs: DataFrame, minSim: Double = 0.8, maxBlock: Int = 4096): DataFrame = {
     val n = docs
       .select(col("doc_id"),
-        substring(normText(regexp_replace(col("text"), "[^\\x20-\\x7E]", "?")), 1, 400).as("t"))
+        substring(normText(
+          regexp_replace(col("text"), "[^\\x09\\x0A\\x0D\\x20-\\x7E]", "?")), 1, 400).as("t"))
       .withColumn("blk", substring(col("t"), 1, 20))
       .filter(length(col("t")) > 0)
     // every blk appears in okBlocks (the assert throws instead of
@@ -727,7 +758,7 @@ object Dedup {
     "q6a_dedup_blocked_edit",
     (s, d) => blockedEditDups(Tables.documents(s, d)).orderBy("id_a", "id_b"),
     Some("""WITH n AS (SELECT doc_id,
-                   substr(trim(regexp_replace(lower(regexp_replace(text, '[^\x20-\x7E]', '?', 'g')),
+                   substr(trim(regexp_replace(lower(regexp_replace(text, '[^\x09\x0A\x0D\x20-\x7E]', '?', 'g')),
                                               '\s+', ' ', 'g')), 1, 400) AS t
                  FROM documents),
             b AS (SELECT doc_id, t, substr(t, 1, 20) AS blk FROM n WHERE len(t) > 0),

@@ -88,11 +88,19 @@ object Sources {
     */
   def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
       numFiles: Int = 16, bits: Int = 12): Unit = {
-    val mins = cols.map(c => min(col(c).cast("double")).as(s"mn_$c"))
-    val maxs = cols.map(c => max(col(c).cast("double")).as(s"mx_$c"))
+    // stats exclude NaN: Spark's max() orders NaN above every double,
+    // so one NaN cell would otherwise poison mx and send EVERY row of
+    // that column to bucket 0 — with NaN excluded, only the NaN cells
+    // themselves degrade (to bucket 0, via the coalesce below)
+    def clean(c: String): Column = {
+      val d = col(c).cast("double")
+      when(isnan(d), lit(null)).otherwise(d)
+    }
+    val mins = cols.map(c => min(clean(c)).as(s"mn_$c"))
+    val maxs = cols.map(c => max(clean(c)).as(s"mx_$c"))
     val st = df.agg((mins ++ maxs).head, (mins ++ maxs).tail: _*).head()
-    // empty input (or an all-null z column) has no min/max to scale
-    // against — write as-is instead of NPEing on the unboxed null
+    // empty input (or an all-null/all-NaN z column) has no min/max to
+    // scale against — write as-is instead of NPEing on the unboxed null
     if (cols.exists(c => st.isNullAt(st.fieldIndex(s"mn_$c")) ||
         st.isNullAt(st.fieldIndex(s"mx_$c")))) {
       df.write.mode("overwrite").parquet(path)

@@ -97,9 +97,13 @@ class DedupAnnSpec extends SparkSpec {
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val brute = sets(graft.ann.Knn.quantizedTopK(emb, bruteStage1 = true))
     val bucketed = sets(graft.ann.Knn.quantizedTopK(emb))
-    assert(bucketed.keySet === brute.keySet, "bucketed stage-1 lost whole queries")
+    // contract: a bucket-isolated query may be absent entirely (doc'd
+    // on quantizedTopK) — so assert containment, not equality, and
+    // score missing queries as zero recall rather than erroring
+    assert(bucketed.keySet.subsetOf(brute.keySet), "bucketed invented query ids")
     val recall = brute.keys.toSeq
-      .map(q => (brute(q) & bucketed(q)).size.toDouble / brute(q).size).sum / brute.size
+      .map(q => (brute(q) & bucketed.getOrElse(q, Set.empty)).size.toDouble / brute(q).size)
+      .sum / brute.size
     info(f"q74 bucketed stage-1 recall@5 = $recall%.3f")
     assert(recall >= 0.6, f"bucketed stage-1 recall $recall%.3f below 0.6")
   }
