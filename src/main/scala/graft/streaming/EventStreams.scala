@@ -213,4 +213,47 @@ object EventStreams {
       .scrubPatterns(withTok, "text", graft.operators.TextAnalysis.piiPatterns)
       .withColumn("keep", col("n_tokens") >= minTokens)
   }
+
+  /** st0b: continuous dedup ingest — the streaming run of the
+    * persisted-band-index cycle ([[graft.dedup.Dedup.ingestAndCommit]])
+    * over a document stream. Per micro-batch: screen the batch against
+    * the stored band index, commit the accepted docs' bands back as an
+    * index delta, and append the accepted docs themselves to the
+    * corpus snapshot store — so every micro-batch dedups against the
+    * original corpus PLUS every earlier batch's keepers, through the
+    * store, never by re-shingling.
+    *
+    * Initialize once before starting:
+    * `Snapshots.commit(corpus, corpusRoot)` and
+    * `Dedup.commitBandIndex(corpus, indexRoot)`.
+    *
+    * Delivery is at-least-once (foreachBatch), and the cycle is
+    * effect-idempotent for the corpus: a replayed batch re-screens
+    * against an index that already holds its keepers' bands, every
+    * replayed doc matches its own committed copy (jaccard 1) and is
+    * dropped, so the corpus store never sees a duplicate — the same
+    * replay story as [[graft.sources.Snapshots.streamInto]]. In-batch
+    * near-dups are NOT screened against each other (per-batch
+    * semantics, as in q69); pre-dedup the batch if that matters.
+    */
+  def streamDedupIngest(
+      docs: DataFrame, indexRoot: String, corpusRoot: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // persist: the emptiness probe, the screen, and the keeper
+        // commit would each recompute the micro-batch otherwise
+        batch.persist()
+        try if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val corpusText = graft.sources.Snapshots.latest(spark, corpusRoot, Seq("doc_id"))
+          val verdicts = graft.dedup.Dedup.ingestAndCommit(batch, corpusText, indexRoot)
+          val keepers = batch.join(
+            verdicts.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+          graft.sources.Snapshots.commitDelta(keepers, corpusRoot)
+          ()
+        } finally { batch.unpersist(); () }
+      }
+      .start()
 }

@@ -381,6 +381,55 @@ class StreamingSpec extends SparkSpec {
     assert(state(1L) === Seq((1L, "O", 10.0), (2L, "O", 20.0), (3L, "O", 30.0)))
   }
 
+  test("st0b: streaming dedup ingest screens each micro-batch against the growing band index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.dedup.Dedup
+    import graft.sources.Snapshots
+
+    // the store's schema must match what the stream commits: (doc_id, text)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 7 =!= 5)
+    val b1 = docs.filter(col("doc_id") % 7 === 3)
+    val b2 = docs.filter(col("doc_id") % 7 === 5)
+
+    val base = tmpDir("st0b")
+    val indexRoot = s"$base/idx"
+    val corpusRoot = s"$base/corpus"
+    Snapshots.commit(corpus, corpusRoot)
+    Dedup.commitBandIndex(corpus, indexRoot)
+
+    // batch-wise expected keepers from the (spec-trusted) direct pipeline
+    def keepIds(batch: org.apache.spark.sql.DataFrame,
+        against: org.apache.spark.sql.DataFrame): Set[Long] =
+      Dedup.incrementalNearDups(batch, against)
+        .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val expK1 = keepIds(b1, corpus)
+    val corpus2 = corpus.unionByName(b1.filter(col("doc_id").isin(expK1.toSeq: _*)))
+    val expK2 = keepIds(b2, corpus2)
+
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.streamDedupIngest(
+      input.toDF().toDF("doc_id", "text"), indexRoot, corpusRoot, tmpDir("st0b-ckpt"))
+    try {
+      input.addData(b1.collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the corpus store holds corpus ∪ keepers(b1) ∪ keepers(b2|corpus+k1),
+    // i.e. batch 2 was screened against batch 1's keepers THROUGH the store
+    val expected = corpus.select("doc_id").collect().map(_.getLong(0)).toSet ++ expK1 ++ expK2
+    val got = Snapshots.latest(spark, corpusRoot, Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    // and the index grew by one delta per non-empty micro-batch
+    assert(Snapshots.latestVersion(spark, indexRoot) === 3L)
+  }
+
   test("st07: maintained aggregate tracks a streamed delta chain bit-identically") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
