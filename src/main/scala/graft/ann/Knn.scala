@@ -22,6 +22,12 @@ object Knn {
 
   private val K = 5
 
+  /** Default hyperplanes per LSH table — shared by [[lshTables]] and
+    * the multiprobe expansions (a probe loop must flip exactly the
+    * bits the bucketing produced).
+    */
+  private val DefaultPlanes = 4
+
   /** Corpus with per-row norm; queries are the vec_id < 10 slice. */
   private def corpus(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -31,11 +37,11 @@ object Knn {
     e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
 
-  private def topK(pairs: DataFrame): DataFrame = {
+  private def topK(pairs: DataFrame, k: Int = K): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     pairs
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= K)
+      .filter(col("rank") <= k)
       .select("qid", "nid", "rank", "cos")
       .orderBy("qid", "rank")
   }
@@ -77,7 +83,7 @@ object Knn {
   def lshTables(
       e: DataFrame,
       tables: Int = 16,
-      planes: Int = 4,
+      planes: Int = DefaultPlanes,
       seed: Int = 11,
       dims: Option[Int] = None): DataFrame = {
     val dOpt = dims.orElse(
@@ -108,27 +114,52 @@ object Knn {
     * and the bucket join ships only ids + bucket keys, never arrays
     * (the embeddings join back once per unique candidate; the tiny
     * query side broadcasts).
+    *
+    * `probe1` turns on 1-bit multiprobe: each query ALSO probes the
+    * `planes` buckets at hamming distance 1 (one sign bit flipped) in
+    * every table — the standard trick for lifting recall without more
+    * tables. Per-table hit probability rises from p^planes to
+    * p^planes + planes·p^(planes−1)(1−p) (a near-miss on exactly one
+    * hyperplane no longer loses the pair), and the extra work lands
+    * ONLY on the query side: qb fans out (planes+1)×, the corpus
+    * banding, the shuffle key width, and the per-bucket population
+    * are untouched. Same no-rows-for-isolated-queries contract as
+    * [[quantizedTopK]].
     */
+  def lshTopK(
+      emb: DataFrame,
+      k: Int = K,
+      tables: Int = 16,
+      planes: Int = DefaultPlanes,
+      probe1: Boolean = false,
+      queryPred: Column = col("vec_id") < 10): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val banded = lshTables(e, tables, planes).select("vec_id", "tbl", "bkt")
+    val qb0 = banded.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
+    val qb =
+      if (!probe1) qb0
+      else qb0.select(col("qid"), col("tbl"),
+        explode(array(col("bkt") +: (0 until planes).map(j =>
+          col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
+    val cand = qb.join(banded, Seq("tbl", "bkt"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+      .distinct()
+    val qe = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    topK(
+      cand
+        .join(e.select(col("vec_id").as("nid"), col("embedding"), col("nrm")), "nid")
+        .join(broadcast(qe), "qid")
+        .select(col("qid"), col("nid"),
+          cosine(col("qe"), col("embedding"), col("qn"), col("nrm")).as("cos")),
+      k)
+  }
+
   private val q71 = Qdef(
     "q71_knn_lsh",
-    (s, d) => {
-      val e = corpus(s, d)
-      val banded = lshTables(e).select("vec_id", "tbl", "bkt")
-      val qb = banded.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
-      val cand = qb.join(banded, Seq("tbl", "bkt"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"))
-        .distinct()
-      val qe = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-      topK(
-        cand
-          .join(e.select(col("vec_id").as("nid"), col("embedding"), col("nrm")), "nid")
-          .join(broadcast(qe), "qid")
-          .select(col("qid"), col("nid"),
-            cosine(col("qe"), col("embedding"), col("qn"), col("nrm")).as("cos")))
-    },
+    (s, d) => lshTopK(Tables.embeddings(s, d)),
     None)
 
   /** Nearest-centroid cell id as a PURE NARROW MAP: the (tiny) centroid
@@ -316,6 +347,7 @@ object Knn {
       k: Int = K,
       rerank: Int = 20,
       bruteStage1: Boolean = false,
+      probe1: Boolean = false,
       queryPred: Column = col("vec_id") < 10): DataFrame = {
     val dq = dequantized(emb.select(col("vec_id"), col("embedding")))
     val q = dq.filter(queryPred)
@@ -333,8 +365,15 @@ object Knn {
         val banded = lshTables(
           dq.select(col("vec_id"), col("q8").as("embedding"), col("nrm8").as("nrm")))
           .select("vec_id", "tbl", "bkt")
-        val qb = banded.filter(queryPred)
+        val qb0 = banded.filter(queryPred)
           .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
+        // 1-bit multiprobe, exactly as in [[lshTopK]]: query-side-only
+        // fan-out that turns a one-hyperplane near-miss into a hit
+        val qb =
+          if (!probe1) qb0
+          else qb0.select(col("qid"), col("tbl"),
+            explode(array(col("bkt") +: (0 until DefaultPlanes).map(j =>
+              col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
         qb.join(banded, Seq("tbl", "bkt"))
           .filter(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id").as("nid"))

@@ -76,6 +76,24 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("q71: 1-bit multiprobe lifts recall@5 with query-side-only fan-out") {
+    val emb = Tables.embeddings(spark, sf)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "nid").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val brute = neighborSets("q70_knn_brute")
+    def recall(m: Map[Long, Set[Long]]): Double = brute.keys.toSeq
+      .map(q => (brute(q) & m.getOrElse(q, Set.empty)).size.toDouble / brute(q).size)
+      .sum / brute.size
+    val plain = recall(sets(graft.ann.Knn.lshTopK(emb)))
+    val probed = recall(sets(graft.ann.Knn.lshTopK(emb, probe1 = true)))
+    info(f"q71 recall@5: plain=$plain%.3f multiprobe=$probed%.3f")
+    // multiprobe's candidate set is a strict superset (it adds probe
+    // buckets, removes none), so recall can only rise
+    assert(probed >= plain, f"multiprobe lowered recall: $probed%.3f < $plain%.3f")
+    assert(probed >= 0.6)
+  }
+
   test("q65: planesFor tracks corpus size (soak-calibrated bucket geometry)") {
     // calibrated against the round-4 soak: 4 planes at gate scale,
     // 8 at the 20k-vector fan-out where 4 went quadratic
