@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Soak {
 
+  private def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+
   private def timed[T](name: String)(f: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = f
@@ -96,13 +102,49 @@ object Soak {
     println(s"[soak] q69: verdicts=${v69.getLong(0)} dropped=${v69.getLong(1)}")
 
     // q6b: persisted index — build once (corpus-sized), ingest (batch-sized)
-    val root = s"target/graft-soak-index/${java.util.UUID.randomUUID.toString.take(8)}"
+    val idxTmp = java.nio.file.Files.createTempDirectory("graft-soak-index")
+    val root = s"$idxTmp/idx"
     val (_, sIdx) = timed("q6b_index_build")(Dedup.commitBandIndex(fanned, root))
     val (v6b, s6b) = timed("q6b_ingest")(
       Dedup.ingestAgainstIndex(batch, fanned, root)
         .agg(count(lit(1)), sum(when(col("keep"), 0L).otherwise(1L))).head())
     println(s"[soak] q6b: verdicts=${v6b.getLong(0)} dropped=${v6b.getLong(1)} " +
       f"(index build $sIdx%.1f s amortized across ingests of $s6b%.1f s)")
+    deleteDir(spark, idxTmp.toString)
+
+    // ---------------- warehouse tier ----------------
+    // 10× orders through the snapshot store: full base + 32 delta
+    // imports, then the three read shapes a warehouse lives on —
+    // latest (delta-chain merge), compact, and a CDC diff across the
+    // whole chain. The scale claims under test: the merge is ONE key
+    // shuffle regardless of chain length, and compact bounds fan-in.
+    import graft.sources.Snapshots
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val fo = fan(orders, "o_orderkey")
+    val nOrders = fo.count()
+    val whTmp = java.nio.file.Files.createTempDirectory("graft-soak-store")
+    val wroot = s"$whTmp/orders"
+    val (_, sFull) = timed("wh_commit_full")(Snapshots.commit(fo, wroot))
+    val (_, sDeltas) = timed("wh_32_deltas") {
+      (0 until 32).foreach { i =>
+        Snapshots.commitDelta(
+          fo.filter(col("o_orderkey") % 128 === i).withColumn("o_orderstatus", lit("A")),
+          wroot)
+      }
+    }
+    val latest = Snapshots.latest(spark, wroot, Seq("o_orderkey"))
+    val mergeShuffles = "Exchange hashpartitioning".r
+      .findAllIn(latest.queryExecution.executedPlan.toString).length
+    val (nLatest, sMerge) = timed("wh_latest_33frame_merge")(latest.count())
+    val (_, sCompact) = timed("wh_compact")(
+      Snapshots.compact(spark, wroot, Seq("o_orderkey")))
+    val (nChg, sChanges) = timed("wh_changes_v1_v33")(
+      Snapshots.changes(spark, wroot, 1L, 33L, Seq("o_orderkey")).count())
+    println(s"[soak] warehouse: $nOrders keys, 33-frame merge -> $nLatest rows in " +
+      f"$sMerge%.1f s with $mergeShuffles shuffle(s); compact $sCompact%.1f s; " +
+      s"changes=$nChg")
+    deleteDir(spark, whTmp.toString)
 
     // ---------------- embeddings family ----------------
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
