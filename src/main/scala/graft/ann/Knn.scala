@@ -214,37 +214,50 @@ object Knn {
     * ≈ nprobe/#cells (16/64 here; a production index would use
     * k=thousands of cells, same plan).
     */
+  /** IVF ANN as a library call — q72's exact pipeline, parameterized.
+    * `nprobe` is the recall/scan-fraction knob (scanned fraction ≈
+    * nprobe/#cells); `iters` the Lloyd rounds.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      k: Int = K,
+      nprobe: Int = 16,
+      iters: Int = 2,
+      queryPred: Column = col("vec_id") < 10): DataFrame = {
+    // materialize the corpus+norm projection once: training (count,
+    // Lloyd assignment passes), cell assignment, and query probing
+    // would otherwise each re-run the scan+norm pipeline
+    val e = emb.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("nrm")).localCheckpoint(true)
+    val spark = e.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(e, iters)
+    val assigned = assignCell(e, cents)
+    // query probing: |queries| × #centroids — the crossJoin+window
+    // top-n is fine here (the corpus-side fan-out was the problem)
+    val cdf = broadcast(cents.toDF("cid", "ce"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    val qCells = e.filter(queryPred)
+      .crossJoin(cdf)
+      .withColumn("dist", distSq(col("embedding"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cid").as("cell"))
+    // no pair-dedup needed: every corpus vector lives in exactly one
+    // cell and each (qid, cell) probe appears once, so the join
+    // yields each (qid, nid) at most once
+    topK(
+      qCells.join(assigned, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          cosine(col("qe"), col("embedding"), col("qn"), col("nrm")).as("cos")),
+      k)
+  }
+
   private val q72 = Qdef(
     "q72_knn_ivf",
-    (s, d) => {
-      // materialize the corpus+norm projection once: training (count,
-      // 2 Lloyd assignment passes), cell assignment, and query probing
-      // would otherwise each re-run the scan+norm pipeline
-      val e = corpus(s, d).localCheckpoint(true)
-      val cents = ivfCentroids(e)
-      val assigned = assignCell(e, cents)
-      // query probing: 10 rows × 64 centroids — the crossJoin+window
-      // top-n is fine here (the corpus-side fan-out was the problem)
-      val spark = s
-      import spark.implicits._
-      val cdf = broadcast(cents.toDF("cid", "ce"))
-      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-      val qCells = e.filter(col("vec_id") < 10)
-        .crossJoin(cdf)
-        .withColumn("dist", distSq(col("embedding"), col("ce")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 16)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("nrm").as("qn"), col("cid").as("cell"))
-      // no pair-dedup needed: every corpus vector lives in exactly one
-      // cell and each (qid, cell) probe appears once, so the join
-      // yields each (qid, nid) at most once
-      topK(
-        qCells.join(assigned, Seq("cell"))
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("nid"),
-            cosine(col("qe"), col("embedding"), col("qn"), col("nrm")).as("cos")))
-    },
+    (s, d) => ivfTopK(Tables.embeddings(s, d)),
     None)
 
   /** Symmetric per-vector int8 quantization (the standard ANN /
