@@ -207,18 +207,34 @@ object Dedup {
   def planesFor(n: Long, targetBucket: Int = 128): Int =
     math.max(4, math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
 
+  /** `probe1` adds symmetric 1-bit multiprobe: ONE side of the bucket
+    * self-join also probes the `planes` keys at hamming distance 1 —
+    * enough for pair detection, because hamming-1 is symmetric (if
+    * x's and y's keys differ in one bit, x's expansion reaches y's
+    * bucket whichever of them lands on the expanded side). Per-table
+    * pair-hit probability rises from p^planes to
+    * p^planes + planes·p^(planes−1)(1−p) at (planes+1)× the join
+    * input on one side only; the verify step is unchanged, so
+    * precision stays exact.
+    */
   def embeddingNearDups(
       emb: DataFrame,
       tables: Int = 12,
       planes: Int = 4,
-      tau: Double = 0.4): DataFrame = {
+      tau: Double = 0.4,
+      probe1: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions._
     val e = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
     // Candidate stage carries ONLY (vec_id, tbl, bkt): the banding
     // shuffle and the bucket self-join never ship embedding arrays.
     val banded = graft.ann.Knn.lshTables(e, tables, planes, seed = 7)
       .select("vec_id", "tbl", "bkt")
-    val a = banded.as("a")
+    val probedA =
+      if (!probe1) banded
+      else banded.select(col("vec_id"), col("tbl"),
+        explode(array(col("bkt") +: (0 until planes).map(j =>
+          col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
+    val a = probedA.as("a")
     val b = banded.as("b")
     // Dedup pairs BEFORE the cosine verify: a pair colliding in all
     // `tables` hash tables would otherwise pay `tables` cosines (and

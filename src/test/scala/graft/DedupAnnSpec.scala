@@ -56,7 +56,17 @@ class DedupAnnSpec extends SparkSpec {
     assert((got -- truth).isEmpty, "false positives: returned pair below threshold")
     assert(truth.nonEmpty)
     val recall = (truth & got).size.toDouble / truth.size
-    assert(recall >= 0.8, s"multiprobe recall $recall below 0.8 (truth=${truth.size}, got=${got.size})")
+    assert(recall >= 0.8, s"recall $recall below 0.8 (truth=${truth.size}, got=${got.size})")
+
+    // symmetric 1-bit multiprobe: candidates are a superset, the
+    // cosine verify keeps precision exact, recall can only rise
+    val probed = Dedup.embeddingNearDups(Tables.embeddings(spark, sf), probe1 = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((probed -- truth).isEmpty, "multiprobe introduced a false positive")
+    assert(got.subsetOf(probed), "multiprobe lost a plain-bucket pair")
+    val probedRecall = (truth & probed).size.toDouble / truth.size
+    info(f"q65 recall: plain=$recall%.3f probe1=$probedRecall%.3f")
+    assert(probedRecall >= recall)
   }
 
   private def neighborSets(name: String): Map[Long, Set[Long]] =
