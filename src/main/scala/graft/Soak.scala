@@ -103,14 +103,16 @@ object Soak {
 
     // q6b: persisted index — build once (corpus-sized), ingest (batch-sized)
     val idxTmp = java.nio.file.Files.createTempDirectory("graft-soak-index")
-    val root = s"$idxTmp/idx"
-    val (_, sIdx) = timed("q6b_index_build")(Dedup.commitBandIndex(fanned, root))
-    val (v6b, s6b) = timed("q6b_ingest")(
-      Dedup.ingestAgainstIndex(batch, fanned, root)
-        .agg(count(lit(1)), sum(when(col("keep"), 0L).otherwise(1L))).head())
-    println(s"[soak] q6b: verdicts=${v6b.getLong(0)} dropped=${v6b.getLong(1)} " +
-      f"(index build $sIdx%.1f s amortized across ingests of $s6b%.1f s)")
-    deleteDir(spark, idxTmp.toString)
+    val s6b = try {
+      val root = s"$idxTmp/idx"
+      val (_, sIdx) = timed("q6b_index_build")(Dedup.commitBandIndex(fanned, root))
+      val (v6b, s) = timed("q6b_ingest")(
+        Dedup.ingestAgainstIndex(batch, fanned, root)
+          .agg(count(lit(1)), sum(when(col("keep"), 0L).otherwise(1L))).head())
+      println(s"[soak] q6b: verdicts=${v6b.getLong(0)} dropped=${v6b.getLong(1)} " +
+        f"(index build $sIdx%.1f s amortized across ingests of $s%.1f s)")
+      s
+    } finally deleteDir(spark, idxTmp.toString)
 
     // ---------------- warehouse tier ----------------
     // 10× orders through the snapshot store: full base + 32 delta
@@ -124,27 +126,28 @@ object Soak {
     val fo = fan(orders, "o_orderkey")
     val nOrders = fo.count()
     val whTmp = java.nio.file.Files.createTempDirectory("graft-soak-store")
-    val wroot = s"$whTmp/orders"
-    val (_, sFull) = timed("wh_commit_full")(Snapshots.commit(fo, wroot))
-    val (_, sDeltas) = timed("wh_32_deltas") {
-      (0 until 32).foreach { i =>
-        Snapshots.commitDelta(
-          fo.filter(col("o_orderkey") % 128 === i).withColumn("o_orderstatus", lit("A")),
-          wroot)
+    try {
+      val wroot = s"$whTmp/orders"
+      timed("wh_commit_full")(Snapshots.commit(fo, wroot))
+      timed("wh_32_deltas") {
+        (0 until 32).foreach { i =>
+          Snapshots.commitDelta(
+            fo.filter(col("o_orderkey") % 128 === i).withColumn("o_orderstatus", lit("A")),
+            wroot)
+        }
       }
-    }
-    val latest = Snapshots.latest(spark, wroot, Seq("o_orderkey"))
-    val mergeShuffles = "Exchange hashpartitioning".r
-      .findAllIn(latest.queryExecution.executedPlan.toString).length
-    val (nLatest, sMerge) = timed("wh_latest_33frame_merge")(latest.count())
-    val (_, sCompact) = timed("wh_compact")(
-      Snapshots.compact(spark, wroot, Seq("o_orderkey")))
-    val (nChg, sChanges) = timed("wh_changes_v1_v33")(
-      Snapshots.changes(spark, wroot, 1L, 33L, Seq("o_orderkey")).count())
-    println(s"[soak] warehouse: $nOrders keys, 33-frame merge -> $nLatest rows in " +
-      f"$sMerge%.1f s with $mergeShuffles shuffle(s); compact $sCompact%.1f s; " +
-      s"changes=$nChg")
-    deleteDir(spark, whTmp.toString)
+      val latest = Snapshots.latest(spark, wroot, Seq("o_orderkey"))
+      val mergeShuffles = "Exchange hashpartitioning".r
+        .findAllIn(latest.queryExecution.executedPlan.toString).length
+      val (nLatest, sMerge) = timed("wh_latest_33frame_merge")(latest.count())
+      val (_, sCompact) = timed("wh_compact")(
+        Snapshots.compact(spark, wroot, Seq("o_orderkey")))
+      val (nChg, sChanges) = timed("wh_changes_v1_v33")(
+        Snapshots.changes(spark, wroot, 1L, 33L, Seq("o_orderkey")).count())
+      println(s"[soak] warehouse: $nOrders keys, 33-frame merge -> $nLatest rows in " +
+        f"$sMerge%.1f s with $mergeShuffles shuffle(s); compact $sCompact%.1f s; " +
+        s"changes=$nChg")
+    } finally deleteDir(spark, whTmp.toString)
 
     // ---------------- embeddings family ----------------
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")

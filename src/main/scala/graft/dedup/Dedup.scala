@@ -631,6 +631,15 @@ object Dedup {
         col("dup_of").isNull.as("keep"))
   }
 
+  /** The ONE definition of "accepted batch docs" — shared by
+    * [[ingestAndCommit]] (band-index delta) and
+    * [[graft.streaming.EventStreams.streamDedupIngest]] (corpus-store
+    * delta), so the two stores can never silently diverge on what a
+    * keeper is.
+    */
+  def keepersOf(batch: DataFrame, verdicts: DataFrame): DataFrame =
+    batch.join(verdicts.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+
   /** [[ingestAgainstIndex]] + index maintenance: verdicts are
     * materialized, then the ACCEPTED docs' bands are committed back
     * as a delta segment so the next ingest sees them — the
@@ -640,9 +649,8 @@ object Dedup {
   def ingestAndCommit(
       batch: DataFrame, corpusText: DataFrame, root: String, minJ: Double = 0.8): DataFrame = {
     val verdicts = ingestAgainstIndex(batch, corpusText, root, minJ).localCheckpoint(true)
-    val keepers = batch.join(
-      verdicts.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
-    graft.sources.Snapshots.commitDelta(bandedKeys(minhashSignatures(keepers)), root)
+    graft.sources.Snapshots.commitDelta(
+      bandedKeys(minhashSignatures(keepersOf(batch, verdicts))), root)
     verdicts
   }
 

@@ -227,14 +227,25 @@ object EventStreams {
     * `Snapshots.commit(corpus, corpusRoot)` and
     * `Dedup.commitBandIndex(corpus, indexRoot)`.
     *
-    * Delivery is at-least-once (foreachBatch), and the cycle is
-    * effect-idempotent for the corpus: a replayed batch re-screens
-    * against an index that already holds its keepers' bands, every
-    * replayed doc matches its own committed copy (jaccard 1) and is
-    * dropped, so the corpus store never sees a duplicate — the same
-    * replay story as [[graft.sources.Snapshots.streamInto]]. In-batch
-    * near-dups are NOT screened against each other (per-batch
-    * semantics, as in q69); pre-dedup the batch if that matters.
+    * The corpus store is append-only under this sink (keepers are
+    * new by construction), so the per-batch corpus view is a RAW
+    * union of the committed frames — never `Snapshots.latest`, whose
+    * last-writer-wins window would shuffle the entire growing corpus
+    * (text included) on every micro-batch before the candidate join
+    * could prune anything. The raw union keeps the per-ingest cost at
+    * what [[graft.dedup.Dedup.ingestAgainstIndex]] promises: one
+    * index scan + one narrow corpus scan.
+    *
+    * Delivery is at-least-once (foreachBatch). A replayed shingled
+    * keeper matches its own committed copy (jaccard 1) and drops; a
+    * replayed shingle-less keeper (< 3 tokens — no signature, never a
+    * candidate) cannot, so the corpus commit additionally anti-joins
+    * the store's existing ids: the corpus store never sees a
+    * duplicate row under replay, and the band index never duplicates
+    * (re-dropped keepers commit no bands; shingle-less docs have
+    * none). In-batch near-dups are NOT screened against each other
+    * (per-batch semantics, as in q69); pre-dedup the batch if that
+    * matters.
     */
   def streamDedupIngest(
       docs: DataFrame, indexRoot: String, corpusRoot: String,
@@ -246,12 +257,15 @@ object EventStreams {
         // commit would each recompute the micro-batch otherwise
         batch.persist()
         try if (!batch.isEmpty) {
+          import graft.sources.Snapshots
           val spark = batch.sparkSession
-          val corpusText = graft.sources.Snapshots.latest(spark, corpusRoot, Seq("doc_id"))
+          val corpusText = Snapshots.versions(spark, corpusRoot)
+            .map { case (v, _, _) => Snapshots.read(spark, corpusRoot, v) }
+            .reduce(_ unionByName _)
           val verdicts = graft.dedup.Dedup.ingestAndCommit(batch, corpusText, indexRoot)
-          val keepers = batch.join(
-            verdicts.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
-          graft.sources.Snapshots.commitDelta(keepers, corpusRoot)
+          val keepers = graft.dedup.Dedup.keepersOf(batch, verdicts)
+            .join(corpusText.select("doc_id"), Seq("doc_id"), "left_anti")
+          Snapshots.commitDelta(keepers, corpusRoot)
           ()
         } finally { batch.unpersist(); () }
       }
