@@ -631,6 +631,18 @@ object Dedup {
         col("dup_of").isNull.as("keep"))
   }
 
+  /** Fold the band index's delta chain into a fresh full snapshot.
+    * [[readBandIndex]] reads the latest full snapshot + later deltas,
+    * so the new commit SUPERSEDES the old segments — after N ingests
+    * the per-ingest scan fan-in is back to one file set. Bands are
+    * immutable (no per-key merge needed), so compaction is a plain
+    * rewrite of the current union: no shuffle at all beyond the
+    * write. Run on the same cadence as any log-structured table's
+    * compaction; old versions stay readable.
+    */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession, root: String): Long =
+    graft.sources.Snapshots.commit(readBandIndex(spark, root), root)
+
   /** The ONE definition of "accepted batch docs" — shared by
     * [[ingestAndCommit]] (band-index delta) and
     * [[graft.streaming.EventStreams.streamDedupIngest]] (corpus-store

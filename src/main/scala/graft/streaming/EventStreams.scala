@@ -234,7 +234,11 @@ object EventStreams {
     * (text included) on every micro-batch before the candidate join
     * could prune anything. The raw union keeps the per-ingest cost at
     * what [[graft.dedup.Dedup.ingestAgainstIndex]] promises: one
-    * index scan + one narrow corpus scan.
+    * index scan + one narrow corpus scan. Both stores grow one delta
+    * segment per batch: fold them back on an operational cadence with
+    * [[graft.dedup.Dedup.compactBandIndex]] (index) and
+    * [[graft.sources.Snapshots.compact]] (corpus) — supersession, not
+    * this sink, is the scan-fan-in bound.
     *
     * Delivery is at-least-once (foreachBatch). A replayed shingled
     * keeper matches its own committed copy (jaccard 1) and drops; a

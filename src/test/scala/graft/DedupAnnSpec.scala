@@ -188,6 +188,30 @@ class DedupAnnSpec extends SparkSpec {
     assert(v2.count() === b2.count(), "one verdict row per batch-2 doc")
   }
 
+  test("q6b: compactBandIndex folds the delta chain; ingest verdicts unchanged") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 7 =!= 5)
+    val b1 = docs.filter(col("doc_id") % 7 === 3)
+    val b2 = docs.filter(col("doc_id") % 7 === 5)
+    val root = tmpDir("bandindex-compact") + "/idx"
+    Dedup.commitBandIndex(corpus, root)
+    val v1 = Dedup.ingestAndCommit(b1, corpus, root)
+    val corpus2 = corpus.unionByName(Dedup.keepersOf(b1, v1))
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2), r.getBoolean(3))).toSet
+    val before = rows(Dedup.ingestAgainstIndex(b2, corpus2, root))
+
+    Dedup.compactBandIndex(spark, root)
+    // the compacted index is ONE frame (scan fan-in reset)...
+    val p = Dedup.readBandIndex(spark, root).queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).length === 1,
+      s"compacted index should scan a single snapshot:\n$p")
+    // ...and screening is bit-identical through it
+    assert(rows(Dedup.ingestAgainstIndex(b2, corpus2, root)) === before)
+  }
+
   test("q83: fingerprint is deterministic, one row per doc, all-scalar schema") {
     val f1 = SparkEntry.queries("q83_fingerprint")(spark, sf).collect()
     val f2 = SparkEntry.queries("q83_fingerprint")(spark, sf).collect()
