@@ -258,6 +258,101 @@ object Dedup {
     (s, d) => embeddingNearDups(Tables.embeddings(s, d)).orderBy("id_a", "id_b"),
     None)
 
+  /** Incremental embedding ingest filter — the vector twin of q69:
+    * a batch of new vectors is screened against the corpus; batch
+    * vectors with any corpus neighbor at cosine ≥ `tau` are dropped.
+    * Output contract matches [[incrementalNearDups]]: one row per
+    * batch vector with (dup_of, n_matches, keep).
+    *
+    * Default candidates come from the asymmetric hyperplane-LSH join:
+    * both sides band onto compact (tbl, bkt) keys (a narrow map), the
+    * SMALL batch side broadcasts, so the corpus never shuffles — the
+    * q69 shape with buckets instead of minhash bands. `probe1` adds
+    * the 1-bit multiprobe on the batch side. `brute = true` scores
+    * every (corpus × batch) pair instead; it exists as the oracle
+    * gate (q6c) and the recall yardstick — the default never runs a
+    * cross join.
+    */
+  def incrementalVecDups(
+      batch: DataFrame,
+      corpus: DataFrame,
+      tau: Double = 0.4,
+      tables: Int = 12,
+      planes: Int = 4,
+      probe1: Boolean = false,
+      brute: Boolean = false): DataFrame = {
+    import graft.functions.VectorFunctions._
+    def withNorm(df: DataFrame) =
+      df.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val b = withNorm(batch)
+    val c = withNorm(corpus)
+    val scored =
+      if (brute)
+        c.crossJoin(broadcast(
+            b.select(col("vec_id").as("b_id"), col("embedding").as("be"), col("nrm").as("bn"))))
+          .select(col("b_id"), col("vec_id").as("c_id"),
+            cosine(col("be"), col("embedding"), col("bn"), col("nrm")).as("cos"))
+      else {
+        // one shared hyperplane set: batch and corpus must hash with
+        // the same planes or buckets never align. Derive dims from
+        // the corpus (authoritative at ingest time).
+        val dims = c.select(size(col("embedding")).as("d")).head(1).headOption.map(_.getInt(0))
+        val cb = graft.ann.Knn.lshTables(c, tables, planes, seed = 7, dims = dims)
+          .select(col("vec_id").as("c_id"), col("tbl"), col("bkt"))
+        val bb0 = graft.ann.Knn.lshTables(b, tables, planes, seed = 7, dims = dims)
+          .select(col("vec_id").as("b_id"), col("tbl"), col("bkt"))
+        val bb =
+          if (!probe1) bb0
+          else bb0.select(col("b_id"), col("tbl"),
+            explode(array(col("bkt") +: (0 until planes).map(j =>
+              col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
+        broadcast(bb).join(cb, Seq("tbl", "bkt"))
+          .select("b_id", "c_id").distinct()
+          .join(broadcast(b.select(col("vec_id").as("b_id"),
+            col("embedding").as("be"), col("nrm").as("bn"))), "b_id")
+          .join(c.select(col("vec_id").as("c_id"), col("embedding"), col("nrm")), "c_id")
+          .select(col("b_id"), col("c_id"),
+            cosine(col("be"), col("embedding"), col("bn"), col("nrm")).as("cos"))
+      }
+    val matches = scored
+      .filter(col("cos") >= tau)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(min("c_id").as("dup_of"), count(lit(1)).as("n_matches"))
+    batch.select("vec_id")
+      .join(matches, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_of"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("dup_of").isNull.as("keep"))
+  }
+
+  /** q6c gate: the brute form of [[incrementalVecDups]] — the cosine
+    * fold is bit-identical to DuckDB's (q70 precedent), so verdicts
+    * hash-exactly. Library callers get the bucketed default.
+    */
+  private val q6c = Qdef(
+    "q6c_incremental_vec_dedup",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val isInc = col("vec_id") % 7 === 3
+      incrementalVecDups(emb.filter(isInc), emb.filter(!isInc), brute = true)
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding,
+                    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                  FROM embeddings),
+            b AS (SELECT vec_id, embedding, nrm FROM e WHERE vec_id % 7 = 3),
+            c AS (SELECT vec_id, embedding, nrm FROM e WHERE vec_id % 7 <> 3),
+            m AS (SELECT b.vec_id, MIN(c.vec_id) AS dup_of, COUNT(*) AS n_matches
+                  FROM b, c
+                  WHERE list_sum(list_transform(list_zip(b.embedding, c.embedding),
+                          pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (b.nrm * c.nrm) >= 0.4
+                  GROUP BY b.vec_id)
+            SELECT b2.vec_id, m.dup_of, COALESCE(m.n_matches, 0) AS n_matches,
+                   (m.dup_of IS NULL) AS keep
+            FROM (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 3) b2
+            LEFT JOIN m ON b2.vec_id = m.vec_id
+            ORDER BY b2.vec_id"""))
+
   // ------------------------------------------- cluster resolution
 
   /** Resolve near-dup pairs into clusters (connected components) by
@@ -806,5 +901,5 @@ object Dedup {
             FROM p WHERE 1.0 - CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE) >= 0.8
             ORDER BY id_a, id_b"""))
 
-  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q6a, q6b)
+  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q6a, q6b, q6c)
 }

@@ -188,6 +188,29 @@ class DedupAnnSpec extends SparkSpec {
     assert(v2.count() === b2.count(), "one verdict row per batch-2 doc")
   }
 
+  test("q6c: bucketed incremental vec dedup vs the brute gate (recall; multiprobe monotone)") {
+    val emb = Tables.embeddings(spark, sf)
+    val isInc = col("vec_id") % 7 === 3
+    val (b, c) = (emb.filter(isInc), emb.filter(!isInc))
+    def verdicts(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      df.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val brute = verdicts(Dedup.incrementalVecDups(b, c, brute = true))
+    val plain = verdicts(Dedup.incrementalVecDups(b, c))
+    val probed = verdicts(Dedup.incrementalVecDups(b, c, probe1 = true))
+    assert(plain.keySet === brute.keySet, "one verdict row per batch vector")
+    // no false drops: a bucketed drop is always confirmed by exact
+    // cosine, so everything dropped by LSH is dropped by brute too
+    assert(plain.forall { case (id, keep) => keep || !brute(id) })
+    assert(probed.forall { case (id, keep) => keep || !brute(id) })
+    val dropsB = brute.count(!_._2)
+    val dropsP = plain.count(!_._2)
+    val dropsM = probed.count(!_._2)
+    info(s"q6c drops: brute=$dropsB bucketed=$dropsP multiprobe=$dropsM of ${brute.size}")
+    assert(dropsB > 0, "gate corpus has no vector dups - recall check is vacuous")
+    assert(dropsM >= dropsP, "multiprobe lost candidates")
+    assert(dropsP.toDouble / dropsB >= 0.6, s"bucketed recall $dropsP/$dropsB below 0.6")
+  }
+
   test("q6b: compactBandIndex folds the delta chain; ingest verdicts unchanged") {
     val docs = Tables.documents(spark, sf)
     val corpus = docs.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 7 =!= 5)

@@ -253,6 +253,18 @@ class PlanShapeSpec extends SparkSpec {
         s"- corpus is being re-shingled:\n$p")
   }
 
+  test("q6c default: bucketed incremental vec dedup - batch broadcasts, no cross join") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val p = dedup.Dedup.incrementalVecDups(
+        emb.filter(col("vec_id") % 7 === 3), emb.filter(col("vec_id") % 7 =!= 3))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"default incremental vec dedup cross-joins the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin [tbl") || p.contains("BroadcastHashJoin [bkt"),
+      s"batch bucket keys not broadcast against the corpus banding:\n$p")
+  }
+
   test("q5a: interval merge reuses ONE subject shuffle for windows and aggregates") {
     val p = plan("q5a_interval_merge")
     // one hash exchange on user_id feeds both window passes AND both
