@@ -28,6 +28,20 @@ object Knn {
     */
   private val DefaultPlanes = 4
 
+  /** ONE driver action for the two corpus facts auto-geometry needs:
+    * the row count (plane derivation, [[LshGeometry.planesFor]]) and
+    * the embedding width (the hyperplane literal dimension —
+    * min(size) so a ragged corpus buckets on the span `graft_dot`
+    * actually folds over). Callers that resolve geometry pass the
+    * dims on to [[lshTables]], which then skips its own head(1)
+    * probe — auto costs the same number of driver actions as the
+    * fixed-geometry era.
+    */
+  private[graft] def countAndDims(e: DataFrame): (Long, Option[Int]) = {
+    val r = e.agg(count(lit(1)), min(size(col("embedding")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1)))
+  }
+
   /** Corpus with per-row norm; queries are the vec_id < 10 slice. */
   private def corpus(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -125,22 +139,34 @@ object Knn {
     * banding, the shuffle key width, and the per-bucket population
     * are untouched. Same no-rows-for-isolated-queries contract as
     * [[quantizedTopK]].
+    *
+    * `planes = 0` (the default) derives the plane count from the
+    * corpus size ([[LshGeometry.planesFor]] — the knob the sf≈1 soak
+    * proved must move with n) in the same driver action that reads
+    * the embedding width, and turns the 1-bit probe on whenever the
+    * derived planes exceed the 4-plane gate default (per-table hit
+    * decays geometrically in planes; the probe buys it back on the
+    * query side only). Pass planes explicitly to pin the geometry —
+    * then `probe1` alone controls probing.
     */
   def lshTopK(
       emb: DataFrame,
       k: Int = K,
       tables: Int = 16,
-      planes: Int = DefaultPlanes,
+      planes: Int = 0,
       probe1: Boolean = false,
       queryPred: Column = col("vec_id") < 10): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-    val banded = lshTables(e, tables, planes).select("vec_id", "tbl", "bkt")
+    val (n, dims) = countAndDims(e)
+    val pl = if (planes > 0) planes else LshGeometry.planesFor(n)
+    val doProbe = probe1 || (planes <= 0 && pl > LshGeometry.GatePlanes)
+    val banded = lshTables(e, tables, pl, dims = dims).select("vec_id", "tbl", "bkt")
     val qb0 = banded.filter(queryPred)
       .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
     val qb =
-      if (!probe1) qb0
+      if (!doProbe) qb0
       else qb0.select(col("qid"), col("tbl"),
-        explode(array(col("bkt") +: (0 until planes).map(j =>
+        explode(array(col("bkt") +: (0 until pl).map(j =>
           col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
     val cand = qb.join(banded, Seq("tbl", "bkt"))
       .filter(col("vec_id") =!= col("qid"))
@@ -359,6 +385,8 @@ object Knn {
       emb: DataFrame,
       k: Int = K,
       rerank: Int = 20,
+      tables: Int = 16,
+      planes: Int = 0,
       bruteStage1: Boolean = false,
       probe1: Boolean = false,
       queryPred: Column = col("vec_id") < 10): DataFrame = {
@@ -374,18 +402,23 @@ object Knn {
       else {
         // bucket the QUANTIZED view (the vectors stage 1 actually
         // reads); candidates dedup before the cosine, arrays never
-        // ship through the bucket join — exactly the q71 shape
-        val banded = lshTables(
-          dq.select(col("vec_id"), col("q8").as("embedding"), col("nrm8").as("nrm")))
-          .select("vec_id", "tbl", "bkt")
+        // ship through the bucket join — exactly the q71 shape.
+        // planes = 0 derives the count from corpus size and flips the
+        // probe on past the gate default, as in [[lshTopK]]
+        val dqe = dq.select(col("vec_id"), col("q8").as("embedding"), col("nrm8").as("nrm"))
+        val (n, dims) = countAndDims(dqe)
+        val pl = if (planes > 0) planes else LshGeometry.planesFor(n)
+        val doProbe = probe1 || (planes <= 0 && pl > LshGeometry.GatePlanes)
+        val banded = lshTables(dqe, tables, pl, dims = dims).select("vec_id", "tbl", "bkt")
         val qb0 = banded.filter(queryPred)
           .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
         // 1-bit multiprobe, exactly as in [[lshTopK]]: query-side-only
-        // fan-out that turns a one-hyperplane near-miss into a hit
+        // fan-out that turns a one-hyperplane near-miss into a hit —
+        // the probe loop flips exactly the `pl` bits the bucketing set
         val qb =
-          if (!probe1) qb0
+          if (!doProbe) qb0
           else qb0.select(col("qid"), col("tbl"),
-            explode(array(col("bkt") +: (0 until DefaultPlanes).map(j =>
+            explode(array(col("bkt") +: (0 until pl).map(j =>
               col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
         qb.join(banded, Seq("tbl", "bkt"))
           .filter(col("vec_id") =!= col("qid"))

@@ -190,22 +190,28 @@ object Dedup {
     * OR-amplification: `tables` independent hash tables of `planes`
     * sign bits each; a pair is a candidate if it collides in ANY table,
     * then verified with exact cosine ≥ τ. For p = P(one plane agrees)
-    * = 1 − θ/π, recall = 1 − (1 − p^planes)^tables — at τ=0.4
-    * (p≈0.63) the 12×4 default gives ≈0.87; raise `planes` (and
-    * `tables`) for higher thresholds to keep buckets small. Each row
-    * is exploded `tables` times onto compact (table, bucket) keys —
-    * one shuffle, per-bucket pairwise verification only (SURVEY §4).
+    * = 1 − θ/π, recall = 1 − (1 − p^planes)^tables. The geometry
+    * DEFAULTS are data-derived ([[graft.ann.LshGeometry.forCorpus]]):
+    * planes from corpus size (bounded bucket populations — the sf≈1
+    * soak's finding), tables from the 0.87-recall-at-τ floor, 1-bit
+    * multiprobe once planes pass the gate default. At gate scale the
+    * solver returns the fixed 12×4 the oracles are calibrated
+    * against. Each row is exploded `tables` times onto compact
+    * (table, bucket) keys — one shuffle, per-bucket pairwise
+    * verification only (SURVEY §4).
     */
   /** Plane count that keeps the EXPECTED bucket population near
     * `targetBucket` for an n-row corpus (mean bucket = n/2^planes per
     * table). The sf1 soak (PLANS.md round 4) measured why the knob is
     * not optional: at 20k vectors the 4-plane default leaves
     * 1250-member mean buckets — 158M in-bucket pair slots — while 8
-    * planes cut the pairwise work 13×. Recall at a given τ then sets
-    * `tables`: recall = 1 − (1 − p^planes)^tables, p = 1 − θ/π.
+    * planes cut the pairwise work 13×. Kept as the historical entry
+    * point; the full solver (tables from the recall target, the
+    * probe decision) lives in [[graft.ann.LshGeometry]], which the
+    * library defaults now call.
     */
   def planesFor(n: Long, targetBucket: Int = 128): Int =
-    math.max(4, math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
+    graft.ann.LshGeometry.planesFor(n, targetBucket)
 
   /** `probe1` adds symmetric 1-bit multiprobe: ONE side of the bucket
     * self-join also probes the `planes` keys at hamming distance 1 —
@@ -219,20 +225,31 @@ object Dedup {
     */
   def embeddingNearDups(
       emb: DataFrame,
-      tables: Int = 12,
-      planes: Int = 4,
+      tables: Int = 0,
+      planes: Int = 0,
       tau: Double = 0.4,
       probe1: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions._
     val e = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    // tables/planes = 0 (the defaults) resolve from corpus size and τ
+    // via the LshGeometry solver — ONE driver action shared with the
+    // dims probe lshTables would otherwise run itself. At gate scale
+    // (n ≤ 2k, τ=0.4) the solver returns the fixed (12, 4, no-probe)
+    // geometry the oracles were calibrated against; past it, planes
+    // track n (bounded buckets) and the 1-bit probe holds recall.
+    val (n, dims) = graft.ann.Knn.countAndDims(e)
+    val g = graft.ann.LshGeometry.forCorpus(n, tau)
+    val tbl = if (tables > 0) tables else g.tables
+    val pl = if (planes > 0) planes else g.planes
+    val doProbe = probe1 || (planes <= 0 && g.probe1)
     // Candidate stage carries ONLY (vec_id, tbl, bkt): the banding
     // shuffle and the bucket self-join never ship embedding arrays.
-    val banded = graft.ann.Knn.lshTables(e, tables, planes, seed = 7)
+    val banded = graft.ann.Knn.lshTables(e, tbl, pl, seed = 7, dims = dims)
       .select("vec_id", "tbl", "bkt")
     val probedA =
-      if (!probe1) banded
+      if (!doProbe) banded
       else banded.select(col("vec_id"), col("tbl"),
-        explode(array(col("bkt") +: (0 until planes).map(j =>
+        explode(array(col("bkt") +: (0 until pl).map(j =>
           col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
     val a = probedA.as("a")
     val b = banded.as("b")
@@ -277,8 +294,8 @@ object Dedup {
       batch: DataFrame,
       corpus: DataFrame,
       tau: Double = 0.4,
-      tables: Int = 12,
-      planes: Int = 4,
+      tables: Int = 0,
+      planes: Int = 0,
       probe1: Boolean = false,
       brute: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions._
@@ -294,17 +311,24 @@ object Dedup {
             cosine(col("be"), col("embedding"), col("bn"), col("nrm")).as("cos"))
       else {
         // one shared hyperplane set: batch and corpus must hash with
-        // the same planes or buckets never align. Derive dims from
-        // the corpus (authoritative at ingest time).
-        val dims = c.select(size(col("embedding")).as("d")).head(1).headOption.map(_.getInt(0))
-        val cb = graft.ann.Knn.lshTables(c, tables, planes, seed = 7, dims = dims)
+        // the same planes or buckets never align. Dims AND the
+        // geometry-driving count both come from the corpus
+        // (authoritative at ingest time) in one driver action;
+        // tables/planes = 0 resolve via the LshGeometry solver, so a
+        // growing corpus tightens its own buckets between ingests.
+        val (n, dims) = graft.ann.Knn.countAndDims(c)
+        val g = graft.ann.LshGeometry.forCorpus(n, tau)
+        val tbl = if (tables > 0) tables else g.tables
+        val pl = if (planes > 0) planes else g.planes
+        val doProbe = probe1 || (planes <= 0 && g.probe1)
+        val cb = graft.ann.Knn.lshTables(c, tbl, pl, seed = 7, dims = dims)
           .select(col("vec_id").as("c_id"), col("tbl"), col("bkt"))
-        val bb0 = graft.ann.Knn.lshTables(b, tables, planes, seed = 7, dims = dims)
+        val bb0 = graft.ann.Knn.lshTables(b, tbl, pl, seed = 7, dims = dims)
           .select(col("vec_id").as("b_id"), col("tbl"), col("bkt"))
         val bb =
-          if (!probe1) bb0
+          if (!doProbe) bb0
           else bb0.select(col("b_id"), col("tbl"),
-            explode(array(col("bkt") +: (0 until planes).map(j =>
+            explode(array(col("bkt") +: (0 until pl).map(j =>
               col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
         broadcast(bb).join(cb, Seq("tbl", "bkt"))
           .select("b_id", "c_id").distinct()

@@ -327,4 +327,50 @@ class DedupAnnSpec extends SparkSpec {
       assert(r.getLong(4) <= 127L * r.getLong(1), "q_l1 must be <= 127*dims")
     }
   }
+
+  test("auto geometry at gate scale is bit-identical to the fixed 12x4 (q65 oracle safety)") {
+    val emb = Tables.embeddings(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the solver must resolve the 500-vector gate corpus to exactly
+    // the geometry the hash oracle was calibrated against — same
+    // pairs, same cosines, bit for bit
+    assert(rows(Dedup.embeddingNearDups(emb)) ===
+      rows(Dedup.embeddingNearDups(emb, tables = 12, planes = 4)))
+  }
+
+  test("auto geometry on a 4k synthetic corpus: planes follow n, recall holds, precision exact") {
+    // 3000 deterministic base vectors + 1000 perturbed copies of the
+    // first 1000 (the planted near-dups) — big enough that the solver
+    // must leave the gate geometry: planesFor(4000) = 5, probe on
+    val spark0 = spark
+    import spark0.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 3000).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+    val near = (0 until 1000).map { i =>
+      val noise = Seq.fill(dim)(rnd.nextGaussian() * 0.25)
+      (3000L + i, base(i)._2.zip(noise).map { case (a, b) => a + b })
+    }
+    val emb = (base ++ near).toDF("vec_id", "embedding")
+    val tau = 0.8
+    val g = graft.ann.LshGeometry.forCorpus(4000, tau)
+    assert(g.planes === 5 && g.probe1, s"solver geometry drifted: $g")
+
+    val e = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("ea"), col("eb"), col("na"), col("nb")))
+      .filter(col("cos") >= tau)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 500, s"perturbation too coarse: only ${truth.size} true pairs")
+
+    val got = Dedup.embeddingNearDups(emb, tau = tau)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((got -- truth).isEmpty, "cosine verify must keep precision exact")
+    val recall = (truth & got).size.toDouble / truth.size
+    info(f"4k auto-geometry recall=$recall%.3f (target floor 0.87 at tau, pairs sit above tau)")
+    assert(recall >= 0.87, f"recall $recall%.3f below the solver's design floor")
+  }
 }
