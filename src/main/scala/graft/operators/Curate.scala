@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.{Qdef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed corpus-curation pipeline — the query a training-data
+  * user actually runs, end to end: quality scoring (q82's exact
+  * expressions) → language filter (q81's stopword-signature argmax) →
+  * exact-normalized dedup (q61's min-id-per-digest) → deterministic
+  * split assignment (q86's hash buckets), finishing in a per-split
+  * manifest. Every stage is the already-oracle-checked building
+  * block, composed declaratively so Catalyst sees ONE plan:
+  *
+  *  - annotation + both filters fuse into a single codegen'd scan
+  *    stage (no shuffle until dedup — predicate order is the
+  *    optimizer's problem, not ours);
+  *  - dedup is groupBy(16-byte digest).min(doc_id) + an equi-join
+  *    back on doc_id — map-side partial aggregation absorbs hot
+  *    boilerplate texts (the q68 lesson: never a window over a
+  *    skewable content key);
+  *  - the split column is a pure narrow map, and the final manifest
+  *    is one partial-agg shuffle on (split, source).
+  *
+  * At 100 TB: scan → two exchanges (digest, manifest key) → done;
+  * survivors of the filters bound the dedup shuffle, and the curated
+  * corpus (the [[curated]] API) comes back un-aggregated for the
+  * writer to shard (q8b's `shardedShuffleWrite`).
+  */
+object Curate {
+
+  /** q82's quality + q81's language scores in one annotation pass. */
+  private def annotated(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(col("doc_id"), col("source"), col("text"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+          .cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("long").as("n_punct_chars"),
+        distinctHits(toks, stopEn).cast("long").as("s_en"),
+        distinctHits(toks, stopDe).cast("long").as("s_de"),
+        distinctHits(toks, stopFr).cast("long").as("s_fr"),
+        distinctHits(toks, stopEs).cast("long").as("s_es"),
+        distinctHits(toks, stopZh).cast("long").as("s_zh"))
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+          col("s_en") >= col("s_es") && col("s_en") >= col("s_zh"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") &&
+            col("s_de") >= col("s_zh"), "de")
+          .when(col("s_fr") >= col("s_es") && col("s_fr") >= col("s_zh"), "fr")
+          .when(col("s_es") >= col("s_zh"), "es")
+          .otherwise("zh"))
+      .withColumn("quality",
+        least(lit(1.0), col("n_tokens").cast("double") / 200.0) *
+          (lit(1.0) - col("n_punct_chars").cast("double") / col("n_chars_m").cast("double")) *
+          (lit(0.5) + lit(0.5) * col("s_en").cast("double") / col("n_tokens").cast("double")))
+  }
+
+  /** The curated corpus: quality- and language-filtered, exactly
+    * deduplicated on normalized text (min doc_id survives), each
+    * survivor tagged with its deterministic train/val/test split.
+    * Returns one row per kept document — feed it to the shard writer.
+    */
+  def curated(
+      docs: DataFrame,
+      minQuality: Double = 0.12,
+      lang: String = "en"): DataFrame = {
+    val kept = annotated(docs)
+      .filter(col("quality") >= minQuality && col("pred_lang") === lang)
+    // q61's dedup shape: min doc_id per normalized digest (partial-agg
+    // shuffle on the 16-byte key), joined back by id — the join input
+    // is one long per distinct text, never the text itself
+    val keepers = kept
+      .groupBy(md5(normText(col("text")).cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    kept.join(keepers, "doc_id")
+      .withColumn("split",
+        when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test"))
+  }
+
+  private val qa0 = Qdef(
+    "qa0_curate",
+    (s, d) =>
+      curated(Tables.documents(s, d))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bpe_tokens").as("sum_tokens"),
+          Tables.dsum(col("quality"), 6).as("sum_q"))
+        .orderBy("split", "source"),
+    Some(s"""WITH m AS (SELECT doc_id, source, text,
+                    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS BIGINT) AS n_bpe_tokens,
+                    CAST(length(text) AS BIGINT) AS n_chars_m,
+                    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct_chars,
+                    CAST(len(list_intersect(string_split_regex(trim(lower(text)), '\\s+'), ${inList(stopEn)})) AS BIGINT) AS s_en,
+                    CAST(len(list_intersect(string_split_regex(trim(lower(text)), '\\s+'), ${inList(stopDe)})) AS BIGINT) AS s_de,
+                    CAST(len(list_intersect(string_split_regex(trim(lower(text)), '\\s+'), ${inList(stopFr)})) AS BIGINT) AS s_fr,
+                    CAST(len(list_intersect(string_split_regex(trim(lower(text)), '\\s+'), ${inList(stopEs)})) AS BIGINT) AS s_es,
+                    CAST(len(list_intersect(string_split_regex(trim(lower(text)), '\\s+'), ${inList(stopZh)})) AS BIGINT) AS s_zh
+                  FROM documents),
+             sc AS (SELECT *,
+                    CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                         WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+                         WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                         WHEN s_es >= s_zh THEN 'es'
+                         ELSE 'zh' END AS pred_lang,
+                    least(1.0, CAST(n_tokens AS DOUBLE) / 200.0) *
+                      (1.0 - CAST(n_punct_chars AS DOUBLE) / CAST(n_chars_m AS DOUBLE)) *
+                      (0.5 + 0.5 * CAST(s_en AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality
+                  FROM m),
+             k AS (SELECT * FROM sc WHERE quality >= 0.12 AND pred_lang = 'en'),
+             d AS (SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+                    MIN(doc_id) AS doc_id
+                  FROM k GROUP BY 1),
+             kept AS (SELECT k.* FROM k JOIN d USING (doc_id)),
+             sp AS (SELECT *,
+                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                         ELSE 'test' END AS split
+                  FROM kept)
+             SELECT split, source, COUNT(*) AS n_docs,
+                    CAST(SUM(n_bpe_tokens) AS BIGINT) AS sum_tokens,
+                    ${Qdef.DSUM("quality", 6)} AS sum_q
+             FROM sp GROUP BY split, source ORDER BY split, source"""))
+
+  val all: Seq[Qdef] = Seq(qa0)
+}

@@ -286,4 +286,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx === 1,
       s"expected exactly 1 event_type-keyed exchange feeding both windows, got $hashEx:\n$p")
   }
+
+  test("qa0: curation pipeline — no window, no pairwise step, dedup is a partial agg") {
+    val p = plan("qa0_curate")
+    // the whole filter chain fuses ahead of the dedup shuffle; the
+    // survivor count is a partial-agg groupBy on the md5 digest (the
+    // q68 lesson — a window over a content key has no map-side
+    // combine and serializes hot boilerplate), and nothing in the
+    // composition degenerates to a nested-loop join
+    assert(!p.contains("Window"), s"curation grew a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"curation grew a pairwise step:\n$p")
+    val digestAgg = p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_min") && l.contains("doc_id"))
+    assert(digestAgg, s"dedup min-id is not a partial aggregate:\n$p")
+  }
 }

