@@ -203,20 +203,35 @@ object Knn {
         call_function("graft_argmin_cell", col("embedding"), typedLit(ordered.map(_._2))) + 1))
   }
 
-  /** Lloyd-iterated IVF centroids: deterministic seeds (every n/64th
-    * vector), then `iters` rounds of narrow-map argmin assignment and
-    * element-wise mean recompute (posexplode → per-dimension avg —
-    * two compact shuffles per round on (cell, pos), never on whole
-    * vectors). The k × dims centroid set is driver-materialized after
-    * every round (a few KB — it must become the next round's literal).
-    * At cluster scale the training runs on a sample; assignment stays
-    * a narrow map over the full corpus.
+  /** IVF cell count from corpus size — the √n rule that balances the
+    * two costs a probe pays: per-cell scan work (n/cells rows) and
+    * centroid-table probing (cells distances per query). Fixed cells
+    * are the same scale bug as fixed LSH planes (the round-4 soak's
+    * finding): 64 cells over 10⁹ vectors means 16M-row cells and a
+    * 25% corpus scan per query. Floored at 64 so every gate-scale
+    * corpus (n ≤ 4096) trains the exact index the q72 oracle/spec
+    * was calibrated against; capped so the centroid literal the
+    * narrow-map assignment carries stays a few MB.
     */
-  def ivfCentroids(e: DataFrame, iters: Int = 2): Seq[(Long, Seq[Double])] = {
+  def cellsFor(n: Long): Int =
+    math.max(64, math.min(65536, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt))
+
+  /** Lloyd-iterated IVF centroids: deterministic seeds (every
+    * n/cells-th vector), then `iters` rounds of narrow-map argmin
+    * assignment and element-wise mean recompute (posexplode →
+    * per-dimension avg — two compact shuffles per round on
+    * (cell, pos), never on whole vectors). The k × dims centroid set
+    * is driver-materialized after every round (small — it must become
+    * the next round's literal). At cluster scale the training runs on
+    * a sample; assignment stays a narrow map over the full corpus.
+    * `cells = 0` derives the count from corpus size ([[cellsFor]]).
+    */
+  def ivfCentroids(e: DataFrame, iters: Int = 2, cells: Int = 0): Seq[(Long, Seq[Double])] = {
     val spark = e.sparkSession
     import spark.implicits._
     val n = e.count()
-    val step = math.max(1L, n / 64L)
+    val k = if (cells > 0) cells else cellsFor(n)
+    val step = math.max(1L, n / k)
     var cents: Seq[(Long, Seq[Double])] = e
       .filter(pmod(col("vec_id"), lit(step)) === 0)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -237,18 +252,25 @@ object Knn {
   /** IVF ANN: corpus rows live in their nearest cell (narrow-map
     * assignment); each query probes its `nprobe` nearest cells. The
     * candidate join shuffles on the small cell id — scanned fraction
-    * ≈ nprobe/#cells (16/64 here; a production index would use
-    * k=thousands of cells, same plan).
+    * ≈ nprobe/#cells (16/64 at gate scale; the √n auto-sizing below
+    * grows the index with the corpus, same plan).
     */
   /** IVF ANN as a library call — q72's exact pipeline, parameterized.
     * `nprobe` is the recall/scan-fraction knob (scanned fraction ≈
-    * nprobe/#cells); `iters` the Lloyd rounds.
+    * nprobe/#cells); `iters` the Lloyd rounds. `cells = 0` sizes the
+    * index as √n ([[cellsFor]]) and `nprobe = 0` derives
+    * max(16, cells/64) probes — at gate scale both resolve to the
+    * fixed (64, 16) the q72 oracle/spec was calibrated against
+    * (a quarter of a coarse index), while at 10⁹ vectors the same
+    * defaults mean ~31.6k cells probed ~494 at a time: a 1.6% corpus
+    * scan per query instead of the fixed index's 25%.
     */
   def ivfTopK(
       emb: DataFrame,
       k: Int = K,
-      nprobe: Int = 16,
+      nprobe: Int = 0,
       iters: Int = 2,
+      cells: Int = 0,
       queryPred: Column = col("vec_id") < 10): DataFrame = {
     // materialize the corpus+norm projection once: training (count,
     // Lloyd assignment passes), cell assignment, and query probing
@@ -257,7 +279,8 @@ object Knn {
       norm2(col("embedding")).as("nrm")).localCheckpoint(true)
     val spark = e.sparkSession
     import spark.implicits._
-    val cents = ivfCentroids(e, iters)
+    val cents = ivfCentroids(e, iters, cells)
+    val np = if (nprobe > 0) nprobe else math.max(16, cents.size / 64)
     val assigned = assignCell(e, cents)
     // query probing: |queries| × #centroids — the crossJoin+window
     // top-n is fine here (the corpus-side fan-out was the problem)
@@ -267,7 +290,7 @@ object Knn {
       .crossJoin(cdf)
       .withColumn("dist", distSq(col("embedding"), col("ce")))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nprobe)
+      .filter(col("rn") <= np)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cid").as("cell"))
     // no pair-dedup needed: every corpus vector lives in exactly one

@@ -66,4 +66,18 @@ class LshGeometrySpec extends AnyFunSuite {
       assert(LshGeometry.perTableHit(tau, planes, probe1 = true) >
         LshGeometry.perTableHit(tau, planes, probe1 = false))
   }
+
+  test("IVF cell sizing: gate corpora keep the calibrated 64-cell index; sqrt(n) past it") {
+    import graft.ann.Knn.cellsFor
+    // every gate corpus (<= 4096 vectors) must train the exact index
+    // the q72 oracle/spec was calibrated against
+    for (n <- Seq(0L, 500L, 2000L, 4096L)) assert(cellsFor(n) === 64, s"n=$n")
+    assert(cellsFor(1000000) === 1000)
+    assert(cellsFor(1000000000L) === 31623)
+    // capped: the centroid literal stays driver-materializable
+    assert(cellsFor(100000000000L) === 65536)
+    val sizes = Seq(1000L, 100000L, 10000000L, 1000000000L)
+    val cells = sizes.map(cellsFor)
+    assert(cells === cells.sorted)
+  }
 }
