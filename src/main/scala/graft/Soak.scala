@@ -166,14 +166,27 @@ object Soak {
       println(s"[soak] q65 planes=$planes buckets: n=${bs._1} max=${bs._2} p99=${bs._3} " +
         f"mean=${bs._4}%.2f pair_slots=${bs._5}")
     }
-    // run the actual pipeline at the scale-tuned geometry
-    val (pairs65, s65) = timed("q65_neardups_planes8")(
-      Dedup.embeddingNearDups(fe, tables = 12, planes = 8).count())
-    println(s"[soak] q65 planes=8 verified pairs: $pairs65")
+    // run the actual pipeline at the AUTO default — the geometry the
+    // solver resolves for this corpus size, end to end (round 5: the
+    // library default IS the scale-tuned path now)
+    val gAuto = graft.ann.LshGeometry.forCorpus(e0 * copies, 0.4)
+    println(s"[soak] q65 auto geometry for n=${e0 * copies}: $gAuto")
+    val (pairs65, s65) = timed("q65_neardups_auto")(
+      Dedup.embeddingNearDups(fe).count())
+    println(s"[soak] q65 auto verified pairs: $pairs65")
+
+    // q6c: incremental vector ingest (one more copy as the batch)
+    // against the fanned corpus, auto geometry on both band sides
+    val eStride = emb.agg(max("vec_id")).head().getLong(0) + 1L
+    val ebatch = emb.withColumn("vec_id", col("vec_id") + lit(copies * eStride))
+    val (v6c, s6c) = timed("q6c_incremental_auto")(
+      Dedup.incrementalVecDups(ebatch, fe)
+        .agg(count(lit(1)), sum(when(col("keep"), 0L).otherwise(1L))).head())
+    println(s"[soak] q6c: verdicts=${v6c.getLong(0)} dropped=${v6c.getLong(1)}")
 
     println(f"""{"soak_sf":"$sfDir x $copies","q62_cand":$cand62,"q62_secs":$s62%.1f,""" +
       f""""q68_secs":$s68%.1f,"q69_secs":$s69%.1f,"q6b_ingest_secs":$s6b%.1f,""" +
-      f""""q65_pairs":$pairs65,"q65_secs":$s65%.1f}""")
+      f""""q65_pairs":$pairs65,"q65_secs":$s65%.1f,"q6c_secs":$s6c%.1f}""")
     spark.stop()
   }
 }
