@@ -28,19 +28,14 @@ object Knn {
     */
   private val DefaultPlanes = 4
 
-  /** ONE driver action for the two corpus facts auto-geometry needs:
-    * the row count (plane derivation, [[LshGeometry.planesFor]]) and
-    * the embedding width (the hyperplane literal dimension —
-    * min(size) so a ragged corpus buckets on the span `graft_dot`
-    * actually folds over). Callers that resolve geometry pass the
-    * dims on to [[lshTables]], which then skips its own head(1)
-    * probe — auto costs the same number of driver actions as the
-    * fixed-geometry era.
+  /** Design-point cosine for the top-k search geometry: tables are
+    * solved so a candidate at cosine ≥ 0.3 reaches the 0.87 recall
+    * floor (true top-k neighbors sit well above it and do better).
+    * 0.3 is also the τ at which the gate-scale solution is EXACTLY
+    * the calibrated fixed 16×4 the q71/q74 specs and bench numbers
+    * were built on.
     */
-  private[graft] def countAndDims(e: DataFrame): (Long, Option[Int]) = {
-    val r = e.agg(count(lit(1)), min(size(col("embedding")))).head()
-    (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1)))
-  }
+  private[graft] val SearchTau = 0.3
 
   /** Corpus with per-row norm; queries are the vec_id < 10 slice. */
   private def corpus(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
@@ -140,33 +135,31 @@ object Knn {
     * are untouched. Same no-rows-for-isolated-queries contract as
     * [[quantizedTopK]].
     *
-    * `planes = 0` (the default) derives the plane count from the
-    * corpus size ([[LshGeometry.planesFor]] — the knob the sf≈1 soak
-    * proved must move with n) in the same driver action that reads
-    * the embedding width, and turns the 1-bit probe on whenever the
-    * derived planes exceed the 4-plane gate default (per-table hit
-    * decays geometrically in planes; the probe buys it back on the
-    * query side only). Pass planes explicitly to pin the geometry —
-    * then `probe1` alone controls probing.
+    * `tables/planes = 0` (the defaults) resolve the geometry from
+    * corpus size via [[LshGeometry.resolve]] at the [[SearchTau]]
+    * design point — planes track n (the knob the sf≈1 soak proved
+    * must move), tables hold the recall floor for the resolved
+    * planes, and the 1-bit probe turns on past the gate planes
+    * (per-table hit decays geometrically; the probe buys it back on
+    * the query side only). Fully-pinned calls skip the count action
+    * and leave probing to `probe1` alone.
     */
   def lshTopK(
       emb: DataFrame,
       k: Int = K,
-      tables: Int = 16,
+      tables: Int = 0,
       planes: Int = 0,
       probe1: Boolean = false,
       queryPred: Column = col("vec_id") < 10): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-    val (n, dims) = countAndDims(e)
-    val pl = if (planes > 0) planes else LshGeometry.planesFor(n)
-    val doProbe = probe1 || (planes <= 0 && pl > LshGeometry.GatePlanes)
-    val banded = lshTables(e, tables, pl, dims = dims).select("vec_id", "tbl", "bkt")
+    val g = LshGeometry.resolve(e.count(), SearchTau, tables, planes, probe1)
+    val banded = lshTables(e, g.tables, g.planes).select("vec_id", "tbl", "bkt")
     val qb0 = banded.filter(queryPred)
       .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
     val qb =
-      if (!doProbe) qb0
+      if (!g.probe1) qb0
       else qb0.select(col("qid"), col("tbl"),
-        explode(array(col("bkt") +: (0 until pl).map(j =>
+        explode(array(col("bkt") +: (0 until g.planes).map(j =>
           col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
     val cand = qb.join(banded, Seq("tbl", "bkt"))
       .filter(col("vec_id") =!= col("qid"))
@@ -426,22 +419,20 @@ object Knn {
         // bucket the QUANTIZED view (the vectors stage 1 actually
         // reads); candidates dedup before the cosine, arrays never
         // ship through the bucket join — exactly the q71 shape.
-        // planes = 0 derives the count from corpus size and flips the
-        // probe on past the gate default, as in [[lshTopK]]
+        // tables/planes = 0 resolve from corpus size at the SearchTau
+        // design point, as in [[lshTopK]]
         val dqe = dq.select(col("vec_id"), col("q8").as("embedding"), col("nrm8").as("nrm"))
-        val (n, dims) = countAndDims(dqe)
-        val pl = if (planes > 0) planes else LshGeometry.planesFor(n)
-        val doProbe = probe1 || (planes <= 0 && pl > LshGeometry.GatePlanes)
-        val banded = lshTables(dqe, tables, pl, dims = dims).select("vec_id", "tbl", "bkt")
+        val g = LshGeometry.resolve(dqe.count(), SearchTau, tables, planes, probe1)
+        val banded = lshTables(dqe, g.tables, g.planes).select("vec_id", "tbl", "bkt")
         val qb0 = banded.filter(queryPred)
           .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
         // 1-bit multiprobe, exactly as in [[lshTopK]]: query-side-only
         // fan-out that turns a one-hyperplane near-miss into a hit —
-        // the probe loop flips exactly the `pl` bits the bucketing set
+        // the probe loop flips exactly the bits the bucketing set
         val qb =
-          if (!doProbe) qb0
+          if (!g.probe1) qb0
           else qb0.select(col("qid"), col("tbl"),
-            explode(array(col("bkt") +: (0 until pl).map(j =>
+            explode(array(col("bkt") +: (0 until g.planes).map(j =>
               col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
         qb.join(banded, Seq("tbl", "bkt"))
           .filter(col("vec_id") =!= col("qid"))

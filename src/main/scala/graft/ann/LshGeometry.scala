@@ -121,4 +121,43 @@ object LshGeometry {
     }
     if (g.tables > maxTables) g.copy(tables = maxTables) else g
   }
+
+  /** Geometry resolution for the library entry points, honoring
+    * pinned knobs (> 0) and solving the rest — so a HALF-pinned call
+    * can never silently land in the no-recall regime:
+    *
+    *  - nothing pinned: [[forCorpus]] (n is only counted here —
+    *    by-name, so fully-pinned calls never pay the count action);
+    *  - planes pinned, tables auto: tables are solved FOR THE PINNED
+    *    plane count and the caller's probe flag (solving for the
+    *    auto planes would under-table steep geometries — 8 unprobed
+    *    planes at τ=0.4 need 80 tables, not 12), clamped to
+    *    `maxTables` (shortfall visible via [[recallAt]]);
+    *  - tables pinned, planes auto: the solver's planes/probe stand,
+    *    recall is whatever the pinned table count buys;
+    *  - both pinned: used verbatim, probe1 as given.
+    *
+    * The probe flag follows the solver only when planes are auto;
+    * pinned planes leave probing entirely to the caller.
+    */
+  def resolve(
+      n: => Long,
+      tau: Double,
+      tables: Int,
+      planes: Int,
+      probe1: Boolean,
+      targetRecall: Double = 0.87,
+      targetBucket: Int = 128,
+      maxTables: Int = 64): LshGeometry =
+    if (tables > 0 && planes > 0) LshGeometry(tables, planes, probe1)
+    else {
+      val g = forCorpus(n, tau, targetRecall, targetBucket, maxTables)
+      val pl = if (planes > 0) planes else g.planes
+      val probe = probe1 || (planes <= 0 && g.probe1)
+      val tbl =
+        if (tables > 0) tables
+        else if (planes <= 0) g.tables
+        else math.min(maxTables, tablesFor(pl, tau, targetRecall, probe))
+      LshGeometry(tbl, pl, probe)
+    }
 }

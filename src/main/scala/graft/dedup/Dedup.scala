@@ -232,24 +232,22 @@ object Dedup {
     import graft.functions.VectorFunctions._
     val e = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
     // tables/planes = 0 (the defaults) resolve from corpus size and τ
-    // via the LshGeometry solver — ONE driver action shared with the
-    // dims probe lshTables would otherwise run itself. At gate scale
-    // (n ≤ 2k, τ=0.4) the solver returns the fixed (12, 4, no-probe)
-    // geometry the oracles were calibrated against; past it, planes
-    // track n (bounded buckets) and the 1-bit probe holds recall.
-    val (n, dims) = graft.ann.Knn.countAndDims(e)
-    val g = graft.ann.LshGeometry.forCorpus(n, tau)
-    val tbl = if (tables > 0) tables else g.tables
-    val pl = if (planes > 0) planes else g.planes
-    val doProbe = probe1 || (planes <= 0 && g.probe1)
+    // via LshGeometry.resolve (count only runs on the auto path). At
+    // gate scale (n ≤ 2k, τ=0.4) the solver returns the fixed
+    // (12, 4, no-probe) geometry the oracles were calibrated against;
+    // past it, planes track n (bounded buckets) and the 1-bit probe
+    // holds recall. Half-pinned calls solve the open knob for the
+    // pinned one — planes=8 with auto tables gets the 8-plane table
+    // count, never the 4-plane one.
+    val g = graft.ann.LshGeometry.resolve(e.count(), tau, tables, planes, probe1)
     // Candidate stage carries ONLY (vec_id, tbl, bkt): the banding
     // shuffle and the bucket self-join never ship embedding arrays.
-    val banded = graft.ann.Knn.lshTables(e, tbl, pl, seed = 7, dims = dims)
+    val banded = graft.ann.Knn.lshTables(e, g.tables, g.planes, seed = 7)
       .select("vec_id", "tbl", "bkt")
     val probedA =
-      if (!doProbe) banded
+      if (!g.probe1) banded
       else banded.select(col("vec_id"), col("tbl"),
-        explode(array(col("bkt") +: (0 until pl).map(j =>
+        explode(array(col("bkt") +: (0 until g.planes).map(j =>
           col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
     val a = probedA.as("a")
     val b = banded.as("b")
@@ -313,22 +311,20 @@ object Dedup {
         // one shared hyperplane set: batch and corpus must hash with
         // the same planes or buckets never align. Dims AND the
         // geometry-driving count both come from the corpus
-        // (authoritative at ingest time) in one driver action;
-        // tables/planes = 0 resolve via the LshGeometry solver, so a
-        // growing corpus tightens its own buckets between ingests.
-        val (n, dims) = graft.ann.Knn.countAndDims(c)
-        val g = graft.ann.LshGeometry.forCorpus(n, tau)
-        val tbl = if (tables > 0) tables else g.tables
-        val pl = if (planes > 0) planes else g.planes
-        val doProbe = probe1 || (planes <= 0 && g.probe1)
-        val cb = graft.ann.Knn.lshTables(c, tbl, pl, seed = 7, dims = dims)
+        // (authoritative at ingest time; the count only runs when a
+        // knob is auto); tables/planes = 0 resolve via
+        // LshGeometry.resolve, so a growing corpus tightens its own
+        // buckets between ingests.
+        val dims = c.select(size(col("embedding")).as("d")).head(1).headOption.map(_.getInt(0))
+        val g = graft.ann.LshGeometry.resolve(c.count(), tau, tables, planes, probe1)
+        val cb = graft.ann.Knn.lshTables(c, g.tables, g.planes, seed = 7, dims = dims)
           .select(col("vec_id").as("c_id"), col("tbl"), col("bkt"))
-        val bb0 = graft.ann.Knn.lshTables(b, tbl, pl, seed = 7, dims = dims)
+        val bb0 = graft.ann.Knn.lshTables(b, g.tables, g.planes, seed = 7, dims = dims)
           .select(col("vec_id").as("b_id"), col("tbl"), col("bkt"))
         val bb =
-          if (!doProbe) bb0
+          if (!g.probe1) bb0
           else bb0.select(col("b_id"), col("tbl"),
-            explode(array(col("bkt") +: (0 until pl).map(j =>
+            explode(array(col("bkt") +: (0 until g.planes).map(j =>
               col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
         broadcast(bb).join(cb, Seq("tbl", "bkt"))
           .select("b_id", "c_id").distinct()

@@ -16,17 +16,22 @@ import org.apache.spark.sql.functions._
   *  - annotation + both filters fuse into a single codegen'd scan
   *    stage (no shuffle until dedup — predicate order is the
   *    optimizer's problem, not ours);
-  *  - dedup is groupBy(16-byte digest).min(doc_id) + an equi-join
-  *    back on doc_id — map-side partial aggregation absorbs hot
-  *    boilerplate texts (the q68 lesson: never a window over a
-  *    skewable content key);
+  *  - dedup is ONE aggregate: groupBy(16-byte digest) with
+  *    min_by(whole-row, doc_id) — map-side partial aggregation
+  *    absorbs hot boilerplate texts (the q68 lesson: never a window
+  *    over a skewable content key), and carrying the survivor row
+  *    through the agg means the scan runs ONCE (a min-id + join-back
+  *    formulation would plan the annotated scan as two independent
+  *    subtrees and read the corpus twice);
   *  - the split column is a pure narrow map, and the final manifest
   *    is one partial-agg shuffle on (split, source).
   *
   * At 100 TB: scan → two exchanges (digest, manifest key) → done;
-  * survivors of the filters bound the dedup shuffle, and the curated
-  * corpus (the [[curated]] API) comes back un-aggregated for the
-  * writer to shard (q8b's `shardedShuffleWrite`).
+  * survivors of the filters bound the dedup shuffle (its payload is
+  * the kept rows — the same bytes the join-back variant ships to its
+  * own join), and the curated corpus (the [[curated]] API) comes
+  * back un-aggregated for the writer to shard (q8b's
+  * `shardedShuffleWrite`).
   */
 object Curate {
 
@@ -70,17 +75,17 @@ object Curate {
       lang: String = "en"): DataFrame = {
     val kept = annotated(docs)
       .filter(col("quality") >= minQuality && col("pred_lang") === lang)
-    // q61's dedup shape: min doc_id per normalized digest (partial-agg
-    // shuffle on the 16-byte key), joined back by id — the join input
-    // is one long per distinct text, never the text itself
-    val keepers = kept
+    // q61's survivor rule (min doc_id per normalized digest) in one
+    // partial-agg pass: min_by carries the whole survivor row through
+    // the digest shuffle, so the annotated scan is never re-read
+    val cols = kept.columns
+    val surv = kept
       .groupBy(md5(normText(col("text")).cast("binary")).as("h"))
-      .agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
+      .agg(min_by(struct(cols.map(col): _*), col("doc_id")).as("r"))
+      .select(col("r.*"))
     val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
-    kept.join(keepers, "doc_id")
-      .withColumn("split",
-        when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test"))
+    surv.withColumn("split",
+      when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test"))
   }
 
   private val qa0 = Qdef(

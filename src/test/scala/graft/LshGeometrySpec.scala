@@ -67,6 +67,29 @@ class LshGeometrySpec extends AnyFunSuite {
         LshGeometry.perTableHit(tau, planes, probe1 = false))
   }
 
+  test("top-k search design point: gate corpora resolve to the calibrated 16x4; half-pinned calls solve the open knob") {
+    import graft.ann.Knn
+    // q71/q74's bench + spec calibration: 16 tables x 4 planes at
+    // every gate corpus size
+    for (n <- Seq(500L, 2000L))
+      assert(LshGeometry.resolve(n, Knn.SearchTau, 0, 0, probe1 = false) ===
+        LshGeometry(16, 4, probe1 = false), s"n=$n")
+    // pinned planes + auto tables must solve tables FOR THE PINNED
+    // planes (solving for the auto choice collapses recall — the
+    // round-5 review finding): 8 unprobed planes at tau=0.4 need far
+    // more than the 4-plane 12
+    val half = LshGeometry.resolve(2000L, 0.4, tables = 0, planes = 8, probe1 = false)
+    assert(half.planes === 8 && !half.probe1)
+    // the honest 8-plane unprobed table count is 81; resolve clamps
+    // at maxTables=64 (shortfall visible via recallAt) — either way,
+    // FAR above the 4-plane 12 the old resolution would have used
+    assert(LshGeometry.tablesFor(8, 0.4, 0.87, probe1 = false) === 81)
+    assert(half.tables === 64, s"under-tabled pinned-plane geometry: $half")
+    // fully-pinned calls pass through verbatim
+    assert(LshGeometry.resolve(sys.error("count must not run"), 0.4, 12, 4, probe1 = true) ===
+      LshGeometry(12, 4, probe1 = true))
+  }
+
   test("IVF cell sizing: gate corpora keep the calibrated 64-cell index; sqrt(n) past it") {
     import graft.ann.Knn.cellsFor
     // every gate corpus (<= 4096 vectors) must train the exact index

@@ -287,18 +287,25 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly 1 event_type-keyed exchange feeding both windows, got $hashEx:\n$p")
   }
 
-  test("qa0: curation pipeline — no window, no pairwise step, dedup is a partial agg") {
+  test("qa0: curation pipeline — single scan, no window, no join, dedup is a partial agg") {
     val p = plan("qa0_curate")
     // the whole filter chain fuses ahead of the dedup shuffle; the
-    // survivor count is a partial-agg groupBy on the md5 digest (the
+    // survivor row rides a min_by partial agg on the md5 digest (the
     // q68 lesson — a window over a content key has no map-side
-    // combine and serializes hot boilerplate), and nothing in the
-    // composition degenerates to a nested-loop join
+    // combine and serializes hot boilerplate), and the composition
+    // has NO join anywhere: a min-id + join-back dedup would read
+    // the annotated scan twice
     assert(!p.contains("Window"), s"curation grew a window:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"curation grew a pairwise step:\n$p")
-    val digestAgg = p.linesIterator.exists(l =>
-      l.contains("HashAggregate") && l.contains("partial_min") && l.contains("doc_id"))
-    assert(digestAgg, s"dedup min-id is not a partial aggregate:\n$p")
+    assert(!p.contains("Join"), s"curation grew a join (double-scan dedup?):\n$p")
+    val scans = p.linesIterator.count(l => l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(scans === 1, s"expected exactly 1 corpus scan, got $scans:\n$p")
+    // the survivor row's struct holds strings, so Spark plans the
+    // min_by as a SortAggregate (no mutable hash buffer for strings)
+    // — what matters for skew is the PARTIAL phase before the digest
+    // exchange: hot boilerplate collapses map-side either way
+    assert(p.contains("partial_min_by"),
+      s"survivor selection lost its map-side partial phase:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 2, s"expected 2 hash exchanges (digest, manifest key), got $hashEx:\n$p")
   }
 }

@@ -206,15 +206,23 @@ class TextQualitySpec extends SparkSpec {
     assert(n < total, "curation kept everything — filters are vacuous")
     // dedup is total: one survivor per normalized text
     assert(cur.select(md5(normText(col("text")).cast("binary"))).distinct().count() === n)
-    // survivor rule: the kept id is the group minimum — no kept doc
-    // has a smaller-id twin anywhere in the ORIGINAL corpus whose
-    // normalized text matches and which also survived the filters
-    // (subset check: survivors of the same digest, min id kept)
+    // survivor rule: the kept id is the group MINIMUM. Planted check:
+    // curate the corpus unioned with an id-shifted copy of itself —
+    // both members of every duplicated text pass or fail the filters
+    // together (same text), so every survivor must come from the
+    // low-id originals and the survivor set must be unchanged
+    val stride = docs.agg(max("doc_id")).head().getLong(0) + 1L
+    val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + lit(stride)))
+    val idsDoubled = operators.Curate.curated(doubled)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idsDoubled.forall(_ < stride), "a shifted copy out-survived its lower-id original")
     val splits = cur.select("split").distinct().collect().map(_.getString(0)).toSet
     assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
     // determinism: running the pipeline twice yields identical ids
     val ids1 = cur.select("doc_id").collect().map(_.getLong(0)).toSet
     val ids2 = operators.Curate.curated(docs).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids1 === ids2)
+    // and the doubled corpus dedups back to exactly the same survivors
+    assert(idsDoubled === ids1)
   }
 }
