@@ -225,12 +225,24 @@ object Knn {
     val n = e.count()
     val k = if (cells > 0) cells else cellsFor(n)
     val step = math.max(1L, n / k)
+    // Lloyd trains on a deterministic hash-sample capped at ~256·k
+    // rows (train on a fraction, assign everything — the standard
+    // split): per-round assignment+mean cost stops growing with n
+    // while every cell still averages ~256 training points, and the
+    // final full-corpus assignment stays the narrow map in ivfTopK.
+    // Gate corpora (n ≤ 256·64) sample nothing — centroids identical
+    // to the unsampled era. xxhash64, not vec_id modulus: id strides
+    // in the data must not bias the sample.
+    val sampleStep = math.max(1L, n / (256L * k))
+    val train =
+      if (sampleStep <= 1L) e
+      else e.filter(pmod(xxhash64(col("vec_id")), lit(sampleStep)) === 0)
     var cents: Seq[(Long, Seq[Double])] = e
       .filter(pmod(col("vec_id"), lit(step)) === 0)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Seq[Double])].collect().toSeq
     for (_ <- 0 until iters) {
-      cents = assignCell(e, cents)
+      cents = assignCell(train, cents)
         .select(col("cell").as("cid"), posexplode(col("embedding")))
         .groupBy("cid", "pos")
         .agg(avg("col").as("v"))

@@ -373,6 +373,174 @@ object Dedup {
             LEFT JOIN m ON b2.vec_id = m.vec_id
             ORDER BY b2.vec_id"""))
 
+  // ---------------------------------------- persisted vector index
+
+  /** Persisted hyperplane-bucket index for continuous EMBEDDING
+    * ingest — the vector twin of [[commitBandIndex]]: the corpus's
+    * (vec_id, tbl, bkt) bucket keys live in an append-only snapshot
+    * store, so screening an ingest batch never re-bands (or even
+    * scans the embeddings of) the accumulated corpus.
+    *
+    * The hyperplane GEOMETRY is resolved once at build time and
+    * pinned in a sidecar: bucket keys from two different hyperplane
+    * sets never align, so a growing corpus must NOT re-resolve its
+    * auto geometry between ingests — delta commits extend the SAME
+    * hash tables. When the corpus outgrows the built geometry (mean
+    * bucket = n/2^planes drifting past the solver's target), rebuild
+    * with [[commitVecIndex]]: the new full snapshot supersedes all
+    * earlier segments, exactly like [[compactBandIndex]]'s contract.
+    */
+  def commitVecIndex(
+      corpus: DataFrame,
+      root: String,
+      tau: Double = 0.4,
+      tables: Int = 0,
+      planes: Int = 0): Long = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val e = corpus.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.norm2(col("embedding")).as("nrm"))
+    val dims = e.select(size(col("embedding")).as("d")).head(1).headOption.map(_.getInt(0))
+    val g = graft.ann.LshGeometry.resolve(e.count(), tau, tables, planes, probe1 = false)
+    Seq((g.tables, g.planes, dims.getOrElse(0), tau))
+      .toDF("tables", "planes", "dims", "tau")
+      .write.mode("overwrite").parquet(s"$root/_geom")
+    graft.sources.Snapshots.commit(
+      graft.ann.Knn.lshTables(e, g.tables, g.planes, seed = 7, dims = dims)
+        .select("vec_id", "tbl", "bkt"),
+      root)
+  }
+
+  /** The pinned build-time geometry of the index at `root`. */
+  def vecIndexGeometry(
+      spark: org.apache.spark.sql.SparkSession, root: String): (Int, Int, Int, Double) = {
+    val r = spark.read.parquet(s"$root/_geom").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))
+  }
+
+  /** Latest full snapshot + subsequent deltas — [[readBandIndex]]'s
+    * exact read contract, over bucket keys instead of band hashes.
+    */
+  def readVecIndex(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
+    import graft.sources.Snapshots
+    val vs = Snapshots.versions(spark, root)
+    require(vs.nonEmpty, s"no vector index committed at $root (run commitVecIndex first)")
+    val baseV = vs.filter(_._2 == "full").map(_._1).maxOption.getOrElse(
+      throw new IllegalStateException(s"no full vector-index snapshot in $root"))
+    vs.filter(_._1 >= baseV)
+      .map { case (v, _, _) => Snapshots.read(spark, root, v) }
+      .reduce(_ unionByName _)
+  }
+
+  /** Ingest verdicts for a vector `batch` against the PERSISTED
+    * bucket index — same output contract as [[incrementalVecDups]],
+    * with candidate generation reading the stored keys: the (tiny)
+    * batch bands with the INDEX'S pinned geometry and broadcasts
+    * against the index scan; only verified candidates touch
+    * embeddings (compact id pairs broadcast against the corpus
+    * vector scan, batch vectors broadcast). `probe1` expands the
+    * batch side only, as in [[incrementalVecDups]]. Per-ingest cost:
+    * one index scan + one corpus-vector scan bounded by candidates —
+    * the corpus is never re-banded.
+    */
+  def ingestAgainstVecIndex(
+      batch: DataFrame,
+      corpusVecs: DataFrame,
+      root: String,
+      probe1: Boolean = false): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val spark = batch.sparkSession
+    val (tables, planes, dims, tau) = vecIndexGeometry(spark, root)
+    val b = batch.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val bb0 = graft.ann.Knn.lshTables(b, tables, planes, seed = 7, dims = Some(dims))
+      .select(col("vec_id").as("b_id"), col("tbl"), col("bkt"))
+    val bb =
+      if (!probe1) bb0
+      else bb0.select(col("b_id"), col("tbl"),
+        explode(array(col("bkt") +: (0 until planes).map(j =>
+          col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
+    val cb = readVecIndex(spark, root).select(col("vec_id").as("c_id"), col("tbl"), col("bkt"))
+    val cand = broadcast(bb).join(cb, Seq("tbl", "bkt")).select("b_id", "c_id").distinct()
+    val matches = broadcast(cand)
+      .join(corpusVecs.select(col("vec_id").as("c_id"), col("embedding"),
+        norm2(col("embedding")).as("nrm")), "c_id")
+      .join(broadcast(b.select(col("vec_id").as("b_id"),
+        col("embedding").as("be"), col("nrm").as("bn"))), "b_id")
+      .select(col("b_id"), col("c_id"),
+        cosine(col("be"), col("embedding"), col("bn"), col("nrm")).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(min("c_id").as("dup_of"), count(lit(1)).as("n_matches"))
+    batch.select("vec_id")
+      .join(matches, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_of"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("dup_of").isNull.as("keep"))
+  }
+
+  /** [[ingestAgainstVecIndex]] + index maintenance: keepers' bucket
+    * keys (banded with the PINNED geometry) commit back as an
+    * append-only delta, so the next ingest sees them through the
+    * store. The [[keepersOf]] rule, keyed by vec_id.
+    */
+  def ingestAndCommitVec(
+      batch: DataFrame,
+      corpusVecs: DataFrame,
+      root: String,
+      probe1: Boolean = false): DataFrame = {
+    val spark = batch.sparkSession
+    val verdicts = ingestAgainstVecIndex(batch, corpusVecs, root, probe1).localCheckpoint(true)
+    val (tables, planes, dims, _) = vecIndexGeometry(spark, root)
+    val keepers = batch
+      .join(verdicts.filter(col("keep")).select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.norm2(col("embedding")).as("nrm"))
+    graft.sources.Snapshots.commitDelta(
+      graft.ann.Knn.lshTables(keepers, tables, planes, seed = 7, dims = Some(dims))
+        .select("vec_id", "tbl", "bkt"),
+      root)
+    verdicts
+  }
+
+  /** Fold the vector index's delta chain into a fresh full snapshot —
+    * [[compactBandIndex]]'s contract; the geometry sidecar is
+    * untouched (compaction never changes the hyperplane set).
+    */
+  def compactVecIndex(spark: org.apache.spark.sql.SparkSession, root: String): Long =
+    graft.sources.Snapshots.commit(readVecIndex(spark, root), root)
+
+  /** q6d: two successive vector-ingest batches through the persisted
+    * bucket index — q6b's cycle for embeddings. Rows-only [R]: the
+    * bucketed candidate step is not SQL-reproducible (seeded Gaussian
+    * hyperplanes), so the driver records a rows-only check and the
+    * ScalaTest oracle asserts verdict equivalence against the direct
+    * [[incrementalVecDups]] pipeline at the same pinned geometry.
+    * Fresh temp store per run, deleted after materializing (q6b's
+    * side-effect discipline).
+    */
+  private val q6d = Qdef(
+    "q6d_vec_index_ingest",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 7 =!= 3 && col("vec_id") % 7 =!= 5)
+      val b1 = emb.filter(col("vec_id") % 7 === 3)
+      val b2 = emb.filter(col("vec_id") % 7 === 5)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-vecindex")
+      val root = s"$tmp/idx"
+      try {
+        commitVecIndex(corpus, root)
+        val v1 = ingestAndCommitVec(b1, corpus, root)
+        val corpus2 = corpus.unionByName(
+          b1.join(v1.filter(col("keep")).select("vec_id"), Seq("vec_id"), "left_semi"))
+        ingestAgainstVecIndex(b2, corpus2, root).orderBy("vec_id").localCheckpoint(true)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(tmp.toString)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      }
+    },
+    None)
+
   // ------------------------------------------- cluster resolution
 
   /** Resolve near-dup pairs into clusters (connected components) by
@@ -921,5 +1089,5 @@ object Dedup {
             FROM p WHERE 1.0 - CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE) >= 0.8
             ORDER BY id_a, id_b"""))
 
-  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q6a, q6b, q6c)
+  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q6a, q6b, q6c, q6d)
 }

@@ -328,6 +328,39 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("q6d: vector-index ingest verdicts equal the direct incremental pipeline") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") % 7 =!= 3 && col("vec_id") % 7 =!= 5)
+    val b1 = emb.filter(col("vec_id") % 7 === 3)
+    val b2 = emb.filter(col("vec_id") % 7 === 5)
+    val root = tmpDir("vecindex-sem") + "/idx"
+    Dedup.commitVecIndex(corpus, root)
+    val (tables, planes, _, tau) = Dedup.vecIndexGeometry(spark, root)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Option[Long], Long, Boolean)] =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2), r.getBoolean(3))).toSet
+
+    // first ingest: stored-index verdicts == direct bucketed pipeline
+    // AT THE SAME PINNED GEOMETRY (the index must not drift from what
+    // incrementalVecDups would compute fresh)
+    val v1 = Dedup.ingestAndCommitVec(b1, corpus, root)
+    assert(rows(v1) === rows(
+      Dedup.incrementalVecDups(b1, corpus, tau = tau, tables = tables, planes = planes)))
+
+    // second ingest sees corpus ∪ batch-1 keepers THROUGH THE STORE
+    val keepers1 = b1.join(v1.filter(col("keep")).select("vec_id"), Seq("vec_id"), "left_semi")
+    val corpus2 = corpus.unionByName(keepers1)
+    val v2 = Dedup.ingestAgainstVecIndex(b2, corpus2, root)
+    assert(rows(v2) === rows(
+      Dedup.incrementalVecDups(b2, corpus2, tau = tau, tables = tables, planes = planes)))
+    assert(v2.count() === b2.count(), "one verdict row per batch-2 vector")
+
+    // compaction folds the chain without changing verdicts
+    Dedup.compactVecIndex(spark, root)
+    assert(rows(Dedup.ingestAgainstVecIndex(b2, corpus2, root)) === rows(v2))
+  }
+
   test("auto geometry at gate scale is bit-identical to the fixed 12x4 (q65 oracle safety)") {
     val emb = Tables.embeddings(spark, sf)
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =

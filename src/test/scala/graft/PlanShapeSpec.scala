@@ -253,6 +253,34 @@ class PlanShapeSpec extends SparkSpec {
         s"- corpus is being re-shingled:\n$p")
   }
 
+  test("q6d: ingest against the stored vector index never re-bands the corpus") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") % 7 =!= 3)
+    val batch = emb.filter(col("vec_id") % 7 === 3)
+    val root = tmpDir("vecindex-lock") + "/idx"
+    dedup.Dedup.commitVecIndex(corpus, root)
+    val p = dedup.Dedup.ingestAgainstVecIndex(batch, corpus, root)
+      .queryExecution.executedPlan.toString
+    // the corpus buckets must arrive from the persisted parquet index...
+    assert(p.contains("vecindex-lock"), s"stored vector index not scanned:\n$p")
+    // ...and hyperplane banding runs on the BATCH side only: bucketOf
+    // emits planes graft_dot calls per table, so the ingest plan must
+    // contain exactly the batch-banding dot count plus ONE for the
+    // verify cosine — a re-banded corpus would double the banding term
+    val (tables, planes, dims, _) = dedup.Dedup.vecIndexGeometry(spark, root)
+    val bN = batch.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.norm2(col("embedding")).as("nrm"))
+    val batchOnly = ann.Knn.lshTables(bN, tables, planes, seed = 7, dims = Some(dims))
+      .queryExecution.executedPlan.toString
+    val nBatch = "graft_dot".r.findAllIn(batchOnly).length
+    val nIngest = "graft_dot".r.findAllIn(p).length
+    assert(nBatch === tables * planes, s"unexpected banding dot count:\n$batchOnly")
+    assert(nIngest === nBatch + 1,
+      s"ingest computes $nIngest graft_dot vs ${nBatch + 1} expected " +
+        s"(batch banding + verify cosine) - corpus is being re-banded:\n$p")
+  }
+
   test("q6c default: bucketed incremental vec dedup - batch broadcasts, no cross join") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sf)
