@@ -28,6 +28,21 @@ object Knn {
     */
   private val DefaultPlanes = 4
 
+  /** THE 1-bit multiprobe expansion — every probing site (lshTopK,
+    * quantizedTopK, embeddingNearDups, incrementalVecDups,
+    * ingestAgainstVecIndex) flips exactly the `planes` bits the
+    * bucketing set, through this one definition: each row's `bkt` is
+    * replaced by itself plus the `planes` keys at hamming distance 1,
+    * all other columns ride along. A drifting copy (say one site
+    * moving to 2-bit probes) would silently break the cross-path
+    * verdict-equivalence oracles.
+    */
+  private[graft] def probe1Expand(df: DataFrame, planes: Int): DataFrame = {
+    val others = df.columns.filterNot(_ == "bkt").map(col)
+    df.select(others :+ explode(array(col("bkt") +: (0 until planes).map(j =>
+      col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"): _*)
+  }
+
   /** Design-point cosine for the top-k search geometry: tables are
     * solved so a candidate at cosine ≥ 0.3 reaches the 0.87 recall
     * floor (true top-k neighbors sit well above it and do better).
@@ -156,11 +171,7 @@ object Knn {
     val banded = lshTables(e, g.tables, g.planes).select("vec_id", "tbl", "bkt")
     val qb0 = banded.filter(queryPred)
       .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
-    val qb =
-      if (!g.probe1) qb0
-      else qb0.select(col("qid"), col("tbl"),
-        explode(array(col("bkt") +: (0 until g.planes).map(j =>
-          col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
+    val qb = if (!g.probe1) qb0 else probe1Expand(qb0, g.planes)
     val cand = qb.join(banded, Seq("tbl", "bkt"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"))
@@ -439,13 +450,8 @@ object Knn {
         val qb0 = banded.filter(queryPred)
           .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
         // 1-bit multiprobe, exactly as in [[lshTopK]]: query-side-only
-        // fan-out that turns a one-hyperplane near-miss into a hit —
-        // the probe loop flips exactly the bits the bucketing set
-        val qb =
-          if (!g.probe1) qb0
-          else qb0.select(col("qid"), col("tbl"),
-            explode(array(col("bkt") +: (0 until g.planes).map(j =>
-              col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
+        // fan-out that turns a one-hyperplane near-miss into a hit
+        val qb = if (!g.probe1) qb0 else probe1Expand(qb0, g.planes)
         qb.join(banded, Seq("tbl", "bkt"))
           .filter(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id").as("nid"))

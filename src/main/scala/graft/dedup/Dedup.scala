@@ -244,11 +244,7 @@ object Dedup {
     // shuffle and the bucket self-join never ship embedding arrays.
     val banded = graft.ann.Knn.lshTables(e, g.tables, g.planes, seed = 7)
       .select("vec_id", "tbl", "bkt")
-    val probedA =
-      if (!g.probe1) banded
-      else banded.select(col("vec_id"), col("tbl"),
-        explode(array(col("bkt") +: (0 until g.planes).map(j =>
-          col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
+    val probedA = if (!g.probe1) banded else graft.ann.Knn.probe1Expand(banded, g.planes)
     val a = probedA.as("a")
     val b = banded.as("b")
     // Dedup pairs BEFORE the cosine verify: a pair colliding in all
@@ -321,11 +317,7 @@ object Dedup {
           .select(col("vec_id").as("c_id"), col("tbl"), col("bkt"))
         val bb0 = graft.ann.Knn.lshTables(b, g.tables, g.planes, seed = 7, dims = dims)
           .select(col("vec_id").as("b_id"), col("tbl"), col("bkt"))
-        val bb =
-          if (!g.probe1) bb0
-          else bb0.select(col("b_id"), col("tbl"),
-            explode(array(col("bkt") +: (0 until g.planes).map(j =>
-              col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
+        val bb = if (!g.probe1) bb0 else graft.ann.Knn.probe1Expand(bb0, g.planes)
         broadcast(bb).join(cb, Seq("tbl", "bkt"))
           .select("b_id", "c_id").distinct()
           .join(broadcast(b.select(col("vec_id").as("b_id"),
@@ -334,8 +326,17 @@ object Dedup {
           .select(col("b_id"), col("c_id"),
             cosine(col("be"), col("embedding"), col("bn"), col("nrm")).as("cos"))
       }
-    val matches = scored
-      .filter(col("cos") >= tau)
+    vecVerdicts(batch, scored.filter(col("cos") >= tau))
+  }
+
+  /** The (vec_id, dup_of, n_matches, keep) verdict assembly shared by
+    * [[incrementalVecDups]] and [[ingestAgainstVecIndex]] — the q6d
+    * equivalence oracle depends on these two paths assembling
+    * verdicts identically. `hits` carries (b_id, c_id) pairs already
+    * filtered to cosine ≥ τ.
+    */
+  private def vecVerdicts(batch: DataFrame, hits: DataFrame): DataFrame = {
+    val matches = hits
       .groupBy(col("b_id").as("vec_id"))
       .agg(min("c_id").as("dup_of"), count(lit(1)).as("n_matches"))
     batch.select("vec_id")
@@ -390,6 +391,14 @@ object Dedup {
     * with [[commitVecIndex]]: the new full snapshot supersedes all
     * earlier segments, exactly like [[compactBandIndex]]'s contract.
     */
+  /** One pinned geometry: what [[commitVecIndex]] resolves and every
+    * ingest MUST band with (including the probe decision — the solver
+    * sizes tables ASSUMING the probe once planes pass the gate
+    * default, so banding without it at ingest would silently collapse
+    * recall to the unprobed curve).
+    */
+  final case class VecIndexGeom(tables: Int, planes: Int, dims: Int, tau: Double, probe1: Boolean)
+
   def commitVecIndex(
       corpus: DataFrame,
       root: String,
@@ -401,35 +410,83 @@ object Dedup {
     val e = corpus.select(col("vec_id"), col("embedding"),
       graft.functions.VectorFunctions.norm2(col("embedding")).as("nrm"))
     val dims = e.select(size(col("embedding")).as("d")).head(1).headOption.map(_.getInt(0))
+    // a data-derived geometry needs data: pinning dims=0 from an empty
+    // corpus would degenerate every future ingest to one bucket
+    require(dims.nonEmpty, s"commitVecIndex needs a non-empty corpus (geometry is data-derived)")
     val g = graft.ann.LshGeometry.resolve(e.count(), tau, tables, planes, probe1 = false)
-    Seq((g.tables, g.planes, dims.getOrElse(0), tau))
-      .toDF("tables", "planes", "dims", "tau")
-      .write.mode("overwrite").parquet(s"$root/_geom")
-    graft.sources.Snapshots.commit(
+    val v = graft.sources.Snapshots.commit(
       graft.ann.Knn.lshTables(e, g.tables, g.planes, seed = 7, dims = dims)
         .select("vec_id", "tbl", "bkt"),
       root)
+    // geometry publishes AFTER its snapshot, under the snapshot's own
+    // version (never overwritten): readers only adopt a full snapshot
+    // once its sidecar exists, so a crash mid-rebuild leaves the old
+    // (snapshot, geometry) pair fully consistent and a concurrent
+    // ingest never sees a half-written sidecar
+    writeGeom(spark, root, v, VecIndexGeom(g.tables, g.planes, dims.get, tau, g.probe1))
+    v
+  }
+
+  private def geomPath(root: String, v: Long): String = s"$root/_geom/v$v"
+
+  private def writeGeom(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String, v: Long, g: VecIndexGeom): Unit = {
+    import spark.implicits._
+    Seq((g.tables, g.planes, g.dims, g.tau, g.probe1))
+      .toDF("tables", "planes", "dims", "tau", "probe1")
+      .write.parquet(geomPath(root, v))
+  }
+
+  private def hasGeom(spark: org.apache.spark.sql.SparkSession, root: String, v: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(geomPath(root, v))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The base version vec readers agree on: the NEWEST full snapshot
+    * whose geometry sidecar is published. A full snapshot without its
+    * sidecar (crash between commit and publish) is invisible — the
+    * previous consistent pair keeps serving.
+    */
+  private def vecBaseVersion(
+      spark: org.apache.spark.sql.SparkSession, root: String): (Long, Seq[(Long, String, String)]) = {
+    val vs = graft.sources.Snapshots.versions(spark, root)
+    require(vs.nonEmpty, s"no vector index committed at $root (run commitVecIndex first)")
+    val baseV = vs.filter(t => t._2 == "full" && hasGeom(spark, root, t._1))
+      .map(_._1).maxOption.getOrElse(
+        throw new IllegalStateException(s"no published full vector-index snapshot in $root"))
+    (baseV, vs)
   }
 
   /** The pinned build-time geometry of the index at `root`. */
-  def vecIndexGeometry(
-      spark: org.apache.spark.sql.SparkSession, root: String): (Int, Int, Int, Double) = {
-    val r = spark.read.parquet(s"$root/_geom").head()
-    (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))
+  def vecIndexGeometry(spark: org.apache.spark.sql.SparkSession, root: String): VecIndexGeom = {
+    val (baseV, _) = vecBaseVersion(spark, root)
+    val r = spark.read.parquet(geomPath(root, baseV)).head()
+    VecIndexGeom(r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getBoolean(4))
   }
 
-  /** Latest full snapshot + subsequent deltas — [[readBandIndex]]'s
-    * exact read contract, over bucket keys instead of band hashes.
+  /** Base segment + subsequent DELTAS as one narrow union — shared by
+    * both persisted indexes ([[readBandIndex]]'s read contract). A
+    * full snapshot NEWER than the chosen base is skipped: for the vec
+    * index the base is sidecar-gated, so a crash between a compaction
+    * commit and its geometry publish must not let the half-published
+    * fold double-count against the segments it folded.
+    */
+  private def readSegments(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      baseV: Long,
+      vs: Seq[(Long, String, String)]): DataFrame =
+    vs.filter(t => t._1 == baseV || (t._1 > baseV && t._2 != "full"))
+      .map { case (v, _, _) => graft.sources.Snapshots.read(spark, root, v) }
+      .reduce(_ unionByName _)
+
+  /** Latest PUBLISHED full snapshot + subsequent deltas — over bucket
+    * keys instead of band hashes.
     */
   def readVecIndex(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
-    import graft.sources.Snapshots
-    val vs = Snapshots.versions(spark, root)
-    require(vs.nonEmpty, s"no vector index committed at $root (run commitVecIndex first)")
-    val baseV = vs.filter(_._2 == "full").map(_._1).maxOption.getOrElse(
-      throw new IllegalStateException(s"no full vector-index snapshot in $root"))
-    vs.filter(_._1 >= baseV)
-      .map { case (v, _, _) => Snapshots.read(spark, root, v) }
-      .reduce(_ unionByName _)
+    val (baseV, vs) = vecBaseVersion(spark, root)
+    readSegments(spark, root, baseV, vs)
   }
 
   /** Ingest verdicts for a vector `batch` against the PERSISTED
@@ -446,36 +503,38 @@ object Dedup {
   def ingestAgainstVecIndex(
       batch: DataFrame,
       corpusVecs: DataFrame,
+      root: String): DataFrame = {
+    val spark = batch.sparkSession
+    ingestWithGeom(batch, corpusVecs, root, vecIndexGeometry(spark, root))
+  }
+
+  /** The ingest body, parameterized by an already-read geometry so
+    * [[ingestAndCommitVec]] touches the sidecar and manifest once per
+    * cycle, not once per step. The probe decision is the STORED one:
+    * the solver sized the index's tables assuming it.
+    */
+  private def ingestWithGeom(
+      batch: DataFrame,
+      corpusVecs: DataFrame,
       root: String,
-      probe1: Boolean = false): DataFrame = {
+      g: VecIndexGeom): DataFrame = {
     import graft.functions.VectorFunctions._
     val spark = batch.sparkSession
-    val (tables, planes, dims, tau) = vecIndexGeometry(spark, root)
     val b = batch.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-    val bb0 = graft.ann.Knn.lshTables(b, tables, planes, seed = 7, dims = Some(dims))
+    val bb0 = graft.ann.Knn.lshTables(b, g.tables, g.planes, seed = 7, dims = Some(g.dims))
       .select(col("vec_id").as("b_id"), col("tbl"), col("bkt"))
-    val bb =
-      if (!probe1) bb0
-      else bb0.select(col("b_id"), col("tbl"),
-        explode(array(col("bkt") +: (0 until planes).map(j =>
-          col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"))
+    val bb = if (!g.probe1) bb0 else graft.ann.Knn.probe1Expand(bb0, g.planes)
     val cb = readVecIndex(spark, root).select(col("vec_id").as("c_id"), col("tbl"), col("bkt"))
     val cand = broadcast(bb).join(cb, Seq("tbl", "bkt")).select("b_id", "c_id").distinct()
-    val matches = broadcast(cand)
+    val hits = broadcast(cand)
       .join(corpusVecs.select(col("vec_id").as("c_id"), col("embedding"),
         norm2(col("embedding")).as("nrm")), "c_id")
       .join(broadcast(b.select(col("vec_id").as("b_id"),
         col("embedding").as("be"), col("nrm").as("bn"))), "b_id")
       .select(col("b_id"), col("c_id"),
         cosine(col("be"), col("embedding"), col("bn"), col("nrm")).as("cos"))
-      .filter(col("cos") >= tau)
-      .groupBy(col("b_id").as("vec_id"))
-      .agg(min("c_id").as("dup_of"), count(lit(1)).as("n_matches"))
-    batch.select("vec_id")
-      .join(matches, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("dup_of"),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-        col("dup_of").isNull.as("keep"))
+      .filter(col("cos") >= g.tau)
+    vecVerdicts(batch, hits)
   }
 
   /** [[ingestAgainstVecIndex]] + index maintenance: keepers' bucket
@@ -486,28 +545,33 @@ object Dedup {
   def ingestAndCommitVec(
       batch: DataFrame,
       corpusVecs: DataFrame,
-      root: String,
-      probe1: Boolean = false): DataFrame = {
+      root: String): DataFrame = {
     val spark = batch.sparkSession
-    val verdicts = ingestAgainstVecIndex(batch, corpusVecs, root, probe1).localCheckpoint(true)
-    val (tables, planes, dims, _) = vecIndexGeometry(spark, root)
-    val keepers = batch
-      .join(verdicts.filter(col("keep")).select("vec_id"), Seq("vec_id"), "left_semi")
+    val g = vecIndexGeometry(spark, root)
+    val verdicts = ingestWithGeom(batch, corpusVecs, root, g).localCheckpoint(true)
+    val keepers = keepersOf(batch, verdicts, key = "vec_id")
       .select(col("vec_id"), col("embedding"),
         graft.functions.VectorFunctions.norm2(col("embedding")).as("nrm"))
     graft.sources.Snapshots.commitDelta(
-      graft.ann.Knn.lshTables(keepers, tables, planes, seed = 7, dims = Some(dims))
+      graft.ann.Knn.lshTables(keepers, g.tables, g.planes, seed = 7, dims = Some(g.dims))
         .select("vec_id", "tbl", "bkt"),
       root)
     verdicts
   }
 
   /** Fold the vector index's delta chain into a fresh full snapshot —
-    * [[compactBandIndex]]'s contract; the geometry sidecar is
-    * untouched (compaction never changes the hyperplane set).
+    * [[compactBandIndex]]'s contract. The UNCHANGED geometry is
+    * re-published under the new version (readers adopt a full
+    * snapshot only once its sidecar exists; a fold that crashed
+    * before publishing stays invisible and the old chain keeps
+    * serving, without double-counting — see [[readSegments]]).
     */
-  def compactVecIndex(spark: org.apache.spark.sql.SparkSession, root: String): Long =
-    graft.sources.Snapshots.commit(readVecIndex(spark, root), root)
+  def compactVecIndex(spark: org.apache.spark.sql.SparkSession, root: String): Long = {
+    val g = vecIndexGeometry(spark, root)
+    val v = graft.sources.Snapshots.commit(readVecIndex(spark, root), root)
+    writeGeom(spark, root, v, g)
+    v
+  }
 
   /** q6d: two successive vector-ingest batches through the persisted
     * bucket index — q6b's cycle for embeddings. Rows-only [R]: the
@@ -861,17 +925,14 @@ object Dedup {
     * of parquet scans is narrow and AQE-coalesced instead.
     */
   def readBandIndex(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
-    import graft.sources.Snapshots
-    val vs = Snapshots.versions(spark, root)
+    val vs = graft.sources.Snapshots.versions(spark, root)
     require(vs.nonEmpty, s"no band index committed at $root (run commitBandIndex first)")
     // latest full snapshot + its subsequent deltas: a rebuilt index
     // (a second full commit) SUPERSEDES earlier segments — a raw
     // union of everything would scan every band key once per rebuild
     val baseV = vs.filter(_._2 == "full").map(_._1).maxOption.getOrElse(
       throw new IllegalStateException(s"no full band-index snapshot in $root"))
-    vs.filter(_._1 >= baseV)
-      .map { case (v, _, _) => Snapshots.read(spark, root, v) }
-      .reduce(_ unionByName _)
+    readSegments(spark, root, baseV, vs)
   }
 
   /** Ingest verdicts for `batch` against the PERSISTED band index —
@@ -932,8 +993,8 @@ object Dedup {
     * delta), so the two stores can never silently diverge on what a
     * keeper is.
     */
-  def keepersOf(batch: DataFrame, verdicts: DataFrame): DataFrame =
-    batch.join(verdicts.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+  def keepersOf(batch: DataFrame, verdicts: DataFrame, key: String = "doc_id"): DataFrame =
+    batch.join(verdicts.filter(col("keep")).select(key), Seq(key), "left_semi")
 
   /** [[ingestAgainstIndex]] + index maintenance: verdicts are
     * materialized, then the ACCEPTED docs' bands are committed back

@@ -335,7 +335,7 @@ class DedupAnnSpec extends SparkSpec {
     val b2 = emb.filter(col("vec_id") % 7 === 5)
     val root = tmpDir("vecindex-sem") + "/idx"
     Dedup.commitVecIndex(corpus, root)
-    val (tables, planes, _, tau) = Dedup.vecIndexGeometry(spark, root)
+    val g = Dedup.vecIndexGeometry(spark, root)
 
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Option[Long], Long, Boolean)] =
       df.collect().map(r => (r.getLong(0),
@@ -345,15 +345,15 @@ class DedupAnnSpec extends SparkSpec {
     // AT THE SAME PINNED GEOMETRY (the index must not drift from what
     // incrementalVecDups would compute fresh)
     val v1 = Dedup.ingestAndCommitVec(b1, corpus, root)
-    assert(rows(v1) === rows(
-      Dedup.incrementalVecDups(b1, corpus, tau = tau, tables = tables, planes = planes)))
+    assert(rows(v1) === rows(Dedup.incrementalVecDups(
+      b1, corpus, tau = g.tau, tables = g.tables, planes = g.planes, probe1 = g.probe1)))
 
     // second ingest sees corpus ∪ batch-1 keepers THROUGH THE STORE
     val keepers1 = b1.join(v1.filter(col("keep")).select("vec_id"), Seq("vec_id"), "left_semi")
     val corpus2 = corpus.unionByName(keepers1)
     val v2 = Dedup.ingestAgainstVecIndex(b2, corpus2, root)
-    assert(rows(v2) === rows(
-      Dedup.incrementalVecDups(b2, corpus2, tau = tau, tables = tables, planes = planes)))
+    assert(rows(v2) === rows(Dedup.incrementalVecDups(
+      b2, corpus2, tau = g.tau, tables = g.tables, planes = g.planes, probe1 = g.probe1)))
     assert(v2.count() === b2.count(), "one verdict row per batch-2 vector")
 
     // compaction folds the chain without changing verdicts

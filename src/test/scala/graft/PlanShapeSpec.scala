@@ -268,7 +268,8 @@ class PlanShapeSpec extends SparkSpec {
     // emits planes graft_dot calls per table, so the ingest plan must
     // contain exactly the batch-banding dot count plus ONE for the
     // verify cosine — a re-banded corpus would double the banding term
-    val (tables, planes, dims, _) = dedup.Dedup.vecIndexGeometry(spark, root)
+    val g = dedup.Dedup.vecIndexGeometry(spark, root)
+    val (tables, planes, dims) = (g.tables, g.planes, g.dims)
     val bN = batch.select(col("vec_id"), col("embedding"),
       graft.functions.VectorFunctions.norm2(col("embedding")).as("nrm"))
     val batchOnly = ann.Knn.lshTables(bN, tables, planes, seed = 7, dims = Some(dims))
