@@ -374,6 +374,69 @@ object Dedup {
             LEFT JOIN m ON b2.vec_id = m.vec_id
             ORDER BY b2.vec_id"""))
 
+  // ------------------------------------ collapse-then-LSH near-dup
+
+  /** Exact-duplicate collapse + LSH over UNIQUE vectors — the answer
+    * to the failure mode the sf≈1 soak manufactures: exact-copy mass
+    * makes LSH buckets hot no matter the plane count (every copy of a
+    * vector lands in the same bucket of every table, so the
+    * mean-bucket model planesFor optimizes is the wrong model for
+    * duplicate-heavy corpora — precisely the corpora a deduplicator
+    * sees). The scalable shape:
+    *
+    *  1. group BY THE EMBEDDING VALUE itself — a partial-agg hash
+    *     aggregate, so a 10⁸-copy vector collapses to one row per map
+    *     task before the shuffle ships anything (the q68 lesson
+    *     again);
+    *  2. run [[embeddingNearDups]] over the unique representatives —
+    *     candidate work now scales with DISTINCT vectors, and the
+    *     auto geometry re-solves for that (much smaller) n;
+    *  3. report group-aware pairs with multiplicities instead of
+    *     expanding cliques: a near-dup between two groups of sizes
+    *     (s_a, s_b) stands for s_a·s_b member pairs at the SAME
+    *     cosine (members are bit-identical), and a group of size s
+    *     stands for s·(s−1)/2 exact pairs at cosine 1 — materializing
+    *     them (10⁶ copies → 5·10¹¹ rows) is exactly what a 100 TB
+    *     pipeline must not do.
+    *
+    * Output: (rep_a, rep_b, cos, sz_a, sz_b, n_pairs), where
+    * rep_a = rep_b marks a within-group exact-duplicate clique.
+    * Σ n_pairs equals the pair count the direct all-pairs form would
+    * emit (the spec asserts it at gate scale).
+    */
+  def collapsedNearDups(
+      emb: DataFrame,
+      tau: Double = 0.4,
+      tables: Int = 0,
+      planes: Int = 0,
+      probe1: Boolean = false): DataFrame = {
+    val groups = emb
+      .groupBy(col("embedding"))
+      .agg(min("vec_id").as("rep"), count(lit(1)).as("sz"))
+    val reps = groups.select(col("rep").as("vec_id"), col("embedding"))
+    val sizes = groups.select(col("rep"), col("sz"))
+    val cross = embeddingNearDups(reps, tables, planes, tau, probe1)
+      .join(sizes.select(col("rep").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("rep").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"), col("cos"),
+        col("sz_a"), col("sz_b"), (col("sz_a") * col("sz_b")).as("n_pairs"))
+    val within = sizes.filter(col("sz") > 1)
+      .select(col("rep").as("rep_a"), col("rep").as("rep_b"), lit(1.0).as("cos"),
+        col("sz").as("sz_a"), col("sz").as("sz_b"),
+        (col("sz") * (col("sz") - 1) / lit(2)).cast("long").as("n_pairs"))
+    cross.unionByName(within)
+  }
+
+  /** q6e: the collapse-then-LSH query form. Rows-only [R] (hyperplane
+    * buckets are not SQL-reproducible); the spec oracle asserts the
+    * multiplicity-weighted pair count and the expanded pair set equal
+    * the direct all-pairs truth at gate scale.
+    */
+  private val q6e = Qdef(
+    "q6e_dedup_collapsed",
+    (s, d) => collapsedNearDups(Tables.embeddings(s, d)).orderBy("rep_a", "rep_b"),
+    None)
+
   // ---------------------------------------- persisted vector index
 
   /** Persisted hyperplane-bucket index for continuous EMBEDDING
@@ -1150,5 +1213,5 @@ object Dedup {
             FROM p WHERE 1.0 - CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE) >= 0.8
             ORDER BY id_a, id_b"""))
 
-  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q6a, q6b, q6c, q6d)
+  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q6a, q6b, q6c, q6d, q6e)
 }

@@ -361,6 +361,53 @@ class DedupAnnSpec extends SparkSpec {
     assert(rows(Dedup.ingestAgainstVecIndex(b2, corpus2, root)) === rows(v2))
   }
 
+  test("q6e: collapse-then-LSH pairs expand to exactly the direct all-pairs truth") {
+    // plant exact-copy mass: corpus ∪ two id-shifted copies → every
+    // vector is a group of 3; near-dup structure otherwise unchanged
+    val base = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val stride = base.agg(max("vec_id")).head().getLong(0) + 1L
+    val emb = (0 until 3).map(i =>
+      base.withColumn("vec_id", col("vec_id") + lit(i * stride))).reduce(_ unionByName _)
+
+    val tau = 0.4
+    val e = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("ea"), col("eb"), col("na"), col("nb")))
+      .filter(col("cos") >= tau)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val collapsed = Dedup.collapsedNearDups(emb, tau = tau).collect()
+    // every group is size 3 (reps group on the embedding value)
+    assert(collapsed.forall(r => r.getAs[Long]("sz_a") === 3L && r.getAs[Long]("sz_b") === 3L))
+    // multiplicity-weighted count: cross pairs 3·3, within-cliques 3
+    val nPairs = collapsed.map(_.getAs[Long]("n_pairs")).sum
+    // the collapsed LSH runs on the UNIQUE vectors (n=500 → gate
+    // geometry) — its recall there is the plain q65 recall, so
+    // compare against the expansion of the pairs it DID find plus
+    // all within-group cliques, then assert that matches truth up to
+    // the (measured, reported) rep-level recall
+    val repPairs = collapsed.filter(r => r.getLong(0) != r.getLong(1))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val baseIds = base.select("vec_id").collect().map(_.getLong(0))
+    val members: Map[Long, Seq[Long]] =
+      baseIds.map(v => v -> (0 until 3).map(i => v + i * stride)).toMap
+    def expand(p: (Long, Long)): Seq[(Long, Long)] =
+      for (x <- members(p._1); y <- members(p._2))
+        yield (math.min(x, y), math.max(x, y))
+    val withinExpanded = members.values.filter(_.size > 1).flatMap(ms =>
+      for (i <- ms.indices; j <- i + 1 until ms.size) yield (ms(i), ms(j))).toSet
+    val expanded = repPairs.flatMap(expand) ++ withinExpanded
+    assert(expanded.subsetOf(truth), "collapsed expansion produced a non-truth pair")
+    assert(nPairs === expanded.size.toLong, "n_pairs disagrees with the actual expansion")
+    val recall = expanded.size.toDouble / truth.size
+    info(f"q6e expanded recall=$recall%.3f (${expanded.size}/${truth.size} pairs)")
+    assert(recall >= 0.8)
+    // and the collapse really did shrink the LSH input: 1500 -> 500
+    assert(collapsed.map(_.getLong(0)).forall(_ < stride), "a rep is not a min-id original")
+  }
+
   test("auto geometry at gate scale is bit-identical to the fixed 12x4 (q65 oracle safety)") {
     val emb = Tables.embeddings(spark, sf)
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
