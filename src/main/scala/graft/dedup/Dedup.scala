@@ -228,7 +228,128 @@ object Dedup {
       tables: Int = 0,
       planes: Int = 0,
       tau: Double = 0.4,
-      probe1: Boolean = false): DataFrame = {
+      probe1: Boolean = false): DataFrame =
+    nearDupsImpl(emb, tau, maxBucket = 0, maxExtra = 0, tables, planes, probe1)
+
+  /** Density-adaptive variant of [[embeddingNearDups]]: buckets whose
+    * POPULATION exceeds `maxBucket` are split by extra hyperplane
+    * bits — per table, per bucket, just enough bits
+    * (ceil(log2(sz / maxBucket)), capped at `maxExtra`) to bring the
+    * expected sub-bucket back to target. The mean-bucket model the
+    * geometry solver optimizes says nothing about VARIANCE: a
+    * directionally concentrated corpus (uncentered sentence
+    * embeddings are the textbook case — every vector shares a
+    * dominant mean direction, so each table funnels a large corpus
+    * fraction into its majority-sign bucket) goes quadratic in a few
+    * hot buckets while the mean stays healthy. Splitting restores the
+    * bound where it is restorable: extra bits separate ACCIDENTAL
+    * co-residents (below-τ pairs sharing a bucket) at p^extra ≪ 1
+    * while a genuinely-dense near-dup clique mostly survives them
+    * (p → 1 as cos → 1) — and a clique that cannot be split is one
+    * whose OUTPUT is itself quadratic, which is [[collapsedNearDups]]'
+    * job (exact mass) or the caller's τ to tighten.
+    *
+    * Two details keep recall honest where ALL tables hot the same
+    * region (a shared mean direction hots every table's majority
+    * bucket, so OR-amplification cannot absorb the split cost):
+    * refinement planes are CENTERED on the corpus mean (an uncentered
+    * plane inherits the very bias that made the bucket hot — measured
+    * 3.9× vs ~11× Σsz² reduction on the spec's shifted corpus), and
+    * one join side 1-bit-multiprobes the sub key (hot rows only,
+    * (extra+1)× there), buying back the pairs a single disagreeing
+    * refinement bit would lose. The spec measures the residual.
+    *
+    * Cost shape vs the plain form: extra-bit computation is a narrow
+    * map fused into the banding scan (only `maxExtra` more dot
+    * products per (row, table)); bucket sizes are ONE partial-agg
+    * groupBy on the compact (tbl, bkt) key; the hot-bucket table —
+    * AT MOST (corpus·tables)/maxBucket rows, tiny in healthy corpora —
+    * joins back against compact keys (AQE broadcasts it when small);
+    * the pair join itself is unchanged except its key widens by the
+    * sub-bucket long. Embedding arrays still never shuffle.
+    */
+  def adaptiveNearDups(
+      emb: DataFrame,
+      tau: Double = 0.4,
+      maxBucket: Int = 128,
+      maxExtra: Int = 8,
+      tables: Int = 0,
+      planes: Int = 0,
+      probe1: Boolean = false): DataFrame =
+    nearDupsImpl(emb, tau, maxBucket, maxExtra, tables, planes, probe1)
+
+  /** Refined candidate keys (vec_id, tbl, bkt, sub) for the adaptive
+    * path — the unit the spec measures bucket-population bounds on.
+    * `probed` applies the 1-bit expansion BEFORE the hot join, so a
+    * probed row takes the TARGET bucket's split depth (its sub bits
+    * are its own; the mask is the bucket's).
+    */
+  private[graft] def refinedKeys(
+      e: DataFrame,
+      g: graft.ann.LshGeometry,
+      maxBucket: Int,
+      maxExtra: Int,
+      dims: Int,
+      center: Seq[Double],
+      probed: Boolean,
+      probeSub: Boolean = false): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val banded = graft.ann.Knn.lshTables(e, g.tables, g.planes, seed = 7, dims = Some(dims))
+    // Independent per-table refinement hyperplanes, drawn from a
+    // stream disjoint from the banding seed — and CENTERED on the
+    // corpus mean: the very skew that makes buckets hot (a shared
+    // dominant direction) would bias uncentered refinement bits the
+    // same way, leaving the sub-split as lopsided as the bucket it is
+    // trying to fix (measured: 4 uncentered bits shrank Σsz² only
+    // 3.9× on the mean-shifted spec corpus). sign(r·x − r·μ) shifts
+    // each plane through the corpus center — one scalar threshold per
+    // plane, computed on the driver from the collected mean. Bits are
+    // computed narrowly while the row still carries its embedding;
+    // coalesce-of-whens evaluates exactly the matching table's branch.
+    val rnd = new scala.util.Random(7 * 1327 + 13)
+    val xp: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      IndexedSeq.fill(g.tables)(IndexedSeq.fill(maxExtra)(Seq.fill(dims)(rnd.nextGaussian())))
+    def thresh(t: Int, j: Int): Double =
+      xp(t)(j).iterator.zip(center.iterator).map { case (a, b) => a * b }.sum
+    def xbitsOf(t: Int): Column = (0 until maxExtra)
+      .map(j => when(dotD(col("embedding"), typedLit(xp(t)(j))) > lit(thresh(t, j)), lit(1L << j))
+        .otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val compact = banded
+      .withColumn("xbits", coalesce((0 until g.tables).map(t => when(col("tbl") === t, xbitsOf(t))): _*))
+      .select("vec_id", "tbl", "bkt", "xbits")
+    val sizes = compact.groupBy("tbl", "bkt").count()
+    val hot = sizes.filter(col("count") > maxBucket)
+      .select(col("tbl"), col("bkt"),
+        least(lit(maxExtra.toLong),
+          ceil(log(2.0, col("count").cast("double") / maxBucket))).cast("int").as("extra"))
+    val keyed = if (probed) graft.ann.Knn.probe1Expand(compact, g.planes) else compact
+    val withSub = keyed.join(hot, Seq("tbl", "bkt"), "left")
+      .withColumn("sub", when(col("extra").isNull, lit(0L))
+        .otherwise(col("xbits").bitwiseAND(expr("shiftleft(1L, extra) - 1L"))))
+    if (!probeSub) withSub.select("vec_id", "tbl", "bkt", "sub")
+    else
+      // 1-bit multiprobe over the refinement bits, on this side only:
+      // a hot-bucket row also visits the `extra` sub keys at hamming
+      // distance 1 — the same recall-recovery trick the base geometry
+      // uses, aimed at the recall the split costs. Expansion is
+      // (extra+1)× on hot-bucket rows ONLY; cold rows stay single.
+      withSub.select(col("vec_id"), col("tbl"), col("bkt"),
+        explode(expr(
+          """CASE WHEN extra IS NULL THEN array(sub)
+             ELSE concat(array(sub),
+                         transform(sequence(0, extra - 1), j -> sub ^ shiftleft(1L, j)))
+             END""")).as("sub"))
+  }
+
+  private def nearDupsImpl(
+      emb: DataFrame,
+      tau: Double,
+      maxBucket: Int,
+      maxExtra: Int,
+      tables: Int,
+      planes: Int,
+      probe1: Boolean): DataFrame = {
     import graft.functions.VectorFunctions._
     val e = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
     // tables/planes = 0 (the defaults) resolve from corpus size and τ
@@ -240,22 +361,41 @@ object Dedup {
     // pinned one — planes=8 with auto tables gets the 8-plane table
     // count, never the 4-plane one.
     val g = graft.ann.LshGeometry.resolve(e.count(), tau, tables, planes, probe1)
-    // Candidate stage carries ONLY (vec_id, tbl, bkt): the banding
-    // shuffle and the bucket self-join never ship embedding arrays.
-    val banded = graft.ann.Knn.lshTables(e, g.tables, g.planes, seed = 7)
-      .select("vec_id", "tbl", "bkt")
-    val probedA = if (!g.probe1) banded else graft.ann.Knn.probe1Expand(banded, g.planes)
-    val a = probedA.as("a")
-    val b = banded.as("b")
+    // lazy: the plain path never pays the dimension probe action
+    lazy val dims = e.select(size(col("embedding")).as("d")).head(1).headOption.map(_.getInt(0))
+    // Candidate stage carries ONLY compact keys: the banding shuffle
+    // and the bucket self-join never ship embedding arrays. The two
+    // sides' identical subtrees (banding, sizes, hot) collapse into
+    // ReusedExchange in the physical plan.
+    val cand = (if (maxBucket > 0 && dims.nonEmpty) {
+      // element-wise corpus mean for the centered refinement planes:
+      // one narrow posexplode scan into a 64-ish-row partial agg
+      val center: Seq[Double] = e
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("pos").agg(avg("v").as("m")).orderBy("pos")
+        .collect().map(_.getDouble(1)).toSeq
+      val a = refinedKeys(e, g, maxBucket, maxExtra, dims.get, center,
+        probed = g.probe1, probeSub = true).as("a")
+      val b = refinedKeys(e, g, maxBucket, maxExtra, dims.get, center, probed = false).as("b")
+      a.join(b,
+          col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+            col("a.sub") === col("b.sub") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    } else {
+      val banded = graft.ann.Knn.lshTables(e, g.tables, g.planes, seed = 7)
+        .select("vec_id", "tbl", "bkt")
+      val probedA = if (!g.probe1) banded else graft.ann.Knn.probe1Expand(banded, g.planes)
+      val a = probedA.as("a")
+      val b = banded.as("b")
+      a.join(b,
+          col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
     // Dedup pairs BEFORE the cosine verify: a pair colliding in all
     // `tables` hash tables would otherwise pay `tables` cosines (and
     // ship both arrays through the join each time). After distinct,
     // each unique pair joins its two embeddings back exactly once.
-    val cand = a.join(b,
-        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
+    }).distinct()
     cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")), "id_b")
@@ -267,6 +407,19 @@ object Dedup {
   private val q65 = Qdef(
     "q65_dedup_embedding",
     (s, d) => embeddingNearDups(Tables.embeddings(s, d)).orderBy("id_a", "id_b"),
+    None)
+
+  /** q6f: the density-adaptive query form. maxBucket=32 puts the gate
+    * corpora (mean bucket 31 at sf0.001, 125 at sf0.01 under the
+    * fixed 12×4) into the splitting regime so the refinement path is
+    * what the driver actually runs. Rows-only [R] (hyperplane buckets
+    * are not SQL-reproducible); the spec oracle measures subset-of-
+    * truth precision, recall, and the candidate-slot reduction on a
+    * deliberately uncentered corpus.
+    */
+  private val q6f = Qdef(
+    "q6f_dedup_adaptive",
+    (s, d) => adaptiveNearDups(Tables.embeddings(s, d), maxBucket = 32).orderBy("id_a", "id_b"),
     None)
 
   /** Incremental embedding ingest filter — the vector twin of q69:
@@ -1213,5 +1366,5 @@ object Dedup {
             FROM p WHERE 1.0 - CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE) >= 0.8
             ORDER BY id_a, id_b"""))
 
-  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q6a, q6b, q6c, q6d, q6e)
+  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q6a, q6b, q6c, q6d, q6e, q6f)
 }

@@ -408,6 +408,66 @@ class DedupAnnSpec extends SparkSpec {
     assert(collapsed.map(_.getLong(0)).forall(_ < stride), "a rep is not a min-id original")
   }
 
+  test("q6f: adaptive path with no hot buckets is pair-identical to embeddingNearDups") {
+    val emb = Tables.embeddings(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // maxBucket above any gate population: the refinement machinery
+    // runs (xbits, sizes, empty hot join) but every sub key is 0, so
+    // the pairs must match the plain path exactly
+    assert(rows(Dedup.adaptiveNearDups(emb, maxBucket = 1 << 20)) ===
+      rows(Dedup.embeddingNearDups(emb)))
+  }
+
+  test("q6f: splitting bounds hot-bucket candidate work on an uncentered corpus") {
+    // the textbook sign-LSH pathology: a shared mean direction. Every
+    // hyperplane's threshold lands ~N(0, 64c²) away from the corpus
+    // center, so each table funnels a large fraction into its
+    // majority-sign bucket while the solver's MEAN-bucket model stays
+    // healthy.
+    val tau = 0.65
+    val maxBucket = 16
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> x + CAST(0.1 AS FLOAT))").as("embedding"))
+
+    val e = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("ea"), col("eb"), col("na"), col("nb")))
+      .filter(col("cos") >= tau)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "shifted corpus has no pairs above tau")
+
+    // the corpus really is skewed: unsplit max bucket ≫ maxBucket
+    val n = e.count()
+    val g = graft.ann.LshGeometry.resolve(n, tau, 0, 0, probe1 = false)
+    val center = e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(avg("v").as("m")).orderBy("pos")
+      .collect().map(_.getDouble(1)).toSeq
+    val keys = Dedup.refinedKeys(e, g, maxBucket, maxExtra = 8, dims = 64, center, probed = false)
+    def slotSum(grp: Seq[String]): (Long, Long) = {
+      val sizes = keys.groupBy(grp.map(col): _*).agg(count(lit(1)).as("c"))
+        .select(col("c")).collect().map(_.getLong(0))
+      (sizes.map(c => c * (c - 1) / 2).sum, sizes.max)
+    }
+    val (slots0, max0) = slotSum(Seq("tbl", "bkt"))
+    val (slots1, max1) = slotSum(Seq("tbl", "bkt", "sub"))
+    info(f"unsplit: max bucket $max0, pair slots $slots0; split: max $max1, slots $slots1")
+    assert(max0 > 4L * maxBucket, "corpus not skewed enough to exercise splitting")
+    assert(max1 < max0, "splitting did not shrink the hottest bucket")
+    assert(slots1 < slots0 / 2, "splitting did not halve candidate pair slots")
+
+    val adaptive = Dedup.adaptiveNearDups(emb, tau = tau, maxBucket = maxBucket)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adaptive.subsetOf(truth), "adaptive emitted a below-tau pair (verify must be exact)")
+    val recall = adaptive.size.toDouble / truth.size
+    val plain = Dedup.embeddingNearDups(emb, tau = tau)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(f"recall: adaptive $recall%.3f (${adaptive.size}/${truth.size}), plain ${plain.size.toDouble / truth.size}%.3f")
+    assert(recall >= 0.7, f"adaptive recall $recall%.3f below floor")
+  }
+
   test("auto geometry at gate scale is bit-identical to the fixed 12x4 (q65 oracle safety)") {
     val emb = Tables.embeddings(spark, sf)
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =

@@ -316,6 +316,25 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly 1 event_type-keyed exchange feeding both windows, got $hashEx:\n$p")
   }
 
+  test("q6f: adaptive split — bucket sizes are a partial agg on compact keys; arrays never shuffle") {
+    val p = plan("q6f_dedup_adaptive")
+    // the split machinery must not change the candidate stage's
+    // nature: no all-pairs step, no window anywhere, and the
+    // bucket-population count that drives per-bucket split depth is a
+    // map-side-partial HashAggregate on the compact (tbl, bkt) key —
+    // a hot bucket's population arrives pre-combined, never as rows
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"adaptive dedup grew a pairwise step:\n$p")
+    assert(!p.contains("Window"), s"adaptive dedup grew a window:\n$p")
+    val sizeAgg = p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("tbl") && l.contains("partial_count"))
+    assert(sizeAgg, s"no partial-agg bucket count keyed by (tbl, bkt):\n$p")
+    // embedding arrays ride only narrow maps and broadcast/id joins —
+    // no hash exchange may be keyed by (or carry) the embedding col
+    val badEx = p.linesIterator.filter(l => l.contains("Exchange") && l.contains("embedding"))
+    assert(badEx.isEmpty, s"embedding arrays shuffled:\n${badEx.mkString("\n")}")
+  }
+
   test("qa0: curation pipeline — single scan, no window, no join, dedup is a partial agg") {
     val p = plan("qa0_curate")
     // the whole filter chain fuses ahead of the dedup shuffle; the
