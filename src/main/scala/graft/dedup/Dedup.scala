@@ -278,34 +278,48 @@ object Dedup {
       probe1: Boolean = false): DataFrame =
     nearDupsImpl(emb, tau, maxBucket, maxExtra, tables, planes, probe1)
 
-  /** Refined candidate keys (vec_id, tbl, bkt, sub) for the adaptive
-    * path — the unit the spec measures bucket-population bounds on.
-    * `probed` applies the 1-bit expansion BEFORE the hot join, so a
-    * probed row takes the TARGET bucket's split depth (its sub bits
-    * are its own; the mask is the bucket's).
+  /** Compact (vec_id, tbl, bkt, xbits) keys for the adaptive path,
+    * hash-repartitioned on (tbl, bkt) — the ONE shuffle of the
+    * candidate stage, and deliberately so: the banding + refinement
+    * scan behind it (tables×(planes+maxExtra) dot products per row)
+    * is the stage's dominant compute, and every consumer — the
+    * bucket-size aggregate, the hot table, and both pair-join sides —
+    * must hang off THIS object so the physical plan reuses the
+    * exchange instead of re-running the scan. (Building the sides as
+    * separate trees left the scan in the plan 4×, and separately-built
+    * trees did not collapse via sameResult.) The shuffled payload is
+    * ~32 bytes/row; everything downstream of it is narrow or
+    * broadcast until the pair join, which the (tbl, bkt) partitioning
+    * already satisfies.
+    *
+    * Refinement hyperplanes are drawn per table from a stream disjoint
+    * from the banding seed — and CENTERED on the corpus mean: the very
+    * skew that makes buckets hot (a shared dominant direction) would
+    * bias uncentered refinement bits the same way, leaving the
+    * sub-split as lopsided as the bucket it is trying to fix
+    * (measured: 4 uncentered bits shrank Σsz² only 3.9× on the
+    * mean-shifted spec corpus). sign(r·x − r·μ) shifts each plane
+    * through the corpus center — one scalar threshold per plane,
+    * computed on the driver from the collected mean. Bits are computed
+    * narrowly while the row still carries its embedding;
+    * coalesce-of-whens evaluates exactly the matching table's branch.
     */
-  private[graft] def refinedKeys(
+  private[graft] def refinedCompact(
       e: DataFrame,
       g: graft.ann.LshGeometry,
-      maxBucket: Int,
       maxExtra: Int,
       dims: Int,
-      center: Seq[Double],
-      probed: Boolean,
-      probeSub: Boolean = false): DataFrame = {
+      center: Seq[Double]): DataFrame = {
     import graft.functions.VectorFunctions._
-    val banded = graft.ann.Knn.lshTables(e, g.tables, g.planes, seed = 7, dims = Some(dims))
-    // Independent per-table refinement hyperplanes, drawn from a
-    // stream disjoint from the banding seed — and CENTERED on the
-    // corpus mean: the very skew that makes buckets hot (a shared
-    // dominant direction) would bias uncentered refinement bits the
-    // same way, leaving the sub-split as lopsided as the bucket it is
-    // trying to fix (measured: 4 uncentered bits shrank Σsz² only
-    // 3.9× on the mean-shifted spec corpus). sign(r·x − r·μ) shifts
-    // each plane through the corpus center — one scalar threshold per
-    // plane, computed on the driver from the collected mean. Bits are
-    // computed narrowly while the row still carries its embedding;
-    // coalesce-of-whens evaluates exactly the matching table's branch.
+    // Explicit isnotnull(vec_id): the pair join INFERS this filter
+    // into its two sides (vec_id < vec_id constraint), the size/hot
+    // branches don't — and a filter present below the exchange in one
+    // consumer's subtree but not another's forks the canonical plan
+    // exactly like divergent pruning does. Stating it once here keeps
+    // all four subtrees bit-identical (inference adds nothing when
+    // the filter already exists).
+    val banded = graft.ann.Knn.lshTables(
+      e.filter(col("vec_id").isNotNull), g.tables, g.planes, seed = 7, dims = Some(dims))
     val rnd = new scala.util.Random(7 * 1327 + 13)
     val xp: IndexedSeq[IndexedSeq[Seq[Double]]] =
       IndexedSeq.fill(g.tables)(IndexedSeq.fill(maxExtra)(Seq.fill(dims)(rnd.nextGaussian())))
@@ -315,14 +329,47 @@ object Dedup {
       .map(j => when(dotD(col("embedding"), typedLit(xp(t)(j))) > lit(thresh(t, j)), lit(1L << j))
         .otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
-    val compact = banded
+    banded
       .withColumn("xbits", coalesce((0 until g.tables).map(t => when(col("tbl") === t, xbitsOf(t))): _*))
       .select("vec_id", "tbl", "bkt", "xbits")
-    val sizes = compact.groupBy("tbl", "bkt").count()
-    val hot = sizes.filter(col("count") > maxBucket)
+      .repartition(col("tbl"), col("bkt"))
+  }
+
+  /** (tbl, bkt, extra) for buckets whose population exceeds
+    * `maxBucket`: at most (corpus·tables)/maxBucket rows, so AQE
+    * broadcasts it back against the compact keys. Fed by the
+    * already-partitioned compact exchange, the count needs no further
+    * shuffle of its own.
+    *
+    * The count(when(vec_id/xbits not null)) form IS count(*) — both
+    * columns are never null — but it keeps them in the aggregate's
+    * required set, so column pruning cannot push a narrower Project
+    * below [[refinedCompact]]'s repartition: a pruned 2-column twin
+    * of that exchange would canonicalize differently from the join
+    * sides' 4-column one and fork the shuffle into two
+    * materializations (measured: the fork put the banding scan in the
+    * plan twice). With the subtree bit-identical everywhere, every
+    * consumer collapses onto ONE materialized exchange.
+    */
+  private[graft] def hotBuckets(compact: DataFrame, maxBucket: Int, maxExtra: Int): DataFrame =
+    compact.groupBy("tbl", "bkt")
+      .agg(count(when(col("vec_id").isNotNull && col("xbits").isNotNull, 1)).as("count"))
+      .filter(col("count") > maxBucket)
       .select(col("tbl"), col("bkt"),
         least(lit(maxExtra.toLong),
           ceil(log(2.0, col("count").cast("double") / maxBucket))).cast("int").as("extra"))
+
+  /** One pair-join side: compact keys + the per-bucket sub key.
+    * `probed` applies the 1-bit bucket expansion BEFORE the hot join,
+    * so a probed row takes the TARGET bucket's split depth (its sub
+    * bits are its own; the mask is the bucket's).
+    */
+  private[graft] def subKeys(
+      compact: DataFrame,
+      hot: DataFrame,
+      g: graft.ann.LshGeometry,
+      probed: Boolean,
+      probeSub: Boolean = false): DataFrame = {
     val keyed = if (probed) graft.ann.Knn.probe1Expand(compact, g.planes) else compact
     val withSub = keyed.join(hot, Seq("tbl", "bkt"), "left")
       .withColumn("sub", when(col("extra").isNull, lit(0L))
@@ -342,6 +389,24 @@ object Dedup {
              END""")).as("sub"))
   }
 
+  /** Refined candidate keys (vec_id, tbl, bkt, sub) for the adaptive
+    * path — the unit the spec measures bucket-population bounds on.
+    * Standalone form (the query path shares one [[refinedCompact]]
+    * across both sides instead).
+    */
+  private[graft] def refinedKeys(
+      e: DataFrame,
+      g: graft.ann.LshGeometry,
+      maxBucket: Int,
+      maxExtra: Int,
+      dims: Int,
+      center: Seq[Double],
+      probed: Boolean,
+      probeSub: Boolean = false): DataFrame = {
+    val compact = refinedCompact(e, g, maxExtra, dims, center)
+    subKeys(compact, hotBuckets(compact, maxBucket, maxExtra), g, probed, probeSub)
+  }
+
   private def nearDupsImpl(
       emb: DataFrame,
       tau: Double,
@@ -352,31 +417,36 @@ object Dedup {
       probe1: Boolean): DataFrame = {
     import graft.functions.VectorFunctions._
     val e = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    // Adaptive path: element-wise corpus mean (for the centered
+    // refinement planes), dimension count, and corpus size all come
+    // out of ONE posexplode scan + 64-ish-row partial agg — dims is
+    // the stats row count, n is any position's count.
+    val stats: Array[(Double, Long)] =
+      if (maxBucket <= 0) Array.empty
+      else e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("pos").agg(avg("v").as("m"), count(lit(1)).as("n")).orderBy("pos")
+        .collect().map(r => (r.getDouble(1), r.getLong(2)))
     // tables/planes = 0 (the defaults) resolve from corpus size and τ
-    // via LshGeometry.resolve (count only runs on the auto path). At
-    // gate scale (n ≤ 2k, τ=0.4) the solver returns the fixed
+    // via LshGeometry.resolve (the count job only runs on the plain
+    // path — the adaptive path already knows n from the stats scan).
+    // At gate scale (n ≤ 2k, τ=0.4) the solver returns the fixed
     // (12, 4, no-probe) geometry the oracles were calibrated against;
     // past it, planes track n (bounded buckets) and the 1-bit probe
     // holds recall. Half-pinned calls solve the open knob for the
     // pinned one — planes=8 with auto tables gets the 8-plane table
     // count, never the 4-plane one.
-    val g = graft.ann.LshGeometry.resolve(e.count(), tau, tables, planes, probe1)
-    // lazy: the plain path never pays the dimension probe action
-    lazy val dims = e.select(size(col("embedding")).as("d")).head(1).headOption.map(_.getInt(0))
+    val g = graft.ann.LshGeometry.resolve(
+      if (stats.nonEmpty) stats.head._2 else e.count(), tau, tables, planes, probe1)
     // Candidate stage carries ONLY compact keys: the banding shuffle
-    // and the bucket self-join never ship embedding arrays. The two
-    // sides' identical subtrees (banding, sizes, hot) collapse into
-    // ReusedExchange in the physical plan.
-    val cand = (if (maxBucket > 0 && dims.nonEmpty) {
-      // element-wise corpus mean for the centered refinement planes:
-      // one narrow posexplode scan into a 64-ish-row partial agg
-      val center: Seq[Double] = e
-        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("pos").agg(avg("v").as("m")).orderBy("pos")
-        .collect().map(_.getDouble(1)).toSeq
-      val a = refinedKeys(e, g, maxBucket, maxExtra, dims.get, center,
-        probed = g.probe1, probeSub = true).as("a")
-      val b = refinedKeys(e, g, maxBucket, maxExtra, dims.get, center, probed = false).as("b")
+    // and the bucket self-join never ship embedding arrays.
+    val cand = (if (stats.nonEmpty) {
+      // ONE shared compact subtree: both sides and the hot table hang
+      // off the same (tbl, bkt)-partitioned exchange (ReusedExchange),
+      // so the banding + xbits scan runs once.
+      val compact = refinedCompact(e, g, maxExtra, stats.length, stats.map(_._1).toSeq)
+      val hot = hotBuckets(compact, maxBucket, maxExtra)
+      val a = subKeys(compact, hot, g, probed = g.probe1, probeSub = true).as("a")
+      val b = subKeys(compact, hot, g, probed = false).as("b")
       a.join(b,
           col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
             col("a.sub") === col("b.sub") && col("a.vec_id") < col("b.vec_id"))

@@ -316,6 +316,24 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly 1 event_type-keyed exchange feeding both windows, got $hashEx:\n$p")
   }
 
+  test("q6f: all consumers of the compact keys share ONE canonical exchange (scan runs once)") {
+    // the banding+xbits scan is the stage's dominant compute; the two
+    // pair-join sides and the two size/hot branches must all hang off
+    // the same (tbl, bkt) repartition so AQE materializes it once. A
+    // canonicalization fork (divergent pruning or inferred filters
+    // below the exchange) silently multiplies the scan — this is the
+    // regression lock for that.
+    val p = SparkEntry.queries("q6f_dedup_adaptive")(spark, sf).queryExecution.sparkPlan
+    val rep = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.shuffleOrigin.toString == "REPARTITION_BY_COL" => e
+    }
+    assert(rep.size >= 2, s"expected the shared repartition on both join sides, got ${rep.size}")
+    val canon = rep.map(_.canonicalized.semanticHash()).distinct
+    assert(canon.size === 1,
+      s"compact-key exchange forked into ${canon.size} canonical variants — scan will run more than once")
+  }
+
   test("q6f: adaptive split — bucket sizes are a partial agg on compact keys; arrays never shuffle") {
     val p = plan("q6f_dedup_adaptive")
     // the split machinery must not change the candidate stage's
