@@ -9,7 +9,8 @@ object SparkEntry {
   def defs: Seq[Qdef] =
     operators.Relational.all ++ operators.Cohort.all ++
       dedup.Dedup.all ++ ann.Knn.all ++ operators.TextAnalysis.all ++
-      operators.Sketches.all ++ operators.Warehouse.all ++ operators.Curate.all
+      operators.Sketches.all ++ operators.Warehouse.all ++ operators.Curate.all ++
+      operators.Mix.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

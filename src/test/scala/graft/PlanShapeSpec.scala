@@ -374,4 +374,26 @@ class PlanShapeSpec extends SparkSpec {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(hashEx === 2, s"expected 2 hash exchanges (digest, manifest key), got $hashEx:\n$p")
   }
+
+  test("qa1: mixture — corpus never shuffles; the plan joins back as a broadcast") {
+    val p = plan("qa1_mix")
+    // the per-source plan is a ~|sources|-row aggregate broadcast
+    // back onto the corpus: the corpus itself must reach the epoch
+    // explode without a repartition, and the only hash exchanges are
+    // the stats partial agg and the final (source, epoch) aggregate
+    assert(p.contains("BroadcastHashJoin"), s"plan join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled into a sort-merge join:\n$p")
+    // the stats subtree prints twice (it feeds both the total agg and
+    // the per-source select) but the copies are bit-identical, so
+    // exchange reuse collapses them at runtime — count DISTINCT
+    // canonical exchanges: stats on source + the final (source, epoch)
+    val sp = SparkEntry.queries("qa1_mix")(spark, sf).queryExecution.sparkPlan
+    val hashEx = sp.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(hashEx.map(_.canonicalized.semanticHash()).distinct.size <= 2,
+      s"expected at most 2 distinct hash exchanges (stats, final agg):\n$p")
+    assert(p.contains("Generate explode"), s"epoch fan-out is not a narrow explode:\n$p")
+  }
 }
