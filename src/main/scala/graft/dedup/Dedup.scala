@@ -492,6 +492,101 @@ object Dedup {
     (s, d) => adaptiveNearDups(Tables.embeddings(s, d), maxBucket = 32).orderBy("id_a", "id_b"),
     None)
 
+  // ------------------------------------ semantic (cluster-scoped) dedup
+
+  /** Per-vector semantic-dedup verdicts against a FIXED centroid set
+    * — the deterministic core [[semanticDedup]] wraps and the spec
+    * injects its own centroids into. One row per input vector:
+    * (vec_id, cell, keep, dup_of, best_cos), where dup_of is the
+    * smallest same-cell vec_id at cosine ≥ tau (null ⇔ keep) and
+    * best_cos the strongest such match.
+    *
+    * Shape: cell assignment is the narrow argmin map ([[graft.ann.Knn
+    * .assignCell]] — the q72 lesson, never a crossJoin+window); the
+    * in-cell pair search hangs BOTH self-join sides off ONE
+    * cell-repartitioned subtree (the q6f lesson: separately built
+    * sides re-run the scan), and the verdict aggregate is a partial
+    * agg on the compact (id_b) key. The cell exchange is the only
+    * shuffle that ships embeddings.
+    */
+  private[graft] def semanticVerdictsFor(
+      e: DataFrame,
+      cents: Seq[(Long, Seq[Double])],
+      tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val parted = graft.ann.Knn.assignCell(e.filter(col("vec_id").isNotNull), cents)
+      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+      .repartition(col("cell"))
+    val a = parted.toDF("cell", "id_a", "ea", "na")
+    val b = parted.toDF("cell", "id_b", "eb", "nb")
+    // drop rule: a vector loses to ANY smaller same-cell id at
+    // cosine ≥ tau, independent of that id's own verdict — the
+    // standard greedy id-order rule (deterministic, one aggregation;
+    // transitive-clique resolution is q66's job, not this operator's)
+    val losses = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("ea"), col("eb"), col("na"), col("nb")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min("id_a").as("dup_of"), max("cos").as("best_cos"))
+    // verdict base: (vec_id, cell) re-derived as a SECOND narrow
+    // argmin pass over the checkpointed input rather than read off
+    // `parted` — a 2-column consumer of the repartition would prune
+    // below it and fork the array-bearing exchange into a second
+    // materialization (the q6f canonicalization lesson), which costs
+    // a full compact shuffle; the narrow re-derive costs no shuffle
+    // at all and the checkpoint makes it a local scan.
+    val base = graft.ann.Knn.assignCell(e.filter(col("vec_id").isNotNull), cents)
+      .select(col("vec_id"), col("cell"))
+    base.join(losses, Seq("vec_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+      .select("vec_id", "cell", "keep", "dup_of", "best_cos")
+  }
+
+  /** SemDeDup-style semantic deduplication: k-means cells scope the
+    * pairwise cosine search, so candidate work is Σ_cells sz² instead
+    * of n² — the clustering IS the blocking key. Differs from the LSH
+    * family (q65/q6f) in what "near" means operationally: cells group
+    * by GLOBAL direction structure learned from the corpus (two
+    * paraphrases cluster together because the whole corpus shapes the
+    * centroids), where LSH buckets are data-independent random
+    * cuts — the published trade-off is recall at the cell boundary
+    * (a τ-pair straddling two cells is invisible) against candidate
+    * sets that track the corpus' own density.
+    *
+    * Scale: `cells = 0` sizes the index √n ([[graft.ann.Knn
+    * .cellsFor]]) → expected cell size √n and Σsz² ≈ n^1.5 on
+    * balanced cells, the published operating point; training runs on
+    * the capped hash-sample inside [[graft.ann.Knn.ivfCentroids]],
+    * assignment is a narrow map. A corpus whose hot DIRECTION defeats
+    * balanced cells (exact-copy mass, boilerplate embeddings) should
+    * collapse first ([[collapsedNearDups]]) or fall back to the
+    * density-adaptive splitter ([[adaptiveNearDups]]) — both
+    * documented remedies, deliberately not silently composed here.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      tau: Double = 0.4,
+      cells: Int = 0,
+      iters: Int = 2): DataFrame = {
+    import graft.functions.VectorFunctions._
+    // one materialization feeds centroid training (count + Lloyd
+    // passes) and both uses of the assignment (ivfTopK precedent)
+    val e = emb.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("nrm")).localCheckpoint(true)
+    semanticVerdictsFor(e, graft.ann.Knn.ivfCentroids(e, iters, cells), tau)
+  }
+
+  /** q6g: the semantic-dedup query form. Rows-only [R] (k-means cell
+    * geometry is not SQL-reproducible); the spec oracle injects fixed
+    * centroids and checks verdict equality against brute-force
+    * within-cell truth, plus planted exact-copy invariants on the
+    * auto path.
+    */
+  private val q6g = Qdef(
+    "q6g_semantic_dedup",
+    (s, d) => semanticDedup(Tables.embeddings(s, d)).orderBy("vec_id"),
+    None)
+
   /** Incremental embedding ingest filter — the vector twin of q69:
     * a batch of new vectors is screened against the corpus; batch
     * vectors with any corpus neighbor at cosine ≥ `tau` are dropped.
@@ -1436,5 +1531,5 @@ object Dedup {
             FROM p WHERE 1.0 - CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE) >= 0.8
             ORDER BY id_a, id_b"""))
 
-  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q6a, q6b, q6c, q6d, q6e, q6f)
+  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q6a, q6b, q6c, q6d, q6e, q6f, q6g)
 }

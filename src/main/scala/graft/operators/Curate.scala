@@ -133,5 +133,53 @@ object Curate {
                     ${Qdef.DSUM("quality", 6)} AS sum_q
              FROM sp GROUP BY split, source ORDER BY split, source"""))
 
-  val all: Seq[Qdef] = Seq(qa0)
+  /** The full multi-stage curation: [[curated]]'s text pipeline
+    * (quality → langid → exact-norm dedup → split) followed by a
+    * SEMANTIC near-dup prune over the SURVIVORS' embeddings
+    * ([[graft.dedup.Dedup.semanticDedup]] — k-means cells as the
+    * blocking key, greedy min-id drop). Ordering is deliberate: the
+    * cheap narrow text filters and the exact-dedup aggregate shrink
+    * the corpus BEFORE any embedding ships anywhere, so the semantic
+    * stage's cell shuffle — the only wide-payload exchange in the
+    * whole pipeline — carries survivors only. The embedding fetch is
+    * a co-keyed join on the id (at warehouse scale both sides bucket
+    * on it; here AQE broadcasts the survivor side), never a crossJoin.
+    *
+    * Returns [[curated]]'s row shape plus (cell, dup_of) — kept rows
+    * only. The epoched mixture ([[Mix.mixEpochs]]) composes on top.
+    */
+  def curatedSemantic(
+      docs: DataFrame,
+      emb: DataFrame,
+      minQuality: Double = 0.12,
+      lang: String = "en",
+      tau: Double = 0.4,
+      cells: Int = 0): DataFrame = {
+    val c = curated(docs, minQuality, lang)
+    val survivors = emb.select(col("vec_id"), col("embedding"))
+      .join(c.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val verdicts = graft.dedup.Dedup.semanticDedup(survivors, tau, cells)
+      .filter(col("keep"))
+      .select(col("vec_id").as("doc_id"), col("cell"), col("dup_of"))
+    c.join(verdicts, Seq("doc_id"))
+  }
+
+  /** qa2: the composed text+semantic curation manifest. Rows-only [R]
+    * (the semantic stage's k-means geometry is not SQL-reproducible);
+    * the spec asserts the composition law — qa2 survivors are exactly
+    * qa0's text survivors minus the semantic drop set computed
+    * independently on those survivors' embeddings.
+    */
+  private val qa2 = Qdef(
+    "qa2_curate_semantic",
+    (s, d) =>
+      curatedSemantic(Tables.documents(s, d), Tables.embeddings(s, d))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bpe_tokens").as("sum_tokens"),
+          Tables.dsum(col("quality"), 6).as("sum_q"))
+        .orderBy("split", "source"),
+    None)
+
+  val all: Seq[Qdef] = Seq(qa0, qa2)
 }

@@ -513,4 +513,56 @@ class DedupAnnSpec extends SparkSpec {
     info(f"4k auto-geometry recall=$recall%.3f (target floor 0.87 at tau, pairs sit above tau)")
     assert(recall >= 0.87, f"recall $recall%.3f below the solver's design floor")
   }
+
+  test("q6g: verdicts equal brute-force within-cell truth under injected centroids") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    // fixed centroids pin the cell geometry, so truth and operator
+    // see the same blocking and the comparison is exact (the k-means
+    // training itself is FP-order sensitive — that is WHY q6g is [R])
+    val cents = graft.ann.Knn.ivfCentroids(e, iters = 1, cells = 16)
+    val tau = 0.4
+    val got = Dedup.semanticVerdictsFor(e, cents, tau).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    val assigned = graft.ann.Knn.assignCell(e, cents)
+    val av = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val bv = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val truthLoss = av.join(bv, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("ea"), col("eb"), col("na"), col("nb")))
+      .filter(col("cos") >= tau)
+      .groupBy("id_b").agg(min("id_a").as("dup_of")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cellOf = assigned.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === cellOf.keySet, "one verdict row per corpus vector")
+    got.foreach { case (id, (cell, keep, dupOf)) =>
+      assert(cell === cellOf(id), s"cell mismatch for $id")
+      assert(keep === !truthLoss.contains(id), s"keep verdict wrong for $id")
+      assert(dupOf === truthLoss.get(id), s"dup_of wrong for $id")
+    }
+    assert(got.values.exists(!_._2), "corpus has no semantic dup at tau — test is vacuous")
+  }
+
+  test("q6g: planted exact copies always lose to their original (auto path)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val maxId = e.agg(max("vec_id")).head().getLong(0)
+    // exact copies of the first 50 vectors, ids above the corpus —
+    // identical embeddings land in the same cell (argmin ties break
+    // identically on identical inputs) regardless of the trained
+    // geometry, so a cell-scoped dedup can NEVER miss them
+    val copies = e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + lit(maxId + 1L)).as("vec_id"), col("embedding"))
+    val out = Dedup.semanticDedup(e.select("vec_id", "embedding").unionByName(copies))
+      .filter(col("vec_id") > maxId).collect()
+    assert(out.length === 50)
+    out.foreach { r =>
+      assert(!r.getBoolean(2), s"planted copy kept: $r")
+      assert(r.getDouble(4) >= 1.0 - 1e-9, s"copy's best match below cosine 1: $r")
+    }
+  }
 }

@@ -375,6 +375,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx === 2, s"expected 2 hash exchanges (digest, manifest key), got $hashEx:\n$p")
   }
 
+  test("q6g: cell self-join shares ONE canonical exchange; no cross join anywhere") {
+    val sp = SparkEntry.queries("q6g_semantic_dedup")(spark, sf).queryExecution.sparkPlan
+    val rep = sp.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.shuffleOrigin.toString == "REPARTITION_BY_COL" => e
+    }
+    assert(rep.size >= 2, s"expected the cell repartition on both self-join sides, got ${rep.size}")
+    assert(rep.map(_.canonicalized.semanticHash()).distinct.size === 1,
+      "cell exchange forked into multiple canonical variants — assignment scan will run twice")
+    val p = sp.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup fell back to a cross join:\n$p")
+  }
+
   test("qa1: mixture — corpus never shuffles; the plan joins back as a broadcast") {
     val p = plan("qa1_mix")
     // the per-source plan is a ~|sources|-row aggregate broadcast

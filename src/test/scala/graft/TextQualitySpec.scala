@@ -225,4 +225,38 @@ class TextQualitySpec extends SparkSpec {
     // and the doubled corpus dedups back to exactly the same survivors
     assert(idsDoubled === ids1)
   }
+
+  test("qa2: semantic stage prunes within text survivors; planted embedding copies always drop") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val textIds = operators.Curate.curated(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // geometry-independent invariants only: k-means training is
+    // FP-order sensitive, so two independent semanticDedup runs are
+    // not guaranteed bit-identical cell sets — the exact-verdict
+    // equality lives in q6g's injected-centroid spec. Here: the
+    // composition can only PRUNE the text survivors...
+    val out = operators.Curate.curatedSemantic(docs, emb)
+    val gotIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds.subsetOf(textIds), "semantic stage resurrected a text-filtered doc")
+    assert(gotIds.nonEmpty, "composition dropped the whole corpus")
+    assert(out.columns.contains("cell") && out.columns.contains("dup_of"),
+      "verdict lineage columns lost in the composition")
+    // ...and an exact embedding copy planted between two survivors
+    // can NEVER escape a cell-scoped dedup (identical vectors share a
+    // cell under any trained geometry): overwrite the 20 largest
+    // survivors' embeddings with the 20 smallest survivors' ones
+    val low = textIds.toSeq.sorted.take(20)
+    val high = textIds.toSeq.sorted.takeRight(20)
+    val spark0 = spark
+    import spark0.implicits._
+    val remap = high.zip(low).toDF("vec_id", "src_id")
+    val planted = emb.join(remap, Seq("vec_id"), "left")
+      .join(emb.select(col("vec_id").as("src_id"), col("embedding").as("src_emb")),
+        Seq("src_id"), "left")
+      .select(col("vec_id"), coalesce(col("src_emb"), col("embedding")).as("embedding"))
+    val prunedIds = operators.Curate.curatedSemantic(docs, planted)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    high.foreach(id => assert(!prunedIds.contains(id), s"planted copy $id survived"))
+  }
 }
