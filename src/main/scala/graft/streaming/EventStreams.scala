@@ -274,4 +274,53 @@ object EventStreams {
         } finally { batch.unpersist(); () }
       }
       .start()
+
+  /** st0c: continuous EMBEDDING dedup ingest — [[streamDedupIngest]]'s
+    * cycle over the persisted VECTOR bucket index
+    * ([[graft.dedup.Dedup.ingestAndCommitVec]]): per micro-batch,
+    * screen the batch's vectors against the stored bucket keys (the
+    * index's PINNED geometry — never re-resolved, or the keys would
+    * stop aligning), commit keepers' buckets back as an index delta,
+    * and append the keeper vectors to the corpus store, so each batch
+    * dedups against the original corpus plus every earlier batch's
+    * keepers through the store. The corpus-vector store is the same
+    * append-only raw-frame union as the text sink's — `latest` would
+    * shuffle every accumulated embedding per micro-batch; candidates
+    * bound the corpus rows the verify cosine actually touches.
+    *
+    * Initialize once before starting:
+    * `Snapshots.commit(corpusVecs, corpusRoot)` and
+    * `Dedup.commitVecIndex(corpusVecs, indexRoot)`.
+    *
+    * Delivery is at-least-once. A replayed keeper bands to its own
+    * committed buckets and self-matches at cosine 1 ≥ τ → re-dropped,
+    * no bands re-commit. The one vector that CANNOT self-match is the
+    * zero vector (cosine with itself is NaN): its replay re-commits
+    * duplicate band rows — harmless for verdicts (the candidate join
+    * dedups pairs) — and the corpus anti-join below still keeps the
+    * vector store row-unique, same belt-and-braces as the text sink's
+    * shingle-less case.
+    */
+  def streamVecDedupIngest(
+      vecs: DataFrame, indexRoot: String, corpusRoot: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try if (!batch.isEmpty) {
+          import graft.sources.Snapshots
+          val spark = batch.sparkSession
+          val corpusVecs = Snapshots.versions(spark, corpusRoot)
+            .map { case (v, _, _) => Snapshots.read(spark, corpusRoot, v) }
+            .reduce(_ unionByName _)
+          val verdicts = graft.dedup.Dedup.ingestAndCommitVec(batch, corpusVecs, indexRoot)
+          val keepers = graft.dedup.Dedup.keepersOf(batch, verdicts, key = "vec_id")
+            .select("vec_id", "embedding")
+            .join(corpusVecs.select("vec_id"), Seq("vec_id"), "left_anti")
+          Snapshots.commitDelta(keepers, corpusRoot)
+          ()
+        } finally { batch.unpersist(); () }
+      }
+      .start()
 }

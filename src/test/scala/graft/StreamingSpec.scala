@@ -430,6 +430,61 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, indexRoot) === 3L)
   }
 
+  test("st0c: streaming vector ingest screens each micro-batch against the growing bucket index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.dedup.Dedup
+    import graft.sources.Snapshots
+
+    // store schema must match what the stream commits: MemoryStream
+    // delivers array<double>, so the corpus casts up front
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+    val corpus = vecs.filter(col("vec_id") % 7 =!= 3 && col("vec_id") % 7 =!= 5)
+    val b1 = vecs.filter(col("vec_id") % 7 === 3)
+    val b2 = vecs.filter(col("vec_id") % 7 === 5)
+
+    val base = tmpDir("st0c")
+    val indexRoot = s"$base/idx"
+    val corpusRoot = s"$base/corpus"
+    Snapshots.commit(corpus, corpusRoot)
+    Dedup.commitVecIndex(corpus, indexRoot)
+
+    // batch-wise expected keepers from the (spec-trusted) index-read
+    // path at the PINNED geometry — st0c's job is the store plumbing,
+    // verdict-vs-direct equivalence is q6d's spec
+    def keepIds(batch: org.apache.spark.sql.DataFrame,
+        against: org.apache.spark.sql.DataFrame): Set[Long] =
+      Dedup.ingestAgainstVecIndex(batch, against, indexRoot)
+        .filter(col("keep")).select("vec_id").collect().map(_.getLong(0)).toSet
+    val expK1 = keepIds(b1, corpus)
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.streamVecDedupIngest(
+      input.toDF().toDF("vec_id", "embedding"), indexRoot, corpusRoot, tmpDir("st0c-ckpt"))
+    try {
+      input.addData(b1.collect().map(r =>
+        (r.getAs[Long]("vec_id"), r.getSeq[Double](1))).toSeq: _*)
+      q.processAllAvailable()
+      // expected keepers for batch 2 must be computed against the
+      // index AS OF after batch 1's delta — read it now
+      val corpus2 = corpus.unionByName(b1.filter(col("vec_id").isin(expK1.toSeq: _*)))
+      val expK2 = keepIds(b2, corpus2)
+      input.addData(b2.collect().map(r =>
+        (r.getAs[Long]("vec_id"), r.getSeq[Double](1))).toSeq: _*)
+      q.processAllAvailable()
+
+      // corpus store holds corpus ∪ keepers(b1) ∪ keepers(b2 | corpus+k1):
+      // batch 2 was screened against batch 1's keepers THROUGH the store
+      val expected = corpus.select("vec_id").collect().map(_.getLong(0)).toSet ++ expK1 ++ expK2
+      val got = Snapshots.latest(spark, corpusRoot, Seq("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got === expected)
+    } finally q.stop()
+    // one index delta per non-empty micro-batch on top of the build
+    assert(Snapshots.latestVersion(spark, indexRoot) === 3L)
+  }
+
   test("st07: maintained aggregate tracks a streamed delta chain bit-identically") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
