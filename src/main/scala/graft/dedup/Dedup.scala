@@ -320,6 +320,8 @@ object Dedup {
     // the filter already exists).
     val banded = graft.ann.Knn.lshTables(
       e.filter(col("vec_id").isNotNull), g.tables, g.planes, seed = 7, dims = Some(dims))
+    require(maxExtra > 0, s"refinedCompact needs maxExtra > 0 (got $maxExtra) — " +
+      "use the plain path (maxBucket <= 0) when no split bits are wanted")
     val rnd = new scala.util.Random(7 * 1327 + 13)
     val xp: IndexedSeq[IndexedSeq[Seq[Double]]] =
       IndexedSeq.fill(g.tables)(IndexedSeq.fill(maxExtra)(Seq.fill(dims)(rnd.nextGaussian())))
@@ -422,7 +424,7 @@ object Dedup {
     // out of ONE posexplode scan + 64-ish-row partial agg — dims is
     // the stats row count, n is any position's count.
     val stats: Array[(Double, Long)] =
-      if (maxBucket <= 0) Array.empty
+      if (maxBucket <= 0 || maxExtra <= 0) Array.empty
       else e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("pos").agg(avg("v").as("m"), count(lit(1)).as("n")).orderBy("pos")
         .collect().map(r => (r.getDouble(1), r.getLong(2)))

@@ -27,9 +27,16 @@ object VectorFunctions {
   /** Cosine similarity given precomputed norms (norms are computed once
     * per row, not once per pair — the thing that matters when the pair
     * count is quadratic in the bucket size).
+    *
+    * Zero-norm guard: a zero vector has no direction, so its cosine
+    * with anything is NULL — never a match under any `>= tau` filter.
+    * Without the guard, Spark 4's default ANSI mode throws
+    * DIVIDE_BY_ZERO and kills the whole query (and with ANSI off the
+    * NaN would sort ABOVE tau in Spark's nan-safe ordering, silently
+    * matching the zero vector to everything in its bucket).
     */
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
-    dotD(a, b) / (na * nb)
+    when(na * nb > 0.0, dotD(a, b) / (na * nb))
 
   /** Squared euclidean distance (IVF assignment metric; avoids the sqrt). */
   def distSq(a: Column, b: Column): Column = call_function("graft_distsq", a, b)

@@ -146,7 +146,12 @@ object Curate {
     * on it; here AQE broadcasts the survivor side), never a crossJoin.
     *
     * Returns [[curated]]'s row shape plus (cell, dup_of) — kept rows
-    * only. The epoched mixture ([[Mix.mixEpochs]]) composes on top.
+    * only; a text survivor with NO embedding row is kept with null
+    * cell/dup_of (it cannot be semantically deduped; missing
+    * auxiliary data must not silently delete curated data). The
+    * epoched mixture ([[Mix.mixEpochs]], with
+    * `massCol = "n_bpe_tokens"` — [[curated]] carries token counts,
+    * not the raw table's n_chars) composes on top.
     */
   def curatedSemantic(
       docs: DataFrame,
@@ -155,13 +160,22 @@ object Curate {
       lang: String = "en",
       tau: Double = 0.4,
       cells: Int = 0): DataFrame = {
-    val c = curated(docs, minQuality, lang)
+    // materialize the text pipeline ONCE: semanticDedup's eager
+    // checkpoint consumes the survivors (through the semi join below)
+    // at construction time, and the final verdict join reads `c`
+    // again — without this the regex-heavy annotation scan and the
+    // digest dedup would run twice (the module's single-scan promise)
+    val c = curated(docs, minQuality, lang).localCheckpoint(true)
     val survivors = emb.select(col("vec_id"), col("embedding"))
       .join(c.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
     val verdicts = graft.dedup.Dedup.semanticDedup(survivors, tau, cells)
-      .filter(col("keep"))
-      .select(col("vec_id").as("doc_id"), col("cell"), col("dup_of"))
-    c.join(verdicts, Seq("doc_id"))
+      .select(col("vec_id").as("doc_id"), col("cell"), col("dup_of"), col("keep"))
+    // left join + keep-if-no-verdict: a text survivor WITHOUT an
+    // embedding row cannot be semantically deduped — it stays in the
+    // corpus (cell/dup_of null), it is not silently deleted
+    c.join(verdicts, Seq("doc_id"), "left")
+      .filter(col("keep").isNull || col("keep"))
+      .drop("keep")
   }
 
   /** qa2: the composed text+semantic curation manifest. Rows-only [R]

@@ -42,8 +42,9 @@ object Mix {
       docs: DataFrame,
       targets: Map[String, Double],
       budget: Long = 0L,
-      maxEpochs: Double = 3.0): DataFrame = {
-    val stats = docs.groupBy("source").agg(sum("n_chars").cast("long").as("avail"))
+      maxEpochs: Double = 3.0,
+      massCol: String = "n_chars"): DataFrame = {
+    val stats = docs.groupBy("source").agg(sum(massCol).cast("long").as("avail"))
     val total = stats.agg(sum("avail").cast("long").as("total"))
     val share = targets.foldLeft(lit(0.0)) { case (acc, (src, w)) =>
       when(col("source") === src, lit(w)).otherwise(acc)
@@ -51,9 +52,14 @@ object Mix {
     val b =
       if (budget > 0L) lit(budget.toDouble)
       else col("total").cast("double")
+    // zero-mass guard: a source whose documents total zero mass gets
+    // rate 0 (dropped) instead of an ANSI DIVIDE_BY_ZERO that kills
+    // the whole mixture query
     stats.crossJoin(broadcast(total))
       .select(col("source"), col("avail"), share.as("share"),
-        least(lit(maxEpochs), share * b / col("avail").cast("double")).as("rate"))
+        least(lit(maxEpochs),
+          when(col("avail") > 0L, share * b / col("avail").cast("double"))
+            .otherwise(lit(0.0))).as("rate"))
   }
 
   /** The materialized mixture: one row per (document, epoch). Full
@@ -66,8 +72,9 @@ object Mix {
       docs: DataFrame,
       targets: Map[String, Double],
       budget: Long = 0L,
-      maxEpochs: Double = 3.0): DataFrame = {
-    val plan = mixturePlan(docs, targets, budget, maxEpochs)
+      maxEpochs: Double = 3.0,
+      massCol: String = "n_chars"): DataFrame = {
+    val plan = mixturePlan(docs, targets, budget, maxEpochs, massCol)
       .select(col("source"), col("rate"), floor(col("rate")).as("nfull"),
         // 16-bit threshold for the partial epoch, as a lowercase hex
         // string comparable against the md5 prefix (q87's recipe, but
@@ -116,7 +123,9 @@ object Mix {
                    FROM documents GROUP BY source),
             tot AS (SELECT CAST(SUM(avail) AS BIGINT) AS total FROM stats),
             plan AS (SELECT source, avail,
-                   LEAST(3.0, ($caseShare) * CAST(total AS DOUBLE) / CAST(avail AS DOUBLE)) AS rate
+                   LEAST(3.0, CASE WHEN avail > 0
+                     THEN ($caseShare) * CAST(total AS DOUBLE) / CAST(avail AS DOUBLE)
+                     ELSE 0.0 END) AS rate
                    FROM stats, tot),
             p2 AS (SELECT source, rate, CAST(FLOOR(rate) AS BIGINT) AS nfull,
                    lower(lpad(hex(CAST(FLOOR((rate - FLOOR(rate)) * 65536.0) AS BIGINT)), 4, '0')) AS thresh

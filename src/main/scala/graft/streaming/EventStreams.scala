@@ -295,11 +295,12 @@ object EventStreams {
     * Delivery is at-least-once. A replayed keeper bands to its own
     * committed buckets and self-matches at cosine 1 ≥ τ → re-dropped,
     * no bands re-commit. The one vector that CANNOT self-match is the
-    * zero vector (cosine with itself is NaN): its replay re-commits
-    * duplicate band rows — harmless for verdicts (the candidate join
-    * dedups pairs) — and the corpus anti-join below still keeps the
-    * vector store row-unique, same belt-and-braces as the text sink's
-    * shingle-less case.
+    * zero vector (no direction — [[graft.functions.VectorFunctions
+    * .cosine]] yields NULL for any zero-norm side, never a match): its
+    * replay re-commits duplicate band rows — harmless for verdicts
+    * (the candidate join dedups pairs) — and the corpus anti-join
+    * below still keeps the vector store row-unique, same
+    * belt-and-braces as the text sink's shingle-less case.
     */
   def streamVecDedupIngest(
       vecs: DataFrame, indexRoot: String, corpusRoot: String,

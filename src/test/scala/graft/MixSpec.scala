@@ -76,4 +76,26 @@ class MixSpec extends SparkSpec {
     val out = Mix.mixEpochs(docs, partial)
     assert(out.filter(col("source") === "src0").count() === 0L)
   }
+
+  test("mixturePlan: zero-mass source gets rate 0 instead of a divide-by-zero crash") {
+    val zeroed = docs.withColumn("n_chars",
+      when(col("source") === "src0", lit(0L)).otherwise(col("n_chars")))
+    val plan = Mix.mixturePlan(zeroed, Mix.mixTargets).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("rate")).toMap
+    assert(plan("src0") === 0.0, "zero-mass source should resolve to rate 0")
+    assert(plan.count(_._2 > 0.0) === 19, "other sources unaffected")
+    assert(Mix.mixEpochs(zeroed, Mix.mixTargets)
+      .filter(col("source") === "src0").count() === 0L)
+  }
+
+  test("massCol: the README composition — mixture over curatedSemantic by token mass") {
+    val kept = operators.Curate.curatedSemantic(docs, Tables.embeddings(spark, sf))
+    val targets = kept.select("source").distinct().collect().map(_.getString(0))
+      .map(_ -> 1.0 / 20).toMap
+    val epochs = Mix.mixEpochs(kept, targets, massCol = "n_bpe_tokens")
+    assert(epochs.count() > 0, "composition produced no epoch rows")
+    // plan rates derive from token mass, not the (absent) n_chars
+    val plan = Mix.mixturePlan(kept, targets, massCol = "n_bpe_tokens").collect()
+    assert(plan.forall(_.getAs[Double]("rate") > 0.0))
+  }
 }

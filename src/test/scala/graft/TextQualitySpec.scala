@@ -258,5 +258,16 @@ class TextQualitySpec extends SparkSpec {
     val prunedIds = operators.Curate.curatedSemantic(docs, planted)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     high.foreach(id => assert(!prunedIds.contains(id), s"planted copy $id survived"))
+
+    // a text survivor with NO embedding row is kept (null lineage),
+    // not silently deleted by the semantic stage
+    val someIds = textIds.toSeq.sorted.take(10)
+    val embPartial = emb.filter(!col("vec_id").isInCollection(someIds))
+    val outPartial = operators.Curate.curatedSemantic(docs, embPartial)
+    val keptNoEmb = outPartial.filter(col("doc_id").isInCollection(someIds))
+    assert(keptNoEmb.count() === someIds.size.toLong,
+      "survivors without embeddings were dropped")
+    assert(keptNoEmb.filter(col("cell").isNotNull).count() === 0L,
+      "no-embedding survivors must carry null semantic lineage")
   }
 }
