@@ -86,6 +86,75 @@ object TextExprHelpers {
     best
   }
 
+  /** BPE-encode one document against a learned merge-rank table
+    * (rank = learning order, [[graft.operators.TextAnalysis.bpeMerges]]).
+    * Canonicalization matches the learner exactly — lowercase, trim,
+    * whitespace split, code-point symbols — so the encoder segments
+    * precisely the vocabulary the merges were learned on.
+    *
+    * Per word: repeatedly merge the LOWEST-rank adjacent pair until no
+    * adjacent pair has a rank. This greedy-priority loop yields the
+    * same segmentation as replaying the merges in rank order (a merge
+    * can only create pairs involving its own output symbol, and any
+    * pair containing that symbol was necessarily learned LATER — so
+    * merging rank k never un-blocks a rank < k), which the spec
+    * exploits as an independent oracle.
+    *
+    * The rank map is plan-embedded (a GPT-2-scale 50k-merge table is
+    * ~1 MB — fine to ship with the serialized plan; the encode itself
+    * is a pure narrow map, the 100 TB-safe shape).
+    */
+  def bpeEncode(text: UTF8String, ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    if (text == null) return null
+    val toks = text.toLowerCase.trim.split(UTF8String.fromString("\\s+"), -1)
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef]()
+    var w = 0
+    while (w < toks.length) {
+      val word = toks(w).toString
+      if (word.nonEmpty) encodeWord(word, ranks, out)
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private def encodeWord(
+      word: String,
+      ranks: java.util.HashMap[String, Integer],
+      out: scala.collection.mutable.ArrayBuffer[AnyRef]): Unit = {
+    // split on CODE POINTS (same as the learner): per-char would break
+    // astral-plane characters into unpaired surrogate halves
+    var syms: Array[String] =
+      word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    var more = syms.length > 1
+    while (more) {
+      var bestRank = Int.MaxValue
+      var bestL: String = null
+      var bestR: String = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.get(syms(i) + " " + syms(i + 1))
+        if (r != null && r < bestRank) { bestRank = r; bestL = syms(i); bestR = syms(i + 1) }
+        i += 1
+      }
+      if (bestL == null) more = false
+      else {
+        // merge ALL occurrences of the chosen pair, left to right —
+        // the learner's own substitution pass
+        val merged = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == bestL && syms(i + 1) == bestR) {
+            merged += bestL + bestR; i += 2
+          } else { merged += syms(i); i += 1 }
+        }
+        syms = merged.toArray
+        more = syms.length > 1
+      }
+    }
+    var j = 0
+    while (j < syms.length) { out += UTF8String.fromString(syms(j)); j += 1 }
+  }
+
   /** `perms`-permutation MinHash signature of a shingle-hash set:
     * m_i = min over shingles of xxhash64(seed=i)(h). One per-row pass —
     * no explode, no aggregation shuffle.
@@ -212,6 +281,42 @@ case class MaxRunLength(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.TextExprHelpers.maxRunLength($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_bpe_encode(text, merges)` — codegen'd BPE tokenizer: encode
+  * a document against a learned merge table (array<array<string>> of
+  * [left, right] pairs in learning order; rank = array index). The
+  * merge table must be a plan-time literal (`typedLit` — the same
+  * contract as `graft_argmin_cell`'s centroid matrix).
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bpe_encode"
+
+  // duplicate pairs keep their FIRST (lowest) rank — re-learning an
+  // already-merged pair can't happen in a well-formed table, but the
+  // registered SQL function must not let a malformed literal make the
+  // encoder non-deterministic
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      m.putIfAbsent(l + " " + r, Int.box(i))
+    }
+    m
+  }
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextExprHelpers.bpeEncode(t.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val ref = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+      s"${ev.value} = graft.functions.TextExprHelpers.bpeEncode($t, $ref);"
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -45,6 +45,15 @@ object TextFunctions {
   def minhashSig(sh: Column, perms: Int): Column =
     call_function("graft_minhash", sh, lit(perms))
 
+  /** BPE-encode text against a learned merge table (rank = position in
+    * `merges` — feed [[graft.operators.TextAnalysis.bpeMerges]] output
+    * directly). Codegen'd narrow map; the table rides the plan as a
+    * literal, so encoding shuffles nothing at any corpus size.
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("graft_bpe_encode", text,
+      typedLit(merges.map(m => Seq(m._1, m._2))))
+
   // Fixed per-language signature word lists (language-ID + quality
   // signals). Tiny by design: the scale path is a broadcast lookup,
   // and literal IN-lists keep the whole scorer inside codegen.

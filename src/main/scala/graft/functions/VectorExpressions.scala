@@ -221,6 +221,19 @@ object VectorExpressions {
     }
   }
 
+  /** Evaluate a foldable array<array<string>> argument (a `typedLit`
+    * merge table) to (left, right) pairs at plan-build time.
+    */
+  private def litPairs(e: Expression): Seq[(String, String)] = {
+    require(e.foldable, "merge table must be a literal")
+    val ad = e.eval().asInstanceOf[ArrayData]
+    (0 until ad.numElements()).map { i =>
+      val p = ad.getArray(i)
+      require(p.numElements() == 2, "each merge must be a [left, right] pair")
+      (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+    }
+  }
+
   /** Single source of truth — (name, usage, builder) — consumed by
     * both the per-session registration below and
     * [[graft.GraftExtensions]], so the two surfaces cannot drift.
@@ -246,6 +259,8 @@ object VectorExpressions {
       es => ShingleStrings(es(0), litInt(es(1)))),
     ("graft_max_run", "_FUNC_(sorted) - longest equal-adjacent run in a sorted string array",
       es => MaxRunLength(es.head)),
+    ("graft_bpe_encode", "_FUNC_(text, merges) - BPE-encode with a learned merge table (rank = index)",
+      es => BpeEncode(es(0), litPairs(es(1)))),
     ("graft_bloom_agg", "_FUNC_(hash, nitems, nbits) - bloom filter aggregate",
       es => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         es(0), es(1), es(2))),

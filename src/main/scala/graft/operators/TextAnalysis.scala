@@ -639,6 +639,38 @@ object TextAnalysis {
     merges.result()
   }
 
+  /** q8e: corpus-wide BPE ENCODE — the other half of the tokenizer
+    * pipeline (q8d learns the merge table; this applies it). Returns
+    * (doc_id, tokens) with the document's BPE token sequence under the
+    * learner's canonicalization.
+    *
+    * Scale shape: learning is q8d's one map-side-combined word-count
+    * shuffle + a vocab-bounded driver loop; encoding is a pure narrow
+    * codegen map ([[graft.functions.BpeEncode]]) with the rank table
+    * plan-embedded (~1 MB at GPT-2's 50k merges) — the whole corpus
+    * tokenizes without a single exchange, at any corpus size.
+    */
+  def bpeTokens(docs: org.apache.spark.sql.DataFrame, merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), bpeEncode(col("text"), merges).as("tokens"))
+
+  /** Query form: learn 30 merges, encode, report per-doc token and
+    * distinct-token counts. Rows-only [R] (the learned table is not
+    * SQL-derivable); BpeEncodeSpec carries the independent
+    * replay-in-rank-order oracle plus losslessness/monotonicity laws.
+    */
+  private val q8e = Qdef(
+    "q8e_bpe_encode",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = bpeMerges(docs, 30).map { case (l, r, _) => (l, r) }
+      bpeTokens(docs, merges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          size(array_distinct(col("tokens"))).cast("long").as("n_distinct"))
+        .orderBy("doc_id")
+    },
+    None)
+
   /** Query form: first 20 merges with ranks. Rows-only (the merge
     * loop is not SQL-expressible); TextQualitySpec pins a
     * hand-computed example and the first-merge-equals-brute-force
@@ -655,5 +687,5 @@ object TextAnalysis {
     },
     None)
 
-  val all: Seq[Qdef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q8a, q89, q8b, q8c, q8d)
+  val all: Seq[Qdef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q8a, q89, q8b, q8c, q8d, q8e)
 }
