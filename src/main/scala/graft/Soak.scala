@@ -184,9 +184,58 @@ object Soak {
         .agg(count(lit(1)), sum(when(col("keep"), 0L).otherwise(1L))).head())
     println(s"[soak] q6c: verdicts=${v6c.getLong(0)} dropped=${v6c.getLong(1)}")
 
+    // ------- q6f: adaptive splitter vs a hot-region corpus (r6 item) -------
+    // The variance pathology the mean-bucket geometry model cannot
+    // see, at soak scale: pull HALF the corpus toward one shared unit
+    // direction h (v = 0.75·h + e, keyed on the BASE id so fan copies
+    // stay identical). Internal cross-cosines sit near
+    // 0.75²/(0.75²+1) ≈ 0.36 < τ — the hot region is NOT a near-dup
+    // clique, so the true output stays linear — but every hot vector
+    // leans cos ≈ 0.6 toward h, so each table's majority-sign buckets
+    // swallow the region while the geometry solver's mean-bucket
+    // model stays healthy. Measured: plain (tbl, bkt) pair slots vs
+    // the refined (tbl, bkt, sub) slots at the library default
+    // (maxBucket=128), the adaptive end-to-end wall, and exact-copy
+    // recall (identical vectors share every bit, so the splitter must
+    // never lose them — the floor is e0 · C(copies, 2)).
+    val hRaw = emb.orderBy("vec_id").select("embedding").head().getSeq[Float](0)
+    val hNrm = math.sqrt(hRaw.map(x => x.toDouble * x).sum)
+    val hScaled = hRaw.map(x => (x * 0.75 / hNrm).toFloat).toArray
+    val hotFe = fe.withColumn("embedding",
+        when((col("vec_id") % lit(eStride)) % 2 === 0,
+          zip_with(typedLit(hScaled), col("embedding"), (a, b) => (a + b).cast("float")))
+          .otherwise(col("embedding")))
+      .localCheckpoint(true)
+    val gHot = graft.ann.LshGeometry.forCorpus(e0 * copies, 0.4)
+    val hotN = hotFe.select(col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.norm2(col("embedding")).as("nrm"))
+    val (bsPlain, _) = timed("q6f_hot_plain_bucket_stats")(
+      bucketStats(graft.ann.Knn.lshTables(hotN, gHot.tables, gHot.planes, seed = 7)
+        .select("vec_id", "tbl", "bkt"), Seq("tbl", "bkt")))
+    println(s"[soak] q6f plain buckets: n=${bsPlain._1} max=${bsPlain._2} " +
+      f"p99=${bsPlain._3} mean=${bsPlain._4}%.2f pair_slots=${bsPlain._5}")
+    val hotCenter = hotN.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(avg("v").as("m")).orderBy("pos")
+      .collect().map(_.getDouble(1)).toSeq
+    val (bsRef, _) = timed("q6f_hot_refined_bucket_stats")(
+      bucketStats(Dedup.refinedKeys(hotN, gHot, maxBucket = 128, maxExtra = 8,
+        dims = hRaw.length, center = hotCenter, probed = false),
+        Seq("tbl", "bkt", "sub")))
+    println(s"[soak] q6f refined buckets: n=${bsRef._1} max=${bsRef._2} " +
+      f"p99=${bsRef._3} mean=${bsRef._4}%.2f pair_slots=${bsRef._5} " +
+      f"(slot reduction ${bsPlain._5.toDouble / math.max(1L, bsRef._5)}%.1fx)")
+    val (r6f, s6f) = timed("q6f_hot_adaptive")(
+      Dedup.adaptiveNearDups(hotFe, maxBucket = 128)
+        .agg(count(lit(1)), count(when(col("cos") > 0.999, 1))).head())
+    val exactFloor = e0 * (copies.toLong * (copies - 1) / 2)
+    println(s"[soak] q6f hot: pairs=${r6f.getLong(0)} exact=${r6f.getLong(1)} " +
+      s"(exact floor $exactFloor" +
+      (if (r6f.getLong(1) < exactFloor) " — RECALL FLOOR VIOLATED)" else ")"))
+
     println(f"""{"soak_sf":"$sfDir x $copies","q62_cand":$cand62,"q62_secs":$s62%.1f,""" +
       f""""q68_secs":$s68%.1f,"q69_secs":$s69%.1f,"q6b_ingest_secs":$s6b%.1f,""" +
-      f""""q65_pairs":$pairs65,"q65_secs":$s65%.1f,"q6c_secs":$s6c%.1f}""")
+      f""""q65_pairs":$pairs65,"q65_secs":$s65%.1f,"q6c_secs":$s6c%.1f,""" +
+      f""""q6f_hot_secs":$s6f%.1f,"q6f_slot_red":${bsPlain._5.toDouble / math.max(1L, bsRef._5)}%.1f}""")
     spark.stop()
   }
 }
