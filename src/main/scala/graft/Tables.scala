@@ -30,16 +30,30 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` it
-    * arrives as LongType nanos. Convert to a microsecond timestamp with
-    * integer `div` (the raw nanos exceed 2^53, so double division would
-    * corrupt them).
+  /** `events.ts` normalization, adaptive to the generator's schema:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it;
+    *    with `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as
+    *    LongType nanos → convert with integer `div` (the raw nanos
+    *    exceed 2^53, so double division would corrupt them);
+    *  - parquet TIMESTAMP(MICROS) without UTC adjustment: arrives as
+    *    TIMESTAMP_NTZ → cast to session-zone TIMESTAMP. Every graft
+    *    session pins `spark.sql.session.timeZone=UTC`, so the instant
+    *    equals the stored wall-clock micros — bit-identical to what the
+    *    nanos path produced, and to DuckDB's naive `epoch_ns(ts)` view
+    *    of the same file (the oracles' reading).
+    *
+    * Downstream always sees one type (TIMESTAMP) either way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Register every warehouse table as a temp view so users can run
