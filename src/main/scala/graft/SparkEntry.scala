@@ -10,7 +10,7 @@ object SparkEntry {
     operators.Relational.all ++ operators.Cohort.all ++
       dedup.Dedup.all ++ ann.Knn.all ++ operators.TextAnalysis.all ++
       operators.Sketches.all ++ operators.Warehouse.all ++ operators.Curate.all ++
-      operators.Mix.all
+      operators.Mix.all ++ operators.TrainingRun.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

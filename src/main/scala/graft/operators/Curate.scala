@@ -97,7 +97,20 @@ object Curate {
           sum("n_bpe_tokens").as("sum_tokens"),
           Tables.dsum(col("quality"), 6).as("sum_q"))
         .orderBy("split", "source"),
-    Some(s"""WITH m AS (SELECT doc_id, source, text,
+    Some(s"""WITH $curatedCtes
+             SELECT split, source, COUNT(*) AS n_docs,
+                    CAST(SUM(n_bpe_tokens) AS BIGINT) AS sum_tokens,
+                    ${Qdef.DSUM("quality", 6)} AS sum_q
+             FROM sp GROUP BY split, source ORDER BY split, source"""))
+
+  /** The oracle CTE chain producing [[curated]]'s row set as `sp`
+    * (one row per kept document, with quality/lang/token columns and
+    * the split tag) — shared verbatim by qa0's manifest oracle and by
+    * downstream compositions ([[TrainingRun]]'s qa3) so the two
+    * engines' curation stage can never drift apart.
+    */
+  private[graft] def curatedCtes: String =
+    s"""m AS (SELECT doc_id, source, text,
                     CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
                     CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS BIGINT) AS n_bpe_tokens,
                     CAST(length(text) AS BIGINT) AS n_chars_m,
@@ -127,11 +140,7 @@ object Curate {
                     CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
                          WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
                          ELSE 'test' END AS split
-                  FROM kept)
-             SELECT split, source, COUNT(*) AS n_docs,
-                    CAST(SUM(n_bpe_tokens) AS BIGINT) AS sum_tokens,
-                    ${Qdef.DSUM("quality", 6)} AS sum_q
-             FROM sp GROUP BY split, source ORDER BY split, source"""))
+                  FROM kept)"""
 
   /** The full multi-stage curation: [[curated]]'s text pipeline
     * (quality → langid → exact-norm dedup → split) followed by a

@@ -101,7 +101,7 @@ object Mix {
   private[graft] val mixTargets: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> (i % 5 + 1) / 60.0).toMap
 
-  private def caseShare: String =
+  private[graft] def caseShare: String =
     (0 until 20).map(i => s"WHEN source = 'src$i' THEN CAST(${i % 5 + 1} AS DOUBLE) / 60.0")
       .mkString("CASE ", " ", " ELSE 0.0 END")
 

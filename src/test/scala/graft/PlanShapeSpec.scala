@@ -410,4 +410,31 @@ class PlanShapeSpec extends SparkSpec {
       s"expected at most 2 distinct hash exchanges (stats, final agg):\n$p")
     assert(p.contains("Generate explode"), s"epoch fan-out is not a narrow explode:\n$p")
   }
+
+  test("qa3: one shard exchange feeds both the pack window and the chunk aggregate") {
+    val p = plan("qa3_training_run")
+    // the mixture plan stays a broadcast; the corpus never meets a
+    // sort-merge join anywhere in the composition
+    assert(p.contains("BroadcastHashJoin"), s"mixture plan join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled into a sort-merge join:\n$p")
+    // exactly one exchange clusters on shard (the per-shard pack
+    // window's), and NO exchange ever carries the chunk key: the
+    // (shard, chunk) aggregate must satisfy its distribution from the
+    // shard partitioning (subset rule) — a chunk-keyed exchange means
+    // the whole instance stream shuffles a second time
+    // count DISTINCT partitioning specs, not plan lines: when another
+    // suite's cache holds a finalized adaptive subplan, its tree
+    // prints Final AND Initial sections — the same exchange twice
+    // under different plan_ids but the SAME expression ids. A real
+    // duplicated pack subtree would carry fresh expression ids and
+    // still trip the count.
+    val parts = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    val shardParts = parts.filter(_.contains("shard#")).distinct
+    assert(shardParts.size === 1,
+      s"expected ONE distinct shard partitioning, got $shardParts:\n$p")
+    assert(!parts.exists(_.contains("chunk#")),
+      s"chunk aggregate re-shuffled instead of reusing the shard partitioning:\n$p")
+    // chunk fan-out is the narrow sequence explode
+    assert(p.contains("Generate explode"), s"chunk fan-out is not a narrow explode:\n$p")
+  }
 }
