@@ -302,6 +302,57 @@ object EventStreams {
     * below still keeps the vector store row-unique, same
     * belt-and-braces as the text sink's shingle-less case.
     */
+  /** st0d: continuous CURATION ingest — the streaming run of the full
+    * document pipeline, composing qa0's batch-local stage with
+    * [[streamDedupIngest]]'s cross-batch cycle. Per micro-batch:
+    *
+    *  1. [[graft.operators.Curate.curated]] curates the batch
+    *     LOCALLY: quality scoring, language filter, in-batch
+    *     exact-norm dedup, deterministic split tag — all narrow/
+    *     batch-bounded, exactly the qa0 plan on micro-batch rows;
+    *  2. the survivors are screened against the persisted LSH band
+    *     index (cross-batch NEAR-dup — the in-batch exact stage can't
+    *     see earlier batches; the index can, without re-shingling
+    *     anything but the batch);
+    *  3. keepers commit: bands to the index, curated rows (with
+    *     their quality/lang/split annotations) to the corpus store.
+    *
+    * Initialize once with the SAME curated schema:
+    * `Snapshots.commit(Curate.curated(corpus), corpusRoot)` and
+    * `Dedup.commitBandIndex(corpus, indexRoot)`.
+    *
+    * Replay safety is [[streamDedupIngest]]'s: curation is
+    * deterministic per batch, a replayed keeper self-matches through
+    * the index (jaccard 1) and re-drops, and the corpus commit
+    * anti-joins stored ids — the store stays row-unique. The filter
+    * stages additionally BOUND the replayed work: only survivors are
+    * ever re-shingled.
+    */
+  def streamCurateIngest(
+      docs: DataFrame, indexRoot: String, corpusRoot: String,
+      checkpoint: String, minQuality: Double = 0.12, lang: String = "en")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // persist the CURATED batch, not the raw one: the emptiness
+        // probe, the screen, and both commits re-read survivors only
+        val kept = graft.operators.Curate.curated(batch, minQuality, lang).persist()
+        try if (!kept.isEmpty) {
+          import graft.sources.Snapshots
+          val spark = kept.sparkSession
+          val corpusText = Snapshots.versions(spark, corpusRoot)
+            .map { case (v, _, _) => Snapshots.read(spark, corpusRoot, v) }
+            .reduce(_ unionByName _)
+          val verdicts = graft.dedup.Dedup.ingestAndCommit(kept, corpusText, indexRoot)
+          val keepers = graft.dedup.Dedup.keepersOf(kept, verdicts)
+            .join(corpusText.select("doc_id"), Seq("doc_id"), "left_anti")
+          Snapshots.commitDelta(keepers, corpusRoot)
+          ()
+        } finally { kept.unpersist(); () }
+      }
+      .start()
+
   def streamVecDedupIngest(
       vecs: DataFrame, indexRoot: String, corpusRoot: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =

@@ -485,6 +485,63 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, indexRoot) === 3L)
   }
 
+  test("st0d: streaming curation ingest — batch-local qa0 stage, cross-batch screen through the band index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.dedup.Dedup
+    import graft.operators.Curate
+    import graft.sources.Snapshots
+
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "source")
+    val corpus = docs.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 7 =!= 5)
+    val b1 = docs.filter(col("doc_id") % 7 === 3)
+    val b2 = docs.filter(col("doc_id") % 7 === 5)
+
+    // the stores hold the CURATED corpus: same schema the sink commits
+    val curatedSeed = Curate.curated(corpus).localCheckpoint(true)
+    val base = tmpDir("st0d")
+    val indexRoot = s"$base/idx"
+    val corpusRoot = s"$base/corpus"
+    Snapshots.commit(curatedSeed, corpusRoot)
+    Dedup.commitBandIndex(curatedSeed, indexRoot)
+
+    // the curation stage must actually bite, or the test is st0b again
+    val c1 = Curate.curated(b1).localCheckpoint(true)
+    assert(c1.count() < b1.count(), "batch 1 survives curation untouched — weak fixture")
+
+    // batch-wise expected keepers from the spec-trusted direct pipeline
+    // over the CURATED batches
+    def keepIds(batch: org.apache.spark.sql.DataFrame,
+        against: org.apache.spark.sql.DataFrame): Set[Long] =
+      Dedup.incrementalNearDups(batch, against)
+        .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val expK1 = keepIds(c1, curatedSeed)
+    val corpus2 = curatedSeed.unionByName(c1.filter(col("doc_id").isin(expK1.toSeq: _*)))
+    val expK2 = keepIds(Curate.curated(b2), corpus2)
+
+    val input = MemoryStream[(Long, String, String)]
+    val q = EventStreams.streamCurateIngest(
+      input.toDF().toDF("doc_id", "text", "source"), indexRoot, corpusRoot, tmpDir("st0d-ckpt"))
+    try {
+      input.addData(b1.collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("text"), r.getAs[String]("source"))).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("text"), r.getAs[String]("source"))).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val stored = Snapshots.latest(spark, corpusRoot, Seq("doc_id")).localCheckpoint(true)
+    val expected = curatedSeed.select("doc_id").collect().map(_.getLong(0)).toSet ++ expK1 ++ expK2
+    val got = stored.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    // every stored row carries its curation verdicts: gate passed,
+    // language matched, split tagged
+    assert(stored.filter(col("quality") < 0.12 || col("pred_lang") =!= "en" ||
+      !col("split").isin("train", "val", "test")).isEmpty,
+      "a stored row escaped the curation gate")
+  }
+
   test("st07: maintained aggregate tracks a streamed delta chain bit-identically") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
