@@ -37,11 +37,17 @@ object Tables {
     *    LongType nanos → convert with integer `div` (the raw nanos
     *    exceed 2^53, so double division would corrupt them);
     *  - parquet TIMESTAMP(MICROS) without UTC adjustment: arrives as
-    *    TIMESTAMP_NTZ → cast to session-zone TIMESTAMP. Every graft
-    *    session pins `spark.sql.session.timeZone=UTC`, so the instant
-    *    equals the stored wall-clock micros — bit-identical to what the
-    *    nanos path produced, and to DuckDB's naive `epoch_ns(ts)` view
-    *    of the same file (the oracles' reading).
+    *    TIMESTAMP_NTZ → pinned to the UTC instant by PURE WALL-CLOCK
+    *    ARITHMETIC: `timestamp_micros(timestampdiff(MICROSECOND,
+    *    NTZ epoch, ts))`. No timezone enters the computation at all,
+    *    so the instants are identical under ANY
+    *    `spark.sql.session.timeZone` (a bare cast — or
+    *    to_utc_timestamp, which first coerces NTZ→LTZ through the
+    *    session zone — would silently shift every event by the zone
+    *    offset for non-UTC user sessions; CatalogSpec locks this) —
+    *    bit-identical to what the nanos path produced, and to
+    *    DuckDB's naive `epoch_ns(ts)` view of the same file (the
+    *    oracles' reading).
     *
     * Downstream always sees one type (TIMESTAMP) either way.
     */
@@ -52,7 +58,8 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => raw
-      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw.withColumn("ts", expr(
+        "timestamp_micros(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts))"))
     }
   }
 

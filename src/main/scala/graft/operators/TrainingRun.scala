@@ -77,19 +77,24 @@ object TrainingRun {
   /** The packed-run manifest: one row per (shard, chunk) with its
     * document-span count and token count. Input must carry doc_id,
     * source, and `massCol` (token mass — [[Curate.curated]]'s
-    * n_bpe_tokens by default). All chunks hold exactly `budget`
+    * n_bpe_tokens by default). All chunks hold exactly `chunkTokens`
     * tokens except each shard's last (documents straddle chunk
-    * boundaries — the standard pretraining packer).
+    * boundaries — the standard pretraining packer). `mixBudget` is
+    * [[Mix.mixturePlan]]'s total-mass budget (the "train on N
+    * tokens" knob; 0 = the corpus' own mass) — deliberately a
+    * DIFFERENT name from the chunk size, the two budgets measure
+    * different things.
     */
   def packedRun(
       corpus: DataFrame,
       targets: Map[String, Double],
       seed: String = "run0",
       shards: Int = 8,
-      budget: Long = 512L,
+      chunkTokens: Long = 512L,
       maxEpochs: Double = 3.0,
-      massCol: String = "n_bpe_tokens"): DataFrame =
-    packedInstances(corpus, targets, seed, shards, budget, maxEpochs, massCol)
+      massCol: String = "n_bpe_tokens",
+      mixBudget: Long = 0L): DataFrame =
+    packedInstances(corpus, targets, seed, shards, chunkTokens, maxEpochs, massCol, mixBudget)
       .groupBy("shard", "chunk")
       .agg(count(lit(1)).as("n_docs"), sum("toks_in_chunk").as("n_tokens"))
 
@@ -102,11 +107,22 @@ object TrainingRun {
       targets: Map[String, Double],
       seed: String,
       shards: Int,
-      budget: Long,
+      chunkTokens: Long,
       maxEpochs: Double,
-      massCol: String): DataFrame = {
+      massCol: String,
+      mixBudget: Long): DataFrame = {
+    // past 65536 the 4-hex thresholds repeat (silent empty shards) and
+    // the when-chain stops being codegen-friendly anyway
+    require(shards >= 1 && shards <= 65536, s"shards must be in [1, 65536], got $shards")
+    require(chunkTokens >= 1L, s"chunkTokens must be positive, got $chunkTokens")
+    // ROWS frame, not the default RANGE: with RANGE, rows tied on the
+    // full sort key (possible only if the caller violates doc_id
+    // uniqueness) share one cum_after and their spans overlap —
+    // ROWS keeps the pack mass-conserving for ANY input (tied rows
+    // order arbitrarily between themselves but never double-count)
     val w = Window.partitionBy("shard").orderBy("ikey", "doc_id", "epoch")
-    Mix.mixEpochs(corpus, targets, budget = 0L, maxEpochs = maxEpochs, massCol = massCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Mix.mixEpochs(corpus, targets, budget = mixBudget, maxEpochs = maxEpochs, massCol = massCol)
       // zero-mass instances carry nothing packable, and Spark's
       // sequence(a, b) DESCENDS when a > b — an empty doc at an exact
       // chunk boundary would emit a phantom backwards span
@@ -117,11 +133,11 @@ object TrainingRun {
       .withColumn("cum_after", sum("mass").over(w))
       .withColumn("cum_before", col("cum_after") - col("mass"))
       .withColumn("chunk",
-        explode(sequence(expr(s"cum_before div $budget"),
-          expr(s"(cum_after - 1) div $budget"))))
+        explode(sequence(expr(s"cum_before div $chunkTokens"),
+          expr(s"(cum_after - 1) div $chunkTokens"))))
       .withColumn("toks_in_chunk",
-        least(col("cum_after"), (col("chunk") + 1) * budget) -
-          greatest(col("cum_before"), col("chunk") * budget))
+        least(col("cum_after"), (col("chunk") + 1) * chunkTokens) -
+          greatest(col("cum_before"), col("chunk") * chunkTokens))
   }
 
   /** Materialize the run: stage the (expensive, twice-consumed)
@@ -138,15 +154,22 @@ object TrainingRun {
       path: String,
       seed: String = "run0",
       shards: Int = 8,
-      budget: Long = 512L,
+      chunkTokens: Long = 512L,
       maxEpochs: Double = 3.0,
-      massCol: String = "n_bpe_tokens"): DataFrame = {
+      massCol: String = "n_bpe_tokens",
+      mixBudget: Long = 0L): DataFrame = {
     val staged = corpus.localCheckpoint(true)
-    packedInstances(staged, targets, seed, shards, budget, maxEpochs, massCol)
+    packedInstances(staged, targets, seed, shards, chunkTokens, maxEpochs, massCol, mixBudget)
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "ikey", "doc_id", "epoch", "chunk")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
-    packedRun(staged, targets, seed, shards, budget, maxEpochs, massCol)
+    // the manifest aggregates the files JUST WRITTEN — a narrow scan
+    // of the artifact itself, not a second run of the corpus-sized
+    // shard shuffle + pack window (and it reports what is actually on
+    // disk, which is what a manifest is for)
+    staged.sparkSession.read.parquet(path)
+      .groupBy("shard", "chunk")
+      .agg(count(lit(1)).as("n_docs"), sum("toks_in_chunk").as("n_tokens"))
   }
 
   /** qa3: the composed pipeline on the raw documents table — curate,
@@ -189,8 +212,10 @@ object TrainingRun {
                  FROM mx),
           sh AS (SELECT *, $shardCase AS shard FROM ik),
           cu AS (SELECT *,
-                 CAST(SUM(mass) OVER (PARTITION BY shard ORDER BY ikey, doc_id, epoch) AS BIGINT) AS cum_after,
-                 CAST(SUM(mass) OVER (PARTITION BY shard ORDER BY ikey, doc_id, epoch) - mass AS BIGINT) AS cum_before
+                 CAST(SUM(mass) OVER (PARTITION BY shard ORDER BY ikey, doc_id, epoch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_after,
+                 CAST(SUM(mass) OVER (PARTITION BY shard ORDER BY ikey, doc_id, epoch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - mass AS BIGINT) AS cum_before
                  FROM sh),
           ex AS (SELECT shard, cum_before, cum_after,
                  unnest(generate_series(cum_before // 512, (cum_after - 1) // 512)) AS chunk

@@ -254,24 +254,36 @@ object EventStreams {
   def streamDedupIngest(
       docs: DataFrame, indexRoot: String, corpusRoot: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    textIngestSink(docs, indexRoot, corpusRoot, checkpoint, identity)
+
+  /** The ONE text screen/commit cycle both document sinks run
+    * ([[streamDedupIngest]] with `prep = identity`,
+    * [[streamCurateIngest]] with the batch-local curation stage) — a
+    * replay-guard or commit-protocol fix lands in both by
+    * construction.
+    */
+  private def textIngestSink(
+      docs: DataFrame, indexRoot: String, corpusRoot: String,
+      checkpoint: String, prep: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // persist: the emptiness probe, the screen, and the keeper
-        // commit would each recompute the micro-batch otherwise
-        batch.persist()
-        try if (!batch.isEmpty) {
+        // persist the PREPPED batch: the emptiness probe, the screen,
+        // and the keeper commit would each recompute it otherwise
+        val kept = prep(batch).persist()
+        try if (!kept.isEmpty) {
           import graft.sources.Snapshots
-          val spark = batch.sparkSession
+          val spark = kept.sparkSession
           val corpusText = Snapshots.versions(spark, corpusRoot)
             .map { case (v, _, _) => Snapshots.read(spark, corpusRoot, v) }
             .reduce(_ unionByName _)
-          val verdicts = graft.dedup.Dedup.ingestAndCommit(batch, corpusText, indexRoot)
-          val keepers = graft.dedup.Dedup.keepersOf(batch, verdicts)
+          val verdicts = graft.dedup.Dedup.ingestAndCommit(kept, corpusText, indexRoot)
+          val keepers = graft.dedup.Dedup.keepersOf(kept, verdicts)
             .join(corpusText.select("doc_id"), Seq("doc_id"), "left_anti")
           Snapshots.commitDelta(keepers, corpusRoot)
           ()
-        } finally { batch.unpersist(); () }
+        } finally { kept.unpersist(); () }
       }
       .start()
 
@@ -317,9 +329,16 @@ object EventStreams {
     *  3. keepers commit: bands to the index, curated rows (with
     *     their quality/lang/split annotations) to the corpus store.
     *
-    * Initialize once with the SAME curated schema:
-    * `Snapshots.commit(Curate.curated(corpus), corpusRoot)` and
-    * `Dedup.commitBandIndex(corpus, indexRoot)`.
+    * Initialize BOTH stores from the CURATED corpus (the store's
+    * schema and the index's bands must describe the same rows —
+    * bands for curation-rejected raw docs would generate candidates
+    * whose text the corpus fetch can never resolve, wasted work on
+    * every batch forever):
+    * {{{
+    * val seed = Curate.curated(corpus)
+    * Snapshots.commit(seed, corpusRoot)
+    * Dedup.commitBandIndex(seed, indexRoot)
+    * }}}
     *
     * Replay safety is [[streamDedupIngest]]'s: curation is
     * deterministic per batch, a replayed keeper self-matches through
@@ -332,26 +351,8 @@ object EventStreams {
       docs: DataFrame, indexRoot: String, corpusRoot: String,
       checkpoint: String, minQuality: Double = 0.12, lang: String = "en")
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // persist the CURATED batch, not the raw one: the emptiness
-        // probe, the screen, and both commits re-read survivors only
-        val kept = graft.operators.Curate.curated(batch, minQuality, lang).persist()
-        try if (!kept.isEmpty) {
-          import graft.sources.Snapshots
-          val spark = kept.sparkSession
-          val corpusText = Snapshots.versions(spark, corpusRoot)
-            .map { case (v, _, _) => Snapshots.read(spark, corpusRoot, v) }
-            .reduce(_ unionByName _)
-          val verdicts = graft.dedup.Dedup.ingestAndCommit(kept, corpusText, indexRoot)
-          val keepers = graft.dedup.Dedup.keepersOf(kept, verdicts)
-            .join(corpusText.select("doc_id"), Seq("doc_id"), "left_anti")
-          Snapshots.commitDelta(keepers, corpusRoot)
-          ()
-        } finally { kept.unpersist(); () }
-      }
-      .start()
+    textIngestSink(docs, indexRoot, corpusRoot, checkpoint,
+      graft.operators.Curate.curated(_, minQuality, lang))
 
   def streamVecDedupIngest(
       vecs: DataFrame, indexRoot: String, corpusRoot: String,

@@ -13,6 +13,21 @@ class CatalogSpec extends SparkSpec {
     ).collect()(0).getDouble(0)
     assert(d > 0.0)
   }
+
+  test("events instants are independent of the user session's timezone") {
+    // a library user who does NOT pin spark.sql.session.timeZone=UTC
+    // must read the same instants: the NTZ wall clock is defined as
+    // UTC by the generator, not as whatever zone the session runs in
+    val utc = Tables.events(spark, sf)
+      .selectExpr("min(unix_micros(ts))").collect()(0).getLong(0)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val nyc = Tables.events(spark, sf)
+        .selectExpr("min(unix_micros(ts))").collect()(0).getLong(0)
+      assert(nyc === utc, "event instants shifted with the session timezone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
 
 import graft.sources.Sources

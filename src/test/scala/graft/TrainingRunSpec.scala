@@ -87,5 +87,11 @@ class TrainingRunSpec extends SparkSpec {
     val reagg = rows.groupBy(r => (r.getAs[Int]("shard"), r.getAs[Long]("chunk")))
       .map { case (k, rs) => k -> ((rs.length.toLong, rs.map(_.getAs[Long]("toks_in_chunk")).sum)) }
     assert(reagg === manifest)
+    // the written artifact matches the INDEPENDENT declarative twin:
+    // writeRun's manifest comes from the files on disk, packedRun's
+    // from the live plan — same corpus, same seed, same chunking
+    val declared = run.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(manifest === declared)
   }
 }
