@@ -232,10 +232,37 @@ object Soak {
       s"(exact floor $exactFloor" +
       (if (r6f.getLong(1) < exactFloor) " — RECALL FLOOR VIOLATED)" else ")"))
 
+    // ---------------- qa3 training run at 10× instance mass ----------------
+    // the fan's identical copies would just collapse in curation's
+    // exact dedup — suffix each copy's text with its doc_id (one
+    // extra token) so the pack stage actually sees 10× survivors:
+    // the scale risk here is the per-shard window sort, not dedup
+    val docsSrc = Tables.documents(spark, sfDir).select("doc_id", "text", "source")
+    val fannedDistinct = fan(docsSrc, "doc_id")
+      .withColumn("text", concat(col("text"), lit(" x"), col("doc_id")))
+      .localCheckpoint(true)
+    val (curatedFan, sCur) = timed("qa3_curate_10x")(
+      operators.Curate.curated(fannedDistinct).filter(col("split") === "train")
+        .localCheckpoint(true))
+    val runDir = "/tmp/graft-soak-run"
+    deleteDir(spark, runDir)
+    val (manifest, sRun) = timed("qa3_writeRun_10x_32shards")(
+      operators.TrainingRun.writeRun(curatedFan, operators.Mix.mixTargets, runDir,
+        seed = "soak", shards = 32, chunkTokens = 2048L).localCheckpoint(true))
+    val mRow = manifest.agg(count(lit(1)), sum("n_tokens")).head()
+    val mixedMass = operators.Mix.mixEpochs(curatedFan, operators.Mix.mixTargets,
+        massCol = "n_bpe_tokens")
+      .agg(sum("n_bpe_tokens")).head().getLong(0)
+    println(s"[soak] qa3: survivors=${curatedFan.count()} chunks=${mRow.getLong(0)} " +
+      s"tokens=${mRow.getLong(1)} (mixed mass $mixedMass" +
+      (if (mRow.getLong(1) != mixedMass) " — CONSERVATION VIOLATED)" else ", conserved)"))
+    deleteDir(spark, runDir)
+
     println(f"""{"soak_sf":"$sfDir x $copies","q62_cand":$cand62,"q62_secs":$s62%.1f,""" +
       f""""q68_secs":$s68%.1f,"q69_secs":$s69%.1f,"q6b_ingest_secs":$s6b%.1f,""" +
       f""""q65_pairs":$pairs65,"q65_secs":$s65%.1f,"q6c_secs":$s6c%.1f,""" +
-      f""""q6f_hot_secs":$s6f%.1f,"q6f_slot_red":${bsPlain._5.toDouble / math.max(1L, bsRef._5)}%.1f}""")
+      f""""q6f_hot_secs":$s6f%.1f,"q6f_slot_red":${bsPlain._5.toDouble / math.max(1L, bsRef._5)}%.1f,""" +
+      f""""qa3_curate_secs":$sCur%.1f,"qa3_run_secs":$sRun%.1f}""")
     spark.stop()
   }
 }
