@@ -58,6 +58,19 @@ class TrainingRunSpec extends SparkSpec {
     assert(soloPacked <= 3L * src3Mass && soloPacked > 0L)
   }
 
+  test("qa3: mixBudget scales the run — half the budget packs strictly less, conservation still exact") {
+    val full = run.agg(sum("n_tokens")).collect()(0).getLong(0)
+    val totalMass = corpus.agg(sum("n_bpe_tokens")).collect()(0).getLong(0)
+    val half = TrainingRun.packedRun(corpus, Mix.mixTargets, seed = "qa3",
+      mixBudget = totalMass / 2)
+    val halfPacked = half.agg(sum("n_tokens")).collect()(0).getLong(0)
+    val halfMixed = Mix.mixEpochs(corpus, Mix.mixTargets, budget = totalMass / 2,
+      massCol = "n_bpe_tokens").agg(sum("n_bpe_tokens")).collect()(0).getLong(0)
+    assert(halfPacked === halfMixed, "budgeted pack loses mixture mass")
+    assert(halfPacked < full, "halving the mixture budget did not shrink the run")
+    assert(halfPacked > 0L)
+  }
+
   test("writeRun: shard files are in pack order and tile the manifest's chunks") {
     val dir = tmpDir("graft-run")
     val manifest = TrainingRun.writeRun(corpus, Mix.mixTargets, dir, seed = "qa3")
