@@ -143,7 +143,7 @@ object TrainingRun {
   /** Materialize the run: stage the (expensive, twice-consumed)
     * curated corpus once, then write the instance stream partitioned
     * by shard, each file in pack order with its chunk-span columns —
-    * the loader slices fixed-`budget` sequences by streaming a shard
+    * the loader slices fixed-`chunkTokens` sequences by streaming a shard
     * file and cutting at the recorded offsets, no re-scan, no second
     * sort. Returns the per-(shard, chunk) manifest of what was
     * written (same frame as [[packedRun]] of the staged corpus).

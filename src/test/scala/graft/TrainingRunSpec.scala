@@ -10,7 +10,7 @@ import graft.operators.{Curate, Mix, TrainingRun}
   */
 class TrainingRunSpec extends SparkSpec {
 
-  private val budget = 512L
+  private val chunkTokens = 512L
   private lazy val corpus =
     Curate.curated(Tables.documents(spark, sf))
       .filter(col("split") === "train").cache()
@@ -25,7 +25,7 @@ class TrainingRunSpec extends SparkSpec {
     assert(packed > 0L)
   }
 
-  test("qa3: per shard, chunks are contiguous from 0 and all but the last hold exactly `budget` tokens") {
+  test("qa3: per shard, chunks are contiguous from 0 and all but the last hold exactly `chunkTokens`") {
     val byShard = run.collect().groupBy(_.getAs[Int]("shard"))
     assert(byShard.size === 8, s"expected all 8 shards populated, got ${byShard.keySet}")
     byShard.foreach { case (shard, rows) =>
@@ -33,7 +33,7 @@ class TrainingRunSpec extends SparkSpec {
       assert(chunks.head === 0L, s"shard $shard starts at chunk ${chunks.head}")
       assert(chunks.last === chunks.length - 1L, s"shard $shard has chunk gaps")
       rows.filter(_.getAs[Long]("chunk") < chunks.last).foreach { r =>
-        assert(r.getAs[Long]("n_tokens") === budget,
+        assert(r.getAs[Long]("n_tokens") === chunkTokens,
           s"non-final chunk not full in shard $shard: $r")
       }
     }
@@ -88,8 +88,8 @@ class TrainingRunSpec extends SparkSpec {
       // boundaries or doc boundaries with no gaps
       ordered.sliding(2).foreach {
         case Array(a, b) =>
-          val aEnd = math.min(a.getAs[Long]("cum_after"), (a.getAs[Long]("chunk") + 1) * budget)
-          val bStart = math.max(b.getAs[Long]("cum_before"), b.getAs[Long]("chunk") * budget)
+          val aEnd = math.min(a.getAs[Long]("cum_after"), (a.getAs[Long]("chunk") + 1) * chunkTokens)
+          val bStart = math.max(b.getAs[Long]("cum_before"), b.getAs[Long]("chunk") * chunkTokens)
           assert(aEnd === bStart, s"gap in shard $shard between $a and $b")
         case _ => ()
       }
