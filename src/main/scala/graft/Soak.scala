@@ -234,9 +234,10 @@ object Soak {
 
     // ---------------- qa3 training run at 10× instance mass ----------------
     // the fan's identical copies would just collapse in curation's
-    // exact dedup — suffix each copy's text with its doc_id (one
-    // extra token) so the pack stage actually sees 10× survivors:
-    // the scale risk here is the per-shard window sort, not dedup
+    // exact dedup — suffix each copy's text with ' x<doc_id>' (two
+    // extra regex tokens: 'x' and the digit run) so the pack stage
+    // actually sees 10× survivors: the scale risk here is the
+    // per-shard window sort, not dedup
     val docsSrc = Tables.documents(spark, sfDir).select("doc_id", "text", "source")
     val fannedDistinct = fan(docsSrc, "doc_id")
       .withColumn("text", concat(col("text"), lit(" x"), col("doc_id")))

@@ -343,8 +343,10 @@ object TextAnalysis {
                    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
                  FROM documents),
             c AS (SELECT *,
-                   CAST(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id) AS BIGINT) AS cum_after,
-                   CAST(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id) - n_tokens AS BIGINT) AS cum_before
+                   CAST(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_after,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS cum_before
                   FROM t),
             e AS (SELECT source, shard, doc_id, cum_before, cum_after,
                    unnest(generate_series(cum_before // 256, (cum_after - 1) // 256)) AS chunk
@@ -366,7 +368,12 @@ object TextAnalysis {
     */
   def packChunks(docs: org.apache.spark.sql.DataFrame, budget: Long,
       shards: Int = 1): org.apache.spark.sql.DataFrame = {
+    // ROWS frame, not the default RANGE: rows tied on doc_id (a
+    // caller violating doc_id uniqueness) would share one cum_after
+    // under RANGE and their spans double-count — same guard as
+    // TrainingRun's packer, oracle framed identically
     val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col("doc_id"), col("source"), (col("doc_id") % shards).as("shard"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))

@@ -53,6 +53,17 @@ object TrainingRun {
   private def shardThresholds(n: Int): Seq[String] =
     (0 until n).map(i => f"${65536L * i / n}%04x")
 
+  /** Cheap argument checks, run BEFORE any compute is paid (writeRun
+    * stages the whole corpus eagerly — a bad shard count must not
+    * cost a full curation pass first). Past 65536 the 4-hex
+    * thresholds repeat (silent empty shards) and the when-chain
+    * stops being codegen-friendly anyway.
+    */
+  private def validate(shards: Int, chunkTokens: Long): Unit = {
+    require(shards >= 1 && shards <= 65536, s"shards must be in [1, 65536], got $shards")
+    require(chunkTokens >= 1L, s"chunkTokens must be positive, got $chunkTokens")
+  }
+
   /** Instance shuffle key (hex md5). One definition for the query
     * form and the writer — shard membership and pack order must agree
     * or the written shards would not tile the query's chunks.
@@ -111,10 +122,7 @@ object TrainingRun {
       maxEpochs: Double,
       massCol: String,
       mixBudget: Long): DataFrame = {
-    // past 65536 the 4-hex thresholds repeat (silent empty shards) and
-    // the when-chain stops being codegen-friendly anyway
-    require(shards >= 1 && shards <= 65536, s"shards must be in [1, 65536], got $shards")
-    require(chunkTokens >= 1L, s"chunkTokens must be positive, got $chunkTokens")
+    validate(shards, chunkTokens)
     // ROWS frame, not the default RANGE: with RANGE, rows tied on the
     // full sort key (possible only if the caller violates doc_id
     // uniqueness) share one cum_after and their spans overlap —
@@ -158,18 +166,26 @@ object TrainingRun {
       maxEpochs: Double = 3.0,
       massCol: String = "n_bpe_tokens",
       mixBudget: Long = 0L): DataFrame = {
+    validate(shards, chunkTokens)
     val staged = corpus.localCheckpoint(true)
-    packedInstances(staged, targets, seed, shards, chunkTokens, maxEpochs, massCol, mixBudget)
+    val inst = packedInstances(staged, targets, seed, shards, chunkTokens, maxEpochs, massCol, mixBudget)
+    inst
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "ikey", "doc_id", "epoch", "chunk")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
     // the manifest aggregates the files JUST WRITTEN — a narrow scan
     // of the artifact itself, not a second run of the corpus-sized
     // shard shuffle + pack window (and it reports what is actually on
-    // disk, which is what a manifest is for)
-    staged.sparkSession.read.parquet(path)
+    // disk, which is what a manifest is for). Explicit schema: a run
+    // whose mixture comes up empty writes no part files, and schema
+    // inference would throw where an empty manifest is the right
+    // answer. Eager checkpoint: the returned frame stays valid after
+    // the caller deletes or overwrites the run directory (it is
+    // chunk-count sized — tiny).
+    staged.sparkSession.read.schema(inst.schema).parquet(path)
       .groupBy("shard", "chunk")
       .agg(count(lit(1)).as("n_docs"), sum("toks_in_chunk").as("n_tokens"))
+      .localCheckpoint(true)
   }
 
   /** qa3: the composed pipeline on the raw documents table — curate,

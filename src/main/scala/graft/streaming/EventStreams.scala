@@ -287,33 +287,6 @@ object EventStreams {
       }
       .start()
 
-  /** st0c: continuous EMBEDDING dedup ingest — [[streamDedupIngest]]'s
-    * cycle over the persisted VECTOR bucket index
-    * ([[graft.dedup.Dedup.ingestAndCommitVec]]): per micro-batch,
-    * screen the batch's vectors against the stored bucket keys (the
-    * index's PINNED geometry — never re-resolved, or the keys would
-    * stop aligning), commit keepers' buckets back as an index delta,
-    * and append the keeper vectors to the corpus store, so each batch
-    * dedups against the original corpus plus every earlier batch's
-    * keepers through the store. The corpus-vector store is the same
-    * append-only raw-frame union as the text sink's — `latest` would
-    * shuffle every accumulated embedding per micro-batch; candidates
-    * bound the corpus rows the verify cosine actually touches.
-    *
-    * Initialize once before starting:
-    * `Snapshots.commit(corpusVecs, corpusRoot)` and
-    * `Dedup.commitVecIndex(corpusVecs, indexRoot)`.
-    *
-    * Delivery is at-least-once. A replayed keeper bands to its own
-    * committed buckets and self-matches at cosine 1 ≥ τ → re-dropped,
-    * no bands re-commit. The one vector that CANNOT self-match is the
-    * zero vector (no direction — [[graft.functions.VectorFunctions
-    * .cosine]] yields NULL for any zero-norm side, never a match): its
-    * replay re-commits duplicate band rows — harmless for verdicts
-    * (the candidate join dedups pairs) — and the corpus anti-join
-    * below still keeps the vector store row-unique, same
-    * belt-and-braces as the text sink's shingle-less case.
-    */
   /** st0d: continuous CURATION ingest — the streaming run of the full
     * document pipeline, composing qa0's batch-local stage with
     * [[streamDedupIngest]]'s cross-batch cycle. Per micro-batch:
@@ -354,6 +327,33 @@ object EventStreams {
     textIngestSink(docs, indexRoot, corpusRoot, checkpoint,
       graft.operators.Curate.curated(_, minQuality, lang))
 
+  /** st0c: continuous EMBEDDING dedup ingest — [[streamDedupIngest]]'s
+    * cycle over the persisted VECTOR bucket index
+    * ([[graft.dedup.Dedup.ingestAndCommitVec]]): per micro-batch,
+    * screen the batch's vectors against the stored bucket keys (the
+    * index's PINNED geometry — never re-resolved, or the keys would
+    * stop aligning), commit keepers' buckets back as an index delta,
+    * and append the keeper vectors to the corpus store, so each batch
+    * dedups against the original corpus plus every earlier batch's
+    * keepers through the store. The corpus-vector store is the same
+    * append-only raw-frame union as the text sink's — `latest` would
+    * shuffle every accumulated embedding per micro-batch; candidates
+    * bound the corpus rows the verify cosine actually touches.
+    *
+    * Initialize once before starting:
+    * `Snapshots.commit(corpusVecs, corpusRoot)` and
+    * `Dedup.commitVecIndex(corpusVecs, indexRoot)`.
+    *
+    * Delivery is at-least-once. A replayed keeper bands to its own
+    * committed buckets and self-matches at cosine 1 ≥ τ → re-dropped,
+    * no bands re-commit. The one vector that CANNOT self-match is the
+    * zero vector (no direction — [[graft.functions.VectorFunctions
+    * .cosine]] yields NULL for any zero-norm side, never a match): its
+    * replay re-commits duplicate band rows — harmless for verdicts
+    * (the candidate join dedups pairs) — and the corpus anti-join
+    * below still keeps the vector store row-unique, same
+    * belt-and-braces as the text sink's shingle-less case.
+    */
   def streamVecDedupIngest(
       vecs: DataFrame, indexRoot: String, corpusRoot: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
