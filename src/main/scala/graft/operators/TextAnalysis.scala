@@ -599,14 +599,34 @@ object TextAnalysis {
     * (count desc, pair lexicographic), so the learned merges are
     * deterministic for a given corpus.
     *
+    * The collected table is PRUNED on the cluster side first — at web
+    * scale the distinct whitespace-token table (typos, URLs, numbers)
+    * reaches 10⁸–10⁹ rows and an unpruned collect is a driver OOM.
+    * `minCount` drops hapax-ish noise in the count aggregate itself
+    * (the standard frequency-pruning step of public BPE trainers);
+    * `maxVocab` caps the driver table to the top-V words by
+    * (count desc, word asc) via a TakeOrdered plan, so the driver
+    * never receives more than V rows no matter the corpus. Defaults
+    * (minCount=1, maxVocab=2²²) are behavior-identical on any corpus
+    * whose distinct-word table fits the cap — the gate corpora are
+    * thousands of words — while bounding the collect at ~4M rows
+    * (tens of MB) by construction. Merge learning is order-independent
+    * (pair counting is commutative; ties break by value), so the
+    * TakeOrdered's row order does not leak into the result.
+    *
     * Returns (left_symbol, right_symbol, weighted_pair_count) in
     * merge order.
     */
-  def bpeMerges(docs: org.apache.spark.sql.DataFrame, nMerges: Int): Seq[(String, String, Long)] = {
+  def bpeMerges(docs: org.apache.spark.sql.DataFrame, nMerges: Int,
+                minCount: Long = 1L, maxVocab: Int = 1 << 22): Seq[(String, String, Long)] = {
+    require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
     val wordCounts: Array[(Array[String], Long)] = docs
       .select(explode(tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxVocab)
       .collect()
       .map { r =>
         // split on CODE POINTS, not UTF-16 units: per-char would break

@@ -90,6 +90,70 @@ class BpeEncodeSpec extends SparkSpec {
     }
   }
 
+  /** From-scratch local merge learner over an explicit word-count
+    * table — the independent truth for the pruning tests below.
+    */
+  private def bruteMerges(wordCounts: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+    var words: Seq[(Seq[String], Long)] = wordCounts.toSeq.map { case (w, c) => (codepoints(w), c) }
+    val out = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 0 until n) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => pc((a, b)) = pc.getOrElse((a, b), 0L) + c
+          case _         => ()
+        }
+      }
+      if (pc.nonEmpty) {
+        val ((l, r), c) = pc.minBy { case ((a, b), m) => (-m, a, b) }
+        out += ((l, r, c))
+        words = words.map { case (syms, wc) =>
+          val o = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) { o += l + r; i += 2 }
+            else { o += syms(i); i += 1 }
+          }
+          (o.toSeq, wc)
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("vocab pruning: heavy-tail corpus - driver table bounded by the cap, not the corpus") {
+    functions.VectorExpressions.register(spark)
+    // 3 hot words carry every winning pair; 2000 distinct hapax words are
+    // the heavy tail a web corpus would flood the driver with.
+    val hot   = Seq.fill(50)("alpha beta alpha beta gamma").mkString(" ") // alpha=100 beta=100 gamma=50
+    val rares = (1 to 2000).map(i => s"rare$i").mkString(" ")
+    val docs  = Seq((1L, hot), (2L, rares)).toDF("doc_id", "text").repartition(4)
+
+    val localCounts: Map[String, Long] =
+      (canonWords(hot) ++ canonWords(rares)).groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+
+    // Defaults (minCount=1, maxVocab=2^22) are behavior-identical to unpruned.
+    val full = TextAnalysis.bpeMerges(docs, 6)
+    assert(full === bruteMerges(localCounts, 6))
+    assert(full === TextAnalysis.bpeMerges(docs, 6, minCount = 1L, maxVocab = Int.MaxValue))
+
+    // minCount prunes the hapax tail in the distributed aggregate.
+    val byMinCount = TextAnalysis.bpeMerges(docs, 6, minCount = 2L)
+    assert(byMinCount === bruteMerges(localCounts.filter(_._2 >= 2L), 6))
+
+    // maxVocab caps the collected table at the top-V words by
+    // (count desc, word asc): the learned merges equal the brute truth
+    // computed from ONLY those V rows, so the driver table was exactly
+    // that cap — 3 rows here against a 2003-word corpus.
+    val topV = localCounts.toSeq.sortBy { case (w, c) => (-c, w) }.take(3).toMap
+    assert(topV.keySet === Set("alpha", "beta", "gamma"))
+    val byCap = TextAnalysis.bpeMerges(docs, 6, maxVocab = 3)
+    assert(byCap === bruteMerges(topV, 6))
+    // and the hapax tail changed nothing hot-side: pair counts differ
+    // from the unpruned run only where rare words contributed.
+    assert(byCap.map { case (l, r, _) => (l, r) } === byMinCount.map { case (l, r, _) => (l, r) })
+  }
+
   test("plan lock: encode is a pure narrow codegen map - no exchange") {
     val docs = Tables.documents(spark, sf)
     val merges = Seq(("t", "h"), ("th", "e"))
