@@ -251,12 +251,16 @@ object Soak {
       operators.TrainingRun.writeRun(curatedFan, operators.Mix.mixTargets, runDir,
         seed = "soak", shards = 32, chunkTokens = 2048L).localCheckpoint(true))
     val mRow = manifest.agg(count(lit(1)), sum("n_tokens")).head()
-    val mixedMass = operators.Mix.mixEpochs(curatedFan, operators.Mix.mixTargets,
+    // sum() over an empty manifest is NULL — report the conservation
+    // violation (0 != mixed mass) instead of dying on getLong
+    val packedMass = if (mRow.isNullAt(1)) 0L else mRow.getLong(1)
+    val mixRow = operators.Mix.mixEpochs(curatedFan, operators.Mix.mixTargets,
         massCol = "n_bpe_tokens")
-      .agg(sum("n_bpe_tokens")).head().getLong(0)
+      .agg(sum("n_bpe_tokens")).head()
+    val mixedMass = if (mixRow.isNullAt(0)) 0L else mixRow.getLong(0)
     println(s"[soak] qa3: survivors=${curatedFan.count()} chunks=${mRow.getLong(0)} " +
-      s"tokens=${mRow.getLong(1)} (mixed mass $mixedMass" +
-      (if (mRow.getLong(1) != mixedMass) " — CONSERVATION VIOLATED)" else ", conserved)"))
+      s"tokens=$packedMass (mixed mass $mixedMass" +
+      (if (packedMass != mixedMass) " — CONSERVATION VIOLATED)" else ", conserved)"))
     deleteDir(spark, runDir)
 
     println(f"""{"soak_sf":"$sfDir x $copies","q62_cand":$cand62,"q62_secs":$s62%.1f,""" +

@@ -58,8 +58,11 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => raw
-      case _ => raw.withColumn("ts", expr(
+      case org.apache.spark.sql.types.TimestampNTZType => raw.withColumn("ts", expr(
         "timestamp_micros(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts))"))
+      case other => sys.error(
+        s"events.ts has unsupported type $other — the generator's parquet schema changed again; " +
+          "check pq.read_schema and extend Tables.events (verify skill: events.ts varies by round)")
     }
   }
 

@@ -45,19 +45,21 @@ import org.apache.spark.sql.functions._
   */
 object TrainingRun {
 
-  /** Shard thresholds: shard i owns md5-prefix range
-    * [t(i), t(i+1)) with t(i) = floor(65536·i/n) as 4 hex digits —
-    * pure string comparisons, identical in Spark and DuckDB, uniform
-    * over the md5 key space.
+  /** Shard thresholds for the DuckDB oracle twin: shard i owns
+    * md5-prefix range [t(i), t(i+1)) with t(i) = floor(65536·i/n) as
+    * 4 hex digits. The Spark side computes the SAME partition
+    * arithmetically ([[shardCol]]: floor(p·n/65536)); the two
+    * rounding forms agree exactly whenever n divides 65536 — the
+    * oracle runs at n=8 — and both are contiguous disjoint
+    * hex-prefix ranges covering the key space for any n.
     */
   private def shardThresholds(n: Int): Seq[String] =
     (0 until n).map(i => f"${65536L * i / n}%04x")
 
   /** Cheap argument checks, run BEFORE any compute is paid (writeRun
-    * stages the whole corpus eagerly — a bad shard count must not
-    * cost a full curation pass first). Past 65536 the 4-hex
-    * thresholds repeat (silent empty shards) and the when-chain
-    * stops being codegen-friendly anyway.
+    * stages the whole corpus — a bad shard count must not cost a
+    * full curation pass first). Past 65536 the 4-hex key space can
+    * no longer distinguish shards (silent empty shards).
     */
   private def validate(shards: Int, chunkTokens: Long): Unit = {
     require(shards >= 1 && shards <= 65536, s"shards must be in [1, 65536], got $shards")
@@ -72,18 +74,14 @@ object TrainingRun {
     md5(concat(lit(s"$seed:"), col("doc_id").cast("string"),
       lit(":"), col("epoch").cast("string")).cast("binary"))
 
-  private def shardCol(n: Int) = {
-    val prefix = substring(col("ikey"), 1, 4)
-    val ts = shardThresholds(n)
-    // highest matching threshold wins; threshold 0 is "0000" = the
-    // otherwise branch
-    ts.zipWithIndex.drop(1).reverse
-      .foldLeft(None: Option[org.apache.spark.sql.Column]) {
-        case (acc, (t, i)) =>
-          Some(acc.fold(when(prefix >= lit(t), i))(_.when(prefix >= lit(t), i)))
-      }
-      .fold(lit(0))(_.otherwise(0))
-  }
+  /** shard = floor(prefix·n/65536) — O(1) per row at ANY shard count.
+    * The previous form chained O(n) when() threshold comparisons,
+    * which at the documented O(cluster cores) shard counts degrades
+    * codegen (a 65536-branch CASE); the arithmetic form is one conv +
+    * one multiply-div. prefix·n ≤ 65535·65536 < 2⁶³, no overflow.
+    */
+  private def shardCol(n: Int) =
+    expr(s"CAST((CAST(conv(substring(ikey, 1, 4), 16, 10) AS BIGINT) * $n) div 65536 AS INT)")
 
   /** The packed-run manifest: one row per (shard, chunk) with its
     * document-span count and token count. Input must carry doc_id,
@@ -167,12 +165,26 @@ object TrainingRun {
       massCol: String = "n_bpe_tokens",
       mixBudget: Long = 0L): DataFrame = {
     validate(shards, chunkTokens)
-    val staged = corpus.localCheckpoint(true)
-    val inst = packedInstances(staged, targets, seed, shards, chunkTokens, maxEpochs, massCol, mixBudget)
-    inst
-      .repartition(col("shard"))
-      .sortWithinPartitions("shard", "ikey", "doc_id", "epoch", "chunk")
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    // persist, NOT localCheckpoint: both stage the twice-consumed
+    // curated corpus once (the mixture stats side re-reads it), but
+    // persist keeps lineage — on a real cluster an executor loss
+    // recomputes the lost blocks instead of failing the whole run,
+    // and MEMORY_AND_DISK spills rather than demanding the corpus
+    // fit executor storage. Unpersisted once the artifact is on disk.
+    val staged = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val inst = packedInstances(staged, targets, seed, shards, chunkTokens, maxEpochs, massCol, mixBudget)
+      inst
+        .repartition(col("shard"))
+        .sortWithinPartitions("shard", "ikey", "doc_id", "epoch", "chunk")
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+      manifestOf(staged.sparkSession, inst.schema, path)
+    } finally staged.unpersist(blocking = false)
+  }
+
+  private def manifestOf(spark: org.apache.spark.sql.SparkSession,
+                         schema: org.apache.spark.sql.types.StructType,
+                         path: String): DataFrame =
     // the manifest aggregates the files JUST WRITTEN — a narrow scan
     // of the artifact itself, not a second run of the corpus-sized
     // shard shuffle + pack window (and it reports what is actually on
@@ -182,11 +194,10 @@ object TrainingRun {
     // answer. Eager checkpoint: the returned frame stays valid after
     // the caller deletes or overwrites the run directory (it is
     // chunk-count sized — tiny).
-    staged.sparkSession.read.schema(inst.schema).parquet(path)
+    spark.read.schema(schema).parquet(path)
       .groupBy("shard", "chunk")
       .agg(count(lit(1)).as("n_docs"), sum("toks_in_chunk").as("n_tokens"))
       .localCheckpoint(true)
-  }
 
   /** qa3: the composed pipeline on the raw documents table — curate,
     * keep the train split, mix to qa1's target shares by token mass,
