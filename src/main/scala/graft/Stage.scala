@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Cluster-safe one-shot materialization for frames consumed by more
+  * than one downstream action (centroid training + verdict joins,
+  * curation survivors feeding both the semantic stage and the final
+  * join, ...).
+  *
+  * `localCheckpoint(true)` — the tempting default — stores blocks
+  * UNREPLICATED on executors and truncates lineage, so on a real
+  * cluster a single executor loss (spot preemption, OOM kill,
+  * decommission) makes the staged frame unrecoverable and fails the
+  * whole job. The default here is `persist(MEMORY_AND_DISK)` plus an
+  * eager `count()`: blocks spill to local disk instead of having to
+  * fit in executor storage, and lineage SURVIVES, so a lost block is
+  * recomputed instead of killing the query. When
+  * `spark.conf.set("graft.checkpointDir", "hdfs://...")` names a
+  * reliable filesystem, `checkpoint(true)` is used instead — the
+  * staged bytes live off-executor entirely, which also truncates the
+  * plan (useful when the upstream pipeline is itself expensive enough
+  * that recompute-on-loss is the wrong trade).
+  *
+  * This is NOT [[graft.dedup.Dedup]]'s iterative-loop lineage cut:
+  * loops REQUIRE truncation (round i+1 must not re-plan round i), so
+  * they keep their own `cut` with `localCheckpoint` as the local-mode
+  * fast path. Stage is for one-shot staging where fault tolerance,
+  * not plan truncation, is the point.
+  */
+object Stage {
+
+  /** Materialize `df` once; every subsequent consumer (including
+    * construction-time actions like k-means training) reads the
+    * staged copy instead of re-running the upstream pipeline.
+    *
+    * Lifecycle note: the persist path registers the plan in the
+    * session's CacheManager, where it stays until `unpersist()` /
+    * `spark.catalog.clearCache()` — Spark will also substitute the
+    * cached fragment into LATER queries whose plans contain an
+    * identical subtree (correct, and usually a win; cold-plan
+    * assertions must clearCache first). Re-staging an identical plan
+    * is a no-op, so repeated invocations don't accumulate.
+    */
+  def apply(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("graft.checkpointDir") match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+    }
+}

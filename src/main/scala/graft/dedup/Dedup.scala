@@ -559,23 +559,83 @@ object Dedup {
     * .cellsFor]]) → expected cell size √n and Σsz² ≈ n^1.5 on
     * balanced cells, the published operating point; training runs on
     * the capped hash-sample inside [[graft.ann.Knn.ivfCentroids]],
-    * assignment is a narrow map. A corpus whose hot DIRECTION defeats
-    * balanced cells (exact-copy mass, boilerplate embeddings) should
-    * collapse first ([[collapsedNearDups]]) or fall back to the
-    * density-adaptive splitter ([[adaptiveNearDups]]) — both
-    * documented remedies, deliberately not silently composed here.
+    * assignment is a narrow map.
+    *
+    * Duplicate-heavy mass — the corpus shape a deduplicator actually
+    * sees — is handled in TWO layers:
+    *
+    *  1. exact-copy COLLAPSE first (the [[collapsedNearDups]] shape):
+    *     a partial-agg groupBy on the embedding value reduces a
+    *     10⁸-copy vector to one representative per map task before
+    *     anything shuffles, training/cells/pairwise all run on the
+    *     DISTINCT vectors, and member verdicts are recovered exactly
+    *     (a non-rep member of group rep r loses to
+    *     `coalesce(dup_of(r), r)` at cosine 1 — provably the same
+    *     verdict the uncollapsed greedy rule assigns, because the
+    *     minimal same-cell candidate of any vector is always a
+    *     representative);
+    *  2. a LOUD maxCell guard (the q6a precedent): if, after the
+    *     collapse, a trained cell still exceeds the cap — distinct
+    *     vectors piling into one direction — the operator fails with
+    *     the hot-cell sizes and the remedies (`cells` up,
+    *     [[adaptiveNearDups]]'s density splitter) instead of silently
+    *     going quadratic in that cell. `maxCell = 0` derives the cap
+    *     from the distinct count (16·√n_reps, floored at 4096 so
+    *     small corpora never trip it).
     */
   def semanticDedup(
       emb: DataFrame,
       tau: Double = 0.4,
       cells: Int = 0,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2,
+      maxCell: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions._
-    // one materialization feeds centroid training (count + Lloyd
-    // passes) and both uses of the assignment (ivfTopK precedent)
-    val e = emb.select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("nrm")).localCheckpoint(true)
-    semanticVerdictsFor(e, graft.ann.Knn.ivfCentroids(e, iters, cells), tau)
+    require(tau <= 1.0, s"semanticDedup: tau=$tau > 1 can never match (cosine <= 1)")
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id").isNotNull)
+    // collapse: map-side partials absorb hot exact-copy groups; the
+    // staged distinct-vector table feeds centroid training, the cell
+    // guard, the pairwise stage AND the member join (Stage = persist
+    // with lineage, or reliable checkpoint under graft.checkpointDir)
+    val groups = graft.Stage(
+      rows.groupBy(col("embedding"))
+        .agg(min("vec_id").as("rep"))
+        .select(col("rep"), col("embedding"), norm2(col("embedding")).as("nrm")))
+    val reps = groups.select(col("rep").as("vec_id"), col("embedding"), col("nrm"))
+    val cents = graft.ann.Knn.ivfCentroids(reps, iters, cells)
+    val cap =
+      if (maxCell > 0) maxCell.toLong
+      else math.max(4096L, (16.0 * math.sqrt(groups.count().toDouble)).toLong)
+    val hot = graft.ann.Knn.assignCell(reps, cents)
+      .groupBy("cell").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > cap)
+      .orderBy(col("sz").desc).limit(5)
+      .collect()
+    if (hot.nonEmpty)
+      sys.error(
+        s"semanticDedup: cell(s) over the maxCell cap $cap after exact-copy collapse — " +
+          hot.map(r => s"cell ${r.getLong(0)}: ${r.getLong(1)} distinct vectors").mkString("; ") +
+          ". The in-cell pair search would go quadratic there. Remedies: raise `cells` " +
+          "(more, smaller cells), use adaptiveNearDups (density-adaptive bucket splitting), " +
+          "or raise `maxCell` explicitly if the quadratic cell is intended.")
+    val repV = semanticVerdictsFor(reps, cents, tau)
+      .withColumnRenamed("vec_id", "rep")
+    // expand rep verdicts to members: the (embedding → rep) join is
+    // the collapse shuffle's twin (key = the array itself; payload
+    // beyond the key is two longs), and the verdict join is compact
+    // (vec_id, rep) × distinct-sized reps. AQE's skew handling splits
+    // the one hot embedding key; nothing here is quadratic in copies.
+    rows.join(groups.select(col("embedding"), col("rep")), Seq("embedding"))
+      .select(col("vec_id"), col("rep"))
+      .join(repV, Seq("rep"))
+      .select(
+        col("vec_id"),
+        col("cell"),
+        when(col("vec_id") === col("rep"), col("keep")).otherwise(lit(false)).as("keep"),
+        when(col("vec_id") === col("rep"), col("dup_of"))
+          .otherwise(coalesce(col("dup_of"), col("rep"))).as("dup_of"),
+        when(col("vec_id") === col("rep"), col("best_cos"))
+          .otherwise(greatest(coalesce(col("best_cos"), lit(1.0)), lit(1.0))).as("best_cos"))
   }
 
   /** q6g: the semantic-dedup query form. Rows-only [R] (k-means cell

@@ -169,12 +169,16 @@ object Curate {
       lang: String = "en",
       tau: Double = 0.4,
       cells: Int = 0): DataFrame = {
-    // materialize the text pipeline ONCE: semanticDedup's eager
-    // checkpoint consumes the survivors (through the semi join below)
-    // at construction time, and the final verdict join reads `c`
-    // again — without this the regex-heavy annotation scan and the
-    // digest dedup would run twice (the module's single-scan promise)
-    val c = curated(docs, minQuality, lang).localCheckpoint(true)
+    // materialize the text pipeline ONCE: semanticDedup consumes the
+    // survivors (through the semi join below) at construction time,
+    // and the final verdict join reads `c` again — without this the
+    // regex-heavy annotation scan and the digest dedup would run
+    // twice (the module's single-scan promise). Stage, not
+    // localCheckpoint: the curated corpus survives executor loss
+    // (lineage-preserving persist, or a reliable checkpoint when
+    // graft.checkpointDir is set) instead of living unreplicated in
+    // executor storage.
+    val c = graft.Stage(curated(docs, minQuality, lang))
     val survivors = emb.select(col("vec_id"), col("embedding"))
       .join(c.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
     val verdicts = graft.dedup.Dedup.semanticDedup(survivors, tau, cells)

@@ -565,4 +565,82 @@ class DedupAnnSpec extends SparkSpec {
       assert(r.getDouble(4) >= 1.0 - 1e-9, s"copy's best match below cosine 1: $r")
     }
   }
+
+  /** Synthetic duplicate-heavy corpus: 60 distinct seeded gaussians,
+    * 5 perturbed near-dups of the first 5 (non-trivial rep-level
+    * verdicts), then heavy exact-copy mass over both — 415 rows, 65
+    * distinct vectors.
+    */
+  private def dupHeavyCorpus = {
+    val spark0 = spark
+    import spark0.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 60).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+    val near = (0 until 5).map { i =>
+      val noise = Seq.fill(dim)(rnd.nextGaussian() * 0.05)
+      (200L + i, base(i)._2.zip(noise).map { case (a, b) => a + b })
+    }
+    val copies =
+      (for { i <- 0 until 10; c <- 0 until 30 }
+        yield (1000L + i * 100 + c, base(i)._2)) ++
+      (for { i <- 0 until 5; c <- 0 until 10 }
+        yield (5000L + i * 100 + c, near(i)._2))
+    (base ++ near ++ copies).toDF("vec_id", "embedding")
+  }
+
+  test("q6g: collapse+expand reproduces the greedy rule exactly under planted duplicate mass") {
+    val emb = dupHeavyCorpus
+    val tau = 0.95
+    val out = Dedup.semanticDedup(emb, tau = tau, cells = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    val vecs = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Double](1).toArray).toMap
+    assert(out.keySet === vecs.keySet, "one verdict row per input vector")
+    // truth = the UNCOLLAPSED greedy rule, recomputed locally with the
+    // operator's own cell assignment: a vector loses to the minimal
+    // same-cell smaller id at cosine >= tau — exact copies included,
+    // which is precisely what the collapse must reproduce
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); sa += a(i) * a(i); sb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(sa) * math.sqrt(sb))
+    }
+    val byCell = out.keys.toSeq.groupBy(id => out(id)._1)
+    byCell.foreach { case (_, ids) =>
+      val sorted = ids.sorted
+      sorted.foreach { id =>
+        val cands = sorted.takeWhile(_ < id).filter(a => cos(vecs(a), vecs(id)) >= tau)
+        val want = cands.minOption
+        assert(out(id)._3 === want, s"dup_of wrong for $id: got ${out(id)._3}, want $want")
+        assert(out(id)._2 === want.isEmpty, s"keep wrong for $id")
+      }
+    }
+    // exact copies always share their rep's cell (collapse guarantees it)
+    (0 until 10).foreach { i =>
+      (0 until 30).foreach { c =>
+        assert(out(1000L + i * 100 + c)._1 === out(i.toLong)._1,
+          s"copy of $i landed in a different cell than its original")
+      }
+    }
+    assert(out.values.count(!_._2) >= 350, "duplicate mass not deduplicated")
+  }
+
+  test("q6g: maxCell guard counts collapsed representatives and trips loudly past the cap") {
+    val emb = dupHeavyCorpus // 415 rows, 65 distinct
+    // cells=1 piles every vector into one cell. cap 70 sits BETWEEN
+    // the distinct count (65) and the row count (415): only the
+    // collapsed pairwise stage fits under it — green here proves the
+    // in-cell pair slots are bounded by distinct vectors, not copies
+    Dedup.semanticDedup(emb, tau = 0.95, cells = 1, maxCell = 70)
+    // and a cap below the distinct count must fail loudly, naming the
+    // hot cell and the remedies, BEFORE any quadratic work runs
+    val err = intercept[RuntimeException] {
+      Dedup.semanticDedup(emb, tau = 0.95, cells = 1, maxCell = 20)
+    }
+    assert(err.getMessage.contains("maxCell"), err.getMessage)
+    assert(err.getMessage.contains("adaptiveNearDups"), err.getMessage)
+    assert(err.getMessage.contains("65 distinct vectors"), err.getMessage)
+  }
 }

@@ -8,8 +8,14 @@ import org.apache.spark.sql.DataFrame
   */
 class PlanShapeSpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // plan locks assert COLD-cache shapes: an earlier suite's Stage
+    // persist (qa2/q6g staging) would otherwise substitute its
+    // InMemoryRelation into any later identical plan fragment and
+    // double-count the scans it wraps
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  }
 
   test("q01: filters and column pruning reach the parquet scan") {
     val p = plan("q01_scan_project")

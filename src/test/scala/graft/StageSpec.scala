@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** [[Stage]] — the cluster-safe one-shot materialization used by
+  * qa2's curation staging and q6g's collapsed-representative table.
+  */
+class StageSpec extends SparkSpec {
+
+  test("default staging is lineage-preserving MEMORY_AND_DISK, rows identical") {
+    val df = Tables.documents(spark, sf).select("doc_id", "source")
+    val staged = Stage(df)
+    try {
+      // cluster-safety: spillable storage, and NO localCheckpoint —
+      // lineage must survive so a lost block recomputes instead of
+      // failing the job
+      assert(staged.storageLevel === StorageLevel.MEMORY_AND_DISK)
+      assert(!staged.rdd.toDebugString.contains("LocalCheckpoint"),
+        "staging must not truncate lineage via localCheckpoint")
+      assert(staged.count() === df.count())
+      assert(staged.orderBy("doc_id").collect().toSeq ===
+        df.orderBy("doc_id").collect().toSeq)
+    } finally { staged.unpersist(); () }
+  }
+
+  test("graft.checkpointDir switches staging to a reliable checkpoint") {
+    val dir = tmpDir("graft-ckpt")
+    spark.conf.set("graft.checkpointDir", dir)
+    try {
+      val df = spark.range(0, 1000).toDF("id").withColumn("sq", col("id") * col("id"))
+      val staged = Stage(df)
+      assert(staged.count() === 1000L)
+      assert(staged.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+      // the staged bytes must actually live in the reliable dir
+      val walked = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val nFiles = try walked.filter(p => java.nio.file.Files.isRegularFile(p)).count()
+        finally walked.close()
+      assert(nFiles > 0, s"no checkpoint files written under $dir")
+    } finally spark.conf.unset("graft.checkpointDir")
+  }
+
+  test("qa2: the curated corpus is staged once — the result survives source deletion") {
+    // point the text pipeline at a throwaway parquet copy, build the
+    // composed curation (construction-time actions populate the
+    // stage), then DELETE the source: any re-scan of the curated
+    // pipeline would now fail, so a green count proves the annotation
+    // scan ran exactly once into the staged copy
+    val dir = tmpDir("graft-qa2-src")
+    Tables.documents(spark, sf).write.parquet(s"$dir/docs")
+    val docs = spark.read.parquet(s"$dir/docs")
+    val emb = Tables.embeddings(spark, sf)
+    val out = operators.Curate.curatedSemantic(docs, emb)
+    val expect = out.count()
+    // recursive delete of the docs source
+    val p = java.nio.file.Paths.get(s"$dir/docs")
+    val walked = java.nio.file.Files.walk(p)
+    try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.delete(f))
+    finally walked.close()
+    assert(!java.nio.file.Files.exists(p))
+    assert(out.count() === expect, "post-delete action re-ran the curation scan")
+    assert(expect > 0L)
+  }
+}
