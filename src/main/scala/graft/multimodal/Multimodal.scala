@@ -73,10 +73,52 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** REAL image decode for formats the JDK ships codecs for
+    * (PNG/JPEG/GIF/BMP via `javax.imageio` — no external libraries):
+    * payload bytes → pixels → a `dim`-length mean-pooled luminance
+    * grid feature in [0,1]. The image is tiled into ceil(√dim) ×
+    * ceil(dim/gw) cells (row-major, matching the feature index), and
+    * each feature is the mean (r+g+b)/3/255 over its cell — fully
+    * deterministic given the pixel data. Returns None when ImageIO
+    * has no codec for the bytes (audio, video, truncated or
+    * non-image payloads) — callers fall back to [[stubDecode]], so
+    * the decode seam never throws on the mixed-kind media table.
+    */
+  def decodeImage(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+    img.map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val gw = math.ceil(math.sqrt(dim.toDouble)).toInt
+      val gh = (dim + gw - 1) / gw
+      val sums = new Array[Double](dim)
+      val counts = new Array[Long](dim)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(y * gh / h, gh - 1)
+        var x = 0
+        while (x < w) {
+          val cell = cy * gw + math.min(x * gw / w, gw - 1)
+          if (cell < dim) {
+            val rgb = im.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0 / 255.0
+            sums(cell) += lum
+            counts(cell) += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(dim)(i => if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
+    }
+  }
+
   /** STUB decoder: a deterministic 64→`dim` fake "embedding" from a
-    * rolling FNV-1a over payload bytes. Replace the body with a real
-    * decoder (libjpeg/ffmpeg via JNI, or an arrow batch to a Python
-    * worker) without touching the plan shape.
+    * rolling FNV-1a over payload bytes — the fallback for payload
+    * kinds with no in-container codec (audio/video/raw text). Replace
+    * the body with a real decoder (ffmpeg via JNI, or an arrow batch
+    * to a Python worker) without touching the plan shape.
     */
   def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -92,15 +134,26 @@ object Multimodal {
   }
 
   /** mm02: per-partition batched decode → fixed-size features. One
-    * state setup per partition (where a real decoder would init its
-    * native context), then a pure iterator pass — streaming, no
-    * per-partition materialization.
+    * state setup per partition (where a native decoder would init its
+    * context), then a pure iterator pass — streaming, no
+    * per-partition materialization. Image payloads the JDK can decode
+    * go through the REAL pixel path ([[decodeImage]]); everything
+    * else (audio/video — no in-container codec) falls back to the
+    * deterministic [[stubDecode]], so one mixed-kind table decodes in
+    * one pass with a uniform feature contract.
     */
   def decodeFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.mapPartitions { rows =>
       // per-partition decoder init would go here
-      rows.map(r => MediaFeatures(r.media_id, r.kind, stubDecode(r.payload, dim)))
+      rows.map { r =>
+        // gate the codec probe on the metadata kind: sniffing ImageIO
+        // readers against audio/video bytes is per-row waste
+        val feat =
+          (if (r.kind == "image") decodeImage(r.payload, dim) else None)
+            .getOrElse(stubDecode(r.payload, dim))
+        MediaFeatures(r.media_id, r.kind, feat)
+      }
     }
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaRow, Multimodal}
 import org.apache.spark.sql.functions._
 
 /** mm01–mm03 — multimodal binary-column plumbing (SURVEY §2.10). */
@@ -57,6 +57,70 @@ class MultimodalSpec extends SparkSpec {
     // vector lands in exactly `tables` buckets
     val buckets = graft.ann.Knn.lshTables(feats, tables = 4, planes = 3)
     assert(buckets.count() === feats.count() * 4)
+  }
+
+  // -- real-decode path: JDK-builtin PNG codec, no external libraries
+
+  private def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  test("mm02: real PNG payloads decode to pooled pixel features; non-image kinds keep the stub") {
+    val spark0 = spark
+    import spark0.implicits._
+    val grey = png(32, 24, (_, _) => 0x808080)
+    val half = png(32, 24, (x, _) => if (x < 16) 0x000000 else 0xffffff)
+    val noise = "definitely not an image".getBytes("UTF-8")
+    val rows = Seq(
+      MediaRow(1L, "image", 32, 24, 1, 0, grey),
+      MediaRow(2L, "image", 32, 24, 1, 0, half),
+      MediaRow(3L, "audio", 0, 0, 1, 16000, noise),
+      // an image-kind payload ImageIO cannot read must fall back, not throw
+      MediaRow(4L, "image", 0, 0, 1, 0, noise)).toDS()
+    val feats = Multimodal.decodeFeatures(rows, dim = 16).collect()
+      .map(f => f.media_id -> f.feature).toMap
+    // solid mid-grey: every pooled cell is exactly 128/255
+    assert(feats(1L).forall(v => math.abs(v - 128f / 255f) < 1e-6))
+    // half black / half white, 4x4 row-major grid: left two columns 0, right two 1
+    for (cy <- 0 until 4; cx <- 0 until 4) {
+      val want = if (cx < 2) 0f else 1f
+      assert(math.abs(feats(2L)(cy * 4 + cx) - want) < 1e-6,
+        s"cell ($cy,$cx) = ${feats(2L)(cy * 4 + cx)}, want $want")
+    }
+    // non-image kind and undecodable image bytes: bit-identical stub fallback
+    assert(feats(3L).toSeq === Multimodal.stubDecode(noise, 16).toSeq)
+    assert(feats(4L).toSeq === Multimodal.stubDecode(noise, 16).toSeq)
+  }
+
+  test("mm04: real decoded pixel features drive the ANN bridge — planted twin is top-1") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.functions.VectorFunctions._
+    // patterned gradients keyed by a seed: distinct seeds → distinct
+    // features; media 1 and 99 share a pattern → bit-identical
+    // features → cosine exactly 1, so brute top-1 must find the twin
+    def patterned(seed: Int) = png(32, 32, (x, y) => {
+      val l = (x * (seed + 2) + y * 7) % 256
+      (l << 16) | (l << 8) | l
+    })
+    val rows = (Seq(1L -> 1, 99L -> 1) ++ (2L to 8L).map(i => i -> i.toInt))
+      .map { case (id, seed) => MediaRow(id, "image", 32, 32, 1, 0, patterned(seed)) }
+      .toDS()
+    val feats = Multimodal.featureEmbeddings(Multimodal.decodeFeatures(rows, dim = 16))
+    val q = feats.filter(col("vec_id") === 1L)
+      .select(col("embedding").as("qf"), col("nrm").as("qn"))
+    val top = feats.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 1L)
+      .select(col("vec_id"), cosine(col("qf"), col("embedding"), col("qn"), col("nrm")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(1).collect()
+    assert(top.head.getLong(0) === 99L, s"twin not top-1: ${top.head}")
+    assert(top.head.getDouble(1) >= 1.0 - 1e-9)
   }
 
   test("mm03: frame sampling fans out ceil(n_frames/stride) rows per video, payload sliced") {
