@@ -83,7 +83,11 @@ object Snapshots {
     }
   }
 
-  private def appendManifest(
+  /** `private[graft]` is a test seam: the two-writer race spec drives
+    * the publish step directly to interleave two writers that both
+    * observed the same next version.
+    */
+  private[graft] def appendManifest(
       spark: SparkSession, root: String, version: Long, kind: String, rel: String): Unit = {
     val f = fs(spark, root)
     val existing = versions(spark, root)
@@ -95,13 +99,36 @@ object Snapshots {
     // matches whole names only, so readers skip the .tmp file. Rename
     // refuses an existing destination, which keeps the same-version
     // writer race a loud failure instead of a lost commit.
-    val tmp = new Path(root, s"_manifest.v$version.tmp")
+    val tmp = new Path(root, s"_manifest.v$version.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     val out = f.create(tmp, true)
     try out.write(lines.getBytes("UTF-8")) finally out.close()
     val dest = new Path(root, s"_manifest.v$version")
-    if (f.exists(dest) || !f.rename(tmp, dest))
-      throw new IllegalStateException(
-        s"manifest publish race: v$version already committed in $root")
+    val qualified = f.makeQualified(dest)
+    if (qualified.toUri.getScheme == "file") {
+      // posix rename REPLACES an existing destination, so
+      // exists-then-rename has a lost-commit window under two
+      // same-version writers. link(2) is the local-fs CAS: creating a
+      // hard link fails atomically when the destination exists.
+      val destNio = java.nio.file.Paths.get(qualified.toUri)
+      val tmpNio = java.nio.file.Paths.get(f.makeQualified(tmp).toUri)
+      try java.nio.file.Files.createLink(destNio, tmpNio)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false)
+          throw new IllegalStateException(
+            s"manifest publish race: v$version already committed in $root")
+      }
+      f.delete(tmp, false)
+    } else {
+      // HDFS (and object-store committers with a rename contract):
+      // rename refuses an existing destination atomically, which keeps
+      // the same-version writer race a loud failure, not a lost commit
+      if (f.exists(dest) || !f.rename(tmp, dest)) {
+        f.delete(tmp, false)
+        throw new IllegalStateException(
+          s"manifest publish race: v$version already committed in $root")
+      }
+    }
   }
 
   /** Normalize the tombstone column: an absent `_deleted` column, or a
@@ -127,7 +154,7 @@ object Snapshots {
       .drop("_rn", prioCol, "_deleted")
   }
 
-  private def nextVersion(spark: SparkSession, root: String): Long =
+  private[graft] def nextVersion(spark: SparkSession, root: String): Long =
     versions(spark, root).lastOption.map(_._1 + 1).getOrElse(1L)
 
   /** Write data under an attempt-unique directory, then publish it via

@@ -118,4 +118,64 @@ class SnapshotsSpec extends SparkSpec {
     val names = new java.io.File(root).listFiles().map(_.getName).toSet
     assert(names.contains("_manifest.v1") && names.contains("_manifest.v2"))
   }
+
+  test("two interleaved writers: the chain stays linear, the loser fails loudly, no data is lost") {
+    val root = tmpDir("snap-race")
+    Snapshots.commit(Seq((1, "a", 10L)).toDF("id", "name", "amount"), root)
+    // both writers observe the same next version, write their data
+    // dirs under attempt-unique names, then race the manifest publish
+    val v = Snapshots.nextVersion(spark, root)
+    assert(v === 2L)
+    Seq((2, "from-A", 20L)).toDF("id", "name", "amount").write.parquet(s"$root/v$v-writerA")
+    Seq((3, "from-B", 30L)).toDF("id", "name", "amount").write.parquet(s"$root/v$v-writerB")
+    Snapshots.appendManifest(spark, root, v, "delta", s"v$v-writerA")
+    val err = intercept[IllegalStateException] {
+      Snapshots.appendManifest(spark, root, v, "delta", s"v$v-writerB")
+    }
+    assert(err.getMessage.contains("race"), err.getMessage)
+    // chain is linear and carries ONLY the winner; B's orphan data dir
+    // is invisible to every reader (the manifest is the source of truth)
+    assert(Snapshots.versions(spark, root).map(t => (t._1, t._3)) ===
+      Seq((1L, Snapshots.versions(spark, root).head._3), (2L, s"v$v-writerA")))
+    assert(rowsOf(Snapshots.latest(spark, root, Seq("id"))) ===
+      Set((1, "a", 10L), (2, "from-A", 20L)))
+    // the loser retries from a FRESH version number and lands cleanly
+    Snapshots.commitDelta(Seq((3, "from-B", 30L)).toDF("id", "name", "amount"), root)
+    assert(Snapshots.latestVersion(spark, root) === 3L)
+    assert(rowsOf(Snapshots.latest(spark, root, Seq("id"))) ===
+      Set((1, "a", 10L), (2, "from-A", 20L), (3, "from-B", 30L)))
+  }
+
+  test("concurrent committers with OCC retry: every commit lands, the chain is gapless") {
+    val root = tmpDir("snap-occ")
+    Snapshots.commit(Seq((0, "base", 0L)).toDF("id", "name", "amount"), root)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { t =>
+      new Thread(() => {
+        (0 until 4).foreach { i =>
+          val df = Seq((t * 100 + i, s"w$t-$i", i.toLong)).toDF("id", "name", "amount")
+          // standard optimistic-concurrency loop: losing the publish
+          // CAS re-reads the chain and retries under the next version
+          var done = false
+          var attempts = 0
+          while (!done && attempts < 20) {
+            attempts += 1
+            try { Snapshots.commitDelta(df, root); done = true }
+            catch { case _: IllegalStateException => () }
+          }
+          if (!done) errors.add(new IllegalStateException(s"w$t-$i never landed"))
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"${errors.size} commits lost: ${errors.peek()}")
+    val chain = Snapshots.versions(spark, root).map(_._1)
+    assert(chain === (1L to 9L), s"chain not gapless/linear: $chain")
+    // all 8 concurrent upserts are visible in the merged latest read
+    val got = rowsOf(Snapshots.latest(spark, root, Seq("id")))
+    val want = (for { t <- 1 to 2; i <- 0 until 4 }
+      yield (t * 100 + i, s"w$t-$i", i.toLong)).toSet + ((0, "base", 0L))
+    assert(got === want)
+  }
 }
