@@ -29,21 +29,37 @@ object Bench {
     // one-time versioned-store build for q94/q95 is input setup, not
     // as-of-read cost — do it untimed (idempotent, reused if present)
     try operators.Warehouse.warm(spark, sfDir) catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    // median-of-N per query (default 3): one contended trial — the
+    // documented failure mode of a shared bench box, which has faked
+    // up-to-8x "regressions" in past rounds — can no longer move a
+    // query's reported number. The cache is cleared before EVERY
+    // trial so staged persists (qa2/q6g) can't turn trials 2..N into
+    // warm-cache reads; each trial measures the cold plan.
+    val trials = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt)
+    val perTrial = SparkEntry.queries.map { case (name, fn) =>
+      val times = (0 until trials).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times
     }
+    val results = perTrial.map { case (name, times) => name -> times(times.length / 2) }
     // Locale.ROOT: the f-interpolator uses the default locale, and a
     // comma-decimal locale would print invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Full-name per-query timings for humans/the judge.
+    // Full-name per-query MEDIAN timings for humans/the judge, plus
+    // the raw sorted trials so a contended run is visible as spread.
     val full = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
+    val raw = perTrial.map { case (k, ts) =>
+      s"\"$k\":[${ts.map(fmt).mkString(",")}]"
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"trials":$trials,"trial_times":$raw,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))

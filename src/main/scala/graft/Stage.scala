@@ -52,4 +52,28 @@ object Stage {
         p.count()
         p
     }
+
+  /** Snapshot WITH lineage truncation — for frames whose recompute
+    * would be semantically wrong, not merely expensive: ingest
+    * verdicts read before the index they were scored against gains a
+    * new delta segment (a recompute after the commit would re-score
+    * against the mutated index and flip verdicts), run manifests that
+    * must outlive their run directory, and iterative-loop rounds
+    * (round i+1 must not re-plan round i).
+    *
+    * `persist` CANNOT serve these — it keeps lineage, so a lost block
+    * silently recomputes against mutated state. The safe choices are
+    * `localCheckpoint` (correct, but executor loss kills the query —
+    * fine in local mode and for small frames) or a reliable
+    * `checkpoint` when `graft.checkpointDir` points at a shared
+    * filesystem (the 100-TB cluster setting: bytes live off-executor,
+    * truncation AND fault tolerance).
+    */
+  def cut(df: DataFrame, eager: Boolean = true): DataFrame =
+    df.sparkSession.conf.getOption("graft.checkpointDir") match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
 }

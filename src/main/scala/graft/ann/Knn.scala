@@ -291,8 +291,8 @@ object Knn {
     // materialize the corpus+norm projection once: training (count,
     // Lloyd assignment passes), cell assignment, and query probing
     // would otherwise each re-run the scan+norm pipeline
-    val e = emb.select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("nrm")).localCheckpoint(true)
+    val e = graft.Stage(emb.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("nrm")))
     val spark = e.sparkSession
     import spark.implicits._
     val cents = ivfCentroids(e, iters, cells)

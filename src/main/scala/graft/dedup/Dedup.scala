@@ -991,7 +991,7 @@ object Dedup {
       root: String): DataFrame = {
     val spark = batch.sparkSession
     val g = vecIndexGeometry(spark, root)
-    val verdicts = ingestWithGeom(batch, corpusVecs, root, g).localCheckpoint(true)
+    val verdicts = graft.Stage.cut(ingestWithGeom(batch, corpusVecs, root, g))
     val keepers = keepersOf(batch, verdicts, key = "vec_id")
       .select(col("vec_id"), col("embedding"),
         graft.functions.VectorFunctions.norm2(col("embedding")).as("nrm"))
@@ -1039,7 +1039,7 @@ object Dedup {
         val v1 = ingestAndCommitVec(b1, corpus, root)
         val corpus2 = corpus.unionByName(
           b1.join(v1.filter(col("keep")).select("vec_id"), Seq("vec_id"), "left_semi"))
-        ingestAgainstVecIndex(b2, corpus2, root).orderBy("vec_id").localCheckpoint(true)
+        graft.Stage.cut(ingestAgainstVecIndex(b2, corpus2, root).orderBy("vec_id"))
       } finally {
         val p = new org.apache.hadoop.fs.Path(tmp.toString)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
@@ -1061,20 +1061,14 @@ object Dedup {
     * cluster). Returns (doc_id, cluster_id = min doc_id of the
     * component) for every doc that appears in a pair.
     */
-  /** Lineage cut for iterative loops. Defaults to `localCheckpoint`
-    * (executor-local blocks — fastest, fine on local[n] and for short
-    * loops), but a lost executor mid-loop loses blocks and KILLS the
-    * query on a real cluster: for 100 TB runs set
+  /** Lineage cut for iterative loops — [[graft.Stage.cut]]: defaults
+    * to `localCheckpoint` (executor-local blocks — fastest, fine on
+    * local[n] and for short loops); for 100 TB runs set
     * `spark.conf.set("graft.checkpointDir", "hdfs://...")` and the
     * loop uses reliable `checkpoint` instead (same plan, recoverable).
     */
   private def cut(df: DataFrame, eager: Boolean): DataFrame =
-    df.sparkSession.conf.getOption("graft.checkpointDir") match {
-      case Some(dir) =>
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(eager)
-      case None => df.localCheckpoint(eager)
-    }
+    graft.Stage.cut(df, eager)
 
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     // materialize the edge list once — `pairs` is usually the whole
@@ -1447,7 +1441,7 @@ object Dedup {
     */
   def ingestAndCommit(
       batch: DataFrame, corpusText: DataFrame, root: String, minJ: Double = 0.8): DataFrame = {
-    val verdicts = ingestAgainstIndex(batch, corpusText, root, minJ).localCheckpoint(true)
+    val verdicts = graft.Stage.cut(ingestAgainstIndex(batch, corpusText, root, minJ))
     graft.sources.Snapshots.commitDelta(
       bandedKeys(minhashSignatures(keepersOf(batch, verdicts))), root)
     verdicts
@@ -1484,7 +1478,7 @@ object Dedup {
           b1.join(v1.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi"))
         // materialize before the store disappears out from under the
         // (otherwise lazy) parquet scans
-        ingestAgainstIndex(b2, corpus2, root).orderBy("doc_id").localCheckpoint(true)
+        graft.Stage.cut(ingestAgainstIndex(b2, corpus2, root).orderBy("doc_id"))
       } finally {
         val p = new org.apache.hadoop.fs.Path(tmp.toString)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)

@@ -194,10 +194,10 @@ object TrainingRun {
     // answer. Eager checkpoint: the returned frame stays valid after
     // the caller deletes or overwrites the run directory (it is
     // chunk-count sized — tiny).
-    spark.read.schema(schema).parquet(path)
-      .groupBy("shard", "chunk")
-      .agg(count(lit(1)).as("n_docs"), sum("toks_in_chunk").as("n_tokens"))
-      .localCheckpoint(true)
+    graft.Stage.cut(
+      spark.read.schema(schema).parquet(path)
+        .groupBy("shard", "chunk")
+        .agg(count(lit(1)).as("n_docs"), sum("toks_in_chunk").as("n_tokens")))
 
   /** qa3: the composed pipeline on the raw documents table — curate,
     * keep the train split, mix to qa1's target shares by token mass,
