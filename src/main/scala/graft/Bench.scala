@@ -35,7 +35,10 @@ object Bench {
     // query's reported number. The cache is cleared before EVERY
     // trial so staged persists (qa2/q6g) can't turn trials 2..N into
     // warm-cache reads; each trial measures the cold plan.
-    val trials = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt)
+    // toIntOption: a malformed knob must not kill the bench after the
+    // warm-up (the harness swallows per-query failures by design)
+    val trials = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_TRIALS").flatMap(_.trim.toIntOption).getOrElse(3))
     val perTrial = SparkEntry.queries.map { case (name, fn) =>
       val times = (0 until trials).map { _ =>
         spark.catalog.clearCache()

@@ -50,8 +50,32 @@ object Stage {
       case None =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
         p.count()
+        staged.add(p)
         p
     }
+
+  // Persisted stages live in the session CacheManager until released
+  // — unlike localCheckpoint blocks, the ContextCleaner never reclaims
+  // them. Bounded for any fixed set of inputs (re-staging an identical
+  // plan is a no-op), but a long-lived session staging a DIFFERENT
+  // frame per batch accumulates entries; such applications call
+  // releaseAll() between batches.
+  private val staged = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every frame staged via the persist path so far (e.g.
+    * between batches of a long-lived session). Safe to call anytime:
+    * a released stage recomputes from lineage if its result is still
+    * referenced. Reliable-checkpoint stages are untouched (their
+    * bytes live under graft.checkpointDir, reclaimed with it).
+    */
+  def releaseAll(): Unit = {
+    var d = staged.poll()
+    while (d != null) {
+      try d.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      d = staged.poll()
+    }
+  }
 
   /** Snapshot WITH lineage truncation — for frames whose recompute
     * would be semantically wrong, not merely expensive: ingest

@@ -596,9 +596,13 @@ object Dedup {
     // collapse: map-side partials absorb hot exact-copy groups; the
     // staged distinct-vector table feeds centroid training, the cell
     // guard, the pairwise stage AND the member join (Stage = persist
-    // with lineage, or reliable checkpoint under graft.checkpointDir)
+    // with lineage, or reliable checkpoint under graft.checkpointDir).
+    // Null embeddings are excluded here and recovered by the LEFT
+    // member join below: no rep → keep-by-default with null lineage
+    // (a vector that cannot be scored must not be silently deleted)
     val groups = graft.Stage(
-      rows.groupBy(col("embedding"))
+      rows.filter(col("embedding").isNotNull)
+        .groupBy(col("embedding"))
         .agg(min("vec_id").as("rep"))
         .select(col("rep"), col("embedding"), norm2(col("embedding")).as("nrm")))
     val reps = groups.select(col("rep").as("vec_id"), col("embedding"), col("nrm"))
@@ -625,17 +629,23 @@ object Dedup {
     // beyond the key is two longs), and the verdict join is compact
     // (vec_id, rep) × distinct-sized reps. AQE's skew handling splits
     // the one hot embedding key; nothing here is quadratic in copies.
-    rows.join(groups.select(col("embedding"), col("rep")), Seq("embedding"))
+    // LEFT joins so a null-embedding row (no rep, no verdict) keeps
+    // its verdict slot instead of vanishing from the output.
+    rows.join(groups.select(col("embedding"), col("rep")), Seq("embedding"), "left")
       .select(col("vec_id"), col("rep"))
-      .join(repV, Seq("rep"))
+      .join(repV, Seq("rep"), "left")
       .select(
         col("vec_id"),
         col("cell"),
-        when(col("vec_id") === col("rep"), col("keep")).otherwise(lit(false)).as("keep"),
+        when(col("rep").isNull, lit(true))
+          .when(col("vec_id") === col("rep"), col("keep"))
+          .otherwise(lit(false)).as("keep"),
         when(col("vec_id") === col("rep"), col("dup_of"))
           .otherwise(coalesce(col("dup_of"), col("rep"))).as("dup_of"),
         when(col("vec_id") === col("rep"), col("best_cos"))
-          .otherwise(greatest(coalesce(col("best_cos"), lit(1.0)), lit(1.0))).as("best_cos"))
+          // a non-rep member IS an exact copy of its rep: its best
+          // match is the rep at cosine 1, always
+          .otherwise(when(col("rep").isNotNull, lit(1.0))).as("best_cos"))
   }
 
   /** q6g: the semantic-dedup query form. Rows-only [R] (k-means cell

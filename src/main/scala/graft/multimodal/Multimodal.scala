@@ -85,9 +85,14 @@ object Multimodal {
     * the decode seam never throws on the mixed-kind media table.
     */
   def decodeImage(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
+    // NonFatal, not just IOException: the JDK image plugins throw
+    // RuntimeExceptions (ArrayIndexOutOfBounds, CMMException, ...) on
+    // payloads with a valid magic header but corrupt body — a crawled
+    // corpus WILL contain those, and one bad row must fall back to the
+    // stub, not fail the task
     val img =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     img.map { im =>
       val (w, h) = (im.getWidth, im.getHeight)
       val gw = math.ceil(math.sqrt(dim.toDouble)).toInt

@@ -79,9 +79,14 @@ object TrainingRun {
     * which at the documented O(cluster cores) shard counts degrades
     * codegen (a 65536-branch CASE); the arithmetic form is one conv +
     * one multiply-div. prefix·n ≤ 65535·65536 < 2⁶³, no overflow.
+    * coalesce(_, 0): a null ikey (null doc_id/epoch null-propagates
+    * through the md5) lands in shard 0, exactly as the threshold
+    * chain's otherwise(0) branch did — never a null-shard partition.
     */
   private def shardCol(n: Int) =
-    expr(s"CAST((CAST(conv(substring(ikey, 1, 4), 16, 10) AS BIGINT) * $n) div 65536 AS INT)")
+    coalesce(
+      expr(s"CAST((CAST(conv(substring(ikey, 1, 4), 16, 10) AS BIGINT) * $n) div 65536 AS INT)"),
+      lit(0))
 
   /** The packed-run manifest: one row per (shard, chunk) with its
     * document-span count and token count. Input must carry doc_id,

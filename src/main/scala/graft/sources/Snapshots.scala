@@ -104,6 +104,16 @@ object Snapshots {
     try out.write(lines.getBytes("UTF-8")) finally out.close()
     val dest = new Path(root, s"_manifest.v$version")
     val qualified = f.makeQualified(dest)
+    // HDFS (and object-store committers with a rename contract):
+    // rename refuses an existing destination atomically, which keeps
+    // the same-version writer race a loud failure, not a lost commit.
+    // Also the fallback for file: mounts without hard-link support.
+    def renamePublish(): Unit =
+      if (f.exists(dest) || !f.rename(tmp, dest)) {
+        f.delete(tmp, false)
+        throw new IllegalStateException(
+          s"manifest publish race: v$version already committed in $root")
+      }
     if (qualified.toUri.getScheme == "file") {
       // posix rename REPLACES an existing destination, so
       // exists-then-rename has a lost-commit window under two
@@ -111,24 +121,21 @@ object Snapshots {
       // hard link fails atomically when the destination exists.
       val destNio = java.nio.file.Paths.get(qualified.toUri)
       val tmpNio = java.nio.file.Paths.get(f.makeQualified(tmp).toUri)
-      try java.nio.file.Files.createLink(destNio, tmpNio)
-      catch {
+      try {
+        java.nio.file.Files.createLink(destNio, tmpNio)
+        f.delete(tmp, false)
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           f.delete(tmp, false)
           throw new IllegalStateException(
             s"manifest publish race: v$version already committed in $root")
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          // file: mount without hard links (FAT, some CIFS/fuse):
+          // fall back to the rename CAS — non-atomic there, but the
+          // store keeps working where the old publish worked
+          renamePublish()
       }
-      f.delete(tmp, false)
-    } else {
-      // HDFS (and object-store committers with a rename contract):
-      // rename refuses an existing destination atomically, which keeps
-      // the same-version writer race a loud failure, not a lost commit
-      if (f.exists(dest) || !f.rename(tmp, dest)) {
-        f.delete(tmp, false)
-        throw new IllegalStateException(
-          s"manifest publish race: v$version already committed in $root")
-      }
-    }
+    } else renamePublish()
   }
 
   /** Normalize the tombstone column: an absent `_deleted` column, or a

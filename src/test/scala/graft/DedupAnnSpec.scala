@@ -627,6 +627,18 @@ class DedupAnnSpec extends SparkSpec {
     assert(out.values.count(!_._2) >= 350, "duplicate mass not deduplicated")
   }
 
+  test("q6g: a null-embedding row keeps its verdict slot (keep-by-default, null lineage)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val withNull = dupHeavyCorpus.unionByName(
+      Seq((9999L, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "embedding"))
+    val r = Dedup.semanticDedup(withNull, tau = 0.95, cells = 4)
+      .filter(col("vec_id") === 9999L).collect()
+    assert(r.length === 1, "null-embedding row vanished from the verdicts")
+    assert(r.head.isNullAt(1) && r.head.getBoolean(2) && r.head.isNullAt(3) && r.head.isNullAt(4),
+      s"null-embedding verdict must be (null cell, keep, null dup_of, null best_cos): ${r.head}")
+  }
+
   test("q6g: maxCell guard counts collapsed representatives and trips loudly past the cap") {
     val emb = dupHeavyCorpus // 415 rows, 65 distinct
     // cells=1 piles every vector into one cell. cap 70 sits BETWEEN

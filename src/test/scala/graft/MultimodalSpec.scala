@@ -97,6 +97,23 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(4L).toSeq === Multimodal.stubDecode(noise, 16).toSeq)
   }
 
+  test("mm02: a corrupt payload behind a valid PNG magic falls back to the stub, never throws") {
+    val spark0 = spark
+    import spark0.implicits._
+    // valid 8-byte PNG signature + garbage body — the shape a crawled
+    // corpus actually contains; plugin parse errors must not fail the task
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n') ++
+      Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
+    val truncated = png(16, 16, (_, _) => 0x336699).take(40) // headers cut mid-chunk
+    val rows = Seq(
+      MediaRow(10L, "image", 16, 16, 1, 0, corrupt),
+      MediaRow(11L, "image", 16, 16, 1, 0, truncated)).toDS()
+    val feats = Multimodal.decodeFeatures(rows, dim = 16).collect()
+      .map(f => f.media_id -> f.feature).toMap
+    assert(feats(10L).toSeq === Multimodal.stubDecode(corrupt, 16).toSeq)
+    assert(feats(11L).toSeq === Multimodal.stubDecode(truncated, 16).toSeq)
+  }
+
   test("mm04: real decoded pixel features drive the ANN bridge — planted twin is top-1") {
     val spark0 = spark
     import spark0.implicits._

@@ -24,6 +24,19 @@ class StageSpec extends SparkSpec {
     } finally { staged.unpersist(); () }
   }
 
+  test("releaseAll unpersists accumulated stages; released frames recompute from lineage") {
+    val a = Stage(Tables.documents(spark, sf).select("doc_id"))
+    val b = Stage(Tables.documents(spark, sf).select("doc_id", "source"))
+    assert(a.storageLevel === StorageLevel.MEMORY_AND_DISK)
+    assert(b.storageLevel === StorageLevel.MEMORY_AND_DISK)
+    val n = a.count()
+    Stage.releaseAll()
+    assert(a.storageLevel === StorageLevel.NONE, "stage not released")
+    assert(b.storageLevel === StorageLevel.NONE, "stage not released")
+    // lineage survives the release: the frame still computes
+    assert(a.count() === n)
+  }
+
   test("graft.checkpointDir switches staging to a reliable checkpoint") {
     val dir = tmpDir("graft-ckpt")
     spark.conf.set("graft.checkpointDir", dir)
