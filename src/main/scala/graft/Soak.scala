@@ -232,6 +232,32 @@ object Soak {
       s"(exact floor $exactFloor" +
       (if (r6f.getLong(1) < exactFloor) " — RECALL FLOOR VIOLATED)" else ")"))
 
+    // ------- q6g: semantic dedup under 10× exact-copy mass (r7 item) -------
+    // The fan IS the SemDeDup pathology: every vector carries `copies`
+    // bit-identical members, so WITHOUT the exact-copy collapse each
+    // k-means cell would hold copies× its distinct membership and the
+    // in-cell pairwise stage would pay copies²× the slots. The
+    // collapse trains cells and runs the pairwise search on distinct
+    // representatives; the auto maxCell guard must stay silent, every
+    // non-min copy must drop, and the member-count cell stats expose
+    // the slot bound the collapse buys.
+    val (out6g, s6g) = timed("q6g_semantic_10x")(
+      Dedup.semanticDedup(fe, tau = 0.4).localCheckpoint(true))
+    val agg6g = out6g.agg(count(lit(1)),
+      sum(when(col("keep"), 1L).otherwise(0L))).head()
+    val kept6g = agg6g.getLong(1)
+    val slot6g = out6g.groupBy("cell").count().agg(
+      max("count"),
+      sum(col("count") * (col("count") - 1) / 2),
+      sum((col("count") / copies) * (col("count") / copies - 1) / 2)).head()
+    val slotsMembers = slot6g.getDouble(1).toLong
+    val slotsReps = slot6g.getDouble(2).toLong
+    println(s"[soak] q6g: rows=${agg6g.getLong(0)} kept=$kept6g (distinct $e0" +
+      (if (kept6g > e0) " — COPY LEAKED past the collapse)" else ")") +
+      s" max_cell_members=${slot6g.getLong(0)}" +
+      f" pair_slots uncollapsed=$slotsMembers collapsed=$slotsReps" +
+      f" (${slotsMembers.toDouble / math.max(1L, slotsReps)}%.0fx reduction)")
+
     // ---------------- qa3 training run at 10× instance mass ----------------
     // the fan's identical copies would just collapse in curation's
     // exact dedup — suffix each copy's text with ' x<doc_id>' (two
@@ -267,6 +293,7 @@ object Soak {
       f""""q68_secs":$s68%.1f,"q69_secs":$s69%.1f,"q6b_ingest_secs":$s6b%.1f,""" +
       f""""q65_pairs":$pairs65,"q65_secs":$s65%.1f,"q6c_secs":$s6c%.1f,""" +
       f""""q6f_hot_secs":$s6f%.1f,"q6f_slot_red":${bsPlain._5.toDouble / math.max(1L, bsRef._5)}%.1f,""" +
+      f""""q6g_secs":$s6g%.1f,"q6g_slot_red":${slotsMembers.toDouble / math.max(1L, slotsReps)}%.1f,""" +
       f""""qa3_curate_secs":$sCur%.1f,"qa3_run_secs":$sRun%.1f}""")
     spark.stop()
   }

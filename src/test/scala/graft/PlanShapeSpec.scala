@@ -393,6 +393,12 @@ class PlanShapeSpec extends SparkSpec {
     val p = sp.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"semantic dedup fell back to a cross join:\n$p")
+    // the exact-copy collapse must be a PARTIAL hash/object agg on the
+    // embedding value (map-side combine is what absorbs a 10^8-copy
+    // vector before the shuffle ships anything); it lives inside the
+    // staged InMemoryRelation subtree, which prints its cached plan
+    assert(p.contains("partial_min(vec_id"),
+      s"collapse groupBy lost its map-side partial aggregation:\n$p")
   }
 
   test("qa1: mixture — corpus never shuffles; the plan joins back as a broadcast") {
