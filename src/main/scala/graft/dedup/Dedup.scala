@@ -564,8 +564,9 @@ object Dedup {
     * Duplicate-heavy mass — the corpus shape a deduplicator actually
     * sees — is handled in TWO layers:
     *
-    *  1. exact-copy COLLAPSE first (the [[collapsedNearDups]] shape):
-    *     a partial-agg groupBy on the embedding value reduces a
+    *  1. exact-copy COLLAPSE first (the [[collapsedNearDups]] shape,
+    *     keyed by a 96-bit content hash so no exchange ever carries
+    *     an array as its key): a partial-agg groupBy reduces a
     *     10⁸-copy vector to one representative per map task before
     *     anything shuffles, training/cells/pairwise all run on the
     *     DISTINCT vectors, and member verdicts are recovered exactly
@@ -600,11 +601,23 @@ object Dedup {
     // Null embeddings are excluded here and recovered by the LEFT
     // member join below: no rep → keep-by-default with null lineage
     // (a vector that cannot be scored must not be silently deleted)
+    // group key = a 96-bit content hash pair, not the array itself:
+    // at warehouse scale the arrays are the dominant shuffle payload
+    // (1024-dim float ≈ 4 KB vs 12 bytes), and BOTH the collapse
+    // exchange and the member-expansion join key on this. A silent
+    // pair-collision (two DIFFERENT vectors sharing both hashes —
+    // ~n²/2⁹⁶, ≈10⁻¹⁰ at 10⁹ distinct) would wrongly collapse one
+    // vector; the same accepted trade as the md5 content keys of
+    // q60/q61/q68.
+    val keyed = rows.filter(col("embedding").isNotNull)
+      .withColumn("gk1", xxhash64(col("embedding")))
+      .withColumn("gk2", hash(col("embedding")))
     val groups = graft.Stage(
-      rows.filter(col("embedding").isNotNull)
-        .groupBy(col("embedding"))
-        .agg(min("vec_id").as("rep"))
-        .select(col("rep"), col("embedding"), norm2(col("embedding")).as("nrm")))
+      keyed
+        .groupBy(col("gk1"), col("gk2"))
+        .agg(min("vec_id").as("rep"), first("embedding").as("embedding"))
+        .select(col("gk1"), col("gk2"), col("rep"), col("embedding"),
+          norm2(col("embedding")).as("nrm")))
     val reps = groups.select(col("rep").as("vec_id"), col("embedding"), col("nrm"))
     val cents = graft.ann.Knn.ivfCentroids(reps, iters, cells)
     val cap =
@@ -624,14 +637,17 @@ object Dedup {
           "or raise `maxCell` explicitly if the quadratic cell is intended.")
     val repV = semanticVerdictsFor(reps, cents, tau)
       .withColumnRenamed("vec_id", "rep")
-    // expand rep verdicts to members: the (embedding → rep) join is
-    // the collapse shuffle's twin (key = the array itself; payload
-    // beyond the key is two longs), and the verdict join is compact
-    // (vec_id, rep) × distinct-sized reps. AQE's skew handling splits
-    // the one hot embedding key; nothing here is quadratic in copies.
-    // LEFT joins so a null-embedding row (no rep, no verdict) keeps
-    // its verdict slot instead of vanishing from the output.
-    rows.join(groups.select(col("embedding"), col("rep")), Seq("embedding"), "left")
+    // expand rep verdicts to members: the (hash-key → rep) join ships
+    // only (vec_id, gk1, gk2) — 24 bytes per member, never an array —
+    // and the verdict join is compact (vec_id, rep) × distinct-sized
+    // reps. AQE's skew handling splits the one hot key; nothing here
+    // is quadratic in copies. LEFT joins so a null-embedding row (no
+    // rep, no verdict) keeps its verdict slot instead of vanishing.
+    keyed.select(col("vec_id"), col("gk1"), col("gk2"))
+      .unionByName(rows.filter(col("embedding").isNull)
+        .select(col("vec_id"), lit(null).cast("bigint").as("gk1"),
+          lit(null).cast("int").as("gk2")))
+      .join(groups.select(col("gk1"), col("gk2"), col("rep")), Seq("gk1", "gk2"), "left")
       .select(col("vec_id"), col("rep"))
       .join(repV, Seq("rep"), "left")
       .select(
@@ -800,9 +816,14 @@ object Dedup {
       tables: Int = 0,
       planes: Int = 0,
       probe1: Boolean = false): DataFrame = {
+    // collapse key = the 96-bit content hash pair, not the array:
+    // the grouping exchange then never ships an embedding as its key
+    // (one array per DISTINCT vector rides as the first() payload).
+    // Same collision trade as the q60/q61 md5 keys, ~n²/2⁹⁶.
     val groups = emb
-      .groupBy(col("embedding"))
-      .agg(min("vec_id").as("rep"), count(lit(1)).as("sz"))
+      .groupBy(xxhash64(col("embedding")).as("gk1"), hash(col("embedding")).as("gk2"))
+      .agg(min("vec_id").as("rep"), count(lit(1)).as("sz"),
+        first("embedding").as("embedding"))
     val reps = groups.select(col("rep").as("vec_id"), col("embedding"))
     val sizes = groups.select(col("rep"), col("sz"))
     val cross = embeddingNearDups(reps, tables, planes, tau, probe1)
