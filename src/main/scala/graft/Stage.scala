@@ -54,6 +54,23 @@ object Stage {
         p
     }
 
+  /** [[apply]] plus the staged row count: the eager materialization
+    * action doubles as the caller's size probe (cap/geometry knobs
+    * derived from n), so no second count job runs.
+    */
+  def counted(df: DataFrame): (DataFrame, Long) =
+    df.sparkSession.conf.getOption("graft.checkpointDir") match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        val c = df.checkpoint(eager = true)
+        (c, c.count())
+      case None =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        val n = p.count()
+        staged.add(p)
+        (p, n)
+    }
+
   // Persisted stages live in the session CacheManager until released
   // — unlike localCheckpoint blocks, the ContextCleaner never reclaims
   // them. Bounded for any fixed set of inputs (re-staging an identical

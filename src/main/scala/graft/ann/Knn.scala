@@ -230,10 +230,14 @@ object Knn {
     * a sample; assignment stays a narrow map over the full corpus.
     * `cells = 0` derives the count from corpus size ([[cellsFor]]).
     */
-  def ivfCentroids(e: DataFrame, iters: Int = 2, cells: Int = 0): Seq[(Long, Seq[Double])] = {
+  def ivfCentroids(
+      e: DataFrame, iters: Int = 2, cells: Int = 0,
+      knownN: Long = -1L): Seq[(Long, Seq[Double])] = {
     val spark = e.sparkSession
     import spark.implicits._
-    val n = e.count()
+    // knownN: callers that just materialized `e` pass the count from
+    // that action instead of paying a second count job
+    val n = if (knownN >= 0L) knownN else e.count()
     val k = if (cells > 0) cells else cellsFor(n)
     val step = math.max(1L, n / k)
     // Lloyd trains on a deterministic hash-sample capped at ~256·k

@@ -612,17 +612,17 @@ object Dedup {
     val keyed = rows.filter(col("embedding").isNotNull)
       .withColumn("gk1", xxhash64(col("embedding")))
       .withColumn("gk2", hash(col("embedding")))
-    val groups = graft.Stage(
+    val (groups, nReps) = graft.Stage.counted(
       keyed
         .groupBy(col("gk1"), col("gk2"))
         .agg(min("vec_id").as("rep"), first("embedding").as("embedding"))
         .select(col("gk1"), col("gk2"), col("rep"), col("embedding"),
           norm2(col("embedding")).as("nrm")))
     val reps = groups.select(col("rep").as("vec_id"), col("embedding"), col("nrm"))
-    val cents = graft.ann.Knn.ivfCentroids(reps, iters, cells)
+    val cents = graft.ann.Knn.ivfCentroids(reps, iters, cells, knownN = nReps)
     val cap =
       if (maxCell > 0) maxCell.toLong
-      else math.max(4096L, (16.0 * math.sqrt(groups.count().toDouble)).toLong)
+      else math.max(4096L, (16.0 * math.sqrt(nReps.toDouble)).toLong)
     val hot = graft.ann.Knn.assignCell(reps, cents)
       .groupBy("cell").agg(count(lit(1)).as("sz"))
       .filter(col("sz") > cap)
