@@ -53,6 +53,30 @@ class StageSpec extends SparkSpec {
     } finally spark.conf.unset("graft.checkpointDir")
   }
 
+  test("Stage.cut truncates lineage; graft.checkpointDir makes the cut reliable") {
+    // default: localCheckpoint — the plan below the cut is gone, so a
+    // consumer cannot re-run the upstream pipeline (the property the
+    // ingest cycles depend on: verdicts must never re-score against a
+    // mutated index)
+    val local = Stage.cut(spark.range(0, 100).toDF("id"))
+    assert(local.rdd.toDebugString.contains("LocalCheckpoint"),
+      "default cut must be a localCheckpoint")
+    assert(local.count() === 100L)
+    // reliable path: same truncation, bytes on the shared filesystem
+    val dir = tmpDir("graft-cut-ckpt")
+    spark.conf.set("graft.checkpointDir", dir)
+    try {
+      val cut = Stage.cut(spark.range(0, 50).toDF("id"))
+      assert(cut.count() === 50L)
+      assert(cut.rdd.toDebugString.contains("ReliableCheckpoint"),
+        s"cut under graft.checkpointDir must be a reliable checkpoint:\n${cut.rdd.toDebugString}")
+      val walked = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val nFiles = try walked.filter(p => java.nio.file.Files.isRegularFile(p)).count()
+        finally walked.close()
+      assert(nFiles > 0, s"no checkpoint files under $dir")
+    } finally spark.conf.unset("graft.checkpointDir")
+  }
+
   test("qa2: the curated corpus is staged once — the result survives source deletion") {
     // point the text pipeline at a throwaway parquet copy, build the
     // composed curation (construction-time actions populate the
