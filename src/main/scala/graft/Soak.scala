@@ -246,15 +246,26 @@ object Soak {
     val agg6g = out6g.agg(count(lit(1)),
       sum(when(col("keep"), 1L).otherwise(0L))).head()
     val kept6g = agg6g.getLong(1)
-    val slot6g = out6g.groupBy("cell").count().agg(
-      max("count"),
-      sum(col("count") * (col("count") - 1) / 2),
-      sum((col("count") / copies) * (col("count") / copies - 1) / 2)).head()
-    val slotsMembers = slot6g.getDouble(1).toLong
-    val slotsReps = slot6g.getDouble(2).toLong
-    println(s"[soak] q6g: rows=${agg6g.getLong(0)} kept=$kept6g (distinct $e0" +
-      (if (kept6g > e0) " — COPY LEAKED past the collapse)" else ")") +
-      s" max_cell_members=${slot6g.getLong(0)}" +
+    // a fan group is (vec_id % eStride): the greedy rule can keep at
+    // most ONE member of a bit-identical group — any second keeper is
+    // a copy that leaked past the collapse, wherever it sits
+    val leak6g = out6g.filter(col("keep"))
+      .groupBy(pmod(col("vec_id"), lit(eStride)))
+      .count().filter(col("count") > 1).count()
+    // member-counted vs representative-counted cell slots: the rep
+    // count comes from the ACTUAL base-generation rows (vec_id <
+    // eStride — exactly one per distinct vector), not from dividing
+    // member counts by `copies`, so a leak would show up as a real
+    // slot increase instead of fractional nonsense
+    val memAgg = out6g.groupBy("cell").count()
+      .agg(max("count"), sum(col("count") * (col("count") - 1) / 2)).head()
+    val repAgg = out6g.filter(col("vec_id") < eStride).groupBy("cell").count()
+      .agg(sum(col("count") * (col("count") - 1) / 2)).head()
+    val slotsMembers = memAgg.getDouble(1).toLong
+    val slotsReps = repAgg.getDouble(0).toLong
+    println(s"[soak] q6g: rows=${agg6g.getLong(0)} kept=$kept6g (distinct $e0)" +
+      (if (leak6g > 0) s" — $leak6g GROUPS WITH LEAKED COPIES" else " no leaks") +
+      s" max_cell_members=${memAgg.getLong(0)}" +
       f" pair_slots uncollapsed=$slotsMembers collapsed=$slotsReps" +
       f" (${slotsMembers.toDouble / math.max(1L, slotsReps)}%.0fx reduction)")
 

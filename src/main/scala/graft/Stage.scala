@@ -54,15 +54,16 @@ object Stage {
         p
     }
 
-  /** [[apply]] plus the staged row count: the eager materialization
-    * action doubles as the caller's size probe (cap/geometry knobs
-    * derived from n), so no second count job runs.
+  /** [[apply]] plus the staged row count. On the persist path the
+    * eager materialization action doubles as the size probe — no
+    * second job runs. On the checkpoint path the count is a separate
+    * job, but it scans the checkpointed bytes (no recompute of the
+    * upstream plan).
     */
   def counted(df: DataFrame): (DataFrame, Long) =
     df.sparkSession.conf.getOption("graft.checkpointDir") match {
-      case Some(dir) =>
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
-        val c = df.checkpoint(eager = true)
+      case Some(_) =>
+        val c = apply(df)
         (c, c.count())
       case None =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -564,12 +564,13 @@ object Dedup {
     * Duplicate-heavy mass — the corpus shape a deduplicator actually
     * sees — is handled in TWO layers:
     *
-    *  1. exact-copy COLLAPSE first (the [[collapsedNearDups]] shape,
-    *     keyed by a 96-bit content hash so no exchange ever carries
-    *     an array as its key): a partial-agg groupBy reduces a
-    *     10⁸-copy vector to one representative per map task before
-    *     anything shuffles, training/cells/pairwise all run on the
-    *     DISTINCT vectors, and member verdicts are recovered exactly
+    *  1. exact-copy COLLAPSE first (the [[collapsedNearDups]] shape):
+    *     a partial hash-agg groupBy reduces a 10⁸-copy vector to one
+    *     representative per map task before anything shuffles,
+    *     training/cells/pairwise all run on the DISTINCT vectors, the
+    *     member-expansion join keys on a 96-bit content hash (24
+    *     bytes per member, never an array), and member verdicts are
+    *     recovered exactly
     *     (a non-rep member of group rep r loses to
     *     `coalesce(dup_of(r), r)` at cosine 1 — provably the same
     *     verdict the uncollapsed greedy rule assigns, because the
@@ -598,24 +599,32 @@ object Dedup {
     // staged distinct-vector table feeds centroid training, the cell
     // guard, the pairwise stage AND the member join (Stage = persist
     // with lineage, or reliable checkpoint under graft.checkpointDir).
-    // Null embeddings are excluded here and recovered by the LEFT
-    // member join below: no rep → keep-by-default with null lineage
-    // (a vector that cannot be scored must not be silently deleted)
-    // group key = a 96-bit content hash pair, not the array itself:
-    // at warehouse scale the arrays are the dominant shuffle payload
-    // (1024-dim float ≈ 4 KB vs 12 bytes), and BOTH the collapse
-    // exchange and the member-expansion join key on this. A silent
-    // pair-collision (two DIFFERENT vectors sharing both hashes —
-    // ~n²/2⁹⁶, ≈10⁻¹⁰ at 10⁹ distinct) would wrongly collapse one
-    // vector; the same accepted trade as the md5 content keys of
-    // q60/q61/q68.
-    val keyed = rows.filter(col("embedding").isNotNull)
+    // Null and null-ELEMENT embeddings are excluded and recovered by
+    // the LEFT member join below as keep-by-default with null lineage
+    // — they have no computable cosine, and (crucially) Spark's array
+    // hashes SKIP null elements, so [1.0, null] and [1.0] would
+    // deterministically share the member-join key; un-scorable rows
+    // must never ride the hash path at all.
+    //
+    // The grouping key KEEPS the array (exact distinct groups, and a
+    // pure HashAggregate — adding an array-typed aggregate like
+    // first(embedding) would demote the collapse to SortAggregate and
+    // put a per-task sort of the member corpus on the hot path). The
+    // 96-bit (xxhash64, murmur3) content-hash pair is carried
+    // alongside for the MEMBER-EXPANSION join, which is where the
+    // array payload would otherwise hurt: members ship 24 bytes each,
+    // never an array. A pair-collision between two DISTINCT vectors
+    // (~n²/2⁹⁶) would emit duplicate member verdicts — loud in row
+    // counts, never a silent wrong deletion.
+    val validEmb = col("embedding").isNotNull &&
+      !exists(col("embedding"), e => e.isNull)
+    val keyed = rows.filter(validEmb)
       .withColumn("gk1", xxhash64(col("embedding")))
       .withColumn("gk2", hash(col("embedding")))
     val (groups, nReps) = graft.Stage.counted(
       keyed
-        .groupBy(col("gk1"), col("gk2"))
-        .agg(min("vec_id").as("rep"), first("embedding").as("embedding"))
+        .groupBy(col("gk1"), col("gk2"), col("embedding"))
+        .agg(min("vec_id").as("rep"))
         .select(col("gk1"), col("gk2"), col("rep"), col("embedding"),
           norm2(col("embedding")).as("nrm")))
     val reps = groups.select(col("rep").as("vec_id"), col("embedding"), col("nrm"))
@@ -641,10 +650,10 @@ object Dedup {
     // only (vec_id, gk1, gk2) — 24 bytes per member, never an array —
     // and the verdict join is compact (vec_id, rep) × distinct-sized
     // reps. AQE's skew handling splits the one hot key; nothing here
-    // is quadratic in copies. LEFT joins so a null-embedding row (no
+    // is quadratic in copies. LEFT joins so an un-scorable row (no
     // rep, no verdict) keeps its verdict slot instead of vanishing.
     keyed.select(col("vec_id"), col("gk1"), col("gk2"))
-      .unionByName(rows.filter(col("embedding").isNull)
+      .unionByName(rows.filter(!validEmb)
         .select(col("vec_id"), lit(null).cast("bigint").as("gk1"),
           lit(null).cast("int").as("gk2")))
       .join(groups.select(col("gk1"), col("gk2"), col("rep")), Seq("gk1", "gk2"), "left")
@@ -816,14 +825,19 @@ object Dedup {
       tables: Int = 0,
       planes: Int = 0,
       probe1: Boolean = false): DataFrame = {
-    // collapse key = the 96-bit content hash pair, not the array:
-    // the grouping exchange then never ships an embedding as its key
-    // (one array per DISTINCT vector rides as the first() payload).
-    // Same collision trade as the q60/q61 md5 keys, ~n²/2⁹⁶.
+    // group by the array VALUE: exact distinct groups and a pure
+    // HashAggregate (array grouping keys hash-aggregate fine; an
+    // array-typed AGGREGATE like first(embedding) would demote this
+    // to SortAggregate and sort the member corpus per task). Nothing
+    // downstream joins back to members here — pairs are reported
+    // group-aware — so a compact surrogate key buys nothing.
+    // Un-scorable embeddings (null, or containing null elements —
+    // no computable cosine) are excluded from pair reporting.
     val groups = emb
-      .groupBy(xxhash64(col("embedding")).as("gk1"), hash(col("embedding")).as("gk2"))
-      .agg(min("vec_id").as("rep"), count(lit(1)).as("sz"),
-        first("embedding").as("embedding"))
+      .filter(col("embedding").isNotNull &&
+        !exists(col("embedding"), e => e.isNull))
+      .groupBy(col("embedding"))
+      .agg(min("vec_id").as("rep"), count(lit(1)).as("sz"))
     val reps = groups.select(col("rep").as("vec_id"), col("embedding"))
     val sizes = groups.select(col("rep"), col("sz"))
     val cross = embeddingNearDups(reps, tables, planes, tau, probe1)

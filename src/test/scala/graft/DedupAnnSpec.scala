@@ -627,16 +627,27 @@ class DedupAnnSpec extends SparkSpec {
     assert(out.values.count(!_._2) >= 350, "duplicate mass not deduplicated")
   }
 
-  test("q6g: a null-embedding row keeps its verdict slot (keep-by-default, null lineage)") {
+  test("q6g: null and null-element embeddings keep their verdict slots (keep-by-default)") {
     val spark0 = spark
     import spark0.implicits._
-    val withNull = dupHeavyCorpus.unionByName(
-      Seq((9999L, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "embedding"))
+    // a wholly-null embedding, and a null-ELEMENT one: Spark's array
+    // hashes skip null elements, so [1.0, null] would deterministically
+    // collide with [1.0] on the member-join key — un-scorable rows must
+    // bypass the hash path entirely, not merge into someone's group
+    val degenerate = spark.range(1).select(lit(9999L).as("vec_id"),
+        lit(null).cast("array<double>").as("embedding"))
+      .unionByName(spark.range(1).select(lit(9998L).as("vec_id"),
+        array(lit(1.0), lit(null).cast("double")).as("embedding")))
+    val withNull = dupHeavyCorpus.unionByName(degenerate)
     val r = Dedup.semanticDedup(withNull, tau = 0.95, cells = 4)
-      .filter(col("vec_id") === 9999L).collect()
-    assert(r.length === 1, "null-embedding row vanished from the verdicts")
-    assert(r.head.isNullAt(1) && r.head.getBoolean(2) && r.head.isNullAt(3) && r.head.isNullAt(4),
-      s"null-embedding verdict must be (null cell, keep, null dup_of, null best_cos): ${r.head}")
+      .filter(col("vec_id") >= 9998L).collect()
+      .map(row => row.getLong(0) -> row).toMap
+    assert(r.size === 2, "degenerate rows vanished from the verdicts")
+    Seq(9998L, 9999L).foreach { id =>
+      val row = r(id)
+      assert(row.isNullAt(1) && row.getBoolean(2) && row.isNullAt(3) && row.isNullAt(4),
+        s"degenerate verdict for $id must be (null cell, keep, null dup_of, null best_cos): $row")
+    }
   }
 
   test("q6g: maxCell guard counts collapsed representatives and trips loudly past the cap") {

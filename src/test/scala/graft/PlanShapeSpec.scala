@@ -399,6 +399,13 @@ class PlanShapeSpec extends SparkSpec {
     // staged InMemoryRelation subtree, which prints its cached plan
     assert(p.contains("partial_min(vec_id"),
       s"collapse groupBy lost its map-side partial aggregation:\n$p")
+    // and it must stay a HASH aggregate: an array-typed aggregate
+    // expression (first(embedding) et al.) demotes the collapse to
+    // SortAggregate, which sorts the member corpus (with its arrays)
+    // in every task — arrays may ride the grouping KEY, never the
+    // aggregate buffer
+    assert(!p.contains("SortAggregate"),
+      s"q6g plan contains a SortAggregate — collapse demoted from hash aggregation:\n$p")
   }
 
   test("qa1: mixture — corpus never shuffles; the plan joins back as a broadcast") {
