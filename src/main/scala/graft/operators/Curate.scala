@@ -168,7 +168,8 @@ object Curate {
       minQuality: Double = 0.12,
       lang: String = "en",
       tau: Double = 0.4,
-      cells: Int = 0): DataFrame = {
+      cells: Int = 0,
+      maxCell: Int = 0): DataFrame = {
     // materialize the text pipeline ONCE: semanticDedup consumes the
     // survivors (through the semi join below) at construction time,
     // and the final verdict join reads `c` again — without this the
@@ -181,7 +182,7 @@ object Curate {
     val c = graft.Stage(curated(docs, minQuality, lang))
     val survivors = emb.select(col("vec_id"), col("embedding"))
       .join(c.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-    val verdicts = graft.dedup.Dedup.semanticDedup(survivors, tau, cells)
+    val verdicts = graft.dedup.Dedup.semanticDedup(survivors, tau, cells, maxCell = maxCell)
       .select(col("vec_id").as("doc_id"), col("cell"), col("dup_of"), col("keep"))
     // left join + keep-if-no-verdict: a text survivor WITHOUT an
     // embedding row cannot be semantically deduped — it stays in the
