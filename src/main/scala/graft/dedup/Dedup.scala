@@ -616,8 +616,7 @@ object Dedup {
     // never an array. A pair-collision between two DISTINCT vectors
     // (~n²/2⁹⁶) would emit duplicate member verdicts — loud in row
     // counts, never a silent wrong deletion.
-    val validEmb = col("embedding").isNotNull &&
-      !exists(col("embedding"), e => e.isNull)
+    val validEmb = col("embedding").isNotNull && !vecHasNull(col("embedding"))
     val keyed = rows.filter(validEmb)
       .withColumn("gk1", xxhash64(col("embedding")))
       .withColumn("gk2", hash(col("embedding")))
@@ -835,7 +834,7 @@ object Dedup {
     // no computable cosine) are excluded from pair reporting.
     val groups = emb
       .filter(col("embedding").isNotNull &&
-        !exists(col("embedding"), e => e.isNull))
+        !graft.functions.VectorFunctions.vecHasNull(col("embedding")))
       .groupBy(col("embedding"))
       .agg(min("vec_id").as("rep"), count(lit(1)).as("sz"))
     val reps = groups.select(col("rep").as("vec_id"), col("embedding"))

@@ -144,6 +144,44 @@ case class NormL2(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** True iff the array contains a null element — the codegen'd
+  * validity probe for dense-vector inputs. The vector folds above
+  * read null elements as 0.0 (ArrayData getters return defaults), so
+  * operators that must ROUTE malformed vectors rather than silently
+  * zero them (semanticDedup's keep-by-default branch) gate on this.
+  * The SQL higher-order `exists(a, isnull)` computes the same thing
+  * but is eval-only — an interpreted lambda per corpus row on a scan
+  * path that should stay inside whole-stage codegen.
+  */
+case class HasNullElem(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_vec_has_null"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < x.numElements()) {
+      if (x.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      s"""
+         |${ev.value} = false;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.value} = true; break; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Static twin of [[ArgMinCell]]'s loop, shared by interpreted eval and
   * generated code (same pattern as [[TextExprHelpers]]).
   */
@@ -247,6 +285,8 @@ object VectorExpressions {
       es => DistSqD(es(0), es(1))),
     ("graft_norm2", "_FUNC_(a) - L2 norm",
       es => NormL2(es.head)),
+    ("graft_vec_has_null", "_FUNC_(a) - true iff the array contains a null element",
+      es => HasNullElem(es.head)),
     ("graft_argmin_cell", "_FUNC_(a, cents) - index of nearest centroid in a literal matrix",
       es => ArgMinCell(es(0), litMatrix(es(1)))),
     ("graft_shingle_hashes", "_FUNC_(text, k) - distinct xxhash64 word k-shingles",

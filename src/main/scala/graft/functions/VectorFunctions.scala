@@ -24,6 +24,11 @@ object VectorFunctions {
   /** Euclidean norm in double precision, sequential fold. */
   def norm2(a: Column): Column = call_function("graft_norm2", a)
 
+  /** True iff the array contains a null element (codegen'd validity
+    * probe — see [[graft.functions.HasNullElem]]).
+    */
+  def vecHasNull(a: Column): Column = call_function("graft_vec_has_null", a)
+
   /** Cosine similarity given precomputed norms (norms are computed once
     * per row, not once per pair — the thing that matters when the pair
     * count is quadratic in the bucket size).

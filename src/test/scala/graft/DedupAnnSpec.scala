@@ -627,6 +627,25 @@ class DedupAnnSpec extends SparkSpec {
     assert(out.values.count(!_._2) >= 350, "duplicate mass not deduplicated")
   }
 
+  test("graft_vec_has_null: codegen'd null-element probe matches the HOF exists()") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = spark.range(1).select(
+      array(lit(1.0), lit(null).cast("double")).as("a"),
+      array(lit(1.0), lit(2.0)).as("b"),
+      lit(null).cast("array<double>").as("c"),
+      array().cast("array<double>").as("d"))
+    val r = df.select(
+      graft.functions.VectorFunctions.vecHasNull(col("a")),
+      graft.functions.VectorFunctions.vecHasNull(col("b")),
+      graft.functions.VectorFunctions.vecHasNull(col("c")),
+      graft.functions.VectorFunctions.vecHasNull(col("d"))).head()
+    assert(r.getBoolean(0) === true)
+    assert(r.getBoolean(1) === false)
+    assert(r.isNullAt(2), "null array must probe to null (nullIntolerant)")
+    assert(r.getBoolean(3) === false)
+  }
+
   test("q6g: null and null-element embeddings keep their verdict slots (keep-by-default)") {
     val spark0 = spark
     import spark0.implicits._
