@@ -617,6 +617,14 @@ object Dedup {
     // (~n²/2⁹⁶) would emit duplicate member verdicts — loud in row
     // counts, never a silent wrong deletion.
     val validEmb = col("embedding").isNotNull && !vecHasNull(col("embedding"))
+    // the hash pair MUST be part of the grouping key, not recomputed
+    // per group afterwards: members hash their RAW arrays, while an
+    // array-only grouping key gets ±0.0-normalized — grouping by the
+    // array alone could merge two raw-hash variants into one group
+    // whose single carried hash strands the other variant's members
+    // at the LEFT join (silent under-dedup). Keyed this way the ±0.0
+    // variants form two self-consistent groups, and the cosine-1
+    // greedy rule still dedups them against each other in-cell.
     val keyed = rows.filter(validEmb)
       .withColumn("gk1", xxhash64(col("embedding")))
       .withColumn("gk2", hash(col("embedding")))
@@ -816,7 +824,11 @@ object Dedup {
     * Output: (rep_a, rep_b, cos, sz_a, sz_b, n_pairs), where
     * rep_a = rep_b marks a within-group exact-duplicate clique.
     * Σ n_pairs equals the pair count the direct all-pairs form would
-    * emit (the spec asserts it at gate scale).
+    * emit over the SCORABLE corpus (the spec asserts it at gate
+    * scale). Un-scorable embeddings — null, or containing null
+    * elements — are excluded from pair reporting entirely: the
+    * vector folds read a null element as 0.0, so the "pairs" a
+    * direct form emits for them score a vector that does not exist.
     */
   def collapsedNearDups(
       emb: DataFrame,

@@ -590,6 +590,7 @@ class DedupAnnSpec extends SparkSpec {
   }
 
   test("q6g: collapse+expand reproduces the greedy rule exactly under planted duplicate mass") {
+    functions.VectorExpressions.register(spark) // no Tables.load in this test
     val emb = dupHeavyCorpus
     val tau = 0.95
     val out = Dedup.semanticDedup(emb, tau = tau, cells = 4).collect()
@@ -627,9 +628,8 @@ class DedupAnnSpec extends SparkSpec {
     assert(out.values.count(!_._2) >= 350, "duplicate mass not deduplicated")
   }
 
-  test("graft_vec_has_null: codegen'd null-element probe matches the HOF exists()") {
-    val spark0 = spark
-    import spark0.implicits._
+  test("graft_vec_has_null: codegen'd null-element probe, row-wise equal to the HOF exists()") {
+    functions.VectorExpressions.register(spark) // no Tables.load in this test
     val df = spark.range(1).select(
       array(lit(1.0), lit(null).cast("double")).as("a"),
       array(lit(1.0), lit(2.0)).as("b"),
@@ -644,11 +644,22 @@ class DedupAnnSpec extends SparkSpec {
     assert(r.getBoolean(1) === false)
     assert(r.isNullAt(2), "null array must probe to null (nullIntolerant)")
     assert(r.getBoolean(3) === false)
+    // and it IS the probe exists() computes, column for column — the
+    // claim the hot-path swap rests on
+    Seq("a", "b", "c", "d").foreach { c =>
+      val pair = df.select(
+        graft.functions.VectorFunctions.vecHasNull(col(c)),
+        expr(s"exists($c, x -> x is null)")).head()
+      assert(pair.isNullAt(0) === pair.isNullAt(1) &&
+        (pair.isNullAt(0) || pair.getBoolean(0) === pair.getBoolean(1)),
+        s"probe diverges from exists() on column $c: $pair")
+    }
   }
 
   test("q6g: null and null-element embeddings keep their verdict slots (keep-by-default)") {
     val spark0 = spark
     import spark0.implicits._
+    functions.VectorExpressions.register(spark) // no Tables.load in this test
     // a wholly-null embedding, and a null-ELEMENT one: Spark's array
     // hashes skip null elements, so [1.0, null] would deterministically
     // collide with [1.0] on the member-join key — un-scorable rows must
@@ -670,6 +681,7 @@ class DedupAnnSpec extends SparkSpec {
   }
 
   test("q6g: maxCell guard counts collapsed representatives and trips loudly past the cap") {
+    functions.VectorExpressions.register(spark) // no Tables.load in this test
     val emb = dupHeavyCorpus // 415 rows, 65 distinct
     // cells=1 piles every vector into one cell. cap 70 sits BETWEEN
     // the distinct count (65) and the row count (415): only the
