@@ -48,7 +48,13 @@ object Bench {
       }.sorted
       name -> times
     }
-    val results = perTrial.map { case (name, times) => name -> times(times.length / 2) }
+    // true median: mid-pair average for even trial counts — indexing
+    // times(n/2) alone would report the UPPER middle (a consistently
+    // high-biased "median" whenever SPARK_GRAFT_BENCH_TRIALS is even)
+    def median(times: IndexedSeq[Double]): Double =
+      if (times.length % 2 == 1) times(times.length / 2)
+      else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
+    val results = perTrial.map { case (name, times) => name -> median(times) }
     // Locale.ROOT: the f-interpolator uses the default locale, and a
     // comma-decimal locale would print invalid JSON
     def fmt(v: Double): String =

@@ -38,9 +38,16 @@ object Stage {
     * session's CacheManager, where it stays until `unpersist()` /
     * `spark.catalog.clearCache()` — Spark will also substitute the
     * cached fragment into LATER queries whose plans contain an
-    * identical subtree (correct, and usually a win; cold-plan
-    * assertions must clearCache first). Re-staging an identical plan
-    * is a no-op, so repeated invocations don't accumulate.
+    * identical subtree. For immutable inputs that substitution is
+    * correct and usually a win (cold-plan assertions must clearCache
+    * first); for MUTABLE file sources it is a staleness hazard: if
+    * the files under a staged plan's path change (a snapshot root
+    * gaining delta segments and being re-read by the same path is the
+    * canonical case), later sameResult queries silently read the
+    * frozen staged rows, not the mutated source. Long-lived sessions
+    * must call [[releaseAll]] (or `clearCache()`) after any commit
+    * that mutates a path a staged plan scans. Re-staging an identical
+    * plan is a no-op, so repeated invocations don't accumulate.
     */
   def apply(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption("graft.checkpointDir") match {

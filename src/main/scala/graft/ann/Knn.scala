@@ -252,10 +252,32 @@ object Knn {
     val train =
       if (sampleStep <= 1L) e
       else e.filter(pmod(xxhash64(col("vec_id")), lit(sampleStep)) === 0)
-    var cents: Seq[(Long, Seq[Double])] = e
-      .filter(pmod(col("vec_id"), lit(step)) === 0)
-      .select(col("vec_id"), col("embedding").cast("array<double>"))
-      .as[(Long, Seq[Double])].collect().toSeq
+    // Seed by HASH-stride, not raw id modulus: callers now feed
+    // reps-only frames (min-of-group ids — sparse and irregular in
+    // the id space for dup-heavy corpora), where `vec_id % step == 0`
+    // can select far fewer than k rows, or zero (ids all odd with an
+    // even step), and ArgMinCell requires a non-empty centroid set.
+    // pmod(xxhash64(id), step) samples ~k rows from ANY id
+    // distribution, deterministically — the same trick as the train
+    // sample above. The binomial sample can land above or below k, so
+    // it is clamped: sorted-by-id take(k) caps the high side (a
+    // cells=1 request must yield exactly one centroid; Lloyd tolerates
+    // a binomial undershoot below k — the modulus stride had the same
+    // property), and the zero-seed case (possible for adversarial tiny
+    // corpora) falls back to the first k rows by id (a TakeOrdered,
+    // not a full sort).
+    var cents: Seq[(Long, Seq[Double])] = {
+      val strided = e
+        .filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect().toSeq
+        .sortBy(_._1).take(k)
+      if (strided.nonEmpty) strided
+      else e.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect().toSeq
+    }
+    require(cents.nonEmpty, "ivfCentroids: empty corpus — no rows to seed centroids from")
     for (_ <- 0 until iters) {
       cents = assignCell(train, cents)
         .select(col("cell").as("cid"), posexplode(col("embedding")))

@@ -614,8 +614,9 @@ object Dedup {
     // alongside for the MEMBER-EXPANSION join, which is where the
     // array payload would otherwise hurt: members ship 24 bytes each,
     // never an array. A pair-collision between two DISTINCT vectors
-    // (~n²/2⁹⁶) would emit duplicate member verdicts — loud in row
-    // counts, never a silent wrong deletion.
+    // (~n²/2⁹⁶) is handled below: the staged groups are probed for
+    // colliding keys, and the member join widens to the embedding
+    // VALUE on a hit — never a fanned-out or wrong verdict.
     val validEmb = col("embedding").isNotNull && !vecHasNull(col("embedding"))
     // the hash pair MUST be part of the grouping key, not recomputed
     // per group afterwards: members hash their RAW arrays, while an
@@ -653,18 +654,40 @@ object Dedup {
           "or raise `maxCell` explicitly if the quadratic cell is intended.")
     val repV = semanticVerdictsFor(reps, cents, tau)
       .withColumnRenamed("vec_id", "rep")
+    // A 96-bit pair shared by two DISTINCT vectors would make the
+    // hash-keyed member join ambiguous: every member of both groups
+    // fans out into duplicate verdicts (one with a wrong dup_of), and
+    // the caller's verdict join fans out with it — silently. Probe the
+    // STAGED groups for colliding keys first (one partial-agg job over
+    // distinct reps, limit 1); on the ~n²/2⁹⁶ hit the member join
+    // widens to the embedding VALUE — exact, at the cost of shipping
+    // arrays on the member side of that one join, paid only when the
+    // collision actually exists.
+    val collided = groups.groupBy("gk1", "gk2").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect().nonEmpty
     // expand rep verdicts to members: the (hash-key → rep) join ships
     // only (vec_id, gk1, gk2) — 24 bytes per member, never an array —
     // and the verdict join is compact (vec_id, rep) × distinct-sized
     // reps. AQE's skew handling splits the one hot key; nothing here
     // is quadratic in copies. LEFT joins so an un-scorable row (no
     // rep, no verdict) keeps its verdict slot instead of vanishing.
-    keyed.select(col("vec_id"), col("gk1"), col("gk2"))
-      .unionByName(rows.filter(!validEmb)
-        .select(col("vec_id"), lit(null).cast("bigint").as("gk1"),
-          lit(null).cast("int").as("gk2")))
-      .join(groups.select(col("gk1"), col("gk2"), col("rep")), Seq("gk1", "gk2"), "left")
-      .select(col("vec_id"), col("rep"))
+    val memberRep =
+      if (!collided)
+        keyed.select(col("vec_id"), col("gk1"), col("gk2"))
+          .unionByName(rows.filter(!validEmb)
+            .select(col("vec_id"), lit(null).cast("bigint").as("gk1"),
+              lit(null).cast("int").as("gk2")))
+          .join(groups.select(col("gk1"), col("gk2"), col("rep")), Seq("gk1", "gk2"), "left")
+          .select(col("vec_id"), col("rep"))
+      else
+        keyed.select(col("vec_id"), col("gk1"), col("gk2"), col("embedding"))
+          .unionByName(rows.filter(!validEmb)
+            .select(col("vec_id"), lit(null).cast("bigint").as("gk1"),
+              lit(null).cast("int").as("gk2"), col("embedding")))
+          .join(groups.select(col("gk1"), col("gk2"), col("embedding"), col("rep")),
+            Seq("gk1", "gk2", "embedding"), "left")
+          .select(col("vec_id"), col("rep"))
+    memberRep
       .join(repV, Seq("rep"), "left")
       .select(
         col("vec_id"),

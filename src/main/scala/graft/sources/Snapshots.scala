@@ -129,11 +129,27 @@ object Snapshots {
           f.delete(tmp, false)
           throw new IllegalStateException(
             s"manifest publish race: v$version already committed in $root")
-        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        case _: UnsupportedOperationException =>
           // file: mount without hard links (FAT, some CIFS/fuse):
           // fall back to the rename CAS — non-atomic there, but the
           // store keeps working where the old publish worked
           renamePublish()
+        case e: java.nio.file.FileSystemException
+            if Option(e.getReason).exists { r =>
+              val m = r.toLowerCase(java.util.Locale.ROOT)
+              // EPERM/ENOTSUP phrasing for "this fs can't hard-link"
+              m.contains("not supported") || m.contains("not permitted")
+            } =>
+          renamePublish()
+        case e: java.nio.file.FileSystemException =>
+          // any OTHER FileSystemException (access denied, quota, a
+          // transient IO fault) means the fs DOES support links and
+          // this attempt failed for an unrelated reason — degrading
+          // to the non-atomic exists+rename here would silently
+          // reopen the lost-commit race link(2) exists to close.
+          // Propagate as a loud publish failure instead.
+          f.delete(tmp, false)
+          throw e
       }
     } else renamePublish()
   }
