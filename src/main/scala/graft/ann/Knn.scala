@@ -70,6 +70,25 @@ object Knn {
       .orderBy("qid", "rank")
   }
 
+  /** The exhaustive top-k DuckDB twin — q70's oracle, and also the
+    * oracle of every ANN path whose gate-scale output is row-for-row
+    * the brute truth (q71 with the pinned probe, q72 at the pinned
+    * nprobe): ONE definition so the three entries can never drift.
+    */
+  private val BruteTopKSql =
+    """WITH e AS (SELECT vec_id, embedding,
+                    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                  FROM embeddings),
+            q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 10),
+            p AS (SELECT q.qid, e.vec_id AS nid,
+                    list_sum(list_transform(list_zip(q.qe, e.embedding),
+                      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (q.qn * e.nrm) AS cos
+                  FROM e, q WHERE e.vec_id <> q.qid),
+            r AS (SELECT qid, nid, cos,
+                    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+                  FROM p)
+            SELECT qid, nid, rank, cos FROM r WHERE rank <= 5 ORDER BY qid, rank"""
+
   private val q70 = Qdef(
     "q70_knn_brute",
     (s, d) => {
@@ -81,18 +100,7 @@ object Knn {
           .select(col("qid"), col("vec_id").as("nid"),
             cosine(col("qe"), col("embedding"), col("qn"), col("nrm")).as("cos")))
     },
-    Some("""WITH e AS (SELECT vec_id, embedding,
-                    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-                  FROM embeddings),
-            q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 10),
-            p AS (SELECT q.qid, e.vec_id AS nid,
-                    list_sum(list_transform(list_zip(q.qe, e.embedding),
-                      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (q.qn * e.nrm) AS cos
-                  FROM e, q WHERE e.vec_id <> q.qid),
-            r AS (SELECT qid, nid, cos,
-                    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-                  FROM p)
-            SELECT qid, nid, rank, cos FROM r WHERE rank <= 5 ORDER BY qid, rank"""))
+    Some(BruteTopKSql))
 
   /** Multi-table random-hyperplane bucketing (OR-amplified LSH): each
     * row lands in `tables` compact (table, bucket) keys. For top-k
@@ -187,10 +195,17 @@ object Knn {
       k)
   }
 
+  /** q71 entry pins `probe1 = true`: at the gate geometries the 1-bit
+    * multiprobe lifts recall@5 to measured 1.0 (parity spec), so the
+    * bucketed plan's output is row-for-row the brute-force top-k and
+    * the driver checks it against q70's exhaustive DuckDB twin —
+    * hash-exact, because the winning candidates score with the same
+    * cosine fold. The library default leaves probing to the solver.
+    */
   private val q71 = Qdef(
     "q71_knn_lsh",
-    (s, d) => lshTopK(Tables.embeddings(s, d)),
-    None)
+    (s, d) => lshTopK(Tables.embeddings(s, d), probe1 = true),
+    Some(BruteTopKSql))
 
   /** Nearest-centroid cell id as a PURE NARROW MAP: the (tiny) centroid
     * matrix rides along as a literal inside the codegen'd
@@ -346,10 +361,19 @@ object Knn {
       k)
   }
 
+  /** q72 entry pins `nprobe = 48` (of the 64-cell gate index): the
+    * measured exact-recall operating point on both gate corpora
+    * (parity spec — 32 probes still missed rows), which lets the IVF
+    * plan be driver-checked row-for-row against q70's exhaustive
+    * DuckDB twin. Deliberately a HIGH-recall demonstration point: the
+    * library default keeps the √n/auto-nprobe scan fraction
+    * (~nprobe/cells ≈ 1.6% at 10⁹ vectors), where the oracle is the
+    * recall spec, not a hash.
+    */
   private val q72 = Qdef(
     "q72_knn_ivf",
-    (s, d) => ivfTopK(Tables.embeddings(s, d)),
-    None)
+    (s, d) => ivfTopK(Tables.embeddings(s, d), nprobe = 48),
+    Some(BruteTopKSql))
 
   /** Symmetric per-vector int8 quantization (the standard ANN /
     * embedding-storage compression step): scale = max|x|/127, code =

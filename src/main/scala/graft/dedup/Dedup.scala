@@ -89,12 +89,32 @@ object Dedup {
       .distinct()
   }
 
+  /** q62: the MinHash-LSH dedup pipeline, driver-checked on its
+    * VERIFIED output (the q64 pattern): candidates still come from
+    * the banded self-join — the plan the name promises — but the
+    * driver-facing rows are the candidates that verify at exact
+    * jaccard ≥ 0.5, which a quadratic DuckDB twin reproduces
+    * hash-exactly (integer set sizes divide to bit-identical
+    * doubles). τ=0.5 sits below q64's 0.8 operating point — a wider
+    * verified band — and banding recall there is 1−(1−τ²)³² ≈
+    * 1−10⁻⁴ per pair; the parity spec pins recall = 1.0 on both gate
+    * corpora, so the oracle is deterministic where the driver runs
+    * it. The raw candidate stage keeps its own full-recall spec.
+    */
   private val q62 = Qdef(
     "q62_dedup_minhash_lsh",
-    (s, d) =>
-      lshCandidates(minhashSignatures(Tables.documents(s, d)))
-        .orderBy("id_a", "id_b"),
-    None)
+    (s, d) => verifiedPairs(s, d, minJ = 0.5).orderBy("id_a", "id_b"),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+            g AS (SELECT doc_id,
+                    list_distinct(list_transform(generate_series(1, len(toks)-2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                  FROM t WHERE len(toks) >= 3),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+                  FROM g a JOIN g b ON a.doc_id < b.doc_id
+                  WHERE len(list_distinct(a.sh || b.sh)) > 0)
+            SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""))
 
   // -------------------------------------------- candidate verification
 
@@ -476,10 +496,27 @@ object Dedup {
       .filter(col("cos") >= tau)
   }
 
+  /** q65: hyperplane-LSH embedding near-dup, driver-checked on its
+    * verified output against a quadratic DuckDB cosine twin (the q70
+    * fold-order precedent makes the doubles bit-identical). The entry
+    * pins `probe1 = true`: the 1-bit batch-side multiprobe lifts the
+    * gate geometry's recall from the 0.87 solver floor to measured
+    * 1.0 on both gate corpora (parity spec), which is what makes the
+    * exact oracle valid — candidates still come from the banded
+    * self-join, and the library default keeps the solver's choice.
+    */
   private val q65 = Qdef(
     "q65_dedup_embedding",
-    (s, d) => embeddingNearDups(Tables.embeddings(s, d)).orderBy("id_a", "id_b"),
-    None)
+    (s, d) => embeddingNearDups(Tables.embeddings(s, d), probe1 = true).orderBy("id_a", "id_b"),
+    Some("""WITH e AS (SELECT vec_id, embedding,
+                    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                  FROM embeddings),
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
+                  FROM e a, e b
+                  WHERE a.vec_id < b.vec_id AND a.nrm * b.nrm > 0)
+            SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b"""))
 
   /** q6f: the density-adaptive query form. maxBucket=32 puts the gate
     * corpora (mean bucket 31 at sf0.001, 125 at sf0.01 under the
@@ -791,16 +828,20 @@ object Dedup {
         col("dup_of").isNull.as("keep"))
   }
 
-  /** q6c gate: the brute form of [[incrementalVecDups]] — the cosine
-    * fold is bit-identical to DuckDB's (q70 precedent), so verdicts
-    * hash-exactly. Library callers get the bucketed default.
+  /** q6c gate: the REAL bucketed path of [[incrementalVecDups]]
+    * against the brute-force DuckDB twin — with `probe1 = true` the
+    * asymmetric LSH join recovers every ≥ τ match on the gate corpora
+    * (measured recall 1.0, pinned by the parity spec), and the cosine
+    * fold is bit-identical to DuckDB's (q70 precedent), so the
+    * driver's hash-green covers the plan users actually run, not a
+    * brute stand-in. `brute = true` remains the in-spec yardstick.
     */
   private val q6c = Qdef(
     "q6c_incremental_vec_dedup",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val isInc = col("vec_id") % 7 === 3
-      incrementalVecDups(emb.filter(isInc), emb.filter(!isInc), brute = true)
+      incrementalVecDups(emb.filter(isInc), emb.filter(!isInc), probe1 = true)
         .orderBy("vec_id")
     },
     Some("""WITH e AS (SELECT vec_id, embedding,
@@ -886,15 +927,39 @@ object Dedup {
     cross.unionByName(within)
   }
 
-  /** q6e: the collapse-then-LSH query form. Rows-only [R] (hyperplane
-    * buckets are not SQL-reproducible); the spec oracle asserts the
-    * multiplicity-weighted pair count and the expanded pair set equal
-    * the direct all-pairs truth at gate scale.
+  /** q6e: the collapse-then-LSH query form, driver-checked against a
+    * DuckDB twin that reproduces the whole contract — DuckDB groups
+    * by the embedding LIST value for the collapse, the quadratic
+    * rep-pair cosine uses the q70 fold order (bit-identical doubles),
+    * and the within-group rows are pure integer arithmetic. Exactness
+    * of the LSH stage at the gate scales comes from the pinned
+    * `probe1 = true` (measured recall 1.0 — the parity spec); the
+    * multiplicity/expansion invariants keep their own spec oracle.
     */
   private val q6e = Qdef(
     "q6e_dedup_collapsed",
-    (s, d) => collapsedNearDups(Tables.embeddings(s, d)).orderBy("rep_a", "rep_b"),
-    None)
+    (s, d) => collapsedNearDups(Tables.embeddings(s, d), probe1 = true).orderBy("rep_a", "rep_b"),
+    Some("""WITH g AS (SELECT embedding, MIN(vec_id) AS rep, COUNT(*) AS sz
+                  FROM embeddings
+                  WHERE embedding IS NOT NULL
+                    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                  GROUP BY embedding),
+            e AS (SELECT rep, sz, embedding,
+                    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                  FROM g),
+            cp AS (SELECT a.rep AS rep_a, b.rep AS rep_b,
+                    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (a.nrm * b.nrm) AS cos,
+                    a.sz AS sz_a, b.sz AS sz_b, CAST(a.sz * b.sz AS BIGINT) AS n_pairs
+                  FROM e a, e b
+                  WHERE a.rep < b.rep AND a.nrm * b.nrm > 0),
+            w AS (SELECT rep AS rep_a, rep AS rep_b, CAST(1.0 AS DOUBLE) AS cos,
+                    sz AS sz_a, sz AS sz_b, CAST((sz * (sz - 1)) // 2 AS BIGINT) AS n_pairs
+                  FROM e WHERE sz > 1)
+            SELECT rep_a, rep_b, cos, sz_a, sz_b, n_pairs FROM cp WHERE cos >= 0.4
+            UNION ALL
+            SELECT rep_a, rep_b, cos, sz_a, sz_b, n_pairs FROM w
+            ORDER BY rep_a, rep_b"""))
 
   // ---------------------------------------- persisted vector index
 
@@ -926,7 +991,8 @@ object Dedup {
       root: String,
       tau: Double = 0.4,
       tables: Int = 0,
-      planes: Int = 0): Long = {
+      planes: Int = 0,
+      probe1: Boolean = false): Long = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val e = corpus.select(col("vec_id"), col("embedding"),
@@ -935,7 +1001,12 @@ object Dedup {
     // a data-derived geometry needs data: pinning dims=0 from an empty
     // corpus would degenerate every future ingest to one bucket
     require(dims.nonEmpty, s"commitVecIndex needs a non-empty corpus (geometry is data-derived)")
-    val g = graft.ann.LshGeometry.resolve(e.count(), tau, tables, planes, probe1 = false)
+    // `probe1 = true` REQUESTS the 1-bit batch-side multiprobe even
+    // where the solver wouldn't turn it on (gate-scale geometries):
+    // the decision is pinned in the sidecar and every ingest honors
+    // it, so an index built for exact-recall screening (q6d's oracle
+    // operating point) keeps that property across its whole life.
+    val g = graft.ann.LshGeometry.resolve(e.count(), tau, tables, planes, probe1 = probe1)
     val v = graft.sources.Snapshots.commit(
       graft.ann.Knn.lshTables(e, g.tables, g.planes, seed = 7, dims = dims)
         .select("vec_id", "tbl", "bkt"),
@@ -1096,13 +1167,16 @@ object Dedup {
   }
 
   /** q6d: two successive vector-ingest batches through the persisted
-    * bucket index — q6b's cycle for embeddings. Rows-only [R]: the
-    * bucketed candidate step is not SQL-reproducible (seeded Gaussian
-    * hyperplanes), so the driver records a rows-only check and the
-    * ScalaTest oracle asserts verdict equivalence against the direct
-    * [[incrementalVecDups]] pipeline at the same pinned geometry.
-    * Fresh temp store per run, deleted after materializing (q6b's
-    * side-effect discipline).
+    * bucket index — q6b's cycle for embeddings, now driver-checked
+    * against a two-round brute-force DuckDB twin: the index is built
+    * with `probe1 = true` pinned in its sidecar, which holds ingest
+    * recall at measured 1.0 on the gate corpora (parity spec), so
+    * round-1 keepers and round-2 verdicts both reproduce the
+    * exhaustive semantics hash-exactly while the plan stays the real
+    * index-backed ingest (corpus never re-banded). The ScalaTest
+    * oracle additionally asserts equivalence against the direct
+    * [[incrementalVecDups]] pipeline. Fresh temp store per run,
+    * deleted after materializing (q6b's side-effect discipline).
     */
   private val q6d = Qdef(
     "q6d_vec_index_ingest",
@@ -1114,7 +1188,7 @@ object Dedup {
       val tmp = java.nio.file.Files.createTempDirectory("graft-vecindex")
       val root = s"$tmp/idx"
       try {
-        commitVecIndex(corpus, root)
+        commitVecIndex(corpus, root, probe1 = true)
         val v1 = ingestAndCommitVec(b1, corpus, root)
         val corpus2 = corpus.unionByName(
           b1.join(v1.filter(col("keep")).select("vec_id"), Seq("vec_id"), "left_semi"))
@@ -1125,7 +1199,27 @@ object Dedup {
         ()
       }
     },
-    None)
+    Some("""WITH e AS (SELECT vec_id, embedding,
+                    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                  FROM embeddings),
+            c AS (SELECT * FROM e WHERE vec_id % 7 <> 3 AND vec_id % 7 <> 5),
+            b1 AS (SELECT * FROM e WHERE vec_id % 7 = 3),
+            b2 AS (SELECT * FROM e WHERE vec_id % 7 = 5),
+            k1 AS (SELECT * FROM b1 WHERE NOT EXISTS (
+                    SELECT 1 FROM c
+                    WHERE list_sum(list_transform(list_zip(b1.embedding, c.embedding),
+                            pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (b1.nrm * c.nrm) >= 0.4)),
+            c2 AS (SELECT * FROM c UNION ALL SELECT * FROM k1),
+            m AS (SELECT b2.vec_id, MIN(c2.vec_id) AS dup_of, COUNT(*) AS n_matches
+                  FROM b2, c2
+                  WHERE list_sum(list_transform(list_zip(b2.embedding, c2.embedding),
+                          pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (b2.nrm * c2.nrm) >= 0.4
+                  GROUP BY b2.vec_id)
+            SELECT b.vec_id, m.dup_of, COALESCE(m.n_matches, 0) AS n_matches,
+                   (m.dup_of IS NULL) AS keep
+            FROM (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 5) b
+            LEFT JOIN m ON b.vec_id = m.vec_id
+            ORDER BY b.vec_id"""))
 
   // ------------------------------------------- cluster resolution
 
