@@ -31,6 +31,28 @@ object Soak {
     (r, secs)
   }
 
+  /** Total shuffle-write bytes across every stage run inside `f` —
+    * the quantity the float32-transport work moves. Listener events
+    * post asynchronously, so a short drain sleep follows the action
+    * (coarse but ample for soak-sized jobs).
+    */
+  private def shuffleBytes[T](spark: SparkSession)(f: => T): (T, Long) = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val r = try f finally {
+      Thread.sleep(2000)
+      spark.sparkContext.removeSparkListener(l)
+    }
+    (r, bytes.get())
+  }
+
   /** max / p99 / mean over per-bucket member counts, plus the pairwise
     * work they imply (Σ sz·(sz−1)/2 — the in-bucket candidate slots a
     * self-join would generate, computed WITHOUT running the join).
@@ -269,6 +291,71 @@ object Soak {
       f" pair_slots uncollapsed=$slotsMembers collapsed=$slotsReps" +
       f" (${slotsMembers.toDouble / math.max(1L, slotsReps)}%.0fx reduction)")
 
+    // ------- q6g: float32 transport bytes (r8 item) -------
+    // The driver parquet stores embeddings as array<float>, so the
+    // gate bench never shipped 8 B/dim — the r8 transport work is for
+    // DOUBLE-typed corpora (pipelines whose upstream computed in
+    // double). Measure the one wide exchange both ways on the SAME
+    // double-cast corpus: collapsed reps, assigned to trained cells,
+    // repartitioned by cell — array<double> payload (the pre-r8
+    // transport) vs the float32 payload the pipeline now ships.
+    def noop(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
+    val feD = fe.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .localCheckpoint(true)
+    val repsD = feD.groupBy(col("embedding")).agg(min("vec_id").as("rep"))
+      .select(col("rep").as("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.norm2(col("embedding")).as("nrm"))
+      .localCheckpoint(true)
+    val centsD = graft.ann.Knn.ivfCentroids(repsD)
+    val (_, bytesDouble) = shuffleBytes(spark)(noop(
+      graft.ann.Knn.assignCell(repsD, centsD)
+        .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+        .repartition(col("cell"))))
+    val (_, bytesF32) = shuffleBytes(spark)(noop(
+      graft.ann.Knn.assignCell(repsD, centsD)
+        .select(col("cell"), col("vec_id"),
+          col("embedding").cast("array<float>").as("f32"), col("nrm"))
+        .repartition(col("cell"))))
+    val f32Ratio = bytesDouble.toDouble / math.max(1L, bytesF32)
+    println(f"[soak] q6g cell-exchange bytes on a double-typed corpus: " +
+      f"double=$bytesDouble f32=$bytesF32 (${f32Ratio}%.2fx smaller)")
+    // end-to-end on the double-typed corpus through the NEW transport
+    // (verdicts must match the float-typed run: same vectors)
+    val ((aggD, s6gD), bytes6gTotal) = shuffleBytes(spark)(
+      timed("q6g_semantic_10x_double_typed")(
+        Dedup.semanticDedup(feD, tau = 0.4)
+          .agg(count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L))).head()))
+    println(s"[soak] q6g double-typed: rows=${aggD.getLong(0)} kept=${aggD.getLong(1)} " +
+      s"total_shuffle_bytes=$bytes6gTotal" +
+      (if (aggD.getLong(1) != kept6g) s" — KEEP COUNT DIVERGED from float-typed $kept6g" else ""))
+
+    // ------- q6g: skewed member expansion (r8 item) -------
+    // ONE vector with 10⁶ bit-identical members: the collapse absorbs
+    // them into a single representative map-side, and the
+    // member-expansion join then carries one hot (gk1, gk2) key with
+    // 10⁶ rows — the shape that leans on AQE skew splitting
+    // (Dedup.scala member join). Claims under test: wall stays far
+    // from quadratic-in-copies, NO hot member is kept (their rep is
+    // the base-corpus min id), and every hot member carries dup
+    // lineage (dup_of set) rather than vanishing or fanning out.
+    val hotMembers = 1000000L
+    val hotBase = emb.orderBy("vec_id").limit(1).select("embedding").head().getSeq[Float](0)
+    val hotIds = spark.range(hotMembers)
+      .select((col("id") + lit((copies + 1) * eStride)).as("vec_id"),
+        typedLit(hotBase).as("embedding"))
+    val skewCorpus = fe.unionByName(hotIds).repartition(64).localCheckpoint(true)
+    val (skewOut, sSkew) = timed("q6g_skewed_member_expansion")(
+      Dedup.semanticDedup(skewCorpus, tau = 0.4).localCheckpoint(true))
+    val hotLo = (copies + 1) * eStride
+    val skewAgg = skewOut.filter(col("vec_id") >= hotLo).agg(
+      count(lit(1)),
+      sum(when(col("keep"), 1L).otherwise(0L)),
+      sum(when(!col("keep") && col("dup_of").isNull, 1L).otherwise(0L))).head()
+    println(s"[soak] q6g skew: ${skewAgg.getLong(0)} hot members, " +
+      s"kept=${skewAgg.getLong(1)} (0 expected), " +
+      s"no_lineage=${skewAgg.getLong(2)} (0 expected), " +
+      f"wall=$sSkew%.1f s (vs $s6g%.1f s without the hot key)")
+
     // ---------------- qa3 training run at 10× instance mass ----------------
     // the fan's identical copies would just collapse in curation's
     // exact dedup — suffix each copy's text with ' x<doc_id>' (two
@@ -284,9 +371,10 @@ object Soak {
         .localCheckpoint(true))
     val runDir = "/tmp/graft-soak-run"
     deleteDir(spark, runDir)
-    val (manifest, sRun) = timed("qa3_writeRun_10x_32shards")(
-      operators.TrainingRun.writeRun(curatedFan, operators.Mix.mixTargets, runDir,
-        seed = "soak", shards = 32, chunkTokens = 2048L).localCheckpoint(true))
+    val ((manifest, sRun), runShufBytes) = shuffleBytes(spark)(
+      timed("qa3_writeRun_10x_32shards")(
+        operators.TrainingRun.writeRun(curatedFan, operators.Mix.mixTargets, runDir,
+          seed = "soak", shards = 32, chunkTokens = 2048L).localCheckpoint(true)))
     val mRow = manifest.agg(count(lit(1)), sum("n_tokens")).head()
     // sum() over an empty manifest is NULL — report the conservation
     // violation (0 != mixed mass) instead of dying on getLong
@@ -298,6 +386,20 @@ object Soak {
     println(s"[soak] qa3: survivors=${curatedFan.count()} chunks=${mRow.getLong(0)} " +
       s"tokens=$packedMass (mixed mass $mixedMass" +
       (if (packedMass != mixedMass) " — CONSERVATION VIOLATED)" else ", conserved)"))
+    // shard-layout + bytes profile (r8 item — the numbers a 100×
+    // extrapolation leans on): every shard directory must be present
+    // with a balanced slice; bytes-on-disk is what the run shipped,
+    // shuffle bytes what the ONE corpus-sized exchange cost.
+    val runPath = new org.apache.hadoop.fs.Path(runDir)
+    val runFs = runPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val runBytes = runFs.getContentSummary(runPath).getLength
+    val shardAgg = spark.read.parquet(runDir).groupBy("shard")
+      .agg(count(lit(1)).as("rows"), sum("toks_in_chunk").as("toks"))
+      .agg(count(lit(1)), min("rows"), max("rows"), min("toks"), max("toks")).head()
+    println(s"[soak] qa3 layout: shards=${shardAgg.getLong(0)}/32 " +
+      s"rows/shard=[${shardAgg.getLong(1)}..${shardAgg.getLong(2)}] " +
+      s"toks/shard=[${shardAgg.getLong(3)}..${shardAgg.getLong(4)}] " +
+      s"artifact_bytes=$runBytes shuffle_bytes=$runShufBytes")
     deleteDir(spark, runDir)
 
     println(f"""{"soak_sf":"$sfDir x $copies","q62_cand":$cand62,"q62_secs":$s62%.1f,""" +
@@ -305,7 +407,10 @@ object Soak {
       f""""q65_pairs":$pairs65,"q65_secs":$s65%.1f,"q6c_secs":$s6c%.1f,""" +
       f""""q6f_hot_secs":$s6f%.1f,"q6f_slot_red":${bsPlain._5.toDouble / math.max(1L, bsRef._5)}%.1f,""" +
       f""""q6g_secs":$s6g%.1f,"q6g_slot_red":${slotsMembers.toDouble / math.max(1L, slotsReps)}%.1f,""" +
-      f""""qa3_curate_secs":$sCur%.1f,"qa3_run_secs":$sRun%.1f}""")
+      f""""q6g_cell_bytes_double":$bytesDouble,"q6g_cell_bytes_f32":$bytesF32,""" +
+      f""""q6g_double_secs":$s6gD%.1f,"q6g_skew_secs":$sSkew%.1f,""" +
+      f""""qa3_curate_secs":$sCur%.1f,"qa3_run_secs":$sRun%.1f,""" +
+      f""""qa3_artifact_bytes":$runBytes,"qa3_shuffle_bytes":$runShufBytes}""")
     spark.stop()
   }
 }

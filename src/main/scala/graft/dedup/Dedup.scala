@@ -488,13 +488,41 @@ object Dedup {
     // ship both arrays through the join each time). After distinct,
     // each unique pair joins its two embeddings back exactly once.
     }).distinct()
-    cand
+    // Two-pass verify (q74's re-rank pattern, aimed at shuffle BYTES):
+    // attaching arrays to candidate PAIRS is the one place the verify
+    // stage ships an array per pair through an exchange, so the first
+    // pass attaches float32-rounded copies (half the bytes; norms stay
+    // exact doubles) and keeps pairs scoring ≥ tau − F32Margin; the
+    // second pass re-joins the full-precision arrays for the SURVIVORS
+    // only (≈ matches — output-sized, so AQE broadcasts the pair list
+    // and the corpus streams without a wide exchange) and emits the
+    // bit-exact double cosine the oracles hash. Rounding to float
+    // perturbs the cosine by ≤ ~2.5e-7 (|Δdot| ≤ Σ|aᵢ||bᵢ|·2.4e-7 ≤
+    // na·nb·2.4e-7 by Cauchy–Schwarz, norms exact), so the 1e-4
+    // margin provably cannot drop a true match: verdicts identical,
+    // only the transport width moved.
+    val e32 = e.select(col("vec_id"), col("embedding").cast("array<float>").as("f32"), col("nrm"))
+    val near = cand
+      .join(e32.select(col("vec_id").as("id_a"), col("f32").as("fa"), col("nrm").as("na")), "id_a")
+      .join(e32.select(col("vec_id").as("id_b"), col("f32").as("fb"), col("nrm").as("nb")), "id_b")
+      .filter(cosine(col("fa").cast("array<double>"), col("fb").cast("array<double>"),
+        col("na"), col("nb")) >= tau - F32Margin)
+      .select("id_a", "id_b")
+    near
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         cosine(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= tau)
   }
+
+  /** Margin for float32-transport candidate passes: pairs scoring
+    * within this of τ on float-rounded arrays go to the exact double
+    * re-score. 400× the worst-case rounding perturbation (~2.5e-7 for
+    * unit-norm cosine — see the derivation at the use sites), so the
+    * two-pass split can never change a verdict, only shuffle bytes.
+    */
+  private[graft] val F32Margin = 1e-4
 
   /** q65: hyperplane-LSH embedding near-dup, driver-checked on its
     * verified output against a quadratic DuckDB cosine twin (the q70
@@ -553,16 +581,31 @@ object Dedup {
       cents: Seq[(Long, Seq[Double])],
       tau: Double): DataFrame = {
     import graft.functions.VectorFunctions._
+    // The cell exchange is the ONE shuffle that ships an array per
+    // row, so it ships float32 (half the bytes of array<double>;
+    // norms stay exact doubles). In-cell pairs score on the rounded
+    // arrays with a τ − F32Margin keep (rounding moves a cosine by
+    // ≤ ~2.5e-7 with exact norms — Cauchy–Schwarz, see F32Margin), and
+    // survivors (≈ matches, output-sized) re-join the full-precision
+    // arrays by id for the bit-exact cosine the verdicts and oracles
+    // use: verdict-identical, transport halved.
     val parted = graft.ann.Knn.assignCell(e.filter(col("vec_id").isNotNull), cents)
-      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+      .select(col("cell"), col("vec_id"),
+        col("embedding").cast("array<float>").as("f32"), col("nrm"))
       .repartition(col("cell"))
-    val a = parted.toDF("cell", "id_a", "ea", "na")
-    val b = parted.toDF("cell", "id_b", "eb", "nb")
+    val a = parted.toDF("cell", "id_a", "fa", "na")
+    val b = parted.toDF("cell", "id_b", "fb", "nb")
     // drop rule: a vector loses to ANY smaller same-cell id at
     // cosine ≥ tau, independent of that id's own verdict — the
     // standard greedy id-order rule (deterministic, one aggregation;
     // transitive-clique resolution is q66's job, not this operator's)
-    val losses = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+    val near = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("fa").cast("array<double>"), col("fb").cast("array<double>"),
+        col("na"), col("nb")) >= tau - F32Margin)
+      .select("id_a", "id_b")
+    val losses = near
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")), "id_b")
       .withColumn("cos", cosine(col("ea"), col("eb"), col("na"), col("nb")))
       .filter(col("cos") >= tau)
       .groupBy(col("id_b").as("vec_id"))
