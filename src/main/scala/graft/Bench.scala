@@ -69,27 +69,34 @@ object Bench {
       val emb = Tables.embeddings(spark, sfDir)
       val corpus = emb.filter(col("vec_id") % 7 =!= 3 && col("vec_id") % 7 =!= 5)
       val b1 = emb.filter(col("vec_id") % 7 === 3)
+      // failures PROPAGATE out of timeIt to the phase-level catch: a
+      // swallowed exception would record its time-to-throw as a
+      // legitimate trial and fake a near-zero phase median
       def timeIt(f: => Unit): Double = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try f catch { case _: Throwable => () }
+        f
         (System.nanoTime() - t0) / 1e9
       }
-      val buildTimes = (0 until trials).map { _ =>
+      // temp index dirs are corpus-sized — delete in finally so a
+      // throwing trial can't leak them into /tmp across bench runs
+      def withTmp[T](f: String => T): T = {
         val tmp = java.nio.file.Files.createTempDirectory("graft-bench-vecidx")
-        val t = timeIt { dedup.Dedup.commitVecIndex(corpus, s"$tmp/idx", probe1 = true); () }
-        val p = new org.apache.hadoop.fs.Path(tmp.toString)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-        t
+        try f(s"$tmp/idx")
+        finally {
+          val p = new org.apache.hadoop.fs.Path(tmp.toString)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          ()
+        }
+      }
+      val buildTimes = (0 until trials).map { _ =>
+        withTmp(root => timeIt { dedup.Dedup.commitVecIndex(corpus, root, probe1 = true); () })
       }.sorted
-      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-vecidx")
-      val root = s"$tmp/idx"
-      dedup.Dedup.commitVecIndex(corpus, root, probe1 = true)
-      val ingestTimes = (0 until trials).map { _ =>
-        timeIt(exec(dedup.Dedup.ingestAgainstVecIndex(b1, corpus, root)))
-      }.sorted
-      val p = new org.apache.hadoop.fs.Path(tmp.toString)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      val ingestTimes = withTmp { root =>
+        dedup.Dedup.commitVecIndex(corpus, root, probe1 = true)
+        (0 until trials).map(_ =>
+          timeIt(exec(dedup.Dedup.ingestAgainstVecIndex(b1, corpus, root)))).sorted
+      }
       Seq("q6d_build" -> buildTimes, "q6d_ingest" -> ingestTimes)
     } catch { case _: Throwable => Seq.empty }
     // Locale.ROOT: the f-interpolator uses the default locale, and a

@@ -311,10 +311,12 @@ object Soak {
       graft.ann.Knn.assignCell(repsD, centsD)
         .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
         .repartition(col("cell"))))
+    // the pipeline's actual payload: norm-prescaled unit floats, no
+    // norm column at all (the unit-dot pair pass doesn't need one)
     val (_, bytesF32) = shuffleBytes(spark)(noop(
       graft.ann.Knn.assignCell(repsD, centsD)
         .select(col("cell"), col("vec_id"),
-          col("embedding").cast("array<float>").as("f32"), col("nrm"))
+          transform(col("embedding"), x => x / col("nrm")).cast("array<float>").as("u32"))
         .repartition(col("cell"))))
     val f32Ratio = bytesDouble.toDouble / math.max(1L, bytesF32)
     println(f"[soak] q6g cell-exchange bytes on a double-typed corpus: " +
@@ -339,7 +341,7 @@ object Soak {
     // the base-corpus min id), and every hot member carries dup
     // lineage (dup_of set) rather than vanishing or fanning out.
     val hotMembers = 1000000L
-    val hotBase = emb.orderBy("vec_id").limit(1).select("embedding").head().getSeq[Float](0)
+    val hotBase = hRaw // the min-id embedding, already collected above
     val hotIds = spark.range(hotMembers)
       .select((col("id") + lit((copies + 1) * eStride)).as("vec_id"),
         typedLit(hotBase).as("embedding"))

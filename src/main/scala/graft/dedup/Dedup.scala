@@ -101,20 +101,28 @@ object Dedup {
     * corpora, so the oracle is deterministic where the driver runs
     * it. The raw candidate stage keeps its own full-recall spec.
     */
+  /** The quadratic exact-jaccard DuckDB twin, parameterized by the
+    * verify threshold — ONE definition shared by q62 (τ=0.5) and q64
+    * (τ=0.8) so a tokenization/shingle fix can never drift between
+    * the two oracles (the BruteTopKSql precedent in ann.Knn).
+    */
+  private def jaccardTwinSql(minJ: Double): String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+        g AS (SELECT doc_id,
+                list_distinct(list_transform(generate_series(1, len(toks)-2),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+              FROM t WHERE len(toks) >= 3),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE len(list_distinct(a.sh || b.sh)) > 0)
+        SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= $minJ ORDER BY id_a, id_b"""
+
   private val q62 = Qdef(
     "q62_dedup_minhash_lsh",
     (s, d) => verifiedPairs(s, d, minJ = 0.5).orderBy("id_a", "id_b"),
-    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
-            g AS (SELECT doc_id,
-                    list_distinct(list_transform(generate_series(1, len(toks)-2),
-                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-                  FROM t WHERE len(toks) >= 3),
-            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                    CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
-                  FROM g a JOIN g b ON a.doc_id < b.doc_id
-                  WHERE len(list_distinct(a.sh || b.sh)) > 0)
-            SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""))
+    Some(jaccardTwinSql(0.5)))
 
   // -------------------------------------------- candidate verification
 
@@ -142,17 +150,7 @@ object Dedup {
   private val q64 = Qdef(
     "q64_dedup_ngram_jaccard",
     (s, d) => verifiedPairs(s, d).orderBy("id_a", "id_b"),
-    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
-            g AS (SELECT doc_id,
-                    list_distinct(list_transform(generate_series(1, len(toks)-2),
-                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-                  FROM t WHERE len(toks) >= 3),
-            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                    CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
-                  FROM g a JOIN g b ON a.doc_id < b.doc_id
-                  WHERE len(list_distinct(a.sh || b.sh)) > 0)
-            SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8 ORDER BY id_a, id_b"""))
+    Some(jaccardTwinSql(0.8)))
 
   // ---------------------------------------------------------- simhash
 
@@ -488,41 +486,68 @@ object Dedup {
     // ship both arrays through the join each time). After distinct,
     // each unique pair joins its two embeddings back exactly once.
     }).distinct()
-    // Two-pass verify (q74's re-rank pattern, aimed at shuffle BYTES):
-    // attaching arrays to candidate PAIRS is the one place the verify
-    // stage ships an array per pair through an exchange, so the first
-    // pass attaches float32-rounded copies (half the bytes; norms stay
-    // exact doubles) and keeps pairs scoring ≥ tau − F32Margin; the
-    // second pass re-joins the full-precision arrays for the SURVIVORS
-    // only (≈ matches — output-sized, so AQE broadcasts the pair list
-    // and the corpus streams without a wide exchange) and emits the
-    // bit-exact double cosine the oracles hash. Rounding to float
-    // perturbs the cosine by ≤ ~2.5e-7 (|Δdot| ≤ Σ|aᵢ||bᵢ|·2.4e-7 ≤
-    // na·nb·2.4e-7 by Cauchy–Schwarz, norms exact), so the 1e-4
+    // Verify stage. DOUBLE-typed corpora go through a two-pass split
+    // (q74's re-rank pattern, aimed at shuffle BYTES): attaching
+    // arrays to candidate PAIRS is the one place the verify stage
+    // ships an array per pair through an exchange, so the first pass
+    // attaches NORM-PRESCALED float32 copies — x/‖x‖ lives in [−1,1],
+    // inside float range for ANY finite double input (raw-element
+    // casting would flush subnormal-range corpora to zero and
+    // silently drop their true matches), and the unit-dot needs no
+    // norms at all, so the pair exchange carries 4 B/dim and nothing
+    // else. Pairs scoring ≥ tau − F32Margin re-join the full-precision
+    // arrays (survivors ≈ matches — output-sized, so AQE broadcasts
+    // the pair list and the corpus streams without a wide exchange)
+    // for the bit-exact double cosine the oracles hash. Prescale +
+    // rounding perturb the unit dot by ≤ ~2.5e-7 (per-element relative
+    // error ≤ ~2⁻²³ over unit vectors, Cauchy–Schwarz), so the 1e-4
     // margin provably cannot drop a true match: verdicts identical,
-    // only the transport width moved.
-    val e32 = e.select(col("vec_id"), col("embedding").cast("array<float>").as("f32"), col("nrm"))
-    val near = cand
-      .join(e32.select(col("vec_id").as("id_a"), col("f32").as("fa"), col("nrm").as("na")), "id_a")
-      .join(e32.select(col("vec_id").as("id_b"), col("f32").as("fb"), col("nrm").as("nb")), "id_b")
-      .filter(cosine(col("fa").cast("array<double>"), col("fb").cast("array<double>"),
-        col("na"), col("nb")) >= tau - F32Margin)
-      .select("id_a", "id_b")
-    near
+    // only the transport width moves. FLOAT-typed corpora (the
+    // storage norm — the driver parquet included) are already at
+    // transport width: they keep the single exact pass, paying no
+    // re-join.
+    val exact = cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         cosine(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= tau)
+    if (!doubleTyped(e)) exact
+    else {
+      val u32 = e.select(col("vec_id"),
+        transform(col("embedding"), x => x / col("nrm")).cast("array<float>").as("u32"))
+      val near = cand
+        .join(u32.select(col("vec_id").as("id_a"), col("u32").as("ua")), "id_a")
+        .join(u32.select(col("vec_id").as("id_b"), col("u32").as("ub")), "id_b")
+        .filter(dotD(col("ua"), col("ub")) >= tau - F32Margin)
+        .select("id_a", "id_b")
+      near
+        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na")), "id_a")
+        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          cosine(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
+        .filter(col("cos") >= tau)
+    }
   }
 
   /** Margin for float32-transport candidate passes: pairs scoring
-    * within this of τ on float-rounded arrays go to the exact double
-    * re-score. 400× the worst-case rounding perturbation (~2.5e-7 for
-    * unit-norm cosine — see the derivation at the use sites), so the
-    * two-pass split can never change a verdict, only shuffle bytes.
+    * within this of τ on norm-prescaled float arrays go to the exact
+    * double re-score. 400× the worst-case prescale+rounding
+    * perturbation (~2.5e-7 on unit vectors — see the derivation at
+    * the use sites), so the two-pass split can never change a
+    * verdict, only shuffle bytes.
     */
   private[graft] val F32Margin = 1e-4
+
+  /** True iff the frame's `embedding` column is array<double> — the
+    * input width where the float32 transport actually saves bytes.
+    */
+  private def doubleTyped(df: DataFrame): Boolean =
+    df.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    }
 
   /** q65: hyperplane-LSH embedding near-dup, driver-checked on its
     * verified output against a quadratic DuckDB cosine twin (the q70
@@ -582,34 +607,53 @@ object Dedup {
       tau: Double): DataFrame = {
     import graft.functions.VectorFunctions._
     // The cell exchange is the ONE shuffle that ships an array per
-    // row, so it ships float32 (half the bytes of array<double>;
-    // norms stay exact doubles). In-cell pairs score on the rounded
-    // arrays with a τ − F32Margin keep (rounding moves a cosine by
-    // ≤ ~2.5e-7 with exact norms — Cauchy–Schwarz, see F32Margin), and
-    // survivors (≈ matches, output-sized) re-join the full-precision
-    // arrays by id for the bit-exact cosine the verdicts and oracles
-    // use: verdict-identical, transport halved.
-    val parted = graft.ann.Knn.assignCell(e.filter(col("vec_id").isNotNull), cents)
-      .select(col("cell"), col("vec_id"),
-        col("embedding").cast("array<float>").as("f32"), col("nrm"))
-      .repartition(col("cell"))
-    val a = parted.toDF("cell", "id_a", "fa", "na")
-    val b = parted.toDF("cell", "id_b", "fb", "nb")
-    // drop rule: a vector loses to ANY smaller same-cell id at
-    // cosine ≥ tau, independent of that id's own verdict — the
-    // standard greedy id-order rule (deterministic, one aggregation;
-    // transitive-clique resolution is q66's job, not this operator's)
-    val near = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
-      .filter(cosine(col("fa").cast("array<double>"), col("fb").cast("array<double>"),
-        col("na"), col("nb")) >= tau - F32Margin)
-      .select("id_a", "id_b")
-    val losses = near
-      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na")), "id_a")
-      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")), "id_b")
-      .withColumn("cos", cosine(col("ea"), col("eb"), col("na"), col("nb")))
-      .filter(col("cos") >= tau)
-      .groupBy(col("id_b").as("vec_id"))
-      .agg(min("id_a").as("dup_of"), max("cos").as("best_cos"))
+    // row. For DOUBLE-typed corpora it ships NORM-PRESCALED float32
+    // (x/‖x‖ ∈ [−1,1] — inside float range for any finite input,
+    // where raw-element casting would flush subnormal-range corpora
+    // to zero; the unit-dot then needs no norms at all, so the
+    // exchange carries 4 B/dim and nothing else). In-cell pairs keep
+    // at τ − F32Margin (prescale+rounding move the unit dot by
+    // ≤ ~2.5e-7 — see F32Margin), and survivors (≈ matches,
+    // output-sized) re-join the full-precision arrays by id for the
+    // bit-exact cosine the verdicts and oracles use:
+    // verdict-identical, transport halved. FLOAT-typed corpora are
+    // already at transport width and keep the single exact pass.
+    val rows = e.filter(col("vec_id").isNotNull)
+    val losses = if (doubleTyped(e)) {
+      val parted = graft.ann.Knn.assignCell(rows, cents)
+        .select(col("cell"), col("vec_id"),
+          transform(col("embedding"), x => x / col("nrm")).cast("array<float>").as("u32"))
+        .repartition(col("cell"))
+      val a = parted.toDF("cell", "id_a", "ua")
+      val b = parted.toDF("cell", "id_b", "ub")
+      // drop rule: a vector loses to ANY smaller same-cell id at
+      // cosine ≥ tau, independent of that id's own verdict — the
+      // standard greedy id-order rule (deterministic, one aggregation;
+      // transitive-clique resolution is q66's job, not this operator's)
+      val near = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+        .filter(dotD(col("ua"), col("ub")) >= tau - F32Margin)
+        .select("id_a", "id_b")
+      near
+        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na")), "id_a")
+        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")), "id_b")
+        .withColumn("cos", cosine(col("ea"), col("eb"), col("na"), col("nb")))
+        .filter(col("cos") >= tau)
+        .groupBy(col("id_b").as("vec_id"))
+        .agg(min("id_a").as("dup_of"), max("cos").as("best_cos"))
+    } else {
+      val parted = graft.ann.Knn.assignCell(rows, cents)
+        .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+        .repartition(col("cell"))
+      val a = parted.toDF("cell", "id_a", "ea", "na")
+      val b = parted.toDF("cell", "id_b", "eb", "nb")
+      // same greedy rule, single exact pass — the arrays are already
+      // at transport width, a two-pass split would only add joins
+      a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+        .withColumn("cos", cosine(col("ea"), col("eb"), col("na"), col("nb")))
+        .filter(col("cos") >= tau)
+        .groupBy(col("id_b").as("vec_id"))
+        .agg(min("id_a").as("dup_of"), max("cos").as("best_cos"))
+    }
     // verdict base: (vec_id, cell) re-derived as a SECOND narrow
     // argmin pass over the checkpointed input rather than read off
     // `parted` — a 2-column consumer of the repartition would prune

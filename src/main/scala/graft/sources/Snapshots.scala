@@ -129,27 +129,28 @@ object Snapshots {
           f.delete(tmp, false)
           throw new IllegalStateException(
             s"manifest publish race: v$version already committed in $root")
-        case _: UnsupportedOperationException =>
-          // file: mount without hard links (FAT, some CIFS/fuse):
-          // fall back to the rename CAS — non-atomic there, but the
-          // store keeps working where the old publish worked
-          renamePublish()
-        case e: java.nio.file.FileSystemException
-            if Option(e.getReason).exists { r =>
-              val m = r.toLowerCase(java.util.Locale.ROOT)
-              // EPERM/ENOTSUP phrasing for "this fs can't hard-link"
-              m.contains("not supported") || m.contains("not permitted")
-            } =>
-          renamePublish()
-        case e: java.nio.file.FileSystemException =>
-          // any OTHER FileSystemException (access denied, quota, a
-          // transient IO fault) means the fs DOES support links and
-          // this attempt failed for an unrelated reason — degrading
-          // to the non-atomic exists+rename here would silently
-          // reopen the lost-commit race link(2) exists to close.
-          // Propagate as a loud publish failure instead.
-          f.delete(tmp, false)
-          throw e
+        case e @ (_: UnsupportedOperationException | _: java.nio.file.FileSystemException) =>
+          // Distinguish "this mount can't hard-link" (FAT, some
+          // CIFS/fuse) from a genuine failure (quota, access, IO)
+          // WITHOUT parsing strerror text — NIO's exception reasons
+          // are locale-dependent, so string-matching "not supported"
+          // breaks on any non-English JVM. Probe instead: link the
+          // tmp file to a throwaway sibling. Probe fails → links
+          // don't work here → degrade to the rename CAS (non-atomic
+          // there, but the store keeps working where the old publish
+          // worked). Probe succeeds → links DO work and the original
+          // failure was real — propagate loudly rather than silently
+          // reopening the lost-commit race link(2) exists to close.
+          val probe = java.nio.file.Paths.get(f.makeQualified(new Path(root,
+            s".linkprobe-${java.util.UUID.randomUUID.toString.take(8)}")).toUri)
+          val linksWork =
+            try {
+              java.nio.file.Files.createLink(probe, tmpNio)
+              java.nio.file.Files.delete(probe)
+              true
+            } catch { case scala.util.control.NonFatal(_) => false }
+          if (linksWork) { f.delete(tmp, false); throw e }
+          else renamePublish()
       }
     } else renamePublish()
   }

@@ -89,6 +89,29 @@ class OracleParitySpec extends SparkSpec {
     }
   }
 
+  test("double-typed corpora take the two-pass float32 transport verdict-identically") {
+    // the gate parquet stores array<float>, which keeps the single
+    // exact pass — the two-pass prescaled-f32 split only runs for
+    // array<double> inputs, so it needs its own parity lock
+    for (d <- scales) {
+      val embD = Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val got = idPairs(graft.dedup.Dedup.embeddingNearDups(embD, probe1 = true))
+      assert(got == bruteCosPairs(Tables.embeddings(spark, d)),
+        s"$d: double-typed two-pass pairs != brute truth")
+    }
+    // and through the full semantic path: keep-sets identical across
+    // the two transports (sf0.001 keeps the suite fast)
+    val d = scales.head
+    def keeps(emb: DataFrame): Set[Long] =
+      Dedup.semanticDedup(emb).filter(col("keep"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val embD = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    assert(keeps(embD) == keeps(Tables.embeddings(spark, d)),
+      "semanticDedup keep-set diverged between float- and double-typed input")
+  }
+
   private def verdictRows(df: DataFrame): Seq[(Long, Any, Long, Boolean)] =
     df.orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.get(1), r.getLong(2), r.getBoolean(3))).toSeq
