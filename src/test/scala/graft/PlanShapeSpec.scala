@@ -456,4 +456,40 @@ class PlanShapeSpec extends SparkSpec {
     // chunk fan-out is the narrow sequence explode
     assert(p.contains("Generate explode"), s"chunk fan-out is not a narrow explode:\n$p")
   }
+
+  test("f32 transport: the cell exchange of a double-typed corpus carries ONLY float arrays") {
+    // structural, not textual — a renamed column ("ua", "ea") dodges
+    // the string grep above, so walk the REPARTITION exchange's
+    // output schema: for array<double> input the one wide exchange
+    // must ship FloatType elements (the norm-prescaled u32 payload),
+    // never DoubleType arrays. Uses injected centroids so the lock
+    // needs no k-means training.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    functions.VectorExpressions.register(spark)
+    val embD = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.norm2(col("embedding")).as("nrm"))
+    val dims = embD.select(size(col("embedding"))).head().getInt(0)
+    val cents = Seq((0L, Seq.fill(dims)(0.1)), (1L, Seq.fill(dims)(-0.1)))
+    val sp = dedup.Dedup.semanticVerdictsFor(embD, cents, tau = 0.4)
+      .queryExecution.sparkPlan
+    val reps = sp.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.shuffleOrigin.toString == "REPARTITION_BY_COL" => e
+    }
+    assert(reps.nonEmpty, "expected the cell repartition in the plan")
+    val doubleArrays = reps.flatMap(_.output).filter(a => a.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    assert(doubleArrays.isEmpty,
+      s"cell exchange ships array<double> attrs: ${doubleArrays.map(_.name).mkString(", ")}")
+    val floatArrays = reps.flatMap(_.output).filter(a => a.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    assert(floatArrays.nonEmpty, "cell exchange lost its prescaled float payload entirely")
+  }
 }
