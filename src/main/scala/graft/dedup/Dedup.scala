@@ -995,14 +995,23 @@ object Dedup {
     // group-aware — so a compact surrogate key buys nothing.
     // Un-scorable embeddings (null, or containing null elements —
     // no computable cosine) are excluded from pair reporting.
-    val groups = emb
+    //
+    // STAGE the collapse (the qa2/q6g pattern): its output feeds the
+    // geometry count, both candidate-band sides, the verify joins,
+    // the two sizes joins, and the within-group branch — unstaged,
+    // the auto-geometry count() re-runs the corpus-sized groupBy as
+    // its own job and every plan fragment re-plans it. The staged
+    // count doubles as the solver's n, so the count job disappears
+    // entirely (resolve gets pinned knobs and skips its own action).
+    val (groups, nReps) = graft.Stage.counted(emb
       .filter(col("embedding").isNotNull &&
         !graft.functions.VectorFunctions.vecHasNull(col("embedding")))
       .groupBy(col("embedding"))
-      .agg(min("vec_id").as("rep"), count(lit(1)).as("sz"))
+      .agg(min("vec_id").as("rep"), count(lit(1)).as("sz")))
+    val g = graft.ann.LshGeometry.resolve(nReps, tau, tables, planes, probe1)
     val reps = groups.select(col("rep").as("vec_id"), col("embedding"))
     val sizes = groups.select(col("rep"), col("sz"))
-    val cross = embeddingNearDups(reps, tables, planes, tau, probe1)
+    val cross = embeddingNearDups(reps, g.tables, g.planes, tau, g.probe1)
       .join(sizes.select(col("rep").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("rep").as("id_b"), col("sz").as("sz_b")), "id_b")
       .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"), col("cos"),
