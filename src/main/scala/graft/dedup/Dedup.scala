@@ -79,7 +79,12 @@ object Dedup {
       .withColumnRenamed("col", "bh")
 
   def lshCandidates(sig: DataFrame, bands: Int = LshBands, rows: Int = LshRows): DataFrame = {
-    val banded = bandedKeys(sig, bands, rows)
+    // ONE materialized banding exchange: as separate trees the two
+    // self-join sides each re-scan the corpus and re-run the codegen
+    // minhash + banding maps; repartitioned on the join key once,
+    // both sides read the same exchange (ReusedExchange) and the
+    // join needs no further shuffle at all.
+    val banded = bandedKeys(sig, bands, rows).repartition(col("band"), col("bh"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -472,6 +477,16 @@ object Dedup {
             col("a.sub") === col("b.sub") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
     } else {
+      // NO forced repartition here (tried and reverted): an explicit
+      // (tbl, bkt) exchange would let both self-join sides share one
+      // banding computation, but it also pins the join to a shuffle
+      // plan — at gate/bench scale AQE instead BROADCASTS the compact
+      // banded side (70k rows), which is strictly cheaper, and at
+      // corpus scale the join's own implicit exchanges already
+      // hash-partition both sides. The banding narrow map runs per
+      // side either way; when its input is expensive the caller
+      // stages it (collapsedNearDups stages the collapse, q6f's
+      // adaptive path materializes refinedCompact).
       val banded = graft.ann.Knn.lshTables(e, g.tables, g.planes, seed = 7)
         .select("vec_id", "tbl", "bkt")
       val probedA = if (!g.probe1) banded else graft.ann.Knn.probe1Expand(banded, g.planes)
