@@ -779,26 +779,15 @@ object Dedup {
     val cap =
       if (maxCell > 0) maxCell.toLong
       else math.max(4096L, (16.0 * math.sqrt(nReps.toDouble)).toLong)
-    // ONE probe job over the staged groups answers BOTH guard
-    // questions — hot cells past the cap AND 96-bit pair collisions
-    // among distinct vectors (each branch is a partial agg over the
-    // staged frame; as separate actions they each paid a scheduling
-    // roundtrip, visible at bench scale where the real work is small)
-    val probeRows = graft.ann.Knn.assignCell(reps, cents)
+    val hot = graft.ann.Knn.assignCell(reps, cents)
       .groupBy("cell").agg(count(lit(1)).as("sz"))
       .filter(col("sz") > cap)
       .orderBy(col("sz").desc).limit(5)
-      .select(lit("hot").as("kind"), col("cell"), col("sz"))
-      .unionByName(
-        groups.groupBy("gk1", "gk2").agg(count(lit(1)).as("c"))
-          .filter(col("c") > 1).limit(1)
-          .select(lit("collision").as("kind"), lit(-1L).as("cell"), col("c").as("sz")))
       .collect()
-    val hot = probeRows.filter(_.getString(0) == "hot")
     if (hot.nonEmpty)
       sys.error(
         s"semanticDedup: cell(s) over the maxCell cap $cap after exact-copy collapse — " +
-          hot.map(r => s"cell ${r.getLong(1)}: ${r.getLong(2)} distinct vectors").mkString("; ") +
+          hot.map(r => s"cell ${r.getLong(0)}: ${r.getLong(1)} distinct vectors").mkString("; ") +
           ". The in-cell pair search would go quadratic there. Remedies: raise `cells` " +
           "(more, smaller cells), use adaptiveNearDups (density-adaptive bucket splitting), " +
           "or raise `maxCell` explicitly if the quadratic cell is intended.")
@@ -807,13 +796,14 @@ object Dedup {
     // A 96-bit pair shared by two DISTINCT vectors would make the
     // hash-keyed member join ambiguous: every member of both groups
     // fans out into duplicate verdicts (one with a wrong dup_of), and
-    // the caller's verdict join fans out with it — silently. The
-    // guard-probe job above already checked the staged groups for
-    // colliding keys; on the ~n²/2⁹⁶ hit the member join widens to
-    // the embedding VALUE — exact, at the cost of shipping arrays on
-    // the member side of that one join, paid only when the collision
-    // actually exists.
-    val collided = probeRows.exists(_.getString(0) == "collision")
+    // the caller's verdict join fans out with it — silently. Probe the
+    // STAGED groups for colliding keys first (one partial-agg job over
+    // distinct reps, limit 1); on the ~n²/2⁹⁶ hit the member join
+    // widens to the embedding VALUE — exact, at the cost of shipping
+    // arrays on the member side of that one join, paid only when the
+    // collision actually exists.
+    val collided = groups.groupBy("gk1", "gk2").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect().nonEmpty
     // expand rep verdicts to members: the (hash-key → rep) join ships
     // only (vec_id, gk1, gk2) — 24 bytes per member, never an array —
     // and the verdict join is compact (vec_id, rep) × distinct-sized
