@@ -45,6 +45,10 @@ object Soak {
         ()
       }
     }
+    // symmetric drain BEFORE attach too: stage events from jobs run
+    // just before the measured block can still sit in the async bus
+    // and would be delivered to (and counted by) the new listener
+    Thread.sleep(2000)
     spark.sparkContext.addSparkListener(l)
     val r = try f finally {
       Thread.sleep(2000)

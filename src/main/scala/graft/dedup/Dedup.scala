@@ -521,27 +521,15 @@ object Dedup {
     // storage norm — the driver parquet included) are already at
     // transport width: they keep the single exact pass, paying no
     // re-join.
-    val exact = cand
-      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na")), "id_a")
-      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        cosine(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
-      .filter(col("cos") >= tau)
-    if (!doubleTyped(e)) exact
+    if (!doubleTyped(e)) exactRescore(cand, e, tau)
     else {
-      val u32 = e.select(col("vec_id"),
-        transform(col("embedding"), x => x / col("nrm")).cast("array<float>").as("u32"))
+      val u32 = prescaledU32(e)
       val near = cand
         .join(u32.select(col("vec_id").as("id_a"), col("u32").as("ua")), "id_a")
         .join(u32.select(col("vec_id").as("id_b"), col("u32").as("ub")), "id_b")
         .filter(dotD(col("ua"), col("ub")) >= tau - F32Margin)
         .select("id_a", "id_b")
-      near
-        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na")), "id_a")
-        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          cosine(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
-        .filter(col("cos") >= tau)
+      exactRescore(near, e, tau)
     }
   }
 
@@ -549,10 +537,49 @@ object Dedup {
     * within this of τ on norm-prescaled float arrays go to the exact
     * double re-score. 400× the worst-case prescale+rounding
     * perturbation (~2.5e-7 on unit vectors — see the derivation at
-    * the use sites), so the two-pass split can never change a
-    * verdict, only shuffle bytes.
+    * the use sites), so for any corpus with finite, non-zero norms
+    * the two-pass split can never change a verdict, only shuffle
+    * bytes. (A non-finite norm — elements past ~1e154 overflowing
+    * the sum of squares — has no meaningful cosine on EITHER path;
+    * [[prescaledU32]] nulls such rows out of the candidate pass.)
     */
   private[graft] val F32Margin = 1e-4
+
+  /** THE norm-prescaled float32 projection — ONE definition shared by
+    * [[nearDupsImpl]]'s pair pass and [[semanticVerdictsFor]]'s cell
+    * exchange (margin-sensitive logic must not drift between them).
+    * x/‖x‖ ∈ [−1,1] sits inside float range for any finite input
+    * where raw-element casting would flush subnormal-range corpora
+    * to zero; the GUARD matters under Spark's default ANSI mode,
+    * where an unguarded x/0.0 on a zero vector would kill the whole
+    * query with DIVIDE_BY_ZERO instead of dropping the un-scorable
+    * row the way the guarded exact cosine does. Zero or non-finite
+    * norms yield a NULL u32 → null dot → dropped by any ≥ filter,
+    * matching the exact path's no-match semantics for zero vectors.
+    */
+  private def u32Col: Column =
+    when(col("nrm") > 0 && !isnan(col("nrm")) && col("nrm") =!= Double.PositiveInfinity,
+      transform(col("embedding"), x => x / col("nrm")))
+      .cast("array<float>")
+
+  private def prescaledU32(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), u32Col.as("u32"))
+
+  /** Exact double re-score of margin survivors — the second half of
+    * the two-pass split, shared for the same no-drift reason: joins
+    * the full-precision arrays back by id (survivor pair lists are
+    * output-sized, so AQE broadcasts them and the corpus streams)
+    * and emits the bit-exact cosine the verdicts and oracles use.
+    */
+  private def exactRescore(pairs: DataFrame, e: DataFrame, tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    pairs
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
 
   /** True iff the frame's `embedding` column is array<double> — the
     * input width where the float32 transport actually saves bytes.
@@ -636,8 +663,7 @@ object Dedup {
     val rows = e.filter(col("vec_id").isNotNull)
     val losses = if (doubleTyped(e)) {
       val parted = graft.ann.Knn.assignCell(rows, cents)
-        .select(col("cell"), col("vec_id"),
-          transform(col("embedding"), x => x / col("nrm")).cast("array<float>").as("u32"))
+        .select(col("cell"), col("vec_id"), u32Col.as("u32"))
         .repartition(col("cell"))
       val a = parted.toDF("cell", "id_a", "ua")
       val b = parted.toDF("cell", "id_b", "ub")
@@ -648,11 +674,7 @@ object Dedup {
       val near = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
         .filter(dotD(col("ua"), col("ub")) >= tau - F32Margin)
         .select("id_a", "id_b")
-      near
-        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na")), "id_a")
-        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")), "id_b")
-        .withColumn("cos", cosine(col("ea"), col("eb"), col("na"), col("nb")))
-        .filter(col("cos") >= tau)
+      exactRescore(near, e, tau)
         .groupBy(col("id_b").as("vec_id"))
         .agg(min("id_a").as("dup_of"), max("cos").as("best_cos"))
     } else {
@@ -1034,7 +1056,11 @@ object Dedup {
     val within = sizes.filter(col("sz") > 1)
       .select(col("rep").as("rep_a"), col("rep").as("rep_b"), lit(1.0).as("cos"),
         col("sz").as("sz_a"), col("sz").as("sz_b"),
-        (col("sz") * (col("sz") - 1) / lit(2)).cast("long").as("n_pairs"))
+        // integral DIV, not `/`: Spark's `/` is double division, which
+        // rounds past 2^53 — a 2·10^8-copy group (exactly the scale the
+        // collapse exists for) would report n_pairs off-by-ULPs while
+        // the DuckDB twin computes the exact integer quotient
+        expr("CAST((sz * (sz - 1)) DIV 2 AS BIGINT)").as("n_pairs"))
     cross.unionByName(within)
   }
 

@@ -146,7 +146,12 @@ object Snapshots {
           val linksWork =
             try {
               java.nio.file.Files.createLink(probe, tmpNio)
-              java.nio.file.Files.delete(probe)
+              // the LINK is the capability evidence — a failed cleanup
+              // of the probe file must not be misread as "links don't
+              // work" (that would silently downgrade to the racy
+              // rename publish on a mount where linking works)
+              try java.nio.file.Files.delete(probe)
+              catch { case scala.util.control.NonFatal(_) => () }
               true
             } catch { case scala.util.control.NonFatal(_) => false }
           if (linksWork) { f.delete(tmp, false); throw e }

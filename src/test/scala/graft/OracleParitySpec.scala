@@ -112,6 +112,25 @@ class OracleParitySpec extends SparkSpec {
       "semanticDedup keep-set diverged between float- and double-typed input")
   }
 
+  test("double-typed edge vectors: zero and subnormal norms survive the prescale pass") {
+    // zero vector: an unguarded x/0.0 prescale would kill the whole
+    // query under Spark 4's default ANSI mode; subnormal-range
+    // vectors: a raw-element f32 cast (instead of the norm prescale)
+    // would flush them to zero and silently lose their true pair
+    import spark.implicits._
+    val base = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 1e-9, 0.0, 0.0)), // near-dup of 1
+      (3L, Seq(0.0, 0.0, 0.0, 0.0)), // zero: un-scorable, never a match, never a crash
+      (4L, Seq(1e-46, 0.0, 0.0, 0.0)), // below float32's subnormal floor
+      (5L, Seq(1e-46, 1e-55, 0.0, 0.0)) // near-dup of 4 at cosine ~1
+    ).toDF("vec_id", "embedding")
+    val pairs = idPairs(graft.dedup.Dedup.embeddingNearDups(base, probe1 = true))
+    assert(pairs.contains((1L, 2L)), s"lost the plain near-dup: $pairs")
+    assert(pairs.contains((4L, 5L)), s"subnormal-range pair lost by the f32 pass: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "zero vector matched something")
+  }
+
   private def verdictRows(df: DataFrame): Seq[(Long, Any, Long, Boolean)] =
     df.orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.get(1), r.getLong(2), r.getBoolean(3))).toSeq
