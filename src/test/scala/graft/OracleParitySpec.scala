@@ -131,6 +131,37 @@ class OracleParitySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "zero vector matched something")
   }
 
+  test("two-pass transport is scale-invariant: 2^k-scaled double corpora match the float twin exactly") {
+    // power-of-two per-row scaling is EXACT in double and cancels
+    // bit-identically out of the cosine (dot and both norms scale by
+    // exact powers of two), and hyperplane bucketing only reads signs
+    // — so a double-typed corpus built by scaling float-representable
+    // vectors with 2^k, k ∈ [−150, 100] (many rows far outside
+    // float32's range, where the prescale is what keeps the f32 pass
+    // meaningful) must produce EXACTLY the pair set of its unscaled
+    // float twin through the single-pass path. Randomized across
+    // fixed seeds: this locks the margin/prescale machinery across
+    // 250 orders of magnitude, not just the gate corpus's unit scale.
+    import spark.implicits._
+    for (seed <- Seq(11, 42, 1327)) {
+      val rnd = new scala.util.Random(seed)
+      val dims = 6
+      val rows = (0 until 40).map { i =>
+        val v = Seq.fill(dims)(rnd.nextGaussian().toFloat)
+        val k = -150 + rnd.nextInt(251) // [-150, 100]
+        (i.toLong, v, math.pow(2.0, k))
+      }
+      val floatTwin = rows.map { case (id, v, _) => (id, v) }.toDF("vec_id", "embedding")
+      val scaledDouble = rows.map { case (id, v, s) => (id, v.map(_.toDouble * s)) }
+        .toDF("vec_id", "embedding")
+      val expected = idPairs(graft.dedup.Dedup.embeddingNearDups(floatTwin, probe1 = true))
+      val got = idPairs(graft.dedup.Dedup.embeddingNearDups(scaledDouble, probe1 = true))
+      assert(got == expected, s"seed $seed: scaled-double pairs diverge from the float twin " +
+        s"(missing=${expected -- got}, extra=${got -- expected})")
+      assert(expected.nonEmpty || rows.nonEmpty, "vacuous")
+    }
+  }
+
   private def verdictRows(df: DataFrame): Seq[(Long, Any, Long, Boolean)] =
     df.orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.get(1), r.getLong(2), r.getBoolean(3))).toSeq
