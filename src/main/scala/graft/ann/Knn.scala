@@ -112,14 +112,25 @@ object Knn {
     * wider embeddings on a truncated projection (`graft_dot` folds
     * over min(length)) — recall loss with no error.
     */
+  /** Embedding width from the first SCORABLE row — the one tiny
+    * driver action the hyperplane literals need. Null embeddings are
+    * skipped (size(null) is NULL: Row.getInt would NPE under ANSI,
+    * and the legacy -1 would silently build zero-length hyperplanes
+    * that bucket every row to 0 — a quadratic self-join with garbage
+    * recall). None iff no row has a non-null embedding.
+    */
+  private[graft] def embDims(e: DataFrame): Option[Int] =
+    e.filter(col("embedding").isNotNull)
+      .select(size(col("embedding")).as("d"))
+      .head(1).headOption.map(_.getInt(0))
+
   def lshTables(
       e: DataFrame,
       tables: Int = 16,
       planes: Int = DefaultPlanes,
       seed: Int = 11,
       dims: Option[Int] = None): DataFrame = {
-    val dOpt = dims.orElse(
-      e.select(size(col("embedding")).as("d")).head(1).headOption.map(_.getInt(0)))
+    val dOpt = dims.orElse(embDims(e))
     if (dOpt.isEmpty)
       // empty corpus: no rows to bucket; keep the banded schema so
       // downstream joins stay well-typed instead of throwing here
@@ -474,7 +485,7 @@ object Knn {
       emb: DataFrame,
       k: Int = K,
       rerank: Int = 20,
-      tables: Int = 16,
+      tables: Int = 0,
       planes: Int = 0,
       bruteStage1: Boolean = false,
       probe1: Boolean = false,

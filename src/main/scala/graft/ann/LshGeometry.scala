@@ -127,7 +127,8 @@ object LshGeometry {
     * can never silently land in the no-recall regime:
     *
     *  - nothing pinned: [[forCorpus]] (n is only counted here —
-    *    by-name, so fully-pinned calls never pay the count action);
+    *    by-name and lazily forced, so fully-pinned AND planes-pinned
+    *    calls never pay the count action);
     *  - planes pinned, tables auto: tables are solved FOR THE PINNED
     *    plane count and the caller's probe flag (solving for the
     *    auto planes would under-table steep geometries — 8 unprobed
@@ -151,7 +152,9 @@ object LshGeometry {
       maxTables: Int = 64): LshGeometry =
     if (tables > 0 && planes > 0) LshGeometry(tables, planes, probe1)
     else {
-      val g = forCorpus(n, tau, targetRecall, targetBucket, maxTables)
+      // lazy: the planes-pinned/tables-auto branch solves tablesFor
+      // directly and must not pay the corpus count() behind `n`
+      lazy val g = forCorpus(n, tau, targetRecall, targetBucket, maxTables)
       val pl = if (planes > 0) planes else g.planes
       val probe = probe1 || (planes <= 0 && g.probe1)
       val tbl =

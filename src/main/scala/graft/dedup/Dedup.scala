@@ -760,12 +760,12 @@ object Dedup {
     // staged distinct-vector table feeds centroid training, the cell
     // guard, the pairwise stage AND the member join (Stage = persist
     // with lineage, or reliable checkpoint under graft.checkpointDir).
-    // Null and null-ELEMENT embeddings are excluded and recovered by
-    // the LEFT member join below as keep-by-default with null lineage
-    // — they have no computable cosine, and (crucially) Spark's array
-    // hashes SKIP null elements, so [1.0, null] and [1.0] would
-    // deterministically share the member-join key; un-scorable rows
-    // must never ride the hash path at all.
+    // Null, null-ELEMENT and zero-NORM embeddings are excluded and
+    // recovered by the LEFT member join below as keep-by-default with
+    // null lineage — they have no computable cosine, and (crucially)
+    // Spark's array hashes SKIP null elements, so [1.0, null] and
+    // [1.0] would deterministically share the member-join key;
+    // un-scorable rows must never ride the hash path at all.
     //
     // The grouping key KEEPS the array (exact distinct groups, and a
     // pure HashAggregate — adding an array-typed aggregate like
@@ -778,7 +778,15 @@ object Dedup {
     // (~n²/2⁹⁶) is handled below: the staged groups are probed for
     // colliding keys, and the member join widens to the embedding
     // VALUE on a hit — never a fanned-out or wrong verdict.
-    val validEmb = col("embedding").isNotNull && !vecHasNull(col("embedding"))
+    // zero-NORM vectors are un-scorable too: the guarded cosine is
+    // NULL for any zero-norm side, so the uncollapsed greedy rule
+    // keeps every zero vector — routing them down the hash path would
+    // fabricate keep=false/best_cos=1.0 verdicts for exact zero
+    // copies that the within-cell truth (and the spec's brute-force
+    // oracle) never drops. They take the un-scorable branch instead:
+    // keep-by-default with null lineage, like null-element rows.
+    val validEmb = col("embedding").isNotNull && !vecHasNull(col("embedding")) &&
+      norm2(col("embedding")) > 0.0
     // the hash pair MUST be part of the grouping key, not recomputed
     // per group afterwards: members hash their RAW arrays, while an
     // array-only grouping key gets ±0.0-normalized — grouping by the
@@ -917,7 +925,7 @@ object Dedup {
         // knob is auto); tables/planes = 0 resolve via
         // LshGeometry.resolve, so a growing corpus tightens its own
         // buckets between ingests.
-        val dims = c.select(size(col("embedding")).as("d")).head(1).headOption.map(_.getInt(0))
+        val dims = graft.ann.Knn.embDims(c)
         val g = graft.ann.LshGeometry.resolve(c.count(), tau, tables, planes, probe1)
         val cb = graft.ann.Knn.lshTables(c, g.tables, g.planes, seed = 7, dims = dims)
           .select(col("vec_id").as("c_id"), col("tbl"), col("bkt"))
@@ -1013,10 +1021,13 @@ object Dedup {
     * rep_a = rep_b marks a within-group exact-duplicate clique.
     * Σ n_pairs equals the pair count the direct all-pairs form would
     * emit over the SCORABLE corpus (the spec asserts it at gate
-    * scale). Un-scorable embeddings — null, or containing null
-    * elements — are excluded from pair reporting entirely: the
-    * vector folds read a null element as 0.0, so the "pairs" a
-    * direct form emits for them score a vector that does not exist.
+    * scale). Un-scorable embeddings — null, containing null
+    * elements, or zero-norm — are excluded from pair reporting
+    * entirely: the vector folds read a null element as 0.0, so the
+    * "pairs" a direct form emits for them score a vector that does
+    * not exist, and a zero-norm pair's guarded cosine is NULL (the
+    * direct form never matches it — a within-group cos=1 row for a
+    * zero-vector clique would be a fabrication).
     */
   def collapsedNearDups(
       emb: DataFrame,
@@ -1030,8 +1041,9 @@ object Dedup {
     // to SortAggregate and sort the member corpus per task). Nothing
     // downstream joins back to members here — pairs are reported
     // group-aware — so a compact surrogate key buys nothing.
-    // Un-scorable embeddings (null, or containing null elements —
-    // no computable cosine) are excluded from pair reporting.
+    // Un-scorable embeddings (null, containing null elements, or
+    // zero-norm — no computable cosine) are excluded from pair
+    // reporting.
     //
     // STAGE the collapse (the qa2/q6g pattern): its output feeds the
     // geometry count, both candidate-band sides, the verify joins,
@@ -1042,7 +1054,8 @@ object Dedup {
     // entirely (resolve gets pinned knobs and skips its own action).
     val (groups, nReps) = graft.Stage.counted(emb
       .filter(col("embedding").isNotNull &&
-        !graft.functions.VectorFunctions.vecHasNull(col("embedding")))
+        !graft.functions.VectorFunctions.vecHasNull(col("embedding")) &&
+        graft.functions.VectorFunctions.norm2(col("embedding")) > 0.0)
       .groupBy(col("embedding"))
       .agg(min("vec_id").as("rep"), count(lit(1)).as("sz")))
     val g = graft.ann.LshGeometry.resolve(nReps, tau, tables, planes, probe1)
@@ -1080,6 +1093,7 @@ object Dedup {
                   FROM embeddings
                   WHERE embedding IS NOT NULL
                     AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                    AND sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
                   GROUP BY embedding),
             e AS (SELECT rep, sz, embedding,
                     sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
@@ -1134,10 +1148,11 @@ object Dedup {
     import spark.implicits._
     val e = corpus.select(col("vec_id"), col("embedding"),
       graft.functions.VectorFunctions.norm2(col("embedding")).as("nrm"))
-    val dims = e.select(size(col("embedding")).as("d")).head(1).headOption.map(_.getInt(0))
+    val dims = graft.ann.Knn.embDims(e)
     // a data-derived geometry needs data: pinning dims=0 from an empty
-    // corpus would degenerate every future ingest to one bucket
-    require(dims.nonEmpty, s"commitVecIndex needs a non-empty corpus (geometry is data-derived)")
+    // (or all-null-embedding) corpus would degenerate every future
+    // ingest to one bucket
+    require(dims.nonEmpty, s"commitVecIndex needs a corpus with at least one non-null embedding (geometry is data-derived)")
     // `probe1 = true` REQUESTS the 1-bit batch-side multiprobe even
     // where the solver wouldn't turn it on (gate-scale geometries):
     // the decision is pinned in the sidecar and every ingest honors
@@ -1613,13 +1628,37 @@ object Dedup {
     val corpBands = bandedKeys(minhashSignatures(corpus)).withColumnRenamed("doc_id", "corp_id")
     val cand = broadcast(incBands).join(corpBands, Seq("band", "bh"))
       .select("inc_id", "corp_id").distinct()
-    val matches = cand
-      .join(batch.select(col("doc_id").as("inc_id"), shingleHashes(col("text"), 3).as("sh_a")), "inc_id")
-      .join(corpus.select(col("doc_id").as("corp_id"), shingleHashes(col("text"), 3).as("sh_b")), "corp_id")
+    val hits = jaccardVerified(
+      cand
+        .join(batch.select(col("doc_id").as("inc_id"), shingleHashes(col("text"), 3).as("sh_a")), "inc_id")
+        .join(corpus.select(col("doc_id").as("corp_id"), shingleHashes(col("text"), 3).as("sh_b")), "corp_id"),
+      minJ)
+    docVerdicts(batch, hits)
+  }
+
+  /** The verified-jaccard screen both text-ingest paths run on their
+    * candidate pairs: `pairs` carries (inc_id, corp_id, sh_a, sh_b);
+    * returns the pairs at exact jaccard ≥ minJ. One definition so the
+    * two paths can never drift on the verify rule.
+    */
+  private def jaccardVerified(pairs: DataFrame, minJ: Double): DataFrame =
+    pairs
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(size(array_union(col("sh_a"), col("sh_b"))) > 0 && col("jaccard") >= minJ)
+      .select("inc_id", "corp_id")
+
+  /** The (doc_id, dup_of, n_matches, keep) verdict assembly shared by
+    * [[incrementalNearDups]] and [[ingestAgainstIndex]] — the q6b
+    * equivalence oracle (index-backed ingest equals the direct
+    * pipeline) depends on these two paths assembling verdicts
+    * identically, exactly as [[vecVerdicts]] locks the vector twin.
+    * `hits` carries (inc_id, corp_id) pairs already verified at
+    * jaccard ≥ minJ.
+    */
+  private def docVerdicts(batch: DataFrame, hits: DataFrame): DataFrame = {
+    val matches = hits
       .groupBy(col("inc_id").as("doc_id"))
       .agg(min("corp_id").as("dup_of"), count(lit(1)).as("n_matches"))
     batch.select("doc_id")
@@ -1704,22 +1743,14 @@ object Dedup {
     val corpBands = readBandIndex(spark, root).withColumnRenamed("doc_id", "corp_id")
     val cand = broadcast(incBands).join(corpBands, Seq("band", "bh"))
       .select("inc_id", "corp_id").distinct()
-    val matches = broadcast(cand)
-      .join(corpusText.select(col("doc_id").as("corp_id"), col("text").as("_ct")), "corp_id")
-      .join(broadcast(
-        batch.select(col("doc_id").as("inc_id"), shingleHashes(col("text"), 3).as("sh_a"))), "inc_id")
-      .withColumn("sh_b", shingleHashes(col("_ct"), 3))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .filter(size(array_union(col("sh_a"), col("sh_b"))) > 0 && col("jaccard") >= minJ)
-      .groupBy(col("inc_id").as("doc_id"))
-      .agg(min("corp_id").as("dup_of"), count(lit(1)).as("n_matches"))
-    batch.select("doc_id")
-      .join(matches, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("dup_of"),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-        col("dup_of").isNull.as("keep"))
+    val hits = jaccardVerified(
+      broadcast(cand)
+        .join(corpusText.select(col("doc_id").as("corp_id"), col("text").as("_ct")), "corp_id")
+        .join(broadcast(
+          batch.select(col("doc_id").as("inc_id"), shingleHashes(col("text"), 3).as("sh_a"))), "inc_id")
+        .withColumn("sh_b", shingleHashes(col("_ct"), 3)),
+      minJ)
+    docVerdicts(batch, hits)
   }
 
   /** Fold the band index's delta chain into a fresh full snapshot.

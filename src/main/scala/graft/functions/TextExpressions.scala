@@ -183,6 +183,13 @@ object TextExprHelpers {
 object BandHelpers {
   def bandHashes(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
     if (sig == null) return null
+    // a short signature (perms < bands*rowsPerBand) would fold ZERO
+    // values into the trailing bands, giving every document the same
+    // constant hash there — all n docs share one bucket and the
+    // banded self-join goes silently quadratic. Fail loudly instead.
+    require(sig.numElements() >= bands.toLong * rowsPerBand,
+      s"signature has ${sig.numElements()} values but banding needs " +
+        s"$bands x $rowsPerBand — raise perms or lower bands/rowsPerBand")
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {

@@ -59,8 +59,15 @@ object Curate {
           .when(col("s_es") >= col("s_zh"), "es")
           .otherwise("zh"))
       .withColumn("quality",
+        // n_chars_m = 0 (empty document) guards to punct term 1.0 —
+        // q82's convention (punct_ratio 0 when there are no chars);
+        // 0/0 is engine-dependent and a NaN quality would pass
+        // Spark's NaN-greatest >= filter while DuckDB disagrees.
+        // n_tokens >= 1 always (split of "" is [""])
         least(lit(1.0), col("n_tokens").cast("double") / 200.0) *
-          (lit(1.0) - col("n_punct_chars").cast("double") / col("n_chars_m").cast("double")) *
+          (lit(1.0) - when(col("n_chars_m") > 0,
+            col("n_punct_chars").cast("double") / col("n_chars_m").cast("double"))
+            .otherwise(lit(0.0))) *
           (lit(0.5) + lit(0.5) * col("s_en").cast("double") / col("n_tokens").cast("double")))
   }
 
@@ -128,7 +135,9 @@ object Curate {
                          WHEN s_es >= s_zh THEN 'es'
                          ELSE 'zh' END AS pred_lang,
                     least(1.0, CAST(n_tokens AS DOUBLE) / 200.0) *
-                      (1.0 - CAST(n_punct_chars AS DOUBLE) / CAST(n_chars_m AS DOUBLE)) *
+                      (1.0 - CASE WHEN n_chars_m > 0
+                                  THEN CAST(n_punct_chars AS DOUBLE) / CAST(n_chars_m AS DOUBLE)
+                                  ELSE 0.0 END) *
                       (0.5 + 0.5 * CAST(s_en AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality
                   FROM m),
              k AS (SELECT * FROM sc WHERE quality >= 0.12 AND pred_lang = 'en'),

@@ -93,7 +93,15 @@ object TextAnalysis {
             length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("long").as("n_punct_chars"),
             distinctHits(toks, stopEn).cast("long").as("n_stop_hits"))
           .withColumn("mean_tok_len", col("n_nonws_chars").cast("double") / col("n_tokens").cast("double"))
-          .withColumn("punct_ratio", col("n_punct_chars").cast("double") / col("n_chars_m").cast("double"))
+          // n_tokens >= 1 always (split of "" is [""]), but n_chars_m
+          // is 0 for an empty document: guard the one ratio whose
+          // denominator can vanish — 0/0 is engine- and mode-dependent
+          // (IEEE NaN vs NULL vs ANSI error), and a NaN quality passes
+          // Spark's NaN-greatest comparison while DuckDB disagrees
+          .withColumn("punct_ratio",
+            when(col("n_chars_m") > 0,
+              col("n_punct_chars").cast("double") / col("n_chars_m").cast("double"))
+              .otherwise(lit(0.0)))
           .withColumn("stop_ratio", col("n_stop_hits").cast("double") / col("n_tokens").cast("double"))
           .withColumn("quality",
             least(lit(1.0), col("n_tokens").cast("double") / 200.0) *
@@ -109,7 +117,9 @@ object TextAnalysis {
                   FROM documents),
              r AS (SELECT *,
                     CAST(n_nonws_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
-                    CAST(n_punct_chars AS DOUBLE) / CAST(n_chars_m AS DOUBLE) AS punct_ratio,
+                    CASE WHEN n_chars_m > 0
+                         THEN CAST(n_punct_chars AS DOUBLE) / CAST(n_chars_m AS DOUBLE)
+                         ELSE 0.0 END AS punct_ratio,
                     CAST(n_stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio
                   FROM m)
              SELECT doc_id, n_chars_m, n_tokens, n_nonws_chars, n_punct_chars, n_stop_hits,

@@ -241,6 +241,28 @@ object Snapshots {
   def latestVersion(spark: SparkSession, root: String): Long =
     versions(spark, root).lastOption.map(_._1).getOrElse(0L)
 
+  /** Raw narrow union of the latest full snapshot plus every LATER
+    * delta — the APPEND-ONLY read for stores whose writers guarantee
+    * row-uniqueness at commit time (the streaming ingest sinks
+    * anti-join stored ids before every delta). Unlike [[latest]] no
+    * merge window runs — the whole read is a union of parquet scans a
+    * candidate join can prune — and unlike a raw all-versions union,
+    * segments the newest full SUPERSEDES are skipped: after a
+    * [[compact]] the scan fan-in resets to one segment instead of
+    * every row appearing twice (once in the fold, once in the folded
+    * segments). Falls back to the all-deltas union when no full
+    * snapshot exists yet.
+    */
+  def readAppendOnly(spark: SparkSession, root: String): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"empty snapshot store at $root")
+    val chain = vs.filter(_._2 == "full").map(_._1).maxOption match {
+      case Some(baseV) => vs.filter(t => t._1 == baseV || (t._1 > baseV && t._2 != "full"))
+      case None        => vs
+    }
+    chain.map { case (v, _, _) => read(spark, root, v) }.reduce(_ unionByName _)
+  }
+
   /** Read the latest version. */
   def latest(spark: SparkSession, root: String, keys: Seq[String]): DataFrame =
     asOf(spark, root, latestVersion(spark, root), keys)

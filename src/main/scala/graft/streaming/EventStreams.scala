@@ -228,17 +228,20 @@ object EventStreams {
     * `Dedup.commitBandIndex(corpus, indexRoot)`.
     *
     * The corpus store is append-only under this sink (keepers are
-    * new by construction), so the per-batch corpus view is a RAW
-    * union of the committed frames — never `Snapshots.latest`, whose
-    * last-writer-wins window would shuffle the entire growing corpus
-    * (text included) on every micro-batch before the candidate join
-    * could prune anything. The raw union keeps the per-ingest cost at
-    * what [[graft.dedup.Dedup.ingestAgainstIndex]] promises: one
-    * index scan + one narrow corpus scan. Both stores grow one delta
-    * segment per batch: fold them back on an operational cadence with
+    * new by construction), so the per-batch corpus view is
+    * [[graft.sources.Snapshots.readAppendOnly]] — the latest full
+    * snapshot plus later deltas as a narrow union, never
+    * `Snapshots.latest`, whose last-writer-wins window would shuffle
+    * the entire growing corpus (text included) on every micro-batch
+    * before the candidate join could prune anything. That keeps the
+    * per-ingest cost at what [[graft.dedup.Dedup.ingestAgainstIndex]]
+    * promises: one index scan + one narrow corpus scan. Both stores
+    * grow one delta segment per batch: fold them back on an
+    * operational cadence with
     * [[graft.dedup.Dedup.compactBandIndex]] (index) and
-    * [[graft.sources.Snapshots.compact]] (corpus) — supersession, not
-    * this sink, is the scan-fan-in bound.
+    * [[graft.sources.Snapshots.compact]] (corpus) — the append-only
+    * read skips the segments a compact supersedes, so compaction
+    * bounds the scan fan-in instead of double-counting every row.
     *
     * Delivery is at-least-once (foreachBatch). A replayed shingled
     * keeper matches its own committed copy (jaccard 1) and drops; a
@@ -275,9 +278,7 @@ object EventStreams {
         try if (!kept.isEmpty) {
           import graft.sources.Snapshots
           val spark = kept.sparkSession
-          val corpusText = Snapshots.versions(spark, corpusRoot)
-            .map { case (v, _, _) => Snapshots.read(spark, corpusRoot, v) }
-            .reduce(_ unionByName _)
+          val corpusText = Snapshots.readAppendOnly(spark, corpusRoot)
           val verdicts = graft.dedup.Dedup.ingestAndCommit(kept, corpusText, indexRoot)
           val keepers = graft.dedup.Dedup.keepersOf(kept, verdicts)
             .join(corpusText.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -335,8 +336,9 @@ object EventStreams {
     * stop aligning), commit keepers' buckets back as an index delta,
     * and append the keeper vectors to the corpus store, so each batch
     * dedups against the original corpus plus every earlier batch's
-    * keepers through the store. The corpus-vector store is the same
-    * append-only raw-frame union as the text sink's — `latest` would
+    * keepers through the store. The corpus-vector store uses the same
+    * append-only supersession read as the text sink's
+    * ([[graft.sources.Snapshots.readAppendOnly]]) — `latest` would
     * shuffle every accumulated embedding per micro-batch; candidates
     * bound the corpus rows the verify cosine actually touches.
     *
@@ -364,9 +366,7 @@ object EventStreams {
         try if (!batch.isEmpty) {
           import graft.sources.Snapshots
           val spark = batch.sparkSession
-          val corpusVecs = Snapshots.versions(spark, corpusRoot)
-            .map { case (v, _, _) => Snapshots.read(spark, corpusRoot, v) }
-            .reduce(_ unionByName _)
+          val corpusVecs = Snapshots.readAppendOnly(spark, corpusRoot)
           val verdicts = graft.dedup.Dedup.ingestAndCommitVec(batch, corpusVecs, indexRoot)
           val keepers = graft.dedup.Dedup.keepersOf(batch, verdicts, key = "vec_id")
             .select("vec_id", "embedding")

@@ -680,6 +680,32 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("q6g: zero-norm exact copies are all kept (guarded cosine never matches them)") {
+    val spark0 = spark
+    import spark0.implicits._
+    functions.VectorExpressions.register(spark) // no Tables.load in this test
+    // three identical all-zero embeddings: they pass the null checks,
+    // but the guarded cosine is NULL for any zero-norm side, so the
+    // uncollapsed greedy rule keeps every one — the exact-copy
+    // collapse must NOT route them down the hash path and fabricate
+    // keep=false/best_cos=1.0 for the non-rep copies
+    val zeros = Seq(9101L, 9102L, 9103L)
+      .map(id => (id, Seq.fill(4)(0.0))).toDF("vec_id", "embedding")
+    val withZeros = dupHeavyCorpus.unionByName(zeros)
+    val r = Dedup.semanticDedup(withZeros, tau = 0.95, cells = 4)
+      .filter(col("vec_id") >= 9101L && col("vec_id") <= 9103L).collect()
+    assert(r.length === 3, "zero-norm rows vanished from the verdicts")
+    r.foreach { row =>
+      assert(row.getBoolean(2) && row.isNullAt(3) && row.isNullAt(4),
+        s"zero-norm verdict must be (keep, null dup_of, null best_cos): $row")
+    }
+    // and the collapsed pair report never fabricates a zero-vector
+    // within-group clique row (the direct form emits no pair for them)
+    val pairs = Dedup.collapsedNearDups(withZeros, tau = 0.95)
+      .filter(col("rep_a") >= 9101L || col("rep_b") >= 9101L).collect()
+    assert(pairs.isEmpty, s"zero-norm vectors reported pairs: ${pairs.mkString(", ")}")
+  }
+
   test("q6g: maxCell guard counts collapsed representatives and trips loudly past the cap") {
     functions.VectorExpressions.register(spark) // no Tables.load in this test
     val emb = dupHeavyCorpus // 415 rows, 65 distinct

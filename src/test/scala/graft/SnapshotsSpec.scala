@@ -82,6 +82,28 @@ class SnapshotsSpec extends SparkSpec {
       Set((1, "a", 10L), (2, "b", 20L)))
   }
 
+  test("readAppendOnly skips superseded segments: no double-count after compact") {
+    val root = tmpDir("snap-appendonly")
+    Snapshots.commit(Seq((1, "a", 10L), (2, "b", 20L)).toDF("id", "name", "amount"), root)
+    Snapshots.commitDelta(Seq((3, "c", 30L)).toDF("id", "name", "amount"), root)
+    Snapshots.commitDelta(Seq((4, "d", 40L)).toDF("id", "name", "amount"), root)
+    val want = Set((1, "a", 10L), (2, "b", 20L), (3, "c", 30L), (4, "d", 40L))
+    // pre-compact: full + deltas, each row exactly once
+    val pre = Snapshots.readAppendOnly(spark, root)
+    assert(pre.count() === 4L && rowsOf(pre) === want)
+    // post-compact the old full+deltas stay in the manifest; the
+    // append-only read must pick ONLY the new full (this is the
+    // streaming-ingest corpus view — a double-counted corpus would
+    // double every verdict's n_matches and the scan cost)
+    Snapshots.compact(spark, root, Seq("id"))
+    val folded = Snapshots.readAppendOnly(spark, root)
+    assert(folded.count() === 4L, "compact must not double-count the append-only read")
+    assert(rowsOf(folded) === want)
+    // deltas AFTER the compact land on top of the new base
+    Snapshots.commitDelta(Seq((5, "e", 50L)).toDF("id", "name", "amount"), root)
+    assert(rowsOf(Snapshots.readAppendOnly(spark, root)) === (want + ((5, "e", 50L))))
+  }
+
   test("changes() classifies insert/update/delete and skips no-op rewrites") {
     val root = tmpDir("snap-changes")
     Snapshots.commit(

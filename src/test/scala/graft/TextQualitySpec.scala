@@ -226,6 +226,36 @@ class TextQualitySpec extends SparkSpec {
     assert(idsDoubled === ids1)
   }
 
+  test("qa0/q82: empty and whitespace-only documents score finite quality and are rejected") {
+    import spark.implicits._
+    // n_chars_m = 0 makes the punct ratio 0/0 without the guard —
+    // NaN quality would PASS Spark's NaN-greatest >= filter (keeping
+    // garbage docs) and diverge from the DuckDB twin
+    // doc 3: 200 tokens, 10 distinct EN stopwords -> quality
+    // 1.0 * 1.0 * (0.5 + 0.5*10/200) = 0.525, comfortably kept
+    val docs = Seq(
+      (1L, "web", ""),
+      (2L, "web", "   "),
+      (3L, "web", Seq.fill(20)("the a an of and to in is it that").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val cur = operators.Curate.curated(docs)
+    val kept = cur.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L) && !kept.contains(2L),
+      s"empty/whitespace docs survived curation: $kept")
+    assert(kept.contains(3L), "a real document was rejected")
+    // and the q82 surface itself: finite, non-NaN scores everywhere
+    val saved = s"${tmpDir("q82-empty")}/documents.parquet"
+    docs.write.parquet(saved)
+    val q = SparkEntry.queries("q82_quality_score")(
+      spark, new java.io.File(saved).getParent)
+    val rows = q.select("doc_id", "punct_ratio", "quality").collect()
+    rows.foreach { r =>
+      assert(!r.getDouble(1).isNaN && !r.getDouble(2).isNaN,
+        s"NaN score for doc ${r.getLong(0)}")
+    }
+    assert(rows.length === 3)
+  }
+
   test("qa2: semantic stage prunes within text survivors; planted embedding copies always drop") {
     val docs = Tables.documents(spark, sf)
     val emb = Tables.embeddings(spark, sf)
