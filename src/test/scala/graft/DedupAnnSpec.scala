@@ -689,15 +689,17 @@ class DedupAnnSpec extends SparkSpec {
     // uncollapsed greedy rule keeps every one — the exact-copy
     // collapse must NOT route them down the hash path and fabricate
     // keep=false/best_cos=1.0 for the non-rep copies
+    // dim-8 like dupHeavyCorpus: a width mismatch would crash in cell
+    // assignment instead of exercising the hash-path regression
     val zeros = Seq(9101L, 9102L, 9103L)
-      .map(id => (id, Seq.fill(4)(0.0))).toDF("vec_id", "embedding")
+      .map(id => (id, Seq.fill(8)(0.0))).toDF("vec_id", "embedding")
     val withZeros = dupHeavyCorpus.unionByName(zeros)
     val r = Dedup.semanticDedup(withZeros, tau = 0.95, cells = 4)
       .filter(col("vec_id") >= 9101L && col("vec_id") <= 9103L).collect()
     assert(r.length === 3, "zero-norm rows vanished from the verdicts")
     r.foreach { row =>
-      assert(row.getBoolean(2) && row.isNullAt(3) && row.isNullAt(4),
-        s"zero-norm verdict must be (keep, null dup_of, null best_cos): $row")
+      assert(row.isNullAt(1) && row.getBoolean(2) && row.isNullAt(3) && row.isNullAt(4),
+        s"zero-norm verdict must be (null cell, keep, null dup_of, null best_cos): $row")
     }
     // and the collapsed pair report never fabricates a zero-vector
     // within-group clique row (the direct form emits no pair for them)

@@ -248,10 +248,14 @@ class TextQualitySpec extends SparkSpec {
     docs.write.parquet(saved)
     val q = SparkEntry.queries("q82_quality_score")(
       spark, new java.io.File(saved).getParent)
-    val rows = q.select("doc_id", "punct_ratio", "quality").collect()
+    val rows = q.select("doc_id", "mean_tok_len", "punct_ratio", "stop_ratio", "quality")
+      .collect()
     rows.foreach { r =>
-      assert(!r.getDouble(1).isNaN && !r.getDouble(2).isNaN,
-        s"NaN score for doc ${r.getLong(0)}")
+      (1 to 4).foreach { i =>
+        val v = r.getDouble(i)
+        assert(!v.isNaN && !v.isInfinite,
+          s"non-finite score (col $i = $v) for doc ${r.getLong(0)}")
+      }
     }
     assert(rows.length === 3)
   }
