@@ -160,12 +160,18 @@ object Dedup {
   // ---------------------------------------------------------- simhash
 
   /** 64-bit SimHash per doc: tokens exploded once, 64 signed bit-sums
-    * as partial aggregates, bits OR-packed into one long.
+    * as partial aggregates, bits OR-packed into one long. The token
+    * hash is the lower 64 MD5 bits ([[graft.functions.TextFunctions
+    * .md5Lo64]]) rather than xxhash64 — any uniform 64-bit hash
+    * serves simhash equally, and md5 is the one both engines share
+    * (DuckDB `md5_number_lower`), which is what lets q63's WHOLE
+    * pair output hash-check against a brute-force all-pairs twin
+    * (the q83 fingerprint precedent).
     */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"), md5Lo64(col("t")).as("h"))
     val sums = (0 until 64).map(i =>
       sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
     tok
@@ -181,6 +187,12 @@ object Dedup {
   /** Near-dup pairs by hamming distance ≤ 3, candidate-generated by
     * exact match on one of four 16-bit chunks (any pair within hamming
     * 3 must agree on ≥1 chunk — pigeonhole), verified with bit_count.
+    *
+    * Oracle-checkable since the md5 token hash (above): the chunk
+    * stage is EXACT-recall by the pigeonhole argument (not
+    * probabilistic like LSH), so the DuckDB twin reproduces the full
+    * pair set from brute-force all-pairs hamming — the quadratic
+    * price the chunked Spark plan exists to avoid.
     */
   private val q63 = Qdef(
     "q63_dedup_simhash",
@@ -205,7 +217,20 @@ object Dedup {
         .distinct()
         .orderBy("id_a", "id_b")
     },
-    None)
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                  FROM documents),
+            h AS (SELECT doc_id, md5_number_lower(tok) AS h FROM t),
+            b AS (SELECT unnest(generate_series(0, 63)) AS i),
+            bits AS (SELECT doc_id, i,
+                    SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                  FROM h CROSS JOIN b GROUP BY doc_id, i),
+            sh AS (SELECT doc_id,
+                    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS UBIGINT) << i) ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sim
+                  FROM bits GROUP BY doc_id),
+            p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+                    CAST(bit_count(xor(a.sim, b2.sim)) AS BIGINT) AS hamming
+                  FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id)
+            SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b"""))
 
   // ----------------------------------------- embedding-cosine near-dup
 

@@ -40,6 +40,29 @@ object TextExprHelpers {
     new GenericArrayData(out)
   }
 
+  private val md5Digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** The LOWER 64 bits of MD5(s): digest bytes 8..15 assembled
+    * little-endian — bit-identical to DuckDB's `md5_number_lower`,
+    * which is what makes hash-dependent operators built on it (q63's
+    * simhash) oracle-checkable (the q83 precedent: xxhash64 has no
+    * DuckDB twin, md5 both engines share). The signed-long bit
+    * pattern equals DuckDB's UBIGINT; per-bit extraction, XOR and
+    * bit_count agree on all 64 bits regardless of the sign
+    * interpretation.
+    */
+  def md5Lo64(s: UTF8String): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xFFL); i -= 1 }
+    h
+  }
+
   /** All word k-shingles of a document as strings (non-distinct —
     * occurrence counts matter for vocabulary building). Null when the
     * doc has fewer than k tokens.
@@ -222,6 +245,24 @@ case class BandHashes(child: Expression, bands: Int, rowsPerBand: Int) extends U
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, sig =>
       s"${ev.value} = graft.functions.BandHelpers.bandHashes($sig, $bands, $rowsPerBand);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_md5lo64(str)` — codegen'd lower-64-bits-of-MD5 token hash,
+  * bit-identical to DuckDB's `md5_number_lower` (see
+  * [[TextExprHelpers.md5Lo64]]).
+  */
+case class Md5Lo64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_md5lo64"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextExprHelpers.md5Lo64(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextExprHelpers.md5Lo64($t)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -45,6 +45,12 @@ object TextFunctions {
   def minhashSig(sh: Column, perms: Int): Column =
     call_function("graft_minhash", sh, lit(perms))
 
+  /** Lower 64 bits of MD5 as a long — bit-identical to DuckDB's
+    * `md5_number_lower`, so operators hashed with it (q63's simhash)
+    * stay oracle-checkable. Codegen'd ([[Md5Lo64]]).
+    */
+  def md5Lo64(c: Column): Column = call_function("graft_md5lo64", c)
+
   /** BPE-encode text against a learned merge table (rank = position in
     * `merges` — feed [[graft.operators.TextAnalysis.bpeMerges]] output
     * directly). Codegen'd narrow map; the table rides the plan as a

@@ -295,6 +295,8 @@ object VectorExpressions {
       es => MinHashSig(es(0), litInt(es(1)))),
     ("graft_band_hashes", "_FUNC_(sig, bands, rows) - LSH band hashes",
       es => BandHashes(es(0), litInt(es(1)), litInt(es(2)))),
+    ("graft_md5lo64", "_FUNC_(str) - lower 64 md5 bits (matches DuckDB md5_number_lower)",
+      es => Md5Lo64(es.head)),
     ("graft_shingle_strings", "_FUNC_(text, k) - word k-shingles as strings",
       es => ShingleStrings(es(0), litInt(es(1)))),
     ("graft_max_run", "_FUNC_(sorted) - longest equal-adjacent run in a sorted string array",
