@@ -140,6 +140,37 @@ object Soak {
       s
     } finally deleteDir(spark, idxTmp.toString)
 
+    // Ingest-store compaction cadence: the continuous-ingest sinks
+    // read the corpus as readAppendOnly (latest full + later deltas).
+    // The scale claims under test: (1) rows NEVER double across a
+    // compact (the pre-fix raw all-versions union doubled the corpus
+    // — and every verdict's n_matches — forever after one), and
+    // (2) compaction actually resets the scan fan-in, so an
+    // operational compact cadence bounds per-batch ingest cost as
+    // deltas accumulate.
+    val ingTmp = java.nio.file.Files.createTempDirectory("graft-soak-ingest")
+    try {
+      import graft.sources.Snapshots
+      val iroot = s"$ingTmp/corpus"
+      Snapshots.commit(fanned, iroot)
+      (0 until 8).foreach { i =>
+        Snapshots.commitDelta(
+          batch.filter(col("doc_id") % 8 === i), iroot)
+      }
+      val (preRows, sPre) = timed("ingest_read_9seg")(
+        Snapshots.readAppendOnly(spark, iroot).count())
+      timed("ingest_compact")(Snapshots.compact(spark, iroot, Seq("doc_id")))
+      val (postRows, sPost) = timed("ingest_read_compacted")(
+        Snapshots.readAppendOnly(spark, iroot).count())
+      require(postRows == preRows,
+        s"compaction changed the append-only row count: $preRows -> $postRows")
+      val segsPost = Snapshots.readAppendOnly(spark, iroot)
+        .queryExecution.executedPlan.toString
+        .split("Scan parquet").length - 1
+      println(f"[soak] ingest store: $preRows rows, 9-segment read $sPre%.1f s -> " +
+        f"compacted read $sPost%.1f s over $segsPost scan(s) — no double-count, fan-in reset")
+    } finally deleteDir(spark, ingTmp.toString)
+
     // ---------------- warehouse tier ----------------
     // 10× orders through the snapshot store: full base + 32 delta
     // imports, then the three read shapes a warehouse lives on —
