@@ -43,6 +43,32 @@ class DedupAnnSpec extends SparkSpec {
     assert(pairs("q63_dedup_simhash") === truth)
   }
 
+  test("graft_md5lo64 matches DuckDB md5_number_lower on pinned vectors (q63 oracle hinges on it)") {
+    // vectors generated from duckdb 1.0.0: md5_number_lower = digest
+    // bytes 8..15 little-endian; the UBIGINT bit pattern viewed as a
+    // signed long. Includes multi-byte UTF-8 — the test corpora are
+    // ASCII, so only these literals lock the encoding path.
+    val expected = Map(
+      "abc" -> 8250560606382298838L,
+      "" -> 9098107892288553193L,
+      "the" -> 6287873238205204795L,
+      "naïve—token" -> 5096099924855903951L,
+      "日本語" -> -1428991987632034569L)
+    expected.foreach { case (s, want) =>
+      assert(functions.TextExprHelpers.md5Lo64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) === want,
+        s"md5Lo64 drifted from DuckDB md5_number_lower for '$s'")
+    }
+    // and through the registered expression (codegen path)
+    functions.VectorExpressions.register(spark)
+    val spark0 = spark
+    import spark0.implicits._
+    val got = expected.keys.toSeq.toDF("s")
+      .select(call_function("graft_md5lo64", col("s")))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected.values.toSet)
+  }
+
   test("q65: embedding near-dup pairs are precise; 1-bit multiprobe recall measured") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
