@@ -635,7 +635,8 @@ object Dedup {
                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
                       pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
                   FROM e a, e b
-                  WHERE a.vec_id < b.vec_id AND a.nrm * b.nrm > 0)
+                  WHERE a.vec_id < b.vec_id AND a.nrm * b.nrm > 0
+                    AND isfinite(a.nrm * b.nrm))
             SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b"""))
 
   /** q6f: the density-adaptive query form. maxBucket=32 puts the gate
@@ -803,15 +804,19 @@ object Dedup {
     // (~n²/2⁹⁶) is handled below: the staged groups are probed for
     // colliding keys, and the member join widens to the embedding
     // VALUE on a hit — never a fanned-out or wrong verdict.
-    // zero-NORM vectors are un-scorable too: the guarded cosine is
-    // NULL for any zero-norm side, so the uncollapsed greedy rule
-    // keeps every zero vector — routing them down the hash path would
-    // fabricate keep=false/best_cos=1.0 verdicts for exact zero
-    // copies that the within-cell truth (and the spec's brute-force
-    // oracle) never drops. They take the un-scorable branch instead:
-    // keep-by-default with null lineage, like null-element rows.
+    // NON-FINITE-norm vectors (zero, NaN from a NaN element, Inf from
+    // overflow) are un-scorable too: the guarded cosine is NULL for
+    // any such side, so the uncollapsed greedy rule keeps them all —
+    // routing them down the hash path would fabricate
+    // keep=false/best_cos=1.0 verdicts for exact copies that the
+    // within-cell truth (and the spec's brute-force oracle) never
+    // drops. They take the un-scorable branch instead: keep-by-default
+    // with null lineage, like null-element rows. (`> 0 && < +Inf`
+    // excludes NaN in Spark's NaN-greatest ordering: NaN passes `> 0`
+    // but fails `< +Inf`.)
+    val embNrm = norm2(col("embedding"))
     val validEmb = col("embedding").isNotNull && !vecHasNull(col("embedding")) &&
-      norm2(col("embedding")) > 0.0
+      embNrm > 0.0 && embNrm < Double.PositiveInfinity
     // the hash pair MUST be part of the grouping key, not recomputed
     // per group afterwards: members hash their RAW arrays, while an
     // array-only grouping key gets ±0.0-normalized — grouping by the
@@ -1077,10 +1082,11 @@ object Dedup {
     // its own job and every plan fragment re-plans it. The staged
     // count doubles as the solver's n, so the count job disappears
     // entirely (resolve gets pinned knobs and skips its own action).
+    val nrmC = graft.functions.VectorFunctions.norm2(col("embedding"))
     val (groups, nReps) = graft.Stage.counted(emb
       .filter(col("embedding").isNotNull &&
         !graft.functions.VectorFunctions.vecHasNull(col("embedding")) &&
-        graft.functions.VectorFunctions.norm2(col("embedding")) > 0.0)
+        nrmC > 0.0 && nrmC < Double.PositiveInfinity)
       .groupBy(col("embedding"))
       .agg(min("vec_id").as("rep"), count(lit(1)).as("sz")))
     val g = graft.ann.LshGeometry.resolve(nReps, tau, tables, planes, probe1)
@@ -1119,6 +1125,7 @@ object Dedup {
                   WHERE embedding IS NOT NULL
                     AND len(list_filter(embedding, x -> x IS NULL)) = 0
                     AND sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+                    AND isfinite(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
                   GROUP BY embedding),
             e AS (SELECT rep, sz, embedding,
                     sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
@@ -1128,7 +1135,8 @@ object Dedup {
                       pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (a.nrm * b.nrm) AS cos,
                     a.sz AS sz_a, b.sz AS sz_b, CAST(a.sz * b.sz AS BIGINT) AS n_pairs
                   FROM e a, e b
-                  WHERE a.rep < b.rep AND a.nrm * b.nrm > 0),
+                  WHERE a.rep < b.rep AND a.nrm * b.nrm > 0
+                    AND isfinite(a.nrm * b.nrm)),
             w AS (SELECT rep AS rep_a, rep AS rep_b, CAST(1.0 AS DOUBLE) AS cos,
                     sz AS sz_a, sz AS sz_b, CAST((sz * (sz - 1)) // 2 AS BIGINT) AS n_pairs
                   FROM e WHERE sz > 1)

@@ -33,15 +33,32 @@ object VectorFunctions {
     * per row, not once per pair — the thing that matters when the pair
     * count is quadratic in the bucket size).
     *
-    * Zero-norm guard: a zero vector has no direction, so its cosine
-    * with anything is NULL — never a match under any `>= tau` filter.
-    * Without the guard, Spark 4's default ANSI mode throws
-    * DIVIDE_BY_ZERO and kills the whole query (and with ANSI off the
-    * NaN would sort ABOVE tau in Spark's nan-safe ordering, silently
-    * matching the zero vector to everything in its bucket).
+    * Un-scorable guard: the cosine is NULL — never a match under any
+    * `>= tau` filter — unless the norm product is FINITE and positive:
+    *
+    *  - zero norm: a zero vector has no direction; without the guard
+    *    Spark 4's default ANSI mode throws DIVIDE_BY_ZERO and kills
+    *    the whole query (with ANSI off, the 0/0 NaN would sort ABOVE
+    *    tau in Spark's NaN-greatest ordering, silently matching the
+    *    zero vector to everything in its bucket);
+    *  - NaN norm (a NaN element): `NaN > 0.0` is TRUE in Spark's
+    *    NaN-greatest comparison, so a bare positivity guard lets one
+    *    NaN embedding score NaN against every bucket/cell neighbor —
+    *    and NaN >= tau is also true, so that single garbage row would
+    *    silently out-match (and in the dedup verdicts, DELETE) every
+    *    higher-id vector it shares a bucket with;
+    *  - infinite norm (element overflow): the vector cannot be scored
+    *    in double precision at all.
+    *
+    * `nn > 0 && nn < +Inf` excludes all three in one codegen'd pair of
+    * comparisons on the already-computed norms (NaN fails `< +Inf`,
+    * zero and NaN fail/pass as above); finite positive norms bound the
+    * dot by Cauchy-Schwarz, so the quotient itself is always finite.
     */
-  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
-    when(na * nb > 0.0, dotD(a, b) / (na * nb))
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val nn = na * nb
+    when(nn > 0.0 && nn < Double.PositiveInfinity, dotD(a, b) / nn)
+  }
 
   /** Squared euclidean distance (IVF assignment metric; avoids the sqrt). */
   def distSq(a: Column, b: Column): Column = call_function("graft_distsq", a, b)

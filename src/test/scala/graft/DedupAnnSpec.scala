@@ -734,6 +734,40 @@ class DedupAnnSpec extends SparkSpec {
     assert(pairs.isEmpty, s"zero-norm vectors reported pairs: ${pairs.mkString(", ")}")
   }
 
+  test("q6g/q65: NaN-element embeddings are un-scorable — they never match, drop, or delete anything") {
+    val spark0 = spark
+    import spark0.implicits._
+    functions.VectorExpressions.register(spark) // no Tables.load in this test
+    // NaN ids BELOW the whole corpus: under Spark's NaN-greatest
+    // ordering an unguarded cosine scores NaN >= tau against every
+    // cell/bucket neighbor, and with the smallest ids the greedy
+    // min-id rule would record the NaN rows as dup_of for — and
+    // thereby DELETE — their entire cell. One garbage encoder row
+    // must never cost real documents.
+    val nans = Seq(-2L, -1L)
+      .map(id => (id, Seq(Double.NaN, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val base = Dedup.semanticDedup(dupHeavyCorpus, tau = 0.95, cells = 4)
+      .filter(col("keep")).count()
+    val out = Dedup.semanticDedup(dupHeavyCorpus.unionByName(nans), tau = 0.95, cells = 4)
+    val nanRows = out.filter(col("vec_id") < 0L).collect()
+    assert(nanRows.length === 2, "NaN rows vanished from the verdicts")
+    nanRows.foreach { row =>
+      assert(row.isNullAt(1) && row.getBoolean(2) && row.isNullAt(3) && row.isNullAt(4),
+        s"NaN verdict must be (null cell, keep, null dup_of, null best_cos): $row")
+    }
+    assert(out.filter(col("dup_of") < 0L).count() === 0L,
+      "a NaN vector was recorded as someone's dup_of")
+    assert(out.filter(col("keep")).count() === base + 2,
+      "adding NaN rows changed real documents' verdicts")
+    // and the LSH pair surface: a NaN vector (all-ones bucket in
+    // every table) generates candidates but the verify cosine is
+    // NULL — no pair survives
+    val pairs = Dedup.embeddingNearDups(dupHeavyCorpus.unionByName(nans), tau = 0.95)
+      .filter(col("id_a") < 0L || col("id_b") < 0L).collect()
+    assert(pairs.isEmpty, s"NaN vectors emitted pairs: ${pairs.mkString(", ")}")
+  }
+
   test("q6g: maxCell guard counts collapsed representatives and trips loudly past the cap") {
     functions.VectorExpressions.register(spark) // no Tables.load in this test
     val emb = dupHeavyCorpus // 415 rows, 65 distinct
