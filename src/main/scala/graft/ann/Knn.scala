@@ -74,6 +74,15 @@ object Knn {
     * oracle of every ANN path whose gate-scale output is row-for-row
     * the brute truth (q71 with the pinned probe, q72 at the pinned
     * nprobe): ONE definition so the three entries can never drift.
+    *
+    * Assumes a FINITE, nonzero-norm corpus (which the testdata is):
+    * the Spark side's guarded cosine scores un-scorable rows NULL
+    * (ranked last under desc), while this twin's raw division would
+    * rank their NaN first in DuckDB's NaN-greatest order. RANKING
+    * queries tolerate that asymmetry only because the gate corpora
+    * contain no such rows — the dedup VERDICT twins (q65/q6c/q6e),
+    * where un-scorable rows could destroy data, carry explicit
+    * isfinite guards instead.
     */
   private val BruteTopKSql =
     """WITH e AS (SELECT vec_id, embedding,
@@ -102,16 +111,6 @@ object Knn {
     },
     Some(BruteTopKSql))
 
-  /** Multi-table random-hyperplane bucketing (OR-amplified LSH): each
-    * row lands in `tables` compact (table, bucket) keys. For top-k
-    * neighbors around cos 0.3–0.5, 16 tables of 4 planes give
-    * 1-(1-p^4)^16 ≈ 0.9+ recall while keeping 2^4 buckets per table.
-    *
-    * `dims` defaults to None = derive from the first data row (one
-    * tiny driver action). A hardcoded width would silently bucket
-    * wider embeddings on a truncated projection (`graft_dot` folds
-    * over min(length)) — recall loss with no error.
-    */
   /** Embedding width from the first SCORABLE row — the one tiny
     * driver action the hyperplane literals need. Null embeddings are
     * skipped (size(null) is NULL: Row.getInt would NPE under ANSI,
@@ -124,6 +123,16 @@ object Knn {
       .select(size(col("embedding")).as("d"))
       .head(1).headOption.map(_.getInt(0))
 
+  /** Multi-table random-hyperplane bucketing (OR-amplified LSH): each
+    * row lands in `tables` compact (table, bucket) keys. For top-k
+    * neighbors around cos 0.3–0.5, 16 tables of 4 planes give
+    * 1-(1-p^4)^16 ≈ 0.9+ recall while keeping 2^4 buckets per table.
+    *
+    * `dims` defaults to None = derive from the first scorable data
+    * row ([[embDims]]). A hardcoded width would silently bucket
+    * wider embeddings on a truncated projection (`graft_dot` folds
+    * over min(length)) — recall loss with no error.
+    */
   def lshTables(
       e: DataFrame,
       tables: Int = 16,

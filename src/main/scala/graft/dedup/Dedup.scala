@@ -1013,7 +1013,8 @@ object Dedup {
             c AS (SELECT vec_id, embedding, nrm FROM e WHERE vec_id % 7 <> 3),
             m AS (SELECT b.vec_id, MIN(c.vec_id) AS dup_of, COUNT(*) AS n_matches
                   FROM b, c
-                  WHERE list_sum(list_transform(list_zip(b.embedding, c.embedding),
+                  WHERE b.nrm * c.nrm > 0 AND isfinite(b.nrm * c.nrm)
+                    AND list_sum(list_transform(list_zip(b.embedding, c.embedding),
                           pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (b.nrm * c.nrm) >= 0.4
                   GROUP BY b.vec_id)
             SELECT b2.vec_id, m.dup_of, COALESCE(m.n_matches, 0) AS n_matches,
@@ -1244,20 +1245,21 @@ object Dedup {
   }
 
   /** Base segment + subsequent DELTAS as one narrow union — shared by
-    * both persisted indexes ([[readBandIndex]]'s read contract). A
-    * full snapshot NEWER than the chosen base is skipped: for the vec
-    * index the base is sidecar-gated, so a crash between a compaction
-    * commit and its geometry publish must not let the half-published
-    * fold double-count against the segments it folded.
+    * both persisted indexes ([[readBandIndex]]'s read contract), and
+    * ONE definition with the corpus stores' append-only read
+    * ([[graft.sources.Snapshots.readChain]]): a supersession-rule fix
+    * lands in every reader at once. A full snapshot NEWER than the
+    * chosen base is skipped: for the vec index the base is
+    * sidecar-gated, so a crash between a compaction commit and its
+    * geometry publish must not let the half-published fold
+    * double-count against the segments it folded.
     */
   private def readSegments(
       spark: org.apache.spark.sql.SparkSession,
       root: String,
       baseV: Long,
       vs: Seq[(Long, String, String)]): DataFrame =
-    vs.filter(t => t._1 == baseV || (t._1 > baseV && t._2 != "full"))
-      .map { case (v, _, _) => graft.sources.Snapshots.read(spark, root, v) }
-      .reduce(_ unionByName _)
+    graft.sources.Snapshots.readChain(spark, root, baseV, vs)
 
   /** Latest PUBLISHED full snapshot + subsequent deltas — over bucket
     * keys instead of band hashes.
@@ -1330,7 +1332,10 @@ object Dedup {
     val keepers = keepersOf(batch, verdicts, key = "vec_id")
       .select(col("vec_id"), col("embedding"),
         graft.functions.VectorFunctions.norm2(col("embedding")).as("nrm"))
-    graft.sources.Snapshots.commitDelta(
+    // retrying (see Snapshots.commitDeltaRetrying): a concurrent
+    // compactVecIndex must not kill the ingest cycle — bands are a
+    // version-independent append
+    graft.sources.Snapshots.commitDeltaRetrying(
       graft.ann.Knn.lshTables(keepers, g.tables, g.planes, seed = 7, dims = Some(g.dims))
         .select("vec_id", "tbl", "bkt"),
       root)
@@ -1816,7 +1821,10 @@ object Dedup {
   def ingestAndCommit(
       batch: DataFrame, corpusText: DataFrame, root: String, minJ: Double = 0.8): DataFrame = {
     val verdicts = graft.Stage.cut(ingestAgainstIndex(batch, corpusText, root, minJ))
-    graft.sources.Snapshots.commitDelta(
+    // retrying (see Snapshots.commitDeltaRetrying): a concurrent
+    // compactBandIndex must not kill the ingest cycle — bands are a
+    // version-independent append
+    graft.sources.Snapshots.commitDeltaRetrying(
       bandedKeys(minhashSignatures(keepersOf(batch, verdicts))), root)
     verdicts
   }

@@ -194,12 +194,26 @@ object Snapshots {
     * every retry on errorifexists (the standard log-structured-table
     * fix: unique file names, atomic manifest publish).
     */
-  private def writeAndPublish(df: DataFrame, root: String, kind: String): Long = {
-    val v = nextVersion(df.sparkSession, root)
-    val rel = s"v$v-${java.util.UUID.randomUUID.toString.take(8)}"
+  private def writeAndPublish(
+      df: DataFrame, root: String, kind: String, maxAttempts: Int = 1): Long = {
+    val spark = df.sparkSession
+    val rel = s"v${nextVersion(spark, root)}-${java.util.UUID.randomUUID.toString.take(8)}"
     df.write.mode("errorifexists").parquet(s"$root/$rel")
-    appendManifest(df.sparkSession, root, v, kind, rel)
-    v
+    // the data dir is written ONCE; only the manifest publish retries
+    // (losing the CAS re-reads the chain and re-publishes the same
+    // segment under the next version — the dir name keeps the first
+    // attempt's version, which is cosmetic: the manifest is the only
+    // source of truth for version → path)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val v = nextVersion(spark, root)
+      try { appendManifest(spark, root, v, kind, rel); return v }
+      catch {
+        case _: IllegalStateException if attempt < maxAttempts => ()
+      }
+    }
+    -1L // unreachable
   }
 
   /** Commit a full snapshot; returns the new version number. */
@@ -211,6 +225,21 @@ object Snapshots {
     */
   def commitDelta(df: DataFrame, root: String): Long =
     writeAndPublish(df, root, "delta")
+
+  /** [[commitDelta]] with a bounded optimistic-concurrency retry on
+    * the manifest-publish race — for appends whose CONTENT is
+    * independent of the version they land at (the streaming ingest
+    * sinks' keeper/band commits): losing the publish CAS to a
+    * concurrent writer (e.g. an operational [[compact]] on the live
+    * store) re-publishes the already-written segment under the next
+    * version instead of killing the streaming query. NOT for
+    * [[compact]]-style folds: a fold computed before the race must be
+    * RECOMPUTED after it (blind re-publish would silently drop the
+    * delta that won), so compact keeps the loud failure — just re-run
+    * it.
+    */
+  def commitDeltaRetrying(df: DataFrame, root: String, maxAttempts: Int = 8): Long =
+    writeAndPublish(df, root, "delta", maxAttempts)
 
   /** Read the table as of `version` (reproducible forever): base = the
     * latest full snapshot ≤ version, then deltas (base, version]
@@ -256,12 +285,30 @@ object Snapshots {
   def readAppendOnly(spark: SparkSession, root: String): DataFrame = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"empty snapshot store at $root")
-    val chain = vs.filter(_._2 == "full").map(_._1).maxOption match {
-      case Some(baseV) => vs.filter(t => t._1 == baseV || (t._1 > baseV && t._2 != "full"))
-      case None        => vs
+    vs.filter(_._2 == "full").map(_._1).maxOption match {
+      case Some(baseV) => readChain(spark, root, baseV, vs)
+      case None => vs.map { case (v, _, _) => read(spark, root, v) }.reduce(_ unionByName _)
     }
-    chain.map { case (v, _, _) => read(spark, root, v) }.reduce(_ unionByName _)
   }
+
+  /** THE supersession chain read — `baseV`'s segment plus every LATER
+    * delta as a raw narrow union, shared by [[readAppendOnly]] and
+    * the persisted-index readers in graft.dedup (whose base choice is
+    * sidecar-gated). A full snapshot NEWER than `baseV` is skipped:
+    * for the vector index a crash between a compaction commit and its
+    * geometry publish must not let the half-published fold
+    * double-count against the segments it folded; one definition so
+    * a supersession-rule fix can never drift between the corpus and
+    * index reads.
+    */
+  private[graft] def readChain(
+      spark: SparkSession,
+      root: String,
+      baseV: Long,
+      vs: Seq[(Long, String, String)]): DataFrame =
+    vs.filter(t => t._1 == baseV || (t._1 > baseV && t._2 != "full"))
+      .map { case (v, _, _) => read(spark, root, v) }
+      .reduce(_ unionByName _)
 
   /** Read the latest version. */
   def latest(spark: SparkSession, root: String, keys: Seq[String]): DataFrame =

@@ -242,6 +242,11 @@ object EventStreams {
     * [[graft.sources.Snapshots.compact]] (corpus) — the append-only
     * read skips the segments a compact supersedes, so compaction
     * bounds the scan fan-in instead of double-counting every row.
+    * Compacting the LIVE store is safe: the sink's delta commits
+    * retry the manifest CAS
+    * ([[graft.sources.Snapshots.commitDeltaRetrying]]), so losing
+    * the race to a compact re-publishes instead of killing the
+    * stream; a compact that loses fails loudly and is simply re-run.
     *
     * Delivery is at-least-once (foreachBatch). A replayed shingled
     * keeper matches its own committed copy (jaccard 1) and drops; a
@@ -282,7 +287,11 @@ object EventStreams {
           val verdicts = graft.dedup.Dedup.ingestAndCommit(kept, corpusText, indexRoot)
           val keepers = graft.dedup.Dedup.keepersOf(kept, verdicts)
             .join(corpusText.select("doc_id"), Seq("doc_id"), "left_anti")
-          Snapshots.commitDelta(keepers, corpusRoot)
+          // retrying: an operational compact on the live store may win
+          // the manifest CAS mid-batch; the keeper append is
+          // version-independent, so losing re-publishes instead of
+          // killing the stream
+          Snapshots.commitDeltaRetrying(keepers, corpusRoot)
           ()
         } finally { kept.unpersist(); () }
       }
@@ -348,12 +357,12 @@ object EventStreams {
     *
     * Delivery is at-least-once. A replayed keeper bands to its own
     * committed buckets and self-matches at cosine 1 ≥ τ → re-dropped,
-    * no bands re-commit. The one vector that CANNOT self-match is the
-    * zero vector (no direction — [[graft.functions.VectorFunctions
-    * .cosine]] yields NULL for any zero-norm side, never a match): its
-    * replay re-commits duplicate band rows — harmless for verdicts
-    * (the candidate join dedups pairs) — and the corpus anti-join
-    * below still keeps the vector store row-unique, same
+    * no bands re-commit. The vectors that CANNOT self-match are the
+    * un-scorable class ([[graft.functions.VectorFunctions.cosine]]
+    * yields NULL for any zero, NaN or infinite norm — never a
+    * match): their replay re-commits duplicate band rows — harmless
+    * for verdicts (the candidate join dedups pairs) — and the corpus
+    * anti-join below still keeps the vector store row-unique, same
     * belt-and-braces as the text sink's shingle-less case.
     */
   def streamVecDedupIngest(
@@ -371,7 +380,11 @@ object EventStreams {
           val keepers = graft.dedup.Dedup.keepersOf(batch, verdicts, key = "vec_id")
             .select("vec_id", "embedding")
             .join(corpusVecs.select("vec_id"), Seq("vec_id"), "left_anti")
-          Snapshots.commitDelta(keepers, corpusRoot)
+          // retrying: an operational compact on the live store may win
+          // the manifest CAS mid-batch; the keeper append is
+          // version-independent, so losing re-publishes instead of
+          // killing the stream
+          Snapshots.commitDeltaRetrying(keepers, corpusRoot)
           ()
         } finally { batch.unpersist(); () }
       }

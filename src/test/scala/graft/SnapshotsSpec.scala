@@ -168,6 +168,35 @@ class SnapshotsSpec extends SparkSpec {
       Set((1, "a", 10L), (2, "from-A", 20L), (3, "from-B", 30L)))
   }
 
+  test("commitDeltaRetrying: concurrent writers all land with the retry inside the API") {
+    // the streaming-sink contract: an ingest delta losing the
+    // manifest CAS to a concurrent writer (e.g. an operational
+    // compact on the live store) re-publishes instead of throwing
+    // out of foreachBatch and killing the stream — no caller-side
+    // loop needed
+    val root = tmpDir("snap-retrying")
+    Snapshots.commit(Seq((0, "base", 0L)).toDF("id", "name", "amount"), root)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { t =>
+      new Thread(() => {
+        (0 until 4).foreach { i =>
+          try Snapshots.commitDeltaRetrying(
+            Seq((t * 100 + i, s"w$t-$i", i.toLong)).toDF("id", "name", "amount"), root)
+          catch { case e: Throwable => errors.add(e) }
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"a retrying commit escaped: ${errors.peek()}")
+    val chain = Snapshots.versions(spark, root).map(_._1)
+    assert(chain === (1L to 9L), s"chain not gapless/linear: $chain")
+    val got = rowsOf(Snapshots.latest(spark, root, Seq("id")))
+    val want = (for { t <- 1 to 2; i <- 0 until 4 }
+      yield (t * 100 + i, s"w$t-$i", i.toLong)).toSet + ((0, "base", 0L))
+    assert(got === want)
+  }
+
   test("concurrent committers with OCC retry: every commit lands, the chain is gapless") {
     val root = tmpDir("snap-occ")
     Snapshots.commit(Seq((0, "base", 0L)).toDF("id", "name", "amount"), root)
