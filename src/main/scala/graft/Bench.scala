@@ -65,10 +65,10 @@ object Bench {
     // from `total` and from the driver contract line so cross-round
     // totals stay comparable; raw trials land in trial_times.
     val q6dPhases: Seq[(String, IndexedSeq[Double])] = try {
-      import org.apache.spark.sql.functions.col
-      val emb = Tables.embeddings(spark, sfDir)
-      val corpus = emb.filter(col("vec_id") % 7 =!= 3 && col("vec_id") % 7 =!= 5)
-      val b1 = emb.filter(col("vec_id") % 7 === 3)
+      // the corpus/batch split is SHARED with the q6d Qdef
+      // (Dedup.q6dSplit) — the phases time exactly the workload the
+      // driver-facing composite runs
+      val (corpus, b1, _) = dedup.Dedup.q6dSplit(Tables.embeddings(spark, sfDir))
       // failures PROPAGATE out of timeIt to the phase-level catch: a
       // swallowed exception would record its time-to-throw as a
       // legitimate trial and fake a near-zero phase median
@@ -103,6 +103,16 @@ object Bench {
     // comma-decimal locale would print invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // sfDir is environment-controlled free text: escape it, or a path
+    // with a quote/backslash yields invalid JSON in the contract line
+    // AND bench_full.json (the parsed:null failure mode that already
+    // lost two rounds' numbers to a different cause)
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Full-name per-query MEDIAN timings for humans/the judge, plus
     // the raw sorted trials so a contended run is visible as spread.
@@ -115,7 +125,7 @@ object Bench {
       s"\"$k\":[${ts.map(fmt).mkString(",")}]"
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"trials":$trials,"trial_times":$raw,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"trials":$trials,"trial_times":$raw,"sf":${jstr(sfDir)}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -128,7 +138,7 @@ object Bench {
     val qs = results.map { case (k, v) =>
       s"\"${k.takeWhile(_ != '_')}\":${fmt(v)}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -6,11 +6,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** All checkable operators, assembled from the per-module registries. */
-  def defs: Seq[Qdef] =
-    operators.Relational.all ++ operators.Cohort.all ++
-      dedup.Dedup.all ++ ann.Knn.all ++ operators.TextAnalysis.all ++
-      operators.Sketches.all ++ operators.Warehouse.all ++ operators.Curate.all ++
-      operators.Mix.all ++ operators.TrainingRun.all
+  def defs: Seq[Qdef] = {
+    val ds =
+      operators.Relational.all ++ operators.Cohort.all ++
+        dedup.Dedup.all ++ ann.Knn.all ++ operators.TextAnalysis.all ++
+        operators.Sketches.all ++ operators.Warehouse.all ++ operators.Curate.all ++
+        operators.Mix.all ++ operators.TrainingRun.all
+    // the Maps below are last-wins: a duplicate name across the ten
+    // hand-maintained registries would silently DROP an operator from
+    // Bench, Verify, and the DuckDB gate at once, with every signal
+    // staying green. Fail loudly instead.
+    val dup = ds.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dup.isEmpty, s"duplicate Qdef name(s) across registries: ${dup.mkString(", ")}")
+    ds
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    require(args.length == 2, s"usage: graft.Verify <sfDir> <outDir> (got ${args.length} args)")
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -29,7 +30,11 @@ object Verify {
         val dir = Paths.get(s"$outDir/$name")
         if (Files.exists(dir)) {
           import scala.jdk.CollectionConverters._
-          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+          // Files.walk holds an open directory stream — close it, or
+          // a round with many failures accumulates handles
+          scala.util.Using.resource(Files.walk(dir)) { st =>
+            st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+          }
         }
       }
     }

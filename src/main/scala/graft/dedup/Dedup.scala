@@ -1368,13 +1368,20 @@ object Dedup {
     * [[incrementalVecDups]] pipeline. Fresh temp store per run,
     * deleted after materializing (q6b's side-effect discipline).
     */
+  /** The (corpus, batch1, batch2) split the q6d lifecycle measures —
+    * ONE definition shared by the Qdef below and Bench's
+    * q6d_build/q6d_ingest phase decomposition, so the bench phases
+    * can never silently drift from the query they claim to decompose.
+    */
+  private[graft] def q6dSplit(emb: DataFrame): (DataFrame, DataFrame, DataFrame) = (
+    emb.filter(col("vec_id") % 7 =!= 3 && col("vec_id") % 7 =!= 5),
+    emb.filter(col("vec_id") % 7 === 3),
+    emb.filter(col("vec_id") % 7 === 5))
+
   private val q6d = Qdef(
     "q6d_vec_index_ingest",
     (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val corpus = emb.filter(col("vec_id") % 7 =!= 3 && col("vec_id") % 7 =!= 5)
-      val b1 = emb.filter(col("vec_id") % 7 === 3)
-      val b2 = emb.filter(col("vec_id") % 7 === 5)
+      val (corpus, b1, b2) = q6dSplit(Tables.embeddings(s, d))
       val tmp = java.nio.file.Files.createTempDirectory("graft-vecindex")
       val root = s"$tmp/idx"
       try {
@@ -1397,12 +1404,14 @@ object Dedup {
             b2 AS (SELECT * FROM e WHERE vec_id % 7 = 5),
             k1 AS (SELECT * FROM b1 WHERE NOT EXISTS (
                     SELECT 1 FROM c
-                    WHERE list_sum(list_transform(list_zip(b1.embedding, c.embedding),
+                    WHERE b1.nrm * c.nrm > 0 AND isfinite(b1.nrm * c.nrm)
+                      AND list_sum(list_transform(list_zip(b1.embedding, c.embedding),
                             pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (b1.nrm * c.nrm) >= 0.4)),
             c2 AS (SELECT * FROM c UNION ALL SELECT * FROM k1),
             m AS (SELECT b2.vec_id, MIN(c2.vec_id) AS dup_of, COUNT(*) AS n_matches
                   FROM b2, c2
-                  WHERE list_sum(list_transform(list_zip(b2.embedding, c2.embedding),
+                  WHERE b2.nrm * c2.nrm > 0 AND isfinite(b2.nrm * c2.nrm)
+                    AND list_sum(list_transform(list_zip(b2.embedding, c2.embedding),
                           pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (b2.nrm * c2.nrm) >= 0.4
                   GROUP BY b2.vec_id)
             SELECT b.vec_id, m.dup_of, COALESCE(m.n_matches, 0) AS n_matches,
