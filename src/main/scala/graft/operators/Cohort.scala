@@ -50,6 +50,78 @@ object Cohort {
   def countSubjects(set: DataFrame): DataFrame =
     set.agg(count(lit(1)).as("n_subjects"))
 
+  // ------------------------------------------- parameterized item API
+  // The reference serves item statistics / histograms / code-list
+  // frequencies for ANY item as endpoints; these are the general
+  // forms, and the oracle-pinned q45/q46/q47 Qdefs below are fixed
+  // instances of them (one definition — a drift between the service
+  // surface and the checked queries is structurally impossible).
+  // Fields arrive as COLUMN references (`col(field)` resolves against
+  // the schema or fails analysis), never spliced into SQL text.
+
+  /** Item value statistics (min/max/mean/sample-stddev/median/count)
+    * for a numeric column, optionally per group. Mean and stddev are
+    * decimal-exact ([[Tables.dsum]]) so results are independent of
+    * aggregation order at any parallelism.
+    */
+  def itemStats(df: DataFrame, field: String, by: Option[String] = None,
+      scale: Int = 2): DataFrame = {
+    val c = col(field)
+    val sApp = dsum(c, scale)
+    val sq = dsum(c * c, 2 * scale)
+    val n = count(c)
+    val aggs = Seq(
+      min(c).as("min_q"),
+      max(c).as("max_q"),
+      davg(c, scale).as("avg_q"),
+      sqrt((sq - sApp * sApp / n) / (n - lit(1))).as("std_q"),
+      percentile(c, lit(0.5)).as("med_q"),
+      n.as("n_obs"))
+    by match {
+      case Some(b) => df.groupBy(b).agg(aggs.head, aggs.tail: _*).orderBy(b)
+      case None    => df.agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** Fixed-width value histogram over a numeric column. */
+  def itemHistogram(df: DataFrame, field: String, width: Double): DataFrame = {
+    require(width > 0 && !width.isNaN && !width.isInfinite,
+      s"histogram width must be a finite positive number, got $width")
+    df.withColumn("bucket", floor(col(field) / width).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** Code-list value frequencies with population share. The global
+    * total arrives via a broadcast cross join of a 1-row aggregate —
+    * not an unpartitioned window, which would funnel all groups
+    * through a single partition.
+    */
+  def valueFrequencies(df: DataFrame, field: String): DataFrame = {
+    val counts = df.groupBy(field).agg(count(lit(1)).as("n"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum("n").as("total"))))
+      .withColumn("share", col("n").cast("double") / col("total").cast("double"))
+      .select(field, "n", "share")
+      .orderBy(field)
+  }
+
+  /** Metadata search by substring or regex — the reference's
+    * find-items/find-forms. `contains`/`rlike` are Column operations
+    * on the name column; the pattern is data, not SQL text.
+    */
+  def metadataSearch(meta: DataFrame, substr: Option[String],
+      regex: Option[String] = None): DataFrame = {
+    require(substr.nonEmpty || regex.nonEmpty,
+      "metadata search needs a substring or a regex")
+    val preds = substr.map(s => col("p_name").contains(s)).toSeq ++
+      regex.map(r => col("p_name").rlike(r))
+    meta.filter(preds.reduce(_ || _))
+      .select("p_partkey", "p_name", "p_type")
+      .orderBy("p_partkey")
+  }
+
   // ------------------------------------------------------------ atoms
   // urgent:   subject has a visit (order) with priority 1-URGENT
   // returns:  subject has a measurement (lineitem) with returnflag R
@@ -131,21 +203,7 @@ object Cohort {
     */
   private val q45 = Qdef(
     "q45_item_stats",
-    (s, d) => {
-      val sApp = dsum(col("l_quantity"))
-      val sq = dsum(col("l_quantity") * col("l_quantity"), 4)
-      val n = count(col("l_quantity"))
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          min(col("l_quantity")).as("min_q"),
-          max(col("l_quantity")).as("max_q"),
-          davg(col("l_quantity")).as("avg_q"),
-          sqrt((sq - sApp * sApp / n) / (n - lit(1))).as("std_q"),
-          expr("percentile(l_quantity, 0.5)").as("med_q"),
-          n.as("n_obs"))
-        .orderBy("l_returnflag")
-    },
+    (s, d) => itemStats(Tables.lineitem(s, d), "l_quantity", Some("l_returnflag")),
     Some(s"""SELECT l_returnflag,
             MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q,
             ${DAVG("l_quantity")} AS avg_q,
@@ -157,30 +215,13 @@ object Cohort {
   /** Fixed-width value histogram — lens-warehouse's item histogram. */
   private val q46 = Qdef(
     "q46_item_histogram",
-    (s, d) =>
-      Tables.orders(s, d)
-        .withColumn("bucket", floor(col("o_totalprice") / 50000).cast("long"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("bucket"),
+    (s, d) => itemHistogram(Tables.orders(s, d), "o_totalprice", 50000),
     Some("""SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n
             FROM orders GROUP BY 1 ORDER BY bucket"""))
 
-  /** Code-list value frequencies with population share. The global
-    * total arrives via a broadcast cross join of a 1-row aggregate —
-    * not an unpartitioned window, which would funnel all groups
-    * through a single partition.
-    */
   private val q47 = Qdef(
     "q47_value_frequencies",
-    (s, d) => {
-      val counts = Tables.orders(s, d).groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
-      counts
-        .crossJoin(broadcast(counts.agg(sum("n").as("total"))))
-        .withColumn("share", col("n").cast("double") / col("total").cast("double"))
-        .select("o_orderpriority", "n", "share")
-        .orderBy("o_orderpriority")
-    },
+    (s, d) => valueFrequencies(Tables.orders(s, d), "o_orderpriority"),
     Some("""SELECT o_orderpriority, n, CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
             FROM (SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1) t
             ORDER BY o_orderpriority"""))

@@ -150,14 +150,16 @@ object CohortQuery {
     }
   }
 
+  private def popOf(spec: JValue): String = spec \ "population" match {
+    case JString(p) => p
+    case JNothing   => "subject"
+    case other      => throw new IllegalArgumentException(s"bad population: $other")
+  }
+
   /** Evaluate a JSON query spec → distinct population key set. */
   def population(spark: SparkSession, dir: String, json: String): DataFrame = {
     val spec = JsonMethods.parse(json)
-    val pop = spec \ "population" match {
-      case JString(p) => p
-      case JNothing   => "subject"
-      case other      => throw new IllegalArgumentException(s"bad population: $other")
-    }
+    val pop = popOf(spec)
     val groups = spec \ "and" match {
       case JArray(gs) => gs.map { g =>
         g \ "or" match {
@@ -180,6 +182,33 @@ object CohortQuery {
   /** Evaluate a spec → 1-row count (the reference's query result). */
   def count(spark: SparkSession, dir: String, json: String): DataFrame =
     Cohort.countSubjects(population(spark, dir, json))
+
+  /** Per-atom subject counts — the reference exposes every
+    * criterion's own population size next to the query result. Spec
+    * shape: `{"population": ..., "atoms": [atom, ...]}` with the same
+    * atom grammar as [[population]]. ONE job: each atom's distinct
+    * key set is tagged with its index and unioned, so a single
+    * partial-agg pass counts all atoms; atoms matching nothing still
+    * report 0 via the broadcast index join.
+    */
+  def atomCounts(spark: SparkSession, dir: String, json: String): DataFrame = {
+    val spec = JsonMethods.parse(json)
+    val pop = popOf(spec)
+    val atoms = spec \ "atoms" match {
+      case JArray(as) if as.nonEmpty => as
+      case other => throw new IllegalArgumentException(
+        s"atom-counts needs a non-empty 'atoms' array, got $other")
+    }
+    val tagged = atoms.zipWithIndex.map { case (a, i) =>
+      atomKeys(spark, dir, pop, a).select(lit(i).as("atom"), col("subject"))
+    }
+    val counts = tagged.reduce(_ unionByName _)
+      .groupBy("atom").agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    spark.range(atoms.size).select(col("id").cast("int").as("atom"))
+      .join(broadcast(counts), Seq("atom"), "left")
+      .select(col("atom"), coalesce(col("n"), lit(0L)).as("n_subjects"))
+      .orderBy("atom")
+  }
 
   /** The demo spec used by the oracle-checked q4a query. */
   val demoSpec: String =

@@ -1,0 +1,354 @@
+package graft.serve
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.{SparkEntry, Tables}
+import graft.operators.{Cohort, CohortQuery}
+import graft.sources.Snapshots
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+import java.net.{InetAddress, InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Paths
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicLong
+import scala.util.control.NonFatal
+
+/** The reference is a SERVICE: clients discover resources from a
+  * service document, post cohort queries, and read per-criterion
+  * counts, item statistics and metadata search results over HTTP.
+  * This is that surface for graft — a thin JSON control plane over
+  * the library, built on the JDK's own `jdk.httpserver` module (zero
+  * added dependencies; json4s is Spark's own JSON stack).
+  *
+  * Scale contract: the server never becomes a data plane. Every
+  * endpoint either returns an aggregate (counts, stats, frequencies —
+  * cluster-side partial aggregation, tiny result) or is explicitly
+  * bounded (`limit` query param, hard-capped by `Config.maxRows`,
+  * with a `truncated` marker). The Spark work itself runs wherever
+  * the session runs — `local[n]` here, a 1000-executor cluster in
+  * production — and each request is tagged as its own job group in
+  * the Spark UI.
+  *
+  * Safety: table names resolve through an allowlist (never into
+  * paths), field names resolve as Column references against the
+  * schema (never spliced into SQL text), store endpoints only touch
+  * the configured `storeRoot`, and import sources must live under
+  * `dataDir` or `storeRoot`. Binds loopback-only unless `bindAll`.
+  */
+object WarehouseServer {
+
+  final case class Config(
+      dataDir: String,
+      port: Int = 0,
+      storeRoot: Option[String] = None,
+      maxRows: Int = 100000,
+      defaultLimit: Int = 1000,
+      maxBodyBytes: Int = 10 << 20,
+      threads: Int = 8,
+      bindAll: Boolean = false)
+
+  /** A started server; `port` is the bound port (useful with port=0). */
+  final class Running private[WarehouseServer] (
+      server: HttpServer,
+      pool: java.util.concurrent.ExecutorService) extends AutoCloseable {
+    def port: Int = server.getAddress.getPort
+    override def close(): Unit = {
+      server.stop(0)
+      pool.shutdownNow()
+    }
+  }
+
+  /** Queryable tables — an ALLOWLIST, so a request can never turn a
+    * table name into a filesystem path of its choosing.
+    */
+  private val tableNames: Set[String] = Set(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (!tableNames(name))
+      throw new IllegalArgumentException(
+        s"unknown table '$name' (one of: ${tableNames.toSeq.sorted.mkString(", ")})")
+    if (name == "events") Tables.events(spark, dir) else Tables.load(spark, dir, name)
+  }
+
+  // ------------------------------------------------------------ JSON
+
+  /** Row values → JSON. Non-finite doubles are JSON-illegal, so they
+    * travel as strings ("NaN"/"Infinity") rather than breaking the
+    * document; binary is base64.
+    */
+  private def jval(v: Any): JValue = v match {
+    case null                 => JNull
+    case s: String            => JString(s)
+    case b: Boolean           => JBool(b)
+    case i: Int               => JInt(i)
+    case l: Long              => JInt(l)
+    case s: Short             => JInt(s.toInt)
+    case b: Byte              => JInt(b.toInt)
+    case d: Double            => if (d.isNaN || d.isInfinite) JString(d.toString) else JDouble(d)
+    case f: Float             => jval(f.toDouble)
+    case d: java.math.BigDecimal => JDecimal(BigDecimal(d))
+    case d: BigDecimal        => JDecimal(d)
+    case t: java.sql.Timestamp => JString(t.toString)
+    case d: java.sql.Date     => JString(d.toString)
+    case t: java.time.Instant => JString(t.toString)
+    case d: java.time.LocalDate => JString(d.toString)
+    case t: java.time.LocalDateTime => JString(t.toString)
+    case b: Array[Byte]       => JString(java.util.Base64.getEncoder.encodeToString(b))
+    case a: Array[_]          => JArray(a.map(jval).toList)
+    case s: scala.collection.Seq[_] => JArray(s.map(jval).toList)
+    case m: scala.collection.Map[_, _] =>
+      JObject(m.map { case (k, mv) => k.toString -> jval(mv) }.toList)
+    case r: Row =>
+      JObject(r.schema.fieldNames.zip(r.toSeq).map { case (n, rv) => n -> jval(rv) }.toList)
+    case other => JString(other.toString)
+  }
+
+  /** Bounded row page: fetches limit+1 to detect truncation. */
+  private def page(df: DataFrame, limit: Int): JValue = {
+    val taken = df.limit(limit + 1).collect()
+    val rows = taken.take(limit)
+    ("columns" -> df.columns.toList) ~
+      ("rows" -> JArray(rows.map(jval).toList)) ~
+      ("row_count" -> rows.length) ~
+      ("truncated" -> (taken.length > limit))
+  }
+
+  /** 1-row/1-col aggregate → bare value object. */
+  private def scalar(df: DataFrame, as: String): JValue = {
+    val r = df.collect()
+    require(r.length == 1 && r(0).size == 1, s"expected a scalar, got ${r.length} rows")
+    JObject(as -> jval(r(0).get(0)))
+  }
+
+  private final case class HttpError(code: Int, msg: String)
+    extends RuntimeException(msg)
+
+  // -------------------------------------------------------- requests
+
+  private def queryParams(ex: HttpExchange): Map[String, String] = {
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    q.split('&').iterator.filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      if (i < 0) URLDecoder.decode(kv, UTF_8) -> ""
+      else URLDecoder.decode(kv.take(i), UTF_8) -> URLDecoder.decode(kv.drop(i + 1), UTF_8)
+    }.toMap
+  }
+
+  private def body(ex: HttpExchange, maxBytes: Int): String = {
+    val in = ex.getRequestBody
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](8192)
+    var n = in.read(chunk)
+    while (n >= 0) {
+      buf.write(chunk, 0, n)
+      if (buf.size > maxBytes) throw HttpError(413, s"request body exceeds $maxBytes bytes")
+      n = in.read(chunk)
+    }
+    new String(buf.toByteArray, UTF_8)
+  }
+
+  private def limitOf(params: Map[String, String], cfg: Config): Int =
+    params.get("limit") match {
+      case None => cfg.defaultLimit
+      case Some(s) => s.toIntOption match {
+        case Some(l) if l > 0 => math.min(l, cfg.maxRows)
+        case _ => throw HttpError(400, s"bad limit '$s'")
+      }
+    }
+
+  private def need(params: Map[String, String], key: String): String =
+    params.getOrElse(key, throw HttpError(400, s"missing query param '$key'"))
+
+  /** Import sources must live under dataDir or storeRoot — the server
+    * never reads a path a request invents.
+    */
+  private def checkUnder(path: String, roots: Seq[String]): String = {
+    val p = Paths.get(path).toAbsolutePath.normalize
+    val ok = roots.exists(r => p.startsWith(Paths.get(r).toAbsolutePath.normalize))
+    if (!ok) throw HttpError(403, s"path must be under ${roots.mkString(" or ")}")
+    p.toString
+  }
+
+  // --------------------------------------------------------- routing
+
+  private val reqIds = new AtomicLong(0L)
+
+  def start(spark: SparkSession, cfg: Config): Running = {
+    val addr = new InetSocketAddress(
+      if (cfg.bindAll) new InetSocketAddress(cfg.port).getAddress
+      else InetAddress.getLoopbackAddress,
+      cfg.port)
+    val server = HttpServer.create(addr, 0)
+    val pool = Executors.newFixedThreadPool(cfg.threads)
+    server.setExecutor(pool)
+
+    def respond(ex: HttpExchange, code: Int, v: JValue): Unit = {
+      val bytes = JsonMethods.compact(JsonMethods.render(v)).getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      val out = ex.getResponseBody
+      try out.write(bytes) finally out.close()
+    }
+
+    val serviceDoc: JValue =
+      ("service" -> "graft-warehouse") ~
+        ("data_dir" -> cfg.dataDir) ~
+        ("store_root" -> cfg.storeRoot) ~
+        ("links" -> List(
+          ("href" -> "/health") ~ ("method" -> "GET") ~ ("rel" -> "health"),
+          ("href" -> "/tables") ~ ("method" -> "GET") ~ ("rel" -> "tables"),
+          ("href" -> "/cohort/query") ~ ("method" -> "POST") ~
+            ("rel" -> "cohort-count") ~ ("body" -> "cohort DSL (see README)"),
+          ("href" -> "/cohort/population") ~ ("method" -> "POST") ~
+            ("rel" -> "cohort-population") ~ ("params" -> "limit"),
+          ("href" -> "/cohort/atom-counts") ~ ("method" -> "POST") ~
+            ("rel" -> "per-criterion counts") ~ ("body" -> "{population, atoms:[...]}"),
+          ("href" -> "/items/stats") ~ ("method" -> "GET") ~
+            ("rel" -> "item-statistics") ~ ("params" -> "source, field, by?"),
+          ("href" -> "/items/histogram") ~ ("method" -> "GET") ~
+            ("rel" -> "item-histogram") ~ ("params" -> "source, field, width"),
+          ("href" -> "/items/frequencies") ~ ("method" -> "GET") ~
+            ("rel" -> "value-frequencies") ~ ("params" -> "source, field"),
+          ("href" -> "/metadata/search") ~ ("method" -> "GET") ~
+            ("rel" -> "metadata-search") ~ ("params" -> "q | regex"),
+          ("href" -> "/queries") ~ ("method" -> "GET") ~ ("rel" -> "named queries"),
+          ("href" -> "/queries/{name}") ~ ("method" -> "POST") ~
+            ("rel" -> "run named query") ~ ("params" -> "limit"),
+          ("href" -> "/store/versions") ~ ("method" -> "GET") ~ ("rel" -> "store versions"),
+          ("href" -> "/store/read") ~ ("method" -> "GET") ~
+            ("rel" -> "versioned read") ~ ("params" -> "version?, limit"),
+          ("href" -> "/store/commit") ~ ("method" -> "POST") ~
+            ("rel" -> "import") ~ ("body" -> "{source, mode: full|delta}")))
+
+    def storeRoot: String =
+      cfg.storeRoot.getOrElse(throw HttpError(404, "no store configured (Config.storeRoot)"))
+
+    def handle(ex: HttpExchange): JValue = {
+      val params = queryParams(ex)
+      val limit = limitOf(params, cfg)
+      (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+        case ("GET", "/") => serviceDoc
+        case ("GET", "/health") =>
+          ("status" -> "ok") ~
+            ("spark_version" -> spark.version) ~
+            ("app_id" -> spark.sparkContext.applicationId) ~
+            ("default_parallelism" -> spark.sparkContext.defaultParallelism)
+        case ("GET", "/tables") =>
+          JArray(tableNames.toList.sorted.map { t =>
+            ("name" -> t) ~
+              ("columns" -> table(spark, cfg.dataDir, t).schema.fields.map { f =>
+                ("name" -> f.name) ~ ("type" -> f.dataType.simpleString): JValue
+              }.toList)
+          })
+        case ("POST", "/cohort/query") =>
+          scalar(CohortQuery.count(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes)), "n_subjects")
+        case ("POST", "/cohort/population") =>
+          page(CohortQuery.population(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes))
+            .orderBy("subject"), limit)
+        case ("POST", "/cohort/atom-counts") =>
+          page(CohortQuery.atomCounts(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes)), limit)
+        case ("GET", "/items/stats") =>
+          page(Cohort.itemStats(
+            table(spark, cfg.dataDir, need(params, "source")),
+            need(params, "field"), params.get("by")), limit)
+        case ("GET", "/items/histogram") =>
+          val width = need(params, "width").toDoubleOption
+            .getOrElse(throw HttpError(400, "bad width"))
+          page(Cohort.itemHistogram(
+            table(spark, cfg.dataDir, need(params, "source")),
+            need(params, "field"), width), limit)
+        case ("GET", "/items/frequencies") =>
+          page(Cohort.valueFrequencies(
+            table(spark, cfg.dataDir, need(params, "source")),
+            need(params, "field")), limit)
+        case ("GET", "/metadata/search") =>
+          page(Cohort.metadataSearch(
+            Tables.part(spark, cfg.dataDir), params.get("q"), params.get("regex")), limit)
+        case ("GET", "/queries") =>
+          JArray(SparkEntry.defs.map { q =>
+            ("name" -> q.name) ~ ("oracle_checked" -> q.oracle.nonEmpty): JValue
+          }.toList)
+        case ("POST", QueryRun(name)) =>
+          val q = SparkEntry.defs.find(_.name == name)
+            .getOrElse(throw HttpError(404, s"unknown query '$name'"))
+          page(q.run(spark, cfg.dataDir), limit)
+        case ("GET", "/store/versions") =>
+          JArray(Snapshots.versions(spark, storeRoot).map { case (v, kind, path) =>
+            ("version" -> v) ~ ("kind" -> kind) ~ ("path" -> path): JValue
+          }.toList)
+        case ("GET", "/store/read") =>
+          val keys = params.get("keys").map(_.split(',').toSeq)
+            .getOrElse(throw HttpError(400, "missing query param 'keys' (comma-separated)"))
+          val df = params.get("version") match {
+            case Some(v) => Snapshots.asOf(spark, storeRoot,
+              v.toLongOption.getOrElse(throw HttpError(400, s"bad version '$v'")), keys)
+            case None => Snapshots.latest(spark, storeRoot, keys)
+          }
+          page(df.orderBy(keys.map(org.apache.spark.sql.functions.col): _*), limit)
+        case ("POST", "/store/commit") =>
+          val spec = JsonMethods.parse(body(ex, cfg.maxBodyBytes))
+          val source = spec \ "source" match {
+            case JString(s) => checkUnder(s, cfg.dataDir +: cfg.storeRoot.toSeq)
+            case other => throw HttpError(400, s"commit needs a 'source' path, got $other")
+          }
+          val mode = spec \ "mode" match {
+            case JString(m) => m
+            case JNothing   => "delta"
+            case other      => throw HttpError(400, s"bad mode: $other")
+          }
+          val df = spark.read.parquet(source)
+          val version = mode match {
+            case "full"  => Snapshots.commit(df, storeRoot)
+            case "delta" => Snapshots.commitDeltaRetrying(df, storeRoot)
+            case m       => throw HttpError(400, s"mode must be full|delta, got '$m'")
+          }
+          ("version" -> version) ~ ("mode" -> mode)
+        case ("GET" | "POST", _) => throw HttpError(404, "no such resource — GET / lists them")
+        case (m, _)              => throw HttpError(405, s"method $m not supported")
+      }
+    }
+
+    server.createContext("/", (ex: HttpExchange) => {
+      val reqId = s"graft-serve-${reqIds.incrementAndGet()}"
+      try {
+        // own job group per request: visible in the Spark UI, and a
+        // server shutdown can cancel whatever is still running
+        spark.sparkContext.setJobGroup(reqId,
+          s"${ex.getRequestMethod} ${ex.getRequestURI.getPath}", interruptOnCancel = true)
+        respond(ex, 200, handle(ex))
+      } catch {
+        case HttpError(code, msg) => respond(ex, code, JObject("error" -> JString(msg)))
+        case e: IllegalArgumentException =>
+          respond(ex, 400, JObject("error" -> JString(Option(e.getMessage).getOrElse("bad request"))))
+        case e: org.json4s.MappingException =>
+          respond(ex, 400, JObject("error" -> JString(s"bad JSON: ${e.getMessage}")))
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          respond(ex, 400, JObject("error" -> JString(s"bad JSON: ${e.getMessage}")))
+        case e: org.apache.spark.sql.AnalysisException =>
+          respond(ex, 400, JObject("error" -> JString(s"analysis: ${e.getMessage}")))
+        case NonFatal(e) =>
+          respond(ex, 500, JObject("error" -> JString(
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")))
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        ex.close()
+      }
+    })
+
+    server.start()
+    new Running(server, pool)
+  }
+
+  /** POST /queries/{name} matcher (no other path params exist). */
+  private object QueryRun {
+    def unapply(path: String): Option[String] =
+      if (path.startsWith("/queries/") && path.length > "/queries/".length)
+        Some(path.drop("/queries/".length)).filterNot(_.contains('/'))
+      else None
+  }
+}
