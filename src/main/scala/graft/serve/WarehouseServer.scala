@@ -297,52 +297,61 @@ object WarehouseServer {
             case other => throw HttpError(400, s"commit needs a 'source' path, got $other")
           }
           val mode = spec \ "mode" match {
-            case JString(m) => m
+            case JString(m @ ("full" | "delta")) => m
             case JNothing   => "delta"
-            case other      => throw HttpError(400, s"bad mode: $other")
+            case other      => throw HttpError(400, s"mode must be full|delta, got $other")
           }
           val df = spark.read.parquet(source)
-          val version = mode match {
-            case "full"  => Snapshots.commit(df, storeRoot)
-            case "delta" => Snapshots.commitDeltaRetrying(df, storeRoot)
-            case m       => throw HttpError(400, s"mode must be full|delta, got '$m'")
-          }
+          val version =
+            if (mode == "full") Snapshots.commit(df, storeRoot)
+            else Snapshots.commitDeltaRetrying(df, storeRoot)
           ("version" -> version) ~ ("mode" -> mode)
-        case ("GET" | "POST", _) => throw HttpError(404, "no such resource — GET / lists them")
-        case (m, _)              => throw HttpError(405, s"method $m not supported")
+        case (m, p) =>
+          // known path + wrong verb is 405, not 404
+          val known = getPaths(p) || postPaths(p) || QueryRun.unapply(p).isDefined
+          if (known) throw HttpError(405, s"method $m not supported on $p")
+          else throw HttpError(404, "no such resource — GET / lists them")
       }
     }
 
     server.createContext("/", (ex: HttpExchange) => {
       val reqId = s"graft-serve-${reqIds.incrementAndGet()}"
-      try {
+      // compute the full response FIRST, respond exactly once: if the
+      // error mapping ran after a partially-written 200, the second
+      // sendResponseHeaders would throw out of the handler instead of
+      // reporting the real failure
+      val (code, payload) = try {
         // own job group per request: visible in the Spark UI, and a
         // server shutdown can cancel whatever is still running
         spark.sparkContext.setJobGroup(reqId,
           s"${ex.getRequestMethod} ${ex.getRequestURI.getPath}", interruptOnCancel = true)
-        respond(ex, 200, handle(ex))
+        (200, handle(ex))
       } catch {
-        case HttpError(code, msg) => respond(ex, code, JObject("error" -> JString(msg)))
+        case HttpError(c, msg) => (c, JObject("error" -> JString(msg)))
         case e: IllegalArgumentException =>
-          respond(ex, 400, JObject("error" -> JString(Option(e.getMessage).getOrElse("bad request"))))
+          (400, JObject("error" -> JString(Option(e.getMessage).getOrElse("bad request"))))
         case e: org.json4s.MappingException =>
-          respond(ex, 400, JObject("error" -> JString(s"bad JSON: ${e.getMessage}")))
+          (400, JObject("error" -> JString(s"bad JSON: ${e.getMessage}")))
         case e: com.fasterxml.jackson.core.JacksonException =>
-          respond(ex, 400, JObject("error" -> JString(s"bad JSON: ${e.getMessage}")))
+          (400, JObject("error" -> JString(s"bad JSON: ${e.getMessage}")))
         case e: org.apache.spark.sql.AnalysisException =>
-          respond(ex, 400, JObject("error" -> JString(s"analysis: ${e.getMessage}")))
+          (400, JObject("error" -> JString(s"analysis: ${e.getMessage}")))
         case NonFatal(e) =>
-          respond(ex, 500, JObject("error" -> JString(
+          (500, JObject("error" -> JString(
             s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")))
-      } finally {
-        spark.sparkContext.clearJobGroup()
-        ex.close()
-      }
+      } finally spark.sparkContext.clearJobGroup()
+      try respond(ex, code, payload) finally ex.close()
     })
 
     server.start()
     new Running(server, pool)
   }
+
+  private val getPaths = Set("/", "/health", "/tables", "/items/stats",
+    "/items/histogram", "/items/frequencies", "/metadata/search", "/queries",
+    "/store/versions", "/store/read")
+  private val postPaths = Set("/cohort/query", "/cohort/population",
+    "/cohort/atom-counts", "/store/commit")
 
   /** POST /queries/{name} matcher (no other path params exist). */
   private object QueryRun {

@@ -163,6 +163,9 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         .method("DELETE", HttpRequest.BodyPublishers.noBody()).build(),
       HttpResponse.BodyHandlers.ofString())
     assert(r.statusCode() == 405)
+    // known path, wrong verb: 405 (not 404)
+    assert(post("/health", "")._1 == 405)
+    assert(get("/cohort/query")._1 == 405)
   }
 
   test("store endpoints: import, versions, versioned read, path jail") {
