@@ -193,9 +193,11 @@ object Multimodal {
     feats.toDF()
       .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
       .withColumn("nrm", graft.functions.VectorFunctions.norm2(col("embedding")))
-      // degenerate payloads (empty media) decode to the zero vector;
-      // a zero norm would turn every downstream cosine into NaN and
-      // silently poison top-k orderings, so the bridge drops them here
+      // degenerate payloads (empty media) decode to the zero vector —
+      // un-scorable downstream (the shared cosine yields NULL for any
+      // zero/NaN/Inf norm, so they can never match or rank); the
+      // bridge drops them up front rather than carrying dead rows
+      // through the banding exchanges
       .filter(col("nrm") > 0)
   }
 }

@@ -190,6 +190,30 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(post("/store/commit", """{"source": "/etc", "mode": "full"}""")._1 == 403)
   }
 
+  test("concurrent requests share one session and stay independent") {
+    val expected = CohortQuery.count(spark, sf, CohortQuery.demoSpec)
+      .collect()(0).getLong(0)
+    val freqRows = Cohort.valueFrequencies(Tables.orders(spark, sf), "o_orderpriority").count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec = scala.concurrent.ExecutionContext.global
+    // 8 in-flight requests against the server's shared SparkSession:
+    // job groups are per-handler-thread, results must not cross-talk
+    val futs = (0 until 8).map { i =>
+      Future {
+        if (i % 2 == 0) {
+          val (c, v) = post("/cohort/query", CohortQuery.demoSpec)
+          c == 200 && longOf(v \ "n_subjects") == expected
+        } else {
+          val (c, v) = get("/items/frequencies?source=orders&field=o_orderpriority")
+          c == 200 && longOf(v \ "row_count") == freqRows
+        }
+      }
+    }
+    val results = Await.result(Future.sequence(futs), 120.seconds)
+    assert(results.forall(identity))
+  }
+
   test("a server without a store answers 404 on store routes, not 500") {
     val bare = WarehouseServer.start(spark, WarehouseServer.Config(dataDir = sf))
     try {
