@@ -98,7 +98,15 @@ object Bench {
           timeIt(exec(dedup.Dedup.ingestAgainstVecIndex(b1, corpus, root)))).sorted
       }
       Seq("q6d_build" -> buildTimes, "q6d_ingest" -> ingestTimes)
-    } catch { case _: Throwable => Seq.empty }
+    } catch {
+      // NonFatal only: an OOM/VM error must abort the bench, not be
+      // absorbed. Warn on stderr (stdout is the one-line JSON
+      // contract) so a broken build/ingest path can't silently erase
+      // the q6d_build/q6d_ingest keys while everything reads green.
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"WARN: q6d phase decomposition failed, omitting q6d_build/q6d_ingest: $e")
+        Seq.empty
+    }
     // Locale.ROOT: the f-interpolator uses the default locale, and a
     // comma-decimal locale would print invalid JSON
     def fmt(v: Double): String =

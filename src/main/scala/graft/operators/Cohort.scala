@@ -74,7 +74,13 @@ object Cohort {
       min(c).as("min_q"),
       max(c).as("max_q"),
       davg(c, scale).as("avg_q"),
-      sqrt((sq - sApp * sApp / n) / (n - lit(1))).as("std_q"),
+      // Sample stddev is undefined for n < 2: guard the (n - 1)
+      // division or ANSI mode throws DIVIDE_BY_ZERO for any singleton
+      // group (routine on the parameterized endpoint — e.g. stats by a
+      // unique-ish key), failing the whole request. NULL matches
+      // DuckDB's stddev_samp for n = 1. All-null groups are already
+      // safe: the null sum short-circuits every division.
+      when(n > 1, sqrt((sq - sApp * sApp / n) / (n - lit(1)))).as("std_q"),
       percentile(c, lit(0.5)).as("med_q"),
       n.as("n_obs"))
     by match {

@@ -221,7 +221,7 @@ object WarehouseServer {
             ("rel" -> "run named query") ~ ("params" -> "limit"),
           ("href" -> "/store/versions") ~ ("method" -> "GET") ~ ("rel" -> "store versions"),
           ("href" -> "/store/read") ~ ("method" -> "GET") ~
-            ("rel" -> "versioned read") ~ ("params" -> "version?, limit"),
+            ("rel" -> "versioned read") ~ ("params" -> "keys, version?, limit"),
           ("href" -> "/store/commit") ~ ("method" -> "POST") ~
             ("rel" -> "import") ~ ("body" -> "{source, mode: full|delta}")))
 

@@ -122,6 +122,21 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("singleton groups get null stddev instead of an ANSI divide-by-zero 500") {
+    // region: 5 rows, 5 distinct names -> every group has n_obs = 1.
+    // Sample stddev is undefined there; the endpoint must return the
+    // other stats with std_q null, not fail the whole request.
+    val (code, v) = get("/items/stats?source=region&field=r_regionkey&by=r_name")
+    assert(code == 200)
+    val got = rows(v)
+    assert(got.size == 5)
+    got.foreach { j =>
+      assert(longOf(j \ "n_obs") == 1L)
+      assert((j \ "std_q") == JNull)
+      assert((j \ "avg_q").isInstanceOf[JDouble])
+    }
+  }
+
   test("histogram and frequencies endpoints") {
     val (hc, h) = get("/items/histogram?source=orders&field=o_totalprice&width=50000")
     assert(hc == 200 && rows(h).nonEmpty)

@@ -33,6 +33,11 @@ def canon_cols(rows, cols):
 def cell_eq(a, b):
     if a is None or b is None:
         return a is None and b is None
+    # Python bool subclasses int, so without this guard True == 1 slips
+    # through the numeric branch — exactly the bool→int schema drift
+    # this gate claims to fail on. bool-vs-bool still compares below.
+    if (type(a) is bool) != (type(b) is bool):
+        return False
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
