@@ -34,13 +34,18 @@ final case class SampledFrame(
 /** Multimodal-column plumbing — SURVEY §2.10 (mm01–mm03).
   *
   * Image/audio/video are opaque `binary` columns plus typed metadata.
-  * The real decode (jpeg/pcm/h264) is STUBBED — this container has no
-  * media libraries — behind [[Multimodal.stubDecode]], a deterministic
-  * fake keyed on the payload bytes. Everything Spark-side is real and
-  * load-bearing at scale: the schema, the `mapPartitions` batch shape
-  * (one iterator pass per partition, no per-row task overhead, the
-  * exact seam where a vectorized native decoder or a Python worker
-  * would plug in), and the metadata-only pruning path.
+  * Formats the JDK itself ships codecs for decode REAL bytes with no
+  * external libraries: PNG/JPEG/GIF/BMP via `javax.imageio`
+  * ([[Multimodal.decodeImage]]) and WAV/AIFF/AU PCM via
+  * `javax.sound.sampled` ([[Multimodal.decodeAudio]]). Video (h264 —
+  * no in-container codec) stays STUBBED behind
+  * [[Multimodal.stubDecode]], a deterministic fake keyed on the
+  * payload bytes, which is also every decoder's never-throw fallback
+  * for corrupt rows. Everything Spark-side is real and load-bearing
+  * at scale: the schema, the `mapPartitions` batch shape (one
+  * iterator pass per partition, no per-row task overhead, the exact
+  * seam where a vectorized native decoder or a Python worker would
+  * plug in), and the metadata-only pruning path.
   */
 object Multimodal {
 
@@ -119,6 +124,67 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode for container formats the JDK ships codecs for
+    * (WAV / AIFF / AU via `javax.sound.sampled` — no external
+    * libraries, headless-safe): payload bytes → PCM samples → a
+    * `dim`-length per-window RMS energy feature in [0,1]. The stream
+    * is converted to 16-bit signed PCM at its own sample rate (the
+    * JDK converts 8-bit / u-law / a-law on the fly), channels are
+    * averaged to mono, and the track is tiled into `dim` equal time
+    * windows (time-ordered, matching the feature index); each feature
+    * is the RMS of its window's normalized samples — fully
+    * deterministic given the sample data. Returns None when the bytes
+    * are not a parseable audio container (images, video, text, or a
+    * corrupt body behind a valid header) — callers fall back to
+    * [[stubDecode]], the same never-throw seam as [[decodeImage]].
+    */
+  def decodeAudio(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    // NonFatal for the same reason as decodeImage: a crawled corpus
+    // contains valid-magic/corrupt-body rows, and the JDK audio SPIs
+    // throw unchecked errors on some of them — one bad row must fall
+    // back, not fail the task
+    try {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val src = in.getFormat
+        val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels, 2 * src.getChannels,
+          src.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(fmt, in)
+        try {
+          // payload is already in memory, so this is bounded by row size
+          val bytes = pcm.readAllBytes()
+          val ch = fmt.getChannels
+          val nFrames = bytes.length / (2 * ch)
+          if (nFrames == 0) Some(new Array[Float](dim))
+          else {
+            val sums = new Array[Double](dim)
+            val counts = new Array[Long](dim)
+            var f = 0
+            while (f < nFrames) {
+              var acc = 0.0
+              var c = 0
+              while (c < ch) {
+                val o = (f * ch + c) * 2
+                // little-endian signed 16-bit, normalized to [-1, 1)
+                acc += ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort / 32768.0
+                c += 1
+              }
+              val mono = acc / ch
+              val cell = math.min((f.toLong * dim / nFrames).toInt, dim - 1)
+              sums(cell) += mono * mono
+              counts(cell) += 1
+              f += 1
+            }
+            Some(Array.tabulate(dim)(i =>
+              if (counts(i) == 0) 0f else math.sqrt(sums(i) / counts(i)).toFloat))
+          }
+        } finally pcm.close()
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** STUB decoder: a deterministic 64→`dim` fake "embedding" from a
     * rolling FNV-1a over payload bytes — the fallback for payload
     * kinds with no in-container codec (audio/video/raw text). Replace
@@ -142,21 +208,25 @@ object Multimodal {
     * state setup per partition (where a native decoder would init its
     * context), then a pure iterator pass — streaming, no
     * per-partition materialization. Image payloads the JDK can decode
-    * go through the REAL pixel path ([[decodeImage]]); everything
-    * else (audio/video — no in-container codec) falls back to the
-    * deterministic [[stubDecode]], so one mixed-kind table decodes in
-    * one pass with a uniform feature contract.
+    * go through the REAL pixel path ([[decodeImage]]), audio payloads
+    * through the REAL PCM path ([[decodeAudio]]); everything else
+    * (video — no in-container codec) falls back to the deterministic
+    * [[stubDecode]], so one mixed-kind table decodes in one pass with
+    * a uniform feature contract.
     */
   def decodeFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.mapPartitions { rows =>
       // per-partition decoder init would go here
       rows.map { r =>
-        // gate the codec probe on the metadata kind: sniffing ImageIO
-        // readers against audio/video bytes is per-row waste
-        val feat =
-          (if (r.kind == "image") decodeImage(r.payload, dim) else None)
-            .getOrElse(stubDecode(r.payload, dim))
+        // gate the codec probe on the metadata kind: sniffing ImageIO/
+        // AudioSystem readers against the wrong media bytes is per-row
+        // waste
+        val feat = (r.kind match {
+          case "image" => decodeImage(r.payload, dim)
+          case "audio" => decodeAudio(r.payload, dim)
+          case _       => None
+        }).getOrElse(stubDecode(r.payload, dim))
         MediaFeatures(r.media_id, r.kind, feat)
       }
     }

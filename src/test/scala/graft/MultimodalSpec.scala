@@ -114,6 +114,50 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(11L).toSeq === Multimodal.stubDecode(truncated, 16).toSeq)
   }
 
+  // -- real-decode path: JDK-builtin WAV codec, no external libraries
+
+  private def wav(samples: Array[Short], channels: Int, rate: Float): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      rate, 16, channels, 2 * channels, rate, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("mm02: real WAV payloads decode to per-window RMS features; stereo mixes to mono") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 16 time windows of 100 mono frames each; window k holds the
+    // constant amplitude k*2048, so its RMS is exactly k*2048/32768
+    val mono = Array.tabulate[Short](1600)(i => ((i / 100) * 2048).toShort)
+    // interleaved stereo with L = -R: the mono mix is exactly 0 everywhere
+    val stereo = Array.tabulate[Short](3200)(i => if (i % 2 == 0) 8192 else -8192)
+    val corrupt = "RIFF".getBytes("US-ASCII") ++
+      Array.tabulate[Byte](64)(i => (i * 53 + 7).toByte)
+    val rows = Seq(
+      MediaRow(1L, "audio", 0, 0, 1, 8000, wav(mono, 1, 8000f)),
+      MediaRow(2L, "audio", 0, 0, 1, 8000, wav(stereo, 2, 8000f)),
+      // valid RIFF magic, garbage body — must fall back, not throw
+      MediaRow(3L, "audio", 0, 0, 1, 8000, corrupt)).toDS()
+    val feats = Multimodal.decodeFeatures(rows, dim = 16).collect()
+      .map(f => f.media_id -> f.feature).toMap
+    for (k <- 0 until 16)
+      assert(math.abs(feats(1L)(k) - k * 2048 / 32768.0) < 1e-6,
+        s"window $k = ${feats(1L)(k)}, want ${k * 2048 / 32768.0}")
+    assert(feats(2L).forall(_ == 0f))
+    assert(feats(3L).toSeq === Multimodal.stubDecode(corrupt, 16).toSeq)
+  }
+
   test("mm04: real decoded pixel features drive the ANN bridge — planted twin is top-1") {
     val spark0 = spark
     import spark0.implicits._
