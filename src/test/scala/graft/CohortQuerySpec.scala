@@ -34,6 +34,20 @@ class CohortQuerySpec extends SparkSpec {
         |]}""".stripMargin
     val n = CohortQuery.count(spark, sf, json).head().getLong(0)
     assert(n > 0)
+    // n > 0 only proves the ops parse — bind their SEMANTICS against
+    // directly composed predicates (a 'between' dropping its upper
+    // bound or a 'like' doing contains would still count > 0)
+    val inKeys = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_custkey").as("subject")).distinct()
+    val btwKeys = Tables.customer(spark, sf)
+      .filter(col("c_acctbal").between(0, 5000))
+      .select(col("c_custkey").as("subject")).distinct()
+    val likeKeys = Tables.customer(spark, sf)
+      .filter(col("c_name").like("Customer%"))
+      .select(col("c_custkey").as("subject")).distinct()
+    assert(n === Cohort.and(Seq(inKeys, btwKeys, likeKeys)).count(),
+      "in/between/like DSL ops diverge from directly composed predicates")
   }
 
   test("visit population keys atoms by order, not customer") {

@@ -40,6 +40,8 @@ class DedupAnnSpec extends SparkSpec {
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= 3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty,
+      "no pairs at hamming<=3 — the pigeonhole-recall lock would be empty==empty")
     assert(pairs("q63_dedup_simhash") === truth)
   }
 
@@ -63,10 +65,12 @@ class DedupAnnSpec extends SparkSpec {
     functions.VectorExpressions.register(spark)
     val spark0 = spark
     import spark0.implicits._
+    // compare as input->hash PAIRS: an unpaired Set would accept any
+    // permutation of the outputs across inputs
     val got = expected.keys.toSeq.toDF("s")
-      .select(call_function("graft_md5lo64", col("s")))
-      .collect().map(_.getLong(0)).toSet
-    assert(got === expected.values.toSet)
+      .select(col("s"), call_function("graft_md5lo64", col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
   }
 
   test("q65: embedding near-dup pairs are precise; 1-bit multiprobe recall measured") {

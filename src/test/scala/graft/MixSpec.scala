@@ -35,20 +35,36 @@ class MixSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val plan = Mix.mixturePlan(docs, Mix.mixTargets).collect()
       .map(r => r.getAs[String]("source") -> r.getAs[Double]("rate")).toMap
+    var windowed = 0
     perSource.foreach { case (src, nDocs) =>
       val rate = plan(src)
       val nFull = math.floor(rate).toLong
       (0L until nFull).foreach { ep =>
         assert(e.get(src -> ep).contains(nDocs), s"epoch $ep of $src not a complete copy")
       }
-      // partial epoch: nonempty iff the fractional mass rounds to a
-      // positive 16-bit threshold, and strictly smaller than a full copy
+      // partial epoch: when the fractional mass is non-negligible it
+      // must EXIST (a foreach-on-Option alone is vacuously green if a
+      // bug drops the fractional epoch entirely) and hold ~frac*nDocs
+      // docs — the hash cut is a fixed binomial draw, so a 4-sigma
+      // window binds the size without regen fragility
+      val frac = rate - nFull
+      if (frac * nDocs >= 8.0) {
+        windowed += 1
+        assert(e.contains(src -> nFull),
+          s"partial epoch missing for $src (rate $rate, expected ~${frac * nDocs} docs)")
+        val n = e(src -> nFull).toDouble
+        val sigma = math.sqrt(nDocs * frac * (1 - frac))
+        assert(math.abs(n - frac * nDocs) <= 4 * sigma + 1,
+          s"partial epoch of $src holds $n docs, want ${frac * nDocs} +- ${4 * sigma + 1}")
+      }
       e.get(src -> nFull).foreach { n =>
         assert(n < nDocs, s"partial epoch of $src is a full copy")
         assert(rate - nFull > 0.0, s"partial epoch exists for integral rate: $src")
       }
       assert(!e.contains(src -> (nFull + 1)), s"epoch past ceil(rate) for $src")
     }
+    assert(windowed > 0,
+      "no source exercised the partial-epoch size window — the mixture plan has no fractional mass to check")
   }
 
   test("mixEpochs: deterministic across runs and independent of the q86 split hash") {

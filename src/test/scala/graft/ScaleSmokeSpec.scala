@@ -78,7 +78,10 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(out.length === n * 8, "one row per fanned doc")
     // every copied doc's passages now occur >= 8 times corpus-wide, so
     // every doc with at least one passage must be fully duplicated
-    out.filter(_.getLong(1) > 0).foreach { r =>
+    val withPassages = out.filter(_.getLong(1) > 0)
+    assert(withPassages.nonEmpty,
+      "no doc reached the passage threshold — the fan-out invariants below would be vacuous")
+    withPassages.foreach { r =>
       assert(r.getLong(2) === r.getLong(1),
         s"doc ${r.getLong(0)}: copies must make every passage a duplicate")
       assert(!r.getBoolean(4), "fully-duplicated docs must be dropped")

@@ -73,6 +73,32 @@ class SketchesSpec extends SparkSpec {
       assert(spark.sessionState.functionRegistry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(n)), s"$n not registered")
     }
+    // registration alone doesn't prove the builder CONSTRUCTS — a
+    // lambda that throws (bad index arithmetic, wrong arity) still
+    // registers its name. Every builder must build an Expression from
+    // SOME combination of literal children at arity <= 4 (several
+    // builders demand construction-time foldables: litInt widths,
+    // litMatrix centroid tables), so probe a small palette per slot.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+      import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+      val palette = Seq[Expression](
+        Literal("x"), Literal(1),
+        Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType)),
+        Literal.create(Seq(Seq(1.0, 2.0)), ArrayType(ArrayType(DoubleType))),
+        // [left, right] string pairs — the BPE merge-table shape
+        Literal.create(Seq(Seq("a", "b")), ArrayType(ArrayType(StringType))))
+      def combos(k: Int): Iterator[Seq[Expression]] =
+        if (k == 0) Iterator(Seq.empty)
+        else combos(k - 1).flatMap(rest => palette.iterator.map(_ +: rest))
+      functions.VectorExpressions.builders.foreach { case (name, _, b) =>
+        val constructs = (1 to 4).iterator.flatMap(combos).exists { cs =>
+          try { b(cs); true }
+          catch { case scala.util.control.NonFatal(_) => false }
+        }
+        assert(constructs, s"$name: builder constructs from no literal-child combination at arity 1..4")
+      }
+    }
     assert(functions.VectorExpressions.builders.map(_._1).distinct.size ===
       functions.VectorExpressions.builders.size, "duplicate function names")
   }

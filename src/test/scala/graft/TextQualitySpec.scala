@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.TextAnalysis
 import org.apache.spark.sql.functions._
 
 /** q85 repetition metrics + q86 hash split (SURVEY §2.9). The DuckDB
@@ -19,9 +20,16 @@ class TextQualitySpec extends SparkSpec {
       .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
       .groupBy("doc_id", "t").count()
       .groupBy("doc_id").agg(max("count").as("m"))
-    assert(narrow.join(brute, Seq("doc_id"))
-      .filter(narrow("m") =!= brute("m").cast("int")).isEmpty,
-      "max-run disagrees with brute-force mode count")
+    // collect and compare null-safely: a =!= filter drops NULL results
+    // silently, so a regression returning NULL (or losing rows) would
+    // pass an isEmpty check — bind row count and every value instead
+    val nDocs = docs.count()
+    val joined = narrow.join(brute, Seq("doc_id")).collect()
+    assert(joined.length === nDocs, s"join covers ${joined.length} of $nDocs docs")
+    joined.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2) && r.getInt(1) === r.getLong(2).toInt,
+        s"doc ${r.getLong(0)}: max-run ${r.get(1)} vs brute mode count ${r.get(2)}")
+    }
   }
 
   test("graft_max_run edge cases: empty, single, all-equal, runs, null elements") {
@@ -75,12 +83,35 @@ class TextQualitySpec extends SparkSpec {
       if (rateOf(src) >= 1.0) assert(k === total, s"$src should keep all")
       else assert(k <= total, s"$src kept more than its population")
     }
-    // aggregate keep-rate of the 0.1 tier is below the 0.5 tier
+    // each sampled tier's aggregate keep-rate sits in a window around
+    // its configured rate (the hash cut is a fixed-seed binomial draw;
+    // +-0.2 absolute survives testdata regens while still failing a
+    // keep-everything or keep-nothing sampler), and tiers order
     def tierRate(r: Double): Double = {
-      val srcs = perSource.keys.filter(s => rateOf(s) == r)
+      // toSeq first: mapping over the key SET dedups equal per-source
+      // counts and corrupts both sums (uniform sources collapse to one)
+      val srcs = perSource.keys.toSeq.filter(s => rateOf(s) == r)
       srcs.map(s => kept.getOrElse(s, 0L)).sum.toDouble / srcs.map(perSource).sum
     }
+    Seq(0.5, 0.25, 0.1).foreach { r =>
+      assert(math.abs(tierRate(r) - r) < 0.2,
+        s"tier $r keeps at rate ${tierRate(r)} — not sampling at the configured rate")
+    }
     assert(tierRate(0.1) < tierRate(0.5), "rate tiers out of order")
+    // independence from the q86 split hash: q87 salts with ':mix', so
+    // sampled-tier survivors must span all three splits. A sampler
+    // reusing the unsalted md5(doc_id) would keep only bucket-prefix
+    // rows, i.e. a pure subset of 'train' — zero val/test survivors.
+    val sampledSrcs = perSource.keys.filter(s => rateOf(s) < 1.0).toSeq
+    val survivorSplits = TextAnalysis.sampleByRates(
+        docs, sampledSrcs.map(s => s -> rateOf(s)).toMap)
+      .filter(col("source").isin(sampledSrcs: _*))
+      .withColumn("b", substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
+      .withColumn("split",
+        when(col("b") < "cd", "train").when(col("b") < "e6", "val").otherwise("test"))
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(survivorSplits === Set("train", "val", "test"),
+      s"sampled survivors cover splits $survivorSplits — the mix hash is correlated with the split hash")
   }
 
   test("q88: every non-final chunk holds exactly the token budget") {
