@@ -232,21 +232,65 @@ object Multimodal {
     }
   }
 
-  /** mm03: sample every `stride`-th frame of video payloads. Frame
-    * extraction is stubbed as an even byte-slicing of the payload (a
-    * real implementation seeks keyframes); the row fan-out, schema and
-    * partition behavior are the real thing. Emits ceil(n_frames/stride)
-    * rows per video.
+  /** REAL frame extraction for multi-frame containers the JDK can
+    * read (animated GIF via `javax.imageio` — the one video-ish
+    * format with an in-JDK codec): every `stride`-th stored frame is
+    * decoded and re-encoded as PNG bytes. Frames are returned as
+    * STORED — no disposal-method compositing across frames, which is
+    * exactly what a sampling pipeline wants (independent frames, not
+    * a playback state machine); GIFs whose later frames are partial
+    * deltas yield those deltas. Returns None when the payload is not
+    * a container with 2+ decodable frames (h264 and friends — no JDK
+    * codec — plus single images and non-media bytes), so callers fall
+    * back to the byte-slicing stub: the same never-throw seam as
+    * [[decodeImage]]/[[decodeAudio]].
+    */
+  def decodeFrames(payload: Array[Byte], stride: Int): Option[Seq[(Int, Array[Byte])]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            if (n < 2) None
+            else Some((0 until n by stride).map { i =>
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(reader.read(i), "png", bos)
+              (i, bos.toByteArray)
+            })
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** mm03: sample every `stride`-th frame of video payloads.
+    * Multi-frame containers with a JDK codec (animated GIF) decode
+    * REAL frames via [[decodeFrames]]; everything else (h264 — no
+    * in-container codec) falls back to an even byte-slicing of the
+    * payload driven by the n_frames metadata (a real implementation
+    * seeks keyframes). The row fan-out, schema and partition behavior
+    * are identical on both paths: ceil(n_frames/stride) rows per
+    * video.
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 10): Dataset[SampledFrame] = {
     implicit val enc = Encoders.product[SampledFrame]
     media.filter(_.kind == "video").flatMap { r =>
-      val frames = math.max(r.n_frames, 1)
-      val bytesPerFrame = math.max(r.payload.length / frames, 1)
-      (0 until frames by stride).iterator.map { f =>
-        val from = math.min(f * bytesPerFrame, r.payload.length)
-        val until = math.min(from + bytesPerFrame, r.payload.length)
-        SampledFrame(r.media_id, f, java.util.Arrays.copyOfRange(r.payload, from, until))
+      decodeFrames(r.payload, stride) match {
+        case Some(frames) =>
+          frames.iterator.map { case (i, bytes) => SampledFrame(r.media_id, i, bytes) }
+        case None =>
+          val frames = math.max(r.n_frames, 1)
+          val bytesPerFrame = math.max(r.payload.length / frames, 1)
+          (0 until frames by stride).iterator.map { f =>
+            val from = math.min(f * bytesPerFrame, r.payload.length)
+            val until = math.min(from + bytesPerFrame, r.payload.length)
+            SampledFrame(r.media_id, f, java.util.Arrays.copyOfRange(r.payload, from, until))
+          }
       }
     }
   }

@@ -158,6 +158,51 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(3L).toSeq === Multimodal.stubDecode(corrupt, 16).toSeq)
   }
 
+  // -- real-decode path: JDK-builtin multi-frame GIF codec
+
+  private def animatedGif(colors: Seq[Int], w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      colors.foreach { c =>
+        val im = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, c)
+        writer.writeToSequence(new javax.imageio.IIOImage(im, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  test("mm03: animated GIF payloads sample REAL decoded frames; raw video bytes keep the slicing stub") {
+    val spark0 = spark
+    import spark0.implicits._
+    // palette-exact colors (primaries/black/white survive GIF quantization)
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000, 0xff0000,
+      0x00ff00, 0x0000ff, 0xffffff, 0x000000, 0xff0000, 0x00ff00)
+    val gif = animatedGif(colors, 8, 8)
+    val rawVideo = Array.tabulate[Byte](120)(i => (i * 31 + 5).toByte)
+    val rows = Seq(
+      MediaRow(1L, "video", 8, 8, colors.length, 0, gif),
+      MediaRow(2L, "video", 0, 0, 12, 0, rawVideo)).toDS()
+    val frames = Multimodal.sampleFrames(rows, stride = 5).collect()
+      .groupBy(_.media_id).view.mapValues(_.sortBy(_.frame_index)).toMap
+    // real path: stored frames 0, 5, 10 decode back to the planted colors
+    assert(frames(1L).map(_.frame_index).toSeq === Seq(0, 5, 10))
+    frames(1L).foreach { fr =>
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr.frame_bytes))
+      assert((im.getRGB(4, 4) & 0xffffff) === colors(fr.frame_index),
+        s"frame ${fr.frame_index} decodes to ${(im.getRGB(4, 4) & 0xffffff).toHexString}")
+    }
+    // stub path: ceil(12/5) = 3 rows of even 10-byte slices, unchanged
+    assert(frames(2L).map(_.frame_index).toSeq === Seq(0, 5, 10))
+    assert(frames(2L).forall(_.frame_bytes.length === 10))
+  }
+
   test("mm04: real decoded pixel features drive the ANN bridge — planted twin is top-1") {
     val spark0 = spark
     import spark0.implicits._
