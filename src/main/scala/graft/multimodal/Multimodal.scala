@@ -185,6 +185,36 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** REAL video feature for multi-frame containers with a JDK codec
+    * (animated GIF): mean of the per-frame [[decodeImage]] pooled
+    * grids over up to `maxFrames` evenly-strided frames — a temporal
+    * average of spatial luminance, in [0,1]. Returns None when the
+    * payload is not a decodable 2+-frame container (h264 etc.) — the
+    * shared fallback seam. Frame count is probed first so long
+    * containers decode only the sampled frames.
+    */
+  def decodeVideo(payload: Array[Byte], dim: Int, maxFrames: Int = 8): Option[Array[Float]] = {
+    val n = try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) 0
+        else {
+          val reader = readers.next()
+          try { reader.setInput(iis); reader.getNumImages(true) }
+          finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => 0 }
+    if (n < 2) None
+    else decodeFrames(payload, math.max(1, (n + maxFrames - 1) / maxFrames)).flatMap { frames =>
+      val feats = frames.flatMap { case (_, png) => decodeImage(png, dim) }
+      if (feats.isEmpty) None
+      else Some(Array.tabulate(dim)(i => feats.map(_(i)).sum / feats.length))
+    }
+  }
+
   /** STUB decoder: a deterministic 64→`dim` fake "embedding" from a
     * rolling FNV-1a over payload bytes — the fallback for payload
     * kinds with no in-container codec (audio/video/raw text). Replace
@@ -225,6 +255,7 @@ object Multimodal {
         val feat = (r.kind match {
           case "image" => decodeImage(r.payload, dim)
           case "audio" => decodeAudio(r.payload, dim)
+          case "video" => decodeVideo(r.payload, dim)
           case _       => None
         }).getOrElse(stubDecode(r.payload, dim))
         MediaFeatures(r.media_id, r.kind, feat)
@@ -291,6 +322,57 @@ object Multimodal {
             val until = math.min(from + bytesPerFrame, r.payload.length)
             SampledFrame(r.media_id, f, java.util.Arrays.copyOfRange(r.payload, from, until))
           }
+      }
+    }
+  }
+
+  /** Deterministic nearest-neighbor image resize: payload → `w`×`h`
+    * PNG bytes. Manual pixel resampling rather than Graphics2D
+    * drawImage — AWT interpolation can differ across
+    * platforms/headless toolkits, a pixel loop is bit-reproducible
+    * everywhere. None when the payload doesn't decode (the shared
+    * fallback seam).
+    */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    require(w > 0 && h > 0, s"resize target must be positive, got ${w}x$h")
+    val src =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    src.map { im =>
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val (sw, sh) = (im.getWidth, im.getHeight)
+      var y = 0
+      while (y < h) {
+        val sy = math.min((y.toLong * sh / h).toInt, sh - 1)
+        var x = 0
+        while (x < w) {
+          out.setRGB(x, y, im.getRGB(math.min((x.toLong * sw / w).toInt, sw - 1), sy))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** mm05: resize the image rows of a media table to `w`×`h` —
+    * payload swapped for the resized PNG, width/height metadata
+    * updated. Non-image kinds and image rows whose payload doesn't
+    * decode pass through unchanged (a resize stage must never drop or
+    * corrupt rows it can't handle). Same mapPartitions seam as the
+    * feature decode.
+    */
+  def resizeMedia(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.kind != "image") r
+        else resizeImage(r.payload, w, h)
+          .map(p => r.copy(width = w, height = h, payload = p))
+          .getOrElse(r)
       }
     }
   }

@@ -203,6 +203,51 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(2L).forall(_.frame_bytes.length === 10))
   }
 
+  test("mm02: video payloads with a JDK codec decode to temporal-mean features") {
+    val spark0 = spark
+    import spark0.implicits._
+    // four solid-grey frames: every pooled cell of every frame is its
+    // luminance exactly, so the temporal mean is (32+96+160+224)/4/255
+    val greys = Seq(0x202020, 0x606060, 0xa0a0a0, 0xe0e0e0)
+    val gif = animatedGif(greys, 8, 8)
+    val raw = "not a container".getBytes("UTF-8")
+    val rows = Seq(
+      MediaRow(1L, "video", 8, 8, 4, 0, gif),
+      MediaRow(2L, "video", 0, 0, 4, 0, raw)).toDS()
+    val feats = Multimodal.decodeFeatures(rows, dim = 16).collect()
+      .map(f => f.media_id -> f.feature).toMap
+    val want = greys.map(c => (c & 0xff) / 255.0).sum / greys.length
+    assert(feats(1L).forall(v => math.abs(v - want) < 1e-6),
+      s"temporal mean ${feats(1L).head}, want $want")
+    assert(feats(2L).toSeq === Multimodal.stubDecode(raw, 16).toSeq)
+  }
+
+  test("mm05: nearest-neighbor resize is pixel-exact; non-decodable and non-image rows pass through") {
+    val spark0 = spark
+    import spark0.implicits._
+    // gradient keyed on source coordinates so the expected target
+    // pixel is computable: nearest-neighbor at 2x downscale reads
+    // src(2x, 2y)
+    def rgb(x: Int, y: Int): Int = ((x * 8) << 16) | ((y * 10) << 8) | 0x33
+    val src = png(32, 24, rgb)
+    val noise = "not an image".getBytes("UTF-8")
+    val rows = Seq(
+      MediaRow(1L, "image", 32, 24, 1, 0, src),
+      MediaRow(2L, "image", 0, 0, 1, 0, noise),
+      MediaRow(3L, "audio", 0, 0, 1, 8000, noise)).toDS()
+    val out = Multimodal.resizeMedia(rows, 16, 12).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out(1L).width === 16 && out(1L).height === 12)
+    val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(1L).payload))
+    assert(im.getWidth === 16 && im.getHeight === 12)
+    for (y <- 0 until 12; x <- 0 until 16)
+      assert((im.getRGB(x, y) & 0xffffff) === rgb(2 * x, 2 * y),
+        s"pixel ($x,$y) not the nearest-neighbor source pixel")
+    // pass-through rows are byte-identical, metadata untouched
+    assert(out(2L).payload.toSeq === noise.toSeq && out(2L).width === 0)
+    assert(out(3L).payload.toSeq === noise.toSeq && out(3L).kind === "audio")
+  }
+
   test("mm04: real decoded pixel features drive the ANN bridge — planted twin is top-1") {
     val spark0 = spark
     import spark0.implicits._
