@@ -98,48 +98,57 @@ object Multimodal {
     val img =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
       catch { case scala.util.control.NonFatal(_) => None }
-    img.map { im =>
-      val (w, h) = (im.getWidth, im.getHeight)
-      val gw = math.ceil(math.sqrt(dim.toDouble)).toInt
-      val gh = (dim + gw - 1) / gw
-      val sums = new Array[Double](dim)
-      val counts = new Array[Long](dim)
-      var y = 0
-      while (y < h) {
-        val cy = math.min(y * gh / h, gh - 1)
-        var x = 0
-        while (x < w) {
-          val cell = cy * gw + math.min(x * gw / w, gw - 1)
-          if (cell < dim) {
-            val rgb = im.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0 / 255.0
-            sums(cell) += lum
-            counts(cell) += 1
-          }
-          x += 1
+    img.map(poolLuminance(_, dim))
+  }
+
+  /** The mean-pooled luminance grid shared by the image and video
+    * feature paths (see [[decodeImage]] for the cell geometry).
+    */
+  private def poolLuminance(im: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val (w, h) = (im.getWidth, im.getHeight)
+    val gw = math.ceil(math.sqrt(dim.toDouble)).toInt
+    val gh = (dim + gw - 1) / gw
+    val sums = new Array[Double](dim)
+    val counts = new Array[Long](dim)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * gh / h, gh - 1)
+      var x = 0
+      while (x < w) {
+        val cell = cy * gw + math.min(x * gw / w, gw - 1)
+        if (cell < dim) {
+          val rgb = im.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0 / 255.0
+          sums(cell) += lum
+          counts(cell) += 1
         }
-        y += 1
+        x += 1
       }
-      Array.tabulate(dim)(i => if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
+      y += 1
     }
+    Array.tabulate(dim)(i => if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
   }
 
   /** REAL audio decode for container formats the JDK ships codecs for
     * (WAV / AIFF / AU via `javax.sound.sampled` — no external
     * libraries, headless-safe): payload bytes → PCM samples → a
-    * `dim`-length per-window RMS energy feature in [0,1]. The stream
-    * is converted to 16-bit signed PCM at its own sample rate (the
-    * JDK converts 8-bit / u-law / a-law on the fly), channels are
-    * averaged to mono, and the track is tiled into `dim` equal time
-    * windows (time-ordered, matching the feature index); each feature
-    * is the RMS of its window's normalized samples — fully
-    * deterministic given the sample data. Returns None when the bytes
-    * are not a parseable audio container (images, video, text, or a
-    * corrupt body behind a valid header) — callers fall back to
+    * `dim`-length per-window RMS energy feature in [0,1]. PCM of ANY
+    * width (8/16/24/32-bit, signed or unsigned, either endianness) is
+    * parsed directly — the JDK converter cannot narrow 24/32-bit to
+    * 16, and silently stubbing a routine studio WAV would label hash
+    * noise as a decoded feature; only non-PCM encodings (u-law/a-law)
+    * go through the 16-bit conversion. Channels are averaged to mono
+    * and the track is tiled into `dim` equal time windows
+    * (time-ordered, matching the feature index); each feature is the
+    * RMS of its window's normalized samples — fully deterministic
+    * given the sample data. Returns None when the bytes are not a
+    * parseable audio container (images, video, text, or a corrupt
+    * body behind a valid header) — callers fall back to
     * [[stubDecode]], the same never-throw seam as [[decodeImage]].
     */
   def decodeAudio(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
+    import AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
     // NonFatal for the same reason as decodeImage: a crawled corpus
     // contains valid-magic/corrupt-body rows, and the JDK audio SPIs
     // throw unchecked errors on some of them — one bad row must fall
@@ -148,37 +157,60 @@ object Multimodal {
       val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
       try {
         val src = in.getFormat
-        val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-          src.getSampleRate, 16, src.getChannels, 2 * src.getChannels,
-          src.getSampleRate, false)
-        val pcm = AudioSystem.getAudioInputStream(fmt, in)
+        val isPcm = src.getEncoding == PCM_SIGNED || src.getEncoding == PCM_UNSIGNED
+        val (pcm, fmt) =
+          if (isPcm) (in, src)
+          else {
+            val f = new AudioFormat(PCM_SIGNED, src.getSampleRate, 16,
+              src.getChannels, 2 * src.getChannels, src.getSampleRate, false)
+            (AudioSystem.getAudioInputStream(f, in), f)
+          }
         try {
           // payload is already in memory, so this is bounded by row size
           val bytes = pcm.readAllBytes()
           val ch = fmt.getChannels
-          val nFrames = bytes.length / (2 * ch)
-          if (nFrames == 0) Some(new Array[Float](dim))
+          val bits = fmt.getSampleSizeInBits
+          val bytesPer = (bits + 7) / 8
+          if (ch <= 0 || bits <= 0 || bits > 32) None
           else {
-            val sums = new Array[Double](dim)
-            val counts = new Array[Long](dim)
-            var f = 0
-            while (f < nFrames) {
-              var acc = 0.0
-              var c = 0
-              while (c < ch) {
-                val o = (f * ch + c) * 2
-                // little-endian signed 16-bit, normalized to [-1, 1)
-                acc += ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort / 32768.0
-                c += 1
+            val nFrames = bytes.length / (bytesPer * ch)
+            if (nFrames == 0) Some(new Array[Float](dim))
+            else {
+              val big = fmt.isBigEndian
+              val signed = fmt.getEncoding == PCM_SIGNED
+              val full = 1L << (bits - 1)
+              // one sample, normalized to [-1, 1): assemble the raw
+              // bits MSB-first, then sign-extend (signed) or center on
+              // the half-range (unsigned)
+              def sampleAt(off: Int): Double = {
+                var v = 0L
+                var i = 0
+                while (i < bytesPer) {
+                  v = (v << 8) | (bytes(off + (if (big) i else bytesPer - 1 - i)) & 0xffL)
+                  i += 1
+                }
+                val x = if (signed) (v << (64 - bits)) >> (64 - bits) else v - full
+                x.toDouble / full
               }
-              val mono = acc / ch
-              val cell = math.min((f.toLong * dim / nFrames).toInt, dim - 1)
-              sums(cell) += mono * mono
-              counts(cell) += 1
-              f += 1
+              val sums = new Array[Double](dim)
+              val counts = new Array[Long](dim)
+              var f = 0
+              while (f < nFrames) {
+                var acc = 0.0
+                var c = 0
+                while (c < ch) {
+                  acc += sampleAt((f * ch + c) * bytesPer)
+                  c += 1
+                }
+                val mono = acc / ch
+                val cell = math.min((f.toLong * dim / nFrames).toInt, dim - 1)
+                sums(cell) += mono * mono
+                counts(cell) += 1
+                f += 1
+              }
+              Some(Array.tabulate(dim)(i =>
+                if (counts(i) == 0) 0f else math.sqrt(sums(i) / counts(i)).toFloat))
             }
-            Some(Array.tabulate(dim)(i =>
-              if (counts(i) == 0) 0f else math.sqrt(sums(i) / counts(i)).toFloat))
           }
         } finally pcm.close()
       } finally in.close()
@@ -188,32 +220,58 @@ object Multimodal {
   /** REAL video feature for multi-frame containers with a JDK codec
     * (animated GIF): mean of the per-frame [[decodeImage]] pooled
     * grids over up to `maxFrames` evenly-strided frames — a temporal
-    * average of spatial luminance, in [0,1]. Returns None when the
-    * payload is not a decodable 2+-frame container (h264 etc.) — the
-    * shared fallback seam. Frame count is probed first so long
-    * containers decode only the sampled frames.
+    * average of spatial luminance, in [0,1]. Only FULL-CANVAS frames
+    * (dimensions equal to frame 0's) enter the mean: optimized GIFs
+    * store later frames as changed-rect deltas, and pooling a small
+    * delta rect over the whole grid would mix unrelated image regions
+    * into the temporal average. Returns None when the payload is not
+    * a decodable 2+-frame container (h264 etc.) or no sampled frame
+    * is full-canvas — the shared fallback seam. One reader pass:
+    * frame count and sampled decodes share a single container walk.
     */
   def decodeVideo(payload: Array[Byte], dim: Int, maxFrames: Int = 8): Option[Array[Float]] = {
-    val n = try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+    require(maxFrames > 0, s"maxFrames must be positive, got $maxFrames")
+    withFrameReader(payload) { (reader, n) =>
+      if (n < 2) None
+      else {
+        val stride = math.max(1, (n + maxFrames - 1) / maxFrames)
+        val first = reader.read(0)
+        val (w0, h0) = (first.getWidth, first.getHeight)
+        val feats = (0 until n by stride).flatMap { i =>
+          val im = if (i == 0) first else reader.read(i)
+          if (im.getWidth == w0 && im.getHeight == h0) Some(poolLuminance(im, dim)) else None
+        }
+        if (feats.isEmpty) None
+        else Some(Array.tabulate(dim)(i => feats.map(_(i)).sum / feats.length))
+      }
+    }
+  }
+
+  /** Open `payload` as a multi-image container: find a reader, count
+    * frames (one full walk), hand both to `f`. None when no installed
+    * reader claims the bytes or anything throws (NonFatal) — the
+    * shared seam of the frame-based decoders. The stream is a
+    * MemoryCacheImageInputStream: the payload is already an in-memory
+    * array, and the ImageIO default (useCache) would write a temp
+    * FILE per call from executor tasks.
+    */
+  private def withFrameReader[T](payload: Array[Byte])(
+      f: (javax.imageio.ImageReader, Int) => Option[T]): Option[T] =
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) 0
+        if (!readers.hasNext) None
         else {
           val reader = readers.next()
-          try { reader.setInput(iis); reader.getNumImages(true) }
-          finally reader.dispose()
+          try {
+            reader.setInput(iis)
+            f(reader, reader.getNumImages(true))
+          } finally reader.dispose()
         }
       } finally iis.close()
-    } catch { case scala.util.control.NonFatal(_) => 0 }
-    if (n < 2) None
-    else decodeFrames(payload, math.max(1, (n + maxFrames - 1) / maxFrames)).flatMap { frames =>
-      val feats = frames.flatMap { case (_, png) => decodeImage(png, dim) }
-      if (feats.isEmpty) None
-      else Some(Array.tabulate(dim)(i => feats.map(_(i)).sum / feats.length))
-    }
-  }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** STUB decoder: a deterministic 64→`dim` fake "embedding" from a
     * rolling FNV-1a over payload bytes — the fallback for payload
@@ -237,12 +295,14 @@ object Multimodal {
   /** mm02: per-partition batched decode → fixed-size features. One
     * state setup per partition (where a native decoder would init its
     * context), then a pure iterator pass — streaming, no
-    * per-partition materialization. Image payloads the JDK can decode
-    * go through the REAL pixel path ([[decodeImage]]), audio payloads
-    * through the REAL PCM path ([[decodeAudio]]); everything else
-    * (video — no in-container codec) falls back to the deterministic
-    * [[stubDecode]], so one mixed-kind table decodes in one pass with
-    * a uniform feature contract.
+    * per-partition materialization. Every kind decodes REAL bytes
+    * where the JDK ships a codec: images through the pixel path
+    * ([[decodeImage]]), audio through the PCM path ([[decodeAudio]]),
+    * video through the multi-frame temporal mean ([[decodeVideo]] —
+    * GIF containers); payloads with no in-container codec (h264, raw
+    * bytes) fall back to the deterministic [[stubDecode]], so one
+    * mixed-kind table decodes in one pass with a uniform feature
+    * contract.
     */
   def decodeFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
@@ -277,27 +337,14 @@ object Multimodal {
     * [[decodeImage]]/[[decodeAudio]].
     */
   def decodeFrames(payload: Array[Byte], stride: Int): Option[Seq[(Int, Array[Byte])]] =
-    try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) None
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(iis)
-            val n = reader.getNumImages(true)
-            if (n < 2) None
-            else Some((0 until n by stride).map { i =>
-              val bos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(reader.read(i), "png", bos)
-              (i, bos.toByteArray)
-            })
-          } finally reader.dispose()
-        }
-      } finally iis.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
+    withFrameReader(payload) { (reader, n) =>
+      if (n < 2) None
+      else Some((0 until n by stride).map { i =>
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(reader.read(i), "png", bos)
+        (i, bos.toByteArray)
+      })
+    }
 
   /** mm03: sample every `stride`-th frame of video payloads.
     * Multi-frame containers with a JDK codec (animated GIF) decode
@@ -305,8 +352,11 @@ object Multimodal {
     * in-container codec) falls back to an even byte-slicing of the
     * payload driven by the n_frames metadata (a real implementation
     * seeks keyframes). The row fan-out, schema and partition behavior
-    * are identical on both paths: ceil(n_frames/stride) rows per
-    * video.
+    * are the same shape on both paths — ceil(frames/stride) rows per
+    * video — but the frame count comes from the CONTAINER on the real
+    * path and from the n_frames metadata on the stub path; when the
+    * two disagree, the container wins (sizing downstream work off
+    * metadata is a consumer bug, not a sampler contract).
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 10): Dataset[SampledFrame] = {
     implicit val enc = Encoders.product[SampledFrame]
@@ -366,6 +416,9 @@ object Multimodal {
     * feature decode.
     */
   def resizeMedia(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    // validate at the driver: per-row requires inside executor tasks
+    // fail mid-job with retries (and not at all on image-free data)
+    require(w > 0 && h > 0, s"resize target must be positive, got ${w}x$h")
     implicit val enc = Encoders.product[MediaRow]
     media.mapPartitions { rows =>
       rows.map { r =>

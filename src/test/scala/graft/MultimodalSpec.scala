@@ -203,6 +203,35 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(2L).forall(_.frame_bytes.length === 10))
   }
 
+  test("mm02: 24-bit PCM WAV decodes through the direct sample parser (JDK can't narrow it)") {
+    // hand-built canonical RIFF header: the JDK WAV reader parses
+    // 24-bit PCM but its converter cannot narrow it to 16-bit — the
+    // direct path must decode it, not stub it as hash noise
+    def wav24(samples: Array[Int], rate: Int): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 3)
+      samples.indices.foreach { i =>
+        data(3 * i) = (samples(i) & 0xff).toByte
+        data(3 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        data(3 * i + 2) = ((samples(i) >> 16) & 0xff).toByte
+      }
+      val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+        .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate).putInt(rate * 3).putShort(3).putShort(24)
+        .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+      bb.array()
+    }
+    // 16 windows of 25 frames; window k at constant amplitude k*2^19,
+    // so its RMS is exactly k*2^19/2^23 = k/16
+    val samples = Array.tabulate(400)(i => (i / 25) * (1 << 19))
+    val feat = Multimodal.decodeAudio(wav24(samples, 8000), dim = 16)
+    assert(feat.isDefined, "24-bit PCM WAV fell back to the stub")
+    for (k <- 0 until 16)
+      assert(math.abs(feat.get(k) - k / 16.0) < 1e-6,
+        s"window $k = ${feat.get(k)}, want ${k / 16.0}")
+  }
+
   test("mm02: video payloads with a JDK codec decode to temporal-mean features") {
     val spark0 = spark
     import spark0.implicits._
@@ -220,6 +249,40 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1L).forall(v => math.abs(v - want) < 1e-6),
       s"temporal mean ${feats(1L).head}, want $want")
     assert(feats(2L).toSeq === Multimodal.stubDecode(raw, 16).toSeq)
+  }
+
+  test("mm02: partial delta frames stay out of the temporal mean; bad maxFrames fails fast") {
+    // optimized GIFs store later frames as changed-rect deltas —
+    // pooling a small rect over the full grid would mix regions, so
+    // only full-canvas frames may enter the mean
+    val full = Seq(0x202020, 0xe0e0e0).map { c =>
+      val im = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) im.setRGB(x, y, c)
+      im
+    }
+    val delta = { // a 4x4 white patch posing as frame 1
+      val im = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4) im.setRGB(x, y, 0xffffff)
+      im
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      Seq(full.head, delta, full(1)).foreach(im =>
+        writer.writeToSequence(new javax.imageio.IIOImage(im, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    val gif = bos.toByteArray
+    val feat = Multimodal.decodeVideo(gif, dim = 16)
+    assert(feat.isDefined)
+    // mean of the two full frames only: (32 + 224) / 2 / 255
+    val want = (0x20 + 0xe0) / 2.0 / 255.0
+    assert(feat.get.forall(v => math.abs(v - want) < 1e-6),
+      s"mean ${feat.get.head}, want $want — the 4x4 delta leaked into the pooling")
+    intercept[IllegalArgumentException] { Multimodal.decodeVideo(gif, 16, maxFrames = 0) }
   }
 
   test("mm05: nearest-neighbor resize is pixel-exact; non-decodable and non-image rows pass through") {
