@@ -31,21 +31,23 @@ final case class SampledFrame(
     frame_index: Int,
     frame_bytes: Array[Byte])
 
-/** Multimodal-column plumbing — SURVEY §2.10 (mm01–mm03).
+/** Multimodal-column plumbing — SURVEY §2.10 (mm01–mm05).
   *
   * Image/audio/video are opaque `binary` columns plus typed metadata.
   * Formats the JDK itself ships codecs for decode REAL bytes with no
   * external libraries: PNG/JPEG/GIF/BMP via `javax.imageio`
-  * ([[Multimodal.decodeImage]]) and WAV/AIFF/AU PCM via
-  * `javax.sound.sampled` ([[Multimodal.decodeAudio]]). Video (h264 —
-  * no in-container codec) stays STUBBED behind
-  * [[Multimodal.stubDecode]], a deterministic fake keyed on the
-  * payload bytes, which is also every decoder's never-throw fallback
-  * for corrupt rows. Everything Spark-side is real and load-bearing
-  * at scale: the schema, the `mapPartitions` batch shape (one
-  * iterator pass per partition, no per-row task overhead, the exact
-  * seam where a vectorized native decoder or a Python worker would
-  * plug in), and the metadata-only pruning path.
+  * ([[Multimodal.decodeImage]], [[Multimodal.resizeImage]]), audio
+  * containers of any PCM width via `javax.sound.sampled`
+  * ([[Multimodal.decodeAudio]]), and multi-frame GIF via the ImageIO
+  * reader API ([[Multimodal.decodeFrames]],
+  * [[Multimodal.decodeVideo]]). Payloads with no in-JDK codec (h264)
+  * and corrupt rows fall back to [[Multimodal.stubDecode]], a
+  * deterministic fake keyed on the payload bytes — the decode seam
+  * never throws on a crawled corpus. Everything Spark-side is real
+  * and load-bearing at scale: the schema, the `mapPartitions` batch
+  * shape (one iterator pass per partition, no per-row task overhead,
+  * the exact seam where a vectorized native decoder or a Python
+  * worker would plug in), and the metadata-only pruning path.
   */
 object Multimodal {
 
