@@ -337,6 +337,30 @@ class MultimodalSpec extends SparkSpec {
     assert(top.head.getDouble(1) >= 1.0 - 1e-9)
   }
 
+  test("mm04: real decoded audio features drive the ANN bridge — planted twin is top-1") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.functions.VectorFunctions._
+    // seed-keyed amplitude envelopes: distinct seeds → distinct RMS
+    // window profiles; media 1 and 99 share one → bit-identical
+    // features → cosine exactly 1 through the same bridge as images
+    def tone(seed: Int) = wav(
+      Array.tabulate[Short](1600)(i => (((i / 100) * 931 * seed + 1024) % 24000).toShort), 1, 8000f)
+    val rows = (Seq(1L -> 1, 99L -> 1) ++ (2L to 8L).map(i => i -> i.toInt))
+      .map { case (id, seed) => MediaRow(id, "audio", 0, 0, 1, 8000, tone(seed)) }
+      .toDS()
+    val feats = Multimodal.featureEmbeddings(Multimodal.decodeFeatures(rows, dim = 16))
+    val q = feats.filter(col("vec_id") === 1L)
+      .select(col("embedding").as("qf"), col("nrm").as("qn"))
+    val top = feats.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 1L)
+      .select(col("vec_id"), cosine(col("qf"), col("embedding"), col("qn"), col("nrm")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(1).collect()
+    assert(top.head.getLong(0) === 99L, s"audio twin not top-1: ${top.head}")
+    assert(top.head.getDouble(1) >= 1.0 - 1e-9)
+  }
+
   test("mm03: frame sampling fans out ceil(n_frames/stride) rows per video, payload sliced") {
     val stride = 10
     val frames = Multimodal.sampleFrames(media, stride)
