@@ -267,7 +267,7 @@ object Knn {
     */
   def ivfCentroids(
       e: DataFrame, iters: Int = 2, cells: Int = 0,
-      knownN: Long = -1L): Seq[(Long, Seq[Double])] = {
+      knownN: Long = -1L, md5Seed: Boolean = false): Seq[(Long, Seq[Double])] = {
     val spark = e.sparkSession
     import spark.implicits._
     // knownN: callers that just materialized `e` pass the count from
@@ -301,17 +301,35 @@ object Knn {
     // property), and the zero-seed case (possible for adversarial tiny
     // corpora) falls back to the first k rows by id (a TakeOrdered,
     // not a full sort).
-    var cents: Seq[(Long, Seq[Double])] = {
-      val strided = e
-        .filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0)
-        .select(col("vec_id"), col("embedding").cast("array<double>"))
-        .as[(Long, Seq[Double])].collect().toSeq
-        .sortBy(_._1).take(k)
-      if (strided.nonEmpty) strided
-      else e.orderBy(col("vec_id")).limit(k)
-        .select(col("vec_id"), col("embedding").cast("array<double>"))
-        .as[(Long, Seq[Double])].collect().toSeq
-    }
+    // md5Seed: the ENGINE-PORTABLE seed rule — the k hash-smallest
+    // rows by (md5(cast(id as string)), id), a deterministic top-k
+    // any SQL engine reproduces verbatim (Spark's `md5` and DuckDB's
+    // `md5` both emit lowercase hex of the UTF-8 decimal string, so
+    // the ordering key is a plain string compare on both sides; the
+    // q63 md5-convention precedent). This is what makes the q6g/qa2
+    // driver entries oracle-checkable: with iters = 0 the centroid
+    // set IS the seed set, and cell assignment becomes
+    // SQL-expressible (argmin over a cross join, tie-break
+    // (dist, cid) — ArgMinCell's exact rule). Always exactly
+    // min(k, n) rows — no binomial under/overshoot — at the cost of
+    // a top-k sort the xxhash64 stride avoids; the default path keeps
+    // the stride.
+    var cents: Seq[(Long, Seq[Double])] =
+      if (md5Seed)
+        e.orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id")).limit(k)
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+      else {
+        val strided = e
+          .filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0)
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .as[(Long, Seq[Double])].collect().toSeq
+          .sortBy(_._1).take(k)
+        if (strided.nonEmpty) strided
+        else e.orderBy(col("vec_id")).limit(k)
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .as[(Long, Seq[Double])].collect().toSeq
+      }
     require(cents.nonEmpty, "ivfCentroids: empty corpus — no rows to seed centroids from")
     for (_ <- 0 until iters) {
       cents = assignCell(train, cents)

@@ -777,7 +777,8 @@ object Dedup {
       tau: Double = 0.4,
       cells: Int = 0,
       iters: Int = 2,
-      maxCell: Int = 0): DataFrame = {
+      maxCell: Int = 0,
+      md5Seed: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions._
     require(tau <= 1.0, s"semanticDedup: tau=$tau > 1 can never match (cosine <= 1)")
     val rows = emb.select(col("vec_id"), col("embedding"))
@@ -835,7 +836,7 @@ object Dedup {
         .select(col("gk1"), col("gk2"), col("rep"), col("embedding"),
           norm2(col("embedding")).as("nrm")))
     val reps = groups.select(col("rep").as("vec_id"), col("embedding"), col("nrm"))
-    val cents = graft.ann.Knn.ivfCentroids(reps, iters, cells, knownN = nReps)
+    val cents = graft.ann.Knn.ivfCentroids(reps, iters, cells, knownN = nReps, md5Seed = md5Seed)
     val cap =
       if (maxCell > 0) maxCell.toLong
       else math.max(4096L, (16.0 * math.sqrt(nReps.toDouble)).toLong)
@@ -902,16 +903,95 @@ object Dedup {
           .otherwise(when(col("rep").isNotNull, lit(1.0))).as("best_cos"))
   }
 
-  /** q6g: the semantic-dedup query form. Rows-only [R] (k-means cell
-    * geometry is not SQL-reproducible); the spec oracle injects fixed
-    * centroids and checks verdict equality against brute-force
-    * within-cell truth, plus planted exact-copy invariants on the
-    * auto path.
+  /** DuckDB twin of [[semanticDedup]] AT THE PINNED OPERATING POINT
+    * (iters = 0, md5Seed = true): the full verdict chain as CTEs over
+    * `srcCte` (any relation exposing (vec_id, embedding)), ending in
+    * `semv` with (vec_id, cell, keep, dup_of, best_cos). Shared by
+    * the q6g oracle and qa2's composed twin so the two entries'
+    * semantic stage can never drift apart.
+    *
+    * What makes each stage engine-portable (the q63/q66 playbook —
+    * pin a reproducible operating point, don't weaken the operator):
+    *
+    *  - seeds: the k hash-smallest reps by (md5(id-as-string), id) —
+    *    both engines emit lowercase-hex md5 of the decimal string,
+    *    so the top-k is a plain string sort ([[graft.ann.Knn
+    *    .ivfCentroids]] md5Seed branch); iters = 0 makes that seed
+    *    set THE centroid set, removing the Lloyd iteration the old
+    *    rows-only justification hinged on;
+    *  - k: GREATEST(64, LEAST(65536, ceil(sqrt(n_reps)))) —
+    *    [[graft.ann.Knn.cellsFor]] verbatim;
+    *  - assignment: argmin of squared L2, sequential per-dimension
+    *    double fold (DuckDB's list_sum(list_transform) matches
+    *    [[graft.functions.ArgMinHelper.argmin]] bit-for-bit — the
+    *    q70 fold-order precedent), tie-break (dist, cid) = the
+    *    expression's strict-< first-minimum over cid-ordered
+    *    centroids;
+    *  - verdicts: the greedy rule is NON-recursive (a vector loses to
+    *    ANY smaller same-cell id at cosine ≥ τ, independent of that
+    *    id's own verdict), so min/max aggregates express it exactly —
+    *    no recursive CTE needed;
+    *  - collapse/members: group by the embedding LIST (the q6e
+    *    precedent) — the 96-bit hash pair is pure transport and never
+    *    reaches the output.
+    */
+  private[graft] def semanticTwinCtes(srcCte: String, tau: Double = 0.4): String =
+    s"""semraw AS (SELECT vec_id, embedding FROM $srcCte WHERE vec_id IS NOT NULL),
+        semval0 AS (SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+               FROM semraw
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        semval AS (SELECT * FROM semval0 WHERE nrm > 0 AND isfinite(nrm)),
+        semgrp AS (SELECT embedding, MIN(vec_id) AS rep FROM semval GROUP BY embedding),
+        semk AS (SELECT GREATEST(64, LEAST(65536, CAST(ceil(sqrt(COUNT(*))) AS BIGINT))) AS k FROM semgrp),
+        semcents AS (SELECT rep AS cid, embedding AS ce FROM semgrp
+                     QUALIFY row_number() OVER (ORDER BY md5(CAST(rep AS VARCHAR)), rep) <= (SELECT k FROM semk)),
+        semasg AS (SELECT rep, cell FROM (
+                     SELECT g.rep, c.cid AS cell,
+                            row_number() OVER (PARTITION BY g.rep ORDER BY
+                              list_sum(list_transform(list_zip(g.embedding, c.ce),
+                                pr -> (CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE)) * (CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE)))) ASC,
+                              c.cid ASC) AS rn
+                     FROM semgrp g CROSS JOIN semcents c) t WHERE rn = 1),
+        semen AS (SELECT g.rep, g.embedding, a.cell, v.nrm
+                  FROM semgrp g JOIN semasg a USING (rep) JOIN semval v ON v.vec_id = g.rep),
+        semprs AS (SELECT a.rep AS id_a, b.rep AS id_b,
+                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                       pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
+                   FROM semen a JOIN semen b ON a.cell = b.cell AND a.rep < b.rep),
+        semloss AS (SELECT id_b AS rep, MIN(id_a) AS dup_of, MAX(cos) AS best_cos
+                    FROM semprs WHERE cos >= $tau GROUP BY id_b),
+        semrepv AS (SELECT a.rep, a.cell, l.dup_of IS NULL AS keep, l.dup_of, l.best_cos
+                    FROM semasg a LEFT JOIN semloss l USING (rep)),
+        semmemb AS (SELECT v.vec_id, g.rep FROM semval v JOIN semgrp g USING (embedding)
+                    UNION ALL
+                    SELECT r.vec_id, NULL AS rep FROM semraw r
+                    WHERE r.vec_id NOT IN (SELECT vec_id FROM semval)),
+        semv AS (SELECT m.vec_id, rv.cell,
+                   CASE WHEN m.rep IS NULL THEN TRUE
+                        WHEN m.vec_id = m.rep THEN rv.keep
+                        ELSE FALSE END AS keep,
+                   CASE WHEN m.vec_id = m.rep THEN rv.dup_of
+                        ELSE COALESCE(rv.dup_of, m.rep) END AS dup_of,
+                   CASE WHEN m.vec_id = m.rep THEN rv.best_cos
+                        WHEN m.rep IS NOT NULL THEN CAST(1.0 AS DOUBLE) END AS best_cos
+                 FROM semmemb m LEFT JOIN semrepv rv ON m.rep = rv.rep)"""
+
+  /** q6g: the semantic-dedup query form, hash-checked end to end
+    * against [[semanticTwinCtes]]. The entry pins the engine-portable
+    * operating point (iters = 0, md5-top-k seeds) — the REAL
+    * collapse → assign → in-cell pair → greedy verdict plan, only the
+    * centroid-selection rule is the portable one; the library default
+    * keeps Lloyd-trained centroids (better cell balance at corpus
+    * scale, same plan shape).
     */
   private val q6g = Qdef(
     "q6g_semantic_dedup",
-    (s, d) => semanticDedup(Tables.embeddings(s, d)).orderBy("vec_id"),
-    None)
+    (s, d) => semanticDedup(Tables.embeddings(s, d), iters = 0, md5Seed = true)
+      .orderBy("vec_id"),
+    Some(s"""WITH ${semanticTwinCtes("embeddings")}
+             SELECT vec_id, cell, keep, dup_of, best_cos FROM semv ORDER BY vec_id"""))
 
   /** Incremental embedding ingest filter — the vector twin of q69:
     * a batch of new vectors is screened against the corpus; batch

@@ -178,7 +178,9 @@ object Curate {
       lang: String = "en",
       tau: Double = 0.4,
       cells: Int = 0,
-      maxCell: Int = 0): DataFrame = {
+      maxCell: Int = 0,
+      iters: Int = 2,
+      md5Seed: Boolean = false): DataFrame = {
     // materialize the text pipeline ONCE: semanticDedup consumes the
     // survivors (through the semi join below) at construction time,
     // and the final verdict join reads `c` again — without this the
@@ -191,7 +193,8 @@ object Curate {
     val c = graft.Stage(curated(docs, minQuality, lang))
     val survivors = emb.select(col("vec_id"), col("embedding"))
       .join(c.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-    val verdicts = graft.dedup.Dedup.semanticDedup(survivors, tau, cells, maxCell = maxCell)
+    val verdicts = graft.dedup.Dedup
+      .semanticDedup(survivors, tau, cells, iters = iters, maxCell = maxCell, md5Seed = md5Seed)
       .select(col("vec_id").as("doc_id"), col("cell"), col("dup_of"), col("keep"))
     // left join + keep-if-no-verdict: a text survivor WITHOUT an
     // embedding row cannot be semantically deduped — it stays in the
@@ -201,22 +204,35 @@ object Curate {
       .drop("keep")
   }
 
-  /** qa2: the composed text+semantic curation manifest. Rows-only [R]
-    * (the semantic stage's k-means geometry is not SQL-reproducible);
-    * the spec asserts the composition law — qa2 survivors are exactly
-    * qa0's text survivors minus the semantic drop set computed
-    * independently on those survivors' embeddings.
+  /** qa2: the composed text+semantic curation manifest, hash-checked
+    * end to end — [[curatedCtes]]' text pipeline composed with
+    * [[graft.dedup.Dedup.semanticTwinCtes]] over the survivors'
+    * embeddings, exactly mirroring [[curatedSemantic]]'s semi-join +
+    * verdict-left-join shape. The entry pins the semantic stage's
+    * engine-portable operating point (iters = 0, md5-top-k seeds —
+    * the q6g convention); the library default keeps Lloyd training.
     */
   private val qa2 = Qdef(
     "qa2_curate_semantic",
     (s, d) =>
-      curatedSemantic(Tables.documents(s, d), Tables.embeddings(s, d))
+      curatedSemantic(Tables.documents(s, d), Tables.embeddings(s, d),
+          iters = 0, md5Seed = true)
         .groupBy("split", "source")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_bpe_tokens").as("sum_tokens"),
           Tables.dsum(col("quality"), 6).as("sum_q"))
         .orderBy("split", "source"),
-    None)
+    Some(s"""WITH $curatedCtes,
+             surv AS (SELECT e.vec_id, e.embedding
+                      FROM embeddings e JOIN sp ON e.vec_id = sp.doc_id),
+             ${graft.dedup.Dedup.semanticTwinCtes("surv")},
+             semkept AS (SELECT sp.* FROM sp
+                         LEFT JOIN semv ON sp.doc_id = semv.vec_id
+                         WHERE semv.keep IS NULL OR semv.keep)
+             SELECT split, source, COUNT(*) AS n_docs,
+                    CAST(SUM(n_bpe_tokens) AS BIGINT) AS sum_tokens,
+                    ${Qdef.DSUM("quality", 6)} AS sum_q
+             FROM semkept GROUP BY split, source ORDER BY split, source"""))
 
   val all: Seq[Qdef] = Seq(qa0, qa2)
 }

@@ -192,4 +192,94 @@ class OracleParitySpec extends SparkSpec {
         s"$d: q6d index ingest != two-round brute verdicts")
     }
   }
+
+  test("md5 seed-order convention: Spark md5(cast(id as string)) is standard lowercase-hex MD5") {
+    // the q6g/qa2 oracles sort seed candidates by md5-of-decimal-string
+    // on BOTH engines; DuckDB's md5(VARCHAR) is the standard digest in
+    // lowercase hex, so locking Spark's md5 to MessageDigest (plus one
+    // pinned literal) pins the cross-engine ordering key
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 123L, 499L, -7L, 9007199254740993L)
+    val got = ids.toDF("id")
+      .select(md5(col("id").cast("string").cast("binary")).as("h"))
+      .as[String].collect().toSeq
+    val jdk = ids.map { i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    }
+    assert(got == jdk, "Spark md5 drifted from MessageDigest hex")
+    assert(jdk(2) == "202cb962ac59075b964b07152d234b70", "MD5('123') literal drifted")
+  }
+
+  test("q6g: pinned entry verdicts equal a plain-Scala brute recomputation (both gate scales)") {
+    // independent of every Spark operator under test: collapse,
+    // md5-top-k seeding, argmin assignment, in-cell greedy verdicts
+    // and member expansion recomputed in driver-side Scala with the
+    // same sequential-double-fold arithmetic, compared bit-exactly
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    for (d <- scales) {
+      val rows: Seq[(Long, Option[Seq[Float]])] =
+        Tables.embeddings(spark, d).select("vec_id", "embedding").collect().toSeq
+          .filter(!_.isNullAt(0))
+          .map(r => (r.getLong(0), Option(r.getSeq[Float](1))))
+      def nrm(e: Seq[Float]): Double = {
+        var acc = 0.0; e.foreach { x => acc += x.toDouble * x.toDouble }; math.sqrt(acc)
+      }
+      def valid(e: Option[Seq[Float]]): Boolean = e.exists(v =>
+        !v.contains(null) && { val n = nrm(v); n > 0 && n < Double.PositiveInfinity })
+      val members = rows.filter(r => valid(r._2)).map(r => (r._1, r._2.get))
+      val groups: Map[Seq[Float], Long] =
+        members.groupBy(_._2).map { case (e, ms) => (e, ms.map(_._1).min) }
+      val k = math.max(64, math.min(65536, math.ceil(math.sqrt(groups.size.toDouble)).toInt))
+      val cents: Seq[(Long, Seq[Float])] = groups.toSeq.map { case (e, rep) => (rep, e) }
+        .sortBy { case (rep, _) => (md5hex(rep.toString), rep) }.take(k).sortBy(_._1)
+      def argmin(x: Seq[Float]): Long = {
+        var best = -1L; var bestD = Double.MaxValue
+        cents.foreach { case (cid, ce) =>
+          var acc = 0.0; var i = 0
+          while (i < math.min(x.length, ce.length)) {
+            val dd = x(i).toDouble - ce(i).toDouble; acc += dd * dd; i += 1
+          }
+          if (acc < bestD) { bestD = acc; best = cid }
+        }
+        best
+      }
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < math.min(a.length, b.length)) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc / (nrm(a) * nrm(b))
+      }
+      val reps = groups.toSeq.map { case (e, rep) => (rep, e, argmin(e)) }
+      val repV: Map[Long, (Long, Option[Long], Option[Double])] = reps.map { case (rep, e, cell) =>
+        val smaller = reps.filter(o => o._3 == cell && o._1 < rep)
+          .map(o => (o._1, cos(o._2, e))).filter(_._2 >= 0.4)
+        (rep, (cell,
+          if (smaller.isEmpty) None else Some(smaller.map(_._1).min),
+          if (smaller.isEmpty) None else Some(smaller.map(_._2).max)))
+      }.toMap
+      val truth: Map[Long, (Option[Long], Boolean, Option[Long], Option[Double])] =
+        rows.map { case (id, eOpt) =>
+          if (!valid(eOpt)) (id, (None, true, None, None))
+          else {
+            val rep = groups(eOpt.get)
+            val (cell, dupOf, bestCos) = repV(rep)
+            if (id == rep) (id, (Some(cell), dupOf.isEmpty, dupOf, bestCos))
+            else (id, (Some(cell), false, Some(dupOf.getOrElse(rep)), Some(1.0)))
+          }
+        }.toMap
+      val got = SparkEntry.queries("q6g_semantic_dedup")(spark, d).collect().map { r =>
+        (r.getLong(0), (
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      }.toMap
+      assert(got == truth, s"$d: q6g pinned verdicts != plain-Scala brute truth " +
+        s"(diff keys: ${(got.keySet ++ truth.keySet).filter(id => got.get(id) != truth.get(id)).take(5)})")
+      assert(truth.values.exists(!_._2), s"$d: corpus has no semantic drop — vacuous lock")
+    }
+  }
 }
