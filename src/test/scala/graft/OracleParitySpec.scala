@@ -7,7 +7,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Locks the exact-parity claims the round-6 DuckDB oracles stand on:
-  * q62/q65/q71/q72/q6c/q6d/q6e are driver-checked hash-exactly
+  * q62/q65/q6f/q71/q72/q6c/q6d/q6e are driver-checked hash-exactly
   * against BRUTE-FORCE SQL twins, which is only valid while the
   * bucketed/probed Spark plans reproduce the exhaustive truth
   * row-for-row on the gate corpora. Each claim is asserted at BOTH
@@ -58,6 +58,19 @@ class OracleParitySpec extends SparkSpec {
       val got = idPairs(SparkEntry.queries("q65_dedup_embedding")(spark, d))
       assert(got == bruteCosPairs(Tables.embeddings(spark, d)),
         s"$d: q65 probed pairs != brute cosine>=0.4 truth")
+      assert(got.nonEmpty, s"$d: vacuous corpus")
+    }
+  }
+
+  test("q6f: adaptive split + probes reproduce the exhaustive cosine truth (both gate scales)") {
+    // the q6f oracle's validity rests on this: at the pinned point
+    // (maxBucket=32 → split regime, probe1 + sub-key probe) the
+    // adaptive candidate stage loses no true pair, so the exact
+    // re-score equals brute. A regen that drops recall fails HERE.
+    for (d <- scales) {
+      val got = idPairs(SparkEntry.queries("q6f_dedup_adaptive")(spark, d))
+      assert(got == bruteCosPairs(Tables.embeddings(spark, d)),
+        s"$d: q6f adaptive pairs != brute cosine>=0.4 truth")
       assert(got.nonEmpty, s"$d: vacuous corpus")
     }
   }
