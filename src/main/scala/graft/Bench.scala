@@ -132,8 +132,18 @@ object Bench {
     val raw = (perTrial.toSeq ++ q6dPhases).map { case (k, ts) =>
       s"\"$k\":[${ts.map(fmt).mkString(",")}]"
     }.mkString("{", ",", "}")
+    // min-of-trials per query: the contention diagnostic. On a shared
+    // box the MEDIAN can absorb one slow trial but not two; the MIN is
+    // the closest observable to the uncontended cost, so a reader
+    // comparing two bench files can tell "code got slower" (min moved)
+    // from "box was busy" (min stable, median inflated) without
+    // re-deriving it from trial_times.
+    val mins = (perTrial.toSeq ++ q6dPhases)
+      .map { case (k, ts) => s"\"$k\":${fmt(ts.head)}" }
+      .mkString("{", ",", "}")
+    val minTotal = perTrial.valuesIterator.map(_.head).sum
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"trials":$trials,"trial_times":$raw,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"trials":$trials,"queries_min":$mins,"total_min":${fmt(minTotal)},"trial_times":$raw,"sf":${jstr(sfDir)}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))

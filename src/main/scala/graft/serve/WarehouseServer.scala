@@ -27,7 +27,11 @@ import scala.util.control.NonFatal
   * endpoint either returns an aggregate (counts, stats, frequencies —
   * cluster-side partial aggregation, tiny result) or is explicitly
   * bounded (`limit` query param, hard-capped by `Config.maxRows`,
-  * with a `truncated` marker). The Spark work itself runs wherever
+  * with a `truncated` marker). Bounded does not mean export-only:
+  * every page over a totally-ordered result carries a `next_after`
+  * keyset cursor, so a client walks an arbitrarily large result in
+  * `limit`-sized pages while each page's filter pushes down to the
+  * scan (no offset re-reads). The Spark work itself runs wherever
   * the session runs — `local[n]` here, a 1000-executor cluster in
   * production — and each request is tagged as its own job group in
   * the Spark UI.
@@ -40,6 +44,12 @@ import scala.util.control.NonFatal
   */
 object WarehouseServer {
 
+  /** `requestTimeoutMs = 0` disables the per-request deadline; any
+    * positive value arms a watchdog that cancels the request's Spark
+    * job group (current AND not-yet-submitted jobs) at the deadline
+    * and answers 504 — so one runaway query cannot pin executor slots
+    * past the client's patience.
+    */
   final case class Config(
       dataDir: String,
       port: Int = 0,
@@ -48,16 +58,19 @@ object WarehouseServer {
       defaultLimit: Int = 1000,
       maxBodyBytes: Int = 10 << 20,
       threads: Int = 8,
-      bindAll: Boolean = false)
+      bindAll: Boolean = false,
+      requestTimeoutMs: Long = 0L)
 
   /** A started server; `port` is the bound port (useful with port=0). */
   final class Running private[WarehouseServer] (
       server: HttpServer,
-      pool: java.util.concurrent.ExecutorService) extends AutoCloseable {
+      pool: java.util.concurrent.ExecutorService,
+      watchdog: Option[java.util.concurrent.ScheduledExecutorService]) extends AutoCloseable {
     def port: Int = server.getAddress.getPort
     override def close(): Unit = {
       server.stop(0)
       pool.shutdownNow()
+      watchdog.foreach(_.shutdownNow())
     }
   }
 
@@ -108,14 +121,112 @@ object WarehouseServer {
     case other => JString(other.toString)
   }
 
-  /** Bounded row page: fetches limit+1 to detect truncation. */
-  private def page(df: DataFrame, limit: Int): JValue = {
-    val taken = df.limit(limit + 1).collect()
+  // ------------------------------------------------- keyset pagination
+
+  /** The ascending sort-key columns of a result, read off the
+    * ANALYZED plan's top-level global Sort — the library's own query
+    * definitions declare their order there (the oracle contract
+    * requires a total ORDER BY), so the server never guesses a key.
+    * Only plain ascending nulls-first column references over atomic
+    * comparable types qualify: that is exactly the shape the keyset
+    * predicate below can reproduce, and anything fancier (desc,
+    * expressions, arrays, binary) falls back to first-page-only.
+    */
+  private def keysetCols(df: DataFrame): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, NullsFirst, SortOrder}
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    import org.apache.spark.sql.types._
+    def atomic(dt: DataType): Boolean = dt match {
+      case _: StringType | _: NumericType | BooleanType | DateType | TimestampType |
+           TimestampNTZType => true
+      case _ => false
+    }
+    df.queryExecution.analyzed match {
+      case s: Sort if s.global =>
+        val names = s.order.map {
+          case SortOrder(a: AttributeReference, Ascending, NullsFirst, _) if atomic(a.dataType) =>
+            Some(a.name)
+          case _ => None
+        }
+        if (names.nonEmpty && names.forall(_.isDefined)) Some(names.map(_.get).toSeq) else None
+      case _ => None
+    }
+  }
+
+  /** Opaque page cursor: the key values of the last delivered row,
+    * as a base64url JSON array. Self-describing to the server only —
+    * clients treat it as a token from `next_after`.
+    */
+  private def cursorOf(row: Row, keys: Seq[String]): String =
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+      JsonMethods.compact(JsonMethods.render(
+        JArray(keys.map(k => jval(row.getAs[Any](k))).toList))).getBytes(UTF_8))
+
+  /** Strict lexicographic "row > cursor" over the sort keys, with
+    * Spark's ascending nulls-first semantics (a null cursor value
+    * means "past the null prefix": col IS NOT NULL). Built from plain
+    * Column comparisons so Catalyst pushes it through the Sort into
+    * the scan — page N prunes at the source instead of re-reading and
+    * skipping N-1 pages, which is what makes deep pagination viable
+    * over warehouse-sized results.
+    */
+  private def afterPredicate(df: DataFrame, keys: Seq[String], cursor: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val decoded =
+      try JsonMethods.parse(new String(java.util.Base64.getUrlDecoder.decode(cursor), UTF_8))
+      catch { case NonFatal(_) => throw HttpError(400, "bad 'after' cursor (use next_after verbatim)") }
+    val vals = decoded match {
+      case JArray(vs) if vs.length == keys.length => vs
+      case _ => throw HttpError(400,
+        s"'after' cursor does not match this result's ${keys.length} sort key(s)")
+    }
+    val parts = keys.zip(vals).map { case (k, v) =>
+      val dt = df.schema(k).dataType
+      val c = col(k)
+      v match {
+        case JNull        => (c.isNotNull, c.isNull)
+        case JString(s)   => (c > lit(s).cast(dt), c <=> lit(s).cast(dt))
+        case JInt(i)      => (c > lit(i.toLong).cast(dt), c <=> lit(i.toLong).cast(dt))
+        case JLong(l)     => (c > lit(l).cast(dt), c <=> lit(l).cast(dt))
+        case JDouble(d)   => (c > lit(d).cast(dt), c <=> lit(d).cast(dt))
+        case JDecimal(d)  => (c > lit(d).cast(dt), c <=> lit(d).cast(dt))
+        case JBool(b)     => (c > lit(b), c <=> lit(b))
+        case other => throw HttpError(400, s"unsupported cursor value $other for key '$k'")
+      }
+    }
+    parts.indices.map { i =>
+      parts.take(i).map(_._2).foldRight(parts(i)._1)(_ && _)
+    }.reduce(_ || _)
+  }
+
+  /** Bounded row page: fetches limit+1 to detect truncation. When the
+    * result carries a keyset-able total order, a truncated page also
+    * carries `next_after` — pass it back as `?after=` to continue
+    * exactly where this page stopped (no overlap, no gap, no offset
+    * re-scan). `after` on a result with no such order is a 400, not a
+    * silent wrong page.
+    */
+  private def page(df: DataFrame, limit: Int, after: Option[String] = None): JValue = {
+    val keys = keysetCols(df)
+    val filtered = after match {
+      case None => df
+      case Some(cur) =>
+        val ks = keys.getOrElse(throw HttpError(400,
+          "this result has no total ascending sort order — 'after' pagination not supported"))
+        df.filter(afterPredicate(df, ks, cur))
+    }
+    val taken = filtered.limit(limit + 1).collect()
     val rows = taken.take(limit)
-    ("columns" -> df.columns.toList) ~
-      ("rows" -> JArray(rows.map(jval).toList)) ~
-      ("row_count" -> rows.length) ~
-      ("truncated" -> (taken.length > limit))
+    val truncated = taken.length > limit
+    val base =
+      ("columns" -> df.columns.toList) ~
+        ("rows" -> JArray(rows.map(jval).toList)) ~
+        ("row_count" -> rows.length) ~
+        ("truncated" -> truncated)
+    keys match {
+      case Some(ks) if truncated => base ~ ("next_after" -> cursorOf(rows.last, ks))
+      case _ => base
+    }
   }
 
   /** 1-row/1-col aggregate → bare value object. */
@@ -186,6 +297,14 @@ object WarehouseServer {
     val server = HttpServer.create(addr, 0)
     val pool = Executors.newFixedThreadPool(cfg.threads)
     server.setExecutor(pool)
+    // one shared watchdog thread arms all request deadlines; the
+    // handler threads stay dedicated to requests
+    val watchdog =
+      if (cfg.requestTimeoutMs > 0)
+        Some(Executors.newSingleThreadScheduledExecutor { r =>
+          val t = new Thread(r, "graft-serve-watchdog"); t.setDaemon(true); t
+        })
+      else None
 
     def respond(ex: HttpExchange, code: Int, v: JValue): Unit = {
       val bytes = JsonMethods.compact(JsonMethods.render(v)).getBytes(UTF_8)
@@ -205,7 +324,7 @@ object WarehouseServer {
           ("href" -> "/cohort/query") ~ ("method" -> "POST") ~
             ("rel" -> "cohort-count") ~ ("body" -> "cohort DSL (see README)"),
           ("href" -> "/cohort/population") ~ ("method" -> "POST") ~
-            ("rel" -> "cohort-population") ~ ("params" -> "limit"),
+            ("rel" -> "cohort-population") ~ ("params" -> "limit, after"),
           ("href" -> "/cohort/atom-counts") ~ ("method" -> "POST") ~
             ("rel" -> "per-criterion counts") ~ ("body" -> "{population, atoms:[...]}"),
           ("href" -> "/items/stats") ~ ("method" -> "GET") ~
@@ -218,10 +337,10 @@ object WarehouseServer {
             ("rel" -> "metadata-search") ~ ("params" -> "q | regex"),
           ("href" -> "/queries") ~ ("method" -> "GET") ~ ("rel" -> "named queries"),
           ("href" -> "/queries/{name}") ~ ("method" -> "POST") ~
-            ("rel" -> "run named query") ~ ("params" -> "limit"),
+            ("rel" -> "run named query") ~ ("params" -> "limit, after"),
           ("href" -> "/store/versions") ~ ("method" -> "GET") ~ ("rel" -> "store versions"),
           ("href" -> "/store/read") ~ ("method" -> "GET") ~
-            ("rel" -> "versioned read") ~ ("params" -> "keys, version?, limit"),
+            ("rel" -> "versioned read") ~ ("params" -> "keys, version?, limit, after"),
           ("href" -> "/store/commit") ~ ("method" -> "POST") ~
             ("rel" -> "import") ~ ("body" -> "{source, mode: full|delta}")))
 
@@ -231,6 +350,7 @@ object WarehouseServer {
     def handle(ex: HttpExchange): JValue = {
       val params = queryParams(ex)
       val limit = limitOf(params, cfg)
+      val after = params.get("after")
       (ex.getRequestMethod, ex.getRequestURI.getPath) match {
         case ("GET", "/") => serviceDoc
         case ("GET", "/health") =>
@@ -249,26 +369,26 @@ object WarehouseServer {
           scalar(CohortQuery.count(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes)), "n_subjects")
         case ("POST", "/cohort/population") =>
           page(CohortQuery.population(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes))
-            .orderBy("subject"), limit)
+            .orderBy("subject"), limit, after)
         case ("POST", "/cohort/atom-counts") =>
-          page(CohortQuery.atomCounts(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes)), limit)
+          page(CohortQuery.atomCounts(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes)), limit, after)
         case ("GET", "/items/stats") =>
           page(Cohort.itemStats(
             table(spark, cfg.dataDir, need(params, "source")),
-            need(params, "field"), params.get("by")), limit)
+            need(params, "field"), params.get("by")), limit, after)
         case ("GET", "/items/histogram") =>
           val width = need(params, "width").toDoubleOption
             .getOrElse(throw HttpError(400, "bad width"))
           page(Cohort.itemHistogram(
             table(spark, cfg.dataDir, need(params, "source")),
-            need(params, "field"), width), limit)
+            need(params, "field"), width), limit, after)
         case ("GET", "/items/frequencies") =>
           page(Cohort.valueFrequencies(
             table(spark, cfg.dataDir, need(params, "source")),
-            need(params, "field")), limit)
+            need(params, "field")), limit, after)
         case ("GET", "/metadata/search") =>
           page(Cohort.metadataSearch(
-            Tables.part(spark, cfg.dataDir), params.get("q"), params.get("regex")), limit)
+            Tables.part(spark, cfg.dataDir), params.get("q"), params.get("regex")), limit, after)
         case ("GET", "/queries") =>
           JArray(SparkEntry.defs.map { q =>
             ("name" -> q.name) ~ ("oracle_checked" -> q.oracle.nonEmpty): JValue
@@ -276,7 +396,7 @@ object WarehouseServer {
         case ("POST", QueryRun(name)) =>
           val q = SparkEntry.defs.find(_.name == name)
             .getOrElse(throw HttpError(404, s"unknown query '$name'"))
-          page(q.run(spark, cfg.dataDir), limit)
+          page(q.run(spark, cfg.dataDir), limit, after)
         case ("GET", "/store/versions") =>
           JArray(Snapshots.versions(spark, storeRoot).map { case (v, kind, path) =>
             ("version" -> v) ~ ("kind" -> kind) ~ ("path" -> path): JValue
@@ -289,7 +409,7 @@ object WarehouseServer {
               v.toLongOption.getOrElse(throw HttpError(400, s"bad version '$v'")), keys)
             case None => Snapshots.latest(spark, storeRoot, keys)
           }
-          page(df.orderBy(keys.map(org.apache.spark.sql.functions.col): _*), limit)
+          page(df.orderBy(keys.map(org.apache.spark.sql.functions.col): _*), limit, after)
         case ("POST", "/store/commit") =>
           val spec = JsonMethods.parse(body(ex, cfg.maxBodyBytes))
           val source = spec \ "source" match {
@@ -316,6 +436,22 @@ object WarehouseServer {
 
     server.createContext("/", (ex: HttpExchange) => {
       val reqId = s"graft-serve-${reqIds.incrementAndGet()}"
+      // deadline state for THIS request: the watchdog cancels the
+      // request's job group (including jobs the handler has not
+      // submitted yet — a multi-job query must not outlive its
+      // deadline one job at a time) and the flag turns whatever the
+      // handler does next into a deterministic 504, even if a job
+      // raced past the cancellation
+      val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val deadline = watchdog.map(_.schedule(new Runnable {
+        override def run(): Unit = {
+          timedOut.set(true)
+          spark.sparkContext.cancelJobGroupAndFutureJobs(reqId)
+        }
+      }, cfg.requestTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      def timeoutPayload: (Int, JValue) =
+        (504, JObject("error" -> JString(
+          s"request exceeded ${cfg.requestTimeoutMs} ms — Spark job group $reqId cancelled")))
       // compute the full response FIRST, respond exactly once: if the
       // error mapping ran after a partially-written 200, the second
       // sendResponseHeaders would throw out of the handler instead of
@@ -325,8 +461,13 @@ object WarehouseServer {
         // server shutdown can cancel whatever is still running
         spark.sparkContext.setJobGroup(reqId,
           s"${ex.getRequestMethod} ${ex.getRequestURI.getPath}", interruptOnCancel = true)
-        (200, handle(ex))
+        val ok = (200, handle(ex))
+        if (timedOut.get) timeoutPayload else ok
       } catch {
+        // deadline first: the cancellation surfaces as a SparkException
+        // whose shape varies by where the job was when it died —
+        // classify by OUR flag, not by exception type
+        case NonFatal(_) if timedOut.get => timeoutPayload
         case HttpError(c, msg) => (c, JObject("error" -> JString(msg)))
         case e: IllegalArgumentException =>
           (400, JObject("error" -> JString(Option(e.getMessage).getOrElse("bad request"))))
@@ -339,12 +480,15 @@ object WarehouseServer {
         case NonFatal(e) =>
           (500, JObject("error" -> JString(
             s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")))
-      } finally spark.sparkContext.clearJobGroup()
+      } finally {
+        deadline.foreach(_.cancel(false))
+        spark.sparkContext.clearJobGroup()
+      }
       try respond(ex, code, payload) finally ex.close()
     })
 
     server.start()
-    new Running(server, pool)
+    new Running(server, pool, watchdog)
   }
 
   private val getPaths = Set("/", "/health", "/tables", "/items/stats",

@@ -229,6 +229,117 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(results.forall(identity))
   }
 
+  test("keyset pagination walks the full population with no overlap or gap") {
+    import org.apache.spark.sql.functions.col
+    val direct = CohortQuery.population(spark, sf, CohortQuery.demoSpec)
+      .orderBy("subject").collect().map(_.getLong(0)).toList
+    assert(direct.size >= 3, "gate corpus too small to paginate")
+    // force at least 3 pages, then walk next_after to exhaustion
+    val limit = math.max(1, direct.size / 3)
+    var cursor: Option[String] = None
+    var pages = 0
+    val walked = scala.collection.mutable.ListBuffer.empty[Long]
+    var done = false
+    while (!done) {
+      val q = s"?limit=$limit" + cursor.map(c => s"&after=$c").getOrElse("")
+      val (code, v) = post(s"/cohort/population$q", CohortQuery.demoSpec)
+      assert(code == 200)
+      walked ++= rows(v).map(r => longOf(r \ "subject"))
+      pages += 1
+      v \ "next_after" match {
+        case JString(next) =>
+          assert(v \ "truncated" == JBool(true))
+          cursor = Some(next)
+        case JNothing =>
+          assert(v \ "truncated" == JBool(false))
+          done = true
+        case other => fail(s"unexpected next_after $other")
+      }
+      assert(pages <= direct.size + 1, "cursor walk did not terminate")
+    }
+    assert(pages >= 3)
+    // exact: every row once, in order — no page overlaps, no dropped
+    // rows at page boundaries
+    assert(walked.toList == direct)
+  }
+
+  test("keyset pagination on a composite-key named query matches the direct prefix") {
+    val q = SparkEntry.defs.find(_.name == "q01_scan_project").get
+    val direct = q.run(spark, sf).limit(15).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toList
+    assert(direct.size == 15, "gate corpus too small for a 3-page prefix walk")
+    // 3 pages of 5 over the (l_orderkey, l_linenumber, l_extendedprice)
+    // total order — the cursor must resume mid-orderkey correctly
+    var cursor: Option[String] = None
+    val walked = scala.collection.mutable.ListBuffer.empty[(Long, Int)]
+    (1 to 3).foreach { _ =>
+      val qs = "?limit=5" + cursor.map(c => s"&after=$c").getOrElse("")
+      val (code, v) = post(s"/queries/q01_scan_project$qs", "")
+      assert(code == 200)
+      walked ++= rows(v).map(r => (longOf(r \ "l_orderkey"), longOf(r \ "l_linenumber").toInt))
+      cursor = (v \ "next_after") match {
+        case JString(s) => Some(s)
+        case other      => fail(s"expected a next_after cursor, got $other")
+      }
+    }
+    assert(walked.toList == direct)
+  }
+
+  test("after is a typed 400 on unordered results and on a garbage cursor") {
+    // q20 orders DESCENDING under a limit — no ascending keyset exists,
+    // so 'after' must be refused loudly, not return a silently-wrong page
+    assert(post("/queries/q20_sort_limit?after=abc", "")._1 == 400)
+    // well-formed endpoint, garbage cursor
+    assert(post("/cohort/population?after=%25%25not-base64", CohortQuery.demoSpec)._1 == 400)
+    // cursor of the wrong arity (valid base64 JSON array, 2 values vs 1 key)
+    val twoKeys = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString("""[1,2]""".getBytes(UTF_8))
+    assert(post(s"/cohort/population?after=$twoKeys", CohortQuery.demoSpec)._1 == 400)
+  }
+
+  test("a slow query does not head-of-line-block fast requests through the pool") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec = scala.concurrent.ExecutionContext.global
+    // q6e at gate scale runs seconds of Spark work; /health runs none
+    val heavy = Future(post("/queries/q6e_dedup_collapsed", ""))
+    Thread.sleep(100) // let the heavy request enter its handler
+    val t0 = System.nanoTime()
+    val fast = get("/health")
+    val freq = get("/items/frequencies?source=orders&field=o_orderpriority")
+    val fastSecs = (System.nanoTime() - t0) / 1e9
+    assert(fast._1 == 200 && freq._1 == 200)
+    // the fast pair must complete while the heavy query is still
+    // running — the pool and the shared session serve them interleaved
+    assert(!heavy.isCompleted,
+      s"heavy query finished before the fast pair (${fastSecs}s) — not a head-of-line probe")
+    val (hc, _) = Await.result(heavy, 300.seconds)
+    assert(hc == 200)
+  }
+
+  test("requestTimeoutMs cancels the job group and answers 504; fast requests still pass") {
+    val timed = WarehouseServer.start(spark, WarehouseServer.Config(
+      dataDir = sf, requestTimeoutMs = 300L))
+    try {
+      val tbase = s"http://127.0.0.1:${timed.port}"
+      def tpost(path: String): Int = client.send(
+        HttpRequest.newBuilder(URI.create(s"$tbase$path"))
+          .POST(HttpRequest.BodyPublishers.ofString("", UTF_8)).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+      def tget(path: String): Int = client.send(
+        HttpRequest.newBuilder(URI.create(s"$tbase$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+      // multi-second query vs a 300 ms deadline: deterministic 504
+      // (the flag forces 504 even if a job races past the cancel)
+      assert(tpost("/queries/q6e_dedup_collapsed") == 504)
+      // the deadline is per-request: sub-deadline requests are untouched
+      assert(tget("/health") == 200)
+      // and the NEXT Spark-job request gets a fresh, uncancelled group
+      // (region: 5 rows — comfortably inside any sane deadline)
+      assert(tget("/items/frequencies?source=region&field=r_name") == 200)
+    } finally timed.close()
+  }
+
   test("a server without a store answers 404 on store routes, not 500") {
     val bare = WarehouseServer.start(spark, WarehouseServer.Config(dataDir = sf))
     try {
