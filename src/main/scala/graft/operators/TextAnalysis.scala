@@ -690,10 +690,68 @@ object TextAnalysis {
   def bpeTokens(docs: org.apache.spark.sql.DataFrame, merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"), bpeEncode(col("text"), merges).as("tokens"))
 
+  /** The DuckDB twin of the BPE merge loop, UNROLLED: `n` chained CTE
+    * stages, each reproducing one learner iteration exactly — pair
+    * counting over adjacent symbol zips, argmax with the (count desc,
+    * pair lexicographic) tie-break, then the leftmost-greedy
+    * non-overlapping merge apply via gaps-and-islands (a run of k
+    * consecutive match positions merges at odd ranks within the run,
+    * which IS the learner's i+=2 skip). The iteration count is pinned
+    * by the query form, so "iterative loop" stops being a reason the
+    * twin can't exist: the loop is finite and data-independent, so it
+    * unrolls into one SQL string (the qa3 chained-CTE precedent).
+    * MATERIALIZED on every stage: p/e both read the previous words
+    * state, and an inlining engine would otherwise double the work
+    * per level (2^n blowup).
+    *
+    * Validity bounds, stated rather than hoped: (1) tokenizer parity
+    * (lower → trim → '\s+' split, code-point symbols via
+    * string_split(w,'')) is the q80/q84 convention already
+    * driver-hash-verified; (2) minCount=1/maxVocab=2²² must not bind
+    * (gate corpora: thousands of distinct words vs a 4M cap); (3) the
+    * lexicographic tie-break compares Scala UTF-16 vs DuckDB UTF-8
+    * binary — identical below U+10000; a TIE between astral-plane
+    * pairs could diverge (none exist in the gate corpora, and
+    * TextQualitySpec pins the learner's own semantics independently).
+    */
+  private def bpeTwinCtes(n: Int): String = {
+    val init =
+      """tok AS MATERIALIZED (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents),
+        |wc AS MATERIALIZED (SELECT w, count(*) AS c FROM tok WHERE w <> '' GROUP BY w),
+        |w0 AS MATERIALIZED (SELECT w, c, string_split(w, '') AS syms FROM wc)""".stripMargin
+    val steps = (1 to n).map { k =>
+      s""",
+         |p$k AS MATERIALIZED (
+         |  SELECT u.pr[1] AS l, u.pr[2] AS r, CAST(sum(c) AS BIGINT) AS pc
+         |  FROM w${k - 1}, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS u(pr)
+         |  GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l, r LIMIT 1),
+         |e$k AS MATERIALIZED (
+         |  SELECT w, c, g.i AS pos, syms[g.i] AS sym, syms[g.i + 1] AS nxt,
+         |         (syms[g.i] = m.l AND syms[g.i + 1] = m.r) AS mt
+         |  FROM w${k - 1} LEFT JOIN m$k m ON TRUE,
+         |       unnest(generate_series(1, len(syms))) AS g(i)),
+         |h$k AS MATERIALIZED (
+         |  SELECT *, CASE WHEN mt THEN (row_number() OVER (PARTITION BY w, isl ORDER BY pos) % 2 = 1)
+         |            ELSE FALSE END AS strt
+         |  FROM (SELECT *, CASE WHEN mt THEN pos - row_number() OVER (PARTITION BY w, mt ORDER BY pos) END AS isl
+         |        FROM e$k)),
+         |i$k AS MATERIALIZED (
+         |  SELECT *, coalesce(lag(strt) OVER (PARTITION BY w ORDER BY pos), FALSE) AS consumed FROM h$k),
+         |w$k AS MATERIALIZED (
+         |  SELECT w, c, list(CASE WHEN strt THEN sym || nxt ELSE sym END ORDER BY pos) AS syms
+         |  FROM i$k WHERE NOT consumed GROUP BY w, c)""".stripMargin
+    }
+    init + steps.mkString
+  }
+
   /** Query form: learn 30 merges, encode, report per-doc token and
-    * distinct-token counts. Rows-only [R] (the learned table is not
-    * SQL-derivable); BpeEncodeSpec carries the independent
-    * replay-in-rank-order oracle plus losslessness/monotonicity laws.
+    * distinct-token counts. The twin exploits the learner/encoder
+    * equivalence BpeEncodeSpec proves (replaying merges in rank order
+    * equals the greedy-priority encode): the unrolled learner's FINAL
+    * words state after 30 iterations IS each distinct word's encoded
+    * symbol sequence, so per-doc stats are a join from the document's
+    * word occurrences back to that state — no second encode pass.
     */
   private val q8e = Qdef(
     "q8e_bpe_encode",
@@ -706,12 +764,20 @@ object TextAnalysis {
           size(array_distinct(col("tokens"))).cast("long").as("n_distinct"))
         .orderBy("doc_id")
     },
-    None)
+    Some(s"""WITH ${bpeTwinCtes(30)},
+             |dt AS MATERIALIZED (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents),
+             |dj AS MATERIALIZED (
+             |  SELECT d.doc_id, v.syms FROM dt d JOIN w30 v USING (w) WHERE d.w <> ''),
+             |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |               CAST(count(DISTINCT u.s) AS BIGINT) AS n_distinct
+             |        FROM dj, unnest(syms) AS u(s) GROUP BY doc_id)
+             |SELECT s.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, coalesce(a.n_distinct, 0) AS n_distinct
+             |FROM documents s LEFT JOIN agg a USING (doc_id) ORDER BY s.doc_id""".stripMargin))
 
-  /** Query form: first 20 merges with ranks. Rows-only (the merge
-    * loop is not SQL-expressible); TextQualitySpec pins a
-    * hand-computed example and the first-merge-equals-brute-force
-    * invariant on the real corpus.
+  /** Query form: first 20 merges with ranks, hash-checked against the
+    * unrolled 20-stage DuckDB twin (see [[bpeTwinCtes]]).
+    * TextQualitySpec additionally pins a hand-computed example and the
+    * first-merge-equals-brute-force invariant on the real corpus.
     */
   private val q8d = Qdef(
     "q8d_bpe_merges",
@@ -722,7 +788,12 @@ object TextAnalysis {
         .map { case ((l, r, c), i) => (i.toLong + 1, l, r, c) }
         .toDF("rank", "left", "right", "pair_count")
     },
-    None)
+    Some {
+      val union = (1 to 20).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right", pc AS pair_count FROM m$k"""
+      }.mkString("\nUNION ALL ")
+      s"WITH ${bpeTwinCtes(20)}\n$union\nORDER BY rank"
+    })
 
   val all: Seq[Qdef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q8a, q89, q8b, q8c, q8d, q8e)
 }

@@ -132,7 +132,7 @@ object WarehouseServer {
     * predicate below can reproduce, and anything fancier (desc,
     * expressions, arrays, binary) falls back to first-page-only.
     */
-  private def keysetCols(df: DataFrame): Option[Seq[String]] = {
+  private[graft] def keysetCols(df: DataFrame): Option[Seq[String]] = {
     import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, NullsFirst, SortOrder}
     import org.apache.spark.sql.catalyst.plans.logical.Sort
     import org.apache.spark.sql.types._
@@ -157,7 +157,7 @@ object WarehouseServer {
     * as a base64url JSON array. Self-describing to the server only —
     * clients treat it as a token from `next_after`.
     */
-  private def cursorOf(row: Row, keys: Seq[String]): String =
+  private[graft] def cursorOf(row: Row, keys: Seq[String]): String =
     java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
       JsonMethods.compact(JsonMethods.render(
         JArray(keys.map(k => jval(row.getAs[Any](k))).toList))).getBytes(UTF_8))
@@ -170,7 +170,7 @@ object WarehouseServer {
     * skipping N-1 pages, which is what makes deep pagination viable
     * over warehouse-sized results.
     */
-  private def afterPredicate(df: DataFrame, keys: Seq[String], cursor: String): org.apache.spark.sql.Column = {
+  private[graft] def afterPredicate(df: DataFrame, keys: Seq[String], cursor: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, lit}
     val decoded =
       try JsonMethods.parse(new String(java.util.Base64.getUrlDecoder.decode(cursor), UTF_8))

@@ -34,6 +34,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "a dimension fell back to sort-merge at test scale")
   }
 
+  test("serving keyset cursor becomes pushed parquet filters, not an offset re-read") {
+    // the deep-pagination scale claim: page N's 'after' predicate must
+    // reach the scan, so page 50 over a 100-TB table costs a pruned
+    // scan — if this lock breaks, pagination silently degrades to
+    // re-reading and discarding every earlier page
+    import graft.serve.WarehouseServer
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q01_scan_project")(spark, sf)
+    val keys = WarehouseServer.keysetCols(df)
+      .getOrElse(fail("q01 lost its ascending total order"))
+    assert(keys == Seq("l_orderkey", "l_linenumber", "l_extendedprice"))
+    val first = df.limit(3).collect()
+    val cursor = WarehouseServer.cursorOf(first.last, keys)
+    val page2 = df.filter(WarehouseServer.afterPredicate(df, keys, cursor))
+    // the scan line truncates PushedFilters at maxMetadataStringLength
+    // by default — widen it for the assertion or the push is invisible
+    val p = {
+      val key = "spark.sql.maxMetadataStringLength"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, "100000")
+      try page2.limit(5).queryExecution.executedPlan.toString
+      finally spark.conf.set(key, old)
+    }
+    // the lexicographic OR-of-ANDs is parquet-pushable: its leading
+    // disjunct must appear inside PushedFilters on the scan line
+    val scanLine = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("GreaterThan(l_orderkey"),
+      s"keyset predicate not pushed to the scan:\n$p")
+    // and the page is exactly the next rows — no overlap, no gap
+    val direct = df.limit(8).collect().drop(3).map(_.toSeq).toSeq
+    assert(page2.limit(5).collect().map(_.toSeq).toSeq == direct)
+  }
+
   test("q21: top-k per group gets the partial WindowGroupLimit pushdown") {
     // Catalyst's InferWindowGroupLimit turns the row_number()<=k filter
     // into a map-side rank limit BEFORE the hash exchange — each task
