@@ -24,8 +24,13 @@ object Verify {
     // (and list in oracle_sql.json) just those queries, for fast
     // local iteration on one oracle. Unset = the full gate, which is
     // what the driver runs.
+    // set-but-BLANK (a wrapper's unset shell var) must mean "full
+    // gate", not Some(Set.empty) — that would dump zero queries and
+    // an empty oracle_sql.json, and a downstream check over nothing
+    // reads as a vacuously green gate
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .filter(_.nonEmpty)
     def wanted(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

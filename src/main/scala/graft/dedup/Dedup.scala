@@ -616,6 +616,23 @@ object Dedup {
       case _ => false
     }
 
+  /** ONE quadratic DuckDB cosine twin for every near-dup entry with
+    * the exact-rescored (id_a, id_b, cos) output contract — q65 and
+    * q6f hash against the SAME string, so a future edit (threshold,
+    * norm guard, cast) cannot drift one without the other.
+    */
+  private val bruteCosineTwin =
+    """WITH e AS (SELECT vec_id, embedding,
+                    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                  FROM embeddings),
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
+                  FROM e a, e b
+                  WHERE a.vec_id < b.vec_id AND a.nrm * b.nrm > 0
+                    AND isfinite(a.nrm * b.nrm))
+            SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b"""
+
   /** q65: hyperplane-LSH embedding near-dup, driver-checked on its
     * verified output against a quadratic DuckDB cosine twin (the q70
     * fold-order precedent makes the doubles bit-identical). The entry
@@ -628,16 +645,7 @@ object Dedup {
   private val q65 = Qdef(
     "q65_dedup_embedding",
     (s, d) => embeddingNearDups(Tables.embeddings(s, d), probe1 = true).orderBy("id_a", "id_b"),
-    Some("""WITH e AS (SELECT vec_id, embedding,
-                    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-                  FROM embeddings),
-            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                    list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
-                  FROM e a, e b
-                  WHERE a.vec_id < b.vec_id AND a.nrm * b.nrm > 0
-                    AND isfinite(a.nrm * b.nrm))
-            SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b"""))
+    Some(bruteCosineTwin))
 
   /** q6f: the density-adaptive query form, driver-checked on its
     * verified output against the same quadratic DuckDB cosine twin as
@@ -659,16 +667,7 @@ object Dedup {
     "q6f_dedup_adaptive",
     (s, d) => adaptiveNearDups(Tables.embeddings(s, d), maxBucket = 32, probe1 = true)
       .orderBy("id_a", "id_b"),
-    Some("""WITH e AS (SELECT vec_id, embedding,
-                    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-                  FROM embeddings),
-            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                    list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
-                  FROM e a, e b
-                  WHERE a.vec_id < b.vec_id AND a.nrm * b.nrm > 0
-                    AND isfinite(a.nrm * b.nrm))
-            SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b"""))
+    Some(bruteCosineTwin))
 
   // ------------------------------------ semantic (cluster-scoped) dedup
 

@@ -156,11 +156,28 @@ object WarehouseServer {
   /** Opaque page cursor: the key values of the last delivered row,
     * as a base64url JSON array. Self-describing to the server only —
     * clients treat it as a token from `next_after`.
+    *
+    * One value deviates from [[jval]]: `java.sql.Timestamp.toString`
+    * renders a ZONE-LESS wall-clock in the JVM default timezone, but
+    * the decode side casts in `spark.sql.session.timeZone` — on a
+    * box where the two differ, a string round-trip would shift the
+    * resume point by the zone offset (and DST-ambiguous local times
+    * mis-resume even when they match). Timestamps therefore travel
+    * as epoch MICROS, which name an instant unambiguously. (Instant
+    * carries its Z suffix and LocalDateTime/LocalDate are zone-free
+    * by definition — their ISO strings are already safe.)
     */
-  private[graft] def cursorOf(row: Row, keys: Seq[String]): String =
+  private[graft] def cursorOf(row: Row, keys: Seq[String]): String = {
+    def cval(v: Any): JValue = v match {
+      case t: java.sql.Timestamp =>
+        val i = t.toInstant
+        JInt(BigInt(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)))
+      case other => jval(other)
+    }
     java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
       JsonMethods.compact(JsonMethods.render(
-        JArray(keys.map(k => jval(row.getAs[Any](k))).toList))).getBytes(UTF_8))
+        JArray(keys.map(k => cval(row.getAs[Any](k))).toList))).getBytes(UTF_8))
+  }
 
   /** Strict lexicographic "row > cursor" over the sort keys, with
     * Spark's ascending nulls-first semantics (a null cursor value
@@ -171,27 +188,80 @@ object WarehouseServer {
     * over warehouse-sized results.
     */
   private[graft] def afterPredicate(df: DataFrame, keys: Seq[String], cursor: String): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    import org.apache.spark.sql.types._
     val decoded =
-      try JsonMethods.parse(new String(java.util.Base64.getUrlDecoder.decode(cursor), UTF_8))
+      try JsonMethods.parse(
+        new String(java.util.Base64.getUrlDecoder.decode(cursor), UTF_8),
+        // without this, exact JDecimal cursor values (decimal sort
+        // keys) would parse back as JDouble and round the page
+        // boundary to double precision — silently duplicating or
+        // dropping rows between the true and rounded values
+        useBigDecimalForDouble = true)
       catch { case NonFatal(_) => throw HttpError(400, "bad 'after' cursor (use next_after verbatim)") }
     val vals = decoded match {
       case JArray(vs) if vs.length == keys.length => vs
       case _ => throw HttpError(400,
         s"'after' cursor does not match this result's ${keys.length} sort key(s)")
     }
+    // STRICT per-type decode: each key accepts exactly the JSON shape
+    // cursorOf mints for its column type, range-checked — a crafted
+    // or corrupted cursor must be a 400, never a silently wrong page
+    // (BigInt.toLong wraps past Long range; a fractional value cast
+    // onto an integer key truncates — both would resume elsewhere).
     val parts = keys.zip(vals).map { case (k, v) =>
-      val dt = df.schema(k).dataType
       val c = col(k)
-      v match {
-        case JNull        => (c.isNotNull, c.isNull)
-        case JString(s)   => (c > lit(s).cast(dt), c <=> lit(s).cast(dt))
-        case JInt(i)      => (c > lit(i.toLong).cast(dt), c <=> lit(i.toLong).cast(dt))
-        case JLong(l)     => (c > lit(l).cast(dt), c <=> lit(l).cast(dt))
-        case JDouble(d)   => (c > lit(d).cast(dt), c <=> lit(d).cast(dt))
-        case JDecimal(d)  => (c > lit(d).cast(dt), c <=> lit(d).cast(dt))
-        case JBool(b)     => (c > lit(b), c <=> lit(b))
-        case other => throw HttpError(400, s"unsupported cursor value $other for key '$k'")
+      def bad(): Nothing =
+        throw HttpError(400, s"cursor value ${JsonMethods.compact(JsonMethods.render(v))} " +
+          s"does not fit sort key '$k' (${df.schema(k).dataType.simpleString})")
+      def intIn(lo: BigInt, hi: BigInt): Long = v match {
+        case JInt(i) if i >= lo && i <= hi => i.toLong
+        case _ => bad()
+      }
+      if (v == JNull) (c.isNotNull, c.isNull)
+      else {
+        val l: org.apache.spark.sql.Column = df.schema(k).dataType match {
+          case ByteType    => lit(intIn(Byte.MinValue, Byte.MaxValue).toByte)
+          case ShortType   => lit(intIn(Short.MinValue, Short.MaxValue).toShort)
+          case IntegerType => lit(intIn(Int.MinValue, Int.MaxValue).toInt)
+          case LongType    => lit(intIn(Long.MinValue, Long.MaxValue))
+          case FloatType => v match {
+            case JDecimal(d) => lit(d.toFloat)
+            case JDouble(d)  => lit(d.toFloat)
+            case JString(s @ ("NaN" | "Infinity" | "-Infinity")) => lit(s).cast(FloatType)
+            case _ => bad()
+          }
+          case DoubleType => v match {
+            case JDecimal(d) => lit(d.toDouble)
+            case JDouble(d)  => lit(d)
+            case JString(s @ ("NaN" | "Infinity" | "-Infinity")) => lit(s).cast(DoubleType)
+            case _ => bad()
+          }
+          case dt: DecimalType => v match {
+            case JDecimal(d) => lit(d.underlying).cast(dt)
+            case JInt(i)     => lit(BigDecimal(i).underlying).cast(dt)
+            case _ => bad()
+          }
+          case BooleanType => v match { case JBool(b) => lit(b); case _ => bad() }
+          case StringType  => v match { case JString(s) => lit(s); case _ => bad() }
+          // Date/LocalDate and LocalDateTime ISO strings are zone-free;
+          // Instant carries its Z — all safe to cast back as strings
+          case DateType => v match { case JString(s) => lit(s).cast(DateType); case _ => bad() }
+          case TimestampNTZType => v match {
+            case JString(s) => lit(s).cast(TimestampNTZType)
+            case _ => bad()
+          }
+          // instants travel as epoch micros (see cursorOf) — rebuild
+          // via timestamp_micros, which is session-timezone-proof;
+          // the Instant string form (java8 API mode) keeps its Z
+          case TimestampType => v match {
+            case JInt(i) if i.isValidLong => timestamp_micros(lit(i.toLong))
+            case JString(s) if s.endsWith("Z") => lit(s).cast(TimestampType)
+            case _ => bad()
+          }
+          case _ => bad()
+        }
+        (c > l, c <=> l)
       }
     }
     parts.indices.map { i =>
