@@ -379,6 +379,14 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       assert(s("POST", "/queries/q6e_dedup_collapsed") == 504)
       // jobless endpoints have nothing to cancel: still 200
       assert(s("GET", "/health") == 200)
+      // a SWARM of deadline kills must not poison the shared session:
+      // every request cancels its own fresh group, and the scheduler's
+      // cancelled-groups bookkeeping absorbs all of them
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      implicit val ec = scala.concurrent.ExecutionContext.global
+      val swarm = (1 to 6).map(_ => Future(s("POST", "/queries/q05_distinct")))
+      assert(Await.result(Future.sequence(swarm), 120.seconds).forall(_ == 504))
     } finally strict.close()
     // and an ARMED-but-lenient watchdog leaves sub-deadline Spark-job
     // requests untouched, each request getting a fresh group
