@@ -43,6 +43,13 @@ object PaginationSoak {
       .getOrElse(sys.error("soak frame lost its ascending keyset"))
     val total = df.count()
     val pageSize = 500
+    // the depth schedule below needs at least 3 pages, and limit()
+    // takes an Int — guard both, with a message naming the knob,
+    // instead of a negative-offset or wrapped-Int Spark error
+    require(total >= 3L * pageSize,
+      s"corpus too small to soak pagination depth: $total rows < ${3 * pageSize} (pageSize=$pageSize)")
+    require(total <= Int.MaxValue - pageSize,
+      s"offset-read baseline would overflow Int at $total rows — shrink the corpus or drop the baseline")
     println(s"[pagesoak] rows=$total pageSize=$pageSize keys=${keys.mkString(",")}")
 
     def timed[T](f: => T): (T, Double) = {

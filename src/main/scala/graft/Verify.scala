@@ -31,6 +31,14 @@ object Verify {
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .filter(_.nonEmpty)
+    // ...and a filter that matches NOTHING (typo'd query name) is the
+    // same vacuous gate with extra steps — fail loudly, never dump an
+    // empty oracle_sql.json with exit 0
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     def wanted(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

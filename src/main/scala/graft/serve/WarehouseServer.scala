@@ -225,30 +225,53 @@ object WarehouseServer {
           case ShortType   => lit(intIn(Short.MinValue, Short.MaxValue).toShort)
           case IntegerType => lit(intIn(Int.MinValue, Int.MaxValue).toInt)
           case LongType    => lit(intIn(Long.MinValue, Long.MaxValue))
+          // finite-only on the numeric branches: an out-of-range
+          // JDecimal would silently become ±Infinity (the float
+          // analogue of the integer wrap) — genuine non-finite
+          // cursors only ever travel as the three JString forms
           case FloatType => v match {
-            case JDecimal(d) => lit(d.toFloat)
-            case JDouble(d)  => lit(d.toFloat)
-            case JString(s @ ("NaN" | "Infinity" | "-Infinity")) => lit(s).cast(FloatType)
+            case JDecimal(d) if d.toFloat.isFinite => lit(d.toFloat)
+            case JDouble(d) if d.toFloat.isFinite  => lit(d.toFloat)
+            case JString(s @ ("NaN" | "Infinity" | "-Infinity")) => lit(s.toFloat)
             case _ => bad()
           }
           case DoubleType => v match {
-            case JDecimal(d) => lit(d.toDouble)
-            case JDouble(d)  => lit(d)
-            case JString(s @ ("NaN" | "Infinity" | "-Infinity")) => lit(s).cast(DoubleType)
+            case JDecimal(d) if d.toDouble.isFinite => lit(d.toDouble)
+            case JDouble(d) if d.isFinite           => lit(d)
+            case JString(s @ ("NaN" | "Infinity" | "-Infinity")) => lit(s.toDouble)
             case _ => bad()
           }
-          case dt: DecimalType => v match {
-            case JDecimal(d) => lit(d.underlying).cast(dt)
-            case JInt(i)     => lit(BigDecimal(i).underlying).cast(dt)
-            case _ => bad()
-          }
+          // decimals are scale/precision-checked DRIVER-side: a value
+          // past the column's domain must be the contract 400, not an
+          // ANSI NUMERIC_VALUE_OUT_OF_RANGE 500 at execution time
+          case dt: DecimalType =>
+            val bd = v match {
+              case JDecimal(d) => d.underlying
+              case JInt(i)     => new java.math.BigDecimal(i.underlying)
+              case _ => bad()
+            }
+            val fitted =
+              try bd.setScale(dt.scale, java.math.RoundingMode.UNNECESSARY)
+              catch { case _: ArithmeticException => bad() }
+            if (fitted.precision > dt.precision) bad()
+            lit(fitted).cast(dt)
           case BooleanType => v match { case JBool(b) => lit(b); case _ => bad() }
           case StringType  => v match { case JString(s) => lit(s); case _ => bad() }
-          // Date/LocalDate and LocalDateTime ISO strings are zone-free;
-          // Instant carries its Z — all safe to cast back as strings
-          case DateType => v match { case JString(s) => lit(s).cast(DateType); case _ => bad() }
+          // temporal strings are parsed DRIVER-side and rebuilt as
+          // typed literals — a string cast would defer validation to
+          // execution, where ANSI mode turns a junk cursor into a 500
+          // (and non-ANSI into a silent null boundary). LocalDate and
+          // LocalDateTime ISO strings are zone-free by definition.
+          case DateType => v match {
+            case JString(s) =>
+              lit(try java.time.LocalDate.parse(s)
+                  catch { case _: java.time.format.DateTimeParseException => bad() })
+            case _ => bad()
+          }
           case TimestampNTZType => v match {
-            case JString(s) => lit(s).cast(TimestampNTZType)
+            case JString(s) =>
+              lit(try java.time.LocalDateTime.parse(s)
+                  catch { case _: java.time.format.DateTimeParseException => bad() })
             case _ => bad()
           }
           // instants travel as epoch micros (see cursorOf) — rebuild
@@ -256,7 +279,9 @@ object WarehouseServer {
           // the Instant string form (java8 API mode) keeps its Z
           case TimestampType => v match {
             case JInt(i) if i.isValidLong => timestamp_micros(lit(i.toLong))
-            case JString(s) if s.endsWith("Z") => lit(s).cast(TimestampType)
+            case JString(s) =>
+              lit(try java.time.Instant.parse(s)
+                  catch { case _: java.time.format.DateTimeParseException => bad() })
             case _ => bad()
           }
           case _ => bad()
@@ -522,6 +547,21 @@ object WarehouseServer {
       def timeoutPayload: (Int, JValue) =
         (504, JObject("error" -> JString(
           s"request exceeded ${cfg.requestTimeoutMs} ms — Spark job group $reqId cancelled")))
+      // the deadline verdict applies only to requests that RAN Spark
+      // jobs in their group: a jobless endpoint (/health, the service
+      // doc) has nothing the watchdog could have cancelled, and
+      // classifying it 504 just because the flag flipped mid-handler
+      // would turn any GC pause into a spurious timeout
+      def groupRanJobs: Boolean =
+        spark.sparkContext.statusTracker.getJobIdsForGroup(reqId).nonEmpty
+      // the OTHER cancellation shape: cancelJobGroupAndFutureJobs
+      // kills a job at SUBMIT time, before it ever registers with the
+      // status tracker — but Spark's cancellation error names the job
+      // group, and this request's group id is unique, so a cause
+      // chain mentioning it is our deadline firing and nothing else
+      def mentionsGroup(e: Throwable): Boolean =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(t => Option(t.getMessage).exists(_.contains(reqId)))
       // compute the full response FIRST, respond exactly once: if the
       // error mapping ran after a partially-written 200, the second
       // sendResponseHeaders would throw out of the handler instead of
@@ -532,12 +572,13 @@ object WarehouseServer {
         spark.sparkContext.setJobGroup(reqId,
           s"${ex.getRequestMethod} ${ex.getRequestURI.getPath}", interruptOnCancel = true)
         val ok = (200, handle(ex))
-        if (timedOut.get) timeoutPayload else ok
+        if (timedOut.get && groupRanJobs) timeoutPayload else ok
       } catch {
         // deadline first: the cancellation surfaces as a SparkException
         // whose shape varies by where the job was when it died —
-        // classify by OUR flag, not by exception type
-        case NonFatal(_) if timedOut.get => timeoutPayload
+        // classify by OUR flag (plus jobs-ran, see above), not by
+        // exception type
+        case NonFatal(e) if timedOut.get && (groupRanJobs || mentionsGroup(e)) => timeoutPayload
         case HttpError(c, msg) => (c, JObject("error" -> JString(msg)))
         case e: IllegalArgumentException =>
           (400, JObject("error" -> JString(Option(e.getMessage).getOrElse("bad request"))))

@@ -317,6 +317,16 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     for (bad <- Seq("[99999999999999999999999999]", "[1.5]", "[\"7\"]"))
       assert(post(s"/cohort/population?after=${cur(bad)}", CohortQuery.demoSpec)._1 == 400,
         s"cursor $bad was not refused")
+    // temporal keys validate DRIVER-side: a junk string must be the
+    // contract 400 at predicate-build time, not an ANSI cast 500 at
+    // execution (or a silent empty page with ANSI off)
+    import org.apache.spark.sql.functions.col
+    val tsDf = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts")).orderBy("ts", "event_id")
+    val tsKeys = WarehouseServer.keysetCols(tsDf).get
+    val e = intercept[RuntimeException](
+      WarehouseServer.afterPredicate(tsDf, tsKeys, cur("""["junk",1]""")))
+    assert(e.getMessage.contains("does not fit"), s"wrong refusal: ${e.getMessage}")
   }
 
   test("after is a typed 400 on unordered results and on a garbage cursor") {
