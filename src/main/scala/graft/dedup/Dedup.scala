@@ -495,7 +495,19 @@ object Dedup {
       // so the banding + xbits scan runs once.
       val compact = refinedCompact(e, g, maxExtra, stats.length, stats.map(_._1).toSeq)
       val hot = hotBuckets(compact, maxBucket, maxExtra)
-      val a = subKeys(compact, hot, g, probed = g.probe1, probeSub = true).as("a")
+      // UNION probe, not product: the two 1-bit probes recover two
+      // DISJOINT loss classes (base banding vs sub-split), so side a
+      // visits each hamming-1 variant of the concatenated key once —
+      // (planes+1) + (extra+1) rows per hot-bucket row instead of the
+      // (planes+1)×(extra+1) product (25 → 10 at the gate split
+      // depth), and the pair join's distinct() absorbs the duplicated
+      // originals. The parity spec measures recall 1.0 for THIS shape
+      // at both gate scales — a product-only pair (one bkt bit AND
+      // one sub bit off) would fail there first.
+      val a = (if (g.probe1)
+        subKeys(compact, hot, g, probed = false, probeSub = true)
+          .unionByName(subKeys(compact, hot, g, probed = true, probeSub = false))
+      else subKeys(compact, hot, g, probed = false, probeSub = true)).as("a")
       val b = subKeys(compact, hot, g, probed = false).as("b")
       a.join(b,
           col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
