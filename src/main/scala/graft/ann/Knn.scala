@@ -37,10 +37,15 @@ object Knn {
     * moving to 2-bit probes) would silently break the cross-path
     * verdict-equivalence oracles.
     */
-  private[graft] def probe1Expand(df: DataFrame, planes: Int): DataFrame = {
+  private[graft] def probe1Expand(
+      df: DataFrame, planes: Int, includeSelf: Boolean = true): DataFrame = {
     val others = df.columns.filterNot(_ == "bkt").map(col)
-    df.select(others :+ explode(array(col("bkt") +: (0 until planes).map(j =>
-      col("bkt").bitwiseXOR(lit(1L << j))): _*)).as("bkt"): _*)
+    // includeSelf=false emits ONLY the flipped keys — for a caller
+    // that unions this leg with another leg already carrying the
+    // distance-0 key, so no key is visited twice through the join
+    val flipped = (0 until planes).map(j => col("bkt").bitwiseXOR(lit(1L << j)))
+    val variants = if (includeSelf) col("bkt") +: flipped else flipped
+    df.select(others :+ explode(array(variants: _*)).as("bkt"): _*)
   }
 
   /** Design-point cosine for the top-k search geometry: tables are

@@ -316,6 +316,18 @@ object Dedup {
     * the pair join itself is unchanged except its key widens by the
     * sub-bucket long. Embedding arrays still never shuffle.
     */
+  /** `probeUnion` (with probe1 on) swaps the probe composition from
+    * the PRODUCT — every bucket-bit variant crossed with every
+    * sub-bit variant, covering pairs one bucket bit AND one sub bit
+    * apart — to the UNION: one bucket bit OR one sub bit flipped,
+    * (planes+1)+(extra) side-a rows per hot row instead of
+    * (planes+1)×(extra+1). The union is ~60% less join fan-out but a
+    * strictly narrower candidate class; it is OPT-IN because only the
+    * pinned q6f gate point has its recall MEASURED at 1.0 under the
+    * union (parity-spec-locked at both gate scales) — public callers
+    * past gate scale keep the wider product the solver's recall
+    * reasoning assumes.
+    */
   def adaptiveNearDups(
       emb: DataFrame,
       tau: Double = 0.4,
@@ -323,8 +335,9 @@ object Dedup {
       maxExtra: Int = 8,
       tables: Int = 0,
       planes: Int = 0,
-      probe1: Boolean = false): DataFrame =
-    nearDupsImpl(emb, tau, maxBucket, maxExtra, tables, planes, probe1)
+      probe1: Boolean = false,
+      probeUnion: Boolean = false): DataFrame =
+    nearDupsImpl(emb, tau, maxBucket, maxExtra, tables, planes, probe1, probeUnion)
 
   /** Compact (vec_id, tbl, bkt, xbits) keys for the adaptive path,
     * hash-repartitioned on (tbl, bkt) — the ONE shuffle of the
@@ -419,8 +432,11 @@ object Dedup {
       hot: DataFrame,
       g: graft.ann.LshGeometry,
       probed: Boolean,
-      probeSub: Boolean = false): DataFrame = {
-    val keyed = if (probed) graft.ann.Knn.probe1Expand(compact, g.planes) else compact
+      probeSub: Boolean = false,
+      probedIncludesSelf: Boolean = true): DataFrame = {
+    val keyed =
+      if (probed) graft.ann.Knn.probe1Expand(compact, g.planes, probedIncludesSelf)
+      else compact
     val withSub = keyed.join(hot, Seq("tbl", "bkt"), "left")
       .withColumn("sub", when(col("extra").isNull, lit(0L))
         .otherwise(col("xbits").bitwiseAND(expr("shiftleft(1L, extra) - 1L"))))
@@ -464,7 +480,8 @@ object Dedup {
       maxExtra: Int,
       tables: Int,
       planes: Int,
-      probe1: Boolean): DataFrame = {
+      probe1: Boolean,
+      probeUnion: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions._
     val e = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
     // Adaptive path: element-wise corpus mean (for the centered
@@ -495,19 +512,20 @@ object Dedup {
       // so the banding + xbits scan runs once.
       val compact = refinedCompact(e, g, maxExtra, stats.length, stats.map(_._1).toSeq)
       val hot = hotBuckets(compact, maxBucket, maxExtra)
-      // UNION probe, not product: the two 1-bit probes recover two
-      // DISJOINT loss classes (base banding vs sub-split), so side a
-      // visits each hamming-1 variant of the concatenated key once —
-      // (planes+1) + (extra+1) rows per hot-bucket row instead of the
-      // (planes+1)×(extra+1) product (25 → 10 at the gate split
-      // depth), and the pair join's distinct() absorbs the duplicated
-      // originals. The parity spec measures recall 1.0 for THIS shape
-      // at both gate scales — a product-only pair (one bkt bit AND
-      // one sub bit off) would fail there first.
-      val a = (if (g.probe1)
-        subKeys(compact, hot, g, probed = false, probeSub = true)
-          .unionByName(subKeys(compact, hot, g, probed = true, probeSub = false))
-      else subKeys(compact, hot, g, probed = false, probeSub = true)).as("a")
+      // Probe composition (see adaptiveNearDups): probeUnion visits
+      // each hamming-1 variant of the concatenated key exactly ONCE —
+      // the sub-probe leg carries the distance-0 key, the bucket-flip
+      // leg emits flipped buckets only (probedIncludesSelf = false),
+      // so no key duplicates through the join. The default keeps the
+      // product (probed AND probeSub), the shape the solver's recall
+      // reasoning assumes past gate scale; the union is the pinned
+      // q6f point's measured-recall-1.0 opt-in, parity-spec-locked.
+      val subLeg = subKeys(compact, hot, g, probed = false, probeSub = true)
+      val a = (if (!g.probe1) subLeg
+        else if (probeUnion)
+          subLeg.unionByName(subKeys(compact, hot, g,
+            probed = true, probeSub = false, probedIncludesSelf = false))
+        else subKeys(compact, hot, g, probed = true, probeSub = true)).as("a")
       val b = subKeys(compact, hot, g, probed = false).as("b")
       a.join(b,
           col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
@@ -677,7 +695,8 @@ object Dedup {
     */
   private val q6f = Qdef(
     "q6f_dedup_adaptive",
-    (s, d) => adaptiveNearDups(Tables.embeddings(s, d), maxBucket = 32, probe1 = true)
+    (s, d) => adaptiveNearDups(Tables.embeddings(s, d), maxBucket = 32,
+        probe1 = true, probeUnion = true)
       .orderBy("id_a", "id_b"),
     Some(bruteCosineTwin))
 
