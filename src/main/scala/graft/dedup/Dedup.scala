@@ -315,8 +315,8 @@ object Dedup {
     * joins back against compact keys (AQE broadcasts it when small);
     * the pair join itself is unchanged except its key widens by the
     * sub-bucket long. Embedding arrays still never shuffle.
-    */
-  /** `probeUnion` (with probe1 on) swaps the probe composition from
+    *
+    * `probeUnion` (with probe1 on) swaps the probe composition from
     * the PRODUCT — every bucket-bit variant crossed with every
     * sub-bit variant, covering pairs one bucket bit AND one sub bit
     * apart — to the UNION: one bucket bit OR one sub bit flipped,
@@ -336,8 +336,14 @@ object Dedup {
       tables: Int = 0,
       planes: Int = 0,
       probe1: Boolean = false,
-      probeUnion: Boolean = false): DataFrame =
+      probeUnion: Boolean = false): DataFrame = {
+    // probeUnion composes the TWO probes — without probe1 it would
+    // silently resolve to NO probing at all at gate scale, handing an
+    // opted-in caller lower recall than either probed shape
+    require(probe1 || !probeUnion,
+      "probeUnion composes the bucket and sub probes — it requires probe1 = true")
     nearDupsImpl(emb, tau, maxBucket, maxExtra, tables, planes, probe1, probeUnion)
+  }
 
   /** Compact (vec_id, tbl, bkt, xbits) keys for the adaptive path,
     * hash-repartitioned on (tbl, bkt) — the ONE shuffle of the
@@ -520,7 +526,9 @@ object Dedup {
       // product (probed AND probeSub), the shape the solver's recall
       // reasoning assumes past gate scale; the union is the pinned
       // q6f point's measured-recall-1.0 opt-in, parity-spec-locked.
-      val subLeg = subKeys(compact, hot, g, probed = false, probeSub = true)
+      // lazy: the product branch builds its own probed subKeys and
+      // must not pay (or appear to share) this plan's construction
+      lazy val subLeg = subKeys(compact, hot, g, probed = false, probeSub = true)
       val a = (if (!g.probe1) subLeg
         else if (probeUnion)
           subLeg.unionByName(subKeys(compact, hot, g,
