@@ -329,6 +329,41 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(e.getMessage.contains("does not fit"), s"wrong refusal: ${e.getMessage}")
   }
 
+  test("decimal and date sort keys page exactly and reject out-of-domain cursors") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    def cur(json: String): String = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(json.getBytes(UTF_8))
+    def walkOnce(df: org.apache.spark.sql.DataFrame): Unit = {
+      val keys = WarehouseServer.keysetCols(df).getOrElse(fail("frame lost its keyset"))
+      val first = df.limit(5).collect()
+      val cursor = WarehouseServer.cursorOf(first.last, keys)
+      val page2 = df.filter(WarehouseServer.afterPredicate(df, keys, cursor))
+        .limit(5).collect().map(_.toSeq).toSeq
+      assert(page2 == df.limit(10).collect().drop(5).map(_.toSeq).toSeq,
+        s"${keys.mkString(",")}: page 2 is not the exact continuation")
+    }
+    // decimal(12,2): exact boundary round-trip through JDecimal
+    val dec = Tables.orders(spark, sf)
+      .select(col("o_totalprice").cast("decimal(12,2)").as("price"), col("o_orderkey"))
+      .orderBy("price", "o_orderkey")
+    walkOnce(dec)
+    // out-of-domain decimals are 400 at build time, not an ANSI
+    // overflow 500 at execution: too many integer digits; too much scale
+    for (bad <- Seq("[99999999999999999999999999,1]", "[1.234,1]")) {
+      val e = intercept[RuntimeException](
+        WarehouseServer.afterPredicate(dec, Seq("price", "o_orderkey"), cur(bad)))
+      assert(e.getMessage.contains("does not fit"), s"$bad: ${e.getMessage}")
+    }
+    // date keys: zone-free ISO round-trip, junk rejected driver-side
+    val dat = Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate")).as("d"), col("o_orderkey"))
+      .orderBy("d", "o_orderkey")
+    walkOnce(dat)
+    val e = intercept[RuntimeException](
+      WarehouseServer.afterPredicate(dat, Seq("d", "o_orderkey"), cur("""["junk",1]""")))
+    assert(e.getMessage.contains("does not fit"), e.getMessage)
+  }
+
   test("after is a typed 400 on unordered results and on a garbage cursor") {
     // q20 orders DESCENDING under a limit — no ascending keyset exists,
     // so 'after' must be refused loudly, not return a silently-wrong page
