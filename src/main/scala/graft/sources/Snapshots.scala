@@ -37,8 +37,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * `_manifest.v<N>` file and readers resolve the latest by listing, so
   * a reader concurrent with a commit sees the previous complete
   * manifest or the new complete one, never a partial or missing one.
-  * `create(..., overwrite = false)` on the manifest doubles as a cheap
-  * single-winner CAS if two writers race on the same version number.
+  * The publish itself is a write-to-tmp then hard-link (local fs;
+  * link(2) fails atomically on an existing destination) or
+  * refuse-existing rename (HDFS-contract stores) — a single-winner
+  * CAS when two writers race on the same version number; see
+  * [[appendManifest]] for the exact protocol and its fallbacks.
   *
   * Each commit is assumed to carry at most one row per merge key (the
   * reference's import batches do); duplicate keys WITHIN one version
@@ -195,7 +198,8 @@ object Snapshots {
     * fix: unique file names, atomic manifest publish).
     */
   private def writeAndPublish(
-      df: DataFrame, root: String, kind: String, maxAttempts: Int = 1): Long = {
+      df: DataFrame, root: String, kind: String, maxAttempts: Int = 1,
+      expectedVersion: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val rel = s"v${nextVersion(spark, root)}-${java.util.UUID.randomUUID.toString.take(8)}"
     df.write.mode("errorifexists").parquet(s"$root/$rel")
@@ -208,6 +212,17 @@ object Snapshots {
     while (true) {
       attempt += 1
       val v = nextVersion(spark, root)
+      // staleness pin for content computed from a chain read (compact):
+      // the CAS alone only detects a SAME-version collision — a commit
+      // that landed between the fold's chain read and this publish just
+      // bumps nextVersion past it, and the fold would supersede rows it
+      // never contained. With the expected version pinned, any
+      // intervening commit makes this a loud failure instead.
+      expectedVersion.foreach { ev =>
+        if (v != ev) throw new IllegalStateException(
+          s"stale fold: expected to publish v$ev but the store is at v${v - 1} " +
+            s"— a commit landed after the chain read; re-run the fold over the new chain")
+      }
       try { appendManifest(spark, root, v, kind, rel); return v }
       catch {
         case _: IllegalStateException if attempt < maxAttempts => ()
@@ -287,7 +302,11 @@ object Snapshots {
     require(vs.nonEmpty, s"empty snapshot store at $root")
     vs.filter(_._2 == "full").map(_._1).maxOption match {
       case Some(baseV) => readChain(spark, root, baseV, vs)
-      case None => vs.map { case (v, _, _) => read(spark, root, v) }.reduce(_ unionByName _)
+      // paths come from the ALREADY-READ chain — read() per segment
+      // would re-open and re-parse the whole manifest each time, on
+      // what is the streaming sinks' per-micro-batch hot path
+      case None => vs.map { case (_, _, rel) => spark.read.parquet(s"$root/$rel") }
+        .reduce(_ unionByName _)
     }
   }
 
@@ -307,7 +326,11 @@ object Snapshots {
       baseV: Long,
       vs: Seq[(Long, String, String)]): DataFrame =
     vs.filter(t => t._1 == baseV || (t._1 > baseV && t._2 != "full"))
-      .map { case (v, _, _) => read(spark, root, v) }
+      // segment paths straight from the chain entries: read() would
+      // re-list + re-parse the manifest PER SEGMENT (K+1 manifest
+      // reads per call on a K-segment chain, growing with every
+      // commit), on the micro-batch hot path of both ingest sinks
+      .map { case (_, _, rel) => spark.read.parquet(s"$root/$rel") }
       .reduce(_ unionByName _)
 
   /** Read the latest version. */
@@ -316,9 +339,31 @@ object Snapshots {
 
   /** Fold the delta chain into a new full snapshot (bounds the merge
     * fan-in for future reads; old versions stay readable).
+    *
+    * The fold's content is pinned to the chain visible at THIS read,
+    * and the publish is pinned to land at exactly the next version
+    * after it: a delta committed concurrently (a live streaming sink)
+    * would otherwise be silently superseded by a full snapshot that
+    * never contained its rows — the publish CAS alone cannot see it,
+    * because the intervening commit just bumps the version past the
+    * collision. A lost race is a loud IllegalStateException; re-run
+    * the compact over the new chain.
     */
   def compact(spark: SparkSession, root: String, keys: Seq[String]): Long =
-    commit(latest(spark, root, keys), root)
+    compactFrom(spark, root, keys, versions(spark, root))
+
+  /** `private[graft]` test seam: the lost-delta race spec interleaves
+    * a concurrent delta commit between the chain read and the publish
+    * by passing the stale chain explicitly.
+    */
+  private[graft] def compactFrom(
+      spark: SparkSession, root: String, keys: Seq[String],
+      vs: Seq[(Long, String, String)]): Long = {
+    require(vs.nonEmpty, s"empty snapshot store at $root")
+    val top = vs.last._1
+    writeAndPublish(asOf(spark, root, top, keys), root, "full",
+      expectedVersion = Some(top + 1))
+  }
 
   /** Continuous ingest: sink a streaming frame into the store, one
     * delta version per non-empty micro-batch — the reference's

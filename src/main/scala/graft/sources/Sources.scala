@@ -88,13 +88,17 @@ object Sources {
     */
   def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
       numFiles: Int = 16, bits: Int = 12): Unit = {
-    // stats exclude NaN: Spark's max() orders NaN above every double,
-    // so one NaN cell would otherwise poison mx and send EVERY row of
-    // that column to bucket 0 — with NaN excluded, only the NaN cells
-    // themselves degrade (to bucket 0, via the coalesce below)
+    // stats exclude non-finite cells: Spark's max() orders NaN above
+    // every double (one NaN cell would poison mx and send EVERY row of
+    // that column to bucket 0), and a single ±Infinity cell is the
+    // same bug through the other door — mx = +Inf makes (x-mn)/(mx-mn)
+    // collapse every finite row to bucket 0 (mn = -Inf to the top
+    // bucket) with no crash and no empty-input fallback, silently
+    // destroying the layout. Excluded cells themselves degrade to
+    // bucket 0 via the coalesce below.
     def clean(c: String): Column = {
       val d = col(c).cast("double")
-      when(isnan(d), lit(null)).otherwise(d)
+      when(isnan(d) || !d.between(Double.MinValue, Double.MaxValue), lit(null)).otherwise(d)
     }
     val mins = cols.map(c => min(clean(c)).as(s"mn_$c"))
     val maxs = cols.map(c => max(clean(c)).as(s"mx_$c"))
@@ -110,11 +114,13 @@ object Sources {
     val scaled = cols.map { c =>
       val (mn, mx) = (st.getAs[Double](s"mn_$c"), st.getAs[Double](s"mx_$c"))
       if (mx <= mn) lit(0L)
-      // NULL/NaN cells scale to bucket 0 rather than nulling the whole
-      // interleaved key (which would silently strand those rows in one
-      // un-clustered _z=null range)
+      // NULL/NaN/±Inf cells scale to bucket 0 rather than nulling the
+      // whole interleaved key (stranding those rows in one
+      // un-clustered _z=null range) — and the per-row value goes
+      // through the same clean() as the stats, or a NaN cell would
+      // reach the ANSI double→long cast and fail the whole write
       else coalesce(
-        least(lit(top), floor((col(c).cast("double") - mn) / (mx - mn) * top)).cast("long"),
+        least(lit(top), floor((clean(c) - mn) / (mx - mn) * top)).cast("long"),
         lit(0L))
     }
     df.withColumn("_z", zorderKey(scaled, bits))

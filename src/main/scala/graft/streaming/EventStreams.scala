@@ -108,7 +108,12 @@ object EventStreams {
           case _ => s :: acc
         }
       }.reverse
-      val (done, stillOpen) = merged.partition(s => s.lastUs + gapUs <= wmUs)
+      // STRICT <: an event with ts == watermark is still admissible
+      // (the source admits ts >= wm), and at gap == gapUs the batch
+      // twin (q52: `gap_us > gapUs` splits) would MERGE it into this
+      // session — closing at equality would emit the session early and
+      // split what the batch counts as one
+      val (done, stillOpen) = merged.partition(s => s.lastUs + gapUs < wmUs)
       if (stillOpen.isEmpty) {
         if (state.exists) state.remove()
       } else {
@@ -206,9 +211,14 @@ object EventStreams {
   def scrubbedDocs(docs: DataFrame, minTokens: Int = 5): DataFrame = {
     // token count on the RAW text, before the scrub collapses
     // multi-token PII into one '[REDACTED]' — the gate must judge the
-    // document, not the redaction artifact
+    // document, not the redaction artifact. NULL text must land as
+    // n_tokens 0 / keep false: under ANSI (Spark 4 default) size(null)
+    // is NULL, and a NULL keep is invisible to BOTH the keep-side
+    // filter and the reject-side audit — the row would silently leave
+    // the pipeline through neither gate
     val withTok = docs
-      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("n_tokens",
+        coalesce(size(split(trim(col("text")), "\\s+")), lit(0)).cast("long"))
     graft.operators.TextAnalysis
       .scrubPatterns(withTok, "text", graft.operators.TextAnalysis.piiPatterns)
       .withColumn("keep", col("n_tokens") >= minTokens)
@@ -253,28 +263,44 @@ object EventStreams {
     * replayed shingle-less keeper (< 3 tokens — no signature, never a
     * candidate) cannot, so the corpus commit additionally anti-joins
     * the store's existing ids: the corpus store never sees a
-    * duplicate row under replay, and the band index never duplicates
-    * (re-dropped keepers commit no bands; shingle-less docs have
-    * none). In-batch near-dups are NOT screened against each other
-    * (per-batch semantics, as in q69); pre-dedup the batch if that
-    * matters.
+    * duplicate row under replay. The band index CAN gain duplicate
+    * band rows on a replay that crashed between the two commits of a
+    * batch — the index commits first (inside ingestAndCommit), so a
+    * crash before the corpus commit leaves a keeper whose bands are
+    * stored but whose text is not: the replayed copy finds candidates
+    * but can't resolve their text, re-keeps, and re-commits its
+    * bands. Harmless for verdicts (the candidate join dedups pairs;
+    * the corpus anti-join keeps the store row-unique) and folded only
+    * by index growth, not correctness. The order is deliberate —
+    * corpus-first would invert the failure into a keeper whose text
+    * is stored but whose bands NEVER land (the replay's anti-join
+    * drops it before ingest), a permanent recall hole rather than a
+    * few redundant rows. In-batch near-dups are NOT screened against
+    * each other (per-batch semantics, as in q69); pre-dedup the batch
+    * if that matters.
     */
   def streamDedupIngest(
       docs: DataFrame, indexRoot: String, corpusRoot: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    textIngestSink(docs, indexRoot, corpusRoot, checkpoint, identity)
+    ingestSink(docs, indexRoot, corpusRoot, checkpoint, identity,
+      graft.dedup.Dedup.ingestAndCommit(_, _, _), key = "doc_id", keeperCols = identity)
 
-  /** The ONE text screen/commit cycle both document sinks run
+  /** The ONE screen/commit cycle ALL THREE ingest sinks run
     * ([[streamDedupIngest]] with `prep = identity`,
-    * [[streamCurateIngest]] with the batch-local curation stage) — a
-    * replay-guard or commit-protocol fix lands in both by
-    * construction.
+    * [[streamCurateIngest]] with the batch-local curation stage,
+    * [[streamVecDedupIngest]] with the vector ingest and key) — a
+    * replay-guard or commit-protocol fix lands in every sink by
+    * construction instead of being hand-mirrored across copies.
     */
-  private def textIngestSink(
-      docs: DataFrame, indexRoot: String, corpusRoot: String,
-      checkpoint: String, prep: DataFrame => DataFrame)
+  private def ingestSink(
+      rows: DataFrame, indexRoot: String, corpusRoot: String,
+      checkpoint: String,
+      prep: DataFrame => DataFrame,
+      ingest: (DataFrame, DataFrame, String) => DataFrame,
+      key: String,
+      keeperCols: DataFrame => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+    rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // persist the PREPPED batch: the emptiness probe, the screen,
@@ -283,10 +309,10 @@ object EventStreams {
         try if (!kept.isEmpty) {
           import graft.sources.Snapshots
           val spark = kept.sparkSession
-          val corpusText = Snapshots.readAppendOnly(spark, corpusRoot)
-          val verdicts = graft.dedup.Dedup.ingestAndCommit(kept, corpusText, indexRoot)
-          val keepers = graft.dedup.Dedup.keepersOf(kept, verdicts)
-            .join(corpusText.select("doc_id"), Seq("doc_id"), "left_anti")
+          val corpus = Snapshots.readAppendOnly(spark, corpusRoot)
+          val verdicts = ingest(kept, corpus, indexRoot)
+          val keepers = keeperCols(graft.dedup.Dedup.keepersOf(kept, verdicts, key = key))
+            .join(corpus.select(key), Seq(key), "left_anti")
           // retrying: an operational compact on the live store may win
           // the manifest CAS mid-batch; the keeper append is
           // version-independent, so losing re-publishes instead of
@@ -334,8 +360,9 @@ object EventStreams {
       docs: DataFrame, indexRoot: String, corpusRoot: String,
       checkpoint: String, minQuality: Double = 0.12, lang: String = "en")
       : org.apache.spark.sql.streaming.StreamingQuery =
-    textIngestSink(docs, indexRoot, corpusRoot, checkpoint,
-      graft.operators.Curate.curated(_, minQuality, lang))
+    ingestSink(docs, indexRoot, corpusRoot, checkpoint,
+      graft.operators.Curate.curated(_, minQuality, lang),
+      graft.dedup.Dedup.ingestAndCommit(_, _, _), key = "doc_id", keeperCols = identity)
 
   /** st0c: continuous EMBEDDING dedup ingest — [[streamDedupIngest]]'s
     * cycle over the persisted VECTOR bucket index
@@ -368,25 +395,7 @@ object EventStreams {
   def streamVecDedupIngest(
       vecs: DataFrame, indexRoot: String, corpusRoot: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    vecs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.persist()
-        try if (!batch.isEmpty) {
-          import graft.sources.Snapshots
-          val spark = batch.sparkSession
-          val corpusVecs = Snapshots.readAppendOnly(spark, corpusRoot)
-          val verdicts = graft.dedup.Dedup.ingestAndCommitVec(batch, corpusVecs, indexRoot)
-          val keepers = graft.dedup.Dedup.keepersOf(batch, verdicts, key = "vec_id")
-            .select("vec_id", "embedding")
-            .join(corpusVecs.select("vec_id"), Seq("vec_id"), "left_anti")
-          // retrying: an operational compact on the live store may win
-          // the manifest CAS mid-batch; the keeper append is
-          // version-independent, so losing re-publishes instead of
-          // killing the stream
-          Snapshots.commitDeltaRetrying(keepers, corpusRoot)
-          ()
-        } finally { batch.unpersist(); () }
-      }
-      .start()
+    ingestSink(vecs, indexRoot, corpusRoot, checkpoint, identity,
+      graft.dedup.Dedup.ingestAndCommitVec, key = "vec_id",
+      keeperCols = _.select("vec_id", "embedding"))
 }

@@ -168,6 +168,37 @@ class SnapshotsSpec extends SparkSpec {
       Set((1, "a", 10L), (2, "from-A", 20L), (3, "from-B", 30L)))
   }
 
+  test("compact racing a concurrent delta fails loudly instead of silently superseding it") {
+    // the TOCTOU the version pin closes: compact folds the chain it
+    // READ, but a streaming sink commits delta N between that read
+    // and the publish — the publish CAS alone would not collide (it
+    // lands at N+1) and the new full would supersede a delta whose
+    // rows it never contained, silently and forever
+    val root = tmpDir("snap-compact-race")
+    Snapshots.commit(Seq((1, "a", 10L)).toDF("id", "name", "amount"), root)
+    Snapshots.commitDelta(Seq((2, "b", 20L)).toDF("id", "name", "amount"), root)
+    val staleChain = Snapshots.versions(spark, root)
+    // the concurrent writer lands AFTER the compactor's chain read
+    Snapshots.commitDelta(Seq((3, "c", 30L)).toDF("id", "name", "amount"), root)
+    val err = intercept[IllegalStateException] {
+      Snapshots.compactFrom(spark, root, Seq("id"), staleChain)
+    }
+    assert(err.getMessage.contains("stale fold"), err.getMessage)
+    // nothing was lost: the concurrent delta is still visible, and a
+    // RE-RUN compact (fresh chain read) folds all three rows
+    assert(rowsOf(Snapshots.latest(spark, root, Seq("id"))) ===
+      Set((1, "a", 10L), (2, "b", 20L), (3, "c", 30L)))
+    val v = Snapshots.compact(spark, root, Seq("id"))
+    assert(v === Snapshots.latestVersion(spark, root))
+    assert(rowsOf(Snapshots.latest(spark, root, Seq("id"))) ===
+      Set((1, "a", 10L), (2, "b", 20L), (3, "c", 30L)))
+    // and the re-run compact superseded the chain: append-only read
+    // now scans the single folded segment
+    assert(rowsOf(Snapshots.readAppendOnly(spark, root)
+      .select("id", "name", "amount")) ===
+      Set((1, "a", 10L), (2, "b", 20L), (3, "c", 30L)))
+  }
+
   test("commitDeltaRetrying: concurrent writers all land with the retry inside the API") {
     // the streaming-sink contract: an ingest delta losing the
     // manifest CAS to a concurrent writer (e.g. an operational

@@ -134,6 +134,31 @@ class SourcesSpec extends SparkSpec {
     assert(canon(spark.read.parquet(zOut)) === canon(events))
   }
 
+  test("io06: a non-finite cell cannot poison the z-order scaling") {
+    import spark.implicits._
+    // one ±Inf cell used to set mx/mn to infinity, collapsing EVERY
+    // finite row of that dimension into one bucket — no crash, no
+    // fallback, layout silently destroyed; and a NaN cell reaching
+    // the ANSI double→long cast would fail the whole write
+    val base = (0 until 4000).map(i => ((i % 100).toDouble, (i / 100).toDouble))
+    val poison = Seq(
+      (Double.PositiveInfinity, 1.0), (Double.NegativeInfinity, 2.0), (Double.NaN, 3.0))
+    val df = (base ++ poison).toDF("x", "y")
+    val out = tmpDir("io06_inf")
+    Sources.zorderWrite(df, Seq("x", "y"), out, numFiles = 16)
+    val back = spark.read.parquet(out)
+    assert(back.count() === df.count(), "rows lost through the z-order write")
+    // the finite corner must still be confined to few files — if the
+    // Inf cell had poisoned the x scaling, x would contribute nothing
+    // and the corner would spread across the y-only layout
+    val hit = back.filter(col("x") <= 10.0 && col("y") <= 10.0)
+    // +1: the (-Inf, 2.0) poison row itself satisfies the corner
+    // filter (layout may place it anywhere; results must include it)
+    assert(hit.count() === base.count(t => t._1 <= 10.0 && t._2 <= 10.0) + 1)
+    val files = hit.select(input_file_name()).distinct().count()
+    assert(files <= 4, s"non-finite cell degraded z-order locality: corner hit $files of 16 files")
+  }
+
   test("q8b artifact: sharded shuffle write is one global order across sorted shard files") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()

@@ -606,10 +606,17 @@ class StreamingSpec extends SparkSpec {
         (2L, "too short"))
       q.processAllAvailable()
       input.addData((3L, "server 10.0.0.7 logged a perfectly ordinary clean event today"))
+      // null text: under ANSI size(null) is NULL — without the
+      // coalesce the keep flag went NULL and the row was invisible to
+      // BOTH the keep filter and the reject-side audit
+      input.addData((4L, null))
       q.processAllAvailable()
 
       val out = spark.table("st08_out").orderBy("doc_id").collect()
-      assert(out.length === 3)
+      assert(out.length === 4)
+      assert(out(3).getAs[Long]("n_tokens") === 0L)
+      assert(out(3).getAs[Boolean]("keep") === false,
+        "null-text doc must land keep=false, not keep=NULL")
       assert(out(0).getAs[Long]("n_redactions") === 1L)
       assert(out(0).getAs[String]("text").contains("[REDACTED]"))
       assert(!out(0).getAs[String]("text").contains("@"))
