@@ -14,6 +14,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextExprHelpers {
 
+  // hoisted per-class, not per-row: UTF8String.split compiles its
+  // regex on EVERY call (String.split fast-paths only single literal
+  // chars), which put a Pattern.compile per corpus row — three times
+  // over — inside the exact codegen'd scan these helpers exist to
+  // speed up
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+  private val Space = UTF8String.fromString(" ")
+  private def wsTokens(text: UTF8String): Array[UTF8String] =
+    WS.split(text.toLowerCase.trim.toString, -1).map(UTF8String.fromString)
+
   /** Distinct xxhash64 values (seed 42, same as Spark's `xxhash64`) of
     * the word k-shingles of `trim(lower(text))` split on whitespace —
     * the fast twin of the
@@ -23,13 +33,12 @@ object TextExprHelpers {
     */
   def shingleHashes(text: UTF8String, k: Int): ArrayData = {
     if (text == null) return null
-    val toks = text.toLowerCase.trim.split(UTF8String.fromString("\\s+"), -1)
+    val toks = wsTokens(text)
     if (toks.length < k) return null
-    val space = UTF8String.fromString(" ")
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
     while (i + k <= toks.length) {
-      val sh = UTF8String.concatWs(space, java.util.Arrays.copyOfRange(toks, i, i + k): _*)
+      val sh = UTF8String.concatWs(Space, java.util.Arrays.copyOfRange(toks, i, i + k): _*)
       seen.add(XxHash64Function.hash(sh, StringType, 42L))
       i += 1
     }
@@ -69,13 +78,12 @@ object TextExprHelpers {
     */
   def shingleStrings(text: UTF8String, k: Int): ArrayData = {
     if (text == null) return null
-    val toks = text.toLowerCase.trim.split(UTF8String.fromString("\\s+"), -1)
+    val toks = wsTokens(text)
     if (toks.length < k) return null
-    val space = UTF8String.fromString(" ")
     val out = new Array[AnyRef](toks.length - k + 1)
     var i = 0
     while (i + k <= toks.length) {
-      out(i) = UTF8String.concatWs(space, java.util.Arrays.copyOfRange(toks, i, i + k): _*)
+      out(i) = UTF8String.concatWs(Space, java.util.Arrays.copyOfRange(toks, i, i + k): _*)
       i += 1
     }
     new GenericArrayData(out)
@@ -129,7 +137,7 @@ object TextExprHelpers {
     */
   def bpeEncode(text: UTF8String, ranks: java.util.HashMap[String, Integer]): ArrayData = {
     if (text == null) return null
-    val toks = text.toLowerCase.trim.split(UTF8String.fromString("\\s+"), -1)
+    val toks = wsTokens(text)
     val out = new scala.collection.mutable.ArrayBuffer[AnyRef]()
     var w = 0
     while (w < toks.length) {
@@ -219,8 +227,9 @@ object BandHelpers {
       var h = XxHash64Function.hash(b.toLong, LongType, 42L)
       var r = 0
       while (r < rowsPerBand) {
-        val idx = b * rowsPerBand + r
-        if (idx < sig.numElements()) h = XxHash64Function.hash(sig.getLong(idx), LongType, h)
+        // no bounds branch: the require above guarantees
+        // numElements >= bands*rowsPerBand, so idx is always in range
+        h = XxHash64Function.hash(sig.getLong(b * rowsPerBand + r), LongType, h)
         r += 1
       }
       out(b) = h

@@ -52,8 +52,10 @@ object TextFunctions {
   def md5Lo64(c: Column): Column = call_function("graft_md5lo64", c)
 
   /** BPE-encode text against a learned merge table (rank = position in
-    * `merges` — feed [[graft.operators.TextAnalysis.bpeMerges]] output
-    * directly). Codegen'd narrow map; the table rides the plan as a
+    * `merges` — [[graft.operators.TextAnalysis.bpeMerges]] returns
+    * (left, right, count) triples, so drop the count first:
+    * `bpeEncode(col, bpeMerges(docs, n).map { case (l, r, _) => (l, r) })`).
+    * Codegen'd narrow map; the table rides the plan as a
     * literal, so encoding shuffles nothing at any corpus size.
     */
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =

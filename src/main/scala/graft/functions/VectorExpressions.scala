@@ -20,11 +20,19 @@ import org.apache.spark.sql.types._
   * accumulation, identical to both the higher-order version it
   * replaces and DuckDB's `list_sum(list_transform(...))` — this is
   * what keeps q70's oracle hash-exact. Array elements must be non-null
-  * (embedding columns; enforced upstream by schema).
+  * (embedding columns; enforced upstream by schema). Array LENGTHS
+  * are not schema-enforceable: mismatched-dims pairs yield NULL, the
+  * same verdict as the zip_with form this replaces (zip_with pads the
+  * shorter side with nulls → null product → null sum) and the
+  * library's un-scorable convention — a silent min-length truncation
+  * would instead score a corrupt prefix row as cosine 1.0 against its
+  * own extension and wrongfully DELETE it in the dedup paths.
   */
 private[graft] trait VectorBinaryLoop extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // a non-null pair can still produce NULL (dims mismatch)
+  override def nullable: Boolean = true
 
   private def elemGet(e: Expression): String =
     e.dataType.asInstanceOf[ArrayType].elementType match {
@@ -46,7 +54,8 @@ private[graft] trait VectorBinaryLoop extends BinaryExpression {
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -64,14 +73,18 @@ private[graft] trait VectorBinaryLoop extends BinaryExpression {
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.${elemGet(left)}($i);
-         |  double $yi = (double) $b.${elemGet(right)}($i);
-         |  ${updateJava(acc, xi, yi)}
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $a.${elemGet(left)}($i);
+         |    double $yi = (double) $b.${elemGet(right)}($i);
+         |    ${updateJava(acc, xi, yi)}
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 }
@@ -220,19 +233,30 @@ case class ArgMinCell(child: Expression, cents: Seq[Seq[Double]]) extends UnaryE
   require(cents.nonEmpty, "argmin over an empty centroid set")
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
+  // a NaN element makes EVERY centroid distance NaN, so no centroid
+  // ever wins the strict-< race — the un-scorable verdict is NULL
+  // (the library convention), not a sentinel cell id that silently
+  // routes the vector where no probe ever looks
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_argmin_cell"
 
   private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override protected def nullSafeEval(a: Any): Any =
-    ArgMinHelper.argmin(a.asInstanceOf[ArrayData], centArr, isFloat)
+  override protected def nullSafeEval(a: Any): Any = {
+    val b = ArgMinHelper.argmin(a.asInstanceOf[ArrayData], centArr, isFloat)
+    if (b < 0) null else b
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val ref = ctx.addReferenceObj("cents", centArr, "double[][]")
-      s"${ev.value} = graft.functions.ArgMinHelper.argmin($a, $ref, $isFloat);"
+      val b = ctx.freshName("best")
+      s"""
+         |int $b = graft.functions.ArgMinHelper.argmin($a, $ref, $isFloat);
+         |if ($b < 0) { ${ev.isNull} = true; } else { ${ev.value} = $b; }
+       """.stripMargin
     })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -112,6 +112,10 @@ object Multimodal {
     val gh = (dim + gw - 1) / gw
     val sums = new Array[Double](dim)
     val counts = new Array[Long](dim)
+    // ONE bulk ARGB grab: per-pixel getRGB pays a ColorModel
+    // conversion call per pixel (~17M virtual calls on a 4k×4k
+    // frame), the bulk form does the identical conversion in one pass
+    val px = im.getRGB(0, 0, w, h, null, 0, w)
     var y = 0
     while (y < h) {
       val cy = math.min(y * gh / h, gh - 1)
@@ -119,7 +123,7 @@ object Multimodal {
       while (x < w) {
         val cell = cy * gw + math.min(x * gw / w, gw - 1)
         if (cell < dim) {
-          val rgb = im.getRGB(x, y)
+          val rgb = px(y * w + x)
           val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0 / 255.0
           sums(cell) += lum
           counts(cell) += 1
@@ -338,7 +342,11 @@ object Multimodal {
     * back to the byte-slicing stub: the same never-throw seam as
     * [[decodeImage]]/[[decodeAudio]].
     */
-  def decodeFrames(payload: Array[Byte], stride: Int): Option[Seq[(Int, Array[Byte])]] =
+  def decodeFrames(payload: Array[Byte], stride: Int): Option[Seq[(Int, Array[Byte])]] = {
+    // stride is a CALLER bug, not a payload problem — it must not be
+    // swallowed into the never-throw fallback (stride=0's range IAE
+    // would read as "container not decodable" and mask the real error)
+    require(stride > 0, s"frame stride must be positive, got $stride")
     withFrameReader(payload) { (reader, n) =>
       if (n < 2) None
       else Some((0 until n by stride).map { i =>
@@ -347,6 +355,7 @@ object Multimodal {
         (i, bos.toByteArray)
       })
     }
+  }
 
   /** mm03: sample every `stride`-th frame of video payloads.
     * Multi-frame containers with a JDK codec (animated GIF) decode
@@ -361,6 +370,11 @@ object Multimodal {
     * metadata is a consumer bug, not a sampler contract).
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 10): Dataset[SampledFrame] = {
+    // validate at the DRIVER (the resizeImage convention): stride=0
+    // would throw `step cannot be 0` inside executor tasks mid-job
+    // with retries, and a negative stride would silently emit zero
+    // frames for every video on both decode paths
+    require(stride > 0, s"frame-sample stride must be positive, got $stride")
     implicit val enc = Encoders.product[SampledFrame]
     media.filter(_.kind == "video").flatMap { r =>
       decodeFrames(r.payload, stride) match {
@@ -394,16 +408,21 @@ object Multimodal {
       val out = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val (sw, sh) = (im.getWidth, im.getHeight)
+      // bulk ARGB in / bulk out — identical pixels to the per-pixel
+      // getRGB/setRGB form, without a ColorModel conversion per pixel
+      val src = im.getRGB(0, 0, sw, sh, null, 0, sw)
+      val dst = new Array[Int](w * h)
       var y = 0
       while (y < h) {
         val sy = math.min((y.toLong * sh / h).toInt, sh - 1)
         var x = 0
         while (x < w) {
-          out.setRGB(x, y, im.getRGB(math.min((x.toLong * sw / w).toInt, sw - 1), sy))
+          dst(y * w + x) = src(sy * sw + math.min((x.toLong * sw / w).toInt, sw - 1))
           x += 1
         }
         y += 1
       }
+      out.setRGB(0, 0, w, h, dst, 0, w)
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(out, "png", bos)
       bos.toByteArray
@@ -448,7 +467,10 @@ object Multimodal {
       // un-scorable downstream (the shared cosine yields NULL for any
       // zero/NaN/Inf norm, so they can never match or rank); the
       // bridge drops them up front rather than carrying dead rows
-      // through the banding exchanges
-      .filter(col("nrm") > 0)
+      // through the banding exchanges. Both bounds matter: a bare
+      // `nrm > 0` is the NaN-greatest trap (NaN > 0 and Inf > 0 are
+      // both TRUE in Spark) — a real decoder emitting one NaN element
+      // would ride every exchange as a dead row
+      .filter(col("nrm") > 0 && col("nrm") < Double.PositiveInfinity)
   }
 }
