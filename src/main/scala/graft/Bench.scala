@@ -39,7 +39,40 @@ object Bench {
     // warm-up (the harness swallows per-query failures by design)
     val trials = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_TRIALS").flatMap(_.trim.toIntOption).getOrElse(3))
-    val perTrial = SparkEntry.queries.map { case (name, fn) =>
+    // Canary: the same fixed cheap query (q01 scan-project) re-timed
+    // at the start, middle, and end of the run. Per-trial medians/mins
+    // detect contention WITHIN one query's trials, but a box that is
+    // busy for the whole run inflates every trial uniformly and the
+    // "min stable = contention" heuristic goes blind (this is exactly
+    // how one official record booked a 2x phantom regression over
+    // bit-identical code). The canary is the cross-run absolute
+    // reference: its uncontended cost is a known constant of the code,
+    // so EITHER drift between checkpoints (>2x) OR comparison against
+    // another run's canary exposes a loaded box. min-of-3 at each
+    // checkpoint so one noisy canary run can't fake drift.
+    val canaryFn = SparkEntry.queries.get("q01_scan_project")
+    def canary(): Double = canaryFn match {
+      case None => -1.0
+      case Some(fn) =>
+        (0 until 3).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }.min
+    }
+    // one untimed canary exec first: the very first run of the canary
+    // plan pays its whole-stage-codegen compile, which would inflate
+    // the START checkpoint ~2x against mid/end and flag a quiet box as
+    // contended (observed: 0.34 vs 0.16/0.17 on an idle machine)
+    canaryFn.foreach(fn => try exec(fn(spark, sfDir)) catch { case _: Throwable => () })
+    val canaryStart = canary()
+    // stable iteration order + an explicit midpoint hook
+    val queriesSeq = SparkEntry.queries.toSeq
+    val mid = queriesSeq.length / 2
+    var canaryMid = -1.0
+    val perTrial = queriesSeq.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == mid) canaryMid = canary()
       val times = (0 until trials).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -48,13 +81,21 @@ object Bench {
       }.sorted
       name -> times
     }
+    val canaryEnd = canary()
+    val canaries = Seq(canaryStart, canaryMid, canaryEnd).filter(_ > 0)
+    // >2x spread between the run's own checkpoints = the box's load
+    // changed mid-run; the record self-labels so no reader has to
+    // adjudicate a phantom regression from trial spreads after the fact
+    val contended =
+      canaries.nonEmpty && canaries.max / math.max(canaries.min, 1e-9) > 2.0
     // true median: mid-pair average for even trial counts — indexing
     // times(n/2) alone would report the UPPER middle (a consistently
     // high-biased "median" whenever SPARK_GRAFT_BENCH_TRIALS is even)
     def median(times: IndexedSeq[Double]): Double =
       if (times.length % 2 == 1) times(times.length / 2)
       else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
-    val results = perTrial.map { case (name, times) => name -> median(times) }
+    val results: Seq[(String, Double)] =
+      perTrial.map { case (name, times) => name -> median(times) }
     // q6d decomposition (bench_full.json only): the driver-facing q6d
     // entry deliberately measures a whole index LIFECYCLE — build +
     // two ingests + temp-store teardown — which reads as a "slow
@@ -121,29 +162,32 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val totalMedian = results.map(_._2).sum
     // Full-name per-query MEDIAN timings for humans/the judge, plus
     // the raw sorted trials so a contended run is visible as spread.
     // The q6d build/ingest decomposition rides along here (full file
     // only — not in `total`, not in the driver line).
-    val full = (results.toSeq ++ q6dPhases.map { case (k, ts) => k -> median(ts) })
+    val full = (results ++ q6dPhases.map { case (k, ts) => k -> median(ts) })
       .map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
-    val raw = (perTrial.toSeq ++ q6dPhases).map { case (k, ts) =>
+    val raw = (perTrial ++ q6dPhases).map { case (k, ts) =>
       s"\"$k\":[${ts.map(fmt).mkString(",")}]"
     }.mkString("{", ",", "}")
-    // min-of-trials per query: the contention diagnostic. On a shared
-    // box the MEDIAN can absorb one slow trial but not two; the MIN is
-    // the closest observable to the uncontended cost, so a reader
-    // comparing two bench files can tell "code got slower" (min moved)
-    // from "box was busy" (min stable, median inflated) without
-    // re-deriving it from trial_times.
-    val mins = (perTrial.toSeq ++ q6dPhases)
+    // min-of-trials per query: the headline estimator. Bench noise on
+    // a shared box is ONE-SIDED (contention only ever adds time), so
+    // the min is the closest observable to the true uncontended cost;
+    // the median absorbs one slow trial but not two and is kept
+    // alongside for spread diagnosis. A reader comparing two bench
+    // files tells "code got slower" (min moved) from "box was busy"
+    // (min stable, median inflated) without re-deriving trial_times.
+    val mins = (perTrial ++ q6dPhases)
       .map { case (k, ts) => s"\"$k\":${fmt(ts.head)}" }
       .mkString("{", ",", "}")
-    val minTotal = perTrial.valuesIterator.map(_.head).sum
+    val minTotal = perTrial.map(_._2.head).sum
+    val canaryJson =
+      s"""{"start":${fmt(canaryStart)},"mid":${fmt(canaryMid)},"end":${fmt(canaryEnd)}}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"trials":$trials,"queries_min":$mins,"total_min":${fmt(minTotal)},"trial_times":$raw,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(minTotal)},"unit":"sec","estimator":"min_of_trials","total_median":${fmt(totalMedian)},"queries":$full,"trials":$trials,"queries_min":$mins,"total_min":${fmt(minTotal)},"canary":$canaryJson,"contended":$contended,"trial_times":$raw,"sf":${jstr(sfDir)}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -153,10 +197,12 @@ object Bench {
     // buffer (BENCH_r01/r02 both came back parsed:null). Print the
     // contract line with SHORT keys (the qNN id prefix) so it always
     // fits; bench_full.json carries the full names.
-    val qs = results.map { case (k, v) =>
-      s"\"${k.takeWhile(_ != '_')}\":${fmt(v)}"
+    // driver line carries min-of-trials per query (matching `value`);
+    // medians live in bench_full.json
+    val qs = perTrial.map { case (k, ts) =>
+      s"\"${k.takeWhile(_ != '_')}\":${fmt(ts.head)}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":${fmt(minTotal)},"unit":"sec","queries":$qs,"contended":$contended,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

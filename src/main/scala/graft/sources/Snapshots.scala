@@ -16,10 +16,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (the public Delta/Iceberg idea reduced to its core):
   *
   * ```
-  * <root>/_manifest.v<N>   self-contained manifest as of version N,
-  *                         one line per committed version:
+  * <root>/_manifest.v<N>   self-contained manifest, publish-sequence
+  *                         numbered (N tracks the data version while
+  *                         every publish adds a line, but vacuum
+  *                         publishes a TRIMMED manifest with no new
+  *                         line), one line per live version:
   *                         "<version>\t<full|delta>\t<relative path>"
-  * <root>/v1/  v2/ ...     parquet data per version
+  * <root>/v1-…/ v2-…/ ...  parquet data per version
   * ```
   *
   * - `commit` writes a FULL snapshot (new base).
@@ -54,11 +57,14 @@ object Snapshots {
 
   private val ManifestName = "_manifest\\.v(\\d+)".r
 
-  /** Path of the newest committed manifest, if any. Immutable files +
-    * list-latest means a concurrent commit can never leave a reader
-    * with a partial or missing manifest.
+  /** Newest committed manifest as (file number, path), if any.
+    * Immutable files + list-latest means a concurrent commit can never
+    * leave a reader with a partial or missing manifest. The FILE
+    * number is the publish sequence — it usually tracks the data
+    * version (one manifest per commit) but advances independently:
+    * [[vacuum]] publishes a trimmed manifest with no new data line.
     */
-  private def latestManifest(f: FileSystem, root: String): Option[Path] = {
+  private def latestManifest(f: FileSystem, root: String): Option[(Long, Path)] = {
     val dir = new Path(root)
     if (!f.exists(dir)) return None
     f.listStatus(dir).toSeq
@@ -66,35 +72,73 @@ object Snapshots {
         case ManifestName(v) => Some((v.toLong, st.getPath))
         case _ => None
       })
-      .sortBy(_._1).lastOption.map(_._2)
+      .sortBy(_._1).lastOption
   }
 
-  /** (version, kind, path) entries, version-ascending. */
-  def versions(spark: SparkSession, root: String): Seq[(Long, String, String)] = {
+  /** One consistent read of the store's metadata: the latest manifest
+    * FILE number together with the lines it carries. Every publish
+    * decision (what the next file number is, whether a version is
+    * already taken, what a vacuum retains) must come from ONE such
+    * read — mixing a fresh file listing with stale lines is exactly
+    * the lost-trim/lost-delta window the publish CAS exists to close.
+    */
+  private[graft] final case class ManifestState(
+      fileNum: Long, lines: Seq[(Long, String, String)])
+
+  private[graft] def manifestState(spark: SparkSession, root: String): ManifestState = {
     val f = fs(spark, root)
     latestManifest(f, root) match {
-      case None => Seq.empty
-      case Some(mp) =>
+      case None => ManifestState(0L, Seq.empty)
+      case Some((n, mp)) =>
         val in = f.open(mp)
         val text =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        text.linesIterator.filter(_.nonEmpty).map { line =>
+        val lines = text.linesIterator.filter(_.nonEmpty).map { line =>
           val Array(v, kind, path) = line.split("\t", 3)
           (v.toLong, kind, path)
         }.toSeq.sortBy(_._1)
+        ManifestState(n, lines)
     }
   }
+
+  /** (version, kind, path) entries, version-ascending. */
+  def versions(spark: SparkSession, root: String): Seq[(Long, String, String)] =
+    manifestState(spark, root).lines
 
   /** `private[graft]` is a test seam: the two-writer race spec drives
     * the publish step directly to interleave two writers that both
     * observed the same next version.
+    *
+    * Two staleness guards, both loud: (1) the requested data version
+    * already appearing in a fresh read of the lines means the caller's
+    * version observation lost a race to a concurrent commit; (2) the
+    * manifest-file link CAS in [[publishAt]] catches a publish that
+    * lands between this function's own read and its link — including a
+    * concurrent [[vacuum]], whose trimmed lines this append must not
+    * clobber with its stale pre-trim copy (that would resurrect
+    * manifest entries for segments the vacuum already deleted).
     */
   private[graft] def appendManifest(
       spark: SparkSession, root: String, version: Long, kind: String, rel: String): Unit = {
+    val st = manifestState(spark, root)
+    if (st.lines.exists(_._1 >= version))
+      throw new IllegalStateException(
+        s"manifest publish race: v$version already committed in $root")
+    publishAt(spark, root, st.fileNum + 1, st.lines :+ ((version, kind, rel)))
+  }
+
+  /** Publish `entries` as manifest file `_manifest.v<fileNum>` — the
+    * single-winner CAS every manifest mutation goes through. Throws
+    * IllegalStateException("manifest publish race…") when that file
+    * number is already taken, i.e. ANY publish landed after the
+    * [[manifestState]] read that produced `fileNum`.
+    */
+  private def publishAt(
+      spark: SparkSession, root: String, fileNum: Long,
+      entries: Seq[(Long, String, String)]): Unit = {
     val f = fs(spark, root)
-    val existing = versions(spark, root)
-    val lines = (existing :+ ((version, kind, rel)))
+    val lines = entries
       .map { case (v, k, p) => s"$v\t$k\t$p" }.mkString("", "\n", "\n")
     // write-to-tmp-then-rename: a created-but-unwritten manifest must
     // never be listable under its final name (a reader between create
@@ -102,10 +146,10 @@ object Snapshots {
     // matches whole names only, so readers skip the .tmp file. Rename
     // refuses an existing destination, which keeps the same-version
     // writer race a loud failure instead of a lost commit.
-    val tmp = new Path(root, s"_manifest.v$version.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val tmp = new Path(root, s"_manifest.v$fileNum.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     val out = f.create(tmp, true)
     try out.write(lines.getBytes("UTF-8")) finally out.close()
-    val dest = new Path(root, s"_manifest.v$version")
+    val dest = new Path(root, s"_manifest.v$fileNum")
     val qualified = f.makeQualified(dest)
     // HDFS (and object-store committers with a rename contract):
     // rename refuses an existing destination atomically, which keeps
@@ -115,7 +159,7 @@ object Snapshots {
       if (f.exists(dest) || !f.rename(tmp, dest)) {
         f.delete(tmp, false)
         throw new IllegalStateException(
-          s"manifest publish race: v$version already committed in $root")
+          s"manifest publish race: manifest file v$fileNum already published in $root")
       }
     if (qualified.toUri.getScheme == "file") {
       // posix rename REPLACES an existing destination, so
@@ -131,7 +175,7 @@ object Snapshots {
         case _: java.nio.file.FileAlreadyExistsException =>
           f.delete(tmp, false)
           throw new IllegalStateException(
-            s"manifest publish race: v$version already committed in $root")
+            s"manifest publish race: manifest file v$fileNum already published in $root")
         case e @ (_: UnsupportedOperationException | _: java.nio.file.FileSystemException) =>
           // Distinguish "this mount can't hard-link" (FAT, some
           // CIFS/fuse) from a genuine failure (quota, access, IO)
@@ -363,6 +407,117 @@ object Snapshots {
     val top = vs.last._1
     writeAndPublish(asOf(spark, root, top, keys), root, "full",
       expectedVersion = Some(top + 1))
+  }
+
+  /** Retention: physically delete segments SUPERSEDED below the pin —
+    * every version `v < B`, where `B` is the newest full snapshot at
+    * or below `keepAfterVersion`. Exactly the segments no
+    * `asOf(v ≥ keepAfterVersion)` read touches (such a read's base is
+    * a full ≥ B and its deltas are > base), so current readers and the
+    * streaming ingest sinks keep working; `asOf` at a vacuumed version
+    * becomes a loud "no version ≤ v" error instead of a partial
+    * answer. Without a vacuum, disk grows monotonically under
+    * continuous ingest (one delta per micro-batch) even though
+    * [[compact]] already bounds the read fan-in.
+    *
+    * Refusals (all loud, none silent):
+    *  - no full snapshot at or below the pin: NOTHING below it is
+    *    superseded — deltas there are still the only copy of their
+    *    rows. Run [[compact]] first. `force` does not override (it
+    *    would be data loss, not retention).
+    *  - `keepAfterVersion` past the latest committed version: almost
+    *    certainly a typo'd pin, and it would silently mean "maximal
+    *    delete". `force = true` says it was intentional (treated as
+    *    pin = latest).
+    *
+    * Crash ordering: the trimmed manifest publishes FIRST (same
+    * link-CAS as every commit — a concurrent delta/compact/vacuum
+    * publish in the window loses nothing: one side fails loudly and
+    * this method retries from a fresh chain read); data directories
+    * delete SECOND. A crash between the two leaves unreferenced
+    * orphan directories — invisible to every reader, reclaimed by the
+    * next vacuum's orphan sweep — never a manifest pointing at
+    * deleted data. Old manifest FILES are kept: they are bytes-tiny,
+    * and deleting them would race a reader between its listing and
+    * its open.
+    *
+    * Concurrent PINNED readers of vacuumed versions (an `asOf(old)`
+    * job mid-flight) can fail — the standard retention trade-off;
+    * pick `keepAfterVersion` behind the oldest pin in use.
+    *
+    * Returns the deleted versions (empty when nothing was superseded).
+    */
+  def vacuum(
+      spark: SparkSession, root: String, keepAfterVersion: Long,
+      force: Boolean = false, maxAttempts: Int = 8,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Seq[Long] = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return vacuumFrom(spark, root, keepAfterVersion, manifestState(spark, root),
+        force, orphanGraceMs)
+      catch {
+        // ONLY the publish race retries (with a fresh chain read —
+        // recomputing the retained lines is what makes the retry safe);
+        // refusals propagate
+        case e: IllegalStateException
+          if e.getMessage != null && e.getMessage.contains("manifest publish race")
+            && attempt < maxAttempts => ()
+      }
+    }
+    Seq.empty // unreachable
+  }
+
+  /** One vacuum attempt against an explicitly-passed chain read —
+    * `private[graft]` test seam so the vacuum-during-ingest race spec
+    * can interleave a concurrent delta commit between the chain read
+    * and the trimmed-manifest publish (the publish CAS must fail
+    * loudly rather than silently un-list the concurrent delta).
+    */
+  private[graft] def vacuumFrom(
+      spark: SparkSession, root: String, keepAfterVersion: Long,
+      st: ManifestState, force: Boolean = false,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Seq[Long] = {
+    require(st.lines.nonEmpty, s"empty snapshot store at $root")
+    val latest = st.lines.last._1
+    if (keepAfterVersion > latest && !force)
+      throw new IllegalArgumentException(
+        s"keepAfterVersion $keepAfterVersion is past the latest committed version $latest " +
+          s"in $root — a mistyped pin must not silently become a maximal delete; " +
+          "pass force=true if intentional (treated as pin = latest)")
+    val pin = math.min(keepAfterVersion, latest)
+    val base = st.lines.filter(t => t._2 == "full" && t._1 <= pin).map(_._1).maxOption
+      .getOrElse(throw new IllegalStateException(
+        s"no full snapshot at or below version $pin in $root — nothing below the pin " +
+          "is superseded (its deltas are the only copy of their rows); compact first"))
+    val (candidates, retained) = st.lines.partition(_._1 < base)
+    val f = fs(spark, root)
+    if (candidates.nonEmpty) {
+      // publish the trim FIRST (CAS at the next manifest file number,
+      // with NO new data line — file numbering is decoupled from data
+      // versions exactly for this), delete data SECOND
+      publishAt(spark, root, st.fileNum + 1, retained)
+      candidates.foreach { case (_, _, rel) => f.delete(new Path(root, rel), true); () }
+    }
+    // orphan sweep: data dirs no manifest references — a crashed
+    // writeAndPublish attempt, or a previous vacuum that crashed
+    // between publish and delete. Only after a successful (or no-op)
+    // trim, only dirs matching the segment naming scheme (a foreign
+    // file in the root can never be collateral), and only dirs older
+    // than `orphanGraceMs`: a CONCURRENT commit has its data dir on
+    // disk before its manifest line exists, and sweeping it in that
+    // window would publish a manifest pointing at deleted data.
+    val live = retained.map(_._3).toSet
+    val cutoff = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
+    val dir = new Path(root)
+    if (f.exists(dir)) f.listStatus(dir).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && n.matches("v\\d+-[0-9a-f-]+") && !live.contains(n)
+          && s.getModificationTime < cutoff) {
+        f.delete(s.getPath, true); ()
+      }
+    }
+    candidates.map(_._1)
   }
 
   /** Continuous ingest: sink a streaming frame into the store, one
