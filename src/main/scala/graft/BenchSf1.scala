@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf≈1 bench profile: fan the sf0.1 tables 10× into a temp sf-dir
+  * and time the most expensive inventory queries there — the scale
+  * probe between the committed sf0.1 bench and the 100-TB design
+  * claims. (The driver ships no sf1 parquet; this builds one.)
+  *
+  * Scaling rule is TPC-H's: FACT tables fan by `copies` with every
+  * primary AND foreign key shifted by a per-copy stride of its own
+  * domain (join fan-outs per copy stay exactly sf0.1's, so a query's
+  * work should scale ~linearly in copies); the DIMENSION tables
+  * (region, nation) stay fixed, as in TPC-H. Document text gets a
+  * per-copy suffix token so the dedup family sees realistic NEAR-dup
+  * growth rather than only exact copies; embeddings fan with
+  * identical vectors — deliberately the adversarial exact-direction
+  * case the r6 soak proved the collapse/distinct-vector plans absorb.
+  *
+  * Not part of `sbt test` (minutes): `sbt "runMain graft.BenchSf1"`;
+  * writes BENCH_SF1.json at the repo root and prints one JSON line.
+  * Findings go to PLANS.md.
+  */
+object BenchSf1 {
+
+  /** (table → key columns shifted per copy). Non-key references to
+    * dimension keys (c_nationkey, s_nationkey) stay untouched —
+    * dimensions don't fan.
+    */
+  private val fanKeys: Map[String, Seq[String]] = Map(
+    "customer"   -> Seq("c_custkey"),
+    "supplier"   -> Seq("s_suppkey"),
+    "part"       -> Seq("p_partkey"),
+    "orders"     -> Seq("o_orderkey", "o_custkey"),
+    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events"     -> Seq("event_id", "user_id"),
+    "documents"  -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** The queries worth profiling at 10×: the most expensive rows of
+    * the sf0.1 record (per-query min-of-trials), covering every heavy
+    * family — curation, embedding/text dedup, persisted indexes,
+    * joins, stats, sessionization.
+    */
+  private val Profiled = Seq(
+    "qa2_curate_semantic", "q65_dedup_embedding", "q6f_dedup_adaptive",
+    "q6e_dedup_collapsed", "q6g_semantic_dedup", "q6d_vec_index_ingest",
+    "q6b_band_index_ingest", "q6c_incremental_vec_dedup", "q67_decontaminate",
+    "q6a_dedup_blocked_edit", "q62_dedup_minhash_lsh", "q52_sessionize",
+    "q57_funnel", "q45_item_stats", "q10_join_inner", "q11_join_multiway",
+    "q15_join_full", "q8c_lm_score")
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SF1_COPIES", "10").toInt
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-bench-sf1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+      java.nio.file.Files.createTempDirectory("graft-sf1").toString)
+
+    def fanned(name: String): DataFrame = {
+      val base = Tables.load(spark, srcDir, name)
+      fanKeys.get(name) match {
+        case None => base // dimension: fixed, as in TPC-H
+        case Some(keys) =>
+          val strides = keys.map { k =>
+            k -> (base.agg(max(col(k))).head().getLong(0) + 1L)
+          }
+          (0 until copies).map { i =>
+            val shifted = strides.foldLeft(base) { case (df, (k, s)) =>
+              df.withColumn(k, col(k) + lit(i * s))
+            }
+            // near-dup (not only exact-dup) text growth: a per-copy
+            // suffix token keeps long docs above jaccard 0.8 against
+            // their siblings while breaking exact equality
+            if (name == "documents" && i > 0)
+              shifted.withColumn("text", concat(col("text"), lit(s" c$i")))
+            else shifted
+          }.reduce(_ unionByName _)
+      }
+    }
+
+    println(s"[sf1] building ${copies}x fan-out of $srcDir under $sf1")
+    val tAll0 = System.nanoTime()
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      fanned(t).write.mode("overwrite").parquet(s"$sf1/$t.parquet")
+    }
+    println(f"[sf1] built in ${(System.nanoTime() - tAll0) / 1e9}%.1f s")
+
+    def exec(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    // same untimed warm-up contract as graft.Bench
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try exec(Tables.load(spark, sf1, t)) catch { case _: Throwable => () }
+    }
+    try operators.Warehouse.warm(spark, sf1) catch { case _: Throwable => () }
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val results = Profiled.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val times = (0 until trials).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try exec(fn(spark, sf1)) catch {
+            case e: Throwable => println(s"[sf1] $name FAILED: $e")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"[sf1] $name%-28s min=${times.head}%7.2f s  trials=${times.map(fmt).mkString(",")}")
+        name -> times
+      }
+    }
+    val qmins = results.map { case (k, ts) => s"\"$k\":${fmt(ts.head)}" }
+      .mkString("{", ",", "}")
+    val raw = results.map { case (k, ts) => s"\"$k\":[${ts.map(fmt).mkString(",")}]" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2.head).sum
+    val line =
+      s"""{"metric":"sf1_profile_total","value":${fmt(total)},"unit":"sec","copies":$copies,"trials":$trials,"queries_min":$qmins,"trial_times":$raw,"src":"$srcDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SF1.json"), (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
+    // the fan-out is corpus-sized scratch — reclaim unless pinned
+    if (!sys.env.contains("SPARK_GRAFT_SF1_DIR")) {
+      val p = new org.apache.hadoop.fs.Path(sf1)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+    spark.stop()
+  }
+}

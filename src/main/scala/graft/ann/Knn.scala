@@ -128,6 +128,20 @@ object Knn {
       .select(size(col("embedding")).as("d"))
       .head(1).headOption.map(_.getInt(0))
 
+  /** THE hyperplane matrix — the one deterministic (seeded) draw that
+    * defines every bucketing: [[lshTables]] evaluates it inside the
+    * codegen'd sign expressions, and the serving layer re-derives the
+    * SAME planes driver-side to bucket a POSTed query vector without
+    * running a Spark job (graft.serve.AnnServing). Fill order is the
+    * contract: tables-outer, planes-inner, dims-innermost — reordering
+    * it silently re-keys every persisted/served bucket.
+    */
+  private[graft] def hyperplanes(
+      tables: Int, planes: Int, d: Int, seed: Int = 11): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    IndexedSeq.fill(tables)(IndexedSeq.fill(planes)(Seq.fill(d)(rnd.nextGaussian())))
+  }
+
   /** Multi-table random-hyperplane bucketing (OR-amplified LSH): each
     * row lands in `tables` compact (table, bucket) keys. For top-k
     * neighbors around cos 0.3–0.5, 16 tables of 4 planes give
@@ -151,9 +165,7 @@ object Knn {
       return e.select(col("vec_id"), col("embedding"), col("nrm"),
         lit(0).as("tbl"), lit(0L).as("bkt")).filter(lit(false))
     val d = dOpt.get
-    val rnd = new scala.util.Random(seed)
-    val hp: IndexedSeq[IndexedSeq[Seq[Double]]] =
-      IndexedSeq.fill(tables)(IndexedSeq.fill(planes)(Seq.fill(d)(rnd.nextGaussian())))
+    val hp = hyperplanes(tables, planes, d, seed)
     def bucketOf(t: Int): Column = (0 until planes)
       .map(j => when(dotD(col("embedding"), typedLit(hp(t)(j))) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)

@@ -1,0 +1,137 @@
+package graft.serve
+
+import graft.Tables
+import graft.ann.{Knn, LshGeometry}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search-as-a-service: the index object behind the
+  * server's `POST /ann/search` (SURVEY §2.14 srv10).
+  *
+  * A per-request [[graft.ann.Knn.lshTopK]] would re-count and re-band
+  * the whole corpus for every HTTP call — a full scan per request,
+  * the exact shape that dies first at warehouse scale. Instead the
+  * index is built ONCE per server (lazily, on the first search):
+  * corpus + norms and the banded (vec_id, tbl, bkt) keys are
+  * materialized and cached, and each request then costs only
+  *
+  *  1. bucketing the POSTed vector DRIVER-side — the hyperplanes are
+  *     a deterministic seeded draw ([[graft.ann.Knn.hyperplanes]]),
+  *     so the query's (table, bucket) keys come from a ~tables×planes
+  *     dot-product loop with no Spark job at all;
+  *  2. one pruned probe of the banded index (an OR-of-buckets
+  *     predicate over ≤ tables × (planes+1) keys — pushdown-friendly
+  *     and tiny against the 2^planes × tables keyspace);
+  *  3. cosine re-scoring of the candidate slice against the vector
+  *     as a broadcast literal, top-k by one narrow sort.
+  *
+  * The geometry is the library solver's ([[LshGeometry.resolve]] at
+  * [[Knn.SearchTau]]), so a served search returns exactly what
+  * `lshTopK` returns for an in-corpus query row — ServeSpec pins that
+  * equality. `method=brute` skips the probe and scans the cached
+  * corpus (the exact answer, for small corpora or recall audits).
+  *
+  * Un-scorable rows (NaN/Inf/zero-norm/null) score NULL through the
+  * guarded [[cosine]] and are filtered out of neighbor lists — the
+  * library-wide keep-with-null convention; the QUERY vector itself is
+  * validated loudly (400) instead, since a garbage query has no
+  * meaningful neighbors at all.
+  */
+final class AnnServing private (
+    val geometry: LshGeometry,
+    val dims: Int,
+    hp: IndexedSeq[IndexedSeq[Seq[Double]]],
+    corpus: DataFrame,
+    banded: DataFrame) {
+
+  /** Driver-side bucketing of one query vector — the same sign-bit
+    * fold [[Knn.lshTables]] runs in codegen, on the same planes.
+    * (Finite inputs only — callers validate; Spark's NaN-greatest
+    * `NaN > 0` would diverge from Scala's `false` here, which is one
+    * of the reasons the query vector is rejected unless finite.)
+    */
+  private[serve] def bucketsOf(q: Array[Double]): Seq[(Int, Long)] =
+    (0 until geometry.tables).map { t =>
+      var bkt = 0L
+      var j = 0
+      while (j < geometry.planes) {
+        val h = hp(t)(j)
+        var dot = 0.0
+        var i = 0
+        while (i < dims) { dot += q(i) * h(i); i += 1 }
+        if (dot > 0) bkt |= (1L << j)
+        j += 1
+      }
+      (t, bkt)
+    }
+
+  private def validated(vector: Seq[Double]): (Array[Double], Double) = {
+    require(vector.nonEmpty, "vector must be non-empty")
+    require(vector.length == dims,
+      s"vector has ${vector.length} dims, the index expects $dims")
+    require(vector.forall(v => !v.isNaN && !v.isInfinite),
+      "vector must be finite (no NaN/Infinity) — an un-scorable query has no neighbors")
+    val q = vector.toArray
+    val qn = math.sqrt(q.map(v => v * v).sum)
+    require(qn > 0 && !qn.isInfinite,
+      "vector norm must be positive and finite — a zero/overflowing vector has no direction")
+    (q, qn)
+  }
+
+  /** Top-k neighbors of `vector`: (vec_id, cosine), best-first. */
+  def search(vector: Seq[Double], k: Int, method: String = "lsh"): Seq[(Long, Double)] = {
+    val (q, qn) = validated(vector)
+    require(k > 0, s"k must be positive: $k")
+    val scored = method match {
+      case "brute" => corpus
+      case "lsh" =>
+        val base = bucketsOf(q)
+        // 1-bit multiprobe on the QUERY side only when the solver's
+        // geometry says so — mirrors lshTopK's probe placement
+        val probed =
+          if (!geometry.probe1) base
+          else base.flatMap { case (t, b) =>
+            (b +: (0 until geometry.planes).map(j => b ^ (1L << j))).map(t -> _)
+          }.distinct
+        // OR-of-buckets, grouped per table: ≤ tables isin-terms that
+        // Catalyst folds into the index scan
+        val pred = probed.groupBy(_._1).toSeq.map { case (t, bs) =>
+          col("tbl") === t && col("bkt").isin(bs.map(_._2): _*)
+        }.reduce(_ || _)
+        corpus.join(banded.filter(pred).select("vec_id").distinct(), "vec_id")
+      case other =>
+        throw new IllegalArgumentException(s"unknown method '$other' (one of: lsh, brute)")
+    }
+    scored
+      .select(col("vec_id"),
+        cosine(typedLit(q.toSeq), col("embedding"), lit(qn), col("nrm")).as("cos"))
+      .filter(col("cos").isNotNull)
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq
+  }
+}
+
+object AnnServing {
+
+  /** Build (and materialize) the serving index over the embeddings
+    * table. Costs one corpus scan + one banding pass — paid once per
+    * server lifetime, not per request.
+    */
+  def build(spark: SparkSession, dataDir: String): AnnServing = {
+    val e = Tables.embeddings(spark, dataDir)
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+      .persist()
+    val n = e.count()
+    val dims = Knn.embDims(e).getOrElse(
+      throw new IllegalArgumentException("embeddings table has no scorable rows"))
+    val g = LshGeometry.resolve(n, Knn.SearchTau, 0, 0, probe1 = false)
+    val banded = Knn.lshTables(e, g.tables, g.planes)
+      .select("vec_id", "tbl", "bkt").persist()
+    banded.count() // materialize now: the first request must not pay the banding
+    new AnnServing(g, dims, Knn.hyperplanes(g.tables, g.planes, dims), e, banded)
+  }
+}

@@ -49,6 +49,11 @@ object WarehouseServer {
     * job group (current AND not-yet-submitted jobs) at the deadline
     * and answers 504 — so one runaway query cannot pin executor slots
     * past the client's patience.
+    *
+    * `dedupIndexRoot` points `POST /dedup/check` at a PERSISTED band
+    * index ([[graft.dedup.Dedup.commitBandIndex]] over the documents
+    * corpus); absent, the endpoint answers 404. `annMaxK` caps the
+    * neighbor count a search request may ask for.
     */
   final case class Config(
       dataDir: String,
@@ -59,7 +64,9 @@ object WarehouseServer {
       maxBodyBytes: Int = 10 << 20,
       threads: Int = 8,
       bindAll: Boolean = false,
-      requestTimeoutMs: Long = 0L)
+      requestTimeoutMs: Long = 0L,
+      dedupIndexRoot: Option[String] = None,
+      annMaxK: Int = 1000)
 
   /** A started server; `port` is the bound port (useful with port=0). */
   final class Running private[WarehouseServer] (
@@ -106,7 +113,11 @@ object WarehouseServer {
     case f: Float             => jval(f.toDouble)
     case d: java.math.BigDecimal => JDecimal(BigDecimal(d))
     case d: BigDecimal        => JDecimal(d)
-    case t: java.sql.Timestamp => JString(t.toString)
+    // an unambiguous INSTANT (ISO-8601, Z) — Timestamp.toString is a
+    // zone-less wall-clock in the JVM default zone, which shifts on
+    // any box whose JVM zone differs from the session zone (the same
+    // ambiguity the cursor path avoids with epoch micros)
+    case t: java.sql.Timestamp => JString(t.toInstant.toString)
     case d: java.sql.Date     => JString(d.toString)
     case t: java.time.Instant => JString(t.toString)
     case d: java.time.LocalDate => JString(d.toString)
@@ -123,17 +134,21 @@ object WarehouseServer {
 
   // ------------------------------------------------- keyset pagination
 
-  /** The ascending sort-key columns of a result, read off the
-    * ANALYZED plan's top-level global Sort — the library's own query
-    * definitions declare their order there (the oracle contract
-    * requires a total ORDER BY), so the server never guesses a key.
-    * Only plain ascending nulls-first column references over atomic
-    * comparable types qualify: that is exactly the shape the keyset
-    * predicate below can reproduce, and anything fancier (desc,
-    * expressions, arrays, binary) falls back to first-page-only.
+  /** The sort-key columns of a result with their directions
+    * (name, ascending), read off the ANALYZED plan's top-level global
+    * Sort — the library's own query definitions declare their order
+    * there (the oracle contract requires a total ORDER BY), so the
+    * server never guesses a key. Only plain column references over
+    * atomic comparable types in Spark's DEFAULT null placement
+    * qualify — ascending nulls-first or descending nulls-last, the
+    * two shapes `orderBy(col)` / `orderBy(col.desc)` produce and the
+    * keyset predicate below can reproduce ("latest first" listings
+    * page like any other); anything fancier (explicit non-default
+    * null placement, expressions, arrays, binary) falls back to
+    * first-page-only.
     */
-  private[graft] def keysetCols(df: DataFrame): Option[Seq[String]] = {
-    import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, NullsFirst, SortOrder}
+  private[graft] def keysetCols(df: DataFrame): Option[Seq[(String, Boolean)]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, NullsFirst, NullsLast, SortOrder}
     import org.apache.spark.sql.catalyst.plans.logical.Sort
     import org.apache.spark.sql.types._
     def atomic(dt: DataType): Boolean = dt match {
@@ -145,7 +160,9 @@ object WarehouseServer {
       case s: Sort if s.global =>
         val names = s.order.map {
           case SortOrder(a: AttributeReference, Ascending, NullsFirst, _) if atomic(a.dataType) =>
-            Some(a.name)
+            Some((a.name, true))
+          case SortOrder(a: AttributeReference, Descending, NullsLast, _) if atomic(a.dataType) =>
+            Some((a.name, false))
           case _ => None
         }
         if (names.nonEmpty && names.forall(_.isDefined)) Some(names.map(_.get).toSeq) else None
@@ -179,15 +196,21 @@ object WarehouseServer {
         JArray(keys.map(k => cval(row.getAs[Any](k))).toList))).getBytes(UTF_8))
   }
 
-  /** Strict lexicographic "row > cursor" over the sort keys, with
-    * Spark's ascending nulls-first semantics (a null cursor value
-    * means "past the null prefix": col IS NOT NULL). Built from plain
-    * Column comparisons so Catalyst pushes it through the Sort into
-    * the scan — page N prunes at the source instead of re-reading and
-    * skipping N-1 pages, which is what makes deep pagination viable
-    * over warehouse-sized results.
+  /** Strict lexicographic "row comes after cursor" over the sort
+    * keys, honoring each key's direction: ascending keys use Spark's
+    * nulls-first order (a null cursor value means "past the null
+    * prefix": col IS NOT NULL; strictly-after is `col > v`),
+    * descending keys its nulls-last order (strictly-after is
+    * `col < v OR col IS NULL` — nulls are the desc tail; after a null
+    * cursor value nothing within the key remains, only ties
+    * continuing into later keys). Built from plain Column comparisons
+    * so Catalyst pushes it through the Sort into the scan — page N
+    * prunes at the source instead of re-reading and skipping N-1
+    * pages, which is what makes deep pagination viable over
+    * warehouse-sized results.
     */
-  private[graft] def afterPredicate(df: DataFrame, keys: Seq[String], cursor: String): org.apache.spark.sql.Column = {
+  private[graft] def afterPredicate(
+      df: DataFrame, keys: Seq[(String, Boolean)], cursor: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
     import org.apache.spark.sql.types._
     val decoded =
@@ -209,7 +232,7 @@ object WarehouseServer {
     // or corrupted cursor must be a 400, never a silently wrong page
     // (BigInt.toLong wraps past Long range; a fractional value cast
     // onto an integer key truncates — both would resume elsewhere).
-    val parts = keys.zip(vals).map { case (k, v) =>
+    val parts = keys.zip(vals).map { case ((k, asc), v) =>
       val c = col(k)
       def bad(): Nothing =
         throw HttpError(400, s"cursor value ${JsonMethods.compact(JsonMethods.render(v))} " +
@@ -218,7 +241,10 @@ object WarehouseServer {
         case JInt(i) if i >= lo && i <= hi => i.toLong
         case _ => bad()
       }
-      if (v == JNull) (c.isNotNull, c.isNull)
+      // null boundary: ascending nulls-first → everything non-null is
+      // strictly after; descending nulls-last → nulls END the key's
+      // order, nothing is strictly after (ties continue to later keys)
+      if (v == JNull) (if (asc) c.isNotNull else lit(false), c.isNull)
       else {
         val l: org.apache.spark.sql.Column = df.schema(k).dataType match {
           case ByteType    => lit(intIn(Byte.MinValue, Byte.MaxValue).toByte)
@@ -286,7 +312,9 @@ object WarehouseServer {
           }
           case _ => bad()
         }
-        (c > l, c <=> l)
+        // strictly-after in this key's direction; desc must also
+        // admit nulls (they sort after every value in nulls-last)
+        (if (asc) c > l else (c < l) || c.isNull, c <=> l)
       }
     }
     parts.indices.map { i =>
@@ -301,25 +329,54 @@ object WarehouseServer {
     * re-scan). `after` on a result with no such order is a 400, not a
     * silent wrong page.
     */
-  private def page(df: DataFrame, limit: Int, after: Option[String] = None): JValue = {
+  private[graft] def page(df: DataFrame, limit: Int, after: Option[String] = None): JValue = {
     val keys = keysetCols(df)
     val filtered = after match {
       case None => df
       case Some(cur) =>
         val ks = keys.getOrElse(throw HttpError(400,
-          "this result has no total ascending sort order — 'after' pagination not supported"))
+          "this result has no keyset-able total sort order — 'after' pagination not supported"))
         df.filter(afterPredicate(df, ks, cur))
     }
     val taken = filtered.limit(limit + 1).collect()
-    val rows = taken.take(limit)
+    var rows = taken.take(limit)
     val truncated = taken.length > limit
+    // Boundary-tie enforcement: the strict "after cursor" predicate is
+    // only exact when the sort keys are a TOTAL order — a page boundary
+    // inside a tie group would make the next page silently skip the
+    // tied rows. The limit+1 fetch hands us the first UNDELIVERED row,
+    // so the failure is detectable exactly: trim the trailing rows
+    // tied with it (the next page re-reads the whole group — no
+    // overlap, no gap), and when the ENTIRE page is one tie group, no
+    // resumable boundary exists — say so instead of minting a cursor
+    // that skips. The page itself still returns (previews keep
+    // working); only the cursor is withheld, loudly.
+    var nextAfter: Option[String] = None
+    var tieNote: Option[String] = None
+    keys.foreach { ks =>
+      if (truncated) {
+        val names = ks.map(_._1)
+        def kv(r: Row): Seq[Any] = names.map(n => r.getAs[Any](n))
+        val boundary = kv(taken(limit))
+        val cut = rows.lastIndexWhere(r => kv(r) != boundary)
+        if (cut < 0)
+          tieNote = Some(s"page boundary falls inside a sort-key tie group wider than the page " +
+            s"(keys: ${names.mkString(", ")} are not a total order here) — raise 'limit' or " +
+            "refine the query's ORDER BY to a unique key")
+        else {
+          rows = rows.take(cut + 1)
+          nextAfter = Some(cursorOf(rows.last, names))
+        }
+      }
+    }
     val base =
       ("columns" -> df.columns.toList) ~
         ("rows" -> JArray(rows.map(jval).toList)) ~
         ("row_count" -> rows.length) ~
         ("truncated" -> truncated)
-    keys match {
-      case Some(ks) if truncated => base ~ ("next_after" -> cursorOf(rows.last, ks))
+    (nextAfter, tieNote) match {
+      case (Some(cur), _) => base ~ ("next_after" -> cur)
+      case (_, Some(note)) => base ~ ("next_after_unavailable" -> note)
       case _ => base
     }
   }
@@ -437,10 +494,22 @@ object WarehouseServer {
           ("href" -> "/store/read") ~ ("method" -> "GET") ~
             ("rel" -> "versioned read") ~ ("params" -> "keys, version?, limit, after"),
           ("href" -> "/store/commit") ~ ("method" -> "POST") ~
-            ("rel" -> "import") ~ ("body" -> "{source, mode: full|delta}")))
+            ("rel" -> "import") ~ ("body" -> "{source, mode: full|delta}"),
+          ("href" -> "/ann/search") ~ ("method" -> "POST") ~
+            ("rel" -> "similarity-search") ~
+            ("body" -> "{vector: [...], k?, method?: lsh|brute}"),
+          ("href" -> "/dedup/check") ~ ("method" -> "POST") ~
+            ("rel" -> "near-dup verdict") ~ ("body" -> "{text, min_jaccard?}")))
 
     def storeRoot: String =
       cfg.storeRoot.getOrElse(throw HttpError(404, "no store configured (Config.storeRoot)"))
+
+    // the ANN serving index: built once per server on the first search
+    // (one corpus scan + one banding pass), then every request is a
+    // driver-side bucket computation + a pruned probe of the cached
+    // keys — never a per-request re-band of the corpus. Scala lazy val
+    // is thread-safe, so a request stampede builds it exactly once.
+    lazy val annIndex = AnnServing.build(spark, cfg.dataDir)
 
     def handle(ex: HttpExchange): JValue = {
       val params = queryParams(ex)
@@ -504,7 +573,75 @@ object WarehouseServer {
               v.toLongOption.getOrElse(throw HttpError(400, s"bad version '$v'")), keys)
             case None => Snapshots.latest(spark, storeRoot, keys)
           }
-          page(df.orderBy(keys.map(org.apache.spark.sql.functions.col): _*), limit, after)
+          // `order=desc` = "latest keys first", the most common
+          // warehouse listing order — keyset-paged like asc, through
+          // the same per-key-direction cursors
+          val orderOf: String => org.apache.spark.sql.Column =
+            params.getOrElse("order", "asc") match {
+              case "asc"  => c => org.apache.spark.sql.functions.col(c).asc
+              case "desc" => c => org.apache.spark.sql.functions.col(c).desc
+              case other  => throw HttpError(400, s"order must be asc|desc, got '$other'")
+            }
+          page(df.orderBy(keys.map(orderOf): _*), limit, after)
+        case ("POST", "/ann/search") =>
+          val spec = JsonMethods.parse(body(ex, cfg.maxBodyBytes))
+          val vector = spec \ "vector" match {
+            case JArray(vs) => vs.map {
+              case JInt(i)     => i.toDouble
+              case JDouble(d)  => d
+              case JDecimal(d) => d.toDouble
+              case other => throw HttpError(400, s"vector elements must be numbers, got $other")
+            }
+            case _ => throw HttpError(400, "search needs a 'vector' array")
+          }
+          val k = spec \ "k" match {
+            case JInt(i) if i > 0 && i <= cfg.annMaxK => i.toInt
+            case JNothing => 10
+            case other => throw HttpError(400,
+              s"k must be an integer in [1, ${cfg.annMaxK}], got $other")
+          }
+          val method = spec \ "method" match {
+            case JString(m @ ("lsh" | "brute")) => m
+            case JNothing => "lsh"
+            case other => throw HttpError(400, s"method must be lsh|brute, got $other")
+          }
+          // a bad vector (dims mismatch, NaN, zero norm) throws
+          // IllegalArgumentException → the 400 mapping below
+          val neighbors = annIndex.search(vector, k, method)
+          val g = annIndex.geometry
+          ("k" -> k) ~ ("method" -> method) ~
+            ("geometry" ->
+              (("tables" -> g.tables) ~ ("planes" -> g.planes) ~ ("probe1" -> g.probe1))) ~
+            ("neighbors" -> JArray(neighbors.map { case (id, cos) =>
+              ("vec_id" -> JInt(id)) ~ ("cos" -> jval(cos)): JValue
+            }.toList))
+        case ("POST", "/dedup/check") =>
+          val idxRoot = cfg.dedupIndexRoot.getOrElse(throw HttpError(404,
+            "no dedup band index configured (Config.dedupIndexRoot)"))
+          val spec = JsonMethods.parse(body(ex, cfg.maxBodyBytes))
+          val text = spec \ "text" match {
+            case JString(t) => t
+            case other => throw HttpError(400, s"check needs a 'text' string, got $other")
+          }
+          val minJ = spec \ "min_jaccard" match {
+            case JDouble(d) if d > 0 && d <= 1  => d
+            case JDecimal(d) if d > 0 && d <= 1 => d.toDouble
+            case JNothing => 0.8
+            case other => throw HttpError(400, s"min_jaccard must be in (0,1], got $other")
+          }
+          // READ-ONLY screen of one posted doc against the persisted
+          // band index — the q6b ingest path's candidate+verify stages
+          // with a 1-row broadcast batch and a synthetic id that can
+          // never collide with corpus doc_ids. Nothing is committed.
+          import spark.implicits._
+          val batch = Seq((-1L, text)).toDF("doc_id", "text")
+          val corpus = Tables.documents(spark, cfg.dataDir)
+          val v = graft.dedup.Dedup.ingestAgainstIndex(batch, corpus, idxRoot, minJ)
+            .collect().head // exactly one verdict row for the 1-row batch
+          ("keep" -> v.getBoolean(3)) ~
+            ("dup_of" -> (if (v.isNullAt(1)) JNull else JInt(v.getLong(1)))) ~
+            ("n_matches" -> v.getLong(2)) ~
+            ("min_jaccard" -> minJ)
         case ("POST", "/store/commit") =>
           val spec = JsonMethods.parse(body(ex, cfg.maxBodyBytes))
           val source = spec \ "source" match {
@@ -571,8 +708,13 @@ object WarehouseServer {
         // server shutdown can cancel whatever is still running
         spark.sparkContext.setJobGroup(reqId,
           s"${ex.getRequestMethod} ${ex.getRequestURI.getPath}", interruptOnCancel = true)
-        val ok = (200, handle(ex))
-        if (timedOut.get && groupRanJobs) timeoutPayload else ok
+        // a handler that RETURNED computed its full, correct response:
+        // every job it needed completed before the cancellation bit
+        // (a job the watchdog actually killed surfaces as an exception
+        // below). Discarding that finished work as a 504 just because
+        // the flag flipped during final serialization would waste a
+        // correct answer the client then recomputes.
+        (200, handle(ex))
       } catch {
         // deadline first: the cancellation surfaces as a SparkException
         // whose shape varies by where the job was when it died —
@@ -606,7 +748,7 @@ object WarehouseServer {
     "/items/histogram", "/items/frequencies", "/metadata/search", "/queries",
     "/store/versions", "/store/read")
   private val postPaths = Set("/cohort/query", "/cohort/population",
-    "/cohort/atom-counts", "/store/commit")
+    "/cohort/atom-counts", "/store/commit", "/ann/search", "/dedup/check")
 
   /** POST /queries/{name} matcher (no other path params exist). */
   private object QueryRun {

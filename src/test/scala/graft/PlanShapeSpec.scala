@@ -44,9 +44,9 @@ class PlanShapeSpec extends SparkSpec {
     val df = SparkEntry.queries("q01_scan_project")(spark, sf)
     val keys = WarehouseServer.keysetCols(df)
       .getOrElse(fail("q01 lost its ascending total order"))
-    assert(keys == Seq("l_orderkey", "l_linenumber", "l_extendedprice"))
+    assert(keys == Seq("l_orderkey" -> true, "l_linenumber" -> true, "l_extendedprice" -> true))
     val first = df.limit(3).collect()
-    val cursor = WarehouseServer.cursorOf(first.last, keys)
+    val cursor = WarehouseServer.cursorOf(first.last, keys.map(_._1))
     val page2 = df.filter(WarehouseServer.afterPredicate(df, keys, cursor))
     // the scan line truncates PushedFilters at maxMetadataStringLength
     // by default — widen it for the assertion or the push is invisible

@@ -298,9 +298,9 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         .select(col("event_id"), col("ts")).orderBy("ts", "event_id")
       val keys = WarehouseServer.keysetCols(df)
         .getOrElse(fail("ordered events frame lost its keyset"))
-      assert(keys == Seq("ts", "event_id"))
+      assert(keys == Seq("ts" -> true, "event_id" -> true))
       val first = df.limit(7).collect()
-      val cursor = WarehouseServer.cursorOf(first.last, keys)
+      val cursor = WarehouseServer.cursorOf(first.last, keys.map(_._1))
       val page2 = df.filter(WarehouseServer.afterPredicate(df, keys, cursor))
         .limit(7).collect().map(_.toSeq).toSeq
       val direct = df.limit(14).collect().drop(7).map(_.toSeq).toSeq
@@ -336,7 +336,7 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     def walkOnce(df: org.apache.spark.sql.DataFrame): Unit = {
       val keys = WarehouseServer.keysetCols(df).getOrElse(fail("frame lost its keyset"))
       val first = df.limit(5).collect()
-      val cursor = WarehouseServer.cursorOf(first.last, keys)
+      val cursor = WarehouseServer.cursorOf(first.last, keys.map(_._1))
       val page2 = df.filter(WarehouseServer.afterPredicate(df, keys, cursor))
         .limit(5).collect().map(_.toSeq).toSeq
       assert(page2 == df.limit(10).collect().drop(5).map(_.toSeq).toSeq,
@@ -351,7 +351,8 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // overflow 500 at execution: too many integer digits; too much scale
     for (bad <- Seq("[99999999999999999999999999,1]", "[1.234,1]")) {
       val e = intercept[RuntimeException](
-        WarehouseServer.afterPredicate(dec, Seq("price", "o_orderkey"), cur(bad)))
+        WarehouseServer.afterPredicate(dec,
+          Seq("price" -> true, "o_orderkey" -> true), cur(bad)))
       assert(e.getMessage.contains("does not fit"), s"$bad: ${e.getMessage}")
     }
     // date keys: zone-free ISO round-trip, junk rejected driver-side
@@ -360,7 +361,8 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       .orderBy("d", "o_orderkey")
     walkOnce(dat)
     val e = intercept[RuntimeException](
-      WarehouseServer.afterPredicate(dat, Seq("d", "o_orderkey"), cur("""["junk",1]""")))
+      WarehouseServer.afterPredicate(dat,
+        Seq("d" -> true, "o_orderkey" -> true), cur("""["junk",1]""")))
     assert(e.getMessage.contains("does not fit"), e.getMessage)
   }
 
@@ -442,6 +444,203 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       assert(l("GET", "/items/frequencies?source=region&field=r_name") == 200)
       assert(l("POST", "/queries/q05_distinct") == 200)
     } finally lenient.close()
+  }
+
+  test("descending and mixed-direction keyset cursors page exactly, including the null tail") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // mixed shape — desc nulls-last first key, asc tiebreak — over a
+    // frame whose desc key HAS nulls: the cursor must carry the walk
+    // across the value→null boundary and through the null tail
+    val df = Seq(
+      (Option(5), 1), (Option(5), 2), (Option(3), 3),
+      (Option.empty[Int], 4), (Option.empty[Int], 5), (Option(1), 6))
+      .toDF("v", "id").orderBy(col("v").desc, col("id"))
+    val keys = WarehouseServer.keysetCols(df).getOrElse(fail("desc frame lost its keyset"))
+    assert(keys == Seq("v" -> false, "id" -> true))
+    val direct = df.collect().map(_.toSeq).toSeq
+    assert(direct.map(_(1)) == Seq(1, 2, 3, 6, 4, 5), "desc nulls-last order changed")
+    var walked = Vector.empty[Seq[Any]]
+    var cursor: Option[String] = None
+    var guard = 0
+    while (walked.size < direct.size) {
+      guard += 1; assert(guard <= direct.size, "cursor walk stalled")
+      val pg = cursor.fold(df)(c => df.filter(WarehouseServer.afterPredicate(df, keys, c)))
+        .limit(2).collect()
+      assert(pg.nonEmpty, s"walk returned an empty page at ${walked.size}/${direct.size}")
+      walked ++= pg.map(_.toSeq)
+      cursor = Some(WarehouseServer.cursorOf(pg.last, keys.map(_._1)))
+    }
+    assert(walked == direct, "desc/mixed walk is not the exact frame")
+
+    // all-desc over real data ("latest events first")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("ts"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val k2 = WarehouseServer.keysetCols(ev).getOrElse(fail("desc events frame lost its keyset"))
+    assert(k2 == Seq("ts" -> false, "event_id" -> false))
+    val first = ev.limit(7).collect()
+    val c2 = WarehouseServer.cursorOf(first.last, k2.map(_._1))
+    val page2 = ev.filter(WarehouseServer.afterPredicate(ev, k2, c2))
+      .limit(7).collect().map(_.toSeq).toSeq
+    assert(page2 == ev.limit(14).collect().drop(7).map(_.toSeq).toSeq,
+      "desc timestamp cursor shifted the resume point")
+  }
+
+  test("store read pages latest-first over HTTP with the desc keyset walk") {
+    // the store suite committed k=0..4 then k=10..11 earlier (suite
+    // runs in declaration order); latest-first must walk them in
+    // exact reverse key order with no overlap or gap
+    val expected = {
+      val (_, asc) = get("/store/read?keys=k&limit=100")
+      rows(asc).map(r => longOf(r \ "k")).reverse
+    }
+    assert(expected.size == 7)
+    var cursor: Option[String] = None
+    var walked = List.empty[Long]
+    var done = false
+    while (!done) {
+      val q = "?keys=k&order=desc&limit=3" + cursor.map(c => s"&after=$c").getOrElse("")
+      val (code, v) = get(s"/store/read$q")
+      assert(code == 200)
+      walked ++= rows(v).map(r => longOf(r \ "k"))
+      v \ "next_after" match {
+        case JString(next) => cursor = Some(next)
+        case JNothing      => done = true
+        case other         => fail(s"unexpected next_after $other")
+      }
+      assert(walked.size <= expected.size, s"walk overran: $walked")
+    }
+    assert(walked == expected, "desc HTTP walk is not the exact reverse listing")
+  }
+
+  test("a page boundary inside a sort-key tie trims to a resumable boundary or withholds the cursor") {
+    import spark.implicits._
+    // g is NOT a total order: the auto-paginated /queries contract
+    // must never mint a cursor that silently skips tied rows
+    val df = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d"), (2, "e"), (3, "f"))
+      .toDF("g", "x").orderBy("g")
+    // limit 2: the whole page is one tie group — no resumable boundary
+    // exists; the rows still return (previews work) but the cursor is
+    // withheld with an explanation instead of skipping (1,"c")
+    val p1 = WarehouseServer.page(df, 2)
+    assert(longOf(p1 \ "row_count") == 2 && p1 \ "truncated" == JBool(true))
+    assert(p1 \ "next_after" == JNothing)
+    assert((p1 \ "next_after_unavailable").isInstanceOf[JString])
+    // limit 4: the boundary row (g=2) ties with the page's tail — the
+    // tail trims so the cursor lands on a strict key increase, and the
+    // next page re-reads the whole g=2 group: no overlap, no gap
+    val p2 = WarehouseServer.page(df, 4)
+    assert(longOf(p2 \ "row_count") == 3, "tied tail was not trimmed")
+    assert(rows(p2).forall(r => longOf(r \ "g") == 1L))
+    val cur = (p2 \ "next_after") match {
+      case JString(s) => s
+      case other      => fail(s"expected a cursor after the trim, got $other")
+    }
+    val p3 = WarehouseServer.page(df, 4, Some(cur))
+    assert(longOf(p3 \ "row_count") == 3 && p3 \ "truncated" == JBool(false))
+    assert(rows(p3).map(r => longOf(r \ "g")) == List(2L, 2L, 3L))
+  }
+
+  test("/ann/search answers exactly what the library search computes, lsh and brute") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val vec = emb.filter(col("vec_id") === 3).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    def neighborsOf(v: JValue): List[(Long, Double)] =
+      (v \ "neighbors").asInstanceOf[JArray].arr.map { n =>
+        (longOf(n \ "vec_id"), (n \ "cos").asInstanceOf[JDouble].num)
+      }
+    // lsh: the served top-6 minus the in-corpus query row itself must
+    // BE lshTopK's top-5 for qid=3 at the same solver geometry (the
+    // query's buckets are computed driver-side from the same seeded
+    // hyperplanes — same candidates, same guarded cosine)
+    val (lc, lv) = post("/ann/search",
+      s"""{"vector": [${vec.mkString(",")}], "k": 6, "method": "lsh"}""")
+    assert(lc == 200)
+    assert(lv \ "geometry" \ "tables" != JNothing)
+    val lsh = neighborsOf(lv).filterNot(_._1 == 3L)
+    val direct = graft.ann.Knn.lshTopK(emb).filter(col("qid") === 3).collect()
+      .map(r => (r.getLong(1), r.getDouble(3))).toList
+    assert(lsh.map(_._1) == direct.map(_._1),
+      s"served lsh ${lsh.map(_._1)} != library ${direct.map(_._1)}")
+    lsh.zip(direct).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
+    // brute: the exhaustive scan finds the query row itself at cos 1
+    val (bc, bv) = post("/ann/search",
+      s"""{"vector": [${vec.mkString(",")}], "k": 6, "method": "brute"}""")
+    assert(bc == 200)
+    val brute = neighborsOf(bv)
+    assert(brute.exists { case (id, c) => id == 3L && math.abs(c - 1.0) < 1e-12 })
+    // brute dominates lsh: every served lsh cosine appears in brute's
+    // top set at the same or better rank
+    assert(brute.map(_._2).max >= lsh.map(_._2).max - 1e-12)
+    // malformed vectors are typed 400s, never a garbage neighbor list
+    assert(post("/ann/search", """{"vector": "nope"}""")._1 == 400)
+    assert(post("/ann/search", s"""{"vector": [1.0]}""")._1 == 400)
+    assert(post("/ann/search",
+      s"""{"vector": [${Seq.fill(vec.size)("0.0").mkString(",")}]}""")._1 == 400)
+    assert(post("/ann/search",
+      s"""{"vector": [${vec.mkString(",")}], "k": 0}""")._1 == 400)
+    assert(post("/ann/search",
+      s"""{"vector": [${vec.mkString(",")}], "method": "ivf-nope"}""")._1 == 400)
+  }
+
+  test("/dedup/check screens a posted document against the persisted band index") {
+    import org.apache.spark.sql.functions.{col, length}
+    val docs = Tables.documents(spark, sf)
+    val idxRoot = s"${tmpDir("serve-bandidx")}/idx"
+    graft.dedup.Dedup.commitBandIndex(docs, idxRoot)
+    val srv = WarehouseServer.start(spark, WarehouseServer.Config(
+      dataDir = sf, dedupIndexRoot = Some(idxRoot)))
+    try {
+      def check(body: JValue): (Int, JValue) = {
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.port}/dedup/check"))
+            .POST(HttpRequest.BodyPublishers.ofString(
+              JsonMethods.compact(JsonMethods.render(body)), UTF_8)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      // an exact copy of a corpus document: flagged, with a dup_of id
+      // and at least its own source among the matches
+      val sample = docs.filter(length(col("text")) > 50).orderBy("doc_id").head()
+      val (c1, v1) = check(JObject("text" -> JString(sample.getString(1))))
+      assert(c1 == 200)
+      assert(v1 \ "keep" == JBool(false), s"an exact corpus copy must be flagged: $v1")
+      assert(longOf(v1 \ "n_matches") >= 1L)
+      assert(longOf(v1 \ "dup_of") <= sample.getLong(0))
+      // a novel document passes
+      val (c2, v2) = check(JObject("text" ->
+        JString("zq glorp mftt xyzzy kwisatz polyglot quux marzlevane frob")))
+      assert(c2 == 200)
+      assert(v2 \ "keep" == JBool(true) && longOf(v2 \ "n_matches") == 0L)
+      assert(v2 \ "dup_of" == JNull)
+      // typed 400 on a missing text field
+      assert(check(JObject("nope" -> JString("x")))._1 == 400)
+    } finally srv.close()
+    // the main server has no index configured: 404, not 500
+    assert(post("/dedup/check", """{"text": "x"}""")._1 == 404)
+  }
+
+  test("row timestamps render as unambiguous ISO instants over HTTP") {
+    import spark.implicits._
+    val root = tmpDir("serve-ts-store")
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2024-06-01T12:34:56.789Z"))
+    Snapshots.commit(Seq((1L, ts)).toDF("k", "ts"), root)
+    val srv = WarehouseServer.start(spark, WarehouseServer.Config(
+      dataDir = sf, storeRoot = Some(root)))
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.port}/store/read?keys=k")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      val v = JsonMethods.parse(r.body())
+      val got = (rows(v).head \ "ts").asInstanceOf[JString].s
+      // an instant, not a zone-less wall-clock: parseable as Instant
+      // and equal to the committed one regardless of the JVM zone
+      assert(java.time.Instant.parse(got) == ts.toInstant,
+        s"timestamp rendered ambiguously: '$got'")
+    } finally srv.close()
   }
 
   test("a server without a store answers 404 on store routes, not 500") {
