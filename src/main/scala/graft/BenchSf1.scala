@@ -24,19 +24,25 @@ import org.apache.spark.sql.functions._
   */
 object BenchSf1 {
 
-  /** (table → key columns shifted per copy). Non-key references to
-    * dimension keys (c_nationkey, s_nationkey) stay untouched —
-    * dimensions don't fan.
+  /** Key DOMAINS → the (table, column) members that must shift by ONE
+    * shared per-copy stride. Per-column strides would misalign every
+    * cross-table join for copies > 0 — e.g. documents (max doc_id
+    * 4999) and embeddings (max vec_id 1999) fan apart, breaking the
+    * `emb.vec_id == documents.doc_id` linkage qa2/curatedSemantic
+    * join on, and an FK whose max sits below its PK's max (sparse
+    * reference) would point copy-i rows at copy-(i-1) parents. The
+    * stride is max over ALL of a domain's columns + 1. Non-key
+    * references to dimension keys (c_nationkey, s_nationkey) stay
+    * untouched — dimensions don't fan.
     */
-  private val fanKeys: Map[String, Seq[String]] = Map(
-    "customer"   -> Seq("c_custkey"),
-    "supplier"   -> Seq("s_suppkey"),
-    "part"       -> Seq("p_partkey"),
-    "orders"     -> Seq("o_orderkey", "o_custkey"),
-    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
-    "events"     -> Seq("event_id", "user_id"),
-    "documents"  -> Seq("doc_id"),
-    "embeddings" -> Seq("vec_id"))
+  private val domains: Seq[Seq[(String, String)]] = Seq(
+    Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey"),
+    Seq("customer" -> "c_custkey", "orders" -> "o_custkey"),
+    Seq("part" -> "p_partkey", "lineitem" -> "l_partkey"),
+    Seq("supplier" -> "s_suppkey", "lineitem" -> "l_suppkey"),
+    Seq("documents" -> "doc_id", "embeddings" -> "vec_id"),
+    Seq("events" -> "event_id"),
+    Seq("events" -> "user_id"))
 
   /** The queries worth profiling at 10×: the most expensive rows of
     * the sf0.1 record (per-query min-of-trials), covering every heavy
@@ -70,26 +76,30 @@ object BenchSf1 {
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
       java.nio.file.Files.createTempDirectory("graft-sf1").toString)
 
+    // one shared stride per domain, from the max over every member
+    val loaded = scala.collection.mutable.Map.empty[String, DataFrame]
+    def tbl(name: String): DataFrame =
+      loaded.getOrElseUpdate(name, Tables.load(spark, srcDir, name))
+    val strideOf: Map[(String, String), Long] = domains.flatMap { members =>
+      val s = members.map { case (t, c) => tbl(t).agg(max(col(c))).head().getLong(0) }.max + 1L
+      members.map(_ -> s)
+    }.toMap
+
     def fanned(name: String): DataFrame = {
-      val base = Tables.load(spark, srcDir, name)
-      fanKeys.get(name) match {
-        case None => base // dimension: fixed, as in TPC-H
-        case Some(keys) =>
-          val strides = keys.map { k =>
-            k -> (base.agg(max(col(k))).head().getLong(0) + 1L)
-          }
-          (0 until copies).map { i =>
-            val shifted = strides.foldLeft(base) { case (df, (k, s)) =>
-              df.withColumn(k, col(k) + lit(i * s))
-            }
-            // near-dup (not only exact-dup) text growth: a per-copy
-            // suffix token keeps long docs above jaccard 0.8 against
-            // their siblings while breaking exact equality
-            if (name == "documents" && i > 0)
-              shifted.withColumn("text", concat(col("text"), lit(s" c$i")))
-            else shifted
-          }.reduce(_ unionByName _)
-      }
+      val base = tbl(name)
+      val keys = strideOf.keys.collect { case (t, c) if t == name => c }.toSeq
+      if (keys.isEmpty) base // dimension: fixed, as in TPC-H
+      else (0 until copies).map { i =>
+        val shifted = keys.foldLeft(base) { (df, k) =>
+          df.withColumn(k, col(k) + lit(i * strideOf((name, k))))
+        }
+        // near-dup (not only exact-dup) text growth: a per-copy
+        // suffix token keeps long docs above jaccard 0.8 against
+        // their siblings while breaking exact equality
+        if (name == "documents" && i > 0)
+          shifted.withColumn("text", concat(col("text"), lit(s" c$i")))
+        else shifted
+      }.reduce(_ unionByName _)
     }
 
     println(s"[sf1] building ${copies}x fan-out of $srcDir under $sf1")

@@ -79,7 +79,7 @@ object PaginationSoak {
               .filter(col("_rn") === offset).drop("_rn")
               .collect()
             require(boundary.length == 1, s"boundary isolation returned ${boundary.length} rows")
-            Some(WarehouseServer.cursorOf(boundary.head, keys.map(_._1)))
+            Some(WarehouseServer.cursorOf(boundary.head, keys))
           }
         // three trials each, report the median, cold cache per trial
         def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)

@@ -1373,6 +1373,36 @@ object Dedup {
     (baseV, vs)
   }
 
+  /** Retention for the persisted VECTOR index: vacuum pinned at the
+    * reader's OWN base — the newest full snapshot whose geometry
+    * sidecar is PUBLISHED — never at the raw newest full. A plain
+    * `Snapshots.vacuum(root, latest)` would resolve its base to a
+    * full whose sidecar never landed (crash between the rebuild's
+    * commit and its geometry publish — the exact window the
+    * sidecar gate exists for) and physically delete the segments the
+    * gated reader is still serving from, killing the index forever.
+    * Sidecars of the vacuumed versions are deleted along with them.
+    */
+  def vacuumVecIndex(spark: org.apache.spark.sql.SparkSession, root: String): Seq[Long] = {
+    val (baseV, _) = vecBaseVersion(spark, root)
+    val deleted = graft.sources.Snapshots.vacuum(spark, root, keepAfterVersion = baseV)
+    deleted.foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(geomPath(root, v))
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) { f.delete(p, true); () }
+    }
+    deleted
+  }
+
+  /** Retention for the persisted BAND index: its readers base on the
+    * newest full snapshot unconditionally ([[readBandIndex]]), so the
+    * plain store vacuum at the tip is safe — this wrapper just names
+    * the operational intent next to [[compactBandIndex]].
+    */
+  def vacuumBandIndex(spark: org.apache.spark.sql.SparkSession, root: String): Seq[Long] =
+    graft.sources.Snapshots.vacuum(spark, root,
+      graft.sources.Snapshots.latestVersion(spark, root))
+
   /** The pinned build-time geometry of the index at `root`. */
   def vecIndexGeometry(spark: org.apache.spark.sql.SparkSession, root: String): VecIndexGeom = {
     val (baseV, _) = vecBaseVersion(spark, root)

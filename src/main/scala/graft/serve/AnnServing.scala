@@ -41,9 +41,16 @@ import org.apache.spark.sql.functions._
 final class AnnServing private (
     val geometry: LshGeometry,
     val dims: Int,
-    hp: IndexedSeq[IndexedSeq[Seq[Double]]],
+    hpSeq: IndexedSeq[IndexedSeq[Seq[Double]]],
     corpus: DataFrame,
     banded: DataFrame) {
+
+  // array-backed planes for the request path: the seeded draw comes
+  // back as Seq (List) rows, and indexing a List inside the dot loop
+  // is O(d) per ELEMENT — O(d²) per plane, ~20M pointer hops per
+  // request at 768 dims. One copy at construction makes it O(d).
+  private val hp: Array[Array[Array[Double]]] =
+    hpSeq.map(_.map(_.toArray).toArray).toArray
 
   /** Driver-side bucketing of one query vector — the same sign-bit
     * fold [[Knn.lshTables]] runs in codegen, on the same planes.
@@ -129,7 +136,12 @@ object AnnServing {
     val dims = Knn.embDims(e).getOrElse(
       throw new IllegalArgumentException("embeddings table has no scorable rows"))
     val g = LshGeometry.resolve(n, Knn.SearchTau, 0, 0, probe1 = false)
-    val banded = Knn.lshTables(e, g.tables, g.planes)
+    // dims passed EXPLICITLY: lshTables would otherwise re-derive it
+    // with its own head(1) job, and on a mixed-width corpus the two
+    // first-scorable-row picks could disagree — hyperplanes at width
+    // A bucketing queries against an index banded at width B would
+    // silently return near-empty candidate sets
+    val banded = Knn.lshTables(e, g.tables, g.planes, dims = Some(dims))
       .select("vec_id", "tbl", "bkt").persist()
     banded.count() // materialize now: the first request must not pay the banding
     new AnnServing(g, dims, Knn.hyperplanes(g.tables, g.planes, dims), e, banded)

@@ -170,9 +170,18 @@ object WarehouseServer {
     }
   }
 
-  /** Opaque page cursor: the key values of the last delivered row,
-    * as a base64url JSON array. Self-describing to the server only —
-    * clients treat it as a token from `next_after`.
+  /** Opaque page cursor: `{"k": ["name:a"|"name:d", …], "v": [values]}`
+    * as base64url JSON — the key VALUES of the last delivered row plus
+    * the sort keys and directions they were minted under.
+    * Self-describing to the server only — clients treat it as a token
+    * from `next_after`.
+    *
+    * The mint-time keys ride along so the decode side can verify the
+    * cursor matches the result it is replayed against: a desc-minted
+    * cursor replayed on the same endpoint WITHOUT `order=desc` would
+    * otherwise build the ascending predicate over the same values and
+    * 200 a silently wrong page — the exact failure class every other
+    * cursor validation here turns into a 400.
     *
     * One value deviates from [[jval]]: `java.sql.Timestamp.toString`
     * renders a ZONE-LESS wall-clock in the JVM default timezone, but
@@ -184,16 +193,19 @@ object WarehouseServer {
     * carries its Z suffix and LocalDateTime/LocalDate are zone-free
     * by definition — their ISO strings are already safe.)
     */
-  private[graft] def cursorOf(row: Row, keys: Seq[String]): String = {
+  private[graft] def cursorOf(row: Row, keys: Seq[(String, Boolean)]): String = {
     def cval(v: Any): JValue = v match {
       case t: java.sql.Timestamp =>
         val i = t.toInstant
         JInt(BigInt(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)))
       case other => jval(other)
     }
+    val tagged = keys.map { case (n, asc) => JString(s"$n:${if (asc) "a" else "d"}"): JValue }
     java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
-      JsonMethods.compact(JsonMethods.render(
-        JArray(keys.map(k => cval(row.getAs[Any](k))).toList))).getBytes(UTF_8))
+      JsonMethods.compact(JsonMethods.render(JObject(
+        "k" -> JArray(tagged.toList),
+        "v" -> JArray(keys.map { case (n, _) => cval(row.getAs[Any](n)) }.toList))))
+        .getBytes(UTF_8))
   }
 
   /** Strict lexicographic "row comes after cursor" over the sort
@@ -222,7 +234,26 @@ object WarehouseServer {
         // dropping rows between the true and rounded values
         useBigDecimalForDouble = true)
       catch { case NonFatal(_) => throw HttpError(400, "bad 'after' cursor (use next_after verbatim)") }
-    val vals = decoded match {
+    // the cursor must have been minted under EXACTLY this result's
+    // sort keys and directions — a desc-minted cursor replayed on an
+    // ascending listing (or a cursor from a different endpoint) is a
+    // 400, never a silently different resume point
+    val mintedKeys = decoded \ "k" match {
+      case JArray(ks) => ks.map {
+        case JString(s) if s.endsWith(":a") => (s.dropRight(2), true)
+        case JString(s) if s.endsWith(":d") => (s.dropRight(2), false)
+        case _ => throw HttpError(400, "bad 'after' cursor (use next_after verbatim)")
+      }
+      case _ => throw HttpError(400, "bad 'after' cursor (use next_after verbatim)")
+    }
+    if (mintedKeys != keys) {
+      def show(ks: Seq[(String, Boolean)]) =
+        ks.map { case (n, a) => s"$n ${if (a) "asc" else "desc"}" }.mkString(", ")
+      throw HttpError(400, s"'after' cursor was minted under sort (${show(mintedKeys)}) " +
+        s"but this result sorts by (${show(keys)}) — request the same ordering, " +
+        "or start from the first page")
+    }
+    val vals = decoded \ "v" match {
       case JArray(vs) if vs.length == keys.length => vs
       case _ => throw HttpError(400,
         s"'after' cursor does not match this result's ${keys.length} sort key(s)")
@@ -365,7 +396,7 @@ object WarehouseServer {
             "refine the query's ORDER BY to a unique key")
         else {
           rows = rows.take(cut + 1)
-          nextAfter = Some(cursorOf(rows.last, names))
+          nextAfter = Some(cursorOf(rows.last, ks))
         }
       }
     }
@@ -623,16 +654,31 @@ object WarehouseServer {
             case JString(t) => t
             case other => throw HttpError(400, s"check needs a 'text' string, got $other")
           }
+          // floor 0.8: the persisted index's BANDING is fixed at build
+          // time for the ≥0.8 operating point — candidate recall below
+          // it is near zero, so accepting a lower threshold would
+          // answer confidently-wrong keep=true for pairs the bands
+          // never surface. Honest 400 instead. (JInt admits the
+          // integer literal 1, which json4s parses as JInt, not
+          // JDouble.)
           val minJ = spec \ "min_jaccard" match {
-            case JDouble(d) if d > 0 && d <= 1  => d
-            case JDecimal(d) if d > 0 && d <= 1 => d.toDouble
+            case JDouble(d) if d >= 0.8 && d <= 1  => d
+            case JDecimal(d) if d >= 0.8 && d <= 1 => d.toDouble
+            case JInt(i) if i == 1 => 1.0
             case JNothing => 0.8
-            case other => throw HttpError(400, s"min_jaccard must be in (0,1], got $other")
+            case other => throw HttpError(400,
+              s"min_jaccard must be in [0.8, 1] — the persisted index's banding is built " +
+                s"for the 0.8 operating point and cannot surface candidates below it; got $other")
           }
           // READ-ONLY screen of one posted doc against the persisted
           // band index — the q6b ingest path's candidate+verify stages
           // with a 1-row broadcast batch and a synthetic id that can
           // never collide with corpus doc_ids. Nothing is committed.
+          // Per-request cost = one index-key scan + one candidate-
+          // bounded corpus join, exactly q6b's per-INGEST steady-state
+          // cost, always against the freshest committed index (a
+          // server-cached snapshot would answer stale verdicts after
+          // every delta commit; freshness wins for a dedup gate).
           import spark.implicits._
           val batch = Seq((-1L, text)).toDF("doc_id", "text")
           val corpus = Tables.documents(spark, cfg.dataDir)

@@ -445,6 +445,13 @@ object Snapshots {
     * job mid-flight) can fail — the standard retention trade-off;
     * pick `keepAfterVersion` behind the oldest pin in use.
     *
+    * Stores whose readers gate their base on EXTERNAL state must
+    * vacuum through their owner's wrapper, not this raw call: the
+    * vector index adopts a full snapshot only once its geometry
+    * sidecar is published (`graft.dedup.Dedup.vacuumVecIndex` pins at
+    * that gated base), so vacuuming here at the raw newest full could
+    * delete the segments the gated reader still serves from.
+    *
     * Returns the deleted versions (empty when nothing was superseded).
     */
   def vacuum(

@@ -46,7 +46,7 @@ class PlanShapeSpec extends SparkSpec {
       .getOrElse(fail("q01 lost its ascending total order"))
     assert(keys == Seq("l_orderkey" -> true, "l_linenumber" -> true, "l_extendedprice" -> true))
     val first = df.limit(3).collect()
-    val cursor = WarehouseServer.cursorOf(first.last, keys.map(_._1))
+    val cursor = WarehouseServer.cursorOf(first.last, keys)
     val page2 = df.filter(WarehouseServer.afterPredicate(df, keys, cursor))
     // the scan line truncates PushedFilters at maxMetadataStringLength
     // by default — widen it for the assertion or the push is invisible

@@ -300,7 +300,7 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         .getOrElse(fail("ordered events frame lost its keyset"))
       assert(keys == Seq("ts" -> true, "event_id" -> true))
       val first = df.limit(7).collect()
-      val cursor = WarehouseServer.cursorOf(first.last, keys.map(_._1))
+      val cursor = WarehouseServer.cursorOf(first.last, keys)
       val page2 = df.filter(WarehouseServer.afterPredicate(df, keys, cursor))
         .limit(7).collect().map(_.toSeq).toSeq
       val direct = df.limit(14).collect().drop(7).map(_.toSeq).toSeq
@@ -308,15 +308,18 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     } finally java.util.TimeZone.setDefault(oldTz)
   }
 
+  /** Mint a cursor in the wire format with explicit key tags + values. */
+  private def mintCur(keys: Seq[String], valsJson: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+      s"""{"k":[${keys.map(k => s"\"$k\"").mkString(",")}],"v":$valsJson}""".getBytes(UTF_8))
+
   test("out-of-domain cursor values are a 400, never a silently wrong page") {
-    def cur(json: String): String = java.util.Base64.getUrlEncoder.withoutPadding
-      .encodeToString(json.getBytes(UTF_8))
     // population's key is a long: a value past Long range must not
     // wrap (BigInt.toLong would), a fractional must not truncate, a
     // string must not coerce
     for (bad <- Seq("[99999999999999999999999999]", "[1.5]", "[\"7\"]"))
-      assert(post(s"/cohort/population?after=${cur(bad)}", CohortQuery.demoSpec)._1 == 400,
-        s"cursor $bad was not refused")
+      assert(post(s"/cohort/population?after=${mintCur(Seq("subject:a"), bad)}",
+        CohortQuery.demoSpec)._1 == 400, s"cursor $bad was not refused")
     // temporal keys validate DRIVER-side: a junk string must be the
     // contract 400 at predicate-build time, not an ANSI cast 500 at
     // execution (or a silent empty page with ANSI off)
@@ -325,18 +328,36 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       .select(col("event_id"), col("ts")).orderBy("ts", "event_id")
     val tsKeys = WarehouseServer.keysetCols(tsDf).get
     val e = intercept[RuntimeException](
-      WarehouseServer.afterPredicate(tsDf, tsKeys, cur("""["junk",1]""")))
+      WarehouseServer.afterPredicate(tsDf, tsKeys,
+        mintCur(Seq("ts:a", "event_id:a"), """["junk",1]""")))
     assert(e.getMessage.contains("does not fit"), s"wrong refusal: ${e.getMessage}")
+  }
+
+  test("a cursor replayed under a different sort order is a 400, not a silently shifted page") {
+    // mint from the desc store listing, replay without order=desc:
+    // the values alone would build a valid-looking ascending predicate
+    // over the same keys — the exact silently-wrong-page the
+    // direction tags exist to refuse
+    val (dc, dv) = get("/store/read?keys=k&order=desc&limit=3")
+    assert(dc == 200)
+    val cur = (dv \ "next_after") match {
+      case JString(s) => s
+      case other      => fail(s"desc listing should truncate at limit 3, got $other")
+    }
+    val (rc, rv) = get(s"/store/read?keys=k&after=$cur")
+    assert(rc == 400, s"direction-mismatched cursor was accepted: $rv")
+    assert((rv \ "error").asInstanceOf[JString].s.contains("minted under"),
+      s"wrong refusal: ${rv \ "error"}")
+    // and the same cursor on its own ordering still works
+    assert(get(s"/store/read?keys=k&order=desc&after=$cur")._1 == 200)
   }
 
   test("decimal and date sort keys page exactly and reject out-of-domain cursors") {
     import org.apache.spark.sql.functions.{col, to_date}
-    def cur(json: String): String = java.util.Base64.getUrlEncoder.withoutPadding
-      .encodeToString(json.getBytes(UTF_8))
     def walkOnce(df: org.apache.spark.sql.DataFrame): Unit = {
       val keys = WarehouseServer.keysetCols(df).getOrElse(fail("frame lost its keyset"))
       val first = df.limit(5).collect()
-      val cursor = WarehouseServer.cursorOf(first.last, keys.map(_._1))
+      val cursor = WarehouseServer.cursorOf(first.last, keys)
       val page2 = df.filter(WarehouseServer.afterPredicate(df, keys, cursor))
         .limit(5).collect().map(_.toSeq).toSeq
       assert(page2 == df.limit(10).collect().drop(5).map(_.toSeq).toSeq,
@@ -352,7 +373,8 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     for (bad <- Seq("[99999999999999999999999999,1]", "[1.234,1]")) {
       val e = intercept[RuntimeException](
         WarehouseServer.afterPredicate(dec,
-          Seq("price" -> true, "o_orderkey" -> true), cur(bad)))
+          Seq("price" -> true, "o_orderkey" -> true),
+          mintCur(Seq("price:a", "o_orderkey:a"), bad)))
       assert(e.getMessage.contains("does not fit"), s"$bad: ${e.getMessage}")
     }
     // date keys: zone-free ISO round-trip, junk rejected driver-side
@@ -362,7 +384,8 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     walkOnce(dat)
     val e = intercept[RuntimeException](
       WarehouseServer.afterPredicate(dat,
-        Seq("d" -> true, "o_orderkey" -> true), cur("""["junk",1]""")))
+        Seq("d" -> true, "o_orderkey" -> true),
+        mintCur(Seq("d:a", "o_orderkey:a"), """["junk",1]""")))
     assert(e.getMessage.contains("does not fit"), e.getMessage)
   }
 
@@ -372,10 +395,13 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(post("/queries/q20_sort_limit?after=abc", "")._1 == 400)
     // well-formed endpoint, garbage cursor
     assert(post("/cohort/population?after=%25%25not-base64", CohortQuery.demoSpec)._1 == 400)
-    // cursor of the wrong arity (valid base64 JSON array, 2 values vs 1 key)
-    val twoKeys = java.util.Base64.getUrlEncoder.withoutPadding
-      .encodeToString("""[1,2]""".getBytes(UTF_8))
-    assert(post(s"/cohort/population?after=$twoKeys", CohortQuery.demoSpec)._1 == 400)
+    // cursor of the wrong arity (well-formed mint, 2 values vs 1 key)
+    assert(post(s"/cohort/population?after=${mintCur(Seq("subject:a"), "[1,2]")}",
+      CohortQuery.demoSpec)._1 == 400)
+    // a legacy bare-array cursor (no key tags) is malformed now
+    val bare = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString("""[1]""".getBytes(UTF_8))
+    assert(post(s"/cohort/population?after=$bare", CohortQuery.demoSpec)._1 == 400)
   }
 
   test("a slow query does not head-of-line-block fast requests through the pool") {
@@ -469,7 +495,7 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         .limit(2).collect()
       assert(pg.nonEmpty, s"walk returned an empty page at ${walked.size}/${direct.size}")
       walked ++= pg.map(_.toSeq)
-      cursor = Some(WarehouseServer.cursorOf(pg.last, keys.map(_._1)))
+      cursor = Some(WarehouseServer.cursorOf(pg.last, keys))
     }
     assert(walked == direct, "desc/mixed walk is not the exact frame")
 
@@ -479,7 +505,7 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val k2 = WarehouseServer.keysetCols(ev).getOrElse(fail("desc events frame lost its keyset"))
     assert(k2 == Seq("ts" -> false, "event_id" -> false))
     val first = ev.limit(7).collect()
-    val c2 = WarehouseServer.cursorOf(first.last, k2.map(_._1))
+    val c2 = WarehouseServer.cursorOf(first.last, k2)
     val page2 = ev.filter(WarehouseServer.afterPredicate(ev, k2, c2))
       .limit(7).collect().map(_.toSeq).toSeq
     assert(page2 == ev.limit(14).collect().drop(7).map(_.toSeq).toSeq,
@@ -616,6 +642,13 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       assert(v2 \ "dup_of" == JNull)
       // typed 400 on a missing text field
       assert(check(JObject("nope" -> JString("x")))._1 == 400)
+      // the index's banding is built for the >=0.8 operating point:
+      // a lower threshold would silently answer keep=true for pairs
+      // the bands never surface — honest 400 instead
+      assert(check(JObject("text" -> JString("x"), "min_jaccard" -> JDouble(0.5)))._1 == 400)
+      // the integer literal 1 parses as JInt and is inside [0.8, 1]
+      assert(check(JObject("text" -> JString(sample.getString(1)),
+        "min_jaccard" -> JInt(1)))._1 == 200)
     } finally srv.close()
     // the main server has no index configured: 404, not 500
     assert(post("/dedup/check", """{"text": "x"}""")._1 == 404)
