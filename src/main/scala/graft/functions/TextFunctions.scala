@@ -91,4 +91,44 @@ object TextFunctions {
   /** SQL IN-list literal for the same word list (oracle twin). */
   def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // --------------------------- the ONE-definition curation predicates
+  // q81/q82/q86 pin these against DuckDB twins, and the curation
+  // pipeline (Curate.annotated/curated, qa0/qa3) composes the same
+  // rules — previously as verbatim copies, which is exactly how a
+  // future tweak (new language, new threshold) would leave the packed
+  // corpus split differently than the oracle-checked building blocks
+  // say. One Column-level definition each makes that drift impossible.
+
+  /** q81's language argmax over per-language distinct stopword hits:
+    * priority-ordered ties (en ≥ de ≥ fr ≥ es ≥ zh) — the first
+    * language whose hit count is ≥ every later one wins.
+    */
+  def predLang(sEn: Column, sDe: Column, sFr: Column, sEs: Column, sZh: Column): Column =
+    when(sEn >= sDe && sEn >= sFr && sEn >= sEs && sEn >= sZh, "en")
+      .when(sDe >= sFr && sDe >= sEs && sDe >= sZh, "de")
+      .when(sFr >= sEs && sFr >= sZh, "fr")
+      .when(sEs >= sZh, "es")
+      .otherwise("zh")
+
+  /** q82's quality score: length term × (1 − punct ratio) × stop-hit
+    * term. nChars = 0 (empty document) guards the punct ratio to 0 —
+    * 0/0 is engine-dependent and a NaN quality would pass Spark's
+    * NaN-greatest ≥ filter while DuckDB disagrees. nTokens ≥ 1 always
+    * (split of "" is [""]).
+    */
+  def qualityScore(nTokens: Column, nChars: Column, nPunct: Column, stopHits: Column): Column =
+    least(lit(1.0), nTokens.cast("double") / 200.0) *
+      (lit(1.0) - when(nChars > 0, nPunct.cast("double") / nChars.cast("double"))
+        .otherwise(lit(0.0))) *
+      (lit(0.5) + lit(0.5) * stopHits.cast("double") / nTokens.cast("double"))
+
+  /** q86's deterministic train/val/test assignment: the first two hex
+    * chars of md5(doc_id) against the 80/10/10 prefix thresholds —
+    * growing the corpus never reshuffles existing docs between splits.
+    */
+  def hashSplit(docId: Column): Column = {
+    val bucket = substring(md5(docId.cast("string").cast("binary")), 1, 2)
+    when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
+  }
 }

@@ -80,7 +80,12 @@ object Cohort {
       // unique-ish key), failing the whole request. NULL matches
       // DuckDB's stddev_samp for n = 1. All-null groups are already
       // safe: the null sum short-circuits every division.
-      when(n > 1, sqrt((sq - sApp * sApp / n) / (n - lit(1)))).as("std_q"),
+      // greatest(0, ·): the decimal-exact sums are doubles by here,
+      // and a constant-valued group's moment difference can land a few
+      // ulps NEGATIVE (e.g. three 0.70s: 1.47 - 2.1²/3 ≈ -1.5e-16) —
+      // sqrt would serve NaN where stddev is 0. Clamped identically
+      // in the q45 oracle SQL.
+      when(n > 1, sqrt(greatest(lit(0.0), sq - sApp * sApp / n) / (n - lit(1)))).as("std_q"),
       percentile(c, lit(0.5)).as("med_q"),
       n.as("n_obs"))
     by match {
@@ -119,8 +124,11 @@ object Cohort {
     */
   def metadataSearch(meta: DataFrame, substr: Option[String],
       regex: Option[String] = None): DataFrame = {
-    require(substr.nonEmpty || regex.nonEmpty,
-      "metadata search needs a substring or a regex")
+    // exists(_.nonEmpty), not Option.nonEmpty: Some("") would pass the
+    // presence check and contains("") matches EVERY row — a blank
+    // search box becoming a full-table listing instead of a refusal
+    require(substr.exists(_.nonEmpty) || regex.exists(_.nonEmpty),
+      "metadata search needs a non-empty substring or regex")
     val preds = substr.map(s => col("p_name").contains(s)).toSeq ++
       regex.map(r => col("p_name").rlike(r))
     meta.filter(preds.reduce(_ || _))
@@ -213,7 +221,7 @@ object Cohort {
     Some(s"""SELECT l_returnflag,
             MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q,
             ${DAVG("l_quantity")} AS avg_q,
-            SQRT((${DSUM("l_quantity * l_quantity", 4)} - ${DSUM("l_quantity")} * ${DSUM("l_quantity")} / COUNT(l_quantity)) / (COUNT(l_quantity) - 1)) AS std_q,
+            SQRT(GREATEST(0.0, ${DSUM("l_quantity * l_quantity", 4)} - ${DSUM("l_quantity")} * ${DSUM("l_quantity")} / COUNT(l_quantity)) / (COUNT(l_quantity) - 1)) AS std_q,
             quantile_cont(l_quantity, 0.5) AS med_q,
             COUNT(l_quantity) AS n_obs
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
@@ -223,7 +231,7 @@ object Cohort {
     "q46_item_histogram",
     (s, d) => itemHistogram(Tables.orders(s, d), "o_totalprice", 50000),
     Some("""SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n
-            FROM orders GROUP BY 1 ORDER BY bucket"""))
+            FROM orders GROUP BY 1 ORDER BY bucket NULLS FIRST"""))
 
   private val q47 = Qdef(
     "q47_value_frequencies",

@@ -65,7 +65,9 @@ object CohortQuery {
 
   private def lit0(v: JValue): Any = v match {
     case JString(s)  => s
-    case JInt(i)     => i.toLong
+    // isValidLong: JInt holds a BigInt and .toLong silently WRAPS past
+    // Long range — {"value": 2^64+1} would quietly compare against 1
+    case JInt(i) if i.isValidLong => i.toLong
     case JLong(l)    => l
     case JDouble(d)  => d
     case JDecimal(d) => d.toDouble
@@ -104,7 +106,7 @@ object CohortQuery {
 
   private def numField(atom: JValue, name: String): Long =
     atom \ name match {
-      case JInt(i)  => i.toLong
+      case JInt(i) if i.isValidLong => i.toLong
       case JLong(l) => l
       case JNothing => throw new IllegalArgumentException(s"atom is missing '$name': $atom")
       case other    => throw new IllegalArgumentException(s"atom '$name' must be an integer, got $other")

@@ -50,25 +50,13 @@ object Curate {
         distinctHits(toks, stopFr).cast("long").as("s_fr"),
         distinctHits(toks, stopEs).cast("long").as("s_es"),
         distinctHits(toks, stopZh).cast("long").as("s_zh"))
+      // the SHARED q81/q82 definitions (TextFunctions.predLang /
+      // qualityScore) — the curation pipeline must pack under exactly
+      // the rules the oracle-pinned building blocks verify
       .withColumn("pred_lang",
-        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
-          col("s_en") >= col("s_es") && col("s_en") >= col("s_zh"), "en")
-          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") &&
-            col("s_de") >= col("s_zh"), "de")
-          .when(col("s_fr") >= col("s_es") && col("s_fr") >= col("s_zh"), "fr")
-          .when(col("s_es") >= col("s_zh"), "es")
-          .otherwise("zh"))
+        predLang(col("s_en"), col("s_de"), col("s_fr"), col("s_es"), col("s_zh")))
       .withColumn("quality",
-        // n_chars_m = 0 (empty document) guards to punct term 1.0 —
-        // q82's convention (punct_ratio 0 when there are no chars);
-        // 0/0 is engine-dependent and a NaN quality would pass
-        // Spark's NaN-greatest >= filter while DuckDB disagrees.
-        // n_tokens >= 1 always (split of "" is [""])
-        least(lit(1.0), col("n_tokens").cast("double") / 200.0) *
-          (lit(1.0) - when(col("n_chars_m") > 0,
-            col("n_punct_chars").cast("double") / col("n_chars_m").cast("double"))
-            .otherwise(lit(0.0))) *
-          (lit(0.5) + lit(0.5) * col("s_en").cast("double") / col("n_tokens").cast("double")))
+        qualityScore(col("n_tokens"), col("n_chars_m"), col("n_punct_chars"), col("s_en")))
   }
 
   /** The curated corpus: quality- and language-filtered, exactly
@@ -90,9 +78,7 @@ object Curate {
       .groupBy(md5(normText(col("text")).cast("binary")).as("h"))
       .agg(min_by(struct(cols.map(col): _*), col("doc_id")).as("r"))
       .select(col("r.*"))
-    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
-    surv.withColumn("split",
-      when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test"))
+    surv.withColumn("split", hashSplit(col("doc_id")))
   }
 
   private val qa0 = Qdef(

@@ -96,7 +96,13 @@ object Relational {
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"),
         davg(col("o_totalprice")).as("avg_price"),
-        sqrt((sqApp - sApp * sApp / n) / (n - lit(1))).as("std_price"))
+        // greatest(0, ·): the two decimal-exact sums become DOUBLES
+        // before this expression, and FP rounding can land the moment
+        // difference a few ulps NEGATIVE when the true variance is ~0
+        // (constant column: sq=1.47 vs (2.1)²/3 differs by -1.5e-16)
+        // — sqrt would answer NaN in Spark and error in DuckDB where
+        // the right stddev is 0. Clamp BOTH engines identically.
+        sqrt(greatest(lit(0.0), (sqApp - sApp * sApp / n)) / (n - lit(1))).as("std_price"))
     },
     Some(s"""SELECT COUNT(*) AS n_orders,
             COUNT(DISTINCT o_custkey) AS n_custs,
@@ -104,7 +110,7 @@ object Relational {
             MIN(o_totalprice) AS min_price,
             MAX(o_totalprice) AS max_price,
             ${DAVG("o_totalprice")} AS avg_price,
-            SQRT((${DSUM("o_totalprice * o_totalprice", 4)} - ${DSUM("o_totalprice")} * ${DSUM("o_totalprice")} / COUNT(o_totalprice)) / (COUNT(o_totalprice) - 1)) AS std_price
+            SQRT(GREATEST(0.0, ${DSUM("o_totalprice * o_totalprice", 4)} - ${DSUM("o_totalprice")} * ${DSUM("o_totalprice")} / COUNT(o_totalprice)) / (COUNT(o_totalprice) - 1)) AS std_price
             FROM orders"""))
 
   private val q05 = Qdef(

@@ -27,8 +27,14 @@ object Skew {
     * (SPARK-23207-class bug). Identical rows share a salt, which is
     * harmless for skew spreading.
     */
-  private def rowSalt(df: DataFrame, salts: Int): Column =
+  private def rowSalt(df: DataFrame, salts: Int): Column = {
+    // loud, not NULL: pmod(h, 0) is NULL off-ANSI, which would make
+    // every salted equi-join condition unsatisfiable — a silently
+    // EMPTY result for any non-empty inputs (and a mid-job ANSI error
+    // otherwise); negative salt counts are the same failure
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     pmod(xxhash64(df.columns.map(col): _*), lit(salts))
+  }
 
   def saltedAgg(
       df: DataFrame,

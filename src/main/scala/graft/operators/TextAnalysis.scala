@@ -47,13 +47,7 @@ object TextAnalysis {
             distinctHits(toks, stopEs).cast("long").as("s_es"),
             distinctHits(toks, stopZh).cast("long").as("s_zh"))
           .withColumn("pred_lang",
-            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
-              col("s_en") >= col("s_es") && col("s_en") >= col("s_zh"), "en")
-              .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") &&
-                col("s_de") >= col("s_zh"), "de")
-              .when(col("s_fr") >= col("s_es") && col("s_fr") >= col("s_zh"), "fr")
-              .when(col("s_es") >= col("s_zh"), "es")
-              .otherwise("zh"))
+            predLang(col("s_en"), col("s_de"), col("s_fr"), col("s_es"), col("s_zh")))
           .withColumn("is_match", (col("lang") === col("pred_lang")).cast("long"))
           .orderBy("doc_id")
     },
@@ -103,9 +97,11 @@ object TextAnalysis {
               col("n_punct_chars").cast("double") / col("n_chars_m").cast("double"))
               .otherwise(lit(0.0)))
           .withColumn("stop_ratio", col("n_stop_hits").cast("double") / col("n_tokens").cast("double"))
+          // the SHARED definition (TextFunctions.qualityScore) — the
+          // same expression tree the projected ratio columns above
+          // came from, so values are identical; Curate composes it too
           .withColumn("quality",
-            least(lit(1.0), col("n_tokens").cast("double") / 200.0) *
-              (lit(1.0) - col("punct_ratio")) * (lit(0.5) + lit(0.5) * col("stop_ratio")))
+            qualityScore(col("n_tokens"), col("n_chars_m"), col("n_punct_chars"), col("n_stop_hits")))
           .orderBy("doc_id")
     },
     Some(s"""WITH m AS (SELECT doc_id,
@@ -267,10 +263,8 @@ object TextAnalysis {
   private val q86 = Qdef(
     "q86_hash_split", {
       (s, d) =>
-        val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
         Tables.documents(s, d)
-          .withColumn("split",
-            when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test"))
+          .withColumn("split", hashSplit(col("doc_id")))
           .groupBy("split", "lang")
           .agg(count(lit(1)).as("n_docs"),
             sum("n_chars").as("sum_chars"),

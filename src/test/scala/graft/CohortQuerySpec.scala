@@ -76,5 +76,32 @@ class CohortQuerySpec extends SparkSpec {
       CohortQuery.population(spark, sf,
         """{"and": [{"source": "orders", "field": "o_orderkey", "op": "xor", "value": 1}]}""")
     }
+    // a JSON integer past Long range must be refused, not WRAPPED:
+    // BigInt.toLong would silently turn 2^64+1 into 1 and the query
+    // would confidently answer "o_custkey > 1"
+    intercept[IllegalArgumentException] {
+      CohortQuery.population(spark, sf,
+        """{"and": [{"source": "orders", "field": "o_custkey", "op": "gt", "value": 18446744073709551617}]}""")
+    }
+  }
+
+  test("item surfaces refuse blank and NaN-shaped inputs loudly") {
+    import graft.operators.Cohort
+    // Some("") would pass an Option presence check and contains("")
+    // matches EVERY row — a blank search box must not list the table
+    intercept[IllegalArgumentException] {
+      Cohort.metadataSearch(Tables.part(spark, sf), Some(""))
+    }
+    intercept[IllegalArgumentException] {
+      Cohort.metadataSearch(Tables.part(spark, sf), None, Some(""))
+    }
+    // a constant-valued group's stddev is 0, not NaN: the moment
+    // difference lands a few double-ulps negative (1.47 - 2.1²/3) and
+    // an unclamped sqrt would serve NaN (Spark) or error (DuckDB)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val const = Seq(("g", 0.70), ("g", 0.70), ("g", 0.70)).toDF("k", "v")
+    val std = Cohort.itemStats(const, "v", Some("k")).select("std_q").head().getDouble(0)
+    assert(std == 0.0, s"constant group stddev must be exactly 0, got $std")
   }
 }

@@ -30,4 +30,16 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(salted === plain)
   }
+
+  test("salts < 1 is a loud refusal, never a silently empty join") {
+    // pmod(h, 0) is NULL off-ANSI: every salted equi-condition would
+    // be unsatisfiable and the join would return ZERO rows silently
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+    val sup = Tables.supplier(spark, sf).select("s_suppkey")
+    for (bad <- Seq(0, -3)) {
+      val e = intercept[IllegalArgumentException](
+        Skew.saltedJoin(li, sup, "l_suppkey", "s_suppkey", salts = bad))
+      assert(e.getMessage.contains("salts"), e.getMessage)
+    }
+  }
 }
