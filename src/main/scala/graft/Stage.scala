@@ -57,7 +57,7 @@ object Stage {
       case None =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
         p.count()
-        staged.add(p)
+        track(p)
         p
     }
 
@@ -75,7 +75,7 @@ object Stage {
       case None =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
         val n = p.count()
-        staged.add(p)
+        track(p)
         (p, n)
     }
 
@@ -87,12 +87,38 @@ object Stage {
   // releaseAll() between batches.
   private val staged = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+  /** Track a staged frame for [[releaseAll]] — deduplicated on the
+    * analyzed plan, so re-staging an identical frame really IS the
+    * no-op the contract above promises. CacheManager already dedups
+    * the cache ENTRY, but unconditionally enqueueing every call would
+    * grow this queue (each element pinning full plan trees and a
+    * session reference) without bound in a long-lived session that
+    * re-stages the same frame per batch — a slow driver-heap leak.
+    * A racing duplicate add is benign: releaseAll's second unpersist
+    * of the same plan is a no-op.
+    */
+  private def track(p: DataFrame): Unit = {
+    val it = staged.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if ((e.sparkSession eq p.sparkSession) &&
+          e.queryExecution.analyzed.sameResult(p.queryExecution.analyzed)) return
+    }
+    staged.add(p)
+    ()
+  }
+
   /** Unpersist every frame staged via the persist path so far (e.g.
     * between batches of a long-lived session). Safe to call anytime:
     * a released stage recomputes from lineage if its result is still
     * referenced. Reliable-checkpoint stages are untouched (their
     * bytes live under graft.checkpointDir, reclaimed with it).
     */
+  /** Test seam: current release-queue depth (the leak the plan-dedup
+    * in [[track]] bounds).
+    */
+  private[graft] def stagedCount: Int = staged.size()
+
   def releaseAll(): Unit = {
     var d = staged.poll()
     while (d != null) {

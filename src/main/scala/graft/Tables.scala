@@ -15,8 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  // once-per-session guard for the function registration below: every
+  // load() used to rewrite ~30 registry entries, pure no-op work that
+  // contends on the session FunctionRegistry lock under the concurrent
+  // serving layer. Weak keys: the guard must not pin dead sessions.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    graft.functions.VectorExpressions.register(spark)
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
+      graft.functions.VectorExpressions.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -52,6 +61,14 @@ object Tables {
     * Downstream always sees one type (TIMESTAMP) either way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // DELIBERATELY session-wide, not scoped set/restore: the flag is
+    // consulted again at physical planning/scan time, which happens
+    // lazily AFTER this function returns — a restore here would break
+    // the very frame being built. Side effect: any later
+    // TIMESTAMP(NANOS) parquet read in the session types as LongType
+    // nanos instead of failing loudly; the graft entry points
+    // (Bench/Verify/server builders) all pin the flag at session build
+    // anyway, so in practice this only re-asserts it.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {

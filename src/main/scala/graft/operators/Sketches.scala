@@ -46,11 +46,10 @@ object Sketches {
       val exact = Tables.customer(s, d)
         .groupBy("c_nationkey")
         .agg(countDistinct(col("c_custkey")).as("exact_nd"))
-      val approx = Tables.customer(s, d)
-        .groupBy("c_nationkey")
-        .agg(
-          approx_count_distinct(col("c_custkey"), 0.01).as("approx_nd"),
-          hll_sketch_estimate(hll_sketch_agg(col("c_custkey"))).as("hll_nd"))
+      // THE production shape, not an inline copy of it — a future
+      // rsd/sketch-config change must move the checked query and the
+      // exposed helper together
+      val approx = distinctSketches(Tables.customer(s, d))
       exact.join(approx, "c_nationkey")
         .select(col("c_nationkey"), col("exact_nd"),
           (abs(col("approx_nd") - col("exact_nd")).cast("double") /
@@ -149,9 +148,12 @@ object Sketches {
     // that is big enough to NEED a bloom pre-filter must be free to
     // plan as a shuffle join (a forced driver broadcast would OOM —
     // the bloom itself stays a few KB regardless of dim row count).
-    fact
+    // dataset-qualified join keys: bare col(...) would throw
+    // AMBIGUOUS_REFERENCE whenever factKey and dimKey share a name —
+    // the natural-key call shape this public helper invites
+    val pruned = fact
       .filter(call_function("graft_might_contain", lit(bf), xxhash64(col(factKey))))
-      .join(dim, col(factKey) === col(dimKey))
+    pruned.join(dim, pruned(factKey) === dim(dimKey))
   }
 
   /** q93: revenue of lineitems whose part is a "blue" part, via the
@@ -195,8 +197,12 @@ object Sketches {
     "q9b_sketch_topk",
     (s, d) => {
       val eps = 0.0001
-      val tok = Tables.documents(s, d)
-        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      // staged: the exact top-k job and the sketch/total job BOTH
+      // consume the exploded token frame — unstaged, each re-ran the
+      // scan + tokenize + explode over the whole corpus (the most
+      // expensive phase of this query, paid twice)
+      val tok = graft.Stage(Tables.documents(s, d)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token")))
       val top = tok.groupBy("token").agg(count(lit(1)).as("exact_n"))
         .orderBy(col("exact_n").desc, col("token"))
         .limit(20)

@@ -68,6 +68,10 @@ object Sources {
     * order, which single-column sorting cannot give.
     */
   def zorderKey(scaled: Seq[Column], bits: Int): Column = {
+    // nonEmpty first: an empty column list would otherwise surface as
+    // an opaque "head of empty list" from the reduce (and from
+    // zorderWrite's stats row) instead of naming the misuse
+    require(scaled.nonEmpty, "z-order needs at least one column (>=2 for it to beat a plain sort)")
     require(scaled.size * bits <= 63, s"z key ${scaled.size}x$bits bits exceeds a long")
     val n = scaled.size
     (0 until bits).flatMap { i =>
@@ -88,6 +92,7 @@ object Sources {
     */
   def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
       numFiles: Int = 16, bits: Int = 12): Unit = {
+    require(cols.nonEmpty, "zorderWrite needs at least one z column")
     // stats exclude non-finite cells: Spark's max() orders NaN above
     // every double (one NaN cell would poison mx and send EVERY row of
     // that column to bucket 0), and a single ±Infinity cell is the

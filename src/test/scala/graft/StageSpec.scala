@@ -37,6 +37,22 @@ class StageSpec extends SparkSpec {
     assert(a.count() === n)
   }
 
+  test("re-staging an identical plan does not grow the release queue") {
+    // the contract the scaladoc promises: CacheManager dedups the
+    // cache ENTRY, but an unconditional enqueue per call would pin
+    // plan trees without bound in a long-lived session re-staging the
+    // same frame per batch — a slow driver-heap leak
+    Stage.releaseAll()
+    val base = Stage.stagedCount
+    (1 to 3).foreach(_ => Stage(Tables.documents(spark, sf).select("doc_id")))
+    assert(Stage.stagedCount === base + 1,
+      "identical plans must be tracked once")
+    Stage(Tables.documents(spark, sf).select("doc_id", "lang"))
+    assert(Stage.stagedCount === base + 2, "a genuinely new plan must still be tracked")
+    Stage.releaseAll()
+    assert(Stage.stagedCount === 0)
+  }
+
   test("graft.checkpointDir switches staging to a reliable checkpoint") {
     val dir = tmpDir("graft-ckpt")
     spark.conf.set("graft.checkpointDir", dir)
