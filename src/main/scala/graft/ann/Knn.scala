@@ -35,7 +35,10 @@ object Knn {
     * replaced by itself plus the `planes` keys at hamming distance 1,
     * all other columns ride along. A drifting copy (say one site
     * moving to 2-bit probes) would silently break the cross-path
-    * verdict-equivalence oracles.
+    * verdict-equivalence oracles. ONE necessarily-driver-side sibling
+    * exists — graft.serve.AnnServing.probe1Keys expands a POSTed
+    * query's keys with no DataFrame in reach; ServeSpec pins the two
+    * key-for-key.
     */
   private[graft] def probe1Expand(
       df: DataFrame, planes: Int, includeSelf: Boolean = true): DataFrame = {
@@ -117,14 +120,16 @@ object Knn {
     Some(BruteTopKSql))
 
   /** Embedding width from the first SCORABLE row — the one tiny
-    * driver action the hyperplane literals need. Null embeddings are
-    * skipped (size(null) is NULL: Row.getInt would NPE under ANSI,
-    * and the legacy -1 would silently build zero-length hyperplanes
-    * that bucket every row to 0 — a quadratic self-join with garbage
-    * recall). None iff no row has a non-null embedding.
+    * driver action the hyperplane literals need. The full
+    * [[graft.functions.VectorFunctions.scorableEmb]] class is skipped,
+    * not just nulls: a non-null but ZERO-LENGTH first row would
+    * return Some(0) and build zero-length hyperplanes that bucket
+    * every row to 0 — a quadratic bucket-0 self-join with garbage
+    * recall (and a serving index that rejects every possible query).
+    * None iff no scorable row exists.
     */
   private[graft] def embDims(e: DataFrame): Option[Int] =
-    e.filter(col("embedding").isNotNull)
+    e.filter(scorableEmb(col("embedding")))
       .select(size(col("embedding")).as("d"))
       .head(1).headOption.map(_.getInt(0))
 
@@ -204,6 +209,29 @@ object Knn {
     * the query side only). Fully-pinned calls skip the count action
     * and leave probing to `probe1` alone.
     */
+  /** THE bucketed candidate generation — resolve geometry, band,
+    * select the query side, 1-bit-probe it when the geometry says so,
+    * meet in the bucket join, dedup the compact (qid, nid) pairs
+    * BEFORE any cosine. One definition shared by [[lshTopK]] and
+    * [[quantizedTopK]]'s stage 1 (previously verbatim copies — a fix
+    * to the candidate contract had to be hand-mirrored or the
+    * q71/q74 shapes silently drifted). `e` carries
+    * (vec_id, embedding, nrm).
+    */
+  private def lshCandidatePairs(
+      e: DataFrame, tables: Int, planes: Int,
+      probe1: Boolean, queryPred: Column): DataFrame = {
+    val g = LshGeometry.resolve(e.count(), SearchTau, tables, planes, probe1)
+    val banded = lshTables(e, g.tables, g.planes).select("vec_id", "tbl", "bkt")
+    val qb0 = banded.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
+    val qb = if (!g.probe1) qb0 else probe1Expand(qb0, g.planes)
+    qb.join(banded, Seq("tbl", "bkt"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+      .distinct()
+  }
+
   def lshTopK(
       emb: DataFrame,
       k: Int = K,
@@ -212,15 +240,7 @@ object Knn {
       probe1: Boolean = false,
       queryPred: Column = col("vec_id") < 10): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-    val g = LshGeometry.resolve(e.count(), SearchTau, tables, planes, probe1)
-    val banded = lshTables(e, g.tables, g.planes).select("vec_id", "tbl", "bkt")
-    val qb0 = banded.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
-    val qb = if (!g.probe1) qb0 else probe1Expand(qb0, g.planes)
-    val cand = qb.join(banded, Seq("tbl", "bkt"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"))
-      .distinct()
+    val cand = lshCandidatePairs(e, tables, planes, probe1, queryPred)
     val qe = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     topK(
@@ -300,10 +320,17 @@ object Knn {
     // Gate corpora (n ≤ 256·64) sample nothing — centroids identical
     // to the unsampled era. xxhash64, not vec_id modulus: id strides
     // in the data must not bias the sample.
+    // seeds and Lloyd training draw from SCORABLE rows only: a null
+    // embedding landing on the seed stride becomes a null centroid
+    // row (litMatrix NPEs at plan build), and a null-element/NaN row
+    // in a training cell poisons that cell's mean. Assignment of the
+    // full corpus stays the caller's concern — un-scorable rows
+    // simply score NULL there, per the library convention.
+    val scorable = e.filter(scorableEmb(col("embedding")))
     val sampleStep = math.max(1L, n / (256L * k))
     val train =
-      if (sampleStep <= 1L) e
-      else e.filter(pmod(xxhash64(col("vec_id")), lit(sampleStep)) === 0)
+      if (sampleStep <= 1L) scorable
+      else scorable.filter(pmod(xxhash64(col("vec_id")), lit(sampleStep)) === 0)
     // Seed by HASH-stride, not raw id modulus: callers now feed
     // reps-only frames (min-of-group ids — sparse and irregular in
     // the id space for dup-heavy corpora), where `vec_id % step == 0`
@@ -333,21 +360,22 @@ object Knn {
     // the stride.
     var cents: Seq[(Long, Seq[Double])] =
       if (md5Seed)
-        e.orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id")).limit(k)
+        scorable.orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id")).limit(k)
           .select(col("vec_id"), col("embedding").cast("array<double>"))
           .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
       else {
-        val strided = e
+        val strided = scorable
           .filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0)
           .select(col("vec_id"), col("embedding").cast("array<double>"))
           .as[(Long, Seq[Double])].collect().toSeq
           .sortBy(_._1).take(k)
         if (strided.nonEmpty) strided
-        else e.orderBy(col("vec_id")).limit(k)
+        else scorable.orderBy(col("vec_id")).limit(k)
           .select(col("vec_id"), col("embedding").cast("array<double>"))
           .as[(Long, Seq[Double])].collect().toSeq
       }
-    require(cents.nonEmpty, "ivfCentroids: empty corpus — no rows to seed centroids from")
+    require(cents.nonEmpty,
+      "ivfCentroids: no scorable rows (null/null-element/zero-norm/NaN/Inf) to seed centroids from")
     for (_ <- 0 until iters) {
       cents = assignCell(train, cents)
         .select(col("cell").as("cid"), posexplode(col("embedding")))
@@ -386,12 +414,14 @@ object Knn {
       queryPred: Column = col("vec_id") < 10): DataFrame = {
     // materialize the corpus+norm projection once: training (count,
     // Lloyd assignment passes), cell assignment, and query probing
-    // would otherwise each re-run the scan+norm pipeline
-    val e = graft.Stage(emb.select(col("vec_id"), col("embedding"),
+    // would otherwise each re-run the scan+norm pipeline. counted():
+    // the eager materialization action doubles as the corpus count —
+    // passing it via knownN saves ivfCentroids a second full pass.
+    val (e, n) = graft.Stage.counted(emb.select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("nrm")))
     val spark = e.sparkSession
     import spark.implicits._
-    val cents = ivfCentroids(e, iters, cells)
+    val cents = ivfCentroids(e, iters, cells, knownN = n)
     val np = if (nprobe > 0) nprobe else math.max(16, cents.size / 64)
     val assigned = assignCell(e, cents)
     // query probing: |queries| × #centroids — the crossJoin+window
@@ -453,37 +483,55 @@ object Knn {
   private def int8Scale(embedding: Column): Column =
     array_max(transform(embedding, x => abs(x.cast("double")))) / 127.0
 
-  def quantizeInt8(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), col("embedding"), int8Scale(col("embedding")).as("scale"))
+  def quantizeInt8(e: DataFrame): DataFrame = {
+    val emb = col("embedding")
+    val s = col("scale")
+    // clean = no null element; a NaN/Inf ELEMENT shows up as a NaN/Inf
+    // scale and is excluded by the s-range guard below
+    val clean = !vecHasNull(emb)
+    // Three-way, matching the library's un-scorable convention AND the
+    // ANSI reality: a NaN scale passes a bare `scale > 0` (NaN-greatest
+    // — the recorded recurring bug class) and round(x/NaN).cast(long)
+    // then THROWS under Spark 4's default ANSI mode, killing the whole
+    // query for one garbage row. Finite positive scale → the integer
+    // invariants; exact zero scale on a clean vector → all codes 0;
+    // anything else (null array, null element, NaN/Inf) → NULL.
+    // A null element must also be NULL (not the old 0-by-otherwise):
+    // Spark's aggregate folds acc + null = null while DuckDB's
+    // list_sum SKIPS nulls — the one shape that could hash-diverge.
+    def guarded(agg: Column): Column =
+      when(clean && s > 0 && s < Double.PositiveInfinity, agg)
+        .when(clean && s === 0, lit(0L))
+    e.select(col("vec_id"), emb, int8Scale(emb).as("scale"))
       .select(col("vec_id"),
-        size(col("embedding")).cast("long").as("dims"),
-        col("scale"),
-        when(col("scale") > 0,
-          aggregate(
-            transform(col("embedding"),
-              x => round(x.cast("double") / col("scale")).cast("long")),
-            lit(0L), (acc, q) => acc + q)).otherwise(lit(0L)).as("q_sum"),
-        when(col("scale") > 0,
-          aggregate(
-            transform(col("embedding"),
-              x => abs(round(x.cast("double") / col("scale"))).cast("long")),
-            lit(0L), (acc, q) => acc + q)).otherwise(lit(0L)).as("q_l1"))
+        size(emb).cast("long").as("dims"),
+        s,
+        guarded(aggregate(
+          transform(emb, x => round(x.cast("double") / s).cast("long")),
+          lit(0L), (acc, q) => acc + q)).as("q_sum"),
+        guarded(aggregate(
+          transform(emb, x => abs(round(x.cast("double") / s)).cast("long")),
+          lit(0L), (acc, q) => acc + q)).as("q_l1"))
+  }
 
   private val q73 = Qdef(
     "q73_vec_quantize",
     (s, d) => quantizeInt8(Tables.embeddings(s, d)).orderBy("vec_id"),
     Some("""WITH s AS (SELECT vec_id, embedding,
+                   len(list_filter(embedding, x -> x IS NULL)) = 0 AS clean,
                    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
                  FROM embeddings)
             SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dims, scale,
-                   CASE WHEN scale > 0
+                   CASE WHEN clean AND scale > 0 AND scale < 'infinity'::DOUBLE
                         THEN CAST(list_sum(list_transform(embedding,
                                x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))) AS BIGINT)
-                        ELSE 0 END AS q_sum,
-                   CASE WHEN scale > 0
+                        WHEN clean AND scale = 0 THEN 0
+                        ELSE NULL END AS q_sum,
+                   CASE WHEN clean AND scale > 0 AND scale < 'infinity'::DOUBLE
                         THEN CAST(list_sum(list_transform(embedding,
                                x -> abs(CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)))) AS BIGINT)
-                        ELSE 0 END AS q_l1
+                        WHEN clean AND scale = 0 THEN 0
+                        ELSE NULL END AS q_l1
             FROM s ORDER BY vec_id"""))
 
   /** Corpus in dequantized-int8 view: each element snapped to its
@@ -545,22 +593,10 @@ object Knn {
             cosine(col("qe8"), col("q8"), col("qn8"), col("nrm8")).as("cos8"))
       else {
         // bucket the QUANTIZED view (the vectors stage 1 actually
-        // reads); candidates dedup before the cosine, arrays never
-        // ship through the bucket join — exactly the q71 shape.
-        // tables/planes = 0 resolve from corpus size at the SearchTau
-        // design point, as in [[lshTopK]]
+        // reads) through the SHARED candidate generation — exactly
+        // the q71 shape, one definition ([[lshCandidatePairs]])
         val dqe = dq.select(col("vec_id"), col("q8").as("embedding"), col("nrm8").as("nrm"))
-        val g = LshGeometry.resolve(dqe.count(), SearchTau, tables, planes, probe1)
-        val banded = lshTables(dqe, g.tables, g.planes).select("vec_id", "tbl", "bkt")
-        val qb0 = banded.filter(queryPred)
-          .select(col("vec_id").as("qid"), col("tbl"), col("bkt"))
-        // 1-bit multiprobe, exactly as in [[lshTopK]]: query-side-only
-        // fan-out that turns a one-hyperplane near-miss into a hit
-        val qb = if (!g.probe1) qb0 else probe1Expand(qb0, g.planes)
-        qb.join(banded, Seq("tbl", "bkt"))
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("nid"))
-          .distinct()
+        lshCandidatePairs(dqe, tables, planes, probe1, queryPred)
           .join(dq.select(col("vec_id").as("nid"), col("q8"), col("nrm8")), "nid")
           .join(broadcast(q), "qid")
           .select(col("qid"), col("nid"),

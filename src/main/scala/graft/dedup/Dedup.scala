@@ -871,9 +871,7 @@ object Dedup {
     // with null lineage, like null-element rows. (`> 0 && < +Inf`
     // excludes NaN in Spark's NaN-greatest ordering: NaN passes `> 0`
     // but fails `< +Inf`.)
-    val embNrm = norm2(col("embedding"))
-    val validEmb = col("embedding").isNotNull && !vecHasNull(col("embedding")) &&
-      embNrm > 0.0 && embNrm < Double.PositiveInfinity
+    val validEmb = scorableEmb(col("embedding"))
     // the hash pair MUST be part of the grouping key, not recomputed
     // per group afterwards: members hash their RAW arrays, while an
     // array-only grouping key gets ±0.0-normalized — grouping by the

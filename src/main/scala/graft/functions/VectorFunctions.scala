@@ -62,4 +62,17 @@ object VectorFunctions {
 
   /** Squared euclidean distance (IVF assignment metric; avoids the sqrt). */
   def distSq(a: Column, b: Column): Column = call_function("graft_distsq", a, b)
+
+  /** THE scorable-embedding predicate — the library-wide un-scorable
+    * classes (null array, null element, zero norm — which also covers
+    * the empty array — NaN or infinite norm) in one definition, so
+    * the dedup verdict paths, centroid seeding/training, and width
+    * probing can never drift on what counts as garbage. `> 0 &&
+    * < +Inf` excludes NaN in Spark's NaN-greatest ordering: NaN
+    * passes `> 0` but fails `< +Inf`.
+    */
+  def scorableEmb(c: Column): Column = {
+    val n = norm2(c)
+    c.isNotNull && !vecHasNull(c) && n > 0.0 && n < Double.PositiveInfinity
+  }
 }

@@ -58,7 +58,7 @@ final class AnnServing private (
     * `NaN > 0` would diverge from Scala's `false` here, which is one
     * of the reasons the query vector is rejected unless finite.)
     */
-  private[serve] def bucketsOf(q: Array[Double]): Seq[(Int, Long)] =
+  private[graft] def bucketsOf(q: Array[Double]): Seq[(Int, Long)] =
     (0 until geometry.tables).map { t =>
       var bkt = 0L
       var j = 0
@@ -72,6 +72,15 @@ final class AnnServing private (
       }
       (t, bkt)
     }
+
+  /** Driver-side 1-bit probe expansion: each (table, bucket) key plus
+    * the `planes` keys at hamming distance 1 — the same variants
+    * [[graft.ann.Knn.probe1Expand]] emits (spec-pinned parity).
+    */
+  private[graft] def probe1Keys(base: Seq[(Int, Long)]): Seq[(Int, Long)] =
+    base.flatMap { case (t, b) =>
+      (b +: (0 until geometry.planes).map(j => b ^ (1L << j))).map(t -> _)
+    }.distinct
 
   private def validated(vector: Seq[Double]): (Array[Double], Double) = {
     require(vector.nonEmpty, "vector must be non-empty")
@@ -95,12 +104,14 @@ final class AnnServing private (
       case "lsh" =>
         val base = bucketsOf(q)
         // 1-bit multiprobe on the QUERY side only when the solver's
-        // geometry says so — mirrors lshTopK's probe placement
+        // geometry says so — mirrors lshTopK's probe placement. This
+        // is the one NECESSARILY driver-side sibling of
+        // Knn.probe1Expand's bit-flip (no DataFrame exists to expand
+        // here); ServeSpec's probe-parity test pins the two
+        // expansions key-for-key so they cannot drift.
         val probed =
           if (!geometry.probe1) base
-          else base.flatMap { case (t, b) =>
-            (b +: (0 until geometry.planes).map(j => b ^ (1L << j))).map(t -> _)
-          }.distinct
+          else probe1Keys(base)
         // OR-of-buckets, grouped per table: ≤ tables isin-terms that
         // Catalyst folds into the index scan
         val pred = probed.groupBy(_._1).toSeq.map { case (t, bs) =>
@@ -132,18 +143,26 @@ object AnnServing {
     val e = Tables.embeddings(spark, dataDir)
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
       .persist()
-    val n = e.count()
-    val dims = Knn.embDims(e).getOrElse(
-      throw new IllegalArgumentException("embeddings table has no scorable rows"))
-    val g = LshGeometry.resolve(n, Knn.SearchTau, 0, 0, probe1 = false)
-    // dims passed EXPLICITLY: lshTables would otherwise re-derive it
-    // with its own head(1) job, and on a mixed-width corpus the two
-    // first-scorable-row picks could disagree — hyperplanes at width
-    // A bucketing queries against an index banded at width B would
-    // silently return near-empty candidate sets
-    val banded = Knn.lshTables(e, g.tables, g.planes, dims = Some(dims))
-      .select("vec_id", "tbl", "bkt").persist()
-    banded.count() // materialize now: the first request must not pay the banding
-    new AnnServing(g, dims, Knn.hyperplanes(g.tables, g.planes, dims), e, banded)
+    // a failed build (no scorable rows, a banding error) must release
+    // what it persisted: the lazy-val holder will retry on the next
+    // request, and an unreclaimed cache entry would pin memory for the
+    // session's whole life per failure class
+    try {
+      val n = e.count()
+      val dims = Knn.embDims(e).getOrElse(
+        throw new IllegalArgumentException("embeddings table has no scorable rows"))
+      val g = LshGeometry.resolve(n, Knn.SearchTau, 0, 0, probe1 = false)
+      // dims passed EXPLICITLY: lshTables would otherwise re-derive it
+      // with its own head(1) job, and on a mixed-width corpus the two
+      // first-scorable-row picks could disagree — hyperplanes at width
+      // A bucketing queries against an index banded at width B would
+      // silently return near-empty candidate sets
+      val banded = Knn.lshTables(e, g.tables, g.planes, dims = Some(dims))
+        .select("vec_id", "tbl", "bkt").persist()
+      try {
+        banded.count() // materialize now: the first request must not pay the banding
+        new AnnServing(g, dims, Knn.hyperplanes(g.tables, g.planes, dims), e, banded)
+      } catch { case t: Throwable => banded.unpersist(blocking = false); throw t }
+    } catch { case t: Throwable => e.unpersist(blocking = false); throw t }
   }
 }

@@ -610,6 +610,25 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       s"""{"vector": [${vec.mkString(",")}], "method": "ivf-nope"}""")._1 == 400)
   }
 
+  test("the serving probe expansion equals Knn.probe1Expand key-for-key") {
+    import spark.implicits._
+    // the ONE necessarily-driver-side sibling of probe1Expand: pin the
+    // two bit-flip expansions against each other so a future probe
+    // change (2-bit, off-by-one) cannot drift them apart — the gate
+    // geometry resolves probe1=false, so no end-to-end search
+    // exercises the probed branch here
+    val ann = graft.serve.AnnServing.build(spark, sf)
+    val base = Seq((0, 5L), (1, 12L), (2, 0L))
+    val got = ann.probe1Keys(base).toSet
+    val want = graft.ann.Knn.probe1Expand(
+      base.toDF("tbl", "bkt"), ann.geometry.planes)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == want, s"driver-side probe keys diverge: got $got want $want")
+    // each key expands to exactly planes+1 distinct variants (self +
+    // one per flipped bit), disjoint across tables
+    assert(got.size == base.size * (ann.geometry.planes + 1))
+  }
+
   test("/dedup/check screens a posted document against the persisted band index") {
     import org.apache.spark.sql.functions.{col, length}
     val docs = Tables.documents(spark, sf)
