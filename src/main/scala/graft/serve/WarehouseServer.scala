@@ -72,11 +72,17 @@ object WarehouseServer {
   final class Running private[WarehouseServer] (
       server: HttpServer,
       pool: java.util.concurrent.ExecutorService,
-      watchdog: Option[java.util.concurrent.ScheduledExecutorService]) extends AutoCloseable {
+      watchdog: Option[java.util.concurrent.ScheduledExecutorService],
+      cancelActive: () => Unit) extends AutoCloseable {
     def port: Int = server.getAddress.getPort
     override def close(): Unit = {
       server.stop(0)
       pool.shutdownNow()
+      // interrupting a handler blocked in collect() does NOT cancel
+      // its submitted Spark jobs — without this, an in-flight query's
+      // jobs would orphan past shutdown, pinning executor slots on a
+      // shared cluster session until they finish for a discarded result
+      cancelActive()
       watchdog.foreach(_.shutdownNow())
     }
   }
@@ -388,8 +394,24 @@ object WarehouseServer {
       if (truncated) {
         val names = ks.map(_._1)
         def kv(r: Row): Seq[Any] = names.map(n => r.getAs[Any](n))
+        // SPARK's tie notion, not Scala's: boxed NaN != NaN under
+        // cooperative equality, but Spark's ordering (and <=>) treat
+        // NaN as equal-and-greatest — with bare ==, a boundary inside
+        // a NaN run would trim nothing, mint a v=NaN cursor whose
+        // strict predicate matches no row, and SILENTLY lose every
+        // remaining NaN row (the exact no-overlap-no-gap violation
+        // this block exists to prevent)
+        def keyEq(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: java.lang.Double, y: java.lang.Double) =>
+            (x.isNaN && y.isNaN) || x == y
+          case (x: java.lang.Float, y: java.lang.Float) =>
+            (x.isNaN && y.isNaN) || x == y
+          case _ => a == b
+        }
+        def tied(a: Seq[Any], b: Seq[Any]): Boolean =
+          a.length == b.length && a.lazyZip(b).forall(keyEq)
         val boundary = kv(taken(limit))
-        val cut = rows.lastIndexWhere(r => kv(r) != boundary)
+        val cut = rows.lastIndexWhere(r => !tied(kv(r), boundary))
         if (cut < 0)
           tieNote = Some(s"page boundary falls inside a sort-key tie group wider than the page " +
             s"(keys: ${names.mkString(", ")} are not a total order here) — raise 'limit' or " +
@@ -449,8 +471,12 @@ object WarehouseServer {
   private def limitOf(params: Map[String, String], cfg: Config): Int =
     params.get("limit") match {
       case None => cfg.defaultLimit
+      // the Int.MaxValue-1 cap keeps page()'s limit+1 truncation probe
+      // from wrapping negative when an operator "uncaps" maxRows and a
+      // client sends limit=2147483647 (a contractually valid request
+      // that would otherwise die on Dataset.limit(Int.MinValue))
       case Some(s) => s.toIntOption match {
-        case Some(l) if l > 0 => math.min(l, cfg.maxRows)
+        case Some(l) if l > 0 => math.min(l, math.min(cfg.maxRows, Int.MaxValue - 1))
         case _ => throw HttpError(400, s"bad limit '$s'")
       }
     }
@@ -542,6 +568,20 @@ object WarehouseServer {
     // is thread-safe, so a request stampede builds it exactly once.
     lazy val annIndex = AnnServing.build(spark, cfg.dataDir)
 
+    // static per dataDir: computed once, not ten parquet footer reads
+    // + analysis passes per hit on the discovery endpoint (the natural
+    // FIRST call of every client session)
+    lazy val tablesDoc: JValue =
+      JArray(tableNames.toList.sorted.map { t =>
+        ("name" -> t) ~
+          ("columns" -> table(spark, cfg.dataDir, t).schema.fields.map { f =>
+            ("name" -> f.name) ~ ("type" -> f.dataType.simpleString): JValue
+          }.toList)
+      })
+
+    // in-flight request job groups, for shutdown cancellation
+    val active = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
     def handle(ex: HttpExchange): JValue = {
       val params = queryParams(ex)
       val limit = limitOf(params, cfg)
@@ -553,13 +593,7 @@ object WarehouseServer {
             ("spark_version" -> spark.version) ~
             ("app_id" -> spark.sparkContext.applicationId) ~
             ("default_parallelism" -> spark.sparkContext.defaultParallelism)
-        case ("GET", "/tables") =>
-          JArray(tableNames.toList.sorted.map { t =>
-            ("name" -> t) ~
-              ("columns" -> table(spark, cfg.dataDir, t).schema.fields.map { f =>
-                ("name" -> f.name) ~ ("type" -> f.dataType.simpleString): JValue
-              }.toList)
-          })
+        case ("GET", "/tables") => tablesDoc
         case ("POST", "/cohort/query") =>
           scalar(CohortQuery.count(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes)), "n_subjects")
         case ("POST", "/cohort/population") =>
@@ -714,6 +748,7 @@ object WarehouseServer {
 
     server.createContext("/", (ex: HttpExchange) => {
       val reqId = s"graft-serve-${reqIds.incrementAndGet()}"
+      active.add(reqId)
       // deadline state for THIS request: the watchdog cancels the
       // request's job group (including jobs the handler has not
       // submitted yet — a multi-job query must not outlive its
@@ -780,6 +815,7 @@ object WarehouseServer {
           (500, JObject("error" -> JString(
             s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")))
       } finally {
+        active.remove(reqId)
         deadline.foreach(_.cancel(false))
         spark.sparkContext.clearJobGroup()
       }
@@ -787,9 +823,13 @@ object WarehouseServer {
     })
 
     server.start()
-    new Running(server, pool, watchdog)
+    new Running(server, pool, watchdog,
+      () => active.forEach(id => spark.sparkContext.cancelJobGroupAndFutureJobs(id)))
   }
 
+  // Keep these in sync with the match in handle(): a route added there
+  // but not here answers 404 on a wrong-verb request where the
+  // contract says 405 (nothing fails at compile time if they drift).
   private val getPaths = Set("/", "/health", "/tables", "/items/stats",
     "/items/histogram", "/items/frequencies", "/metadata/search", "/queries",
     "/store/versions", "/store/read")

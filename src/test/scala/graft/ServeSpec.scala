@@ -610,6 +610,27 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       s"""{"vector": [${vec.mkString(",")}], "method": "ivf-nope"}""")._1 == 400)
   }
 
+  test("a page boundary inside a NaN tie run trims like any other tie — no rows lost") {
+    import spark.implicits._
+    // NaN sorts as the LARGEST double in Spark and all NaNs tie under
+    // Spark's ordering — but boxed Scala NaN != NaN, so a bare ==
+    // tie-check would trim nothing, mint a v=NaN cursor whose strict
+    // predicate matches no row, and silently lose every remaining NaN
+    val df = Seq(1.0, 2.0, Double.NaN, Double.NaN, Double.NaN)
+      .toDF("v").orderBy("v")
+    // limit 3: taken = [1, 2, NaN | NaN] — boundary inside the NaN run
+    val p1 = WarehouseServer.page(df, 3)
+    assert(longOf(p1 \ "row_count") == 2, "the NaN-tied tail must trim")
+    val cur = (p1 \ "next_after") match {
+      case JString(s) => s
+      case other      => fail(s"expected a cursor after the NaN trim, got $other")
+    }
+    // the next page re-reads the whole NaN run: all 5 rows, once each
+    val p2 = WarehouseServer.page(df, 3, Some(cur))
+    assert(longOf(p2 \ "row_count") == 3 && p2 \ "truncated" == JBool(false))
+    assert(rows(p2).forall(r => (r \ "v") == JString("NaN")))
+  }
+
   test("the serving probe expansion equals Knn.probe1Expand key-for-key") {
     import spark.implicits._
     // the ONE necessarily-driver-side sibling of probe1Expand: pin the
