@@ -1,6 +1,39 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Per-query min-of-trials of a prior `bench_full.json`, for the
+    * cross-run drift check — pure text-in/map-out so the spec can pin
+    * it without a bench run. Returns empty (check disabled) when the
+    * record is for a different sf dir (a smoke run at another scale
+    * overwrites the file in place — its numbers are not comparable)
+    * or when no `queries_min` object parses. Regex, not a JSON
+    * parser: the file is this program's own single-line output, the
+    * object is flat name:number pairs, and a malformed record must
+    * degrade to "no check" rather than fail the bench.
+    */
+  private[graft] def parsePriorMins(txt: String, sfDir: String): Map[String, Double] = {
+    val sfOk = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
+    if (!sfOk) Map.empty
+    else """"queries_min":\{([^}]*)\}""".r.findFirstMatchIn(txt) match {
+      case None => Map.empty
+      case Some(m) =>
+        """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(m.group(1))
+          .flatMap(p => p.group(2).toDoubleOption.map(p.group(1) -> _)).toMap
+    }
+  }
+
+  /** The drift verdict: queries whose min exceeds 3x the committed min
+    * AND by > 0.5 s absolute (sub-second queries jitter
+    * multiplicatively on a quiet box — a 0.1 s -> 0.35 s wobble is
+    * noise, a 2 s -> 7 s move is the page-cache/contention signature).
+    */
+  private[graft] def driftOutliers(
+      mins: Seq[(String, Double)], prior: Map[String, Double]): Seq[String] =
+    mins.collect {
+      case (name, t) if prior.get(name).exists(p => t > 3 * p && t - p > 0.5) => name
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -163,6 +196,25 @@ object Bench {
       case c => c.toString
     } + "\""
     val totalMedian = results.map(_._2).sum
+    // Per-query cross-run drift check — the canary's blind spot closed:
+    // a box whose load is constant for the WHOLE run inflates every
+    // trial uniformly (the canary's own table can even stay page-cached
+    // while the gate's DuckDB run evicted the big ones), so neither
+    // trial spread nor canary drift fires while individual queries read
+    // 5-10x over their committed cost. The committed record in the
+    // working directory IS the cross-run reference: any query whose
+    // min-of-trials exceeds 3x its recorded min (and by more than 0.5 s
+    // absolute — sub-second queries jitter multiplicatively on a quiet
+    // box) is stamped into `outliers`, so a reader adjudicates "code
+    // got slower" vs "box was busy during these queries" without
+    // re-deriving trial_times. Read BEFORE the overwrite below; a
+    // missing/foreign-sf/unparseable record just disables the check.
+    val priorMins: Map[String, Double] = try {
+      parsePriorMins(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_full.json")), "UTF-8"), sfDir)
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val outliers = driftOutliers(perTrial.map { case (n, ts) => n -> ts.head }, priorMins)
+    val outliersJson = outliers.map(jstr).mkString("[", ",", "]")
     // Full-name per-query MEDIAN timings for humans/the judge, plus
     // the raw sorted trials so a contended run is visible as spread.
     // The q6d build/ingest decomposition rides along here (full file
@@ -186,8 +238,15 @@ object Bench {
     val minTotal = perTrial.map(_._2.head).sum
     val canaryJson =
       s"""{"start":${fmt(canaryStart)},"mid":${fmt(canaryMid)},"end":${fmt(canaryEnd)}}"""
+    // metric NAME carries the estimator ("total_min", min-of-trials):
+    // records before r8 published metric:"total" meaning sum-of-MEDIANS,
+    // and r8 silently re-pointed "total" at the min — a reader comparing
+    // records key-for-key would book the estimator switch as a phantom
+    // speedup over bit-identical code. Renaming makes old and new
+    // records incomparable by key, which is the honest shape; the
+    // median rides along as total_median for spread diagnosis.
     val fullLine =
-      s"""{"metric":"total","value":${fmt(minTotal)},"unit":"sec","estimator":"min_of_trials","total_median":${fmt(totalMedian)},"queries":$full,"trials":$trials,"queries_min":$mins,"total_min":${fmt(minTotal)},"canary":$canaryJson,"contended":$contended,"trial_times":$raw,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total_min","value":${fmt(minTotal)},"unit":"sec","estimator":"min_of_trials","total_median":${fmt(totalMedian)},"queries":$full,"trials":$trials,"queries_min":$mins,"total_min":${fmt(minTotal)},"canary":$canaryJson,"contended":$contended,"outliers":$outliersJson,"trial_times":$raw,"sf":${jstr(sfDir)}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -202,7 +261,7 @@ object Bench {
     val qs = perTrial.map { case (k, ts) =>
       s"\"${k.takeWhile(_ != '_')}\":${fmt(ts.head)}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(minTotal)},"unit":"sec","queries":$qs,"contended":$contended,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total_min","value":${fmt(minTotal)},"unit":"sec","estimator":"min_of_trials","queries":$qs,"contended":$contended,"outliers":$outliersJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -514,7 +514,18 @@ object Snapshots {
     // than `orphanGraceMs`: a CONCURRENT commit has its data dir on
     // disk before its manifest line exists, and sweeping it in that
     // window would publish a manifest pointing at deleted data.
-    val live = retained.map(_._3).toSet
+    //
+    // The live set comes from a FRESH chain read taken here, not from
+    // `st`: on the no-trim path no publish CAS ever validated that
+    // read's freshness, so a segment whose manifest line landed after
+    // it (with a data write that finished more than the grace window
+    // earlier — a slow multi-file commit, or a pre-staged segment)
+    // would look orphaned and be swept out from under its committed
+    // manifest — the dangling-pointer shape this module promises never
+    // to create. The grace window stays as the second guard, for the
+    // commit in flight RIGHT NOW (data on disk, line not yet
+    // published — invisible to any manifest read).
+    val live = manifestState(spark, root).lines.map(_._3).toSet
     val cutoff = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
     val dir = new Path(root)
     if (f.exists(dir)) f.listStatus(dir).foreach { s =>

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's cross-run drift check (Bench.parsePriorMins /
+  * driftOutliers): pure text-in/verdict-out, pinned here without a
+  * bench run. The check exists because a box that is busy for a WHOLE
+  * run inflates every trial uniformly — the in-run canary stays blind
+  * (its small table can remain page-cached while the correctness
+  * gate's DuckDB pass evicted the big ones), and BENCH_r08 recorded
+  * q45 at 6.2 s against a committed 0.59 s with `contended: false`.
+  */
+class BenchRecordSpec extends AnyFunSuite {
+
+  private val record =
+    """{"metric":"total_min","value":10.0,"unit":"sec","estimator":"min_of_trials",""" +
+      """"queries_min":{"q01_scan_project":0.350,"q45_item_stats":0.590,"q83_fingerprint":0.650},""" +
+      """"canary":{"start":0.5,"mid":0.4,"end":0.4},"contended":false,"sf":"/data/sf0.1"}"""
+
+  test("parsePriorMins reads queries_min for the matching sf dir only; junk degrades to no-check") {
+    val m = Bench.parsePriorMins(record, "/data/sf0.1")
+    assert(m === Map(
+      "q01_scan_project" -> 0.35, "q45_item_stats" -> 0.59, "q83_fingerprint" -> 0.65))
+    // a record from another scale (a smoke run overwrote the file in
+    // place) must disable the check, not compare apples to oranges
+    assert(Bench.parsePriorMins(record, "/data/sf0.01").isEmpty)
+    // malformed/foreign text is "no prior", never an exception
+    assert(Bench.parsePriorMins("{not json", "/data/sf0.1").isEmpty)
+    assert(Bench.parsePriorMins("", "/data/sf0.1").isEmpty)
+  }
+
+  test("driftOutliers flags the BENCH_r08 shape (3x AND >0.5s absolute) and nothing else") {
+    val prior = Bench.parsePriorMins(record, "/data/sf0.1")
+    val now = Seq(
+      "q01_scan_project" -> 0.36, // stable: not an outlier
+      "q45_item_stats" -> 6.194,  // the r8 artifact: 10x over 0.59 s
+      "q83_fingerprint" -> 1.2,   // < 3x: box noise, not flagged
+      "q99_new_query" -> 50.0)    // no committed prior: never flagged
+    assert(Bench.driftOutliers(now, prior) === Seq("q45_item_stats"))
+    // a sub-second query's multiplicative wobble is noise: 4.5x but
+    // only +0.35 s absolute stays under the flag
+    assert(Bench.driftOutliers(Seq("q_tiny" -> 0.45), Map("q_tiny" -> 0.1)).isEmpty)
+    // and the conjunction the other way: +5 s on a 10 s query is not 3x
+    assert(Bench.driftOutliers(Seq("q_big" -> 15.0), Map("q_big" -> 10.0)).isEmpty)
+  }
+}

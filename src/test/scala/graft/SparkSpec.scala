@@ -15,6 +15,12 @@ object SparkSpec {
       .appName("graft-test")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // the graft_* SQL functions normally register on the first
+    // Tables.load of the session — register here too so a suite that
+    // drives the library over its OWN frames (VacuumSpec's index
+    // stores) passes standalone, not only after some other suite
+    // happened to touch a table first (run-order isolation)
+    graft.functions.VectorExpressions.register(s)
     s
   }
 }

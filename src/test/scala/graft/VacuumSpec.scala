@@ -204,4 +204,26 @@ class VacuumSpec extends SparkSpec {
     assert(names.contains("v8-ab12cd34"), "orphans younger than the grace window must survive")
     assert(names.contains("not-a-segment"), "non-segment directories are never collateral")
   }
+
+  test("orphan sweep builds its live set from a FRESH chain read — a commit after a stale read survives a zero grace window") {
+    val root = tmpDir("vac-fresh-live")
+    Snapshots.commit(Seq((1, "a", 10L)).toDF("id", "name", "amount"), root)
+    // the chain read a long-running vacuum would be holding
+    val stale = Snapshots.manifestState(spark, root)
+    // a delta lands AFTER that read; by sweep time its data dir is
+    // older than the (zero) grace window — the mtime guard alone
+    // cannot protect it, only the fresh live set can
+    Snapshots.commitDelta(Seq((2, "b", 20L)).toDF("id", "name", "amount"), root)
+    Thread.sleep(50)
+    // no-trim path (nothing below the pin's base), so no publish CAS
+    // ever validates the stale read — pre-fix the sweep's live set
+    // missed v2's line and deleted its committed segment
+    val deleted = Snapshots.vacuumFrom(spark, root, keepAfterVersion = 1, stale,
+      orphanGraceMs = 0L)
+    assert(deleted.isEmpty)
+    assert(Snapshots.versions(spark, root).map(_._1) === Seq(1L, 2L))
+    assert(rowsOf(Snapshots.latest(spark, root, Seq("id"))) ===
+      Set((1, "a", 10L), (2, "b", 20L)),
+      "the concurrently committed delta was swept out from under its manifest")
+  }
 }
