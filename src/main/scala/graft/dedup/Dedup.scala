@@ -2092,55 +2092,150 @@ object Dedup {
     *
     * Block sizes are the scale knob: in-block work is pairwise, so a
     * hot shared prefix (templated web boilerplate) would go quadratic
-    * silently. Per-block counts are therefore measured IN the pipeline
-    * (one extra agg on the compact block key) and any block over
-    * `maxBlock` fails loudly (the [[nearDupClusters]] precedent) with
-    * the offending prefix in the message — at 100 TB the operator
-    * stops and tells you to widen the key or exact-dedup first, it
-    * never wedges a reducer. The guard stage is wired UPSTREAM of the
+    * silently. Per-block DISTINCT-text counts are therefore measured
+    * IN the pipeline (one extra agg on the compact block key) and any
+    * block over `maxBlock` fails loudly (the [[nearDupClusters]]
+    * precedent) with the offending prefix in the message — at 100 TB
+    * the operator stops and tells you to widen the key, it never
+    * wedges a reducer. The guard stage is wired UPSTREAM of the
     * pairwise join, so it trips before any quadratic work runs.
+    *
+    * Collapse-first (the [[collapsedNearDups]] precedent, now for the
+    * edit family): exact-normalized duplicates group BEFORE the
+    * pairwise stage, Levenshtein runs once per distinct-text pair, and
+    * [[blockedEditDups]] expands the group verdicts back to doc pairs
+    * (its output contract is unchanged — output size is pair-bound by
+    * definition), while [[collapsedEditDups]] reports the group rows
+    * with multiplicities so that on a duplicate-heavy corpus both the
+    * work AND the answer stay distinct²-bounded.
     */
-  def blockedEditDups(docs: DataFrame, minSim: Double = 0.8, maxBlock: Int = 4096): DataFrame = {
-    val n = docs
+  /** Normalized comparison text + blocking key — the q6a contract:
+    * squash-to-ASCII BEFORE lowercasing (see [[blockedEditDups]]'
+    * cross-engine caveat), 400-char truncation, 20-char block prefix.
+    */
+  private def editNorm(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         substring(normText(
           regexp_replace(col("text"), "[^\\x09\\x0A\\x0D\\x20-\\x7E]", "?")), 1, 400).as("t"))
       .withColumn("blk", substring(col("t"), 1, 20))
       .filter(length(col("t")) > 0)
-    // every blk appears in okBlocks (the assert throws instead of
-    // filtering), so the inner join below is a pure guard gate
-    val okBlocks = n.groupBy("blk").agg(count(lit(1)).as("bsz"))
+
+  /** Exact-normalized groups: each doc labeled with its group's
+    * canonical (min doc_id) and size — ONE shuffle on the comparison
+    * text. The collapse-first stage: Levenshtein never runs between
+    * two identical texts again.
+    */
+  private def editMembers(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("t")
+    editNorm(docs)
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .withColumn("sz", count(lit(1)).over(w))
+  }
+
+  /** Distinct-text representatives, block-size-guarded. The guard now
+    * bounds DISTINCT texts per block — exactly what drives the
+    * quadratic Levenshtein work; a block of a million exact copies of
+    * one template costs one group row, not a wedged reducer. Every blk
+    * appears in okBlocks (the assert throws instead of filtering), so
+    * the inner join is a pure guard gate wired UPSTREAM of the
+    * pairwise join — it trips before any quadratic work runs.
+    */
+  private def editReps(members: DataFrame, maxBlock: Int): DataFrame = {
+    val reps = members.filter(col("doc_id") === col("rep"))
+      .select(col("rep"), col("t"), col("blk"), col("sz"))
+    val okBlocks = reps.groupBy("blk").agg(count(lit(1)).as("bsz"))
       .filter(isnull(assert_true(col("bsz") <= lit(maxBlock),
-        concat(lit(s"blockedEditDups: block over $maxBlock docs for prefix '"), col("blk"),
-          lit("' - widen the blocking key or run exact dedup (q60) first")))))
+        concat(lit(s"blockedEditDups: block over $maxBlock distinct texts for prefix '"), col("blk"),
+          lit("' - widen the blocking key or run exact dedup (q60) first " +
+            "(exact-duplicate copies collapse before the pairwise stage and no longer count)")))))
       .select("blk")
-    val blocked = n.join(okBlocks, Seq("blk"))
-    val a = blocked.select(col("doc_id").as("id_a"), col("t").as("ta"), col("blk"))
-    val b = blocked.select(col("doc_id").as("id_b"), col("t").as("tb"), col("blk"))
+    reps.join(okBlocks, Seq("blk"))
+  }
+
+  /** In-block pairwise verify over group REPRESENTATIVES only:
+    * (rep_a, rep_b, lev, edit_sim, sz_a, sz_b) for rep_a < rep_b with
+    * edit_sim ≥ minSim. Work is distinct², not copies².
+    */
+  private def repEditPairs(reps: DataFrame, minSim: Double): DataFrame = {
+    val a = reps.select(col("rep").as("rep_a"), col("t").as("ta"), col("sz").as("sz_a"), col("blk"))
+    val b = reps.select(col("rep").as("rep_b"), col("t").as("tb"), col("sz").as("sz_b"), col("blk"))
     a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("rep_a") < col("rep_b"))
       .withColumn("lev", levenshtein(col("ta"), col("tb")))
       .withColumn("mx", greatest(length(col("ta")), length(col("tb"))))
       .withColumn("edit_sim", lit(1.0) - col("lev").cast("double") / col("mx").cast("double"))
       .filter(col("edit_sim") >= minSim)
-      .select("id_a", "id_b", "lev", "edit_sim")
+  }
+
+  def blockedEditDups(docs: DataFrame, minSim: Double = 0.8, maxBlock: Int = 4096): DataFrame = {
+    val m = editMembers(docs)
+    val reps = editReps(m, maxBlock)
+    // cross-group pairs expand by group membership (identical texts
+    // share one lev/sim by definition); least/greatest because a
+    // member of the lower-rep group can carry the higher doc_id
+    val cross = repEditPairs(reps, minSim)
+      .select(col("rep_a"), col("rep_b"), col("lev"), col("edit_sim"))
+      .join(m.select(col("rep").as("rep_a"), col("doc_id").as("da")), "rep_a")
+      .join(m.select(col("rep").as("rep_b"), col("doc_id").as("db")), "rep_b")
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("lev"), col("edit_sim"))
+    // within-group pairs are Levenshtein-free: lev 0, sim 1 ≥ any minSim
+    val within = m.select(col("rep"), col("doc_id").as("id_a"))
+      .join(m.select(col("rep"), col("doc_id").as("id_b")), "rep")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("lev"), lit(1.0).as("edit_sim"))
+    cross.unionByName(within)
+  }
+
+  /** The group-aware form ([[collapsedNearDups]]' precedent for edit
+    * distance): near-dup verdicts between exact-normalized GROUPS with
+    * multiplicities, instead of one row per expanded doc pair. On a
+    * duplicate-heavy corpus — the one place q6a's old pair output grew
+    * copies² — both the Levenshtein work AND the answer stay
+    * distinct²-bounded: a within row summarizes C(sz,2) identical
+    * pairs, a cross row sz_a·sz_b of them.
+    */
+  def collapsedEditDups(docs: DataFrame, minSim: Double = 0.8, maxBlock: Int = 4096): DataFrame = {
+    val reps = editReps(editMembers(docs), maxBlock)
+    val cross = repEditPairs(reps, minSim)
+      .select(col("rep_a"), col("rep_b"), col("lev"), col("edit_sim"),
+        col("sz_a"), col("sz_b"), (col("sz_a") * col("sz_b")).as("n_pairs"))
+    // integral DIV, the q6e lesson: double `/` rounds past 2^53
+    val within = reps.filter(col("sz") > 1)
+      .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+        lit(0).as("lev"), lit(1.0).as("edit_sim"),
+        col("sz").as("sz_a"), col("sz").as("sz_b"),
+        expr("CAST((sz * (sz - 1)) DIV 2 AS BIGINT)").as("n_pairs"))
+    cross.unionByName(within)
   }
 
   private val q6a = Qdef(
     "q6a_dedup_blocked_edit",
-    (s, d) => blockedEditDups(Tables.documents(s, d)).orderBy("id_a", "id_b"),
+    (s, d) => collapsedEditDups(Tables.documents(s, d)).orderBy("rep_a", "rep_b"),
     Some("""WITH n AS (SELECT doc_id,
                    substr(trim(regexp_replace(lower(regexp_replace(text, '[^\x09\x0A\x0D\x20-\x7E]', '?', 'g')),
                                               '\s+', ' ', 'g')), 1, 400) AS t
                  FROM documents),
-            b AS (SELECT doc_id, t, substr(t, 1, 20) AS blk FROM n WHERE len(t) > 0),
-            p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+            g AS (SELECT t, MIN(doc_id) AS rep, COUNT(*) AS sz
+                  FROM n WHERE len(t) > 0 GROUP BY t),
+            b AS (SELECT rep, sz, t, substr(t, 1, 20) AS blk FROM g),
+            p AS (SELECT a.rep AS rep_a, c.rep AS rep_b,
                          levenshtein(a.t, c.t) AS lev,
-                         GREATEST(len(a.t), len(c.t)) AS mx
-                  FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id)
-            SELECT id_a, id_b, lev, 1.0 - CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE) AS edit_sim
-            FROM p WHERE 1.0 - CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE) >= 0.8
-            ORDER BY id_a, id_b"""))
+                         GREATEST(len(a.t), len(c.t)) AS mx,
+                         a.sz AS sz_a, c.sz AS sz_b
+                  FROM b a JOIN b c ON a.blk = c.blk AND a.rep < c.rep),
+            cp AS (SELECT rep_a, rep_b, lev,
+                          1.0 - CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE) AS edit_sim,
+                          sz_a, sz_b, CAST(sz_a * sz_b AS BIGINT) AS n_pairs
+                   FROM p WHERE 1.0 - CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE) >= 0.8),
+            w AS (SELECT rep AS rep_a, rep AS rep_b, 0 AS lev, CAST(1.0 AS DOUBLE) AS edit_sim,
+                         sz AS sz_a, sz AS sz_b, CAST((sz * (sz - 1)) // 2 AS BIGINT) AS n_pairs
+                  FROM g WHERE sz > 1)
+            SELECT rep_a, rep_b, lev, edit_sim, sz_a, sz_b, n_pairs FROM cp
+            UNION ALL
+            SELECT rep_a, rep_b, lev, edit_sim, sz_a, sz_b, n_pairs FROM w
+            ORDER BY rep_a, rep_b"""))
 
   val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q6a, q6b, q6c, q6d, q6e, q6f, q6g)
 }

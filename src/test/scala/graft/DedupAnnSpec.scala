@@ -789,4 +789,44 @@ class DedupAnnSpec extends SparkSpec {
     assert(err.getMessage.contains("adaptiveNearDups"), err.getMessage)
     assert(err.getMessage.contains("65 distinct vectors"), err.getMessage)
   }
+
+  test("q6a collapse-first: pair expansion equals the direct blocked pairwise reference; multiplicities account exactly") {
+    // plant exact-NORMALIZED (not byte-exact) copies — doubled spaces
+    // plus a trailing run, which the \s+ collapse folds away — so the
+    // collapse stage is non-trivial on the gate corpus
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val clones = docs.orderBy("doc_id").limit(5)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(regexp_replace(col("text"), " ", "  "), lit("  ")).as("text"))
+    val corpus = docs.unionByName(clones)
+    // the reference: the pre-collapse algorithm verbatim — block on
+    // the normalized 20-char prefix, Levenshtein every in-block pair
+    val n = corpus
+      .select(col("doc_id"),
+        substring(normText(
+          regexp_replace(col("text"), "[^\\x09\\x0A\\x0D\\x20-\\x7E]", "?")), 1, 400).as("t"))
+      .withColumn("blk", substring(col("t"), 1, 20))
+      .filter(length(col("t")) > 0)
+    val a = n.select(col("doc_id").as("id_a"), col("t").as("ta"), col("blk"))
+    val b = n.select(col("doc_id").as("id_b"), col("t").as("tb"), col("blk"))
+    val ref = a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("lev", levenshtein(col("ta"), col("tb")))
+      .withColumn("mx", greatest(length(col("ta")), length(col("tb"))))
+      .withColumn("edit_sim", lit(1.0) - col("lev").cast("double") / col("mx").cast("double"))
+      .filter(col("edit_sim") >= 0.8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("lev"), r.getAs[Double]("edit_sim"))).toSet
+    assert(ref.nonEmpty, "no planted pairs — the parity check below would be vacuous")
+    val got = Dedup.blockedEditDups(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.length == got.toSet.size, "expansion emitted duplicate pairs")
+    assert(got.toSet == ref, "collapse+expand drifted from the direct pairwise semantics")
+    // group-aware rows: within rows exist (the clones collapsed), and
+    // total multiplicity equals the expanded pair count exactly
+    val coll = Dedup.collapsedEditDups(corpus).collect()
+    assert(coll.exists(r => r.getLong(0) == r.getLong(1)),
+      "no within-group row — the planted clones did not collapse")
+    assert(coll.map(_.getLong(6)).sum == got.length.toLong,
+      "collapsed n_pairs multiplicities do not account for the expanded pairs")
+  }
 }

@@ -110,6 +110,24 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(ok.nonEmpty, "near-identical templated docs must pair up under the threshold")
   }
 
+  test("q6a collapse-first: a block of exact copies resolves under maxBlock instead of tripping the guard") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 64 docs, ONE distinct normalized text: pre-collapse this block
+    // tripped maxBlock=16 (and on a real duplicate-heavy corpus ran
+    // Levenshtein copies² times); collapsed it is one group row
+    val dup = (0 until 64)
+      .map(i => (i.toLong, "boilerplate header exact copy shared by every row"))
+      .toDF("doc_id", "text")
+    val coll = Dedup.collapsedEditDups(dup, maxBlock = 16).collect()
+    assert(coll.length == 1)
+    val r = coll.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L, "canonical rep must be the min doc_id")
+    assert(r.getInt(2) == 0 && r.getLong(4) == 64L && r.getLong(6) == 64L * 63 / 2)
+    // the pair expansion reports every doc pair — Levenshtein-free
+    assert(Dedup.blockedEditDups(dup, maxBlock = 16).count() == 64L * 63 / 2)
+  }
+
   test("snapshot store: 16-delta chain merges in ONE shuffle; compact bounds scan fan-in") {
     import graft.sources.Snapshots
     val sf01 = "/root/testdata/sf0.01"
