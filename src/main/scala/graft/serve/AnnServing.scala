@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * A per-request [[graft.ann.Knn.lshTopK]] would re-count and re-band
   * the whole corpus for every HTTP call — a full scan per request,
   * the exact shape that dies first at warehouse scale. Instead the
-  * index is built ONCE per server (lazily, on the first search):
-  * corpus + norms and the banded (vec_id, tbl, bkt) keys are
-  * materialized and cached, and each request then costs only
+  * index is built ONCE per source VERSION (lazily, on the first
+  * search; the server compares the [[AnnServing.Source]] freshness
+  * stamp per request and rebuilds only when it moves — see
+  * [[sourceVersion]]): corpus + norms and the banded
+  * (vec_id, tbl, bkt) keys are materialized and cached, and each
+  * request then costs only
   *
   *  1. bucketing the POSTed vector DRIVER-side — the hyperplanes are
   *     a deterministic seeded draw ([[graft.ann.Knn.hyperplanes]]),
@@ -41,9 +44,32 @@ import org.apache.spark.sql.functions._
 final class AnnServing private (
     val geometry: LshGeometry,
     val dims: Int,
+    /** The corpus source's freshness stamp AT BUILD TIME (taken before
+      * the corpus read, so a commit racing the build leaves the stamp
+      * conservatively old and the next search detects it as stale).
+      * The server compares it against the source's current stamp per
+      * request — a cheap driver-side listing, no Spark job — and
+      * rebuilds on mismatch, so continuous-ingest deployments (the
+      * st0c sink committing vectors to the corpus store) never serve
+      * frozen neighbors.
+      */
+    val sourceVersion: String,
     hpSeq: IndexedSeq[IndexedSeq[Seq[Double]]],
     corpus: DataFrame,
     banded: DataFrame) {
+
+  /** Release the two cache entries the build persisted. A
+    * served-then-closed instance (rolling refresh, server shutdown,
+    * test suites on a shared long-lived session) must not pin
+    * corpus-sized blocks until the session dies. Safe while an
+    * in-flight search still holds the frames: unpersist only drops
+    * the cached blocks, the plans recompute.
+    */
+  def close(): Unit = {
+    corpus.unpersist(blocking = false)
+    banded.unpersist(blocking = false)
+    ()
+  }
 
   // array-backed planes for the request path: the seeded draw comes
   // back as Seq (List) rows, and indexing a List inside the dot loop
@@ -135,12 +161,80 @@ final class AnnServing private (
 
 object AnnServing {
 
-  /** Build (and materialize) the serving index over the embeddings
-    * table. Costs one corpus scan + one banding pass — paid once per
-    * server lifetime, not per request.
+  /** Where the served corpus comes from, plus a driver-side freshness
+    * stamp (`version` must run NO Spark jobs — it is consulted on
+    * every search request).
     */
-  def build(spark: SparkSession, dataDir: String): AnnServing = {
-    val e = Tables.embeddings(spark, dataDir)
+  sealed trait Source {
+    /** The (vec_id, embedding) frame to index. */
+    def frame(spark: SparkSession): DataFrame
+    /** Cheap change stamp: two equal stamps mean the built index is
+      * still current; any difference triggers a rebuild.
+      */
+    def version(spark: SparkSession): String
+  }
+
+  /** The static embeddings parquet under `dataDir` — freshness is the
+    * file listing's signature (names × mtimes × lengths, order-
+    * independent), so an overwritten/regenerated table invalidates the
+    * cache. One recursive listing per request: the same metadata cost
+    * every Spark scan of the table pays at planning time.
+    */
+  final case class ParquetSource(dataDir: String) extends Source {
+    def frame(spark: SparkSession): DataFrame =
+      Tables.embeddings(spark, dataDir).select("vec_id", "embedding")
+    def version(spark: SparkSession): String = {
+      val p = new org.apache.hadoop.fs.Path(s"$dataDir/embeddings.parquet")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var h = 0L
+      if (f.exists(p)) {
+        val it = f.listFiles(p, true)
+        while (it.hasNext) {
+          val s = it.next()
+          // per-file mix folded with XOR: listing ORDER is not part of
+          // the stamp (an unchanged dir re-listed in another order must
+          // not fake a change and rebuild the index for nothing)
+          var m = s.getPath.getName.hashCode.toLong
+          m = m * 6364136223846793005L + s.getModificationTime
+          m = m * 6364136223846793005L + s.getLen
+          h ^= m
+        }
+      }
+      s"f${java.lang.Long.toHexString(h)}"
+    }
+  }
+
+  /** A versioned snapshot store of (vec_id, embedding) rows — the
+    * corpus store the continuous vector-ingest sink
+    * ([[graft.streaming.EventStreams.streamVecDedupIngest]], st0c)
+    * appends keepers to. Freshness is the manifest FILE number, which
+    * advances on every publish (delta commit, compact, vacuum trim) —
+    * one manifest listing per request, no data touched. The read is
+    * the store's append-only supersession chain, exactly what the
+    * ingest sink itself dedups against.
+    */
+  final case class StoreSource(root: String) extends Source {
+    def frame(spark: SparkSession): DataFrame =
+      graft.sources.Snapshots.readAppendOnly(spark, root).select("vec_id", "embedding")
+    def version(spark: SparkSession): String =
+      s"m${graft.sources.Snapshots.manifestState(spark, root).fileNum}"
+  }
+
+  /** Build over the static embeddings table (the default source). */
+  def build(spark: SparkSession, dataDir: String): AnnServing =
+    build(spark, ParquetSource(dataDir))
+
+  /** Build (and materialize) the serving index over `source`. Costs
+    * one corpus scan + one banding pass — paid once per source
+    * VERSION (the server rebuilds when the source's stamp moves), not
+    * per request.
+    */
+  def build(spark: SparkSession, source: Source): AnnServing = {
+    // stamp BEFORE the read: a commit landing mid-build leaves the
+    // stamp old, so the next request sees stale-and-rebuilds rather
+    // than serving a half-of-the-commit corpus forever
+    val stamp = source.version(spark)
+    val e = source.frame(spark)
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
       .persist()
     // a failed build (no scorable rows, a banding error) must release
@@ -161,7 +255,7 @@ object AnnServing {
         .select("vec_id", "tbl", "bkt").persist()
       try {
         banded.count() // materialize now: the first request must not pay the banding
-        new AnnServing(g, dims, Knn.hyperplanes(g.tables, g.planes, dims), e, banded)
+        new AnnServing(g, dims, stamp, Knn.hyperplanes(g.tables, g.planes, dims), e, banded)
       } catch { case t: Throwable => banded.unpersist(blocking = false); throw t }
     } catch { case t: Throwable => e.unpersist(blocking = false); throw t }
   }

@@ -54,6 +54,20 @@ object WarehouseServer {
     * index ([[graft.dedup.Dedup.commitBandIndex]] over the documents
     * corpus); absent, the endpoint answers 404. `annMaxK` caps the
     * neighbor count a search request may ask for.
+    *
+    * `annVecStoreRoot` points `POST /ann/search` at a versioned
+    * snapshot store of (vec_id, embedding) rows — the corpus store the
+    * continuous vector-ingest sink (st0c) appends keepers to — instead
+    * of the static embeddings parquet. Either way the cached index
+    * auto-rebuilds when its source's freshness stamp moves (manifest
+    * file number / parquet listing signature), and `POST /ann/refresh`
+    * forces a rebuild for operators.
+    *
+    * `authToken`, when set, requires `Authorization: Bearer <token>`
+    * on every request from a NON-loopback remote (the only way to
+    * reach the server is `bindAll = true`, which is what the token
+    * exists to make deployable); loopback requests stay unauthenticated
+    * so local operations keep working. Compare is constant-time.
     */
   final case class Config(
       dataDir: String,
@@ -66,14 +80,42 @@ object WarehouseServer {
       bindAll: Boolean = false,
       requestTimeoutMs: Long = 0L,
       dedupIndexRoot: Option[String] = None,
-      annMaxK: Int = 1000)
+      annMaxK: Int = 1000,
+      annVecStoreRoot: Option[String] = None,
+      authToken: Option[String] = None)
+
+  /** The bearer-auth verdict for one request: `None` = allowed,
+    * `Some(message)` = refuse with 401. Token unset → everything
+    * passes (the loopback-only default deployment). Token set →
+    * loopback remotes still pass (local ops), any other remote must
+    * present exactly `Authorization: Bearer <token>`; the comparison
+    * is constant-time (`MessageDigest.isEqual`) so the token cannot
+    * be probed byte-by-byte through response timing. A null remote
+    * (no address — cannot prove loopback) is treated as non-loopback.
+    */
+  private[graft] def authError(
+      remote: java.net.InetAddress,
+      header: Option[String],
+      token: Option[String]): Option[String] =
+    token match {
+      case Some(t) if remote == null || !remote.isLoopbackAddress =>
+        val ok = header.exists { h =>
+          h.startsWith("Bearer ") && java.security.MessageDigest.isEqual(
+            h.drop("Bearer ".length).getBytes(UTF_8), t.getBytes(UTF_8))
+        }
+        if (ok) None
+        else Some("missing or invalid bearer token " +
+          "(send 'Authorization: Bearer <token>'; non-loopback requests require it)")
+      case _ => None
+    }
 
   /** A started server; `port` is the bound port (useful with port=0). */
   final class Running private[WarehouseServer] (
       server: HttpServer,
       pool: java.util.concurrent.ExecutorService,
       watchdog: Option[java.util.concurrent.ScheduledExecutorService],
-      cancelActive: () => Unit) extends AutoCloseable {
+      cancelActive: () => Unit,
+      closeAnn: () => Unit) extends AutoCloseable {
     def port: Int = server.getAddress.getPort
     override def close(): Unit = {
       server.stop(0)
@@ -83,6 +125,11 @@ object WarehouseServer {
       // jobs would orphan past shutdown, pinning executor slots on a
       // shared cluster session until they finish for a discarded result
       cancelActive()
+      // release the ANN index's persisted corpus/banded frames: each
+      // served-then-closed instance (test suites, rolling restarts on
+      // a shared long-lived session) would otherwise leak two cache
+      // entries until the session dies
+      closeAnn()
       watchdog.foreach(_.shutdownNow())
     }
   }
@@ -555,18 +602,72 @@ object WarehouseServer {
           ("href" -> "/ann/search") ~ ("method" -> "POST") ~
             ("rel" -> "similarity-search") ~
             ("body" -> "{vector: [...], k?, method?: lsh|brute}"),
+          ("href" -> "/ann/refresh") ~ ("method" -> "POST") ~
+            ("rel" -> "rebuild similarity index"),
           ("href" -> "/dedup/check") ~ ("method" -> "POST") ~
             ("rel" -> "near-dup verdict") ~ ("body" -> "{text, min_jaccard?}")))
 
     def storeRoot: String =
       cfg.storeRoot.getOrElse(throw HttpError(404, "no store configured (Config.storeRoot)"))
 
-    // the ANN serving index: built once per server on the first search
+    // the ANN serving index: built once per SOURCE VERSION on demand
     // (one corpus scan + one banding pass), then every request is a
+    // freshness-stamp read (driver-side listing, no Spark job) + a
     // driver-side bucket computation + a pruned probe of the cached
-    // keys — never a per-request re-band of the corpus. Scala lazy val
-    // is thread-safe, so a request stampede builds it exactly once.
-    lazy val annIndex = AnnServing.build(spark, cfg.dataDir)
+    // keys — never a per-request re-band of the corpus. When the
+    // source moves (a delta committed through the st0c store, a
+    // regenerated parquet), the FIRST search after it pays the rebuild
+    // in-request — the documented trade-off that keeps neighbors fresh
+    // without a background thread; operators who want to pay it at a
+    // chosen moment POST /ann/refresh. The lock makes a request
+    // stampede (and refresh-vs-search races) build exactly once.
+    val annSource: AnnServing.Source = cfg.annVecStoreRoot match {
+      case Some(r) => AnnServing.StoreSource(r)
+      case None    => AnnServing.ParquetSource(cfg.dataDir)
+    }
+    val annRef = new java.util.concurrent.atomic.AtomicReference[AnnServing](null)
+    val annLock = new Object
+    // an index-build failure is a SERVER-side fault (empty/corrupt
+    // store, no scorable rows — nothing the client posted): 503, never
+    // the IllegalArgumentException→400 request-validation mapping
+    def annBuild(): AnnServing =
+      try AnnServing.build(spark, annSource)
+      catch {
+        case NonFatal(e) => throw HttpError(503,
+          s"ann index build failed (server-side, not your request): " +
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+      }
+    def annIndex(): AnnServing = {
+      val cur = annRef.get
+      val v =
+        try annSource.version(spark)
+        catch {
+          case NonFatal(e) => throw HttpError(503,
+            s"ann index source unavailable: ${Option(e.getMessage).getOrElse(e.toString)}")
+        }
+      if (cur != null && cur.sourceVersion == v) cur
+      else annLock.synchronized {
+        // double-check with a FRESH stamp under the lock: another
+        // request may have rebuilt while this one waited, and the
+        // source may have advanced again past `v`
+        val cur2 = annRef.get
+        val v2 = annSource.version(spark)
+        if (cur2 != null && cur2.sourceVersion == v2) cur2
+        else {
+          val built = annBuild()
+          annRef.set(built)
+          if (cur2 != null) cur2.close()
+          built
+        }
+      }
+    }
+    def annRefresh(): (Option[String], AnnServing) = annLock.synchronized {
+      val old = Option(annRef.get)
+      val built = annBuild()
+      annRef.set(built)
+      old.foreach(_.close())
+      (old.map(_.sourceVersion), built)
+    }
 
     // static per dataDir: computed once, not ten parquet footer reads
     // + analysis passes per hit on the discovery endpoint (the natural
@@ -583,6 +684,14 @@ object WarehouseServer {
     val active = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
     def handle(ex: HttpExchange): JValue = {
+      // auth gate FIRST — before any param parsing or body read, so an
+      // unauthenticated remote can neither run Spark work nor probe
+      // validation errors. Loopback remotes bypass (see Config).
+      authError(
+        Option(ex.getRemoteAddress).map(_.getAddress).orNull,
+        Option(ex.getRequestHeaders.getFirst("Authorization")),
+        cfg.authToken)
+        .foreach(msg => throw HttpError(401, msg))
       val params = queryParams(ex)
       val limit = limitOf(params, cfg)
       val after = params.get("after")
@@ -670,16 +779,25 @@ object WarehouseServer {
             case JNothing => "lsh"
             case other => throw HttpError(400, s"method must be lsh|brute, got $other")
           }
-          // a bad vector (dims mismatch, NaN, zero norm) throws
+          // ONE index resolution per request (freshness check + maybe
+          // rebuild happen here, as 503s); a bad vector (dims
+          // mismatch, NaN, zero norm) then throws
           // IllegalArgumentException → the 400 mapping below
-          val neighbors = annIndex.search(vector, k, method)
-          val g = annIndex.geometry
+          val idx = annIndex()
+          val neighbors = idx.search(vector, k, method)
+          val g = idx.geometry
           ("k" -> k) ~ ("method" -> method) ~
+            ("index_version" -> idx.sourceVersion) ~
             ("geometry" ->
               (("tables" -> g.tables) ~ ("planes" -> g.planes) ~ ("probe1" -> g.probe1))) ~
             ("neighbors" -> JArray(neighbors.map { case (id, cos) =>
               ("vec_id" -> JInt(id)) ~ ("cos" -> jval(cos)): JValue
             }.toList))
+        case ("POST", "/ann/refresh") =>
+          val (oldV, built) = annRefresh()
+          ("rebuilt" -> true) ~
+            ("index_version" -> built.sourceVersion) ~
+            ("previous_version" -> oldV)
         case ("POST", "/dedup/check") =>
           val idxRoot = cfg.dedupIndexRoot.getOrElse(throw HttpError(404,
             "no dedup band index configured (Config.dedupIndexRoot)"))
@@ -824,7 +942,8 @@ object WarehouseServer {
 
     server.start()
     new Running(server, pool, watchdog,
-      () => active.forEach(id => spark.sparkContext.cancelJobGroupAndFutureJobs(id)))
+      () => active.forEach(id => spark.sparkContext.cancelJobGroupAndFutureJobs(id)),
+      () => Option(annRef.get).foreach(_.close()))
   }
 
   // Keep these in sync with the match in handle(): a route added there
@@ -834,7 +953,7 @@ object WarehouseServer {
     "/items/histogram", "/items/frequencies", "/metadata/search", "/queries",
     "/store/versions", "/store/read")
   private val postPaths = Set("/cohort/query", "/cohort/population",
-    "/cohort/atom-counts", "/store/commit", "/ann/search", "/dedup/check")
+    "/cohort/atom-counts", "/store/commit", "/ann/search", "/ann/refresh", "/dedup/check")
 
   /** POST /queries/{name} matcher (no other path params exist). */
   private object QueryRun {

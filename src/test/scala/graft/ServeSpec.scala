@@ -639,15 +639,17 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // geometry resolves probe1=false, so no end-to-end search
     // exercises the probed branch here
     val ann = graft.serve.AnnServing.build(spark, sf)
-    val base = Seq((0, 5L), (1, 12L), (2, 0L))
-    val got = ann.probe1Keys(base).toSet
-    val want = graft.ann.Knn.probe1Expand(
-      base.toDF("tbl", "bkt"), ann.geometry.planes)
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
-    assert(got == want, s"driver-side probe keys diverge: got $got want $want")
-    // each key expands to exactly planes+1 distinct variants (self +
-    // one per flipped bit), disjoint across tables
-    assert(got.size == base.size * (ann.geometry.planes + 1))
+    try {
+      val base = Seq((0, 5L), (1, 12L), (2, 0L))
+      val got = ann.probe1Keys(base).toSet
+      val want = graft.ann.Knn.probe1Expand(
+        base.toDF("tbl", "bkt"), ann.geometry.planes)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(got == want, s"driver-side probe keys diverge: got $got want $want")
+      // each key expands to exactly planes+1 distinct variants (self +
+      // one per flipped bit), disjoint across tables
+      assert(got.size == base.size * (ann.geometry.planes + 1))
+    } finally ann.close() // release the build's two cache entries
   }
 
   test("/dedup/check screens a posted document against the persisted band index") {
@@ -713,6 +715,139 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       // and equal to the committed one regardless of the JVM zone
       assert(java.time.Instant.parse(got) == ts.toInstant,
         s"timestamp rendered ambiguously: '$got'")
+    } finally srv.close()
+  }
+
+  test("/ann/search over the persisted vector store: a committed ingest is served without restart; /ann/refresh rebuilds on demand") {
+    import org.apache.spark.sql.functions.col
+    val root = s"${tmpDir("serve-vecstore")}/corpus"
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    // seed the store with the corpus MINUS one held-out vector — the
+    // st0c deployment shape (Snapshots.commit, then delta ingests)
+    Snapshots.commit(emb.filter(col("vec_id") =!= 3), root)
+    val vec = emb.filter(col("vec_id") === 3).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    val srv = WarehouseServer.start(spark, WarehouseServer.Config(
+      dataDir = sf, annVecStoreRoot = Some(root)))
+    try {
+      def req(path: String, body: String): (Int, JValue) = {
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.port}$path"))
+            .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def neighbors(v: JValue): List[(Long, Double)] =
+        (v \ "neighbors").asInstanceOf[JArray].arr.map { n =>
+          (longOf(n \ "vec_id"), (n \ "cos").asInstanceOf[JDouble].num)
+        }
+      def search(method: String, k: Int = 6): (Int, JValue) =
+        req("/ann/search", s"""{"vector": [${vec.mkString(",")}], "k": $k, "method": "$method"}""")
+      // before the ingest: the held-out vector is nobody's neighbor
+      val (c1, v1) = search("brute")
+      assert(c1 == 200)
+      assert(!neighbors(v1).exists(_._1 == 3L), "held-out vector served before its commit")
+      val ver1 = (v1 \ "index_version").asInstanceOf[JString].s
+      // commit it through the store (the st0c delta path — no restart,
+      // no explicit refresh)
+      Snapshots.commitDelta(emb.filter(col("vec_id") === 3), root)
+      // the NEXT search detects the moved manifest and serves it
+      val (c2, v2) = search("brute")
+      assert(c2 == 200)
+      assert(neighbors(v2).exists { case (id, c) => id == 3L && math.abs(c - 1.0) < 1e-12 },
+        s"committed vector not served after ingest: ${neighbors(v2)}")
+      val ver2 = (v2 \ "index_version").asInstanceOf[JString].s
+      assert(ver2 != ver1, "index version did not move with the store")
+      // served lsh over the UPDATED corpus matches library lshTopK on
+      // the same store read, row for row (the frozen-cache failure
+      // mode this feature closes)
+      val (c3, v3) = search("lsh")
+      assert(c3 == 200)
+      val lsh = neighbors(v3).filterNot(_._1 == 3L)
+      val direct = graft.ann.Knn.lshTopK(Snapshots.readAppendOnly(spark, root))
+        .filter(col("qid") === 3).collect()
+        .map(r => (r.getLong(1), r.getDouble(3))).toList
+      assert(lsh.map(_._1) == direct.map(_._1),
+        s"served lsh ${lsh.map(_._1)} != library ${direct.map(_._1)} on the updated corpus")
+      lsh.zip(direct).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
+      // explicit refresh: 200, reports the versions, serving stays consistent
+      val (rc, rv) = req("/ann/refresh", "")
+      assert(rc == 200 && rv \ "rebuilt" == JBool(true))
+      assert((rv \ "index_version").asInstanceOf[JString].s == ver2)
+      assert((rv \ "previous_version").asInstanceOf[JString].s == ver2)
+      assert(search("brute")._1 == 200)
+    } finally srv.close()
+  }
+
+  test("a broken ann source answers 503 (server fault), never the request-validation 400") {
+    // an EMPTY snapshot store: the build fails server-side while the
+    // posted vector is perfectly well-formed
+    val srv = WarehouseServer.start(spark, WarehouseServer.Config(
+      dataDir = sf, annVecStoreRoot = Some(s"${tmpDir("serve-vecstore-empty")}/corpus")))
+    try {
+      def req(path: String, body: String): (Int, JValue) = {
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.port}$path"))
+            .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      val (c, v) = req("/ann/search", """{"vector": [1.0, 2.0]}""")
+      assert(c == 503, s"server-side build fault mapped to $c: $v")
+      assert((v \ "error").asInstanceOf[JString].s.contains("server-side"))
+      assert(req("/ann/refresh", "")._1 == 503)
+      // and a genuinely malformed request on the same server is still
+      // a 400 path... which requires a buildable index — so assert the
+      // 503 never leaks the IllegalArgumentException wording instead
+      assert(!(v \ "error").asInstanceOf[JString].s.toLowerCase.contains("bad request"))
+    } finally srv.close()
+  }
+
+  test("bearer auth verdicts: loopback bypasses, non-loopback needs the exact token") {
+    val loop = java.net.InetAddress.getLoopbackAddress
+    val remote = java.net.InetAddress.getByName("192.0.2.7") // TEST-NET literal, no DNS
+    val tok = Some("s3kr1t")
+    // no token configured: everything passes (the loopback-only default)
+    assert(WarehouseServer.authError(remote, None, None).isEmpty)
+    // token configured: loopback still passes (local ops unchanged)
+    assert(WarehouseServer.authError(loop, None, tok).isEmpty)
+    // non-loopback: exact bearer only
+    assert(WarehouseServer.authError(remote, None, tok).nonEmpty)
+    assert(WarehouseServer.authError(remote, Some("Bearer s3kr1t"), tok).isEmpty)
+    assert(WarehouseServer.authError(remote, Some("Bearer nope"), tok).nonEmpty)
+    assert(WarehouseServer.authError(remote, Some("s3kr1t"), tok).nonEmpty,
+      "a bare token without the Bearer scheme must not pass")
+    assert(WarehouseServer.authError(remote, Some("Bearer s3kr1t "), tok).nonEmpty,
+      "trailing bytes must not pass the constant-time compare")
+    // an unresolvable remote cannot prove it is loopback: refuse
+    assert(WarehouseServer.authError(null, None, tok).nonEmpty)
+  }
+
+  test("bearer auth end-to-end: 401 without the token from a non-loopback remote, 200 with it; loopback untouched") {
+    val srv = WarehouseServer.start(spark, WarehouseServer.Config(
+      dataDir = sf, bindAll = true, authToken = Some("s3kr1t")))
+    try {
+      // loopback requests need no token even with auth configured
+      val loop = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.port}/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(loop.statusCode() == 200)
+      // a non-loopback interface, if the environment has one
+      import scala.jdk.CollectionConverters._
+      val addr = java.net.NetworkInterface.getNetworkInterfaces.asScala
+        .filter(i => i.isUp && !i.isLoopback)
+        .flatMap(_.getInetAddresses.asScala)
+        .collectFirst { case a: java.net.Inet4Address => a }
+      assume(addr.nonEmpty, "no non-loopback IPv4 interface to probe auth end-to-end")
+      val base = s"http://${addr.get.getHostAddress}:${srv.port}"
+      def health(hdr: Option[String]): Int = {
+        val b = HttpRequest.newBuilder(URI.create(s"$base/health")).GET()
+        hdr.foreach(h => b.header("Authorization", h))
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      assert(health(None) == 401)
+      assert(health(Some("Bearer wrong")) == 401)
+      assert(health(Some("Bearer s3kr1t")) == 200)
     } finally srv.close()
   }
 
