@@ -12,17 +12,64 @@ import org.apache.spark.sql.functions._
   * primary AND foreign key shifted by a per-copy stride of its own
   * domain (join fan-outs per copy stay exactly sf0.1's, so a query's
   * work should scale ~linearly in copies); the DIMENSION tables
-  * (region, nation) stay fixed, as in TPC-H. Document text gets a
-  * per-copy suffix token so the dedup family sees realistic NEAR-dup
-  * growth rather than only exact copies; embeddings fan with
-  * identical vectors — deliberately the adversarial exact-direction
-  * case the r6 soak proved the collapse/distinct-vector plans absorb.
+  * (region, nation) stay fixed, as in TPC-H.
+  *
+  * Two content modes (`SPARK_GRAFT_SF1_MODE`), because the dedup
+  * family's cost is shaped by the CORPUS, not only the plan:
+  *
+  *  - `clone` (default): document text gets a per-copy suffix token
+  *    (realistic NEAR-dup growth — every copy is a true near-dup of
+  *    its 9 siblings, so pair-output-bound operators legitimately
+  *    grow ~C(copies,2)×); embeddings fan with identical vectors —
+  *    deliberately the adversarial exact-direction case the r6 soak
+  *    proved the collapse/distinct-vector plans absorb. Writes
+  *    BENCH_SF1.json.
+  *  - `distinct`: per-copy text perturbation (an 8-letter per-copy
+  *    token spliced after every 2 words — kills 3-gram jaccard AND
+  *    drops edit similarity below the 0.8 operating point between
+  *    copies) and per-row embedding sign-flip jitter (cosine vs any
+  *    other copy ~N(0, 1/√dims), far below τ — norms preserved), so
+  *    the TRUE pair count stays linear in copies. This is the
+  *    control: an operator that grows superlinearly HERE has a plan
+  *    problem; one that grows only under `clone` is output-bound on
+  *    an adversarial corpus. Writes BENCH_SF1_DISTINCT.json.
   *
   * Not part of `sbt test` (minutes): `sbt "runMain graft.BenchSf1"`;
-  * writes BENCH_SF1.json at the repo root and prints one JSON line.
-  * Findings go to PLANS.md.
+  * prints one JSON line. Findings go to PLANS.md.
   */
 object BenchSf1 {
+
+  /** A deterministic 8-letter per-copy token: two copies' tokens
+    * differ in ~every position, so splicing them into the text moves
+    * edit similarity between siblings well below 0.8 (a digit-only
+    * suffix would differ by ONE char per splice and siblings would
+    * still pair as near-dups).
+    */
+  private[graft] def tok(i: Int): String = {
+    var x = i.toLong * 2654435761L + 99991L
+    (0 until 8).map { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ('a' + java.lang.Math.floorMod(x >> 33, 26L).toInt).toChar
+    }.mkString
+  }
+
+  /** Distinct-mode text perturbation for copy `i`: splice the copy
+    * token after every 2 words (plus one at the end) — every 3-gram
+    * shingle window crosses a splice point, so jaccard vs any other
+    * copy collapses toward 0, and the ~9 differing chars per ~12-char
+    * stretch hold edit_sim under the 0.8 operating point.
+    */
+  private[graft] def distinctText(i: Int): org.apache.spark.sql.Column =
+    concat(regexp_replace(col("text"), "(\\S+ \\S+)", "$1 " + tok(i)),
+      lit(s" ${tok(i)}"))
+
+  /** Distinct-mode embedding jitter: a per-row deterministic
+    * sign-flip pattern — cosine against ANY other copy of the same
+    * base vector lands at ~N(0, 1/√dims) ≪ τ while norms (and the
+    * per-copy row count/width profile) are preserved exactly.
+    */
+  private[graft] def jitterEmbedding: org.apache.spark.sql.Column = expr(
+    "transform(embedding, (x, j) -> CASE WHEN pmod(hash(vec_id, j), 2) = 0 THEN x ELSE -x END)")
 
   /** Key DOMAINS → the (table, column) members that must shift by ONE
     * shared per-copy stride. Per-column strides would misalign every
@@ -62,6 +109,9 @@ object BenchSf1 {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SF1_COPIES", "10").toInt
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SF1_MODE", "clone")
+    require(mode == "clone" || mode == "distinct",
+      s"SPARK_GRAFT_SF1_MODE must be clone|distinct, got '$mode'")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -93,11 +143,15 @@ object BenchSf1 {
         val shifted = keys.foldLeft(base) { (df, k) =>
           df.withColumn(k, col(k) + lit(i * strideOf((name, k))))
         }
-        // near-dup (not only exact-dup) text growth: a per-copy
-        // suffix token keeps long docs above jaccard 0.8 against
-        // their siblings while breaking exact equality
-        if (name == "documents" && i > 0)
-          shifted.withColumn("text", concat(col("text"), lit(s" c$i")))
+        if (name == "documents" && i > 0) {
+          if (mode == "clone")
+            // near-dup (not only exact-dup) text growth: a per-copy
+            // suffix token keeps long docs above jaccard 0.8 against
+            // their siblings while breaking exact equality
+            shifted.withColumn("text", concat(col("text"), lit(s" c$i")))
+          else shifted.withColumn("text", distinctText(i))
+        } else if (name == "embeddings" && i > 0 && mode == "distinct")
+          shifted.withColumn("embedding", jitterEmbedding)
         else shifted
       }.reduce(_ unionByName _)
     }
@@ -140,10 +194,15 @@ object BenchSf1 {
     val raw = results.map { case (k, ts) => s"\"$k\":[${ts.map(fmt).mkString(",")}]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2.head).sum
+    // each mode keeps its own record: the clone profile's numbers are
+    // the adversarial-corpus datapoint, the distinct profile's the
+    // plan-shape control — overwriting one with the other would erase
+    // exactly the contrast the two runs exist to draw
+    val outFile = if (mode == "clone") "BENCH_SF1.json" else "BENCH_SF1_DISTINCT.json"
     val line =
-      s"""{"metric":"sf1_profile_total","value":${fmt(total)},"unit":"sec","copies":$copies,"trials":$trials,"queries_min":$qmins,"trial_times":$raw,"src":"$srcDir"}"""
+      s"""{"metric":"sf1_profile_total","value":${fmt(total)},"unit":"sec","mode":"$mode","copies":$copies,"trials":$trials,"queries_min":$qmins,"trial_times":$raw,"src":"$srcDir"}"""
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_SF1.json"), (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Paths.get(outFile), (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(line)
     // the fan-out is corpus-sized scratch — reclaim unless pinned

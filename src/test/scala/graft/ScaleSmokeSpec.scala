@@ -128,6 +128,46 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(Dedup.blockedEditDups(dup, maxBlock = 16).count() == 64L * 63 / 2)
   }
 
+  test("sf1 distinct-mode perturbations push every copy-pair below the near-dup operating points") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    // text: the spliced per-copy tokens must kill BOTH 3-gram jaccard
+    // (≥0.8 is q62/q64's design point) and edit similarity (q6a's)
+    // between any two copies AND vs the unperturbed base
+    val words = (1 to 60).map(w => s"word$w").mkString(" ")
+    val df = Seq((1L, words)).toDF("doc_id", "text")
+    val t1 = df.select(BenchSf1.distinctText(1)).head.getString(0)
+    val t2 = df.select(BenchSf1.distinctText(2)).head.getString(0)
+    assert(!t1.contains("$") && t1.contains(BenchSf1.tok(1)),
+      s"group reference did not substitute: ${t1.take(60)}")
+    def sh(s: String): Set[String] =
+      s.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    def jac(a: Set[String], b: Set[String]): Double =
+      a.intersect(b).size.toDouble / a.union(b).size
+    assert(jac(sh(t1), sh(t2)) < 0.2, "copy-pair jaccard still near-dup range")
+    assert(jac(sh(t1), sh(words)) < 0.2, "copy-vs-base jaccard still near-dup range")
+    // the q6a contract compares 400-char truncations
+    val sim = Seq((t1.take(400), t2.take(400))).toDF("a", "b")
+      .select((lit(1.0) - levenshtein(col("a"), col("b")).cast("double") /
+        greatest(length(col("a")), length(col("b"))).cast("double")).as("s"))
+      .head.getDouble(0)
+    assert(sim < 0.8, s"copy-pair edit similarity $sim is still a near-dup")
+    // embeddings: same base vector under two vec_ids — norms exact,
+    // cosine far below the tau=0.4 operating point
+    val v = (1 to 128).map(k => math.sin(k.toDouble).toFloat)
+    val rows = Seq((1L, v), (2L, v)).toDF("vec_id", "embedding")
+      .withColumn("embedding", BenchSf1.jitterEmbedding)
+      .collect().map(_.getSeq[Float](1))
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.lazyZip(b).map((x, y) => x.toDouble * y.toDouble).sum
+    val base = v.map(_.toDouble)
+    assert(math.abs(math.sqrt(dot(rows(0), rows(0))) -
+      math.sqrt(base.map(x => x * x).sum)) < 1e-6, "jitter changed the norm")
+    val cos = dot(rows(0), rows(1)) / math.sqrt(dot(rows(0), rows(0)) * dot(rows(1), rows(1)))
+    assert(math.abs(cos) < 0.4, s"jittered copy-pair cosine $cos is not below tau")
+  }
+
   test("snapshot store: 16-delta chain merges in ONE shuffle; compact bounds scan fan-in") {
     import graft.sources.Snapshots
     val sf01 = "/root/testdata/sf0.01"
