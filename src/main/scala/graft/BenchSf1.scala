@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   *  - `distinct`: per-copy text perturbation (an 8-letter per-copy
   *    token spliced after every 2 words — kills 3-gram jaccard AND
   *    drops edit similarity below the 0.8 operating point between
-  *    copies) and per-row embedding sign-flip jitter (cosine vs any
-  *    other copy ~N(0, 1/√dims), far below τ — norms preserved), so
-  *    the TRUE pair count stays linear in copies. This is the
+  *    copies) and per-COPY embedding sign-flip jitter (within-copy
+  *    cosines preserved exactly, cross-copy ~N(0, 1/√dims) far below
+  *    τ — norms preserved), so the TRUE pair count stays linear in
+  *    copies. This is the
   *    control: an operator that grows superlinearly HERE has a plan
   *    problem; one that grows only under `clone` is output-bound on
   *    an adversarial corpus. Writes BENCH_SF1_DISTINCT.json.
@@ -63,13 +64,19 @@ object BenchSf1 {
     concat(regexp_replace(col("text"), "(\\S+ \\S+)", "$1 " + tok(i)),
       lit(s" ${tok(i)}"))
 
-  /** Distinct-mode embedding jitter: a per-row deterministic
-    * sign-flip pattern — cosine against ANY other copy of the same
-    * base vector lands at ~N(0, 1/√dims) ≪ τ while norms (and the
-    * per-copy row count/width profile) are preserved exactly.
+  /** Distinct-mode embedding jitter for copy `i`: a per-COPY
+    * deterministic sign-flip pattern. One pattern per copy, NOT per
+    * row: within a copy both members of a genuine base-corpus
+    * near-dup pair flip identically, so their cosine is preserved
+    * EXACTLY (s_j² = 1 term-by-term) and the true pair count stays
+    * linear in copies — a per-row pattern would decorrelate
+    * within-copy pairs too and flatten output-bound vector operators
+    * artificially. Across copies the patterns differ in ~half the
+    * dimensions, so cross-copy cosine lands at ~N(0, 1/√dims) ≪ τ;
+    * norms (and the row count/width profile) are preserved exactly.
     */
-  private[graft] def jitterEmbedding: org.apache.spark.sql.Column = expr(
-    "transform(embedding, (x, j) -> CASE WHEN pmod(hash(vec_id, j), 2) = 0 THEN x ELSE -x END)")
+  private[graft] def jitterEmbedding(i: Int): org.apache.spark.sql.Column = expr(
+    s"transform(embedding, (x, j) -> CASE WHEN pmod(hash($i, j), 2) = 0 THEN x ELSE -x END)")
 
   /** Key DOMAINS → the (table, column) members that must shift by ONE
     * shared per-copy stride. Per-column strides would misalign every
@@ -151,7 +158,7 @@ object BenchSf1 {
             shifted.withColumn("text", concat(col("text"), lit(s" c$i")))
           else shifted.withColumn("text", distinctText(i))
         } else if (name == "embeddings" && i > 0 && mode == "distinct")
-          shifted.withColumn("embedding", jitterEmbedding)
+          shifted.withColumn("embedding", jitterEmbedding(i))
         else shifted
       }.reduce(_ unionByName _)
     }

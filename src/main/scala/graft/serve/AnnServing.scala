@@ -61,9 +61,15 @@ final class AnnServing private (
   /** Release the two cache entries the build persisted. A
     * served-then-closed instance (rolling refresh, server shutdown,
     * test suites on a shared long-lived session) must not pin
-    * corpus-sized blocks until the session dies. Safe while an
-    * in-flight search still holds the frames: unpersist only drops
-    * the cached blocks, the plans recompute.
+    * corpus-sized blocks until the session dies. An in-flight search
+    * that still holds the frames keeps working as long as the source
+    * files exist (unpersist only drops the cached blocks; the plans
+    * recompute) — if the version move that triggered the replacement
+    * was a compact+VACUUM, that recompute can fail on the deleted
+    * segments and the request 500s once, retrying against the fresh
+    * index. The same pinned-reader trade-off
+    * [[graft.sources.Snapshots.vacuum]] documents; vacuum behind the
+    * oldest pin in use to avoid it.
     */
   def close(): Unit = {
     corpus.unpersist(blocking = false)

@@ -627,9 +627,25 @@ object WarehouseServer {
     }
     val annRef = new java.util.concurrent.atomic.AtomicReference[AnnServing](null)
     val annLock = new Object
+    // flipped under annLock by Running.close(): a rebuild racing
+    // shutdown must not publish a fresh instance AFTER the close hook
+    // released the old one — that instance's two persisted frames
+    // would leak for the shared session's lifetime (close waits on
+    // the lock for any in-progress rebuild, then sees its result)
+    var annClosed = false
     // an index-build failure is a SERVER-side fault (empty/corrupt
     // store, no scorable rows — nothing the client posted): 503, never
-    // the IllegalArgumentException→400 request-validation mapping
+    // the IllegalArgumentException→400 request-validation mapping.
+    // Same mapping for the freshness-stamp read — BOTH reads, the
+    // fast-path one and the under-lock double-check, or the identical
+    // store fault would blame the client as a 400 depending on which
+    // read it happened to hit.
+    def annVersion(): String =
+      try annSource.version(spark)
+      catch {
+        case NonFatal(e) => throw HttpError(503,
+          s"ann index source unavailable: ${Option(e.getMessage).getOrElse(e.toString)}")
+      }
     def annBuild(): AnnServing =
       try AnnServing.build(spark, annSource)
       catch {
@@ -637,36 +653,30 @@ object WarehouseServer {
           s"ann index build failed (server-side, not your request): " +
             s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
       }
+    def annSwap(cur: AnnServing): AnnServing = {
+      if (annClosed) throw HttpError(503, "server is shutting down")
+      val built = annBuild()
+      annRef.set(built)
+      if (cur != null) cur.close()
+      built
+    }
     def annIndex(): AnnServing = {
       val cur = annRef.get
-      val v =
-        try annSource.version(spark)
-        catch {
-          case NonFatal(e) => throw HttpError(503,
-            s"ann index source unavailable: ${Option(e.getMessage).getOrElse(e.toString)}")
-        }
+      val v = annVersion()
       if (cur != null && cur.sourceVersion == v) cur
       else annLock.synchronized {
         // double-check with a FRESH stamp under the lock: another
         // request may have rebuilt while this one waited, and the
         // source may have advanced again past `v`
         val cur2 = annRef.get
-        val v2 = annSource.version(spark)
+        val v2 = annVersion()
         if (cur2 != null && cur2.sourceVersion == v2) cur2
-        else {
-          val built = annBuild()
-          annRef.set(built)
-          if (cur2 != null) cur2.close()
-          built
-        }
+        else annSwap(cur2)
       }
     }
     def annRefresh(): (Option[String], AnnServing) = annLock.synchronized {
       val old = Option(annRef.get)
-      val built = annBuild()
-      annRef.set(built)
-      old.foreach(_.close())
-      (old.map(_.sourceVersion), built)
+      (old.map(_.sourceVersion), annSwap(old.orNull))
     }
 
     // static per dataDir: computed once, not ten parquet footer reads
@@ -943,7 +953,13 @@ object WarehouseServer {
     server.start()
     new Running(server, pool, watchdog,
       () => active.forEach(id => spark.sparkContext.cancelJobGroupAndFutureJobs(id)),
-      () => Option(annRef.get).foreach(_.close()))
+      // under annLock: waits out any in-progress rebuild (closing ITS
+      // result, not a stale snapshot) and the annClosed flag refuses
+      // later rebuilds — no instance can be published after this
+      () => annLock.synchronized {
+        annClosed = true
+        Option(annRef.get).foreach(_.close())
+      })
   }
 
   // Keep these in sync with the match in handle(): a route added there

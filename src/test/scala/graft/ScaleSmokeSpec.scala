@@ -153,19 +153,28 @@ class ScaleSmokeSpec extends SparkSpec {
         greatest(length(col("a")), length(col("b"))).cast("double")).as("s"))
       .head.getDouble(0)
     assert(sim < 0.8, s"copy-pair edit similarity $sim is still a near-dup")
-    // embeddings: same base vector under two vec_ids — norms exact,
-    // cosine far below the tau=0.4 operating point
-    val v = (1 to 128).map(k => math.sin(k.toDouble).toFloat)
-    val rows = Seq((1L, v), (2L, v)).toDF("vec_id", "embedding")
-      .withColumn("embedding", BenchSf1.jitterEmbedding)
-      .collect().map(_.getSeq[Float](1))
+    // embeddings: the sign pattern is per-COPY — within one copy a
+    // genuine near-dup pair keeps its cosine EXACTLY (the true pair
+    // count must stay linear, not collapse to copy 0's), across
+    // copies the same base vector decorrelates far below tau=0.4,
+    // and norms are preserved
     def dot(a: Seq[Float], b: Seq[Float]): Double =
       a.lazyZip(b).map((x, y) => x.toDouble * y.toDouble).sum
-    val base = v.map(_.toDouble)
-    assert(math.abs(math.sqrt(dot(rows(0), rows(0))) -
-      math.sqrt(base.map(x => x * x).sum)) < 1e-6, "jitter changed the norm")
-    val cos = dot(rows(0), rows(1)) / math.sqrt(dot(rows(0), rows(0)) * dot(rows(1), rows(1)))
-    assert(math.abs(cos) < 0.4, s"jittered copy-pair cosine $cos is not below tau")
+    val v = (1 to 128).map(k => math.sin(k.toDouble).toFloat)
+    val u = (1 to 128).map(k => (math.sin(k.toDouble) + 0.1 * math.cos(k.toDouble)).toFloat)
+    def jit(i: Int, vec: Seq[Float]): Seq[Float] =
+      Seq((1L, vec)).toDF("vec_id", "embedding")
+        .withColumn("embedding", BenchSf1.jitterEmbedding(i))
+        .collect().head.getSeq[Float](1)
+    val (v1, u1, v2) = (jit(1, v), jit(1, u), jit(2, v))
+    assert(math.abs(math.sqrt(dot(v1, v1)) - math.sqrt(dot(v, v))) < 1e-6,
+      "jitter changed the norm")
+    val within = dot(v1, u1) / math.sqrt(dot(v1, v1) * dot(u1, u1))
+    val orig = dot(v, u) / math.sqrt(dot(v, v) * dot(u, u))
+    assert(math.abs(within - orig) < 1e-6,
+      s"within-copy cosine moved: $orig -> $within (true pair count would not stay linear)")
+    val cross = dot(v1, v2) / math.sqrt(dot(v1, v1) * dot(v2, v2))
+    assert(math.abs(cross) < 0.4, s"cross-copy cosine $cross is not below tau")
   }
 
   test("snapshot store: 16-delta chain merges in ONE shuffle; compact bounds scan fan-in") {
