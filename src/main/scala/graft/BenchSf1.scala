@@ -24,12 +24,12 @@ import org.apache.spark.sql.functions._
   *    deliberately the adversarial exact-direction case the r6 soak
   *    proved the collapse/distinct-vector plans absorb. Writes
   *    BENCH_SF1.json.
-  *  - `distinct`: per-copy text perturbation (an 8-letter per-copy
-  *    token spliced after every 2 words — kills 3-gram jaccard AND
-  *    drops edit similarity below the 0.8 operating point between
-  *    copies) and per-COPY embedding sign-flip jitter (within-copy
-  *    cosines preserved exactly, cross-copy ~N(0, 1/√dims) far below
-  *    τ — norms preserved), so the TRUE pair count stays linear in
+  *  - `distinct`: per-copy bijective perturbation — a Caesar letter
+  *    rotation of the text and a per-COPY embedding sign-flip — so
+  *    each copy is an ISOMORPHIC corpus over disjoint content:
+  *    within-copy shingle/edit/cosine relations preserved exactly,
+  *    cross-copy jaccard ~0, edit similarity ≪ 0.8 and cosine
+  *    ~N(0, 1/√dims) ≪ τ. The TRUE pair count stays linear in
   *    copies. This is the
   *    control: an operator that grows superlinearly HERE has a plan
   *    problem; one that grows only under `clone` is output-bound on
@@ -40,29 +40,37 @@ import org.apache.spark.sql.functions._
   */
 object BenchSf1 {
 
-  /** A deterministic 8-letter per-copy token: two copies' tokens
-    * differ in ~every position, so splicing them into the text moves
-    * edit similarity between siblings well below 0.8 (a digit-only
-    * suffix would differ by ONE char per splice and siblings would
-    * still pair as near-dups).
+  /** Distinct-mode text perturbation for copy `i`: a per-copy Caesar
+    * rotation of the letters (`translate`, a bijective character
+    * map). Each copy becomes an ISOMORPHIC corpus over disjoint
+    * content — exactly what "10x genuinely distinct data" means:
+    *
+    *  - WITHIN a copy every pairwise relation is preserved exactly
+    *    (a bijection preserves string equality, shingle equality,
+    *    Levenshtein distance, and the q6a blocking-prefix
+    *    distribution), so the true pair count per copy equals the
+    *    base corpus's and the total stays linear in copies;
+    *  - ACROSS copies every letter differs, so 3-gram jaccard
+    *    collapses to ~0 and edit similarity lands far under the 0.8
+    *    operating point.
+    *
+    * Two rejected constructions, both measured on the 10x profile:
+    * a token spliced between words leaves copies sharing the base's
+    * first words — every doc with a long first-two-words puts all 10
+    * copies in ONE q6a blocking prefix, manufacturing cross-copy
+    * Levenshtein work the threshold then rejects (17x); a shared
+    * per-copy PREFIX is worse — it merges every within-copy blocking
+    * prefix into one hot block (25x). The rotation has neither
+    * artifact. Copies must stay ≤ 26 or rotations repeat (exact
+    * cross-copy dups — absorbed by the collapse family, but no
+    * longer the distinct control).
     */
-  private[graft] def tok(i: Int): String = {
-    var x = i.toLong * 2654435761L + 99991L
-    (0 until 8).map { _ =>
-      x = x * 6364136223846793005L + 1442695040888963407L
-      ('a' + java.lang.Math.floorMod(x >> 33, 26L).toInt).toChar
-    }.mkString
+  private[graft] def distinctText(i: Int): org.apache.spark.sql.Column = {
+    val lo = "abcdefghijklmnopqrstuvwxyz"
+    val s = 1 + (i - 1) % 25
+    val rl = lo.drop(s) + lo.take(s)
+    translate(col("text"), lo + lo.toUpperCase, rl + rl.toUpperCase)
   }
-
-  /** Distinct-mode text perturbation for copy `i`: splice the copy
-    * token after every 2 words (plus one at the end) — every 3-gram
-    * shingle window crosses a splice point, so jaccard vs any other
-    * copy collapses toward 0, and the ~9 differing chars per ~12-char
-    * stretch hold edit_sim under the 0.8 operating point.
-    */
-  private[graft] def distinctText(i: Int): org.apache.spark.sql.Column =
-    concat(regexp_replace(col("text"), "(\\S+ \\S+)", "$1 " + tok(i)),
-      lit(s" ${tok(i)}"))
 
   /** Distinct-mode embedding jitter for copy `i`: a per-COPY
     * deterministic sign-flip pattern. One pattern per copy, NOT per

@@ -132,15 +132,13 @@ class ScaleSmokeSpec extends SparkSpec {
     val spark2 = spark
     import spark2.implicits._
     import org.apache.spark.sql.functions._
-    // text: the spliced per-copy tokens must kill BOTH 3-gram jaccard
-    // (≥0.8 is q62/q64's design point) and edit similarity (q6a's)
-    // between any two copies AND vs the unperturbed base
+    // text: the per-copy letter rotation must kill BOTH 3-gram
+    // jaccard (≥0.8 is q62/q64's design point) and edit similarity
+    // (q6a's) between any two copies AND vs the unperturbed base
     val words = (1 to 60).map(w => s"word$w").mkString(" ")
     val df = Seq((1L, words)).toDF("doc_id", "text")
     val t1 = df.select(BenchSf1.distinctText(1)).head.getString(0)
     val t2 = df.select(BenchSf1.distinctText(2)).head.getString(0)
-    assert(!t1.contains("$") && t1.contains(BenchSf1.tok(1)),
-      s"group reference did not substitute: ${t1.take(60)}")
     def sh(s: String): Set[String] =
       s.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet
     def jac(a: Set[String], b: Set[String]): Double =
@@ -148,11 +146,25 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(jac(sh(t1), sh(t2)) < 0.2, "copy-pair jaccard still near-dup range")
     assert(jac(sh(t1), sh(words)) < 0.2, "copy-vs-base jaccard still near-dup range")
     // the q6a contract compares 400-char truncations
-    val sim = Seq((t1.take(400), t2.take(400))).toDF("a", "b")
-      .select((lit(1.0) - levenshtein(col("a"), col("b")).cast("double") /
-        greatest(length(col("a")), length(col("b"))).cast("double")).as("s"))
-      .head.getDouble(0)
-    assert(sim < 0.8, s"copy-pair edit similarity $sim is still a near-dup")
+    def editSim(a: String, b: String): Double =
+      Seq((a.take(400), b.take(400))).toDF("a", "b")
+        .select((lit(1.0) - levenshtein(col("a"), col("b")).cast("double") /
+          greatest(length(col("a")), length(col("b"))).cast("double")).as("s"))
+        .head.getDouble(0)
+    assert(editSim(t1, t2) < 0.8, "copy-pair edit similarity is still a near-dup")
+    assert(editSim(t1, words) < 0.8, "copy-vs-base edit similarity is still a near-dup")
+    // the control's core invariant: the rotation is a BIJECTION, so
+    // within one copy every pairwise relation (edit distance, shingle
+    // equality, the q6a blocking prefix distribution) is the base
+    // corpus's — the true pair count per copy cannot move
+    val a0 = "the quick brown fox vaults the lazy dog"
+    val b0 = "the quick brown fax vaults a lazy dog"
+    def rot(s: String): String =
+      Seq(Tuple1(s)).toDF("text").select(BenchSf1.distinctText(3)).head.getString(0)
+    def lev(a: String, b: String): Int =
+      Seq((a, b)).toDF("a", "b").select(levenshtein(col("a"), col("b"))).head.getInt(0)
+    assert(lev(rot(a0), rot(b0)) == lev(a0, b0),
+      s"rotation moved a within-copy edit distance: ${lev(rot(a0), rot(b0))} != ${lev(a0, b0)}")
     // embeddings: the sign pattern is per-COPY — within one copy a
     // genuine near-dup pair keeps its cosine EXACTLY (the true pair
     // count must stay linear, not collapse to copy 0's), across
