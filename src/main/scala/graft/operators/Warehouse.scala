@@ -48,17 +48,35 @@ object Warehouse {
   //                keys ≡ 7 (mod 10) tombstoned
   // ---------------------------------------------------------------
 
+  // the path HASH rides along because sanitization is lossy: without
+  // it, distinct source dirs like data/sf1 and data_sf1 collapse to
+  // one root and the second caller silently reuses the first's store
   private def snapshotRoot(sfDir: String): String =
-    s"target/graft-snapshots/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/orders"
+    s"target/graft-snapshots/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}" +
+      s"-${Integer.toHexString(sfDir.hashCode)}/orders"
 
   /** Build (or reuse) the two-version store for `sfDir`. Idempotent:
-    * a partial build from a killed run is wiped and redone.
+    * a partial build from a killed run is wiped and redone — and so is
+    * a store built from DIFFERENT source data: the build stamps the
+    * source table's listing signature in a sidecar, and a reuse whose
+    * stamp no longer matches (the test corpus regenerates between
+    * rounds; production tables get overwritten) rebuilds instead of
+    * silently serving aggregates of data that no longer exists.
     */
   private def ensureStore(s: SparkSession, d: String): String = synchronized {
     val root = snapshotRoot(d)
-    if (Snapshots.latestVersion(s, root) != 2L) {
+    val sig = graft.sources.Sources.listingSignature(s, s"$d/orders.parquet")
+    val f = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sigPath = new Path(root, "_source.sig")
+    val stampedSig =
+      if (!f.exists(sigPath)) None
+      else {
+        val in = f.open(sigPath)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    if (Snapshots.latestVersion(s, root) != 2L || !stampedSig.contains(sig)) {
       val p = new Path(root)
-      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (f.exists(p)) f.delete(p, true)
       val orders = Tables.orders(s, d)
       Snapshots.commit(orders, root)
@@ -69,6 +87,10 @@ object Warehouse {
             when(col("o_orderkey") % 10 === 3, lit("R")).otherwise(col("o_orderstatus")))
           .withColumn("_deleted", col("o_orderkey") % 10 === 7),
         root)
+      // stamp LAST: a crash mid-build leaves no sidecar and the next
+      // call rebuilds (the sidecar is reuse evidence, not a manifest)
+      val out = f.create(sigPath, true)
+      try out.write(sig.getBytes("UTF-8")) finally out.close()
     }
     root
   }

@@ -189,25 +189,8 @@ object AnnServing {
   final case class ParquetSource(dataDir: String) extends Source {
     def frame(spark: SparkSession): DataFrame =
       Tables.embeddings(spark, dataDir).select("vec_id", "embedding")
-    def version(spark: SparkSession): String = {
-      val p = new org.apache.hadoop.fs.Path(s"$dataDir/embeddings.parquet")
-      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      var h = 0L
-      if (f.exists(p)) {
-        val it = f.listFiles(p, true)
-        while (it.hasNext) {
-          val s = it.next()
-          // per-file mix folded with XOR: listing ORDER is not part of
-          // the stamp (an unchanged dir re-listed in another order must
-          // not fake a change and rebuild the index for nothing)
-          var m = s.getPath.getName.hashCode.toLong
-          m = m * 6364136223846793005L + s.getModificationTime
-          m = m * 6364136223846793005L + s.getLen
-          h ^= m
-        }
-      }
-      s"f${java.lang.Long.toHexString(h)}"
-    }
+    def version(spark: SparkSession): String =
+      graft.sources.Sources.listingSignature(spark, s"$dataDir/embeddings.parquet")
   }
 
   /** A versioned snapshot store of (vec_id, embedding) rows — the

@@ -245,7 +245,14 @@ object Snapshots {
       df: DataFrame, root: String, kind: String, maxAttempts: Int = 1,
       expectedVersion: Option[Long] = None): Long = {
     val spark = df.sparkSession
-    val rel = s"v${nextVersion(spark, root)}-${java.util.UUID.randomUUID.toString.take(8)}"
+    // ONE manifest read serves the dir naming AND the first publish
+    // attempt (this path is the streaming sinks' per-micro-batch hot
+    // loop — the old shape re-listed and re-parsed the manifest three
+    // times per commit, the exact anti-pattern readChain's comment
+    // calls out); only a lost CAS pays a fresh read for its retry.
+    var st = manifestState(spark, root)
+    def next(s: ManifestState): Long = s.lines.lastOption.map(_._1 + 1).getOrElse(1L)
+    val rel = s"v${next(st)}-${java.util.UUID.randomUUID.toString.take(8)}"
     df.write.mode("errorifexists").parquet(s"$root/$rel")
     // the data dir is written ONCE; only the manifest publish retries
     // (losing the CAS re-reads the chain and re-publishes the same
@@ -255,21 +262,25 @@ object Snapshots {
     var attempt = 0
     while (true) {
       attempt += 1
-      val v = nextVersion(spark, root)
+      val v = next(st)
       // staleness pin for content computed from a chain read (compact):
       // the CAS alone only detects a SAME-version collision — a commit
       // that landed between the fold's chain read and this publish just
       // bumps nextVersion past it, and the fold would supersede rows it
       // never contained. With the expected version pinned, any
-      // intervening commit makes this a loud failure instead.
+      // intervening commit makes this a loud failure instead. (A commit
+      // racing our own pre-write read surfaces the same way: the
+      // publish CAS below fails and the retry re-reads.)
       expectedVersion.foreach { ev =>
         if (v != ev) throw new IllegalStateException(
           s"stale fold: expected to publish v$ev but the store is at v${v - 1} " +
             s"— a commit landed after the chain read; re-run the fold over the new chain")
       }
-      try { appendManifest(spark, root, v, kind, rel); return v }
+      try { publishAt(spark, root, st.fileNum + 1, st.lines :+ ((v, kind, rel))); return v }
       catch {
-        case _: IllegalStateException if attempt < maxAttempts => ()
+        case e: IllegalStateException
+          if e.getMessage != null && e.getMessage.contains("manifest publish race")
+            && attempt < maxAttempts => st = manifestState(spark, root)
       }
     }
     -1L // unreachable
@@ -346,11 +357,10 @@ object Snapshots {
     require(vs.nonEmpty, s"empty snapshot store at $root")
     vs.filter(_._2 == "full").map(_._1).maxOption match {
       case Some(baseV) => readChain(spark, root, baseV, vs)
-      // paths come from the ALREADY-READ chain — read() per segment
-      // would re-open and re-parse the whole manifest each time, on
-      // what is the streaming sinks' per-micro-batch hot path
-      case None => vs.map { case (_, _, rel) => spark.read.parquet(s"$root/$rel") }
-        .reduce(_ unionByName _)
+      // no full snapshot yet: every segment is a delta — the chain
+      // read from the FIRST version covers exactly all of them (and
+      // carries the tombstone guard, same as the based path)
+      case None => readChain(spark, root, vs.head._1, vs)
     }
   }
 
@@ -374,7 +384,20 @@ object Snapshots {
       // re-list + re-parse the manifest PER SEGMENT (K+1 manifest
       // reads per call on a K-segment chain, growing with every
       // commit), on the micro-batch hot path of both ingest sinks
-      .map { case (_, _, rel) => spark.read.parquet(s"$root/$rel") }
+      .map { case (v, _, rel) =>
+        val seg = spark.read.parquet(s"$root/$rel")
+        // append-only means NO retractions: a segment carrying the
+        // tombstone column belongs to a merge-read store, and a raw
+        // union would serve retracted rows as live data (or die in
+        // unionByName when only some segments carry the column) —
+        // refuse loudly with the fix spelled out
+        if (seg.columns.contains("_deleted"))
+          throw new IllegalStateException(
+            s"append-only read of $root: segment v$v carries a _deleted tombstone " +
+              "column — this store is merge-read; use latest/asOf, which apply " +
+              "last-writer-wins and drop tombstones")
+        seg
+      }
       .reduce(_ unionByName _)
 
   /** Read the latest version. */

@@ -19,6 +19,31 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Order-independent freshness signature of a file tree: per-file
+    * (name × mtime × length) mixes folded with XOR, so an unchanged
+    * tree re-listed in another order yields the same stamp. One
+    * recursive listing, NO Spark job — cheap enough to consult per
+    * request/call. Used by the ANN serving index's rebuild detection
+    * and the derived-store staleness checks; a missing path stamps as
+    * the empty tree.
+    */
+  def listingSignature(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var h = 0L
+    if (f.exists(p)) {
+      val it = f.listFiles(p, true)
+      while (it.hasNext) {
+        val s = it.next()
+        var m = s.getPath.getName.hashCode.toLong
+        m = m * 6364136223846793005L + s.getModificationTime
+        m = m * 6364136223846793005L + s.getLen
+        h ^= m
+      }
+    }
+    s"f${java.lang.Long.toHexString(h)}"
+  }
+
   /** Hive-style partitioned parquet write; `partitionBy` columns become
     * directories, so downstream filters on them prune whole files.
     */
@@ -102,18 +127,33 @@ object Sources {
     // destroying the layout. Excluded cells themselves degrade to
     // bucket 0 via the coalesce below.
     def clean(c: String): Column = {
-      val d = col(c).cast("double")
+      // try_cast, not cast: under ANSI (the Spark 4 default) a plain
+      // cast on a non-numeric column THROWS mid-stats-job with a raw
+      // CAST_INVALID_INPUT — the statless guard below turns the same
+      // condition into an actionable error naming the column
+      val d = expr(s"try_cast(`$c` AS DOUBLE)")
       when(isnan(d) || !d.between(Double.MinValue, Double.MaxValue), lit(null)).otherwise(d)
     }
     val mins = cols.map(c => min(clean(c)).as(s"mn_$c"))
     val maxs = cols.map(c => max(clean(c)).as(s"mx_$c"))
     val st = df.agg((mins ++ maxs).head, (mins ++ maxs).tail: _*).head()
-    // empty input (or an all-null/all-NaN z column) has no min/max to
-    // scale against — write as-is instead of NPEing on the unboxed null
-    if (cols.exists(c => st.isNullAt(st.fieldIndex(s"mn_$c")) ||
-        st.isNullAt(st.fieldIndex(s"mx_$c")))) {
-      df.write.mode("overwrite").parquet(path)
-      return
+    val statless = cols.filter(c => st.isNullAt(st.fieldIndex(s"mn_$c")) ||
+      st.isNullAt(st.fieldIndex(s"mx_$c")))
+    if (statless.nonEmpty) {
+      // EMPTY input has no min/max anywhere — write the empty frame
+      // as-is (nothing to cluster). But a non-empty frame with a
+      // statless z column is a caller error (non-numeric type, or all
+      // null/NaN/Inf cells): silently writing an UN-z-ordered layout
+      // would defeat the function's whole purpose and only surface as
+      // mysterious scan degradation much later — fail loudly instead.
+      if (df.isEmpty) {
+        df.write.mode("overwrite").parquet(path)
+        return
+      }
+      throw new IllegalArgumentException(
+        s"zorderWrite: z column(s) ${statless.mkString(", ")} have no finite numeric " +
+          "values (non-numeric type, or every cell null/NaN/Infinity) — an unordered " +
+          "write would silently defeat the layout; drop them from cols or clean the data")
     }
     val top = (1L << bits) - 1
     val scaled = cols.map { c =>
@@ -155,5 +195,11 @@ object Sources {
       .withColumn("shuffle_key", graft.operators.TextAnalysis.shuffleKey(seed))
       .repartitionByRange(numShards, col("shuffle_key"))
       .sortWithinPartitions("shuffle_key")
+      // the key is derivable (md5 of seed:doc_id) — leaving it in the
+      // artifact would add 32 redundant bytes per row at corpus scale
+      // and make the shard schema diverge from the corpus schema a
+      // schema-strict trainer expects (zorderWrite drops its _z helper
+      // for the same reason)
+      .drop("shuffle_key")
       .write.mode("overwrite").parquet(path)
 }

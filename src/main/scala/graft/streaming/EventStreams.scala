@@ -186,6 +186,16 @@ object EventStreams {
     spark.readStream.format("socket")
       .option("host", host).option("port", port).load()
       .select(from_json(col("value"), Encoders.product[Event].schema).as("e"))
+      // a malformed/truncated line parses to a NULL struct (and a
+      // schema-mismatched one to null required fields): dropped here,
+      // because letting it through as an all-null row kills the typed
+      // consumers downstream (`.as[Event]` throws on a null primitive
+      // field, terminating the whole query for one garbage line) and
+      // silently pollutes untyped aggregations with a null-keyed group
+      .filter(col("e").isNotNull &&
+        col("e.event_id").isNotNull && col("e.ts").isNotNull &&
+        col("e.user_id").isNotNull && col("e.event_type").isNotNull &&
+        col("e.value").isNotNull)
       .select("e.*")
 
   /** st03: exactly-once incremental load — the reference's "append new

@@ -260,4 +260,37 @@ class SnapshotsSpec extends SparkSpec {
       yield (t * 100 + i, s"w$t-$i", i.toLong)).toSet + ((0, "base", 0L))
     assert(got === want)
   }
+
+  test("append-only read refuses a store whose segments carry tombstones") {
+    val root = tmpDir("snap-tomb")
+    Snapshots.commit(Seq((1, "a", 10L)).toDF("id", "name", "amount"), root)
+    Snapshots.commitDelta(
+      Seq((1, "a", 10L, true)).toDF("id", "name", "amount", "_deleted"), root)
+    // the raw union would serve the retracted row as live data (or
+    // die in unionByName on the mixed schema) — must be a loud,
+    // actionable refusal instead
+    val e = intercept[IllegalStateException] { Snapshots.readAppendOnly(spark, root) }
+    assert(e.getMessage.contains("_deleted") && e.getMessage.contains("latest/asOf"),
+      e.getMessage)
+    // the merge readers keep working: the tombstone retracts the row
+    assert(Snapshots.latest(spark, root, Seq("id")).count() === 0L)
+  }
+
+  test("the derived orders store rebuilds when its source table is regenerated") {
+    val dir = tmpDir("wh-stale-src")
+    val full = spark.read.parquet(s"$sf/orders.parquet")
+    full.write.parquet(s"$dir/orders.parquet")
+    def agg(): Map[String, Long] =
+      SparkEntry.queries("q94_snapshot_asof")(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = agg()
+    assert(before.values.sum === full.count())
+    // regenerate the source in place with DIFFERENT content — the
+    // derived snapshot store must not keep serving the old corpus
+    // (its reuse check stamps the source's listing signature)
+    full.limit(10).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val after = agg()
+    assert(after.values.sum === 10L,
+      s"stale derived store served the old corpus: $after (before: $before)")
+  }
 }

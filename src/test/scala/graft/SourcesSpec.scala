@@ -170,11 +170,20 @@ class SourcesSpec extends SparkSpec {
       .sortBy(_.getName)
     assert(files.length === 8, s"expected 8 shard files, got ${files.length}")
 
-    // shard i strictly precedes shard i+1; rows sorted within each file
+    // the artifact carries EXACTLY the corpus schema — the shuffle key
+    // is derivable (md5 of seed:doc_id) and a schema-strict trainer
+    // must not see a helper column (the zorderWrite _z contract)
+    assert(spark.read.parquet(dir).schema === docs.schema,
+      "shard schema diverged from the corpus schema")
+
+    // shard i strictly precedes shard i+1; rows sorted within each
+    // file — verified by RECOMPUTING the key from the rows, since the
+    // artifact deliberately does not store it
     var prevMax = ""
     val allKeys = scala.collection.mutable.ArrayBuffer[String]()
     files.foreach { f =>
       val keys = spark.read.parquet(f.getPath)
+        .withColumn("shuffle_key", graft.operators.TextAnalysis.shuffleKey("s42"))
         .select("shuffle_key").collect().map(_.getString(0)).toSeq
       assert(keys == keys.sorted, s"${f.getName} not sorted within the shard")
       assert(keys.nonEmpty, s"${f.getName} is an empty shard (range sampling collapsed)")
@@ -189,5 +198,26 @@ class SourcesSpec extends SparkSpec {
       .select("shuffle_key").collect().map(_.getString(0)).toSeq
     assert(allKeys.take(q.length).toSeq === q,
       "shard concatenation diverges from the q8b query order")
+  }
+
+  test("zorderWrite refuses a statless z column loudly; an empty frame still writes") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    // a non-numeric z column would silently produce an UN-z-ordered
+    // layout (its whole purpose defeated, discovered only as scan
+    // degradation much later) — must be a loud caller error naming it
+    val e = intercept[IllegalArgumentException] {
+      Sources.zorderWrite(df, Seq("id", "name"), tmpDir("io06_bad") + "/z")
+    }
+    assert(e.getMessage.contains("name"), e.getMessage)
+    // all-null numeric is the same refusal through the other door
+    val nulls = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double])).toDF("id", "v")
+    assert(intercept[IllegalArgumentException] {
+      Sources.zorderWrite(nulls, Seq("id", "v"), tmpDir("io06_bad2") + "/z")
+    }.getMessage.contains("v"))
+    // EMPTY input has nothing to cluster: plain write, not an error
+    val out = tmpDir("io06_empty") + "/z"
+    Sources.zorderWrite(df.limit(0), Seq("id", "name"), out)
+    assert(spark.read.parquet(out).count() === 0L)
   }
 }

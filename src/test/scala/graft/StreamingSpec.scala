@@ -260,6 +260,11 @@ class StreamingSpec extends SparkSpec {
           s"""{"event_id":$id,"ts":"$isoTs","user_id":$user,"event_type":"$typ","value":$v}""")
       send(1, "2026-01-01T10:00:00", 1, "click", 1.0)
       send(2, "2026-01-01T10:20:00", 1, "click", 2.0)
+      // a garbage line and a schema-mismatched one (null required
+      // field) must DROP — not kill the typed query with an all-null
+      // row, and not pollute the windowed counts below
+      writer.println("{not json at all")
+      writer.println("""{"event_id":null,"ts":"2026-01-01T10:21:00","user_id":1,"event_type":"click","value":9.0}""")
       // watermark only advances between micro-batches, and the socket
       // source batches whatever has arrived — keep nudging it forward
       // with far-future sentinels until the 10:00 window closes
