@@ -324,8 +324,15 @@ object Knn {
     // embedding landing on the seed stride becomes a null centroid
     // row (litMatrix NPEs at plan build), and a null-element/NaN row
     // in a training cell poisons that cell's mean. Assignment of the
-    // full corpus stays the caller's concern — un-scorable rows
-    // simply score NULL there, per the library convention.
+    // full corpus stays the caller's concern. There, NULL embeddings
+    // and zero/NaN/Inf norms score NULL through the guarded cosine
+    // (keep-with-null convention) — but a row whose embedding merely
+    // CONTAINS null elements assigns and scores with those elements
+    // read as 0.0: the codegen folds and DuckDB's list_sum agree on
+    // that imputation bit-for-bit, so it is the documented cross-
+    // engine semantics, not the NULL-scoring path. Pre-filter with
+    // scorableEmb (as every dedup entry does) where null-element
+    // rows must not rank at all.
     val scorable = e.filter(scorableEmb(col("embedding")))
     val sampleStep = math.max(1L, n / (256L * k))
     val train =
@@ -380,7 +387,16 @@ object Knn {
       cents = assignCell(train, cents)
         .select(col("cell").as("cid"), posexplode(col("embedding")))
         .groupBy("cid", "pos")
-        .agg(avg("col").as("v"))
+        // canonical-order mean, not avg(): double summation is not
+        // associative, and avg's partial sums merge in shuffle-fetch
+        // arrival order — centroids would differ by ulps across runs
+        // and parallelism, and a near-tie cell assignment flipping
+        // under the q72 oracle would read as an intermittent hash
+        // mismatch. Sorting each (cell, dim)'s values pins one fold
+        // order at full double precision; the training set is the
+        // bounded ~256·k sample, so the per-group collect is small.
+        .agg((expr("aggregate(array_sort(collect_list(col)), CAST(0.0 AS DOUBLE), (s, x) -> s + x)")
+          / count(lit(1))).as("v"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
         .select(col("cid"), col("pv.v").as("ce"))

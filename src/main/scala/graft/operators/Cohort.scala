@@ -124,13 +124,18 @@ object Cohort {
     */
   def metadataSearch(meta: DataFrame, substr: Option[String],
       regex: Option[String] = None): DataFrame = {
-    // exists(_.nonEmpty), not Option.nonEmpty: Some("") would pass the
-    // presence check and contains("") matches EVERY row — a blank
-    // search box becoming a full-table listing instead of a refusal
-    require(substr.exists(_.nonEmpty) || regex.exists(_.nonEmpty),
+    // an empty pattern is NO pattern — dropped BEFORE the predicates
+    // are built, not just before the presence check: contains("") and
+    // rlike("") match EVERY row, so a blank q= alongside a valid
+    // regex= would OR the whole table into the answer (the blank
+    // search box becoming a full-table listing, through the two-param
+    // door the old exists() guard left open)
+    val sub = substr.filter(_.nonEmpty)
+    val re = regex.filter(_.nonEmpty)
+    require(sub.nonEmpty || re.nonEmpty,
       "metadata search needs a non-empty substring or regex")
-    val preds = substr.map(s => col("p_name").contains(s)).toSeq ++
-      regex.map(r => col("p_name").rlike(r))
+    val preds = sub.map(s => col("p_name").contains(s)).toSeq ++
+      re.map(r => col("p_name").rlike(r))
     meta.filter(preds.reduce(_ || _))
       .select("p_partkey", "p_name", "p_type")
       .orderBy("p_partkey")

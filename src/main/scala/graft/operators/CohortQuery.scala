@@ -140,13 +140,24 @@ object CohortQuery {
         df.filter(predicate(field, op, value)).select(key.as("subject")).distinct()
       case "temporal" =>
         require(population == "user", "temporal atoms key by user_id — use population 'user'")
+        // range-checked BEFORE the narrowing .toInt: an unvalidated
+        // 2^32 would wrap to 0 days and silently answer a different
+        // question — the same wraparound class every cursor value is
+        // already guarded against
+        val wd = numField(atom, "withinDays")
+        require(wd >= 1 && wd <= 36500,
+          s"withinDays must be in [1, 36500] (100 years), got $wd")
         Cohort.temporalAtom(Tables.events(spark, dir),
-          strField(atom, "first"), strField(atom, "then"),
-          numField(atom, "withinDays").toInt).keys
+          strField(atom, "first"), strField(atom, "then"), wd.toInt).keys
       case "era" =>
         require(population == "user", "era atoms key by user_id — use population 'user'")
+        // bounded so windowMinutes * 60e6 micros cannot overflow Long
+        // into a negative window (52.6M minutes ≈ 100 years)
+        val wm = numField(atom, "windowMinutes")
+        require(wm >= 1 && wm <= 52600000L,
+          s"windowMinutes must be in [1, 52600000] (~100 years), got $wm")
         Cohort.eraAtom(Tables.events(spark, dir),
-          numField(atom, "windowMinutes") * 60000000L,
+          wm * 60000000L,
           numField(atom, "minEras")).keys
       case other => throw new IllegalArgumentException(s"unknown atom type: $other")
     }
@@ -163,13 +174,23 @@ object CohortQuery {
     val spec = JsonMethods.parse(json)
     val pop = popOf(spec)
     val groups = spec \ "and" match {
-      case JArray(gs) => gs.map { g =>
+      case JArray(gs) if gs.nonEmpty => gs.map { g =>
         g \ "or" match {
-          case JArray(atoms) => atoms.map(a => atomKeys(spark, dir, pop, a))
+          // non-empty required: an empty OR-group has no defined
+          // semantics (vacuously-false would make the whole AND
+          // empty; vacuously-true would drop the criterion) and the
+          // bare reduce below would surface it as an unexplained
+          // empty.reduceLeft 500 instead of this validation error
+          case JArray(atoms) if atoms.nonEmpty =>
+            atoms.map(a => atomKeys(spark, dir, pop, a))
+          case JArray(_) =>
+            throw new IllegalArgumentException(s"empty 'or' group in: $g")
           case JNothing      => List(atomKeys(spark, dir, pop, g)) // bare atom = 1-ary OR
           case other         => throw new IllegalArgumentException(s"bad or-group: $other")
         }
       }
+      case JArray(_) =>
+        throw new IllegalArgumentException("query needs at least one criterion in 'and'")
       case other => throw new IllegalArgumentException(s"query needs an 'and' array, got $other")
     }
     val base = Cohort.and(groups.map(g => g.reduce(_ union _).distinct()))

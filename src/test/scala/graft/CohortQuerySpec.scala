@@ -104,4 +104,33 @@ class CohortQuerySpec extends SparkSpec {
     val std = Cohort.itemStats(const, "v", Some("k")).select("std_q").head().getDouble(0)
     assert(std == 0.0, s"constant group stddev must be exactly 0, got $std")
   }
+
+  test("spec validation: blank patterns, empty groups, and out-of-range windows are typed errors, not wrong answers") {
+    import graft.operators.Cohort
+    // a blank q= alongside a valid regex must not OR the whole table
+    // into the answer (contains("") is true for every row)
+    val part = Tables.part(spark, sf)
+    val direct = Cohort.metadataSearch(part, None, Some("^small .*(bolt|rod)$")).count()
+    val mixed = Cohort.metadataSearch(part, Some(""), Some("^small .*(bolt|rod)$")).count()
+    assert(mixed === direct, "a blank substring widened the regex search")
+    assert(mixed < part.count(), "search degenerated into a full-table listing")
+    intercept[IllegalArgumentException] { Cohort.metadataSearch(part, Some(""), Some("")) }
+    // withinDays past Int range would silently wrap to a 0-day window
+    intercept[IllegalArgumentException] {
+      CohortQuery.population(spark, sf,
+        """{"population":"user","and":[{"type":"temporal","first":"view","then":"purchase","withinDays":4294967296}]}""")
+    }
+    // windowMinutes * 60e6 micros must not overflow Long into a negative window
+    intercept[IllegalArgumentException] {
+      CohortQuery.population(spark, sf,
+        """{"population":"user","and":[{"type":"era","windowMinutes":200000000000000,"minEras":1}]}""")
+    }
+    // empty or-group / empty and: validation errors, not empty.reduceLeft 500s
+    intercept[IllegalArgumentException] {
+      CohortQuery.population(spark, sf, """{"and":[{"or":[]}]}""")
+    }
+    intercept[IllegalArgumentException] {
+      CohortQuery.population(spark, sf, """{"and":[]}""")
+    }
+  }
 }
