@@ -52,8 +52,20 @@ object Stage {
   def apply(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption("graft.checkpointDir") match {
       case Some(dir) =>
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
+        // memo on the analyzed plan: re-staging an identical frame
+        // must be the promised no-op on THIS path too. Without it,
+        // every call re-executed the full upstream job and wrote a
+        // fresh corpus-sized checkpoint that nothing reclaims — Spark
+        // deletes reliable checkpoints only when
+        // spark.cleaner.referenceTracking.cleanCheckpoints=true (off
+        // by default), and [[releaseAll]] deliberately leaves the
+        // files to be reclaimed with the directory.
+        memoed(df).getOrElse {
+          df.sparkSession.sparkContext.setCheckpointDir(dir)
+          val c = df.checkpoint(eager = true)
+          checkpointed.add((df, c))
+          c
+        }
       case None =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
         p.count()
@@ -70,7 +82,7 @@ object Stage {
   def counted(df: DataFrame): (DataFrame, Long) =
     df.sparkSession.conf.getOption("graft.checkpointDir") match {
       case Some(_) =>
-        val c = apply(df)
+        val c = apply(df) // memoed: an identical plan re-counts, never re-checkpoints
         (c, c.count())
       case None =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -86,6 +98,22 @@ object Stage {
   // frame per batch accumulates entries; such applications call
   // releaseAll() between batches.
   private val staged = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  // reliable-checkpoint memo: (source frame, its checkpointed result),
+  // matched by analyzed-plan sameResult per session — the checkpoint
+  // path's twin of the persist path's CacheManager dedup
+  private val checkpointed =
+    new java.util.concurrent.ConcurrentLinkedQueue[(DataFrame, DataFrame)]()
+
+  private def memoed(df: DataFrame): Option[DataFrame] = {
+    val it = checkpointed.iterator()
+    while (it.hasNext) {
+      val (src, res) = it.next()
+      if ((src.sparkSession eq df.sparkSession) &&
+          src.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)) return Some(res)
+    }
+    None
+  }
 
   /** Track a staged frame for [[releaseAll]] — deduplicated on the
     * analyzed plan, so re-staging an identical frame really IS the
@@ -108,23 +136,45 @@ object Stage {
     ()
   }
 
-  /** Unpersist every frame staged via the persist path so far (e.g.
-    * between batches of a long-lived session). Safe to call anytime:
-    * a released stage recomputes from lineage if its result is still
-    * referenced. Reliable-checkpoint stages are untouched (their
-    * bytes live under graft.checkpointDir, reclaimed with it).
-    */
   /** Test seam: current release-queue depth (the leak the plan-dedup
     * in [[track]] bounds).
     */
   private[graft] def stagedCount: Int = staged.size()
 
-  def releaseAll(): Unit = {
+  /** Unpersist every frame staged via the persist path so far (e.g.
+    * between batches of a long-lived session) — ACROSS ALL SESSIONS
+    * in this JVM, which is right for single-tenant tools and tests;
+    * a multi-session server must use the session-scoped overload, or
+    * one tenant's between-batch cleanup evicts every other session's
+    * live stages (correct results, but the single-scan promise breaks
+    * at the worst time). Safe to call anytime: a released stage
+    * recomputes from lineage if its result is still referenced.
+    * Reliable-checkpoint stages drop their memo entries (identical
+    * plans re-checkpoint afterwards) but their bytes stay under
+    * graft.checkpointDir, reclaimed with the directory.
+    */
+  def releaseAll(): Unit = releaseFor(None)
+
+  /** [[releaseAll]] scoped to one session's stages; other sessions'
+    * staged frames are untouched.
+    */
+  def releaseAll(session: org.apache.spark.sql.SparkSession): Unit =
+    releaseFor(Some(session))
+
+  private def releaseFor(s: Option[org.apache.spark.sql.SparkSession]): Unit = {
+    val keep = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var d = staged.poll()
     while (d != null) {
-      try d.unpersist(blocking = false)
-      catch { case scala.util.control.NonFatal(_) => () }
+      if (s.forall(_ eq d.sparkSession)) {
+        try d.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      } else keep += d
       d = staged.poll()
+    }
+    keep.foreach(staged.add)
+    val it = checkpointed.iterator()
+    while (it.hasNext) {
+      if (s.forall(_ eq it.next()._1.sparkSession)) it.remove()
     }
   }
 

@@ -18,6 +18,31 @@ object TextFunctions {
   /** Whitespace tokens of the lower-cased text. */
   def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
 
+  // THE token/char count definitions (the q80/q82 oracle contract) —
+  // ONE definition each, shared by TextAnalysis's gate-checked queries
+  // AND the curation pipeline: the packing mass qa3 shards by and the
+  // quality filters qa0 applies must be exactly the counts the DuckDB
+  // twins verify, never a hand-mirrored copy that can drift (the same
+  // hazard the shared predLang/qualityScore refactor closed).
+
+  /** Whitespace-token count (q80's n_ws_tokens / q82's n_tokens). */
+  def nWsTokens(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
+
+  /** BPE-proxy token count: letter runs, digit runs, and single
+    * non-alphanumeric marks (q80's n_bpe_tokens).
+    */
+  def nBpeTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  /** Character count (q82's n_chars_m). */
+  def nCharsM(text: Column): Column = length(text).cast("long")
+
+  /** Punctuation/symbol character count (q82's n_punct_chars). */
+  def nPunctChars(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("long")
+
   /** Word k-shingles ("w1 w2 w3") of a token array; empty when the doc
     * has fewer than k tokens (lazy CASE keeps `sequence` from seeing a
     * negative range).

@@ -40,11 +40,13 @@ object Curate {
     val toks = tokens(col("text"))
     docs
       .select(col("doc_id"), col("source"), col("text"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
-        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
-          .cast("long").as("n_bpe_tokens"),
-        length(col("text")).cast("long").as("n_chars_m"),
-        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("long").as("n_punct_chars"),
+        // the SHARED count definitions (TextFunctions.nWsTokens &co) —
+        // the packing mass and quality inputs are exactly the
+        // oracle-pinned q80/q82 counts, not a local copy that drifts
+        nWsTokens(col("text")).as("n_tokens"),
+        nBpeTokens(col("text")).as("n_bpe_tokens"),
+        nCharsM(col("text")).as("n_chars_m"),
+        nPunctChars(col("text")).as("n_punct_chars"),
         distinctHits(toks, stopEn).cast("long").as("s_en"),
         distinctHits(toks, stopDe).cast("long").as("s_de"),
         distinctHits(toks, stopFr).cast("long").as("s_fr"),

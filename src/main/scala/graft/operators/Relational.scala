@@ -853,6 +853,12 @@ object Relational {
     * user_id, linear per subject, no overlap self-join.
     */
   def mergedEras(events: DataFrame, windowUs: Long = 1800000000L): DataFrame = {
+    // a non-positive window (a ms-vs-us unit mix-up, a negative from
+    // subtraction) makes e = s + windowUs <= s: every event becomes
+    // its own "era" with me < ms and negative covered time — silently
+    // admitting the wrong subjects through the cohort criterion
+    require(windowUs > 0,
+      s"mergedEras: windowUs must be positive MICROSECONDS, got $windowUs")
     val byStart = Window.partitionBy("user_id").orderBy("s", "event_id")
     events
       .select(col("user_id"), col("event_id"),

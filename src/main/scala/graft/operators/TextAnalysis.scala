@@ -20,9 +20,8 @@ object TextAnalysis {
       Tables.documents(s, d)
         .select(
           col("doc_id"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
-          size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
-            .cast("long").as("n_bpe_tokens"))
+          nWsTokens(col("text")).as("n_ws_tokens"),
+          nBpeTokens(col("text")).as("n_bpe_tokens"))
         .orderBy("doc_id"),
     Some("""SELECT doc_id,
             len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
@@ -81,10 +80,10 @@ object TextAnalysis {
         val toks = tokens(col("text"))
         Tables.documents(s, d)
           .select(col("doc_id"),
-            length(col("text")).cast("long").as("n_chars_m"),
-            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+            nCharsM(col("text")).as("n_chars_m"),
+            nWsTokens(col("text")).as("n_tokens"),
             length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_nonws_chars"),
-            length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("long").as("n_punct_chars"),
+            nPunctChars(col("text")).as("n_punct_chars"),
             distinctHits(toks, stopEn).cast("long").as("n_stop_hits"))
           .withColumn("mean_tok_len", col("n_nonws_chars").cast("double") / col("n_tokens").cast("double"))
           // n_tokens >= 1 always (split of "" is [""]), but n_chars_m

@@ -132,5 +132,10 @@ class CohortQuerySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CohortQuery.population(spark, sf, """{"and":[]}""")
     }
+    // a non-positive era window would invert every era (me < ms)
+    // silently instead of erroring (ms-vs-us unit mix-ups)
+    intercept[IllegalArgumentException] {
+      graft.operators.Relational.mergedEras(Tables.events(spark, sf), windowUs = 0L)
+    }
   }
 }

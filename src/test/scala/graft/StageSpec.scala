@@ -115,4 +115,30 @@ class StageSpec extends SparkSpec {
     assert(out.count() === expect, "post-delete action re-ran the curation scan")
     assert(expect > 0L)
   }
+
+  test("reliable-checkpoint staging memoizes identical plans; release scopes per session and drops the memo") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("stage-ckpt-memo")
+    spark.conf.set("graft.checkpointDir", dir)
+    try {
+      val df = Seq(1, 2, 3).toDF("v").filter(col("v") > 1)
+      val c1 = Stage(df)
+      // an identical plan must NOT re-run the upstream job and write a
+      // fresh corpus-sized checkpoint (nothing reclaims those files by
+      // default) — the no-op contract the persist path already keeps
+      val c2 = Stage(df)
+      assert(c1 eq c2, "identical plan re-staged on the checkpoint path")
+      val (c2b, n) = Stage.counted(df)
+      assert((c2b eq c1) && n == 2L)
+      // session-scoped release drops the memo: a later stage of the
+      // same plan re-checkpoints (its files were left to the dir)
+      Stage.releaseAll(spark)
+      val c3 = Stage(df)
+      assert(!(c3 eq c1), "release did not drop the checkpoint memo")
+    } finally {
+      Stage.releaseAll(spark)
+      spark.conf.unset("graft.checkpointDir")
+    }
+  }
 }
