@@ -688,22 +688,26 @@ object Dedup {
   /** q6f: the density-adaptive query form, driver-checked on its
     * verified output against the same quadratic DuckDB cosine twin as
     * q65 (identical output contract — exact-rescored (id_a, id_b,
-    * cos) pairs). maxBucket=32 puts the gate corpora (mean bucket 31
-    * at sf0.001, 125 at sf0.01 under the fixed 12×4) into the
-    * splitting regime, so the plan the driver hashes IS the full
-    * refinement path: hot-bucket detection, per-bucket extra split
-    * bits, and the hamming-1 sub-key multiprobe. The entry pins
-    * `probe1 = true` (the q65 convention): with the bucket-level
-    * 1-bit probe AND the sub-key probe both on, measured recall on
-    * both gate corpora is 1.0 (parity spec locks the claim at both
-    * scales — hyperplane bucket geometry itself stays
-    * SQL-unreproducible, but at full recall the exact re-score makes
-    * the OUTPUT brute-equal, which is all the oracle hashes). The
-    * library default keeps the solver's probe choice.
+    * cos) pairs). The entry pins `probe1 = true` (the q65 convention)
+    * and `maxBucket = 256`: recall is MONOTONE in the bucket cap, and
+    * 256 is the measured recall-1.0 point at sf0.001, sf0.01 AND
+    * sf0.1 (the r11 soak found the old pin of 32 losing 31/920 pairs
+    * at sf0.1 — split-bit fragmentation separates true pairs by ≥2
+    * sub-key bits, beyond the hamming-1 probe; the maxBucket sweep
+    * measured 32→889, 64→913, 128→919, 256→920). At full recall the
+    * exact re-score makes the OUTPUT brute-equal, which is all the
+    * oracle hashes — hyperplane bucket geometry itself stays
+    * SQL-unreproducible. The SPLITTING regime (hot-bucket detection,
+    * per-bucket extra bits, sub-key multiprobe) is no longer entered
+    * by this entry at gate scales; it keeps its own parity lock at
+    * maxBucket=32 in OracleParitySpec plus the uncentered-corpus
+    * bound specs, so the refinement path stays measured without
+    * capping this entry's recall. The library default keeps the
+    * solver's probe choice.
     */
   private val q6f = Qdef(
     "q6f_dedup_adaptive",
-    (s, d) => adaptiveNearDups(Tables.embeddings(s, d), maxBucket = 32,
+    (s, d) => adaptiveNearDups(Tables.embeddings(s, d), maxBucket = 256,
         probe1 = true, probeUnion = true)
       .orderBy("id_a", "id_b"),
     Some(bruteCosineTwin))
