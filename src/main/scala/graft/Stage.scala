@@ -52,18 +52,21 @@ object Stage {
   def apply(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption("graft.checkpointDir") match {
       case Some(dir) =>
-        // memo on the analyzed plan: re-staging an identical frame
-        // must be the promised no-op on THIS path too. Without it,
-        // every call re-executed the full upstream job and wrote a
-        // fresh corpus-sized checkpoint that nothing reclaims — Spark
-        // deletes reliable checkpoints only when
+        // memo on (checkpointDir, analyzed plan): re-staging an
+        // identical frame must be the promised no-op on THIS path
+        // too. Without it, every call re-executed the full upstream
+        // job and wrote a fresh corpus-sized checkpoint that nothing
+        // reclaims — Spark deletes reliable checkpoints only when
         // spark.cleaner.referenceTracking.cleanCheckpoints=true (off
         // by default), and [[releaseAll]] deliberately leaves the
-        // files to be reclaimed with the directory.
-        memoed(df).getOrElse {
+        // files to be reclaimed with the directory. The dir is part
+        // of the key: re-pointing graft.checkpointDir (new job epoch,
+        // old dir deleted) must MISS, or the memo would keep handing
+        // out frames rooted in the dead directory.
+        memoed(df, dir).getOrElse {
           df.sparkSession.sparkContext.setCheckpointDir(dir)
           val c = df.checkpoint(eager = true)
-          checkpointed.add((df, c))
+          checkpointed.add((dir, df, c))
           c
         }
       case None =>
@@ -99,17 +102,20 @@ object Stage {
   // releaseAll() between batches.
   private val staged = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  // reliable-checkpoint memo: (source frame, its checkpointed result),
-  // matched by analyzed-plan sameResult per session — the checkpoint
-  // path's twin of the persist path's CacheManager dedup
+  // reliable-checkpoint memo: (checkpointDir, source frame, its
+  // checkpointed result), matched by dir + analyzed-plan sameResult
+  // per session — the checkpoint path's twin of the persist path's
+  // CacheManager dedup. Keying on the dir makes a re-pointed
+  // graft.checkpointDir miss (fresh checkpoint in the new root)
+  // instead of returning a frame whose bytes live in the old one.
   private val checkpointed =
-    new java.util.concurrent.ConcurrentLinkedQueue[(DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, DataFrame, DataFrame)]()
 
-  private def memoed(df: DataFrame): Option[DataFrame] = {
+  private def memoed(df: DataFrame, dir: String): Option[DataFrame] = {
     val it = checkpointed.iterator()
     while (it.hasNext) {
-      val (src, res) = it.next()
-      if ((src.sparkSession eq df.sparkSession) &&
+      val (d, src, res) = it.next()
+      if (d == dir && (src.sparkSession eq df.sparkSession) &&
           src.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)) return Some(res)
     }
     None
@@ -161,7 +167,16 @@ object Stage {
   def releaseAll(session: org.apache.spark.sql.SparkSession): Unit =
     releaseFor(Some(session))
 
-  private def releaseFor(s: Option[org.apache.spark.sql.SparkSession]): Unit = {
+  // Serializes releaseFor: the drain-filter-readd sequence is not
+  // atomic on its own — a concurrent release could observe the queue
+  // empty while this call still holds other sessions' frames in its
+  // local keep buffer, then return before they are re-added, so a
+  // session-scoped release could miss frames of ITS OWN session that
+  // the racing call was about to put back. Release is a rare, cheap
+  // admin operation; a plain lock is the right tool.
+  private val releaseLock = new Object
+
+  private def releaseFor(s: Option[org.apache.spark.sql.SparkSession]): Unit = releaseLock.synchronized {
     val keep = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var d = staged.poll()
     while (d != null) {
@@ -174,7 +189,7 @@ object Stage {
     keep.foreach(staged.add)
     val it = checkpointed.iterator()
     while (it.hasNext) {
-      if (s.forall(_ eq it.next()._1.sparkSession)) it.remove()
+      if (s.forall(_ eq it.next()._2.sparkSession)) it.remove()
     }
   }
 

@@ -2172,8 +2172,27 @@ object Dedup {
       .filter(col("edit_sim") >= minSim)
   }
 
-  def blockedEditDups(docs: DataFrame, minSim: Double = 0.8, maxBlock: Int = 4096): DataFrame = {
+  /** Pair-expanded edit-distance near-dups. NOTE the output contract:
+    * a group of `sz` exact-normalized copies expands to C(sz,2)
+    * within rows — OUTPUT (not Levenshtein work, which stays
+    * distinct²-bounded) grows quadratically on duplicate-heavy
+    * corpora. `maxGroup` is the loud stop for that: any
+    * exact-normalized group larger than it fails with a remedy
+    * message instead of flooding the sink. Duplicate-heavy corpora
+    * should use [[collapsedEditDups]], which emits one multiplicity-
+    * carrying row per group pair and has no such cliff.
+    */
+  def blockedEditDups(docs: DataFrame, minSim: Double = 0.8, maxBlock: Int = 4096,
+                      maxGroup: Int = 4096): DataFrame = {
+    // per-row predicate (sz is already on every member row) — the
+    // guard costs no extra join or shuffle and trips before either
+    // expansion join runs
     val m = editMembers(docs)
+      .filter(isnull(assert_true(col("sz") <= lit(maxGroup),
+        concat(lit(s"blockedEditDups: exact-normalized group over $maxGroup copies (rep "), col("rep"),
+          lit(s", size "), col("sz"),
+          lit(") - pair output would be quadratic in copies; use collapsedEditDups " +
+            "for duplicate-heavy corpora or raise maxGroup")))))
     val reps = editReps(m, maxBlock)
     // cross-group pairs expand by group membership (identical texts
     // share one lev/sim by definition); least/greatest because a

@@ -68,6 +68,12 @@ object WarehouseServer {
     * reach the server is `bindAll = true`, which is what the token
     * exists to make deployable); loopback requests stay unauthenticated
     * so local operations keep working. Compare is constant-time.
+    * CAVEAT: any local proxy or tunnel in front of the server (nginx,
+    * an SSH forward, a port-forward) makes ALL external traffic
+    * originate from loopback and thereby silently disables the token
+    * check — set `authOnLoopback = true` for such deployments, which
+    * requires the bearer token on every request regardless of the
+    * remote address.
     */
   final case class Config(
       dataDir: String,
@@ -82,12 +88,16 @@ object WarehouseServer {
       dedupIndexRoot: Option[String] = None,
       annMaxK: Int = 1000,
       annVecStoreRoot: Option[String] = None,
-      authToken: Option[String] = None)
+      authToken: Option[String] = None,
+      authOnLoopback: Boolean = false)
 
   /** The bearer-auth verdict for one request: `None` = allowed,
     * `Some(message)` = refuse with 401. Token unset → everything
     * passes (the loopback-only default deployment). Token set →
-    * loopback remotes still pass (local ops), any other remote must
+    * loopback remotes still pass (local ops) unless
+    * `requireOnLoopback` — the switch for TLS-terminating-proxy /
+    * tunnel deployments where every external request arrives FROM
+    * loopback; any other remote must
     * present exactly `Authorization: Bearer <token>`; the comparison
     * is constant-time (`MessageDigest.isEqual`) so the token cannot
     * be probed byte-by-byte through response timing. A null remote
@@ -96,9 +106,10 @@ object WarehouseServer {
   private[graft] def authError(
       remote: java.net.InetAddress,
       header: Option[String],
-      token: Option[String]): Option[String] =
+      token: Option[String],
+      requireOnLoopback: Boolean = false): Option[String] =
     token match {
-      case Some(t) if remote == null || !remote.isLoopbackAddress =>
+      case Some(t) if requireOnLoopback || remote == null || !remote.isLoopbackAddress =>
         val ok = header.exists { h =>
           h.startsWith("Bearer ") && java.security.MessageDigest.isEqual(
             h.drop("Bearer ".length).getBytes(UTF_8), t.getBytes(UTF_8))
@@ -696,11 +707,13 @@ object WarehouseServer {
     def handle(ex: HttpExchange): JValue = {
       // auth gate FIRST — before any param parsing or body read, so an
       // unauthenticated remote can neither run Spark work nor probe
-      // validation errors. Loopback remotes bypass (see Config).
+      // validation errors. Loopback remotes bypass unless
+      // authOnLoopback (see Config's proxy caveat).
       authError(
         Option(ex.getRemoteAddress).map(_.getAddress).orNull,
         Option(ex.getRequestHeaders.getFirst("Authorization")),
-        cfg.authToken)
+        cfg.authToken,
+        cfg.authOnLoopback)
         .foreach(msg => throw HttpError(401, msg))
       val params = queryParams(ex)
       val limit = limitOf(params, cfg)

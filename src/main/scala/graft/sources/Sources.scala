@@ -20,28 +20,40 @@ object Sources {
     spark.read.parquet(path)
 
   /** Order-independent freshness signature of a file tree: per-file
-    * (name × mtime × length) mixes folded with XOR, so an unchanged
-    * tree re-listed in another order yields the same stamp. One
-    * recursive listing, NO Spark job — cheap enough to consult per
-    * request/call. Used by the ANN serving index's rebuild detection
-    * and the derived-store staleness checks; a missing path stamps as
-    * the empty tree.
+    * (path-relative-to-root × mtime × length) mixes folded with BOTH
+    * XOR and SUM, so an unchanged tree re-listed in another order
+    * yields the same stamp. The relative path (not just the leaf
+    * name) means moving a file between subdirectories changes the
+    * stamp, and the xor+sum pair is duplicate-sensitive: two files
+    * with identical (name, mtime, length) no longer cancel under a
+    * pure XOR fold (adding/removing such a pair changes the sum
+    * lane). One recursive listing, NO Spark job — cheap enough to
+    * consult per request/call. Used by the ANN serving index's
+    * rebuild detection and the derived-store staleness checks; a
+    * missing path stamps as the empty tree.
     */
   def listingSignature(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var h = 0L
+    val rootPrefix = f.makeQualified(p).toUri.getPath
+    var hx = 0L
+    var hs = 0L
     if (f.exists(p)) {
       val it = f.listFiles(p, true)
       while (it.hasNext) {
         val s = it.next()
-        var m = s.getPath.getName.hashCode.toLong
+        val full = s.getPath.toUri.getPath
+        val rel = if (full.startsWith(rootPrefix)) full.substring(rootPrefix.length) else full
+        var m = 1125899906842597L
+        var i = 0
+        while (i < rel.length) { m = m * 6364136223846793005L + rel.charAt(i); i += 1 }
         m = m * 6364136223846793005L + s.getModificationTime
         m = m * 6364136223846793005L + s.getLen
-        h ^= m
+        hx ^= m
+        hs += m
       }
     }
-    s"f${java.lang.Long.toHexString(h)}"
+    s"f${java.lang.Long.toHexString(hx)}-${java.lang.Long.toHexString(hs)}"
   }
 
   /** Hive-style partitioned parquet write; `partitionBy` columns become

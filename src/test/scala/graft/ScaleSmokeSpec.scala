@@ -128,6 +128,30 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(Dedup.blockedEditDups(dup, maxBlock = 16).count() == 64L * 63 / 2)
   }
 
+  test("q6a: the pair expansion's quadratic OUTPUT stops loudly past maxGroup") {
+    val spark2 = spark
+    import spark2.implicits._
+    // collapse-first keeps the Levenshtein WORK distinct²-bounded, but
+    // blockedEditDups still EMITS C(sz,2) rows per exact-copy group —
+    // on a duplicate-heavy corpus that output floods the sink with no
+    // Levenshtein ever running. The maxGroup guard is the loud stop,
+    // and its message routes callers to collapsedEditDups.
+    val dup = (0 until 64)
+      .map(i => (i.toLong, "boilerplate header exact copy shared by every row"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.blockedEditDups(dup, maxBlock = 16, maxGroup = 63).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(m => m.contains("blockedEditDups") && m.contains("collapsedEditDups")),
+      s"group guard did not fire with the remedy: ${messages(ex).mkString(" | ")}")
+    // at the cap the same corpus expands normally
+    assert(Dedup.blockedEditDups(dup, maxBlock = 16, maxGroup = 64).count() == 64L * 63 / 2)
+    // and the collapsed form never trips it — one row, any group size
+    assert(Dedup.collapsedEditDups(dup, maxBlock = 16).count() == 1L)
+  }
+
   test("sf1 distinct-mode perturbations push every copy-pair below the near-dup operating points") {
     val spark2 = spark
     import spark2.implicits._

@@ -821,6 +821,30 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "trailing bytes must not pass the constant-time compare")
     // an unresolvable remote cannot prove it is loopback: refuse
     assert(WarehouseServer.authError(null, None, tok).nonEmpty)
+    // proxy/tunnel deployments terminate external traffic AT loopback,
+    // so the exemption there would disable auth entirely — the
+    // requireOnLoopback switch closes it
+    assert(WarehouseServer.authError(loop, None, tok, requireOnLoopback = true).nonEmpty)
+    assert(WarehouseServer.authError(loop, Some("Bearer s3kr1t"), tok, requireOnLoopback = true).isEmpty)
+    assert(WarehouseServer.authError(loop, Some("Bearer nope"), tok, requireOnLoopback = true).nonEmpty)
+    // requireOnLoopback without a configured token stays open (it
+    // strengthens the token, it does not invent one)
+    assert(WarehouseServer.authError(loop, None, None, requireOnLoopback = true).isEmpty)
+  }
+
+  test("authOnLoopback end-to-end: loopback requests behind a proxy need the token too") {
+    val srv = WarehouseServer.start(spark, WarehouseServer.Config(
+      dataDir = sf, authToken = Some("s3kr1t"), authOnLoopback = true))
+    try {
+      def health(hdr: Option[String]): Int = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.port}/health")).GET()
+        hdr.foreach(h => b.header("Authorization", h))
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      assert(health(None) == 401)
+      assert(health(Some("Bearer wrong")) == 401)
+      assert(health(Some("Bearer s3kr1t")) == 200)
+    } finally srv.close()
   }
 
   test("bearer auth end-to-end: 401 without the token from a non-loopback remote, 200 with it; loopback untouched") {

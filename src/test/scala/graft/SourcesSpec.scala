@@ -220,4 +220,32 @@ class SourcesSpec extends SparkSpec {
     Sources.zorderWrite(df.limit(0), Seq("id", "name"), out)
     assert(spark.read.parquet(out).count() === 0L)
   }
+
+  test("listingSignature: stable across relistings, duplicate-stat pairs don't cancel, subdir moves change it") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = tmpDir("lsig")
+    val t = FileTime.fromMillis(1700000000000L)
+    val a = Paths.get(dir, "x", "part.bin")
+    val b = Paths.get(dir, "y", "part.bin")
+    Files.createDirectories(a.getParent); Files.createDirectories(b.getParent)
+    // identical (leaf name, mtime, length) — the pair a pure XOR fold
+    // of name-only per-file mixes cancels to the empty-tree stamp
+    Files.write(a, Array[Byte](1, 2, 3)); Files.setLastModifiedTime(a, t)
+    Files.write(b, Array[Byte](4, 5, 6)); Files.setLastModifiedTime(b, t)
+    val withPair = Sources.listingSignature(spark, dir)
+    assert(Sources.listingSignature(spark, dir) === withPair, "relisting an unchanged tree must be stable")
+    Files.delete(a); Files.delete(b)
+    val empty = Sources.listingSignature(spark, dir)
+    assert(empty !== withPair,
+      "removing a duplicate-stat pair left the stamp unchanged — stale derived stores would serve silently")
+    // moving a file between subdirectories (same leaf stats) must move the stamp
+    Files.write(a, Array[Byte](1, 2, 3)); Files.setLastModifiedTime(a, t)
+    val inX = Sources.listingSignature(spark, dir)
+    Files.move(a, b); Files.setLastModifiedTime(b, t)
+    val inY = Sources.listingSignature(spark, dir)
+    assert(inX !== inY, "a subdirectory move is invisible to a name-only per-file mix")
+    // a missing path stamps as the empty tree, deterministically
+    assert(Sources.listingSignature(spark, s"$dir/nope") === Sources.listingSignature(spark, s"$dir/nope2"))
+  }
 }

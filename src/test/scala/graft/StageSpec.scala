@@ -141,4 +141,29 @@ class StageSpec extends SparkSpec {
       spark.conf.unset("graft.checkpointDir")
     }
   }
+
+  test("re-pointing graft.checkpointDir misses the checkpoint memo instead of serving the dead root") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dirA = tmpDir("stage-ckpt-repoint-a")
+    val dirB = tmpDir("stage-ckpt-repoint-b")
+    spark.conf.set("graft.checkpointDir", dirA)
+    try {
+      val df = Seq(1, 2, 3).toDF("v").filter(col("v") > 0)
+      val c1 = Stage(df)
+      assert(Stage(df) eq c1)
+      // a new job epoch re-points the dir (the old one may be deleted):
+      // the memo must MISS — returning c1 would hand out a frame whose
+      // bytes live under the dead directory
+      spark.conf.set("graft.checkpointDir", dirB)
+      val c2 = Stage(df)
+      assert(!(c2 eq c1), "memo served a checkpoint rooted in the re-pointed-away directory")
+      assert(c2.count() === 3L)
+      // and the new dir memoizes in its own right
+      assert(Stage(df) eq c2)
+    } finally {
+      Stage.releaseAll(spark)
+      spark.conf.unset("graft.checkpointDir")
+    }
+  }
 }
