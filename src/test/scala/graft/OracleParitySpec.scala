@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * recall below 1.0 fails here before it flips a CORRECTNESS row red
   * — the remedy then is more tables / probes (or reverting that
   * entry to rows-only), not a silent red.
+  *
+  * Since r12 every pinned operating point ALSO carries a permanent
+  * sf0.1 lock (the largest shipped corpus): the r11 soak proved
+  * gate-scale-only recall claims can silently fail at 10x — q6f's
+  * old maxBucket=32 pin lost 31/920 pairs there while green at both
+  * gate scales. LSH/IVF recall claims are only valid AT MEASURED
+  * SCALES; these assertions keep the largest one measured per run.
   */
 class OracleParitySpec extends SparkSpec {
 
@@ -245,15 +252,101 @@ class OracleParitySpec extends SparkSpec {
     assert(jdk(2) == "202cb962ac59075b964b07152d234b70", "MD5('123') literal drifted")
   }
 
-  test("q6g: pinned entry verdicts equal a plain-Scala brute recomputation (both gate scales)") {
+  // ------------------------------------------------------------------
+  // Largest-scale locks (sf0.1, 10x the driver's gate): the r11 soak
+  // proved a recall claim measured only at gate scales can silently
+  // fail at 10x (q6f lost 31/920 pairs there under its old pin). q6f
+  // got the permanent in-suite brute assertion that round; these
+  // extend it to EVERY pinned operating point, at the largest corpus
+  // the testdata ships. sf0.1 is 5000 docs / 2000 embeddings — small
+  // enough to brute per suite run for the vector families; q62's
+  // 12.5M shingle-set pair brute is the one budget case (see its note).
+  // ------------------------------------------------------------------
+
+  private val sf01 = "/root/testdata/sf0.1"
+
+  test("q65: probed LSH near-dup pairs equal the exhaustive cosine truth at sf0.1") {
+    val got = idPairs(SparkEntry.queries("q65_dedup_embedding")(spark, sf01))
+    assert(got == bruteCosPairs(Tables.embeddings(spark, sf01)),
+      s"$sf01: q65 probed pairs != brute cosine>=0.4 truth")
+    assert(got.nonEmpty, s"$sf01: vacuous corpus")
+  }
+
+  test("q6e: collapsed cross-pairs equal the exhaustive rep-pair truth at sf0.1") {
+    val reps = Tables.embeddings(spark, sf01)
+      .filter(col("embedding").isNotNull && !vecHasNull(col("embedding")))
+      .groupBy(col("embedding")).agg(min("vec_id").as("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val got = idPairs(
+      SparkEntry.queries("q6e_dedup_collapsed")(spark, sf01)
+        .filter(col("rep_a") =!= col("rep_b")), "rep_a", "rep_b")
+    assert(got == bruteCosPairs(reps), s"$sf01: q6e cross pairs != brute rep-pair truth")
+    assert(got.nonEmpty, s"$sf01: vacuous corpus")
+  }
+
+  test("q71/q72: probed ANN entries are row-identical to brute top-k at sf0.1") {
+    val brute = topkRows(SparkEntry.queries("q70_knn_brute")(spark, sf01))
+    assert(topkRows(SparkEntry.queries("q71_knn_lsh")(spark, sf01)) == brute,
+      s"$sf01: q71 (probe1) != brute top-k")
+    assert(topkRows(SparkEntry.queries("q72_knn_ivf")(spark, sf01)) == brute,
+      s"$sf01: q72 (nprobe=48) != brute top-k")
+    assert(brute.nonEmpty, s"$sf01: vacuous corpus")
+  }
+
+  test("q6c/q6d: probed incremental and index-ingest paths equal the brute twins at sf0.1") {
+    val emb = Tables.embeddings(spark, sf01)
+    val isInc = col("vec_id") % 7 === 3
+    val bruteInc = verdictRows(
+      Dedup.incrementalVecDups(emb.filter(isInc), emb.filter(!isInc), brute = true))
+    assert(verdictRows(SparkEntry.queries("q6c_incremental_vec_dedup")(spark, sf01)) == bruteInc,
+      s"$sf01: q6c probed path != brute verdicts")
+    val corpus = emb.filter(col("vec_id") % 7 =!= 3 && col("vec_id") % 7 =!= 5)
+    val b1 = emb.filter(col("vec_id") % 7 === 3)
+    val b2 = emb.filter(col("vec_id") % 7 === 5)
+    val v1 = Dedup.incrementalVecDups(b1, corpus, brute = true)
+    val corpus2 = corpus.unionByName(
+      b1.join(v1.filter(col("keep")).select("vec_id"), Seq("vec_id"), "left_semi"))
+    val bruteIngest = verdictRows(Dedup.incrementalVecDups(b2, corpus2, brute = true))
+    assert(verdictRows(SparkEntry.queries("q6d_vec_index_ingest")(spark, sf01)) == bruteIngest,
+      s"$sf01: q6d index ingest != two-round brute verdicts")
+  }
+
+  test("q62: verified pairs at tau=0.5 equal the exhaustive jaccard truth at sf0.1") {
+    // exhaustive, but computed by inverted index instead of the gate
+    // tests' 12.5M-pair cross join (which costs ~2.5 min here): any
+    // pair with jaccard > 0 shares at least one shingle, so joining
+    // distinct (doc, shingle) rows on the shingle enumerates EVERY
+    // candidate pair with its exact intersection size; |union| =
+    // |A| + |B| - |inter|. Exact set-jaccard, zero lost pairs, and
+    // mechanically independent of the minhash-banding path under test.
+    val sets = Tables.documents(spark, sf01)
+      .select(col("doc_id"), array_distinct(shingleHashes(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+    val toks = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("h"))
+    val truth = toks.select(col("doc_id").as("id_a"), col("n").as("na"), col("h"))
+      .join(toks.select(col("doc_id").as("id_b"), col("n").as("nb"), col("h")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb").agg(count(lit(1)).as("inter"))
+      .withColumn("j", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("j") >= 0.5)
+    val got = idPairs(SparkEntry.queries("q62_dedup_minhash_lsh")(spark, sf01))
+    assert(got == idPairs(truth), s"$sf01: q62 verified-pair set != exact jaccard>=0.5 truth")
+    assert(got.nonEmpty, s"$sf01: vacuous corpus")
+  }
+
+  test("q6g: pinned entry verdicts equal a plain-Scala brute recomputation (gate scales and sf0.1)") {
     // independent of every Spark operator under test: collapse,
     // md5-top-k seeding, argmin assignment, in-cell greedy verdicts
     // and member expansion recomputed in driver-side Scala with the
-    // same sequential-double-fold arithmetic, compared bit-exactly
+    // same sequential-double-fold arithmetic, compared bit-exactly.
+    // sf0.1 rides along (2000 vectors — the driver-side recompute is
+    // O(groups² / cells) cos evaluations, a few seconds)
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
-    for (d <- scales) {
+    for (d <- scales :+ sf01) {
       val rows: Seq[(Long, Option[Seq[Float]])] =
         Tables.embeddings(spark, d).select("vec_id", "embedding").collect().toSeq
           .filter(!_.isNullAt(0))
