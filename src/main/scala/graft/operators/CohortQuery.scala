@@ -32,34 +32,54 @@ import org.json4s.jackson.JsonMethods
   */
 object CohortQuery {
 
+  /** Named-source frames a caller may substitute for the live tables —
+    * the seam the serving layer's instant-addressed cohort queries go
+    * through: `sources("orders")`, when present, replaces every
+    * resolution of the `orders` source (an as-of store read there
+    * makes the whole query "as of instant t", the reference's
+    * implicit property). Absent names fall back to the live table.
+    */
+  type SourceOverrides = Map[String, DataFrame]
+
+  private def resolve(
+      over: SourceOverrides, name: String)(live: => DataFrame): DataFrame =
+    over.getOrElse(name, live)
+
   /** subject-population keys: how each source maps to c_custkey. */
-  private def subjectKey(spark: SparkSession, dir: String, source: String): (DataFrame, Column) =
+  private def subjectKey(
+      spark: SparkSession, dir: String, source: String,
+      over: SourceOverrides): (DataFrame, Column) =
     source match {
-      case "customer" => (Tables.customer(spark, dir), col("c_custkey"))
-      case "orders"   => (Tables.orders(spark, dir), col("o_custkey"))
+      case "customer" => (resolve(over, "customer")(Tables.customer(spark, dir)), col("c_custkey"))
+      case "orders"   => (resolve(over, "orders")(Tables.orders(spark, dir)), col("o_custkey"))
       case "lineitem" =>
         // measurements hang off visits; key them to the visit's subject
-        val j = Tables.lineitem(spark, dir)
-          .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        val j = resolve(over, "lineitem")(Tables.lineitem(spark, dir))
+          .join(resolve(over, "orders")(Tables.orders(spark, dir))
+            .select("o_orderkey", "o_custkey"),
             col("l_orderkey") === col("o_orderkey"))
         (j, col("o_custkey"))
       case s => throw new IllegalArgumentException(s"unknown subject source: $s")
     }
 
   /** visit-population keys: how each source maps to o_orderkey. */
-  private def visitKey(spark: SparkSession, dir: String, source: String): (DataFrame, Column) =
+  private def visitKey(
+      spark: SparkSession, dir: String, source: String,
+      over: SourceOverrides): (DataFrame, Column) =
     source match {
-      case "orders"   => (Tables.orders(spark, dir), col("o_orderkey"))
-      case "lineitem" => (Tables.lineitem(spark, dir), col("l_orderkey"))
+      case "orders"   => (resolve(over, "orders")(Tables.orders(spark, dir)), col("o_orderkey"))
+      case "lineitem" => (resolve(over, "lineitem")(Tables.lineitem(spark, dir)), col("l_orderkey"))
       case s => throw new IllegalArgumentException(s"unknown visit source: $s")
     }
 
   /** user-population keys (the event stream's subject axis) — the
     * population the typed temporal/era atoms key by.
     */
-  private def userKey(spark: SparkSession, dir: String, source: String): (DataFrame, Column) =
+  private def userKey(
+      spark: SparkSession, dir: String, source: String,
+      over: SourceOverrides): (DataFrame, Column) =
     source match {
-      case "events" => (Tables.events(spark, dir), col("user_id"))
+      case "events" => (resolve(over, "events")(Tables.events(spark, dir)), col("user_id"))
       case s => throw new IllegalArgumentException(s"unknown user source: $s")
     }
 
@@ -119,7 +139,8 @@ object CohortQuery {
     * by user_id and therefore require the `user` population.
     */
   private def atomKeys(
-      spark: SparkSession, dir: String, population: String, atom: JValue): DataFrame = {
+      spark: SparkSession, dir: String, population: String, atom: JValue,
+      over: SourceOverrides): DataFrame = {
     val typ = atom \ "type" match {
       case JString(t) => t
       case JNothing   => "field"
@@ -132,9 +153,9 @@ object CohortQuery {
         val op = strField(atom, "op")
         val value = atom \ "value"
         val (df, key) = population match {
-          case "subject" => subjectKey(spark, dir, source)
-          case "visit"   => visitKey(spark, dir, source)
-          case "user"    => userKey(spark, dir, source)
+          case "subject" => subjectKey(spark, dir, source, over)
+          case "visit"   => visitKey(spark, dir, source, over)
+          case "user"    => userKey(spark, dir, source, over)
           case p => throw new IllegalArgumentException(s"unknown population: $p")
         }
         df.filter(predicate(field, op, value)).select(key.as("subject")).distinct()
@@ -147,7 +168,7 @@ object CohortQuery {
         val wd = numField(atom, "withinDays")
         require(wd >= 1 && wd <= 36500,
           s"withinDays must be in [1, 36500] (100 years), got $wd")
-        Cohort.temporalAtom(Tables.events(spark, dir),
+        Cohort.temporalAtom(resolve(over, "events")(Tables.events(spark, dir)),
           strField(atom, "first"), strField(atom, "then"), wd.toInt).keys
       case "era" =>
         require(population == "user", "era atoms key by user_id — use population 'user'")
@@ -156,7 +177,7 @@ object CohortQuery {
         val wm = numField(atom, "windowMinutes")
         require(wm >= 1 && wm <= 52600000L,
           s"windowMinutes must be in [1, 52600000] (~100 years), got $wm")
-        Cohort.eraAtom(Tables.events(spark, dir),
+        Cohort.eraAtom(resolve(over, "events")(Tables.events(spark, dir)),
           wm * 60000000L,
           numField(atom, "minEras")).keys
       case other => throw new IllegalArgumentException(s"unknown atom type: $other")
@@ -169,8 +190,13 @@ object CohortQuery {
     case other      => throw new IllegalArgumentException(s"bad population: $other")
   }
 
-  /** Evaluate a JSON query spec → distinct population key set. */
-  def population(spark: SparkSession, dir: String, json: String): DataFrame = {
+  /** Evaluate a JSON query spec → distinct population key set.
+    * `sources` substitutes named frames for the live tables (e.g. an
+    * as-of store read as `orders` — see [[SourceOverrides]]).
+    */
+  def population(
+      spark: SparkSession, dir: String, json: String,
+      sources: SourceOverrides = Map.empty): DataFrame = {
     val spec = JsonMethods.parse(json)
     val pop = popOf(spec)
     val groups = spec \ "and" match {
@@ -182,10 +208,10 @@ object CohortQuery {
           // bare reduce below would surface it as an unexplained
           // empty.reduceLeft 500 instead of this validation error
           case JArray(atoms) if atoms.nonEmpty =>
-            atoms.map(a => atomKeys(spark, dir, pop, a))
+            atoms.map(a => atomKeys(spark, dir, pop, a, sources))
           case JArray(_) =>
             throw new IllegalArgumentException(s"empty 'or' group in: $g")
-          case JNothing      => List(atomKeys(spark, dir, pop, g)) // bare atom = 1-ary OR
+          case JNothing      => List(atomKeys(spark, dir, pop, g, sources)) // bare atom = 1-ary OR
           case other         => throw new IllegalArgumentException(s"bad or-group: $other")
         }
       }
@@ -196,15 +222,17 @@ object CohortQuery {
     val base = Cohort.and(groups.map(g => g.reduce(_ union _).distinct()))
     spec \ "not" match {
       case JArray(atoms) =>
-        atoms.foldLeft(base)((acc, a) => Cohort.not(acc, atomKeys(spark, dir, pop, a)))
+        atoms.foldLeft(base)((acc, a) => Cohort.not(acc, atomKeys(spark, dir, pop, a, sources)))
       case JNothing => base
       case other    => throw new IllegalArgumentException(s"bad not-list: $other")
     }
   }
 
   /** Evaluate a spec → 1-row count (the reference's query result). */
-  def count(spark: SparkSession, dir: String, json: String): DataFrame =
-    Cohort.countSubjects(population(spark, dir, json))
+  def count(
+      spark: SparkSession, dir: String, json: String,
+      sources: SourceOverrides = Map.empty): DataFrame =
+    Cohort.countSubjects(population(spark, dir, json, sources))
 
   /** Per-atom subject counts — the reference exposes every
     * criterion's own population size next to the query result. Spec
@@ -214,7 +242,9 @@ object CohortQuery {
     * partial-agg pass counts all atoms; atoms matching nothing still
     * report 0 via the broadcast index join.
     */
-  def atomCounts(spark: SparkSession, dir: String, json: String): DataFrame = {
+  def atomCounts(
+      spark: SparkSession, dir: String, json: String,
+      sources: SourceOverrides = Map.empty): DataFrame = {
     val spec = JsonMethods.parse(json)
     val pop = popOf(spec)
     val atoms = spec \ "atoms" match {
@@ -223,7 +253,7 @@ object CohortQuery {
         s"atom-counts needs a non-empty 'atoms' array, got $other")
     }
     val tagged = atoms.zipWithIndex.map { case (a, i) =>
-      atomKeys(spark, dir, pop, a).select(lit(i).as("atom"), col("subject"))
+      atomKeys(spark, dir, pop, a, sources).select(lit(i).as("atom"), col("subject"))
     }
     val counts = tagged.reduce(_ unionByName _)
       .groupBy("atom").agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))

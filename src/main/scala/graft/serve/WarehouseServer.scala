@@ -589,7 +589,8 @@ object WarehouseServer {
           ("href" -> "/health") ~ ("method" -> "GET") ~ ("rel" -> "health"),
           ("href" -> "/tables") ~ ("method" -> "GET") ~ ("rel" -> "tables"),
           ("href" -> "/cohort/query") ~ ("method" -> "POST") ~
-            ("rel" -> "cohort-count") ~ ("body" -> "cohort DSL (see README)"),
+            ("rel" -> "cohort-count") ~ ("body" -> "cohort DSL (see README)") ~
+            ("params" -> "as_of_ts?"),
           ("href" -> "/cohort/population") ~ ("method" -> "POST") ~
             ("rel" -> "cohort-population") ~ ("params" -> "limit, after"),
           ("href" -> "/cohort/atom-counts") ~ ("method" -> "POST") ~
@@ -607,7 +608,8 @@ object WarehouseServer {
             ("rel" -> "run named query") ~ ("params" -> "limit, after"),
           ("href" -> "/store/versions") ~ ("method" -> "GET") ~ ("rel" -> "store versions"),
           ("href" -> "/store/read") ~ ("method" -> "GET") ~
-            ("rel" -> "versioned read") ~ ("params" -> "keys, version?, limit, after"),
+            ("rel" -> "versioned read") ~
+            ("params" -> "keys, version?, as_of_ts?, limit, after"),
           ("href" -> "/store/commit") ~ ("method" -> "POST") ~
             ("rel" -> "import") ~ ("body" -> "{source, mode: full|delta}"),
           ("href" -> "/ann/search") ~ ("method" -> "POST") ~
@@ -620,6 +622,37 @@ object WarehouseServer {
 
     def storeRoot: String =
       cfg.storeRoot.getOrElse(throw HttpError(404, "no store configured (Config.storeRoot)"))
+
+    // `as_of_ts` values: an ISO-8601 instant or epoch milliseconds
+    def parseInstantMs(raw: String): Long =
+      if (raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
+      else
+        try java.time.Instant.parse(raw).toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException => throw HttpError(400,
+            s"bad as_of_ts '$raw' — pass an ISO-8601 instant (2026-08-15T12:00:00Z) " +
+              "or epoch milliseconds")
+        }
+
+    def versionAtOr400(tsMs: Long): Long =
+      try Snapshots.versionAt(spark, storeRoot, tsMs)
+      catch {
+        case e: IllegalArgumentException =>
+          throw HttpError(400, Option(e.getMessage).getOrElse("bad as_of_ts"))
+      }
+
+    // Instant-addressed cohort queries: `as_of_ts` swaps the `orders`
+    // source for the configured store's as-of read (keyed o_orderkey,
+    // the store's import shape), so the whole cohort evaluation is
+    // "as of instant t" — the reference's implicit immutable-store
+    // property, addressed by wall time. Other sources stay live.
+    def cohortSources(params: Map[String, String]): graft.operators.CohortQuery.SourceOverrides =
+      params.get("as_of_ts") match {
+        case None => Map.empty
+        case Some(raw) =>
+          val ver = versionAtOr400(parseInstantMs(raw))
+          Map("orders" -> Snapshots.asOf(spark, storeRoot, ver, Seq("o_orderkey")))
+      }
 
     // the ANN serving index: built once per SOURCE VERSION on demand
     // (one corpus scan + one banding pass), then every request is a
@@ -727,12 +760,14 @@ object WarehouseServer {
             ("default_parallelism" -> spark.sparkContext.defaultParallelism)
         case ("GET", "/tables") => tablesDoc
         case ("POST", "/cohort/query") =>
-          scalar(CohortQuery.count(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes)), "n_subjects")
+          scalar(CohortQuery.count(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes),
+            cohortSources(params)), "n_subjects")
         case ("POST", "/cohort/population") =>
-          page(CohortQuery.population(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes))
-            .orderBy("subject"), limit, after)
+          page(CohortQuery.population(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes),
+            cohortSources(params)).orderBy("subject"), limit, after)
         case ("POST", "/cohort/atom-counts") =>
-          page(CohortQuery.atomCounts(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes)), limit, after)
+          page(CohortQuery.atomCounts(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes),
+            cohortSources(params)), limit, after)
         case ("GET", "/items/stats") =>
           page(Cohort.itemStats(
             table(spark, cfg.dataDir, need(params, "source")),
@@ -759,16 +794,27 @@ object WarehouseServer {
             .getOrElse(throw HttpError(404, s"unknown query '$name'"))
           page(q.run(spark, cfg.dataDir), limit, after)
         case ("GET", "/store/versions") =>
-          JArray(Snapshots.versions(spark, storeRoot).map { case (v, kind, path) =>
-            ("version" -> v) ~ ("kind" -> kind) ~ ("path" -> path): JValue
+          JArray(Snapshots.versionsWithTimes(spark, storeRoot).map { case (v, kind, path, ts) =>
+            val base = ("version" -> v) ~ ("kind" -> kind) ~ ("path" -> path)
+            // commit_ts is omitted (not null) on lines that predate the
+            // timestamp field — "unknown", not "at the epoch"
+            (if (ts >= 0) base ~ ("commit_ts" -> java.time.Instant.ofEpochMilli(ts).toString)
+             else base): JValue
           }.toList)
         case ("GET", "/store/read") =>
           val keys = params.get("keys").map(_.split(',').toSeq)
             .getOrElse(throw HttpError(400, "missing query param 'keys' (comma-separated)"))
-          val df = params.get("version") match {
-            case Some(v) => Snapshots.asOf(spark, storeRoot,
+          // `as_of_ts` = ISO-8601 instant or epoch millis — the
+          // instant-addressed twin of `version` (Snapshots.versionAt
+          // semantics: latest commit stamped at or before it)
+          if (params.contains("as_of_ts") && params.contains("version"))
+            throw HttpError(400, "pass either 'version' or 'as_of_ts', not both")
+          val df = (params.get("version"), params.get("as_of_ts")) match {
+            case (Some(v), _) => Snapshots.asOf(spark, storeRoot,
               v.toLongOption.getOrElse(throw HttpError(400, s"bad version '$v'")), keys)
-            case None => Snapshots.latest(spark, storeRoot, keys)
+            case (_, Some(raw)) =>
+              Snapshots.asOf(spark, storeRoot, versionAtOr400(parseInstantMs(raw)), keys)
+            case _ => Snapshots.latest(spark, storeRoot, keys)
           }
           // `order=desc` = "latest keys first", the most common
           // warehouse listing order — keyset-paged like asc, through

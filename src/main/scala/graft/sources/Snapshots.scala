@@ -81,9 +81,15 @@ object Snapshots {
     * already taken, what a vacuum retains) must come from ONE such
     * read — mixing a fresh file listing with stale lines is exactly
     * the lost-trim/lost-delta window the publish CAS exists to close.
+    *
+    * A line is (version, kind, relative path, commit epoch-millis).
+    * The timestamp is the committer's WALL CLOCK at publish time —
+    * advisory, for [[versionAt]]'s instant→version resolution; -1 on
+    * lines inherited from manifests written before the field existed
+    * (old 3-field TSV lines stay readable forever).
     */
   private[graft] final case class ManifestState(
-      fileNum: Long, lines: Seq[(Long, String, String)])
+      fileNum: Long, lines: Seq[(Long, String, String, Long)])
 
   private[graft] def manifestState(spark: SparkSession, root: String): ManifestState = {
     val f = fs(spark, root)
@@ -95,8 +101,12 @@ object Snapshots {
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
         val lines = text.linesIterator.filter(_.nonEmpty).map { line =>
-          val Array(v, kind, path) = line.split("\t", 3)
-          (v.toLong, kind, path)
+          line.split("\t", 4) match {
+            case Array(v, kind, path, ts) => (v.toLong, kind, path, ts.toLong)
+            case Array(v, kind, path)     => (v.toLong, kind, path, -1L)
+            case other => throw new IllegalStateException(
+              s"malformed manifest line in $mp: '${other.mkString("\\t")}'")
+          }
         }.toSeq.sortBy(_._1)
         ManifestState(n, lines)
     }
@@ -104,6 +114,12 @@ object Snapshots {
 
   /** (version, kind, path) entries, version-ascending. */
   def versions(spark: SparkSession, root: String): Seq[(Long, String, String)] =
+    manifestState(spark, root).lines.map(t => (t._1, t._2, t._3))
+
+  /** [[versions]] plus each line's commit wall-time (epoch millis;
+    * -1 when the line predates the timestamp field).
+    */
+  def versionsWithTimes(spark: SparkSession, root: String): Seq[(Long, String, String, Long)] =
     manifestState(spark, root).lines
 
   /** `private[graft]` is a test seam: the two-writer race spec drives
@@ -125,21 +141,26 @@ object Snapshots {
     if (st.lines.exists(_._1 >= version))
       throw new IllegalStateException(
         s"manifest publish race: v$version already committed in $root")
-    publishAt(spark, root, st.fileNum + 1, st.lines :+ ((version, kind, rel)))
+    publishAt(spark, root, st.fileNum + 1,
+      st.lines :+ ((version, kind, rel, System.currentTimeMillis())))
   }
 
   /** Publish `entries` as manifest file `_manifest.v<fileNum>` — the
     * single-winner CAS every manifest mutation goes through. Throws
     * IllegalStateException("manifest publish race…") when that file
     * number is already taken, i.e. ANY publish landed after the
-    * [[manifestState]] read that produced `fileNum`.
+    * [[manifestState]] read that produced `fileNum`. A line whose
+    * commit time is unknown (-1, inherited from a pre-timestamp
+    * manifest) is re-published in the old 3-field form — re-stamping
+    * it with "now" would lie to [[versionAt]].
     */
   private def publishAt(
       spark: SparkSession, root: String, fileNum: Long,
-      entries: Seq[(Long, String, String)]): Unit = {
+      entries: Seq[(Long, String, String, Long)]): Unit = {
     val f = fs(spark, root)
     val lines = entries
-      .map { case (v, k, p) => s"$v\t$k\t$p" }.mkString("", "\n", "\n")
+      .map { case (v, k, p, ts) => if (ts >= 0) s"$v\t$k\t$p\t$ts" else s"$v\t$k\t$p" }
+      .mkString("", "\n", "\n")
     // write-to-tmp-then-rename: a created-but-unwritten manifest must
     // never be listable under its final name (a reader between create
     // and close would see an empty store). The ManifestName pattern
@@ -276,7 +297,11 @@ object Snapshots {
           s"stale fold: expected to publish v$ev but the store is at v${v - 1} " +
             s"— a commit landed after the chain read; re-run the fold over the new chain")
       }
-      try { publishAt(spark, root, st.fileNum + 1, st.lines :+ ((v, kind, rel))); return v }
+      try {
+        publishAt(spark, root, st.fileNum + 1,
+          st.lines :+ ((v, kind, rel, System.currentTimeMillis())))
+        return v
+      }
       catch {
         case e: IllegalStateException
           if e.getMessage != null && e.getMessage.contains("manifest publish race")
@@ -326,6 +351,43 @@ object Snapshots {
     }
     lastWriterWins(frames.reduce(_ unionByName _), keys, "_v")
   }
+
+  /** Resolve an instant to the store version visible at that time:
+    * the LATEST version whose recorded commit wall-time is ≤ `tsMs`
+    * (the reference store's `as-of` takes an instant; this is the
+    * version-store equivalent). Loud error when the store is empty or
+    * every stamped commit is later than `tsMs`.
+    *
+    * Clock semantics — advisory, as in every log-structured table
+    * format: the stamp is the COMMITTER's wall clock at manifest
+    * publish, so commits from writers with skewed or jogging clocks
+    * can carry non-monotone stamps. Resolution is by max-version-
+    * with-stamp≤t over the version-ordered chain, which serves the
+    * newest such version even if an OLDER version carries a later
+    * stamp. Lines inherited from pre-timestamp manifests (no stamp)
+    * are treated as older than any queried instant — true whenever
+    * the query instant is after the upgrade that introduced stamps.
+    */
+  def versionAt(spark: SparkSession, root: String, tsMs: Long): Long = {
+    val lines = manifestState(spark, root).lines
+    require(lines.nonEmpty, s"empty snapshot store at $root")
+    lines.filter(t => t._4 < 0 || t._4 <= tsMs).map(_._1).maxOption
+      .getOrElse {
+        val first = lines.head
+        throw new IllegalArgumentException(
+          s"no version committed at or before ${java.time.Instant.ofEpochMilli(tsMs)} " +
+            s"in $root — the earliest commit is v${first._1} at " +
+            s"${java.time.Instant.ofEpochMilli(first._4)}")
+      }
+  }
+
+  /** [[asOf]] addressed by instant instead of version: read the table
+    * as it was visible at wall-time `tsMs` (see [[versionAt]] for the
+    * advisory-clock caveat).
+    */
+  def asOfTimestamp(
+      spark: SparkSession, root: String, tsMs: Long, keys: Seq[String]): DataFrame =
+    asOf(spark, root, versionAt(spark, root, tsMs), keys)
 
   /** Raw committed frame of exactly `version` (no merge applied):
     * a full snapshot's rows, or one delta batch including tombstones.
@@ -527,7 +589,7 @@ object Snapshots {
       // with NO new data line — file numbering is decoupled from data
       // versions exactly for this), delete data SECOND
       publishAt(spark, root, st.fileNum + 1, retained)
-      candidates.foreach { case (_, _, rel) => f.delete(new Path(root, rel), true); () }
+      candidates.foreach { case (_, _, rel, _) => f.delete(new Path(root, rel), true); () }
     }
     // orphan sweep: data dirs no manifest references — a crashed
     // writeAndPublish attempt, or a previous vacuum that crashed

@@ -718,6 +718,72 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     } finally srv.close()
   }
 
+  test("as-of by instant over HTTP: store reads and cohort queries address wall time") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val root = tmpDir("serve-asof-store")
+    val orders = Tables.orders(spark, sf)
+    Snapshots.commit(orders, root)
+    Thread.sleep(5) // make the two commit stamps provably distinct
+    // the q4b import shape: keys ≡ 3 (mod 10) amended to 'R', ≡ 7 tombstoned
+    Snapshots.commitDelta(
+      orders.filter(col("o_orderkey") % 10 === 3 || col("o_orderkey") % 10 === 7)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 10 === 3, lit("R")).otherwise(col("o_orderstatus")))
+        .withColumn("_deleted", col("o_orderkey") % 10 === 7),
+      root)
+    val times = Snapshots.versionsWithTimes(spark, root)
+    val (t1, t2) = (times(0)._4, times(1)._4)
+    assert(t1 > 0 && t2 > t1)
+    val srv = WarehouseServer.start(spark, WarehouseServer.Config(
+      dataDir = sf, storeRoot = Some(root)))
+    try {
+      val b = s"http://127.0.0.1:${srv.port}"
+      def getJ(path: String): (Int, JValue) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(s"$b$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def postJ(path: String, body: String): (Int, JValue) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(s"$b$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      // /store/versions carries each commit's wall time as an ISO instant
+      val (vc, vv) = getJ("/store/versions")
+      assert(vc == 200)
+      val stamps = vv.asInstanceOf[JArray].arr.map(e => (e \ "commit_ts").asInstanceOf[JString].s)
+      assert(stamps.map(s => java.time.Instant.parse(s).toEpochMilli) == List(t1, t2))
+      // instant-addressed read ≡ version-addressed read at the resolved
+      // version — epoch-millis form at t1, ISO form at t2
+      val n1 = longOf(getJ("/store/read?keys=o_orderkey&version=1&limit=5000")._2 \ "row_count")
+      val n2 = longOf(getJ("/store/read?keys=o_orderkey&version=2&limit=5000")._2 \ "row_count")
+      assert(n1 > n2, "the tombstoning delta must shrink the visible row set")
+      assert(longOf(getJ(s"/store/read?keys=o_orderkey&as_of_ts=$t1&limit=5000")._2 \ "row_count") == n1)
+      val iso2 = java.time.Instant.ofEpochMilli(t2).toString
+      assert(longOf(getJ(s"/store/read?keys=o_orderkey&as_of_ts=$iso2&limit=5000")._2 \ "row_count") == n2)
+      // validation: both addresses, garbage, and a pre-store instant are typed 400s
+      assert(getJ(s"/store/read?keys=o_orderkey&version=1&as_of_ts=$t1")._1 == 400)
+      assert(getJ("/store/read?keys=o_orderkey&as_of_ts=yesterdayish")._1 == 400)
+      assert(getJ(s"/store/read?keys=o_orderkey&as_of_ts=${t1 - 1}")._1 == 400)
+      // cohort query pinned to an instant: evaluates against the store
+      // as of t — the reference's reproducible-count property over HTTP
+      val spec = """{"and": [{"or": [
+        {"source": "orders", "field": "o_orderstatus", "op": "eq", "value": "F"}]}]}"""
+      def expectAt(v: Long): Long =
+        CohortQuery.count(spark, sf, spec,
+          Map("orders" -> Snapshots.asOf(spark, root, v, Seq("o_orderkey"))))
+          .collect()(0).getLong(0)
+      val (e1, e2) = (expectAt(1L), expectAt(2L))
+      assert(e1 > 0 && e1 != e2, "amended statuses must move the cohort count")
+      assert(longOf(postJ(s"/cohort/query?as_of_ts=$t1", spec)._2 \ "n_subjects") == e1)
+      assert(longOf(postJ(s"/cohort/query?as_of_ts=$iso2", spec)._2 \ "n_subjects") == e2)
+      // and re-running the t1 query AFTER v2 exists still answers e1 —
+      // that IS the as-of claim
+      assert(longOf(postJ(s"/cohort/query?as_of_ts=$t1", spec)._2 \ "n_subjects") == e1)
+    } finally srv.close()
+  }
+
   test("/ann/search over the persisted vector store: a committed ingest is served without restart; /ann/refresh rebuilds on demand") {
     import org.apache.spark.sql.functions.col
     val root = s"${tmpDir("serve-vecstore")}/corpus"

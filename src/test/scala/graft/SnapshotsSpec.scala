@@ -51,6 +51,66 @@ class SnapshotsSpec extends SparkSpec {
       Set((1, "a", 10L), (2, "b3", 22L), (4, "d", 40L)))
   }
 
+  test("commit wall-times: stamped at publish, preserved by later publishes, instant-addressable") {
+    val root = tmpDir("snap-ts")
+    val t0 = System.currentTimeMillis()
+    Snapshots.commit(Seq((1, "a", 10L)).toDF("id", "name", "amount"), root)
+    val t1 = System.currentTimeMillis()
+    val l1 = Snapshots.versionsWithTimes(spark, root)
+    assert(l1.map(_._1) === Seq(1L))
+    assert(l1.head._4 >= t0 && l1.head._4 <= t1,
+      s"v1 stamp ${l1.head._4} outside the commit's wall-clock bracket [$t0, $t1]")
+    Thread.sleep(5) // commits also take ~100ms; the sleep just makes the distinct-stamp claim airtight
+    Snapshots.commitDelta(Seq((1, "a2", 11L)).toDF("id", "name", "amount"), root)
+    val l2 = Snapshots.versionsWithTimes(spark, root)
+    assert(l2.map(_._1) === Seq(1L, 2L))
+    // v1's stamp is its COMMIT time — the later publish that re-wrote
+    // the manifest line must not have re-stamped it
+    assert(l2.head._4 === l1.head._4, "a later publish re-stamped an old line")
+    assert(l2(1)._4 > l2.head._4)
+    // instant → version: latest commit stamped at or before t
+    assert(Snapshots.versionAt(spark, root, l2(1)._4) === 2L)
+    assert(Snapshots.versionAt(spark, root, l2(1)._4 - 1) === 1L)
+    assert(Snapshots.versionAt(spark, root, System.currentTimeMillis()) === 2L)
+    val early = intercept[IllegalArgumentException] {
+      Snapshots.versionAt(spark, root, l2.head._4 - 1)
+    }
+    assert(early.getMessage.contains("no version committed at or before"))
+    // asOfTimestamp ≡ asOf(versionAt): the v1 answer at v1's instant,
+    // reproducible after v2 amended it
+    assert(rowsOf(Snapshots.asOfTimestamp(spark, root, l2.head._4, Seq("id"))) ===
+      Set((1, "a", 10L)))
+    assert(rowsOf(Snapshots.asOfTimestamp(spark, root, l2(1)._4, Seq("id"))) ===
+      Set((1, "a2", 11L)))
+  }
+
+  test("pre-timestamp manifests stay readable; unstamped lines resolve as older than any instant") {
+    val root = tmpDir("snap-oldfmt")
+    Seq((1, "a", 10L)).toDF("id", "name", "amount").write.parquet(s"$root/v1-aaaa1111")
+    Seq((1, "a2", 11L)).toDF("id", "name", "amount").write.parquet(s"$root/v2-bbbb2222")
+    // the r11-era 3-field line for v1 next to a stamped v2 line, in
+    // one manifest — exactly what an upgraded store's manifest holds
+    // after its first post-upgrade commit
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "_manifest.v2"),
+      "1\tfull\tv1-aaaa1111\n2\tdelta\tv2-bbbb2222\t5000\n".getBytes("UTF-8"))
+    assert(Snapshots.versions(spark, root).map(t => (t._1, t._2)) ===
+      Seq((1L, "full"), (2L, "delta")))
+    assert(Snapshots.versionsWithTimes(spark, root).map(_._4) === Seq(-1L, 5000L))
+    // unstamped = "committed before stamps existed": older than any t
+    assert(Snapshots.versionAt(spark, root, 4999L) === 1L)
+    assert(Snapshots.versionAt(spark, root, 5000L) === 2L)
+    assert(rowsOf(Snapshots.asOfTimestamp(spark, root, 4999L, Seq("id"))) ===
+      Set((1, "a", 10L)))
+    // a post-upgrade commit re-publishes the unstamped line in its OLD
+    // 3-field form — re-stamping it with "now" would lie to versionAt
+    Snapshots.commitDelta(Seq((1, "a3", 12L)).toDF("id", "name", "amount"), root)
+    val after = Snapshots.versionsWithTimes(spark, root)
+    assert(after.map(_._1) === Seq(1L, 2L, 3L))
+    assert(after.head._4 === -1L, "a republish stamped a pre-timestamp line")
+    assert(after(1)._4 === 5000L)
+    assert(after(2)._4 > 5000L)
+  }
+
   test("nullable _deleted (when() without otherwise) does not drop upserts") {
     val root = tmpDir("snap-nullable")
     Snapshots.commit(
