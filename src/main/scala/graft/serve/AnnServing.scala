@@ -58,6 +58,11 @@ final class AnnServing private (
     corpus: DataFrame,
     banded: DataFrame) {
 
+  /** Wall time this instance finished building — `/status` reports the
+    * served index's age from it.
+    */
+  val builtAtMs: Long = System.currentTimeMillis()
+
   /** Release the two cache entries the build persisted. A
     * served-then-closed instance (rolling refresh, server shutdown,
     * test suites on a shared long-lived session) must not pin

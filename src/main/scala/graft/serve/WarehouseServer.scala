@@ -1,6 +1,6 @@
 package graft.serve
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.sun.net.httpserver.{HttpExchange, HttpServer, HttpsConfigurator, HttpsServer}
 import graft.{SparkEntry, Tables}
 import graft.operators.{Cohort, CohortQuery}
 import graft.sources.Snapshots
@@ -63,6 +63,13 @@ object WarehouseServer {
     * file number / parquet listing signature), and `POST /ann/refresh`
     * forces a rebuild for operators.
     *
+    * `vecIndexRoot` points `POST /dedup/check_vec` at a PERSISTED
+    * vector band index (built with `Dedup.commitVecIndex`, the q6d
+    * ingest read path); the posted embedding is screened against it
+    * read-only, re-scored exactly against the `annVecStoreRoot`
+    * corpus store — both roots must be set for the endpoint (404
+    * otherwise).
+    *
     * `authToken`, when set, requires `Authorization: Bearer <token>`
     * on every request from a NON-loopback remote (the only way to
     * reach the server is `bindAll = true`, which is what the token
@@ -74,6 +81,14 @@ object WarehouseServer {
     * check — set `authOnLoopback = true` for such deployments, which
     * requires the bearer token on every request regardless of the
     * remote address.
+    *
+    * `keystorePath`/`keystorePass` switch the server to HTTPS (JDK
+    * `HttpsServer`, zero added dependencies): a PKCS12 keystore
+    * holding the server's key+cert (`keytool -genkeypair -storetype
+    * PKCS12 …`), TLS on every connection. Without it a non-loopback
+    * bind sends the bearer token in cleartext — set both for any
+    * `bindAll` deployment that isn't behind a TLS-terminating
+    * ingress. Loopback-only default deployments can stay plain HTTP.
     */
   final case class Config(
       dataDir: String,
@@ -88,8 +103,11 @@ object WarehouseServer {
       dedupIndexRoot: Option[String] = None,
       annMaxK: Int = 1000,
       annVecStoreRoot: Option[String] = None,
+      vecIndexRoot: Option[String] = None,
       authToken: Option[String] = None,
-      authOnLoopback: Boolean = false)
+      authOnLoopback: Boolean = false,
+      keystorePath: Option[String] = None,
+      keystorePass: Option[String] = None)
 
   /** The bearer-auth verdict for one request: `None` = allowed,
     * `Some(message)` = refuse with 401. Token unset → everything
@@ -561,7 +579,28 @@ object WarehouseServer {
       if (cfg.bindAll) new InetSocketAddress(cfg.port).getAddress
       else InetAddress.getLoopbackAddress,
       cfg.port)
-    val server = HttpServer.create(addr, 0)
+    val server = cfg.keystorePath match {
+      case Some(ksPath) =>
+        // TLS termination in-process: PKCS12 keystore → KeyManager →
+        // SSLContext → HttpsServer. HttpsServer IS an HttpServer, so
+        // everything downstream (routing, watchdog, shutdown) is
+        // transport-agnostic.
+        val pass = cfg.keystorePass.getOrElse(throw new IllegalArgumentException(
+          "keystorePath is set but keystorePass is not — the PKCS12 store needs its password"))
+          .toCharArray
+        val ks = java.security.KeyStore.getInstance("PKCS12")
+        val in = java.nio.file.Files.newInputStream(Paths.get(ksPath))
+        try ks.load(in, pass) finally in.close()
+        val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+          javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+        kmf.init(ks, pass)
+        val ssl = javax.net.ssl.SSLContext.getInstance("TLS")
+        ssl.init(kmf.getKeyManagers, null, null)
+        val s = HttpsServer.create(addr, 0)
+        s.setHttpsConfigurator(new HttpsConfigurator(ssl))
+        s
+      case None => HttpServer.create(addr, 0)
+    }
     val pool = Executors.newFixedThreadPool(cfg.threads)
     server.setExecutor(pool)
     // one shared watchdog thread arms all request deadlines; the
@@ -587,6 +626,8 @@ object WarehouseServer {
         ("store_root" -> cfg.storeRoot) ~
         ("links" -> List(
           ("href" -> "/health") ~ ("method" -> "GET") ~ ("rel" -> "health"),
+          ("href" -> "/status") ~ ("method" -> "GET") ~
+            ("rel" -> "observability: per-endpoint counts/latency, ann index, store tip"),
           ("href" -> "/tables") ~ ("method" -> "GET") ~ ("rel" -> "tables"),
           ("href" -> "/cohort/query") ~ ("method" -> "POST") ~
             ("rel" -> "cohort-count") ~ ("body" -> "cohort DSL (see README)") ~
@@ -617,6 +658,9 @@ object WarehouseServer {
             ("body" -> "{vector: [...], k?, method?: lsh|brute}"),
           ("href" -> "/ann/refresh") ~ ("method" -> "POST") ~
             ("rel" -> "rebuild similarity index"),
+          ("href" -> "/dedup/check_vec") ~ ("method" -> "POST") ~
+            ("rel" -> "vector near-dup verdict") ~
+            ("body" -> "{embedding: [...]}"),
           ("href" -> "/dedup/check") ~ ("method" -> "POST") ~
             ("rel" -> "near-dup verdict") ~ ("body" -> "{text, min_jaccard?}")))
 
@@ -704,18 +748,50 @@ object WarehouseServer {
       if (cur != null) cur.close()
       built
     }
+    // serve-while-rebuilding: once an index EXISTS, a moved source
+    // stamp no longer makes the next search pay the rebuild inline —
+    // it answers from the previous index (the response's
+    // `index_version` lets a client detect the staleness) while ONE
+    // background build runs (CAS-guarded, so a request stampede on a
+    // fresh commit starts exactly one). The swap happens under
+    // annLock; a build that loses to shutdown releases its own frames
+    // instead of publishing. A FAILED background build just clears the
+    // flag — the next stale-stamp search kicks a fresh attempt, and
+    // the old index keeps answering throughout (no 503 window).
+    // `/ann/refresh` keeps the synchronous path for operators who want
+    // the rebuild paid at a chosen moment and the NEW index returned.
+    val annRebuilding = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def annKickRebuild(): Unit =
+      if (annRebuilding.compareAndSet(false, true)) {
+        val t = new Thread(() => {
+          try {
+            val built =
+              try AnnServing.build(spark, annSource)
+              catch { case NonFatal(_) => null } // next stale search retries
+            if (built != null) annLock.synchronized {
+              if (annClosed) built.close()
+              else {
+                val old = annRef.getAndSet(built)
+                if (old != null && (old ne built)) old.close()
+              }
+            }
+          } finally annRebuilding.set(false)
+        }, "graft-ann-rebuild")
+        t.setDaemon(true)
+        t.start()
+      }
     def annIndex(): AnnServing = {
       val cur = annRef.get
       val v = annVersion()
       if (cur != null && cur.sourceVersion == v) cur
+      else if (cur != null) { annKickRebuild(); cur } // stale: serve old, rebuild behind
       else annLock.synchronized {
-        // double-check with a FRESH stamp under the lock: another
-        // request may have rebuilt while this one waited, and the
-        // source may have advanced again past `v`
+        // no index yet: there is nothing to serve stale, so the first
+        // request pays the build inline (double-check — a refresh or a
+        // racing first request may have built while this one waited)
         val cur2 = annRef.get
-        val v2 = annVersion()
-        if (cur2 != null && cur2.sourceVersion == v2) cur2
-        else annSwap(cur2)
+        if (cur2 != null) cur2
+        else annSwap(null)
       }
     }
     def annRefresh(): (Option[String], AnnServing) = annLock.synchronized {
@@ -736,6 +812,21 @@ object WarehouseServer {
 
     // in-flight request job groups, for shutdown cancellation
     val active = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+    // control-plane observability (served by GET /status): per-endpoint
+    // request counts / error counts / latency sums, keyed by a BOUNDED
+    // set of keys — known routes by path, /queries/{name} collapsed to
+    // one key, everything else pooled under "(other)" so unknown-path
+    // probing cannot grow the map without bound
+    val startedAtMs = System.currentTimeMillis()
+    val stats = new java.util.concurrent.ConcurrentHashMap[String, EndpointStat]()
+    def statKey(method: String, path: String): String = {
+      val p =
+        if (getPaths(path) || postPaths(path)) path
+        else if (QueryRun.unapply(path).isDefined) "/queries/{name}"
+        else "(other)"
+      s"$method $p"
+    }
 
     def handle(ex: HttpExchange): JValue = {
       // auth gate FIRST — before any param parsing or body read, so an
@@ -758,6 +849,34 @@ object WarehouseServer {
             ("spark_version" -> spark.version) ~
             ("app_id" -> spark.sparkContext.applicationId) ~
             ("default_parallelism" -> spark.sparkContext.defaultParallelism)
+        case ("GET", "/status") =>
+          // control-plane observability, all driver-side reads: the
+          // only I/O is one manifest listing when a store is
+          // configured — safe to poll from a monitoring loop
+          import scala.jdk.CollectionConverters._
+          val endpoints = JObject(stats.asScala.toList.sortBy(_._1).map { case (k, s) =>
+            k -> (("count" -> s.count.get) ~ ("errors" -> s.errors.get) ~
+              ("total_ms" -> s.totalMs.get): JValue)
+          })
+          val ann: JValue = Option(annRef.get) match {
+            case None => JNull
+            case Some(a) =>
+              ("index_version" -> a.sourceVersion) ~
+                ("age_ms" -> (System.currentTimeMillis() - a.builtAtMs)) ~
+                ("rebuilding" -> annRebuilding.get)
+          }
+          val store: JValue = cfg.storeRoot match {
+            case None => JNull
+            case Some(r) =>
+              val ms = Snapshots.manifestState(spark, r)
+              ("tip_version" -> ms.lines.lastOption.map(_._1)) ~
+                ("manifest_file" -> ms.fileNum)
+          }
+          ("uptime_ms" -> (System.currentTimeMillis() - startedAtMs)) ~
+            ("active_job_groups" -> JArray(active.asScala.toList.sorted.map(JString(_)))) ~
+            ("endpoints" -> endpoints) ~
+            ("ann" -> ann) ~
+            ("store" -> store)
         case ("GET", "/tables") => tablesDoc
         case ("POST", "/cohort/query") =>
           scalar(CohortQuery.count(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes),
@@ -909,6 +1028,57 @@ object WarehouseServer {
             ("dup_of" -> (if (v.isNullAt(1)) JNull else JInt(v.getLong(1)))) ~
             ("n_matches" -> v.getLong(2)) ~
             ("min_jaccard" -> minJ)
+        case ("POST", "/dedup/check_vec") =>
+          val idxRoot = cfg.vecIndexRoot.getOrElse(throw HttpError(404,
+            "no vector band index configured (Config.vecIndexRoot)"))
+          val corpusRoot = cfg.annVecStoreRoot.getOrElse(throw HttpError(404,
+            "no vector corpus store configured (Config.annVecStoreRoot)"))
+          val spec = JsonMethods.parse(body(ex, cfg.maxBodyBytes))
+          val emb: Seq[Float] = spec \ "embedding" match {
+            case JArray(vs) if vs.nonEmpty => vs.map {
+              case JInt(i)     => i.toFloat
+              case JDouble(d)  => d.toFloat
+              case JDecimal(d) => d.toFloat
+              case other => throw HttpError(400, s"embedding elements must be numbers, got $other")
+            }
+            case JArray(_) => throw HttpError(400, "embedding must be non-empty")
+            case other => throw HttpError(400, s"check_vec needs an 'embedding' array, got $other")
+          }
+          // geometry read resolves the index (404 when none committed);
+          // the posted vector must be scorable IN that geometry — a
+          // dims mismatch would silently bucket garbage, and a
+          // zero/NaN/Inf norm is the library's un-scorable class
+          // (cosine NULL, keep-by-default) which for a CHECK endpoint
+          // is a vacuous always-keep: refuse both as typed 400s
+          val g =
+            try graft.dedup.Dedup.vecIndexGeometry(spark, idxRoot)
+            catch {
+              case e: IllegalArgumentException =>
+                throw HttpError(404, Option(e.getMessage).getOrElse("no vector index"))
+            }
+          if (emb.size != g.dims)
+            throw HttpError(400,
+              s"embedding has ${emb.size} dims but the index is built for ${g.dims}")
+          val nrm = math.sqrt(emb.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+          if (nrm == 0.0 || nrm.isNaN || nrm.isInfinite || emb.exists(x => x.isNaN || x.isInfinite))
+            throw HttpError(400,
+              "embedding is un-scorable (zero, NaN or infinite norm) — cosine is undefined " +
+                "for it, so a near-dup verdict would be vacuous")
+          // READ-ONLY screen of one posted vector — the q6d ingest
+          // path's candidate+re-score stages with a 1-row broadcast
+          // batch and a synthetic id that can never collide with
+          // corpus vec_ids. Nothing commits; always the freshest
+          // committed index + corpus (srv11's freshness-over-caching
+          // trade, same rationale).
+          import spark.implicits._
+          val batch = Seq((-1L, emb)).toDF("vec_id", "embedding")
+          val corpus = Snapshots.readAppendOnly(spark, corpusRoot)
+          val v = graft.dedup.Dedup.ingestAgainstVecIndex(batch, corpus, idxRoot)
+            .collect().head // exactly one verdict row for the 1-row batch
+          ("keep" -> v.getBoolean(3)) ~
+            ("dup_of" -> (if (v.isNullAt(1)) JNull else JInt(v.getLong(1)))) ~
+            ("n_matches" -> v.getLong(2)) ~
+            ("tau" -> g.tau)
         case ("POST", "/store/commit") =>
           val spec = JsonMethods.parse(body(ex, cfg.maxBodyBytes))
           val source = spec \ "source" match {
@@ -935,6 +1105,7 @@ object WarehouseServer {
 
     server.createContext("/", (ex: HttpExchange) => {
       val reqId = s"graft-serve-${reqIds.incrementAndGet()}"
+      val reqStartNs = System.nanoTime()
       active.add(reqId)
       // deadline state for THIS request: the watchdog cancels the
       // request's job group (including jobs the handler has not
@@ -1006,29 +1177,46 @@ object WarehouseServer {
         deadline.foreach(_.cancel(false))
         spark.sparkContext.clearJobGroup()
       }
+      // record AFTER the response is computed (latency covers the real
+      // work) but regardless of whether the client hangs up mid-write
+      val st = stats.computeIfAbsent(
+        statKey(ex.getRequestMethod, ex.getRequestURI.getPath), _ => new EndpointStat)
+      st.count.incrementAndGet()
+      if (code >= 400) st.errors.incrementAndGet()
+      st.totalMs.addAndGet((System.nanoTime() - reqStartNs) / 1000000L)
       try respond(ex, code, payload) finally ex.close()
     })
 
     server.start()
     new Running(server, pool, watchdog,
       () => active.forEach(id => spark.sparkContext.cancelJobGroupAndFutureJobs(id)),
-      // under annLock: waits out any in-progress rebuild (closing ITS
-      // result, not a stale snapshot) and the annClosed flag refuses
-      // later rebuilds — no instance can be published after this
+      // under annLock: waits out any in-progress synchronous refresh
+      // (closing ITS result, not a stale snapshot); the annClosed flag
+      // makes a still-running BACKGROUND build release its own result
+      // at swap time and refuses later synchronous builds — no
+      // instance can be published after this
       () => annLock.synchronized {
         annClosed = true
         Option(annRef.get).foreach(_.close())
       })
   }
 
+  /** One endpoint's counters (see the `/status` route). */
+  private final class EndpointStat {
+    val count = new AtomicLong(0L)
+    val errors = new AtomicLong(0L)
+    val totalMs = new AtomicLong(0L)
+  }
+
   // Keep these in sync with the match in handle(): a route added there
   // but not here answers 404 on a wrong-verb request where the
   // contract says 405 (nothing fails at compile time if they drift).
-  private val getPaths = Set("/", "/health", "/tables", "/items/stats",
+  private val getPaths = Set("/", "/health", "/status", "/tables", "/items/stats",
     "/items/histogram", "/items/frequencies", "/metadata/search", "/queries",
     "/store/versions", "/store/read")
   private val postPaths = Set("/cohort/query", "/cohort/population",
-    "/cohort/atom-counts", "/store/commit", "/ann/search", "/ann/refresh", "/dedup/check")
+    "/cohort/atom-counts", "/store/commit", "/ann/search", "/ann/refresh", "/dedup/check",
+    "/dedup/check_vec")
 
   /** POST /queries/{name} matcher (no other path params exist). */
   private object QueryRun {

@@ -817,13 +817,34 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       // commit it through the store (the st0c delta path — no restart,
       // no explicit refresh)
       Snapshots.commitDelta(emb.filter(col("vec_id") === 3), root)
-      // the NEXT search detects the moved manifest and serves it
+      // serve-while-rebuilding: the search DURING the rebuild answers
+      // immediately from the PREVIOUS index — stale but 200, with
+      // index_version telling the client — never an inline rebuild or
+      // a 503. (Deterministic: the request that detects the moved
+      // stamp is the one that kicks the background build, and it reads
+      // the current index before kicking.)
       val (c2, v2) = search("brute")
       assert(c2 == 200)
-      assert(neighbors(v2).exists { case (id, c) => id == 3L && math.abs(c - 1.0) < 1e-12 },
-        s"committed vector not served after ingest: ${neighbors(v2)}")
-      val ver2 = (v2 \ "index_version").asInstanceOf[JString].s
-      assert(ver2 != ver1, "index version did not move with the store")
+      assert((v2 \ "index_version") == JString(ver1),
+        "a search during the rebuild must answer from the previous index")
+      assert(!neighbors(v2).exists(_._1 == 3L),
+        "the old index cannot know the just-committed vector")
+      // the background swap lands: poll (bounded) until a search serves
+      // the new version — every poll answer stays 200 (no 503 window)
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      var last: JValue = v2
+      var verN = ver1
+      while (verN == ver1 && System.nanoTime < deadline) {
+        Thread.sleep(100)
+        val (c, v) = search("brute")
+        assert(c == 200, s"503 window during background rebuild: $v")
+        last = v
+        verN = (v \ "index_version").asInstanceOf[JString].s
+      }
+      assert(verN != ver1, "background rebuild never published the new index")
+      assert(neighbors(last).exists { case (id, c) => id == 3L && math.abs(c - 1.0) < 1e-12 },
+        s"committed vector not served after the swap: ${neighbors(last)}")
+      val ver2 = verN
       // served lsh over the UPDATED corpus matches library lshTopK on
       // the same store read, row for row (the frozen-cache failure
       // mode this feature closes)
@@ -939,6 +960,173 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       assert(health(Some("Bearer wrong")) == 401)
       assert(health(Some("Bearer s3kr1t")) == 200)
     } finally srv.close()
+  }
+
+  test("/status reports per-endpoint counters, the ann index, and the store tip") {
+    val root = tmpDir("serve-status-store")
+    Snapshots.commit(spark.range(3).toDF("k"), root)
+    val srv = WarehouseServer.start(spark, WarehouseServer.Config(
+      dataDir = sf, storeRoot = Some(root)))
+    try {
+      val b = s"http://127.0.0.1:${srv.port}"
+      def getJ(path: String): (Int, JValue) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(s"$b$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      // traffic to count: 2 ok health checks, one 404, one 400
+      assert(getJ("/health")._1 == 200)
+      assert(getJ("/health")._1 == 200)
+      assert(getJ("/no/such/path")._1 == 404)
+      assert(getJ("/metadata/search?q=blue&limit=-1")._1 == 400)
+      val (sc, sv) = getJ("/status")
+      assert(sc == 200)
+      assert(longOf(sv \ "uptime_ms") >= 0L)
+      // idle at observation time: our own request runs outside `active`
+      // accounting only after it finishes, so the list holds at most
+      // the /status request itself
+      val groups = (sv \ "active_job_groups").asInstanceOf[JArray].arr
+      assert(groups.size <= 1)
+      val health = sv \ "endpoints" \ "GET /health"
+      assert(longOf(health \ "count") == 2L && longOf(health \ "errors") == 0L)
+      assert(longOf(health \ "total_ms") >= 0L)
+      // unknown paths pool under one bounded key — no per-path growth
+      val other = sv \ "endpoints" \ "GET (other)"
+      assert(longOf(other \ "count") == 1L && longOf(other \ "errors") == 1L)
+      val search = sv \ "endpoints" \ "GET /metadata/search"
+      assert(longOf(search \ "errors") == 1L)
+      // no ann search yet: the index slot is explicitly null
+      assert(sv \ "ann" == JNull)
+      // the store tip: one committed version, manifest file 1
+      assert(longOf(sv \ "store" \ "tip_version") == 1L)
+      assert(longOf(sv \ "store" \ "manifest_file") == 1L)
+      // after a search the ann block reports version/age/rebuilding
+      val dims = Tables.embeddings(spark, sf).head().getSeq[Float](1).size
+      val vec = Seq.fill(dims)(1.0)
+      val pr = client.send(HttpRequest.newBuilder(URI.create(s"$b/ann/search"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"""{"vector": [${vec.mkString(",")}], "k": 3}""", UTF_8)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(pr.statusCode() == 200)
+      val (s2c, s2v) = getJ("/status")
+      assert(s2c == 200)
+      assert((s2v \ "ann" \ "index_version").isInstanceOf[JString])
+      assert(longOf(s2v \ "ann" \ "age_ms") >= 0L)
+      assert(s2v \ "ann" \ "rebuilding" == JBool(false))
+    } finally srv.close()
+  }
+
+  test("/dedup/check_vec screens a posted embedding against the persisted vector index") {
+    val corpusRoot = s"${tmpDir("serve-vcheck")}/corpus"
+    val indexRoot = s"${tmpDir("serve-vcheck")}/index"
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    Snapshots.commit(emb, corpusRoot)
+    graft.dedup.Dedup.commitVecIndex(emb, indexRoot)
+    val srv = WarehouseServer.start(spark, WarehouseServer.Config(
+      dataDir = sf, annVecStoreRoot = Some(corpusRoot), vecIndexRoot = Some(indexRoot)))
+    try {
+      val b = s"http://127.0.0.1:${srv.port}"
+      def postJ(path: String, body: String): (Int, JValue) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(s"$b$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def check(vec: Seq[Float]): (Int, JValue) =
+        postJ("/dedup/check_vec", s"""{"embedding": [${vec.mkString(",")}]}""")
+      // parity oracle: the library ingest verdict for the same 1-row batch
+      import spark.implicits._
+      def expect(vec: Seq[Float]): (Boolean, JValue, Long) = {
+        val r = graft.dedup.Dedup.ingestAgainstVecIndex(
+          Seq((-1L, vec)).toDF("vec_id", "embedding"),
+          Snapshots.readAppendOnly(spark, corpusRoot), indexRoot).collect().head
+        (r.getBoolean(3), if (r.isNullAt(1)) JNull else JInt(r.getLong(1)), r.getLong(2))
+      }
+      // an exact corpus copy: cosine 1 ≥ tau, never a keep
+      val v0 = emb.orderBy("vec_id").head().getSeq[Float](1)
+      val (c1, j1) = check(v0)
+      val e1 = expect(v0)
+      assert(c1 == 200 && (j1 \ "keep") == JBool(false) && !e1._1)
+      assert((j1 \ "dup_of") == e1._2 && longOf(j1 \ "n_matches") == e1._3)
+      // a synthetic vector nothing in the corpus resembles: parity again
+      val dims = v0.size
+      val novel = Seq.tabulate(dims)(i => if (i % 2 == 0) 1.0f else -1.0f)
+      val (c2, j2) = check(novel)
+      val e2 = expect(novel)
+      assert(c2 == 200 && (j2 \ "keep") == JBool(e2._1) && longOf(j2 \ "n_matches") == e2._3)
+      // typed 400s: dims mismatch, un-scorable zero norm, non-numbers, missing field
+      assert(check(Seq.fill(dims + 1)(0.5f))._1 == 400)
+      assert(check(Seq.fill(dims)(0.0f))._1 == 400)
+      assert(postJ("/dedup/check_vec", """{"embedding": ["x"]}""")._1 == 400)
+      assert(postJ("/dedup/check_vec", """{"embedding": []}""")._1 == 400)
+      assert(postJ("/dedup/check_vec", """{"nope": 1}""")._1 == 400)
+    } finally srv.close()
+    // a server without the roots answers 404 (the shared one has neither)
+    assert(post("/dedup/check_vec", """{"embedding": [1.0]}""")._1 == 404)
+  }
+
+  test("TLS end-to-end: https handshake, bearer-over-TLS matrix, plain http refused on the TLS port") {
+    // self-signed server cert minted by the JDK's own keytool — the
+    // same tool a deployment uses; PKCS12 is keytool's default store
+    val dir = tmpDir("serve-tls")
+    val ksPath = s"$dir/server.p12"
+    val keytool = s"${System.getProperty("java.home")}/bin/keytool"
+    val gen = new ProcessBuilder(keytool, "-genkeypair", "-alias", "graft",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", ksPath, "-storepass", "changeit", "-keypass", "changeit",
+      "-dname", "CN=localhost", "-validity", "2").redirectErrorStream(true).start()
+    assert(gen.waitFor() == 0, "keytool could not mint the test keystore")
+    val srv = WarehouseServer.start(spark, WarehouseServer.Config(
+      dataDir = sf,
+      keystorePath = Some(ksPath), keystorePass = Some("changeit"),
+      // the proxy-hardened auth shape riding over TLS: token required
+      // even from loopback, and now it travels encrypted
+      authToken = Some("s3kr1t"), authOnLoopback = true))
+    try {
+      // a client trusting exactly that cert (the keystore doubles as
+      // the truststore — it holds the self-signed pair)
+      val ks = java.security.KeyStore.getInstance("PKCS12")
+      val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(ksPath))
+      try ks.load(in, "changeit".toCharArray) finally in.close()
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ks)
+      val ssl = javax.net.ssl.SSLContext.getInstance("TLS")
+      ssl.init(null, tmf.getTrustManagers, null)
+      val tlsClient = HttpClient.newBuilder().sslContext(ssl).build()
+      def health(hdr: Option[String]): (Int, JValue) = {
+        val b = HttpRequest.newBuilder(URI.create(s"https://localhost:${srv.port}/health")).GET()
+        hdr.foreach(h => b.header("Authorization", h))
+        val r = tlsClient.send(b.build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      // handshake + auth matrix over TLS
+      assert(health(None)._1 == 401)
+      assert(health(Some("Bearer nope"))._1 == 401)
+      val (okC, okV) = health(Some("Bearer s3kr1t"))
+      assert(okC == 200 && okV \ "status" == JString("ok"))
+      // a client that does NOT trust the cert must fail the handshake —
+      // the server really is terminating TLS, not echoing plaintext
+      intercept[java.io.IOException] {
+        client.send(HttpRequest.newBuilder(
+          URI.create(s"https://localhost:${srv.port}/health"))
+          .timeout(java.time.Duration.ofSeconds(20)).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      }
+      // plain http against the TLS port is refused, never served
+      intercept[java.io.IOException] {
+        client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.port}/health"))
+          .timeout(java.time.Duration.ofSeconds(20)).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      }
+    } finally srv.close()
+    // misconfiguration is loud at startup, not at first request
+    val e = intercept[IllegalArgumentException] {
+      WarehouseServer.start(spark, WarehouseServer.Config(
+        dataDir = sf, keystorePath = Some(ksPath)))
+    }
+    assert(e.getMessage.contains("keystorePass"))
   }
 
   test("a server without a store answers 404 on store routes, not 500") {
