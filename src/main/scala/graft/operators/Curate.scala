@@ -222,5 +222,72 @@ object Curate {
                     ${Qdef.DSUM("quality", 6)} AS sum_q
              FROM semkept GROUP BY split, source ORDER BY split, source"""))
 
-  val all: Seq[Qdef] = Seq(qa0, qa2)
+  /** Per-source dataset card: the one-page corpus report a training
+    * run ships with (docs / chars / whitespace tokens per q80's
+    * definition, language spread + dominant language, exact-duplicate
+    * mass within the source, and docs whose exact text also appears in
+    * ANOTHER source — the cross-source contamination a mixture builder
+    * needs to know about before weighting). Three exchanges at any
+    * scale: the per-source partial agg, the (source, lang) top-lang
+    * agg (both on low-cardinality keys), and one groupBy on the
+    * 16-byte text digest for the sharing census — the q61 exact-dedup
+    * shuffle, which is the only corpus-sized one and is the same work
+    * an exact-dedup pass does anyway. `n_exact_dups` counts per-source
+    * duplicate rows (docs minus distinct digests), `n_shared_docs`
+    * counts this source's rows whose digest occurs in ≥2 sources.
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val withDigest = docs.withColumn("digest", md5(col("text")))
+    val base = withDigest
+      .withColumn("n_ws_tokens", nWsTokens(col("text")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum("n_ws_tokens").as("sum_ws_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("digest"))).as("n_exact_dups"))
+    val topLang = docs.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("n").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    val sharing = withDigest.groupBy("digest")
+      .agg(countDistinct(col("source")).as("n_sources"))
+    val shared = withDigest.join(sharing, "digest")
+      .filter(col("n_sources") >= 2)
+      .groupBy("source").agg(count(lit(1)).as("n_shared_docs"))
+    base.join(topLang, "source")
+      .join(shared, Seq("source"), "left")
+      .withColumn("n_shared_docs", coalesce(col("n_shared_docs"), lit(0L)))
+      .orderBy("source")
+  }
+
+  private val qa4 = Qdef(
+    "qa4_dataset_card",
+    (s, d) => datasetCard(Tables.documents(s, d)),
+    Some("""WITH base AS (SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_ws_tokens,
+                   COUNT(DISTINCT lang) AS n_langs,
+                   COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups
+                 FROM documents GROUP BY source),
+            lc AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+            top AS (SELECT source, lang AS top_lang FROM (
+                    SELECT source, lang,
+                           row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rn
+                    FROM lc) WHERE rn = 1),
+            sh AS (SELECT md5(text) AS digest, COUNT(DISTINCT source) AS n_sources
+                   FROM documents GROUP BY 1),
+            shared AS (SELECT d.source, COUNT(*) AS n_shared_docs
+                       FROM documents d JOIN sh ON md5(d.text) = sh.digest
+                       WHERE sh.n_sources >= 2 GROUP BY d.source)
+            SELECT b.source, b.n_docs, b.sum_chars, b.sum_ws_tokens, b.n_langs,
+                   b.n_exact_dups, t.top_lang,
+                   coalesce(s.n_shared_docs, 0) AS n_shared_docs
+            FROM base b JOIN top t USING (source)
+            LEFT JOIN shared s USING (source)
+            ORDER BY source"""))
+
+  val all: Seq[Qdef] = Seq(qa0, qa2, qa4)
 }

@@ -896,10 +896,38 @@ object Relational {
             SELECT user_id, COUNT(*) AS n_intervals, CAST(SUM(me - ms) AS BIGINT) AS covered_us
             FROM mg GROUP BY user_id ORDER BY user_id"""))
 
+  /** Hopping (sliding) windows: every event lands in window/slide
+    * overlapping windows (15 min windows every 5 min — the alerting /
+    * rate-metric shape q51's tumbling windows can't express). Uses
+    * Spark's native `window(ts, size, slide)`, which expands each row
+    * into its window instances NARROWLY (an Expand node, no join, no
+    * per-row loop) before the one partial-agg shuffle on
+    * (window, event_type) — at 100 TB the cost is the same single
+    * aggregate exchange as q51 times the ×3 expansion factor, and the
+    * factor is a query constant, not data-dependent. The oracle
+    * reproduces Spark's epoch-aligned window starts with integer
+    * microsecond floor arithmetic (exact on both engines).
+    */
+  private val q5b = Qdef(
+    "q5b_sliding_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "15 minutes", "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type"),
+    Some(s"""WITH e AS (SELECT make_timestamp((epoch_ns(ts) // 1000 // 300000000) * 300000000) AS b,
+                               event_type, value FROM events),
+            w AS (SELECT b - to_microseconds(i * 300000000) AS window_start, event_type, value
+                  FROM e, unnest(generate_series(0, 2)) AS u(i))
+            SELECT window_start, event_type, COUNT(*) AS n, ${DSUM("value")} AS sum_value
+            FROM w GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
   val all: Seq[Qdef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26,
     q30, q31, q32, q33, q34, q35, q36, q37,
-    q50, q51, q52, q53, q54, q55, q56, q57, q58, q5a)
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q5a, q5b)
 }

@@ -788,5 +788,58 @@ object TextAnalysis {
       s"WITH ${bpeTwinCtes(20)}\n$union\nORDER BY rank"
     })
 
-  val all: Seq[Qdef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q8a, q89, q8b, q8c, q8d, q8e)
+  /** Deterministic per-stratum BALANCED downsampling: cap every
+    * stratum at ~`cap` docs by deriving each stratum's keep-rate from
+    * its own mass (rate = cap/n), instead of [[sampleByRates]]'s fixed
+    * configured rates — the class-rebalancing step of a training-data
+    * pipeline (cap the dominant language/source instead of guessing
+    * weights). Two passes, both scale-clean: one partial-agg count per
+    * stratum (a handful of rows), broadcast back, then a NARROW
+    * hash-threshold filter — the corpus itself never shuffles. The
+    * keep decision hashes the salted doc id against an integer
+    * threshold out of 65536 computed with pure integer division, so
+    * both engines derive bit-identical thresholds; the ":bal" salt
+    * keeps it independent of q86's split and q87's mix decisions.
+    */
+  def balancedSample(
+      docs: org.apache.spark.sql.DataFrame,
+      strataCol: String,
+      cap: Long,
+      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    require(cap > 0, s"balancedSample: cap must be positive, got $cap")
+    val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("n_stratum"))
+      // threshold < 65536 whenever n_stratum > cap (the only regime
+      // that compares); 4 lowercase hex chars, same order as the md5
+      // prefix it gates
+      .withColumn("thr_hex", lower(lpad(hex(lit(cap) * 65536L / col("n_stratum")), 4, "0")))
+    val bucket = substring(
+      md5(concat(col(idCol).cast("string"), lit(":bal")).cast("binary")), 1, 4)
+    docs.join(broadcast(counts), strataCol)
+      .filter(col("n_stratum") <= cap || bucket < col("thr_hex"))
+      .drop("thr_hex")
+  }
+
+  private val q8f = Qdef(
+    "q8f_stratified_sample",
+    (s, d) =>
+      balancedSample(Tables.documents(s, d), "lang", cap = 50)
+        .groupBy("lang")
+        .agg(max("n_stratum").as("n_stratum"),
+          count(lit(1)).as("n_kept"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc_id"))
+        .orderBy("lang"),
+    Some("""WITH c AS (SELECT lang, COUNT(*) AS n_stratum FROM documents GROUP BY lang),
+            k AS (SELECT d.doc_id, d.lang, d.n_chars, c.n_stratum
+                  FROM documents d JOIN c USING (lang)
+                  WHERE c.n_stratum <= 50 OR
+                        substr(md5(CAST(d.doc_id AS VARCHAR) || ':bal'), 1, 4)
+                          < printf('%04x', 50 * 65536 // c.n_stratum))
+            SELECT lang, MAX(n_stratum) AS n_stratum, COUNT(*) AS n_kept,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(doc_id) AS min_doc_id
+            FROM k GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[Qdef] =
+    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q8a, q89, q8b, q8c, q8d, q8e, q8f)
 }
