@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -311,15 +311,70 @@ object Snapshots {
     -1L // unreachable
   }
 
-  /** Commit a full snapshot; returns the new version number. */
-  def commit(df: DataFrame, root: String): Long =
-    writeAndPublish(df, root, "full")
+  /** Commit a full snapshot; returns the new version number. A full
+    * snapshot legitimately REDEFINES the schema (it starts a new merge
+    * base), so no drift validation applies — but it refreshes the
+    * delta-validation memo so the next delta is checked against it.
+    */
+  def commit(df: DataFrame, root: String): Long = {
+    val v = writeAndPublish(df, root, "full")
+    validatedDeltaCols.put(root, schemaCols(df.columns.toIndexedSeq))
+    v
+  }
+
+  /** Per-root memo of the last delta column set that passed schema
+    * validation — commits whose column set matches skip the tip
+    * footer read, so the streaming sinks' per-micro-batch commit
+    * path pays the check once, not per batch. Sound because every
+    * schema CHANGE goes through a validated (or explicitly evolving)
+    * commit of its own, which updates the memo.
+    */
+  private val validatedDeltaCols =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  /** Columns relevant to schema-drift comparison: the `_deleted`
+    * tombstone marker is an optional per-batch annotation (normalized
+    * at read), never schema drift.
+    */
+  private def schemaCols(cols: Seq[String]): Set[String] =
+    cols.toSet - "_deleted"
 
   /** Commit an incremental batch: upserts keyed by the read-time merge
     * key; rows with a true `_deleted` column are tombstones.
+    *
+    * Schema evolution is INTENTIONAL or refused: by default a delta
+    * whose column set differs from the store's tip segment fails
+    * loudly (the classic silent-corruption path is a producer renaming
+    * a column — a permissive union would null-fill BOTH names forever).
+    * Pass `evolveSchema = true` to commit an additive/narrowed batch;
+    * reads union by name with null-fill for segments that predate (or
+    * postdate) a column. Merge-key columns can never be dropped —
+    * [[asOf]] refuses a segment missing one at read time.
     */
-  def commitDelta(df: DataFrame, root: String): Long =
-    writeAndPublish(df, root, "delta")
+  def commitDelta(df: DataFrame, root: String, evolveSchema: Boolean = false): Long = {
+    if (!evolveSchema) validateDeltaSchema(df, root)
+    val v = writeAndPublish(df, root, "delta")
+    validatedDeltaCols.put(root, schemaCols(df.columns.toIndexedSeq))
+    v
+  }
+
+  private def validateDeltaSchema(df: DataFrame, root: String): Unit = {
+    val cols = schemaCols(df.columns.toIndexedSeq)
+    if (validatedDeltaCols.get(root) == cols) return
+    manifestState(df.sparkSession, root).lines.lastOption.foreach { case (v, _, rel, _) =>
+      val tip = schemaCols(df.sparkSession.read.parquet(s"$root/$rel").columns.toIndexedSeq)
+      if (cols != tip) {
+        val added = (cols -- tip).toSeq.sorted
+        val missing = (tip -- cols).toSeq.sorted
+        throw new IllegalArgumentException(
+          s"delta schema drifts from the tip segment (v$v) of $root — " +
+            (if (added.nonEmpty) s"new column(s) ${added.mkString(", ")}; " else "") +
+            (if (missing.nonEmpty) s"missing column(s) ${missing.mkString(", ")}; " else "") +
+            "pass evolveSchema = true to commit an intentional schema change " +
+            "(reads null-fill segments that lack a column), or fix the producer")
+      }
+    }
+  }
 
   /** [[commitDelta]] with a bounded optimistic-concurrency retry on
     * the manifest-publish race — for appends whose CONTENT is
@@ -333,8 +388,14 @@ object Snapshots {
     * delta that won), so compact keeps the loud failure — just re-run
     * it.
     */
-  def commitDeltaRetrying(df: DataFrame, root: String, maxAttempts: Int = 8): Long =
-    writeAndPublish(df, root, "delta", maxAttempts)
+  def commitDeltaRetrying(
+      df: DataFrame, root: String, maxAttempts: Int = 8,
+      evolveSchema: Boolean = false): Long = {
+    if (!evolveSchema) validateDeltaSchema(df, root)
+    val v = writeAndPublish(df, root, "delta", maxAttempts)
+    validatedDeltaCols.put(root, schemaCols(df.columns.toIndexedSeq))
+    v
+  }
 
   /** Read the table as of `version` (reproducible forever): base = the
     * latest full snapshot ≤ version, then deltas (base, version]
@@ -347,9 +408,23 @@ object Snapshots {
       .getOrElse(throw new IllegalStateException(s"no full snapshot <= $version in $root"))
     val chain = all.filter(_._1 >= baseV)
     val frames = chain.map { case (v, _, rel) =>
-      normDeleted(spark.read.parquet(s"$root/$rel")).withColumn("_v", lit(v))
+      val seg = spark.read.parquet(s"$root/$rel")
+      // merge keys are the one column class evolution can never drop:
+      // a segment without one would merge under a NULL key and corrupt
+      // last-writer-wins silently — refuse with the segment named
+      // (schema-only check, no job)
+      val missingKeys = keys.filterNot(seg.columns.contains)
+      if (missingKeys.nonEmpty) throw new IllegalStateException(
+        s"segment v$v of $root lacks merge key column(s) ${missingKeys.mkString(", ")} " +
+          "— the store cannot be merge-read on these keys")
+      normDeleted(seg).withColumn("_v", lit(v))
     }
-    lastWriterWins(frames.reduce(_ unionByName _), keys, "_v")
+    // null-filling union: an evolved chain (a delta that added or
+    // narrowed columns via commitDelta(evolveSchema = true)) reads
+    // with the union schema, absent cells null — commit-side
+    // validation is what keeps accidental drift out of the chain
+    lastWriterWins(
+      frames.reduce(_.unionByName(_, allowMissingColumns = true)), keys, "_v")
   }
 
   /** Resolve an instant to the store version visible at that time:
@@ -661,11 +736,23 @@ object Snapshots {
     require(fromV < toV, s"changes requires fromV < toV, got $fromV >= $toV")
     val before = asOf(spark, root, fromV, keys)
     val after = asOf(spark, root, toV, keys)
-    val dataCols = after.columns.filterNot(keys.contains).toSeq
+    // the two as-of reads can straddle a schema evolution: diff over
+    // the UNION of their data columns, with the side that predates
+    // (or dropped) a column contributing typed nulls — so adding a
+    // column with value v reads as an update, exactly what a CDC
+    // consumer applying the feed needs
+    val dataCols = (after.columns ++ before.columns.filterNot(after.columns.contains))
+      .filterNot(keys.contains).toSeq
+    val typeOf = (after.schema.fields ++ before.schema.fields)
+      .map(f => f.name -> f.dataType).toMap
+    def sideCol(df: DataFrame, c: String): Column =
+      if (df.columns.contains(c)) col(c) else lit(null).cast(typeOf(c))
     val b = before.select(
-      keys.map(col) ++ dataCols.map(c => col(c).as(s"_b_$c")) :+ lit(true).as("_in_b"): _*)
+      keys.map(col) ++ dataCols.map(c => sideCol(before, c).as(s"_b_$c"))
+        :+ lit(true).as("_in_b"): _*)
     val a = after.select(
-      keys.map(col) ++ dataCols.map(c => col(c).as(s"_a_$c")) :+ lit(true).as("_in_a"): _*)
+      keys.map(col) ++ dataCols.map(c => sideCol(after, c).as(s"_a_$c"))
+        :+ lit(true).as("_in_a"): _*)
     val joined = b.join(a, keys, "full_outer")
     val changedData = dataCols
       .map(c => !(col(s"_b_$c") <=> col(s"_a_$c")))

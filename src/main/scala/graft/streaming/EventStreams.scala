@@ -56,6 +56,26 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** st0e: hopping (sliding) window aggregate — the streaming twin of
+    * q5b, same native `window(ts, size, slide)` Expand. Each event
+    * contributes to size/slide open windows, so watermark eviction is
+    * what keeps state bounded: at any moment ~(watermark + size)/slide
+    * windows per event_type are live, a query constant independent of
+    * stream length. Same (window, event_type) partial-agg shuffle per
+    * micro-batch as st01.
+    */
+  def slidingCounts(
+      events: DataFrame,
+      size: String = "15 minutes",
+      slide: String = "5 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** st02: gap-based sessionization (30 min default) via
     * `flatMapGroupsWithState` with an event-time timeout — the
     * streaming twin of q52. State per user is the list of OPEN

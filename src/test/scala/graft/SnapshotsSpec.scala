@@ -30,6 +30,70 @@ class SnapshotsSpec extends SparkSpec {
     assert(rowsOf(Snapshots.asOf(spark, root, 1, Seq("id"))) === rowsOf(v1data))
   }
 
+  test("schema evolution: un-flagged drift is refused naming the columns; evolveSchema commits and reads null-filled") {
+    val root = tmpDir("snap-evolve")
+    Snapshots.commit(Seq((1, "a", 10L), (2, "b", 20L)).toDF("id", "name", "amount"), root)
+    // drifting delta (adds `score`, drops `amount`) without the flag
+    val drift = Seq((3, "c", 0.5)).toDF("id", "name", "score")
+    val e = intercept[IllegalArgumentException](Snapshots.commitDelta(drift, root))
+    assert(e.getMessage.contains("score") && e.getMessage.contains("amount")
+      && e.getMessage.contains("evolveSchema"))
+    // flagged: commits, and latest() reads the union schema null-filled
+    Snapshots.commitDelta(drift, root, evolveSchema = true)
+    val latest = Snapshots.latest(spark, root, Seq("id")).orderBy("id")
+    assert(latest.columns.toSet === Set("id", "name", "amount", "score"))
+    val rows = latest.select("id", "name", "amount", "score").collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    assert(rows(0).isNullAt(3) && rows(1).isNullAt(3)) // pre-evolution rows: score null
+    assert(rows(2).isNullAt(2) && rows(2).getDouble(3) === 0.5) // evolved row: amount null
+    // as-of BEFORE the evolution keeps the original schema exactly
+    assert(Snapshots.asOf(spark, root, 1, Seq("id")).columns.toSet
+      === Set("id", "name", "amount"))
+    // a follow-up delta matching the EVOLVED column set passes unflagged
+    Snapshots.commitDelta(Seq((4, "d", 0.9)).toDF("id", "name", "score"), root)
+    assert(Snapshots.latest(spark, root, Seq("id")).count() === 4)
+  }
+
+  test("schema evolution: a full snapshot redefines the schema and re-arms delta validation") {
+    val root = tmpDir("snap-evolve-full")
+    Snapshots.commit(Seq((1, "a")).toDF("id", "name"), root)
+    Snapshots.commitDelta(Seq((2, "b")).toDF("id", "name"), root)
+    // new base with a different schema — legitimate, no flag needed
+    Snapshots.commit(Seq((1, 10L)).toDF("id", "amount"), root)
+    // a delta in the OLD shape must now be refused (memo re-armed by the full)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.commitDelta(Seq((3, "c")).toDF("id", "name"), root))
+    assert(e.getMessage.contains("name") && e.getMessage.contains("amount"))
+    // reads from the new base never see pre-base columns
+    assert(Snapshots.latest(spark, root, Seq("id")).columns.toSet === Set("id", "amount"))
+  }
+
+  test("schema evolution: a segment missing a merge key is refused at read time") {
+    val root = tmpDir("snap-evolve-key")
+    Snapshots.commit(Seq((1, "a")).toDF("id", "name"), root)
+    Snapshots.commitDelta(Seq("solo").toDF("name"), root, evolveSchema = true)
+    val e = intercept[IllegalStateException](
+      Snapshots.latest(spark, root, Seq("id")).collect())
+    assert(e.getMessage.contains("merge key") && e.getMessage.contains("id"))
+    // the same chain stays readable on a key every segment carries
+    assert(Snapshots.latest(spark, root, Seq("name")).count() === 2)
+  }
+
+  test("schema evolution: changes() across the boundary reports added columns as updates") {
+    val root = tmpDir("snap-evolve-cdc")
+    Snapshots.commit(Seq((1, "a"), (2, "b")).toDF("id", "name"), root)
+    Snapshots.commitDelta(
+      Seq((1, "a", 99L)).toDF("id", "name", "score"), root, evolveSchema = true)
+    val ch = Snapshots.changes(spark, root, 1, 2, Seq("id"))
+      .orderBy("id").collect()
+    // id=1 gained a score value -> update carrying the new column;
+    // id=2 is unchanged on every shared column and null==null on the
+    // new one -> absent from the feed
+    assert(ch.length === 1)
+    assert(ch(0).getInt(0) === 1 && ch(0).getString(ch(0).fieldIndex("_change")) === "update")
+    assert(ch(0).getLong(ch(0).fieldIndex("score")) === 99L)
+  }
+
   test("delta chain: upsert + insert + tombstone, last writer wins") {
     val root = tmpDir("snap-delta")
     Snapshots.commit(

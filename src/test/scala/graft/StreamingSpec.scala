@@ -56,6 +56,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st0e: streamed sliding-window agg matches the batch q5b answer") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val batchEvents = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+
+    val input = MemoryStream[Event]
+    val q = EventStreams.slidingCounts(input.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("st0e_out")
+      .outputMode("append")
+      .start()
+    try {
+      val (first, rest) = batchEvents.splitAt(batchEvents.length / 2)
+      input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(rest.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(Event(-1L, ts("2099-01-01 00:00:00"), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("st0e_out")
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("window_start"), col("event_type"), col("n"),
+          round(col("sum_value"), 3).as("sum_value"))
+        .collect().map(_.toSeq).toSet
+      val batch = Tables.events(spark, sf)
+        .groupBy(window(col("ts"), "15 minutes", "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+        .collect().map(_.toSeq).toSet
+
+      assert(streamed === batch)
+      // multiplicity law carried over from the batch twin: 3 window
+      // instances per event
+      val totalN = spark.table("st0e_out")
+        .filter(col("event_type") =!= "sentinel")
+        .agg(sum("n")).collect().head.getLong(0)
+      assert(totalN === 3 * batchEvents.length)
+    } finally q.stop()
+  }
+
   test("st02: flatMapGroupsWithState sessionization closes sessions on watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
