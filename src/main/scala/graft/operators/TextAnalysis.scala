@@ -810,8 +810,11 @@ object TextAnalysis {
     val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("n_stratum"))
       // threshold < 65536 whenever n_stratum > cap (the only regime
       // that compares); 4 lowercase hex chars, same order as the md5
-      // prefix it gates
-      .withColumn("thr_hex", lower(lpad(hex(lit(cap) * 65536L / col("n_stratum")), 4, "0")))
+      // prefix it gates. Integral `div`, NOT `/`: Column./ is double
+      // division, and truncating a double quotient is one rounding
+      // step away from DuckDB's exact `//` on adversarial counts
+      .withColumn("thr_hex",
+        lower(lpad(hex(expr(s"${cap * 65536L}L div n_stratum")), 4, "0")))
     val bucket = substring(
       md5(concat(col(idCol).cast("string"), lit(":bal")).cast("binary")), 1, 4)
     docs.join(broadcast(counts), strataCol)

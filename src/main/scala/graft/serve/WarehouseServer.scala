@@ -1090,10 +1090,18 @@ object WarehouseServer {
             case JNothing   => "delta"
             case other      => throw HttpError(400, s"mode must be full|delta, got $other")
           }
+          // schema-drift gate (Snapshots.commitDelta): a drifting
+          // delta is a 400 naming the columns unless the client opts
+          // into evolution explicitly
+          val evolve = spec \ "evolve" match {
+            case JBool(b)  => b
+            case JNothing  => false
+            case other     => throw HttpError(400, s"evolve must be a boolean, got $other")
+          }
           val df = spark.read.parquet(source)
           val version =
             if (mode == "full") Snapshots.commit(df, storeRoot)
-            else Snapshots.commitDeltaRetrying(df, storeRoot)
+            else Snapshots.commitDeltaRetrying(df, storeRoot, evolveSchema = evolve)
           ("version" -> version) ~ ("mode" -> mode)
         case (m, p) =>
           // known path + wrong verb is 405, not 404

@@ -535,7 +535,10 @@ object Snapshots {
               "last-writer-wins and drop tombstones")
         seg
       }
-      .reduce(_ unionByName _)
+      // null-filling union, matching asOf: an append-only chain whose
+      // later segments evolved the schema reads with the union schema
+      // instead of dying in strict unionByName
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Read the latest version. */
   def latest(spark: SparkSession, root: String, keys: Seq[String]): DataFrame =

@@ -203,6 +203,21 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(ac == 200 && longOf(av \ "row_count") == 5)
     // a source outside dataDir/storeRoot is refused, not read
     assert(post("/store/commit", """{"source": "/etc", "mode": "full"}""")._1 == 403)
+
+    // schema drift through HTTP: refused as a typed 400 naming the
+    // columns, committed when the client opts in with evolve: true,
+    // then readable null-filled
+    val drifted = s"$storeRoot/incoming3"
+    spark.range(1).select((col("id") + 100).as("k"), col("id").cast("string").as("tag"))
+      .write.parquet(drifted)
+    val (dc, dv) = post("/store/commit", s"""{"source": "$drifted"}""")
+    assert(dc == 400, s"drifting delta not refused: $dc $dv")
+    val msg = (dv \ "error").asInstanceOf[JString].s
+    assert(msg.contains("tag") && msg.contains("evolveSchema"))
+    assert(post("/store/commit", s"""{"source": "$drifted", "evolve": 1}""")._1 == 400)
+    assert(post("/store/commit", s"""{"source": "$drifted", "evolve": true}""")._1 == 200)
+    val (ec2, ev2) = get("/store/read?keys=k")
+    assert(ec2 == 200 && longOf(ev2 \ "row_count") == 8)
   }
 
   test("concurrent requests share one session and stay independent") {
