@@ -117,7 +117,11 @@ object BenchSf1 {
     "q6b_band_index_ingest", "q6c_incremental_vec_dedup", "q67_decontaminate",
     "q6a_dedup_blocked_edit", "q62_dedup_minhash_lsh", "q52_sessionize",
     "q57_funnel", "q45_item_stats", "q10_join_inner", "q11_join_multiway",
-    "q15_join_full", "q8c_lm_score")
+    "q15_join_full", "q8c_lm_score",
+    // r12 additions: the shingle-census overlap matrix (its exact
+    // side is the one corpus-quadratic-risk shape), the digest-
+    // shuffle dataset card, and the Expand-multiplied sliding window
+    "q9e_minhash_overlap", "qa4_dataset_card", "q5b_sliding_window")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -676,5 +676,69 @@ object Knn {
                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM x)
             SELECT qid, nid, rank, cos8, cos FROM r2 WHERE rank <= 5 ORDER BY qid, rank"""))
 
-  val all: Seq[Qdef] = Seq(q70, q71, q72, q73, q74)
+  /** Contrastive training-pair construction (the retrieval-training
+    * twin of the dedup family): for each query vector, POSITIVES are
+    * corpus rows at cosine ≥ `posTau` (the corpus's near-dup point —
+    * few, keep all) and HARD NEGATIVES the top-`negK` rows in
+    * [`negLo`, `posTau`) — similar enough to be hard, dissimilar
+    * enough to be wrong, the band a contrastive/retrieval trainer
+    * mines. Scale shape: the query set broadcasts (training pairs are
+    * mined for a SAMPLE of queries, not all×all), the corpus is
+    * scanned ONCE narrowly, the band filter drops everything below
+    * `negLo` before the only shuffle — the per-(qid, kind) rank
+    * window over band survivors, which are output-sized. No
+    * corpus×corpus join anywhere.
+    */
+  def contrastivePairs(
+      corpus: DataFrame,
+      queries: DataFrame,
+      posTau: Double,
+      negLo: Double,
+      negK: Int): DataFrame = {
+    require(negLo < posTau, s"negLo ($negLo) must sit below posTau ($posTau)")
+    require(negK > 0, s"negK must be positive, got $negK")
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qe"), col("embedding"), col("qn"), col("nrm")).as("cos"))
+      .filter(col("cos") >= negLo)
+      .withColumn("kind", when(col("cos") >= posTau, "pos").otherwise("neg"))
+    val w = Window.partitionBy("qid", "kind").orderBy(col("cos").desc, col("nid"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("kind") === "pos" || col("rank") <= negK)
+      .select("qid", "kind", "nid", "rank", "cos")
+      .orderBy("qid", "kind", "rank")
+  }
+
+  /** qa5: pinned instance — every 50th vector queries, positives at
+    * the q65 near-dup point (0.4), hard negatives top-3 of
+    * [0.25, 0.4). The quadratic DuckDB twin is the exact yardstick.
+    */
+  private val qa5 = Qdef(
+    "qa5_contrastive_pairs",
+    (s, d) => {
+      val e = corpus(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      contrastivePairs(e, q, posTau = 0.4, negLo = 0.25, negK = 3)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding,
+                    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                  FROM embeddings),
+            q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id % 50 = 0),
+            p AS (SELECT q.qid, e.vec_id AS nid,
+                    list_sum(list_transform(list_zip(q.qe, e.embedding),
+                      pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (q.qn * e.nrm) AS cos
+                  FROM e, q WHERE e.vec_id <> q.qid),
+            b AS (SELECT qid, nid, cos,
+                    CASE WHEN cos >= 0.4 THEN 'pos' ELSE 'neg' END AS kind
+                  FROM p WHERE cos >= 0.25),
+            r AS (SELECT qid, kind, nid, cos,
+                    row_number() OVER (PARTITION BY qid, kind ORDER BY cos DESC, nid) AS rank
+                  FROM b)
+            SELECT qid, kind, nid, rank, cos FROM r WHERE kind = 'pos' OR rank <= 3
+            ORDER BY qid, kind, rank"""))
+
+  val all: Seq[Qdef] = Seq(q70, q71, q72, q73, q74, qa5)
 }

@@ -130,6 +130,36 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("qa5: band discipline — positives above posTau, negatives capped in [negLo, posTau)") {
+    val rows = SparkEntry.queries("qa5_contrastive_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQidKind = rows.groupBy(r => (r.getLong(0), r.getString(1)))
+    byQidKind.foreach { case ((qid, kind), rs) =>
+      val ranks = rs.map(_.getLong(3)).sorted.toSeq
+      assert(ranks === (1L to ranks.length), s"q$qid/$kind ranks not contiguous: $ranks")
+      // ranks descend in cosine
+      val byRank = rs.sortBy(_.getLong(3)).map(_.getDouble(4)).toSeq
+      assert(byRank === byRank.sorted.reverse)
+      if (kind == "neg") {
+        assert(rs.length <= 3)
+        rs.foreach(r => assert(r.getDouble(4) >= 0.25 && r.getDouble(4) < 0.4))
+      } else rs.foreach(r => assert(r.getDouble(4) >= 0.4))
+    }
+    // a positive can never appear again as a negative of the same query
+    byQidKind.collect { case ((qid, "pos"), rs) => qid -> rs.map(_.getLong(2)).toSet }
+      .foreach { case (qid, posIds) =>
+        val negIds = byQidKind.getOrElse((qid, "neg"), Array.empty).map(_.getLong(2)).toSet
+        assert(posIds.intersect(negIds).isEmpty)
+      }
+    // misconfigured bands are refused loudly
+    import org.apache.spark.sql.functions.lit
+    val e = Tables.embeddings(spark, sf).limit(1)
+      .select(col("vec_id"), col("embedding"), lit(1.0).as("nrm"))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    intercept[IllegalArgumentException](ann.Knn.contrastivePairs(e, q, 0.4, 0.5, 3))
+    intercept[IllegalArgumentException](ann.Knn.contrastivePairs(e, q, 0.4, 0.25, 0))
+  }
+
   test("q9e: the hash-bound prefilter is exact while every source keeps >= k survivors") {
     // md5 is uniform: bound "8" keeps ~half the distinct shingles, far
     // more than k=64 per source on this corpus, so the bottom-k — and
