@@ -264,7 +264,7 @@ object Snapshots {
     */
   private def writeAndPublish(
       df: DataFrame, root: String, kind: String, maxAttempts: Int = 1,
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None, statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     // ONE manifest read serves the dir naming AND the first publish
     // attempt (this path is the streaming sinks' per-micro-batch hot
@@ -275,6 +275,10 @@ object Snapshots {
     def next(s: ManifestState): Long = s.lines.lastOption.map(_._1 + 1).getOrElse(1L)
     val rel = s"v${next(st)}-${java.util.UUID.randomUUID.toString.take(8)}"
     df.write.mode("errorifexists").parquet(s"$root/$rel")
+    // zone-map sidecar BEFORE publish: a crash here leaves an
+    // unreferenced dir for the orphan sweep, never a referenced
+    // segment with half-written stats
+    if (statsCols.nonEmpty) writeStatsSidecar(df, root, rel, statsCols)
     // the data dir is written ONCE; only the manifest publish retries
     // (losing the CAS re-reads the chain and re-publishes the same
     // segment under the next version — the dir name keeps the first
@@ -316,8 +320,8 @@ object Snapshots {
     * base), so no drift validation applies — but it refreshes the
     * delta-validation memo so the next delta is checked against it.
     */
-  def commit(df: DataFrame, root: String): Long = {
-    val v = writeAndPublish(df, root, "full")
+  def commit(df: DataFrame, root: String, statsCols: Seq[String] = Nil): Long = {
+    val v = writeAndPublish(df, root, "full", statsCols = statsCols)
     validatedDeltaCols.put(root, schemaCols(df.columns.toIndexedSeq))
     v
   }
@@ -351,9 +355,11 @@ object Snapshots {
     * postdate) a column. Merge-key columns can never be dropped —
     * [[asOf]] refuses a segment missing one at read time.
     */
-  def commitDelta(df: DataFrame, root: String, evolveSchema: Boolean = false): Long = {
+  def commitDelta(
+      df: DataFrame, root: String, evolveSchema: Boolean = false,
+      statsCols: Seq[String] = Nil): Long = {
     if (!evolveSchema) validateDeltaSchema(df, root)
-    val v = writeAndPublish(df, root, "delta")
+    val v = writeAndPublish(df, root, "delta", statsCols = statsCols)
     validatedDeltaCols.put(root, schemaCols(df.columns.toIndexedSeq))
     v
   }
@@ -390,9 +396,9 @@ object Snapshots {
     */
   def commitDeltaRetrying(
       df: DataFrame, root: String, maxAttempts: Int = 8,
-      evolveSchema: Boolean = false): Long = {
+      evolveSchema: Boolean = false, statsCols: Seq[String] = Nil): Long = {
     if (!evolveSchema) validateDeltaSchema(df, root)
-    val v = writeAndPublish(df, root, "delta", maxAttempts)
+    val v = writeAndPublish(df, root, "delta", maxAttempts, statsCols = statsCols)
     validatedDeltaCols.put(root, schemaCols(df.columns.toIndexedSeq))
     v
   }
@@ -539,6 +545,186 @@ object Snapshots {
       // later segments evolved the schema reads with the union schema
       // instead of dying in strict unionByName
       .reduce(_.unionByName(_, allowMissingColumns = true))
+
+  // ------------------------------------------------ zone-map sidecars
+
+  /** Per-segment zone-map sidecar name — underscore-prefixed so
+    * Spark's parquet reader treats it as metadata and never scans it.
+    */
+  private val StatsName = "_graft_stats.json"
+
+  /** One column's zone map: Spark type name + min/max rendered
+    * round-trip-exactly (decimal string for integrals,
+    * `Double.toString` for floating, raw for strings), or allNull
+    * when the batch had no value at all (such a segment can be
+    * SKIPPED for any bounded range — the rows a range filter could
+    * keep don't exist in it).
+    */
+  private[graft] final case class ColStats(
+      typeName: String, min: String, max: String, allNull: Boolean)
+
+  private def writeStatsSidecar(
+      df: DataFrame, root: String, rel: String, statsCols: Seq[String]): Unit = {
+    import org.json4s.JsonDSL._
+    val supported = Set("byte", "short", "integer", "long", "float", "double", "string")
+    statsCols.foreach { c =>
+      require(df.columns.contains(c), s"statsCols names unknown column '$c'")
+      val t = df.schema(c).dataType.typeName
+      require(supported.contains(t),
+        s"statsCols column '$c' has type $t — zone maps support integral, floating " +
+          "and string columns (stamp timestamps to unix_micros first)")
+    }
+    // ONE agg job for every column's min+max
+    val aggs = statsCols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    // floats render through their WIDENED double (Float.toString is
+    // the shortest float-round-trip string, which parsed as double
+    // under-represents the widened value — a pruning read compares in
+    // the double domain, so that gap could wrongly prune a segment)
+    def render(v: Any): String = v match {
+      case f: java.lang.Float => java.lang.Double.toString(f.toDouble)
+      case other              => other.toString
+    }
+    val obj = org.json4s.JObject(statsCols.zipWithIndex.map { case (c, i) =>
+      val t = df.schema(c).dataType.typeName
+      val (mn, mx) = (row.get(2 * i), row.get(2 * i + 1))
+      c -> (("type" -> t) ~
+        ("all_null" -> (mn == null)) ~
+        ("min" -> Option(mn).map(render)) ~
+        ("max" -> Option(mx).map(render)): org.json4s.JValue)
+    }.toList)
+    val f = fs(df.sparkSession, root)
+    val out = f.create(new Path(s"$root/$rel", StatsName), true)
+    try out.write(org.json4s.jackson.JsonMethods.compact(obj).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The segment's zone map, or None when the commit recorded no
+    * stats (pre-stats segments stay readable and are simply never
+    * pruned).
+    */
+  private[graft] def segmentStats(
+      spark: SparkSession, root: String, rel: String): Option[Map[String, ColStats]] = {
+    val f = fs(spark, root)
+    val p = new Path(s"$root/$rel", StatsName)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val j = org.json4s.jackson.JsonMethods.parse(text)
+      Some(j.asInstanceOf[org.json4s.JObject].obj.map { case (c, v) =>
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        val t = (v \ "type").extract[String]
+        val allNull = (v \ "all_null").extract[Boolean]
+        c -> ColStats(t,
+          (v \ "min").extractOpt[String].getOrElse(""),
+          (v \ "max").extractOpt[String].getOrElse(""), allNull)
+      }.toMap)
+    }
+  }
+
+  /** Could a segment with `st` hold a row with `column` in [lo, hi]?
+    * Conservative TRUE when the sidecar or the column's entry is
+    * absent; a bound whose runtime type can't compare against the
+    * recorded column type is a LOUD error (silently keeping the
+    * segment would make a typo'd bound disable pruning forever with
+    * every signal green).
+    */
+  private[graft] def mayContain(
+      st: Option[Map[String, ColStats]], column: String, lo: Any, hi: Any): Boolean =
+    st.flatMap(_.get(column)) match {
+      case None => true
+      case Some(cs) if cs.allNull => false
+      case Some(cs) =>
+        def num(b: Any, what: String): Double = b match {
+          case n: Number => n.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"zone-map bound $what=$other is ${other.getClass.getSimpleName} but " +
+              s"column '$column' recorded type ${cs.typeName}")
+        }
+        cs.typeName match {
+          case "byte" | "short" | "integer" | "long" =>
+            // exact integral compare through Long (the sidecar string
+            // is the exact decimal rendering)
+            def asL(b: Any, w: String): Long = b match {
+              case n @ (_: java.lang.Long | _: java.lang.Integer |
+                        _: java.lang.Short | _: java.lang.Byte) =>
+                n.asInstanceOf[Number].longValue()
+              case other => throw new IllegalArgumentException(
+                s"zone-map bound $w=$other is ${other.getClass.getSimpleName} but " +
+                  s"column '$column' recorded integral type ${cs.typeName}")
+            }
+            asL(hi, "hi") >= cs.min.toLong && asL(lo, "lo") <= cs.max.toLong
+          case "float" | "double" =>
+            val (loD, hiD) = (num(lo, "lo"), num(hi, "hi"))
+            require(!loD.isNaN && !hiD.isNaN,
+              s"zone-map bounds for '$column' must not be NaN — a NaN range matches nothing")
+            val (mnD, mxD) = (cs.min.toDouble, cs.max.toDouble)
+            // Spark's ordering ranks NaN above every value, so a
+            // segment containing a NaN records max=NaN (and min=NaN
+            // only when ALL values are NaN) — comparisons against NaN
+            // are false, which would wrongly prune a segment that
+            // also holds in-range rows: keep conservatively instead
+            if (mnD.isNaN || mxD.isNaN) true
+            else hiD >= mnD && loD <= mxD
+          case "string" =>
+            def asS(b: Any, w: String): String = b match {
+              case s: String => s
+              case other => throw new IllegalArgumentException(
+                s"zone-map bound $w=$other is ${other.getClass.getSimpleName} but " +
+                  s"column '$column' recorded type string")
+            }
+            asS(hi, "hi") >= cs.min && asS(lo, "lo") <= cs.max
+          case _ => true // unknown future type tag: conservative keep
+        }
+    }
+
+  /** The chain entries [[readAppendOnly]] unions: latest full base (or
+    * the first delta when no full exists) plus every later delta.
+    */
+  private def appendOnlyEntries(
+      spark: SparkSession, root: String): Seq[(Long, String, String)] = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"empty snapshot store at $root")
+    val baseV = vs.filter(_._2 == "full").map(_._1).maxOption.getOrElse(vs.head._1)
+    vs.filter(t => t._1 == baseV || (t._1 > baseV && t._2 != "full"))
+  }
+
+  /** [[readAppendOnly]] restricted to `column ∈ [lo, hi]` with
+    * SEGMENT-LEVEL pruning: segments whose committed zone map
+    * ([[commitDelta]]'s `statsCols`) proves no row can match are
+    * never opened — at warehouse scale that's the difference between
+    * "touch every file of a years-long chain" and "open the two
+    * segments whose range intersects". Segments without stats stay
+    * conservatively in. The residual filter still applies (zone maps
+    * prune files, parquet row-group stats prune within them, the
+    * filter decides rows).
+    */
+  def readAppendOnlyWhere(
+      spark: SparkSession, root: String, column: String, lo: Any, hi: Any): DataFrame = {
+    val entries = appendOnlyEntries(spark, root)
+    val kept = entries.filter { case (_, _, rel) =>
+      mayContain(segmentStats(spark, root, rel), column, lo, hi)
+    }
+    val bounded = col(column) >= lit(lo) && col(column) <= lit(hi)
+    if (kept.isEmpty)
+      // every segment pruned: an empty frame in the base segment's
+      // schema (schema-only footer read, no scan)
+      spark.read.parquet(s"$root/${entries.head._3}").where(lit(false)).filter(bounded)
+    else readChain(spark, root, kept.head._1, kept).filter(bounded)
+  }
+
+  /** The version numbers [[readAppendOnlyWhere]] would open — the
+    * pruning decision as data, for tests and operational "what would
+    * this read touch" checks.
+    */
+  private[graft] def prunedTo(
+      spark: SparkSession, root: String, column: String, lo: Any, hi: Any): Seq[Long] =
+    appendOnlyEntries(spark, root).filter { case (_, _, rel) =>
+      mayContain(segmentStats(spark, root, rel), column, lo, hi)
+    }.map(_._1)
 
   /** Read the latest version. */
   def latest(spark: SparkSession, root: String, keys: Seq[String]): DataFrame =

@@ -94,6 +94,58 @@ class SnapshotsSpec extends SparkSpec {
     assert(ch(0).getLong(ch(0).fieldIndex("score")) === 99L)
   }
 
+  test("zone maps: range reads open only the segments whose stats intersect") {
+    val root = tmpDir("snap-zonemap")
+    // three disjoint id ranges + one segment without stats
+    Snapshots.commit(Seq((1L, "a"), (9L, "b")).toDF("id", "name"), root,
+      statsCols = Seq("id", "name"))
+    Snapshots.commitDelta(Seq((100L, "m")).toDF("id", "name"), root,
+      statsCols = Seq("id", "name"))
+    Snapshots.commitDelta(Seq((1000L, "z")).toDF("id", "name"), root,
+      statsCols = Seq("id", "name"))
+    Snapshots.commitDelta(Seq((5000L, "s")).toDF("id", "name"), root) // no stats
+    // pruning decision as data: [90, 200] keeps v2 + the statless v4
+    assert(Snapshots.prunedTo(spark, root, "id", 90L, 200L) === Seq(2L, 4L))
+    val r = Snapshots.readAppendOnlyWhere(spark, root, "id", 90L, 200L).collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(100L))
+    // string zone map prunes the same way
+    assert(Snapshots.prunedTo(spark, root, "name", "y", "zz") === Seq(3L, 4L))
+    // a range matching nothing still answers (empty, base schema)
+    assert(Snapshots.prunedTo(spark, root, "id", 2000L, 3000L) === Seq(4L))
+    // (v4 has no stats so [10000, 20000] still opens it — the
+    // residual filter finds nothing)
+    val none = Snapshots.readAppendOnlyWhere(spark, root, "id", 10000L, 20000L)
+    assert(none.columns.toSet === Set("id", "name"))
+    assert(none.count() === 0L)
+  }
+
+  test("zone maps: all-null stats prune; mismatched bound types are loud; floats survive widening") {
+    val root = tmpDir("snap-zonemap2")
+    Snapshots.commit(
+      Seq((1L, Some(0.1f)), (2L, Some(0.2f))).toDF("id", "score"), root,
+      statsCols = Seq("id", "score"))
+    Snapshots.commitDelta(
+      Seq((3L, None: Option[Float])).toDF("id", "score"), root,
+      statsCols = Seq("id", "score"))
+    // all-null segment: skippable for ANY bounded range on that column
+    assert(Snapshots.prunedTo(spark, root, "score", 0.0, 1.0) === Seq(1L))
+    // float widening: a double bound BETWEEN Float.toString("0.2")
+    // parsed as double (0.2d) and the widened float (0.20000000298...)
+    // must keep the segment — the row is in range in the double domain
+    val tight = 0.2000000015
+    assert(Snapshots.prunedTo(spark, root, "score", tight, 1.0) === Seq(1L))
+    assert(Snapshots.readAppendOnlyWhere(spark, root, "score", tight, 1.0)
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // wrong bound type: loud, not silently unpruned
+    intercept[IllegalArgumentException](
+      Snapshots.prunedTo(spark, root, "id", "a", "z"))
+    // unsupported stats column type at commit: loud
+    val e = intercept[IllegalArgumentException](
+      Snapshots.commit(Seq((1L, true)).toDF("id", "flag"), tmpDir("snap-zm3"),
+        statsCols = Seq("flag")))
+    assert(e.getMessage.contains("zone maps"))
+  }
+
   test("delta chain: upsert + insert + tombstone, last writer wins") {
     val root = tmpDir("snap-delta")
     Snapshots.commit(
