@@ -324,5 +324,45 @@ object Warehouse {
             UNION ALL SELECT 'orphan_custkey', COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL
             ORDER BY chk"""))
 
-  val all: Seq[Qdef] = Seq(q94, q95, q96, q97, q98, q99, q9a)
+  /** Per-column table profile — the "what is in this table" census a
+    * warehouse exposes next to its metadata tree: row count, null
+    * count and distinct count per column, one row per column. ONE
+    * scan: all counts aggregate in a single pass (the multi-distinct
+    * plans as one Expand aggregate), reshaped to rows by a driver-free
+    * `stack`. `exact = false` swaps countDistinct for
+    * approx_count_distinct — at 100 TB the Expand multiplies the scan
+    * by the column count, and the production census wants the one-pass
+    * HLL sketch (the q90 convention); the oracle-checked entry pins
+    * the exact form as the yardstick.
+    */
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    cols.foreach(c => require(df.columns.contains(c), s"profile: unknown column '$c'"))
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"np_$c"),
+      (if (exact) countDistinct(col(c))
+       else approx_count_distinct(col(c), 0.01)).as(s"nd_$c"))) // 1% rsd, the q90 setting
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c => s"'$c', n_rows, n_rows - np_$c, nd_$c").mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stacked) as (col_name, n_rows, n_nulls, n_distinct)")
+      .orderBy("col_name")
+  }
+
+  private val OrdersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  private val q9h = Qdef(
+    "q9h_data_profile",
+    (s, d) => profile(Tables.orders(s, d), OrdersCols),
+    Some {
+      val branches = OrdersCols.sorted.map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+            COUNT(*) - COUNT($c) AS n_nulls,
+            COUNT(DISTINCT $c) AS n_distinct FROM orders"""
+      }.mkString(" UNION ALL ")
+      s"$branches ORDER BY col_name"
+    })
+
+  val all: Seq[Qdef] = Seq(q94, q95, q96, q97, q98, q99, q9a, q9h)
 }

@@ -116,6 +116,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(card("sC") === ((1L, 0L)), s"sC: ${card("sC")}")
   }
 
+  test("q9h: profile counts reconcile; the approx form tracks exact within HLL tolerance") {
+    val orders = Tables.orders(spark, sf)
+    val n = orders.count()
+    val exact = SparkEntry.queries("q9h_data_profile")(spark, sf).collect()
+    assert(exact.length === 6)
+    exact.foreach { r =>
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) >= 0 && r.getLong(3) <= n - r.getLong(2))
+    }
+    val approx = operators.Warehouse.profile(orders,
+      Seq("o_orderkey", "o_orderstatus"), exact = false)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val exactMap = exact.map(r => r.getString(0) -> r.getLong(3)).toMap
+    approx.foreach { case (c, nd) =>
+      assert(math.abs(nd - exactMap(c)).toDouble / math.max(1L, exactMap(c)) <= 0.05,
+        s"$c: approx $nd vs exact ${exactMap(c)}")
+    }
+    intercept[IllegalArgumentException](operators.Warehouse.profile(orders, Seq("nope")))
+    intercept[IllegalArgumentException](operators.Warehouse.profile(orders, Nil))
+  }
+
   test("q9e: all 190 source pairs, every sketch within tolerance, set laws hold") {
     val rows = SparkEntry.queries("q9e_minhash_overlap")(spark, sf).collect()
     assert(rows.length === 190) // C(20,2)
