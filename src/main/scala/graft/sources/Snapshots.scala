@@ -898,15 +898,23 @@ object Snapshots {
     * That is effect-idempotent for every merged read — last-writer-wins
     * over identical content — so `latest`/`asOf` never see duplicates;
     * only the raw version numbering records the replay.
+    *
+    * `statsCols` threads the zone-map sidecar ([[commitDelta]]) into
+    * every micro-batch commit — the time-series pattern: a stream
+    * stamped with an event-time column makes each segment's time range
+    * a zone map, so [[readAppendOnlyWhere]] over "last hour" opens the
+    * newest segments and skips the months behind them.
     */
-  def streamInto(stream: DataFrame, root: String, checkpoint: String): StreamingQuery =
+  def streamInto(
+      stream: DataFrame, root: String, checkpoint: String,
+      statsCols: Seq[String] = Nil): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // persist: the emptiness probe and the commit write would
         // otherwise each recompute the micro-batch from the source
         batch.persist()
-        try if (!batch.isEmpty) { commitDelta(batch, root); () }
+        try if (!batch.isEmpty) { commitDelta(batch, root, statsCols = statsCols); () }
         finally { batch.unpersist(); () }
       }
       .start()

@@ -433,6 +433,33 @@ class StreamingSpec extends SparkSpec {
     assert(state(1L) === Seq((1L, "O", 10.0), (2L, "O", 20.0), (3L, "O", 30.0)))
   }
 
+  test("st06: streamed commits carry zone maps — a time-range read opens only its micro-batch's segment") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.Snapshots
+
+    val root = tmpDir("st06-zm") + "/ticks"
+    val input = MemoryStream[StoreUpd]
+    val q = Snapshots.streamInto(input.toDF(), root, tmpDir("st06-zm-ckpt"),
+      statsCols = Seq("k", "price"))
+    try {
+      input.addData(StoreUpd(100L, "A", 1.0, _deleted = false),
+        StoreUpd(199L, "A", 2.0, _deleted = false)) // v1: k in [100, 199]
+      q.processAllAvailable()
+      input.addData(StoreUpd(200L, "B", 3.0, _deleted = false)) // v2: k in [200, 200]
+      q.processAllAvailable()
+      input.addData(StoreUpd(300L, "C", 4.0, _deleted = false)) // v3: k in [300, 300]
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // ...except that streamInto batches carry _deleted, making the
+    // store merge-read: the zone-map read path is the APPEND-ONLY
+    // one, so this asserts the pruning DECISION (sidecars written per
+    // micro-batch, ranges disjoint) rather than the full read
+    assert(Snapshots.prunedTo(spark, root, "k", 150L, 250L) === Seq(1L, 2L))
+    assert(Snapshots.prunedTo(spark, root, "price", 3.5, 9.0) === Seq(3L))
+  }
+
   test("st0b: streaming dedup ingest screens each micro-batch against the growing band index") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
