@@ -701,6 +701,14 @@ object Snapshots {
     * conservatively in. The residual filter still applies (zone maps
     * prune files, parquet row-group stats prune within them, the
     * filter decides rows).
+    *
+    * The tombstone guard inherits from [[readAppendOnly]] but runs on
+    * OPENED segments only — a merge-read store still refuses in
+    * practice because its writers stamp `_deleted` on every delta
+    * (any opened segment trips the guard), but a store MIXING
+    * tombstoned and plain segments could have its only `_deleted`
+    * segments pruned out of a narrow range. Range reads are for
+    * append-only stores; don't point them at merge-read chains.
     */
   def readAppendOnlyWhere(
       spark: SparkSession, root: String, column: String, lo: Any, hi: Any): DataFrame = {
