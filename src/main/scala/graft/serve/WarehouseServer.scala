@@ -636,6 +636,8 @@ object WarehouseServer {
             ("rel" -> "cohort-population") ~ ("params" -> "limit, after"),
           ("href" -> "/cohort/atom-counts") ~ ("method" -> "POST") ~
             ("rel" -> "per-criterion counts") ~ ("body" -> "{population, atoms:[...]}"),
+          ("href" -> "/tables/profile") ~ ("method" -> "GET") ~
+            ("rel" -> "per-column census") ~ ("params" -> "source, cols?, exact?"),
           ("href" -> "/items/stats") ~ ("method" -> "GET") ~
             ("rel" -> "item-statistics") ~ ("params" -> "source, field, by?"),
           ("href" -> "/items/histogram") ~ ("method" -> "GET") ~
@@ -887,6 +889,28 @@ object WarehouseServer {
         case ("POST", "/cohort/atom-counts") =>
           page(CohortQuery.atomCounts(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes),
             cohortSources(params)), limit, after)
+        case ("GET", "/tables/profile") =>
+          // q9h over HTTP: per-column census of an allowlisted table —
+          // a control-plane aggregate whose output is bounded by the
+          // column count. `cols` defaults to the whole table;
+          // `exact=false` serves the 1%-HLL form (the scale default
+          // for wide tables — the exact multi-distinct Expand
+          // multiplies the scan by the column count)
+          val src = table(spark, cfg.dataDir, need(params, "source"))
+          val cols = params.get("cols")
+            .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+            .getOrElse(src.columns.toSeq)
+          val exact = params.get("exact").forall {
+            case "true" => true
+            case "false" => false
+            case other => throw HttpError(400, s"exact must be true|false, got '$other'")
+          }
+          page(
+            try graft.operators.Warehouse.profile(src, cols, exact)
+            catch {
+              case e: IllegalArgumentException =>
+                throw HttpError(400, Option(e.getMessage).getOrElse("bad cols"))
+            }, limit, after)
         case ("GET", "/items/stats") =>
           page(Cohort.itemStats(
             table(spark, cfg.dataDir, need(params, "source")),
@@ -1219,9 +1243,9 @@ object WarehouseServer {
   // Keep these in sync with the match in handle(): a route added there
   // but not here answers 404 on a wrong-verb request where the
   // contract says 405 (nothing fails at compile time if they drift).
-  private val getPaths = Set("/", "/health", "/status", "/tables", "/items/stats",
-    "/items/histogram", "/items/frequencies", "/metadata/search", "/queries",
-    "/store/versions", "/store/read")
+  private val getPaths = Set("/", "/health", "/status", "/tables", "/tables/profile",
+    "/items/stats", "/items/histogram", "/items/frequencies", "/metadata/search",
+    "/queries", "/store/versions", "/store/read")
   private val postPaths = Set("/cohort/query", "/cohort/population",
     "/cohort/atom-counts", "/store/commit", "/ann/search", "/ann/refresh", "/dedup/check",
     "/dedup/check_vec")

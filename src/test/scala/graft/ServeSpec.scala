@@ -157,6 +157,24 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(longOf(rv \ "row_count") == reDirect)
   }
 
+  test("tables/profile: per-column census over HTTP, exact and approx, typed errors") {
+    val (code, v) = get("/tables/profile?source=orders&cols=o_orderkey,o_orderstatus")
+    assert(code == 200 && longOf(v \ "row_count") == 2)
+    val rows = (v \ "rows").asInstanceOf[JArray].arr
+    val byCol = rows.map(r => ((r \ "col_name").asInstanceOf[JString].s, r)).toMap
+    val n = Tables.orders(spark, sf).count()
+    assert(longOf(byCol("o_orderkey") \ "n_rows") == n)
+    assert(longOf(byCol("o_orderkey") \ "n_distinct") == n) // primary key
+    assert(longOf(byCol("o_orderstatus") \ "n_nulls") == 0)
+    // default cols = whole table; approx form answers too
+    val (ac, av) = get("/tables/profile?source=orders&exact=false")
+    assert(ac == 200 && longOf(av \ "row_count") == Tables.orders(spark, sf).columns.length)
+    // typed errors: unknown column, bad exact flag, unknown table
+    assert(get("/tables/profile?source=orders&cols=nope")._1 == 400)
+    assert(get("/tables/profile?source=orders&exact=maybe")._1 == 400)
+    assert(get("/tables/profile?source=secrets")._1 == 400)
+  }
+
   test("named queries: discovery and bounded execution") {
     val (code, v) = get("/queries")
     assert(code == 200)
