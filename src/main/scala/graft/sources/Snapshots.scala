@@ -274,6 +274,7 @@ object Snapshots {
     var st = manifestState(spark, root)
     def next(s: ManifestState): Long = s.lines.lastOption.map(_._1 + 1).getOrElse(1L)
     val rel = s"v${next(st)}-${java.util.UUID.randomUUID.toString.take(8)}"
+    validateStatsCols(df, statsCols) // BEFORE the write — a typo'd column must not cost a corpus write
     df.write.mode("errorifexists").parquet(s"$root/$rel")
     // zone-map sidecar BEFORE publish: a crash here leaves an
     // unreferenced dir for the orphan sweep, never a referenced
@@ -563,9 +564,7 @@ object Snapshots {
   private[graft] final case class ColStats(
       typeName: String, min: String, max: String, allNull: Boolean)
 
-  private def writeStatsSidecar(
-      df: DataFrame, root: String, rel: String, statsCols: Seq[String]): Unit = {
-    import org.json4s.JsonDSL._
+  private def validateStatsCols(df: DataFrame, statsCols: Seq[String]): Unit = {
     val supported = Set("byte", "short", "integer", "long", "float", "double", "string")
     statsCols.foreach { c =>
       require(df.columns.contains(c), s"statsCols names unknown column '$c'")
@@ -574,6 +573,21 @@ object Snapshots {
         s"statsCols column '$c' has type $t — zone maps support integral, floating " +
           "and string columns (stamp timestamps to unix_micros first)")
     }
+  }
+
+  private def writeStatsSidecar(
+      src: DataFrame, root: String, rel: String, statsCols: Seq[String]): Unit = {
+    import org.json4s.JsonDSL._
+    // stats are computed from the WRITTEN segment, not the input
+    // frame: re-evaluating the input would re-run its upstream plan,
+    // and a nondeterministic upstream (a sample, an unordered
+    // row_number) could legitimately produce DIFFERENT rows on the
+    // second pass — publishing a zone map that does not describe the
+    // segment it sits in, the exact wrong-prune corruption the
+    // sidecar exists to prevent. Reading back is also cheaper: a
+    // column-pruned scan of the fresh files vs the whole upstream
+    // query again.
+    val df = src.sparkSession.read.parquet(s"$root/$rel")
     // ONE agg job for every column's min+max
     val aggs = statsCols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head
