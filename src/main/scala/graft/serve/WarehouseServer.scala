@@ -653,6 +653,9 @@ object WarehouseServer {
           ("href" -> "/store/read") ~ ("method" -> "GET") ~
             ("rel" -> "versioned read") ~
             ("params" -> "keys, version?, as_of_ts?, limit, after"),
+          ("href" -> "/store/read_range") ~ ("method" -> "GET") ~
+            ("rel" -> "zone-map range read (append-only stores)") ~
+            ("params" -> "column, lo, hi, limit, after"),
           ("href" -> "/store/commit") ~ ("method" -> "POST") ~
             ("rel" -> "import") ~ ("body" -> "{source, mode: full|delta}"),
           ("href" -> "/ann/search") ~ ("method" -> "POST") ~
@@ -969,6 +972,32 @@ object WarehouseServer {
               case other  => throw HttpError(400, s"order must be asc|desc, got '$other'")
             }
           page(df.orderBy(keys.map(orderOf): _*), limit, after)
+        case ("GET", "/store/read_range") =>
+          // zone-map range read over an APPEND-ONLY store: opens only
+          // the segments whose committed stats intersect [lo, hi]
+          // (Snapshots.readAppendOnlyWhere) — the time-series "last
+          // hour" listing that skips the months behind it. Bounds
+          // parse long → double → string, matching the sidecar's
+          // recorded type loudly (a mismatch is a 400, not a silent
+          // no-prune).
+          val column = need(params, "column")
+          val (loRaw, hiRaw) = (need(params, "lo"), need(params, "hi"))
+          val bounds: (Any, Any) = (loRaw.toLongOption, hiRaw.toLongOption) match {
+            case (Some(l), Some(h)) => (l, h)
+            case _ => (loRaw.toDoubleOption, hiRaw.toDoubleOption) match {
+              case (Some(l), Some(h)) => (l, h)
+              case _ => (loRaw, hiRaw)
+            }
+          }
+          // unknown column surfaces as AnalysisException (→ 400 below);
+          // mismatched bound types / empty store as IllegalArgumentException
+          val df = try Snapshots.readAppendOnlyWhere(
+              spark, storeRoot, column, bounds._1, bounds._2)
+            catch {
+              case e: IllegalArgumentException =>
+                throw HttpError(400, Option(e.getMessage).getOrElse("bad range"))
+            }
+          page(df.orderBy(column), limit, after)
         case ("POST", "/ann/search") =>
           val spec = JsonMethods.parse(body(ex, cfg.maxBodyBytes))
           val vector = spec \ "vector" match {
@@ -1122,10 +1151,21 @@ object WarehouseServer {
             case JNothing  => false
             case other     => throw HttpError(400, s"evolve must be a boolean, got $other")
           }
+          // optional zone-map columns: min/max sidecar on the committed
+          // segment (Snapshots statsCols) — feeds /store/read_range
+          val stats: Seq[String] = spec \ "stats" match {
+            case JArray(vs) => vs.map {
+              case JString(c) => c
+              case other => throw HttpError(400, s"stats entries must be column names, got $other")
+            }
+            case JNothing => Nil
+            case other => throw HttpError(400, s"stats must be an array of column names, got $other")
+          }
           val df = spark.read.parquet(source)
           val version =
-            if (mode == "full") Snapshots.commit(df, storeRoot)
-            else Snapshots.commitDeltaRetrying(df, storeRoot, evolveSchema = evolve)
+            if (mode == "full") Snapshots.commit(df, storeRoot, statsCols = stats)
+            else Snapshots.commitDeltaRetrying(df, storeRoot,
+              evolveSchema = evolve, statsCols = stats)
           ("version" -> version) ~ ("mode" -> mode)
         case (m, p) =>
           // known path + wrong verb is 405, not 404
@@ -1245,7 +1285,7 @@ object WarehouseServer {
   // contract says 405 (nothing fails at compile time if they drift).
   private val getPaths = Set("/", "/health", "/status", "/tables", "/tables/profile",
     "/items/stats", "/items/histogram", "/items/frequencies", "/metadata/search",
-    "/queries", "/store/versions", "/store/read")
+    "/queries", "/store/versions", "/store/read", "/store/read_range")
   private val postPaths = Set("/cohort/query", "/cohort/population",
     "/cohort/atom-counts", "/store/commit", "/ann/search", "/ann/refresh", "/dedup/check",
     "/dedup/check_vec")

@@ -764,8 +764,10 @@ object Snapshots {
     * collision. A lost race is a loud IllegalStateException; re-run
     * the compact over the new chain.
     */
-  def compact(spark: SparkSession, root: String, keys: Seq[String]): Long =
-    compactFrom(spark, root, keys, versions(spark, root))
+  def compact(
+      spark: SparkSession, root: String, keys: Seq[String],
+      statsCols: Seq[String] = Nil): Long =
+    compactFrom(spark, root, keys, versions(spark, root), statsCols)
 
   /** `private[graft]` test seam: the lost-delta race spec interleaves
     * a concurrent delta commit between the chain read and the publish
@@ -773,11 +775,13 @@ object Snapshots {
     */
   private[graft] def compactFrom(
       spark: SparkSession, root: String, keys: Seq[String],
-      vs: Seq[(Long, String, String)]): Long = {
+      vs: Seq[(Long, String, String)], statsCols: Seq[String] = Nil): Long = {
     require(vs.nonEmpty, s"empty snapshot store at $root")
     val top = vs.last._1
+    // statsCols: without it a compacted time-series chain would lose
+    // its zone maps (the fold has no sidecar) until new deltas arrive
     writeAndPublish(asOf(spark, root, top, keys), root, "full",
-      expectedVersion = Some(top + 1))
+      expectedVersion = Some(top + 1), statsCols = statsCols)
   }
 
   /** Retention: physically delete segments SUPERSEDED below the pin —

@@ -546,14 +546,14 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   }
 
   test("store read pages latest-first over HTTP with the desc keyset walk") {
-    // the store suite committed k=0..4 then k=10..11 earlier (suite
-    // runs in declaration order); latest-first must walk them in
-    // exact reverse key order with no overlap or gap
+    // the store suite committed k=0..4, k=10..11, then the evolved
+    // k=100 earlier (suite runs in declaration order); latest-first
+    // must walk them in exact reverse key order with no overlap or gap
     val expected = {
       val (_, asc) = get("/store/read?keys=k&limit=100")
       rows(asc).map(r => longOf(r \ "k")).reverse
     }
-    assert(expected.size == 7)
+    assert(expected.size == 8)
     var cursor: Option[String] = None
     var walked = List.empty[Long]
     var done = false
@@ -570,6 +570,32 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       assert(walked.size <= expected.size, s"walk overran: $walked")
     }
     assert(walked == expected, "desc HTTP walk is not the exact reverse listing")
+  }
+
+  test("store range reads: HTTP commits carry zone maps, read_range serves only the range") {
+    import org.apache.spark.sql.functions.col
+    // two disjoint-range segments committed WITH stats over HTTP
+    val segA = s"$storeRoot/range-a"
+    spark.range(1000, 1010).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .write.parquet(segA)
+    val segB = s"$storeRoot/range-b"
+    spark.range(5000, 5010).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .write.parquet(segB)
+    // full commit re-bases the schema (the evolution test above left
+    // the tip at (k, tag)); the delta then matches it
+    assert(post("/store/commit",
+      s"""{"source": "$segA", "mode": "full", "stats": ["k"]}""")._1 == 200)
+    assert(post("/store/commit",
+      s"""{"source": "$segB", "stats": ["k"]}""")._1 == 200)
+    // range read returns exactly the in-range rows, ordered
+    val (rc, rv) = get("/store/read_range?column=k&lo=5003&hi=5006")
+    assert(rc == 200 && longOf(rv \ "row_count") == 4)
+    val ks = (rv \ "rows").asInstanceOf[JArray].arr.map(r => longOf(r \ "k"))
+    assert(ks == List(5003L, 5004L, 5005L, 5006L))
+    // typed errors: missing params, bad stats body, mismatched bound type
+    assert(get("/store/read_range?column=k&lo=1")._1 == 400)
+    assert(post("/store/commit", s"""{"source": "$segA", "stats": "k"}""")._1 == 400)
+    assert(get("/store/read_range?column=k&lo=a&hi=b")._1 == 400) // string bounds vs long zone map
   }
 
   test("a page boundary inside a sort-key tie trims to a resumable boundary or withholds the cursor") {
