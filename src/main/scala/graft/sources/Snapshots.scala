@@ -365,6 +365,12 @@ object Snapshots {
     v
   }
 
+  /** Anti-typo validation, advisory under concurrency: a concurrent
+    * evolving commit can land between this check and the publish, so
+    * the chain can legitimately hold mixed schemas even though every
+    * committer individually validated — which is exactly why the READ
+    * side null-fills instead of trusting the chain to be uniform.
+    */
   private def validateDeltaSchema(df: DataFrame, root: String): Unit = {
     val cols = schemaCols(df.columns.toIndexedSeq)
     if (validatedDeltaCols.get(root) == cols) return
