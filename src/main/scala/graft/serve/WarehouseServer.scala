@@ -996,6 +996,11 @@ object WarehouseServer {
             catch {
               case e: IllegalArgumentException =>
                 throw HttpError(400, Option(e.getMessage).getOrElse("bad range"))
+              // pointing a range read at a merge-read store (tombstoned
+              // segments) is a client-addressable misuse of THIS store,
+              // not a server fault — 409 with the library's remedy text
+              case e: IllegalStateException =>
+                throw HttpError(409, Option(e.getMessage).getOrElse("store is not append-only"))
             }
           page(df.orderBy(column), limit, after)
         case ("POST", "/ann/search") =>
