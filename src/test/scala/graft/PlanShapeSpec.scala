@@ -333,6 +333,16 @@ class PlanShapeSpec extends SparkSpec {
       s"batch bucket keys not broadcast against the corpus banding:\n$p")
   }
 
+  test("q5b: sliding windows are ONE Expand into ONE agg exchange — no join, no window pass") {
+    val p = plan("q5b_sliding_window")
+    assert(p.contains("Expand"), s"native window() Expand missing:\n$p")
+    assert(!p.contains("Join"), s"sliding windows must not join:\n$p")
+    // exactly one hash exchange (the (window, type) partial agg); the
+    // only other exchange is the oracle-determinism range sort
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 1, s"expected exactly 1 hash exchange, got $hashEx:\n$p")
+  }
+
   test("q5a: interval merge reuses ONE subject shuffle for windows and aggregates") {
     val p = plan("q5a_interval_merge")
     // one hash exchange on user_id feeds both window passes AND both
