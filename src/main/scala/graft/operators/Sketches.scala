@@ -301,6 +301,47 @@ object Sketches {
       .orderBy("source_a", "source_b")
   }
 
+  /** The production (sketch-only) half of [[corpusMinhashOverlap]]:
+    * per-source bottom-k signatures — k md5 strings per source,
+    * mergeable by construction (bottom-k of a union is the bottom-k
+    * of the concatenated bottom-k's) — and the estimated pairwise
+    * matrix from signatures ALONE: no distinct-shingle self-join, no
+    * exact intersection, nothing corpus-quadratic anywhere. At
+    * 100 TB this is the call; the exact columns exist only in the
+    * oracle-checked twin above. `nd` (distinct-shingle count per
+    * source) rides along for the union-size estimate a consumer
+    * usually wants next.
+    */
+  def estimatedOverlap(
+      docs: org.apache.spark.sql.DataFrame,
+      k: Int = 64,
+      hashBound: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"estimatedOverlap: k must be positive, got $k")
+    val h = docs
+      .select(col("source"),
+        explode(call_function("graft_shingle_strings", col("text"), lit(3))).as("g"))
+      .select(col("source"), md5(col("g")).as("h"))
+      .distinct()
+    val sig = hashBound.fold(h)(b => h.filter(col("h") < lit(b)))
+      .withColumn("rn", row_number().over(Window.partitionBy("source").orderBy("h")))
+      .filter(col("rn") <= k)
+      .groupBy("source").agg(sort_array(collect_list(col("h"))).as("sig"))
+      .join(h.groupBy("source").agg(count(lit(1)).as("nd")), "source")
+    val a = sig.select(col("source").as("source_a"), col("sig").as("sig_a"), col("nd").as("n_a"))
+    val b = sig.select(col("source").as("source_b"), col("sig").as("sig_b"), col("nd").as("n_b"))
+    a.join(b, col("source_a") < col("source_b"))
+      .withColumn("merged", slice(array_sort(array_union(col("sig_a"), col("sig_b"))), 1, k))
+      .withColumn("k_eff", size(col("merged")).cast("long"))
+      .withColumn("est_num",
+        size(array_intersect(array_intersect(col("merged"), col("sig_a")), col("sig_b")))
+          .cast("long"))
+      .withColumn("est_jaccard",
+        col("est_num").cast("double") / greatest(col("k_eff"), lit(1L)).cast("double"))
+      .select("source_a", "source_b", "n_a", "n_b", "k_eff", "est_num", "est_jaccard")
+      .orderBy("source_a", "source_b")
+  }
+
   private val q9e = Qdef(
     "q9e_minhash_overlap",
     (s, d) => corpusMinhashOverlap(Tables.documents(s, d)),

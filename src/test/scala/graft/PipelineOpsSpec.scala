@@ -181,6 +181,30 @@ class PipelineOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](ann.Knn.contrastivePairs(e, q, 0.4, 0.25, 0))
   }
 
+  test("q9e: the sketch-only production path agrees with the checked query's sketch columns") {
+    // estimatedOverlap never touches the exact side — its estimator
+    // integers must be IDENTICAL to the oracle-checked query's, pair
+    // for pair (same signatures, same merge, same intersect)
+    val full = SparkEntry.queries("q9e_minhash_overlap")(spark, sf)
+      .select("source_a", "source_b", "k_eff", "est_num")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val est = operators.Sketches.estimatedOverlap(Tables.documents(spark, sf)).collect()
+    assert(est.length === full.size)
+    est.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert((r.getLong(4), r.getLong(5)) === full(key), s"sketch drift at $key")
+      val ej = r.getDouble(6)
+      assert(ej >= 0.0 && ej <= 1.0)
+    }
+    // and no plan node anywhere joins shingles against shingles — the
+    // corpus-quadratic risk the sketch path exists to avoid (the sort
+    // keys of the h-on-h join would be the 32-char md5 column)
+    val p = operators.Sketches.estimatedOverlap(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!"SortMergeJoin \\[h".r.findFirstIn(p).isDefined &&
+      !p.contains("Join Inner, (h#"), s"shingle self-join leaked into the sketch path:\n$p")
+  }
+
   test("q9e: the hash-bound prefilter is exact while every source keeps >= k survivors") {
     // md5 is uniform: bound "8" keeps ~half the distinct shingles, far
     // more than k=64 per source on this corpus, so the bottom-k — and
