@@ -227,26 +227,33 @@ object Curate {
     * definition, language spread + dominant language, exact-duplicate
     * mass within the source, and docs whose exact text also appears in
     * ANOTHER source — the cross-source contamination a mixture builder
-    * needs to know about before weighting). Three exchanges at any
-    * scale: the per-source partial agg, the (source, lang) top-lang
-    * agg (both on low-cardinality keys), and one groupBy on the
-    * 16-byte text digest for the sharing census — the q61 exact-dedup
-    * shuffle, which is the only corpus-sized one and is the same work
-    * an exact-dedup pass does anyway. `n_exact_dups` counts per-source
+    * needs to know about before weighting). ONE corpus scan (the
+    * md5+token annotation, staged text-free via [[graft.Stage]]) then
+    * three exchanges: the per-source partial agg, the (source, lang)
+    * top-lang agg (both on low-cardinality keys), and one groupBy on
+    * the 16-byte text digest for the sharing census — the q61
+    * exact-dedup shuffle, which is the only corpus-sized one and is
+    * the same work an exact-dedup pass does anyway. `n_exact_dups`
+    * counts per-source
     * duplicate rows (docs minus distinct digests), `n_shared_docs`
     * counts this source's rows whose digest occurs in ≥2 sources.
     */
   def datasetCard(docs: DataFrame): DataFrame = {
-    val withDigest = docs.withColumn("digest", md5(col("text")))
+    // ONE pass computes the digest and token count, staged WITHOUT the
+    // text payload (graft.Stage.cut — the qa3 staging convention):
+    // the three aggregates below would otherwise each re-scan the
+    // corpus and re-hash every document's text
+    val withDigest = graft.Stage.cut(docs
+      .select(col("source"), col("lang"), col("n_chars"),
+        md5(col("text")).as("digest"), nWsTokens(col("text")).as("n_ws_tokens")))
     val base = withDigest
-      .withColumn("n_ws_tokens", nWsTokens(col("text")))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_chars").as("sum_chars"),
         sum("n_ws_tokens").as("sum_ws_tokens"),
         countDistinct(col("lang")).as("n_langs"),
         (count(lit(1)) - countDistinct(col("digest"))).as("n_exact_dups"))
-    val topLang = docs.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+    val topLang = withDigest.groupBy("source", "lang").agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("source").orderBy(col("n").desc, col("lang"))))

@@ -797,9 +797,15 @@ object TextAnalysis {
     * stratum (a handful of rows), broadcast back, then a NARROW
     * hash-threshold filter — the corpus itself never shuffles. The
     * keep decision hashes the salted doc id against an integer
-    * threshold out of 65536 computed with pure integer division, so
+    * threshold out of 2³² computed with pure integer division, so
     * both engines derive bit-identical thresholds; the ":bal" salt
     * keeps it independent of q86's split and q87's mix decisions.
+    * 32 threshold bits (not q87's 16): at 16 bits any stratum past
+    * cap·65536 rows floors the threshold to 0 and silently DROPS the
+    * whole stratum — exactly the multi-million-doc dominant stratum
+    * the cap exists for. 32 bits pushes the cliff past cap·4.3e9
+    * rows, and the floor of 1 below even that keeps the sample
+    * non-empty (~n/2³² ≈ cap survivors) instead of empty.
     */
   def balancedSample(
       docs: org.apache.spark.sql.DataFrame,
@@ -808,15 +814,15 @@ object TextAnalysis {
       idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
     require(cap > 0, s"balancedSample: cap must be positive, got $cap")
     val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("n_stratum"))
-      // threshold < 65536 whenever n_stratum > cap (the only regime
-      // that compares); 4 lowercase hex chars, same order as the md5
+      // threshold < 2^32 whenever n_stratum > cap (the only regime
+      // that compares); 8 lowercase hex chars, same order as the md5
       // prefix it gates. Integral `div`, NOT `/`: Column./ is double
       // division, and truncating a double quotient is one rounding
       // step away from DuckDB's exact `//` on adversarial counts
       .withColumn("thr_hex",
-        lower(lpad(hex(expr(s"${cap * 65536L}L div n_stratum")), 4, "0")))
+        lower(lpad(hex(greatest(expr(s"${cap * 4294967296L}L div n_stratum"), lit(1L))), 8, "0")))
     val bucket = substring(
-      md5(concat(col(idCol).cast("string"), lit(":bal")).cast("binary")), 1, 4)
+      md5(concat(col(idCol).cast("string"), lit(":bal")).cast("binary")), 1, 8)
     docs.join(broadcast(counts), strataCol)
       .filter(col("n_stratum") <= cap || bucket < col("thr_hex"))
       .drop("thr_hex")
@@ -836,8 +842,8 @@ object TextAnalysis {
             k AS (SELECT d.doc_id, d.lang, d.n_chars, c.n_stratum
                   FROM documents d JOIN c USING (lang)
                   WHERE c.n_stratum <= 50 OR
-                        substr(md5(CAST(d.doc_id AS VARCHAR) || ':bal'), 1, 4)
-                          < printf('%04x', 50 * 65536 // c.n_stratum))
+                        substr(md5(CAST(d.doc_id AS VARCHAR) || ':bal'), 1, 8)
+                          < printf('%08x', greatest(50 * 4294967296 // c.n_stratum, 1)))
             SELECT lang, MAX(n_stratum) AS n_stratum, COUNT(*) AS n_kept,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    MIN(doc_id) AS min_doc_id

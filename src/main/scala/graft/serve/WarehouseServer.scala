@@ -766,8 +766,17 @@ object WarehouseServer {
     // `/ann/refresh` keeps the synchronous path for operators who want
     // the rebuild paid at a chosen moment and the NEW index returned.
     val annRebuilding = new java.util.concurrent.atomic.AtomicBoolean(false)
-    def annKickRebuild(): Unit =
-      if (annRebuilding.compareAndSet(false, true)) {
+    def annKickRebuild(): Unit = {
+      // the instance whose staleness triggered this kick: the swap
+      // below is a CAS against it, so a NEWER index published while
+      // we built (a synchronous /ann/refresh, or the inline first
+      // build after a close) is never replaced by our now-older
+      // result — stamps are opaque listing signatures with no order,
+      // so "same reference we found stale" is the only sound
+      // supersession test. Losing the CAS just drops this build; the
+      // next stale-stamp search re-kicks against the new reference.
+      val basis = annRef.get
+      if (basis != null && annRebuilding.compareAndSet(false, true)) {
         val t = new Thread(() => {
           try {
             val built =
@@ -775,16 +784,15 @@ object WarehouseServer {
               catch { case NonFatal(_) => null } // next stale search retries
             if (built != null) annLock.synchronized {
               if (annClosed) built.close()
-              else {
-                val old = annRef.getAndSet(built)
-                if (old != null && (old ne built)) old.close()
-              }
+              else if (annRef.compareAndSet(basis, built)) basis.close()
+              else built.close() // superseded while building: keep the newer index
             }
           } finally annRebuilding.set(false)
         }, "graft-ann-rebuild")
         t.setDaemon(true)
         t.start()
       }
+    }
     def annIndex(): AnnServing = {
       val cur = annRef.get
       val v = annVersion()
@@ -997,10 +1005,14 @@ object WarehouseServer {
               case e: IllegalArgumentException =>
                 throw HttpError(400, Option(e.getMessage).getOrElse("bad range"))
               // pointing a range read at a merge-read store (tombstoned
-              // segments) is a client-addressable misuse of THIS store,
-              // not a server fault — 409 with the library's remedy text
-              case e: IllegalStateException =>
-                throw HttpError(409, Option(e.getMessage).getOrElse("store is not append-only"))
+              // segments) is a client-addressable misuse of THIS store
+              // — 409 with the library's remedy text. Matched on the
+              // tombstone guard's message (the publish-race precedent):
+              // other IllegalStateExceptions (malformed manifest, race)
+              // are server faults and must stay 500
+              case e: IllegalStateException
+                if Option(e.getMessage).exists(_.startsWith("append-only read")) =>
+                throw HttpError(409, e.getMessage)
             }
           page(df.orderBy(column), limit, after)
         case ("POST", "/ann/search") =>
@@ -1130,7 +1142,15 @@ object WarehouseServer {
           // trade, same rationale).
           import spark.implicits._
           val batch = Seq((-1L, emb)).toDF("vec_id", "embedding")
-          val corpus = Snapshots.readAppendOnly(spark, corpusRoot)
+          // an empty/missing corpus store is SERVER state, not a bad
+          // request — 404 like the missing index, never the generic
+          // IllegalArgumentException→400 mapping blaming the client
+          val corpus =
+            try Snapshots.readAppendOnly(spark, corpusRoot)
+            catch {
+              case e: IllegalArgumentException =>
+                throw HttpError(404, Option(e.getMessage).getOrElse("empty vector corpus store"))
+            }
           val v = graft.dedup.Dedup.ingestAgainstVecIndex(batch, corpus, idxRoot)
             .collect().head // exactly one verdict row for the 1-row batch
           ("keep" -> v.getBoolean(3)) ~

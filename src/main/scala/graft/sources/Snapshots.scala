@@ -696,10 +696,36 @@ object Snapshots {
                 s"zone-map bound $w=$other is ${other.getClass.getSimpleName} but " +
                   s"column '$column' recorded type string")
             }
-            asS(hi, "hi") >= cs.min && asS(lo, "lo") <= cs.max
+            // CODE-POINT order, not String.compareTo's UTF-16 code
+            // units: Spark both aggregates the recorded min/max and
+            // evaluates the residual filter in UTF-8 binary order
+            // (= code-point order), and the two orders disagree for
+            // supplementary-plane strings vs [U+E000, U+FFFF] — a
+            // code-unit compare could prune a segment whose rows the
+            // engine-side filter WOULD match
+            codePointCompare(asS(hi, "hi"), cs.min) >= 0 &&
+              codePointCompare(asS(lo, "lo"), cs.max) <= 0
           case _ => true // unknown future type tag: conservative keep
         }
     }
+
+  /** Lexicographic compare by Unicode CODE POINTS — Spark's string
+    * order (UTF8String is compared as UTF-8 bytes, which sorts by code
+    * point). Differs from String.compareTo exactly where surrogate
+    * pairs meet chars in [U+E000, U+FFFF].
+    */
+  private def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
 
   /** The chain entries [[readAppendOnly]] unions: latest full base (or
     * the first delta when no full exists) plus every later delta.
@@ -732,16 +758,46 @@ object Snapshots {
     */
   def readAppendOnlyWhere(
       spark: SparkSession, root: String, column: String, lo: Any, hi: Any): DataFrame = {
+    val (entries, kept) = rangeSegments(spark, root, column, lo, hi)
+    val bounded = col(column) >= lit(lo) && col(column) <= lit(hi)
+    if (kept.isEmpty) {
+      // every segment pruned: an empty frame in the schema of a
+      // segment that CARRIES the column (schema-only footer reads, no
+      // scan) — using an arbitrary segment would fail analysis on an
+      // evolved chain whose base predates the column
+      val carrier = entries
+        .find(e => spark.read.parquet(s"$root/${e._3}").columns.contains(column))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no segment of $root carries column '$column'"))
+      spark.read.parquet(s"$root/${carrier._3}").where(lit(false)).filter(bounded)
+    } else readChain(spark, root, kept.head._1, kept).filter(bounded)
+  }
+
+  /** Stats-and-schema pruning shared by [[readAppendOnlyWhere]] and
+    * [[prunedTo]]: a segment is opened only when its zone map says
+    * the range may match AND its schema carries the column at all —
+    * on an evolved chain a segment that predates the column holds
+    * only all-null values for it, so no range can match (and keeping
+    * it would fail the filter's analysis with the column unresolved).
+    * The schema check is a driver-side footer read, paid only for
+    * stats-kept segments the scan would open anyway; if NO segment
+    * carries the column the query is a loud error, not a vacuous
+    * empty answer.
+    */
+  private def rangeSegments(
+      spark: SparkSession, root: String, column: String, lo: Any, hi: Any)
+      : (Seq[(Long, String, String)], Seq[(Long, String, String)]) = {
     val entries = appendOnlyEntries(spark, root)
-    val kept = entries.filter { case (_, _, rel) =>
+    val statsKept = entries.filter { case (_, _, rel) =>
       mayContain(segmentStats(spark, root, rel), column, lo, hi)
     }
-    val bounded = col(column) >= lit(lo) && col(column) <= lit(hi)
-    if (kept.isEmpty)
-      // every segment pruned: an empty frame in the base segment's
-      // schema (schema-only footer read, no scan)
-      spark.read.parquet(s"$root/${entries.head._3}").where(lit(false)).filter(bounded)
-    else readChain(spark, root, kept.head._1, kept).filter(bounded)
+    val kept = statsKept.filter { case (_, _, rel) =>
+      spark.read.parquet(s"$root/$rel").columns.contains(column)
+    }
+    if (kept.isEmpty && statsKept.nonEmpty &&
+        !entries.exists(e => spark.read.parquet(s"$root/${e._3}").columns.contains(column)))
+      throw new IllegalArgumentException(s"no segment of $root carries column '$column'")
+    (entries, kept)
   }
 
   /** The version numbers [[readAppendOnlyWhere]] would open — the
@@ -750,9 +806,7 @@ object Snapshots {
     */
   private[graft] def prunedTo(
       spark: SparkSession, root: String, column: String, lo: Any, hi: Any): Seq[Long] =
-    appendOnlyEntries(spark, root).filter { case (_, _, rel) =>
-      mayContain(segmentStats(spark, root, rel), column, lo, hi)
-    }.map(_._1)
+    rangeSegments(spark, root, column, lo, hi)._2.map(_._1)
 
   /** Read the latest version. */
   def latest(spark: SparkSession, root: String, keys: Seq[String]): DataFrame =

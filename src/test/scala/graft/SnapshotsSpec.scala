@@ -119,6 +119,27 @@ class SnapshotsSpec extends SparkSpec {
     assert(none.count() === 0L)
   }
 
+  test("zone maps: range reads cross a schema evolution — column-less segments prune, empty answers stay answers") {
+    val root = tmpDir("snap-zm-evolve")
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), root,
+      statsCols = Seq("id"))
+    // evolved delta adds ts with stats
+    Snapshots.commitDelta(Seq((3L, "c", 150L)).toDF("id", "name", "ts"), root,
+      evolveSchema = true, statsCols = Seq("id", "ts"))
+    // ts range hitting the evolved segment: the base (no ts column)
+    // prunes on SCHEMA, not conservatively in
+    assert(Snapshots.prunedTo(spark, root, "ts", 100L, 200L) === Seq(2L))
+    assert(Snapshots.readAppendOnlyWhere(spark, root, "ts", 100L, 200L)
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // ts range missing everything: an EMPTY answer carrying the
+    // column, not an AnalysisException from a column-less base
+    val none = Snapshots.readAppendOnlyWhere(spark, root, "ts", 300L, 400L)
+    assert(none.columns.contains("ts") && none.count() === 0L)
+    // a column no segment carries is a loud error, not a vacuous empty
+    intercept[IllegalArgumentException](
+      Snapshots.readAppendOnlyWhere(spark, root, "nope", 1L, 2L))
+  }
+
   test("zone maps: all-null stats prune; mismatched bound types are loud; floats survive widening") {
     val root = tmpDir("snap-zonemap2")
     Snapshots.commit(
