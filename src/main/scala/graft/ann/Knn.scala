@@ -711,22 +711,43 @@ object Knn {
       .orderBy("qid", "kind", "rank")
   }
 
-  /** qa5: pinned instance — every 50th vector queries, positives at
-    * the q65 near-dup point (0.4), hard negatives top-3 of
-    * [0.25, 0.4). The quadratic DuckDB twin is the exact yardstick.
+  /** qa5: pinned instance — a hash-rate query sample at a FIXED
+    * expected count (64), positives at the q65 near-dup point (0.4),
+    * hard negatives top-3 of [0.25, 0.4). The quadratic DuckDB twin
+    * is the exact yardstick.
+    *
+    * The sample rate is 64/n (derived from one count agg, broadcast
+    * as a scalar), NOT a fixed modulus: `vec_id % 50` made the query
+    * side n/50 — corpus-PROPORTIONAL, so at 100× the broadcast grew
+    * with the corpus and the scan did ~n²/50 cosines, violating the
+    * operator's own "the query set broadcasts because it is a
+    * SAMPLE" contract. With a fixed expected count the broadcast is a
+    * constant at any corpus size and the scan stays one narrow pass.
+    * Threshold arithmetic is the q8f 32-bit pattern: integral `div`
+    * out of 2³² (identical in both engines), floor 1, ceiling 2³²−1
+    * (n ≤ 64 keeps ~everything; hex() past 8 digits would otherwise
+    * left-truncate into a tiny threshold).
     */
   private val qa5 = Qdef(
     "qa5_contrastive_pairs",
     (s, d) => {
       val e = corpus(s, d)
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val cnt = e.agg(count(lit(1)).as("n"))
+      val thr = lower(lpad(hex(least(
+        greatest(expr(s"${64L * 4294967296L}L div n"), lit(1L)),
+        lit(4294967295L))), 8, "0"))
+      val q = e.crossJoin(broadcast(cnt))
+        .filter(substring(
+          md5(concat(col("vec_id").cast("string"), lit(":cq")).cast("binary")), 1, 8) < thr)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
       contrastivePairs(e, q, posTau = 0.4, negLo = 0.25, negK = 3)
     },
     Some("""WITH e AS (SELECT vec_id, embedding,
                     sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
                   FROM embeddings),
-            q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id % 50 = 0),
+            q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e
+                  WHERE substr(md5(CAST(vec_id AS VARCHAR) || ':cq'), 1, 8)
+                    < printf('%08x', least(greatest(64 * 4294967296 // (SELECT COUNT(*) FROM e), 1), 4294967295))),
             p AS (SELECT q.qid, e.vec_id AS nid,
                     list_sum(list_transform(list_zip(q.qe, e.embedding),
                       pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (q.qn * e.nrm) AS cos

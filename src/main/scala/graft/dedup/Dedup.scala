@@ -336,13 +336,15 @@ object Dedup {
       tables: Int = 0,
       planes: Int = 0,
       probe1: Boolean = false,
-      probeUnion: Boolean = false): DataFrame = {
+      probeUnion: Boolean = false,
+      probeSub2: Boolean = false): DataFrame = {
     // probeUnion composes the TWO probes — without probe1 it would
     // silently resolve to NO probing at all at gate scale, handing an
     // opted-in caller lower recall than either probed shape
     require(probe1 || !probeUnion,
       "probeUnion composes the bucket and sub probes — it requires probe1 = true")
-    nearDupsImpl(emb, tau, maxBucket, maxExtra, tables, planes, probe1, probeUnion)
+    nearDupsImpl(emb, tau, maxBucket, maxExtra, tables, planes, probe1, probeUnion,
+      probeSub2)
   }
 
   /** Compact (vec_id, tbl, bkt, xbits) keys for the adaptive path,
@@ -439,7 +441,8 @@ object Dedup {
       g: graft.ann.LshGeometry,
       probed: Boolean,
       probeSub: Boolean = false,
-      probedIncludesSelf: Boolean = true): DataFrame = {
+      probedIncludesSelf: Boolean = true,
+      probeSub2: Boolean = false): DataFrame = {
     val keyed =
       if (probed) graft.ann.Knn.probe1Expand(compact, g.planes, probedIncludesSelf)
       else compact
@@ -447,7 +450,7 @@ object Dedup {
       .withColumn("sub", when(col("extra").isNull, lit(0L))
         .otherwise(col("xbits").bitwiseAND(expr("shiftleft(1L, extra) - 1L"))))
     if (!probeSub) withSub.select("vec_id", "tbl", "bkt", "sub")
-    else
+    else if (!probeSub2)
       // 1-bit multiprobe over the refinement bits, on this side only:
       // a hot-bucket row also visits the `extra` sub keys at hamming
       // distance 1 — the same recall-recovery trick the base geometry
@@ -458,6 +461,31 @@ object Dedup {
           """CASE WHEN extra IS NULL THEN array(sub)
              ELSE concat(array(sub),
                          transform(sequence(0, extra - 1), j -> sub ^ shiftleft(1L, j)))
+             END""")).as("sub"))
+    else
+      // hamming-≤2 multiprobe: also visit every sub key with TWO
+      // refinement bits flipped — the fragmentation class the r11
+      // sf0.1 soak measured (true pairs separated by ≥2 sub bits
+      // under deep splits), which hamming-1 cannot reach. Expansion
+      // is 1 + extra + C(extra,2) on hot-bucket rows only — still
+      // keys-only fan-out on the narrow side of the pair join, and
+      // what it buys is a SMALLER bucket cap at the same recall: the
+      // within-bucket pairwise term scales with cap², the probe legs
+      // linearly with hot rows. extra ≥ 2 guards the pair leg —
+      // sequence(0, extra-2) at extra=1 would be the DESCENDING
+      // [0,-1] (Spark's start>stop semantics), not empty.
+      withSub.select(col("vec_id"), col("tbl"), col("bkt"),
+        explode(expr(
+          """CASE WHEN extra IS NULL THEN array(sub)
+             WHEN extra < 2 THEN
+               concat(array(sub),
+                      transform(sequence(0, extra - 1), j -> sub ^ shiftleft(1L, j)))
+             ELSE
+               concat(array(sub),
+                      transform(sequence(0, extra - 1), j -> sub ^ shiftleft(1L, j)),
+                      flatten(transform(sequence(0, extra - 2), i ->
+                        transform(sequence(i + 1, extra - 1),
+                          j -> sub ^ shiftleft(1L, i) ^ shiftleft(1L, j)))))
              END""")).as("sub"))
   }
 
@@ -487,7 +515,8 @@ object Dedup {
       tables: Int,
       planes: Int,
       probe1: Boolean,
-      probeUnion: Boolean = false): DataFrame = {
+      probeUnion: Boolean = false,
+      probeSub2: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions._
     val e = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
     // Adaptive path: element-wise corpus mean (for the centered
@@ -528,12 +557,14 @@ object Dedup {
       // q6f point's measured-recall-1.0 opt-in, parity-spec-locked.
       // lazy: the product branch builds its own probed subKeys and
       // must not pay (or appear to share) this plan's construction
-      lazy val subLeg = subKeys(compact, hot, g, probed = false, probeSub = true)
+      lazy val subLeg =
+        subKeys(compact, hot, g, probed = false, probeSub = true, probeSub2 = probeSub2)
       val a = (if (!g.probe1) subLeg
         else if (probeUnion)
           subLeg.unionByName(subKeys(compact, hot, g,
             probed = true, probeSub = false, probedIncludesSelf = false))
-        else subKeys(compact, hot, g, probed = true, probeSub = true)).as("a")
+        else subKeys(compact, hot, g, probed = true, probeSub = true,
+          probeSub2 = probeSub2)).as("a")
       val b = subKeys(compact, hot, g, probed = false).as("b")
       a.join(b,
           col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
@@ -688,27 +719,37 @@ object Dedup {
   /** q6f: the density-adaptive query form, driver-checked on its
     * verified output against the same quadratic DuckDB cosine twin as
     * q65 (identical output contract — exact-rescored (id_a, id_b,
-    * cos) pairs). The entry pins `probe1 = true` (the q65 convention)
-    * and `maxBucket = 256`: recall is MONOTONE in the bucket cap, and
-    * 256 is the measured recall-1.0 point at sf0.001, sf0.01 AND
-    * sf0.1 (the r11 soak found the old pin of 32 losing 31/920 pairs
-    * at sf0.1 — split-bit fragmentation separates true pairs by ≥2
-    * sub-key bits, beyond the hamming-1 probe; the maxBucket sweep
-    * measured 32→889, 64→913, 128→919, 256→920). At full recall the
-    * exact re-score makes the OUTPUT brute-equal, which is all the
-    * oracle hashes — hyperplane bucket geometry itself stays
-    * SQL-unreproducible. The SPLITTING regime (hot-bucket detection,
-    * per-bucket extra bits, sub-key multiprobe) is no longer entered
-    * by this entry at gate scales; it keeps its own parity lock at
-    * maxBucket=32 in OracleParitySpec plus the uncentered-corpus
-    * bound specs, so the refinement path stays measured without
-    * capping this entry's recall. The library default keeps the
-    * solver's probe choice.
+    * cos) pairs). The entry pins `probe1 = true` (the q65 convention),
+    * `maxBucket = 64`, and the PRODUCT probe composition widened with
+    * the hamming-2 sub-key probe (`probeSub2`) — the r13 re-pin,
+    * measured by ProbeSweep against brute truth:
+    *
+    *  - recall 1.0 at sf0.001 (66/66), sf0.01 (59/59) AND sf0.1
+    *    (920/920). The r12 pin (256, union) needed the cap above the
+    *    split threshold for the same recall because the UNION probes
+    *    (1 bucket bit OR 1 sub bit) cannot reach pairs split by a
+    *    bucket bit AND sub bits — the product×hamming-2 ball can,
+    *    which is what buys the 4× smaller cap back (64 under union
+    *    probes measured 913–914/920);
+    *  - at 10× (distinct fan, idle box): 95.5 s vs the 256-union
+    *    pin's 104.7 s, AND 89564 vs 89532 of the 98814-pair brute
+    *    truth — the smaller cap is faster and no less complete. (No
+    *    config reaches the ~9.3k marginal jitter pairs the 10× fan
+    *    manufactures just above τ; LSH recall claims remain valid at
+    *    MEASURED scales only, which is why the sf0.1 brute lock in
+    *    OracleParitySpec is permanent.)
+    *
+    * At full recall the exact re-score makes the OUTPUT brute-equal,
+    * which is all the oracle hashes — hyperplane bucket geometry
+    * itself stays SQL-unreproducible. The deeper-split regime keeps
+    * its own parity lock at maxBucket=32 in OracleParitySpec plus
+    * the uncentered-corpus bound specs. The library default keeps
+    * the solver's probe choice.
     */
   private val q6f = Qdef(
     "q6f_dedup_adaptive",
-    (s, d) => adaptiveNearDups(Tables.embeddings(s, d), maxBucket = 256,
-        probe1 = true, probeUnion = true)
+    (s, d) => adaptiveNearDups(Tables.embeddings(s, d), maxBucket = 64,
+        probe1 = true, probeSub2 = true)
       .orderBy("id_a", "id_b"),
     Some(bruteCosineTwin))
 

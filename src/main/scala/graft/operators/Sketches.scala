@@ -271,6 +271,7 @@ object Sketches {
         explode(call_function("graft_shingle_strings", col("text"), lit(3))).as("g"))
       .select(col("source"), md5(col("g")).as("h"))
       .distinct()
+    hashBound.foreach(requirePrefilterSurvivors(h, _, "corpusMinhashOverlap"))
     val ranked = hashBound.fold(h)(b => h.filter(col("h") < lit(b)))
       .withColumn("rn", row_number().over(Window.partitionBy("source").orderBy("h")))
       .filter(col("rn") <= k)
@@ -301,6 +302,29 @@ object Sketches {
       .orderBy("source_a", "source_b")
   }
 
+  /** `hashBound` is an estimator-degradation knob (fewer than k
+    * survivors widens the bottom-k variance), but a source whose
+    * EVERY shingle hash clears the bound would vanish from the ranked
+    * signatures and the inner joins downstream would silently delete
+    * all of that source's pairs — row loss, not degradation. Refuse
+    * loudly instead, naming the sources and the remedy. One extra
+    * per-source min() agg over the distinct-shingle frame, paid only
+    * when the knob is set (the bound exists to cut the SHUFFLED hash
+    * volume at 100 TB; the guard agg is partial-agg narrow on the
+    * same scan).
+    */
+  private def requirePrefilterSurvivors(
+      h: org.apache.spark.sql.DataFrame, bound: String, op: String): Unit = {
+    val starved = h.groupBy("source").agg(min(col("h")).as("mn"))
+      .filter(col("mn") >= lit(bound)).select("source")
+      .collect().map(_.getString(0)).sorted
+    if (starved.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$op: hashBound '$bound' leaves NO surviving shingle hashes for " +
+          s"source(s) ${starved.mkString(", ")} — their pairs would silently " +
+          "disappear from the overlap matrix. Raise hashBound (or pass None).")
+  }
+
   /** The production (sketch-only) half of [[corpusMinhashOverlap]]:
     * per-source bottom-k signatures — k md5 strings per source,
     * mergeable by construction (bottom-k of a union is the bottom-k
@@ -323,6 +347,7 @@ object Sketches {
         explode(call_function("graft_shingle_strings", col("text"), lit(3))).as("g"))
       .select(col("source"), md5(col("g")).as("h"))
       .distinct()
+    hashBound.foreach(requirePrefilterSurvivors(h, _, "estimatedOverlap"))
     val sig = hashBound.fold(h)(b => h.filter(col("h") < lit(b)))
       .withColumn("rn", row_number().over(Window.partitionBy("source").orderBy("h")))
       .filter(col("rn") <= k)

@@ -813,6 +813,14 @@ object TextAnalysis {
       cap: Long,
       idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
     require(cap > 0, s"balancedSample: cap must be positive, got $cap")
+    // cap * 2^32 is computed in Long below: cap >= 2^31 overflows it
+    // negative, and greatest(_, 1) would then floor every oversize
+    // stratum's threshold to 1 — the silent near-total-drop cliff this
+    // function exists to avoid, moved from n_stratum to cap. The
+    // 32-bit threshold domain caps cap itself; a 2-billion-doc
+    // PER-STRATUM sample wants rate-based sampleByRates anyway.
+    require(cap < (1L << 31),
+      s"balancedSample: cap must fit the 32-bit threshold domain (< 2^31), got $cap")
     val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("n_stratum"))
       // threshold < 2^32 whenever n_stratum > cap (the only regime
       // that compares); 8 lowercase hex chars, same order as the md5

@@ -63,6 +63,9 @@ final class AnnServing private (
     */
   val builtAtMs: Long = System.currentTimeMillis()
 
+  /** The banded (vec_id, tbl, bkt) keys — what warm-start persists. */
+  private[serve] def bandedFrame: DataFrame = banded
+
   /** Release the two cache entries the build persisted. A
     * served-then-closed instance (rolling refresh, server shutdown,
     * test suites on a shared long-lived session) must not pin
@@ -217,6 +220,93 @@ object AnnServing {
   /** Build over the static embeddings table (the default source). */
   def build(spark: SparkSession, dataDir: String): AnnServing =
     build(spark, ParquetSource(dataDir))
+
+  /** [[build]] with WARM-START: when `warmRoot` is set, a build first
+    * looks for a persisted banded index whose recorded source stamp
+    * matches the source's CURRENT stamp, and loads it instead of
+    * re-banding the corpus — so a restarted server pays one parquet
+    * read of precomputed keys on its first search, not the full
+    * tables×planes×n banding pass it previously re-ran per process.
+    * A cold (or stale) build still bands inline, then PERSISTS the
+    * banded frame + a geometry sidecar through the snapshot store
+    * (commit, then sidecar, then vacuum of superseded versions — the
+    * q6d crash-ordering: a crash mid-save leaves the previous
+    * consistent pair, and a sidecar-less snapshot is never adopted).
+    * The stamp check means a warm image NEVER outlives its corpus
+    * version: any source commit invalidates it and the next build
+    * re-bands and re-persists.
+    */
+  def build(spark: SparkSession, source: Source, warmRoot: Option[String]): AnnServing =
+    warmRoot match {
+      case None => build(spark, source)
+      case Some(root) =>
+        val stamp = source.version(spark)
+        loadWarm(spark, source, root, stamp).getOrElse {
+          val built = build(spark, source)
+          // persist under the stamp the BUILD recorded (conservative:
+          // a commit racing the build makes the image immediately
+          // stale, same as the in-memory instance)
+          saveWarm(spark, built, root)
+          built
+        }
+    }
+
+  private def warmGeomPath(root: String, v: Long): String = s"$root/_serving_geom/v$v"
+
+  /** Newest full snapshot in `root` whose sidecar exists AND records
+    * exactly `stamp` — loaded as the serving index. Any mismatch
+    * (no store, no sidecar, moved stamp, wrong schema) falls through
+    * to the inline build; warm start is an optimization, its absence
+    * is never an error. The banded read is materialized before the
+    * instance is published, so the first search pays no banding.
+    */
+  private def loadWarm(
+      spark: SparkSession, source: Source, root: String, stamp: String): Option[AnnServing] =
+    scala.util.Try {
+      graft.sources.Snapshots.versions(spark, root)
+        .filter(_._2 == "full").map(_._1).sorted.reverse
+        .flatMap { v =>
+          val p = new org.apache.hadoop.fs.Path(warmGeomPath(root, v))
+          if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
+          else {
+            val r = spark.read.parquet(warmGeomPath(root, v)).head()
+            if (r.getString(0) != stamp) None
+            else Some((v, LshGeometry(r.getInt(1), r.getInt(2), r.getBoolean(3)), r.getInt(4)))
+          }
+        }.headOption.map { case (v, g, dims) =>
+          val banded = graft.sources.Snapshots.read(spark, root, v)
+            .select("vec_id", "tbl", "bkt").persist()
+          try {
+            banded.count() // materialize: first search must not pay the read either
+            val e = source.frame(spark)
+              .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+              .persist()
+            try {
+              e.count()
+              new AnnServing(g, dims, stamp, Knn.hyperplanes(g.tables, g.planes, dims), e, banded)
+            } catch { case t: Throwable => e.unpersist(blocking = false); throw t }
+          } catch { case t: Throwable => banded.unpersist(blocking = false); throw t }
+        }
+    }.toOption.flatten
+
+  /** Commit the built index's banded frame + geometry sidecar, then
+    * vacuum superseded versions (and their sidecars) so restarts
+    * don't accrete one full snapshot per corpus version forever.
+    */
+  private def saveWarm(spark: SparkSession, built: AnnServing, root: String): Unit = {
+    val v = graft.sources.Snapshots.commit(built.bandedFrame, root)
+    import spark.implicits._
+    Seq((built.sourceVersion, built.geometry.tables, built.geometry.planes,
+        built.geometry.probe1, built.dims))
+      .toDF("stamp", "tables", "planes", "probe1", "dims")
+      .write.parquet(warmGeomPath(root, v))
+    val deleted = graft.sources.Snapshots.vacuum(spark, root, keepAfterVersion = v)
+    deleted.foreach { dv =>
+      val p = new org.apache.hadoop.fs.Path(warmGeomPath(root, dv))
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) { f.delete(p, true); () }
+    }
+  }
 
   /** Build (and materialize) the serving index over `source`. Costs
     * one corpus scan + one banding pass — paid once per source

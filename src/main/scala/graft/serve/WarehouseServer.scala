@@ -103,6 +103,7 @@ object WarehouseServer {
       dedupIndexRoot: Option[String] = None,
       annMaxK: Int = 1000,
       annVecStoreRoot: Option[String] = None,
+      annWarmRoot: Option[String] = None,
       vecIndexRoot: Option[String] = None,
       authToken: Option[String] = None,
       authOnLoopback: Boolean = false,
@@ -631,7 +632,7 @@ object WarehouseServer {
           ("href" -> "/tables") ~ ("method" -> "GET") ~ ("rel" -> "tables"),
           ("href" -> "/cohort/query") ~ ("method" -> "POST") ~
             ("rel" -> "cohort-count") ~ ("body" -> "cohort DSL (see README)") ~
-            ("params" -> "as_of_ts?"),
+            ("params" -> "as_of_ts?, speculative_import?, speculative_evolve?"),
           ("href" -> "/cohort/population") ~ ("method" -> "POST") ~
             ("rel" -> "cohort-population") ~ ("params" -> "limit, after"),
           ("href" -> "/cohort/atom-counts") ~ ("method" -> "POST") ~
@@ -654,8 +655,11 @@ object WarehouseServer {
             ("rel" -> "versioned read") ~
             ("params" -> "keys, version?, as_of_ts?, limit, after"),
           ("href" -> "/store/read_range") ~ ("method" -> "GET") ~
-            ("rel" -> "zone-map range read (append-only stores)") ~
-            ("params" -> "column, lo, hi, limit, after"),
+            ("rel" -> "zone-map range read (append-only; keys= for merge stores)") ~
+            ("params" -> "column, lo, hi, keys?, limit, after"),
+          ("href" -> "/store/history") ~ ("method" -> "GET") ~
+            ("rel" -> "per-entity timeline (insert/update/delete per version)") ~
+            ("params" -> "keys, key?, limit, after"),
           ("href" -> "/store/commit") ~ ("method" -> "POST") ~
             ("rel" -> "import") ~ ("body" -> "{source, mode: full|delta}"),
           ("href" -> "/ann/search") ~ ("method" -> "POST") ~
@@ -695,12 +699,40 @@ object WarehouseServer {
     // the store's import shape), so the whole cohort evaluation is
     // "as of instant t" — the reference's implicit immutable-store
     // property, addressed by wall time. Other sources stay live.
+    // ...and the db.with twin: `speculative_import` (a staged parquet
+    // path under the allowed roots) swaps `orders` for the store's
+    // merged view AS IF that batch were committed (Snapshots
+    // .withBatch — nothing is written or published), so an operator
+    // previews an import's effect on cohort counts BEFORE committing.
+    // `speculative_evolve=true` opts the preview into schema
+    // evolution, mirroring /store/commit's `evolve`. Mutually
+    // exclusive with `as_of_ts`: a what-if overlays the PRESENT.
     def cohortSources(params: Map[String, String]): graft.operators.CohortQuery.SourceOverrides =
-      params.get("as_of_ts") match {
-        case None => Map.empty
-        case Some(raw) =>
+      (params.get("as_of_ts"), params.get("speculative_import")) match {
+        case (Some(_), Some(_)) =>
+          throw HttpError(400, "pass either 'as_of_ts' or 'speculative_import', not both")
+        case (Some(raw), None) =>
           val ver = versionAtOr400(parseInstantMs(raw))
           Map("orders" -> Snapshots.asOf(spark, storeRoot, ver, Seq("o_orderkey")))
+        case (None, Some(src)) =>
+          val evolve = params.get("speculative_evolve") match {
+            case None          => false
+            case Some("true")  => true
+            case Some("false") => false
+            case Some(other)   => throw HttpError(400,
+              s"speculative_evolve must be true|false, got '$other'")
+          }
+          val batch = spark.read.parquet(checkUnder(src, cfg.dataDir +: cfg.storeRoot.toSeq))
+          val view =
+            try Snapshots.withBatch(spark, storeRoot, batch, Seq("o_orderkey"), evolve)
+            catch {
+              case e: IllegalArgumentException =>
+                throw HttpError(400, Option(e.getMessage).getOrElse("bad speculative batch")
+                  .replace("pass evolveSchema = true",
+                    "pass speculative_evolve=true"))
+            }
+          Map("orders" -> view)
+        case (None, None) => Map.empty
       }
 
     // the ANN serving index: built once per SOURCE VERSION on demand
@@ -740,7 +772,7 @@ object WarehouseServer {
           s"ann index source unavailable: ${Option(e.getMessage).getOrElse(e.toString)}")
       }
     def annBuild(): AnnServing =
-      try AnnServing.build(spark, annSource)
+      try AnnServing.build(spark, annSource, cfg.annWarmRoot)
       catch {
         case NonFatal(e) => throw HttpError(503,
           s"ann index build failed (server-side, not your request): " +
@@ -780,7 +812,7 @@ object WarehouseServer {
         val t = new Thread(() => {
           try {
             val built =
-              try AnnServing.build(spark, annSource)
+              try AnnServing.build(spark, annSource, cfg.annWarmRoot)
               catch { case NonFatal(_) => null } // next stale search retries
             if (built != null) annLock.synchronized {
               if (annClosed) built.close()
@@ -997,24 +1029,81 @@ object WarehouseServer {
               case _ => (loRaw, hiRaw)
             }
           }
+          // `keys=` switches to the MERGE-read range form
+          // (Snapshots.readMergeWhere): last-writer-wins + tombstones
+          // honored, segments pruned on the range column's zone map —
+          // which must be one of the merge keys (the only column
+          // class whose stats soundly bound where a superseding row
+          // lives). Without keys, the append-only form as before.
           // unknown column surfaces as AnalysisException (→ 400 below);
-          // mismatched bound types / empty store as IllegalArgumentException
-          val df = try Snapshots.readAppendOnlyWhere(
-              spark, storeRoot, column, bounds._1, bounds._2)
+          // mismatched bound types / empty store / non-key column as
+          // IllegalArgumentException
+          val df = try params.get("keys") match {
+              case Some(ks) => Snapshots.readMergeWhere(
+                spark, storeRoot, ks.split(',').toSeq, column, bounds._1, bounds._2)
+              case None => Snapshots.readAppendOnlyWhere(
+                spark, storeRoot, column, bounds._1, bounds._2)
+            }
             catch {
               case e: IllegalArgumentException =>
                 throw HttpError(400, Option(e.getMessage).getOrElse("bad range"))
-              // pointing a range read at a merge-read store (tombstoned
-              // segments) is a client-addressable misuse of THIS store
-              // — 409 with the library's remedy text. Matched on the
-              // tombstone guard's message (the publish-race precedent):
-              // other IllegalStateExceptions (malformed manifest, race)
-              // are server faults and must stay 500
+              // pointing the append-only form at a merge-read store
+              // (tombstoned segments) is a client-addressable misuse —
+              // 409 with the remedy this route actually offers.
+              // Matched on the tombstone guard's message (the
+              // publish-race precedent): other IllegalStateExceptions
+              // (malformed manifest, race) are server faults, 500
               case e: IllegalStateException
                 if Option(e.getMessage).exists(_.startsWith("append-only read")) =>
-                throw HttpError(409, e.getMessage)
+                throw HttpError(409, e.getMessage +
+                  "; or pass keys=<merge keys> for a pruned merge-range read")
             }
           page(df.orderBy(column), limit, after)
+        case ("GET", "/store/history") =>
+          // per-entity timeline (Snapshots.history): one chain read
+          // giving (version, commit_ts_ms, op, key..., payload...)
+          // per state change — the Datomic history read that
+          // previously took a client-side loop over versions. `key=`
+          // narrows to ONE entity (comma-separated values matched
+          // positionally against `keys`); equality literals are typed
+          // from the result schema so the filter pushes into every
+          // segment scan instead of casting the column.
+          import org.apache.spark.sql.functions.{col, lit}
+          import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, DoubleType, FloatType}
+          val keys = params.get("keys").map(_.split(',').toSeq)
+            .getOrElse(throw HttpError(400, "missing query param 'keys' (comma-separated)"))
+          val df0 =
+            try Snapshots.history(spark, storeRoot, keys)
+            catch {
+              case e: IllegalArgumentException =>
+                throw HttpError(400, Option(e.getMessage).getOrElse("bad history request"))
+              // a key column some segment lacks is a client-side
+              // addressing error on THIS store, not a server fault
+              case e: IllegalStateException
+                  if Option(e.getMessage).exists(_.contains("lacks merge key")) =>
+                throw HttpError(400, e.getMessage)
+            }
+          val df = params.get("key") match {
+            case None => df0
+            case Some(raw) =>
+              val vals = raw.split(',').toSeq
+              if (vals.size != keys.size) throw HttpError(400,
+                s"'key' carries ${vals.size} value(s) for ${keys.size} key column(s)")
+              keys.zip(vals).foldLeft(df0) { case (d, (k, v)) =>
+                val typed = d.schema.find(_.name == k).map(_.dataType) match {
+                  case Some(LongType | IntegerType | ShortType) =>
+                    lit(v.toLongOption.getOrElse(throw HttpError(400,
+                      s"key value '$v' is not integral for column '$k'")))
+                  case Some(DoubleType | FloatType) =>
+                    lit(v.toDoubleOption.getOrElse(throw HttpError(400,
+                      s"key value '$v' is not numeric for column '$k'")))
+                  case _ => lit(v)
+                }
+                d.filter(col(k) === typed)
+              }
+          }
+          page(df.orderBy(keys.map(k => col(k).asc) :+ col("version").asc: _*),
+            limit, after)
         case ("POST", "/ann/search") =>
           val spec = JsonMethods.parse(body(ex, cfg.maxBodyBytes))
           val vector = spec \ "vector" match {
@@ -1188,9 +1277,21 @@ object WarehouseServer {
           }
           val df = spark.read.parquet(source)
           val version =
-            if (mode == "full") Snapshots.commit(df, storeRoot, statsCols = stats)
-            else Snapshots.commitDeltaRetrying(df, storeRoot,
-              evolveSchema = evolve, statsCols = stats)
+            try {
+              if (mode == "full") Snapshots.commit(df, storeRoot, statsCols = stats)
+              else Snapshots.commitDeltaRetrying(df, storeRoot,
+                evolveSchema = evolve, statsCols = stats)
+            } catch {
+              // the library's drift error names ITS remedy (the
+              // evolveSchema parameter); an HTTP client's actionable
+              // remedy is this route's `evolve` body field — rewrite
+              // so the 400 is actionable verbatim
+              case e: IllegalArgumentException
+                  if Option(e.getMessage).exists(_.contains("evolveSchema = true")) =>
+                throw HttpError(400, e.getMessage.replace(
+                  "pass evolveSchema = true",
+                  "pass \"evolve\": true in the request body"))
+            }
           ("version" -> version) ~ ("mode" -> mode)
         case (m, p) =>
           // known path + wrong verb is 405, not 404
@@ -1310,7 +1411,7 @@ object WarehouseServer {
   // contract says 405 (nothing fails at compile time if they drift).
   private val getPaths = Set("/", "/health", "/status", "/tables", "/tables/profile",
     "/items/stats", "/items/histogram", "/items/frequencies", "/metadata/search",
-    "/queries", "/store/versions", "/store/read", "/store/read_range")
+    "/queries", "/store/versions", "/store/read", "/store/read_range", "/store/history")
   private val postPaths = Set("/cohort/query", "/cohort/population",
     "/cohort/atom-counts", "/store/commit", "/ann/search", "/ann/refresh", "/dedup/check",
     "/dedup/check_vec")

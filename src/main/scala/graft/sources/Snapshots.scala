@@ -323,19 +323,22 @@ object Snapshots {
     */
   def commit(df: DataFrame, root: String, statsCols: Seq[String] = Nil): Long = {
     val v = writeAndPublish(df, root, "full", statsCols = statsCols)
-    validatedDeltaCols.put(root, schemaCols(df.columns.toIndexedSeq))
+    validatedDeltaCols.put(root, (v, schemaCols(df.columns.toIndexedSeq)))
     v
   }
 
-  /** Per-root memo of the last delta column set that passed schema
-    * validation — commits whose column set matches skip the tip
-    * footer read, so the streaming sinks' per-micro-batch commit
-    * path pays the check once, not per batch. Sound because every
-    * schema CHANGE goes through a validated (or explicitly evolving)
-    * commit of its own, which updates the memo.
+  /** Per-root memo of (tip version, column set) at the last commit
+    * that passed schema validation — commits whose column set matches
+    * the memo AT THE SAME TIP skip the tip footer read, so the
+    * streaming sinks' per-micro-batch commit path pays the check
+    * once, not per batch. Keyed on the tip version so a commit
+    * published by ANOTHER process (evolving or not) re-arms the
+    * check: its publish bumps the tip past the memoized version, the
+    * memo misses, and the next unflagged delta reads the real tip
+    * footer instead of trusting this JVM's stale column set forever.
     */
-  private val validatedDeltaCols =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  private[graft] val validatedDeltaCols =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
 
   /** Columns relevant to schema-drift comparison: the `_deleted`
     * tombstone marker is an optional per-batch annotation (normalized
@@ -361,7 +364,7 @@ object Snapshots {
       statsCols: Seq[String] = Nil): Long = {
     if (!evolveSchema) validateDeltaSchema(df, root)
     val v = writeAndPublish(df, root, "delta", statsCols = statsCols)
-    validatedDeltaCols.put(root, schemaCols(df.columns.toIndexedSeq))
+    validatedDeltaCols.put(root, (v, schemaCols(df.columns.toIndexedSeq)))
     v
   }
 
@@ -373,8 +376,8 @@ object Snapshots {
     */
   private def validateDeltaSchema(df: DataFrame, root: String): Unit = {
     val cols = schemaCols(df.columns.toIndexedSeq)
-    if (validatedDeltaCols.get(root) == cols) return
     manifestState(df.sparkSession, root).lines.lastOption.foreach { case (v, _, rel, _) =>
+      if (validatedDeltaCols.get(root) == (v, cols)) return
       val tip = schemaCols(df.sparkSession.read.parquet(s"$root/$rel").columns.toIndexedSeq)
       if (cols != tip) {
         val added = (cols -- tip).toSeq.sorted
@@ -406,7 +409,7 @@ object Snapshots {
       evolveSchema: Boolean = false, statsCols: Seq[String] = Nil): Long = {
     if (!evolveSchema) validateDeltaSchema(df, root)
     val v = writeAndPublish(df, root, "delta", maxAttempts, statsCols = statsCols)
-    validatedDeltaCols.put(root, schemaCols(df.columns.toIndexedSeq))
+    validatedDeltaCols.put(root, (v, schemaCols(df.columns.toIndexedSeq)))
     v
   }
 
@@ -438,6 +441,42 @@ object Snapshots {
     // validation is what keeps accidental drift out of the chain
     lastWriterWins(
       frames.reduce(_.unionByName(_, allowMissingColumns = true)), keys, "_v")
+  }
+
+  /** Speculative import — the reference's `db.with` twin: the merged
+    * view of the store AS IF `batch` were committed as the next
+    * delta, WITHOUT writing or publishing anything. What-if analysis
+    * for an import batch (preview cohort counts, row deltas, quality
+    * checks) before [[commitDelta]] makes it permanent; nothing this
+    * returns is ever visible to other readers, and the manifest is
+    * not touched — the only filesystem access is the read side.
+    *
+    * Exact commit parity, by construction: the overlay unions the
+    * CURRENT merged view (priority 0) with the normalized batch
+    * (priority 1) through the same [[lastWriterWins]] the real read
+    * path uses — batch rows supersede stored rows per key, batch
+    * tombstones retract them, within-batch duplicate keys resolve
+    * exactly as a committed delta would. The schema-drift gate also
+    * matches commit: an unflagged drifting batch is refused with the
+    * same loud error; `evolveSchema = true` previews the evolved
+    * union schema null-filled. An EMPTY store previews the batch as
+    * the whole table (what committing it would make true).
+    */
+  def withBatch(
+      spark: SparkSession, root: String, batch: DataFrame, keys: Seq[String],
+      evolveSchema: Boolean = false): DataFrame = {
+    val missingKeys = keys.filterNot(batch.columns.contains)
+    require(missingKeys.isEmpty,
+      s"speculative batch lacks merge key column(s) ${missingKeys.mkString(", ")}")
+    if (versions(spark, root).isEmpty) {
+      val b = normDeleted(batch).withColumn("_v", lit(1L))
+      lastWriterWins(b, keys, "_v")
+    } else {
+      if (!evolveSchema) validateDeltaSchema(batch, root)
+      val cur = normDeleted(latest(spark, root, keys)).withColumn("_v", lit(0L))
+      val b = normDeleted(batch).withColumn("_v", lit(1L))
+      lastWriterWins(cur.unionByName(b, allowMissingColumns = true), keys, "_v")
+    }
   }
 
   /** Resolve an instant to the store version visible at that time:
@@ -761,15 +800,18 @@ object Snapshots {
     val (entries, kept) = rangeSegments(spark, root, column, lo, hi)
     val bounded = col(column) >= lit(lo) && col(column) <= lit(hi)
     if (kept.isEmpty) {
-      // every segment pruned: an empty frame in the schema of a
-      // segment that CARRIES the column (schema-only footer reads, no
-      // scan) — using an arbitrary segment would fail analysis on an
-      // evolved chain whose base predates the column
-      val carrier = entries
-        .find(e => spark.read.parquet(s"$root/${e._3}").columns.contains(column))
-        .getOrElse(throw new IllegalArgumentException(
-          s"no segment of $root carries column '$column'"))
-      spark.read.parquet(s"$root/${carrier._3}").where(lit(false)).filter(bounded)
+      // every segment pruned: an empty frame in the SAME null-filled
+      // union schema a non-empty read of the carrier chain returns —
+      // answering with a single segment's schema instead would let
+      // the column set of the response depend on whether the range
+      // matched, breaking downstream unions on evolved chains. The
+      // where(lit(false)) collapses to an empty relation in the
+      // optimizer, so this is footer reads only, no scan.
+      val carriers =
+        entries.filter(e => spark.read.parquet(s"$root/${e._3}").columns.contains(column))
+      if (carriers.isEmpty)
+        throw new IllegalArgumentException(s"no segment of $root carries column '$column'")
+      readChain(spark, root, carriers.head._1, carriers).where(lit(false)).filter(bounded)
     } else readChain(spark, root, kept.head._1, kept).filter(bounded)
   }
 
@@ -807,6 +849,84 @@ object Snapshots {
   private[graft] def prunedTo(
       spark: SparkSession, root: String, column: String, lo: Any, hi: Any): Seq[Long] =
     rangeSegments(spark, root, column, lo, hi)._2.map(_._1)
+
+  /** Zone-map range read over a MERGE-READ store: [[latest]]/[[asOf]]
+    * restricted to `column ∈ [lo, hi]` where `column` is one of the
+    * MERGE KEYS, opening only the segments whose committed stats
+    * intersect the range. Pruning on the key's own zone map is EXACT
+    * under last-writer-wins: every row, rewrite and tombstone of an
+    * in-range key carries that key VALUE, so it can only live in a
+    * segment whose key range intersects [lo, hi] — a disjoint
+    * segment provably holds nothing that could supersede or retract
+    * an in-range row, and skipping it cannot change the merge. (That
+    * argument needs the range column to BE a merge key: a non-key
+    * column's value can move across versions, so a later rewrite
+    * relocating a row out of range could hide in a pruned segment —
+    * refused loudly.) Stats-less segments stay conservatively in;
+    * the merged result then applies the same lastWriterWins +
+    * tombstone-drop as the full read, and BOTH branches (matching
+    * and all-pruned) answer in [[asOf]]'s null-filled union schema,
+    * so evolved chains give one stable column set regardless of what
+    * pruning kept.
+    */
+  def readMergeWhere(
+      spark: SparkSession, root: String, keys: Seq[String], column: String,
+      lo: Any, hi: Any, version: Long = -1L): DataFrame = {
+    require(keys.contains(column),
+      s"merge range reads prune on a MERGE KEY column — '$column' is not one of " +
+        s"${keys.mkString(", ")}. A non-key column can be rewritten across versions, " +
+        "so its zone maps cannot bound where a superseding row lives; filter the " +
+        "full merge read instead")
+    val v = if (version < 0) latestVersion(spark, root) else version
+    val all = versions(spark, root).filter(_._1 <= v)
+    require(all.nonEmpty, s"no version <= $v in $root")
+    val baseV = all.filter(_._2 == "full").map(_._1).maxOption
+      .getOrElse(throw new IllegalStateException(s"no full snapshot <= $v in $root"))
+    val chain = all.filter(_._1 >= baseV)
+    val kept = chain.filter { case (_, _, rel) =>
+      mayContain(segmentStats(spark, root, rel), column, lo, hi)
+    }
+    val bounded = col(column) >= lit(lo) && col(column) <= lit(hi)
+    // the one stable schema: what the unpruned merge read answers
+    // with (analysis-only — Filter(false) collapses to an empty
+    // relation before any scan runs)
+    val schemaFrame = asOf(spark, root, v, keys).where(lit(false))
+    if (kept.isEmpty) schemaFrame.filter(bounded)
+    else {
+      // the range filter applies BELOW the merge window, per segment:
+      // it bounds the merge KEY, so dropping out-of-range keys before
+      // lastWriterWins cannot change any surviving row — and sitting
+      // directly on each scan it reaches the parquet row-group stats
+      // (zone maps prune files, pushed filters prune row groups)
+      val frames = kept.map { case (sv, _, rel) =>
+        val seg = spark.read.parquet(s"$root/$rel")
+        val missingKeys = keys.filterNot(seg.columns.contains)
+        if (missingKeys.nonEmpty) throw new IllegalStateException(
+          s"segment v$sv of $root lacks merge key column(s) ${missingKeys.mkString(", ")} " +
+            "— the store cannot be merge-read on these keys")
+        normDeleted(seg).filter(bounded).withColumn("_v", lit(sv))
+      }
+      lastWriterWins(
+        frames.reduce(_.unionByName(_, allowMissingColumns = true)), keys, "_v")
+        .unionByName(schemaFrame, allowMissingColumns = true)
+        .select(schemaFrame.columns.map(col).toIndexedSeq: _*)
+    }
+  }
+
+  /** The version numbers [[readMergeWhere]] would open — the pruning
+    * decision as data (the merge twin of [[prunedTo]]).
+    */
+  private[graft] def prunedMergeTo(
+      spark: SparkSession, root: String, keys: Seq[String], column: String,
+      lo: Any, hi: Any): Seq[Long] = {
+    val v = latestVersion(spark, root)
+    val all = versions(spark, root).filter(_._1 <= v)
+    val baseV = all.filter(_._2 == "full").map(_._1).maxOption.getOrElse(
+      throw new IllegalStateException(s"no full snapshot in $root"))
+    all.filter(_._1 >= baseV)
+      .filter { case (_, _, rel) => mayContain(segmentStats(spark, root, rel), column, lo, hi) }
+      .map(_._1)
+  }
 
   /** Read the latest version. */
   def latest(spark: SparkSession, root: String, keys: Seq[String]): DataFrame =
@@ -1013,6 +1133,99 @@ object Snapshots {
     * reads on the key — non-key columns come from the `toV` side for
     * inserts/updates and the `fromV` side for deletes.
     */
+  /** Per-entity history — the full timeline of every key in ONE
+    * chain read: (version, commit_ts_ms, op, key..., payload...),
+    * one row per state CHANGE of a key, ordered per key by version.
+    * The Datomic-ism [[changes]] (version-pair CDC) and q9d
+    * (instant-addressed as-of) don't cover: "all versions of key K
+    * with commit timestamps, in one call", previously a client-side
+    * loop over versions.
+    *
+    * Semantics per segment kind:
+    *  - delta rows: `insert` when the key had no live prior state,
+    *    `update` otherwise; tombstones: `delete` (no-op tombstones —
+    *    key already dead or never live — are dropped, matching
+    *    [[changes]]' no-op discipline);
+    *  - full snapshots: a row whose payload differs from the prior
+    *    live state is an `update` (or `insert` after a delete/never);
+    *    an IDENTICAL restatement (the compaction artifact) is
+    *    dropped; a key live before the full but ABSENT from it is a
+    *    synthesized `delete` — a full redefines the table, so
+    *    disappearance is a real retraction with the full's version
+    *    and stamp.
+    *
+    * Scale shape: one null-filled union over the chain's segments
+    * (key filters PUSH into every parquet scan — a single-key lookup
+    * prunes by row group), one per-full anti-join for the synthetic
+    * deletes (fulls are rare — compactions), and ONE window shuffle
+    * on the key for classification. Payload equality is null-safe
+    * column compare (`<=>`), computed on the lag of the SAME window —
+    * no self-join. Evolved chains read with the union schema,
+    * null-filled, so a history row carries every column its version
+    * knew plus typed nulls for the rest; commit_ts_ms is null on
+    * manifest lines that predate the timestamp field ("unknown", not
+    * epoch).
+    */
+  def history(spark: SparkSession, root: String, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "history needs at least one merge key column")
+    val chain = versionsWithTimes(spark, root)
+    require(chain.nonEmpty, s"empty snapshot store at $root")
+    val frames = chain.map { case (v, kind, rel, ts) =>
+      val seg = spark.read.parquet(s"$root/$rel")
+      val missingKeys = keys.filterNot(seg.columns.contains)
+      if (missingKeys.nonEmpty) throw new IllegalStateException(
+        s"segment v$v of $root lacks merge key column(s) ${missingKeys.mkString(", ")} " +
+          "— the store cannot be history-read on these keys")
+      normDeleted(seg)
+        .withColumn("_v", lit(v))
+        .withColumn("_ts", if (ts >= 0) lit(ts) else lit(null).cast("long"))
+        .withColumn("_kind", lit(kind))
+    }
+    val all = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    val payload = all.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == "_deleted" || c == "_v" || c == "_ts" || c == "_kind")
+    // synthetic deletes: per full snapshot AFTER the first version,
+    // keys live just before it but absent from it
+    val synths = chain.filter(t => t._2 == "full" && t._1 > chain.head._1)
+      .map { case (vf, _, _, ts) =>
+        val prior = lastWriterWins(
+          all.filter(col("_v") < vf)
+            .select(keys.map(col) ++ Seq(col("_deleted"), col("_v")): _*),
+          keys, "_v")
+        val inFull = all.filter(col("_v") === vf).select(keys.map(col): _*)
+        prior.join(inFull, keys, "left_anti")
+          .select(keys.map(col) ++
+            payload.map(c => lit(null).cast(all.schema(c).dataType).as(c)) ++ Seq(
+              lit(true).as("_deleted"),
+              lit(vf).as("_v"),
+              (if (ts >= 0) lit(ts) else lit(null).cast("long")).as("_ts"),
+              lit("full").as("_kind")): _*)
+      }
+    val evts = (all.select(keys.map(col) ++ payload.map(col) ++
+      Seq(col("_deleted"), col("_v"), col("_ts"), col("_kind")): _*) +: synths)
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_v"))
+    // previous event's liveness and payload, over the same window
+    val prevDead = lag(col("_deleted"), 1, true).over(w)
+    val samePayload = payload
+      .map(c => col(c) <=> lag(col(c), 1).over(w))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    evts
+      .withColumn("_prev_dead", prevDead)
+      .withColumn("_same", samePayload && !col("_prev_dead"))
+      .withColumn("op",
+        when(col("_deleted") && col("_prev_dead"), lit(null).cast("string")) // no-op tombstone
+          .when(col("_deleted"), lit("delete"))
+          .when(col("_prev_dead"), lit("insert"))
+          .when(col("_same") && col("_kind") === "full", lit(null).cast("string")) // no-op restatement
+          .when(col("_same"), lit("update")) // explicit delta rewrite, kept
+          .otherwise(lit("update")))
+      .filter(col("op").isNotNull)
+      .select(Seq(col("_v").as("version"), col("_ts").as("commit_ts_ms"), col("op")) ++
+        keys.map(col) ++ payload.map(col): _*)
+  }
+
   def changes(
       spark: SparkSession, root: String, fromV: Long, toV: Long,
       keys: Seq[String]): DataFrame = {

@@ -498,6 +498,34 @@ class DedupAnnSpec extends SparkSpec {
     assert(recall >= 0.7, f"adaptive recall $recall%.3f below floor")
   }
 
+  test("q6f: probeSub2 emits exactly the hamming<=2 sub-key ball, cold rows stay single") {
+    import spark.implicits._
+    val g = graft.ann.LshGeometry(1, 4, probe1 = false)
+    // one cold row, one hot row at extra=1 (no pair leg — the
+    // descending-sequence trap), one hot row at extra=3
+    val compact = Seq(
+      (10L, 0, 100L, 0x5AL), // cold
+      (11L, 0, 200L, 0x5AL), // hot, extra=1 -> sub = 0b0
+      (12L, 0, 300L, 0x5AL)) // hot, extra=3 -> sub = 0b010
+      .toDF("vec_id", "tbl", "bkt", "xbits")
+    val hot = Seq((0, 200L, 1), (0, 300L, 3)).toDF("tbl", "bkt", "extra")
+    def subsOf(df: org.apache.spark.sql.DataFrame, id: Long): Set[Long] =
+      df.filter(col("vec_id") === id).select("sub").collect().map(_.getLong(0)).toSet
+    val h2 = Dedup.subKeys(compact, hot, g, probed = false, probeSub = true, probeSub2 = true)
+    // cold: the single distance-0 key
+    assert(subsOf(h2, 10L) === Set(0L))
+    // extra=1: {sub, sub^1} and NOTHING else (sequence(0,-1) would
+    // have produced a descending [0,-1] pair leg)
+    assert(subsOf(h2, 11L) === Set(0L, 1L))
+    // extra=3, sub=0b010: distance 0 (1), distance 1 (3), distance 2
+    // (C(3,2)=3) — the full hamming<=2 ball over 3 bits
+    assert(subsOf(h2, 12L) === Set(0L, 1L, 2L, 3L, 4L, 6L, 7L)) // everything but 5 (=d3)
+    // and the hamming-1 form is the strict subset it claims to be
+    val h1 = Dedup.subKeys(compact, hot, g, probed = false, probeSub = true)
+    assert(subsOf(h1, 12L) === Set(2L, 3L, 0L, 6L))
+    assert(subsOf(h1, 12L).subsetOf(subsOf(h2, 12L)))
+  }
+
   test("auto geometry at gate scale is bit-identical to the fixed 12x4 (q65 oracle safety)") {
     val emb = Tables.embeddings(spark, sf)
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =

@@ -71,12 +71,13 @@ class OracleParitySpec extends SparkSpec {
 
   test("q6f: the pinned entry reproduces the exhaustive cosine truth at BOTH gate scales and sf0.1") {
     // the q6f oracle's validity rests on this: at the pinned point
-    // (maxBucket=256, probe1 + union probes) the candidate stage
-    // loses no true pair, so the exact re-score equals brute. sf0.1
-    // rides along because that is exactly where the old pin of 32
-    // silently lost 31/920 pairs (the r11 soak catch) — a regen or
-    // re-pin that drops recall fails HERE, at the largest corpus we
-    // can afford to brute per suite run.
+    // (maxBucket=64, probe1, product composition + hamming-2 sub
+    // probes — the r13 re-pin, ProbeSweep-measured) the candidate
+    // stage loses no true pair, so the exact re-score equals brute.
+    // sf0.1 rides along because that is exactly where the old
+    // 32-union pin silently lost 31/920 pairs (the r11 soak catch) —
+    // a regen or re-pin that drops recall fails HERE, at the largest
+    // corpus we can afford to brute per suite run.
     for (d <- scales :+ "/root/testdata/sf0.1") {
       val got = idPairs(SparkEntry.queries("q6f_dedup_adaptive")(spark, d))
       assert(got == bruteCosPairs(Tables.embeddings(spark, d)),
@@ -86,13 +87,12 @@ class OracleParitySpec extends SparkSpec {
   }
 
   test("q6f: the SPLIT regime (maxBucket=32) keeps full recall at both gate scales") {
-    // the refinement path — hot-bucket detection, per-bucket split
-    // bits, hamming-1 sub-key probe — is no longer entered by the
-    // driver entry's 256 pin at these corpus sizes, so it keeps its
-    // own recall lock here: at gate scale the split machinery loses
-    // no true pair. (At sf0.1 it measurably does — 889/920, the
-    // documented fragmentation bound — which is exactly why the
-    // driver entry pins the cap above the split threshold instead.)
+    // the deepest-split UNION-probe shape keeps its own recall lock:
+    // at gate scale the split machinery loses no true pair even
+    // under the narrower union probes. (At sf0.1 this shape
+    // measurably does lose — 889/920, the documented fragmentation
+    // bound the r13 product+hamming-2 re-pin exists to beat; the
+    // pinned entry's own sf0.1 lock is the test above.)
     for (d <- scales) {
       val got = idPairs(graft.dedup.Dedup.adaptiveNearDups(
         Tables.embeddings(spark, d), maxBucket = 32, probe1 = true, probeUnion = true))

@@ -216,4 +216,32 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().toSeq
     assert(pre === full)
   }
+
+  test("q9e: a hash bound that starves a source is a loud refusal, not silent pair loss") {
+    // bound "0" sorts below every md5 hex digit, so EVERY source loses
+    // all its shingle hashes — the inner joins downstream would emit
+    // an empty matrix with no hint of why. Both overlap paths refuse,
+    // naming the sources and the remedy.
+    val docs = Tables.documents(spark, sf)
+    val e1 = intercept[IllegalArgumentException](
+      operators.Sketches.corpusMinhashOverlap(docs, hashBound = Some("0")).collect())
+    assert(e1.getMessage.contains("hashBound") && e1.getMessage.contains("Raise"))
+    val e2 = intercept[IllegalArgumentException](
+      operators.Sketches.estimatedOverlap(docs, hashBound = Some("0")).collect())
+    assert(e2.getMessage.contains("hashBound"))
+    // a permissive bound passes the guard untouched
+    assert(operators.Sketches.estimatedOverlap(docs, hashBound = Some("g")).count() > 0)
+  }
+
+  test("q8f: a cap outside the 32-bit threshold domain is refused, not a silent drop cliff") {
+    val docs = Tables.documents(spark, sf)
+    // cap * 2^32 overflows Long at cap = 2^31: would floor thresholds
+    // to 1 and drop ~everything from any stratum above the cap
+    val e = intercept[IllegalArgumentException](
+      operators.TextAnalysis.balancedSample(docs, "lang", cap = 1L << 31))
+    assert(e.getMessage.contains("2^31"))
+    // the largest legal cap keeps every stratum whole (rate >= 1)
+    assert(operators.TextAnalysis.balancedSample(docs, "lang", cap = (1L << 31) - 1)
+      .count() === docs.count())
+  }
 }

@@ -231,7 +231,10 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val (dc, dv) = post("/store/commit", s"""{"source": "$drifted"}""")
     assert(dc == 400, s"drifting delta not refused: $dc $dv")
     val msg = (dv \ "error").asInstanceOf[JString].s
-    assert(msg.contains("tag") && msg.contains("evolveSchema"))
+    // the remedy must be actionable VERBATIM by an HTTP client: it
+    // names this route's `evolve` body field, not the library's
+    // evolveSchema parameter the client can't pass
+    assert(msg.contains("tag") && msg.contains("\"evolve\": true"))
     assert(post("/store/commit", s"""{"source": "$drifted", "evolve": 1}""")._1 == 400)
     assert(post("/store/commit", s"""{"source": "$drifted", "evolve": true}""")._1 == 200)
     val (ec2, ev2) = get("/store/read?keys=k")
@@ -598,6 +601,73 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(get("/store/read_range?column=k&lo=a&hi=b")._1 == 400) // string bounds vs long zone map
   }
 
+  test("/store/history serves a key's full timeline, including the compaction-drop delete") {
+    // read-only over the chain the store suite built (in declaration
+    // order): v1 full k=0..4, v2 delta k=10..11, v3 evolved delta
+    // k=100 (k, tag), v4 full k=1000..1009 (range test — REDEFINES
+    // the table, dropping every earlier key), v5 delta k=5000..5009
+    val (hc, hv) = get("/store/history?keys=k&key=100")
+    assert(hc == 200, s"history failed: $hc $hv")
+    val timeline = rows(hv).map(r => (longOf(r \ "version"), (r \ "op").asInstanceOf[JString].s))
+    // k=100 was inserted by the evolved delta and dropped by the
+    // range test's full commit — a synthesized delete, not silence
+    assert(timeline == List((3L, "insert"), (4L, "delete")), s"got $timeline")
+    // a key born in the new base has exactly its insert
+    val (ic, iv) = get("/store/history?keys=k&key=1000")
+    assert(ic == 200 && rows(iv).map(r => (r \ "op").asInstanceOf[JString].s) == List("insert"))
+    // unfiltered history pages with a cursor like any bounded listing
+    val (ac, av) = get("/store/history?keys=k&limit=5")
+    assert(ac == 200 && rows(av).size == 5)
+    assert((av \ "next_after").isInstanceOf[JString])
+    // typed errors: missing keys, arity mismatch, non-integral value
+    assert(get("/store/history")._1 == 400)
+    assert(get("/store/history?keys=k&key=1,2")._1 == 400)
+    assert(get("/store/history?keys=k&key=abc")._1 == 400)
+  }
+
+  test("merge-range reads over HTTP: keys= upgrades the tombstoned-store 409 to a pruned LWW read") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("serve-merge-range")
+    spark.range(0, 10).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .write.parquet(s"$root/seed")
+    val srv = WarehouseServer.start(spark, WarehouseServer.Config(
+      dataDir = sf, storeRoot = Some(root)))
+    try {
+      val b = s"http://127.0.0.1:${srv.port}"
+      def getJ(path: String): (Int, JValue) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(s"$b$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def postJ(path: String, body: String): (Int, JValue) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(s"$b$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      assert(postJ("/store/commit",
+        s"""{"source": "$root/seed", "mode": "full", "stats": ["k"]}""")._1 == 200)
+      // a tombstoning delta makes the store merge-read
+      spark.range(0, 10).filter(col("id") % 3 === 0)
+        .select(col("id").as("k"), (col("id") * 2).as("v"),
+          org.apache.spark.sql.functions.lit(true).as("_deleted"))
+        .write.parquet(s"$root/tomb")
+      assert(postJ("/store/commit",
+        s"""{"source": "$root/tomb", "stats": ["k"]}""")._1 == 200)
+      // the append-only form now 409s, naming the keys= remedy
+      val (ac, av) = getJ("/store/read_range?column=k&lo=2&hi=7")
+      assert(ac == 409)
+      assert((av \ "error").asInstanceOf[JString].s.contains("keys="))
+      // the merge form serves the range with tombstones applied
+      val (mc, mv) = getJ("/store/read_range?column=k&lo=2&hi=7&keys=k")
+      assert(mc == 200)
+      val ks = (mv \ "rows").asInstanceOf[JArray].arr.map(r => longOf(r \ "k"))
+      assert(ks == List(2L, 4L, 5L, 7L), s"got $ks") // 3 and 6 tombstoned
+      // a non-key range column through HTTP is the library's typed 400
+      assert(getJ("/store/read_range?column=v&lo=0&hi=99&keys=k")._1 == 400)
+    } finally srv.close()
+  }
+
   test("a page boundary inside a sort-key tie trims to a resumable boundary or withholds the cursor") {
     import spark.implicits._
     // g is NOT a total order: the auto-paginated /queries contract
@@ -843,6 +913,67 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     } finally srv.close()
   }
 
+  test("speculative import over HTTP: cohort counts preview a staged batch without publishing it") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val root = tmpDir("serve-spec-import")
+    val orders = Tables.orders(spark, sf)
+    Snapshots.commit(orders, root)
+    // staged batch (a parquet under the store root, the import jail):
+    // flip every ≡3 (mod 10) key's status to 'F', tombstone every ≡7
+    val staged = s"$root/staged-batch"
+    orders.filter(col("o_orderkey") % 10 === 3 || col("o_orderkey") % 10 === 7)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 10 === 3, lit("F")).otherwise(col("o_orderstatus")))
+      .withColumn("_deleted", col("o_orderkey") % 10 === 7)
+      .write.parquet(staged)
+    val srv = WarehouseServer.start(spark, WarehouseServer.Config(
+      dataDir = sf, storeRoot = Some(root)))
+    try {
+      val b = s"http://127.0.0.1:${srv.port}"
+      def getJ(path: String): (Int, JValue) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(s"$b$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def postJ(path: String, body: String): (Int, JValue) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(s"$b$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      val spec = """{"and": [{"or": [
+        {"source": "orders", "field": "o_orderstatus", "op": "eq", "value": "F"}]}]}"""
+      val live = longOf(postJ("/cohort/query", spec)._2 \ "n_subjects")
+      // expected preview: the library overlay (count parity with a
+      // real commit is SnapshotsSpec's withBatch case)
+      val expected = CohortQuery.count(spark, sf, spec,
+        Map("orders" -> Snapshots.withBatch(spark, root,
+          spark.read.parquet(staged), Seq("o_orderkey"))))
+        .collect()(0).getLong(0)
+      assert(expected != live, "the staged batch must move the cohort count")
+      val (pc, pv) = postJ(s"/cohort/query?speculative_import=$staged", spec)
+      assert(pc == 200 && longOf(pv \ "n_subjects") == expected)
+      // the preview published NOTHING: still exactly one version, and
+      // the live count is unchanged
+      assert(getJ("/store/versions")._2.asInstanceOf[JArray].arr.size == 1)
+      assert(longOf(postJ("/cohort/query", spec)._2 \ "n_subjects") == live)
+      // exclusivity and jail: both time addresses at once, outside path
+      assert(postJ(s"/cohort/query?as_of_ts=0&speculative_import=$staged", spec)._1 == 400)
+      assert(postJ("/cohort/query?speculative_import=/etc", spec)._1 == 403)
+      // a drifting batch is a 400 whose remedy names THIS param;
+      // opting in previews the evolved schema
+      val drifted = s"$root/staged-drift"
+      orders.limit(1).withColumn("priority_score", lit(0.5)).write.parquet(drifted)
+      val (dc, dv) = postJ(s"/cohort/query?speculative_import=$drifted", spec)
+      assert(dc == 400)
+      assert((dv \ "error").asInstanceOf[JString].s.contains("speculative_evolve"))
+      assert(postJ(
+        s"/cohort/query?speculative_import=$drifted&speculative_evolve=true", spec)._1 == 200)
+      assert(postJ(
+        s"/cohort/query?speculative_import=$drifted&speculative_evolve=maybe", spec)._1 == 400)
+    } finally srv.close()
+  }
+
   test("/ann/search over the persisted vector store: a committed ingest is served without restart; /ann/refresh rebuilds on demand") {
     import org.apache.spark.sql.functions.col
     val root = s"${tmpDir("serve-vecstore")}/corpus"
@@ -923,6 +1054,75 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       assert((rv \ "previous_version").asInstanceOf[JString].s == ver2)
       assert(search("brute")._1 == 200)
     } finally srv.close()
+  }
+
+  test("ann warm start: a restarted server loads the persisted banded index — no re-band, staleness still rebuilds") {
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("serve-ann-warm")
+    val root = s"$base/corpus"
+    val warm = s"$base/warm"
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    Snapshots.commit(emb.filter(col("vec_id") =!= 3), root)
+    val vec = emb.filter(col("vec_id") === 3).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    val cfg = WarehouseServer.Config(
+      dataDir = sf, annVecStoreRoot = Some(root), annWarmRoot = Some(warm))
+    def searchOn(port: Int, method: String = "brute", k: Int = 6): (Int, JValue) = {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/ann/search"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"vector": [${vec.mkString(",")}], "k": $k, "method": "$method"}""", UTF_8))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), JsonMethods.parse(r.body()))
+    }
+    def ns(v: JValue): List[(Long, Double)] =
+      (v \ "neighbors").asInstanceOf[JArray].arr.map { n =>
+        (longOf(n \ "vec_id"), (n \ "cos").asInstanceOf[JDouble].num)
+      }
+    // ---- process 1: cold build persists the warm image
+    val srv1 = WarehouseServer.start(spark, cfg)
+    val cold = try {
+      val (c, v) = searchOn(srv1.port, "lsh")
+      assert(c == 200); ns(v)
+    } finally srv1.close()
+    val warmVs = Snapshots.versions(spark, warm)
+    assert(warmVs.size == 1 && warmVs.head._2 == "full",
+      s"cold build must persist exactly one warm snapshot, got $warmVs")
+    // ---- process 2 (fresh server = restarted process): the first
+    // search must LOAD that image, not re-band — observable as the
+    // warm store not gaining a version, with identical neighbors
+    val srv2 = WarehouseServer.start(spark, cfg)
+    try {
+      val (c, v) = searchOn(srv2.port, "lsh")
+      assert(c == 200 && ns(v) == cold, "warm-loaded index must serve identical neighbors")
+      assert(Snapshots.versions(spark, warm) == warmVs,
+        "a warm load must not commit a new snapshot (that would mean it re-banded)")
+      // ---- staleness: a corpus commit invalidates the warm image;
+      // a synchronous refresh re-bands AND re-persists (old version
+      // vacuumed away — restarts never accrete snapshots)
+      Snapshots.commitDelta(emb.filter(col("vec_id") === 3), root)
+      val rr = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv2.port}/ann/refresh"))
+          .POST(HttpRequest.BodyPublishers.ofString("{}", UTF_8)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(rr.statusCode() == 200)
+      val after = Snapshots.versions(spark, warm)
+      assert(after.size == 1 && after.head._1 > warmVs.head._1,
+        s"refresh must supersede the stale warm image, got $after")
+    } finally srv2.close()
+    // ---- process 3: restart after the ingest loads the FRESH image
+    // and serves the ingested vector without any new commit
+    val srv3 = WarehouseServer.start(spark, cfg)
+    try {
+      val vsBefore = Snapshots.versions(spark, warm)
+      val (c, v) = searchOn(srv3.port, "lsh")
+      assert(c == 200)
+      assert(ns(v).exists { case (id, cos) => id == 3L && math.abs(cos - 1.0) < 1e-12 },
+        s"warm-loaded post-ingest index must serve the ingested vector: ${ns(v)}")
+      assert(Snapshots.versions(spark, warm) == vsBefore,
+        "the restarted server re-banded despite a fresh warm image")
+    } finally srv3.close()
   }
 
   test("a broken ann source answers 503 (server fault), never the request-validation 400") {

@@ -68,6 +68,28 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.latest(spark, root, Seq("id")).columns.toSet === Set("id", "amount"))
   }
 
+  test("schema drift memo: an evolving commit published by ANOTHER process re-arms validation") {
+    val root = tmpDir("snap-memo-cross")
+    Snapshots.commit(Seq((1, "a")).toDF("id", "name"), root)
+    Snapshots.commitDelta(Seq((2, "b")).toDF("id", "name"), root)
+    // capture what "process A" memoized, then let "process B" (same
+    // JVM standing in) publish an evolving delta and RESTORE A's stale
+    // memo — the cross-process state the version-keyed memo exists for
+    val stale = Snapshots.validatedDeltaCols.get(root)
+    assert(stale != null)
+    Snapshots.commitDelta(
+      Seq((3, "c", 9L)).toDF("id", "name", "score"), root, evolveSchema = true)
+    Snapshots.validatedDeltaCols.put(root, stale)
+    // A's next old-shape delta must re-read the REAL tip footer and
+    // refuse — a plain column-set memo would skip the check forever
+    val e = intercept[IllegalArgumentException](
+      Snapshots.commitDelta(Seq((4, "d")).toDF("id", "name"), root))
+    assert(e.getMessage.contains("score"))
+    // and a delta matching the evolved tip passes, re-seeding the memo
+    Snapshots.commitDelta(Seq((4, "d", 10L)).toDF("id", "name", "score"), root)
+    assert(Snapshots.latest(spark, root, Seq("id")).count() === 4)
+  }
+
   test("schema evolution: a segment missing a merge key is refused at read time") {
     val root = tmpDir("snap-evolve-key")
     Snapshots.commit(Seq((1, "a")).toDF("id", "name"), root)
@@ -92,6 +114,98 @@ class SnapshotsSpec extends SparkSpec {
     assert(ch.length === 1)
     assert(ch(0).getInt(0) === 1 && ch(0).getString(ch(0).fieldIndex("_change")) === "update")
     assert(ch(0).getLong(ch(0).fieldIndex("score")) === 99L)
+  }
+
+  test("withBatch: speculative import previews exact commit semantics without touching the manifest") {
+    val root = tmpDir("snap-with")
+    Snapshots.commit(Seq((1, "a", 10L), (2, "b", 20L)).toDF("id", "name", "amount"), root)
+    val manifestBefore = Snapshots.versions(spark, root)
+    // batch: update 1, tombstone 2, insert 3
+    val batch = Seq(
+      (1, "a2", 11L, false), (2, "b", 20L, true), (3, "c", 30L, false))
+      .toDF("id", "name", "amount", "_deleted")
+    val preview = Snapshots.withBatch(spark, root, batch, Seq("id"))
+    // COUNT PARITY with a real commit on a copy of the store
+    val root2 = tmpDir("snap-with-copy")
+    Snapshots.commit(Seq((1, "a", 10L), (2, "b", 20L)).toDF("id", "name", "amount"), root2)
+    Snapshots.commitDelta(batch, root2)
+    val committed = Snapshots.latest(spark, root2, Seq("id"))
+    assert(rowsOf(preview) === rowsOf(committed))
+    assert(preview.count() === 2) // 1 updated, 2 retracted, 3 inserted
+    // NOTHING was published: same manifest, and latest() is unchanged
+    assert(Snapshots.versions(spark, root) === manifestBefore)
+    assert(rowsOf(Snapshots.latest(spark, root, Seq("id")))
+      === Set((1, "a", 10L), (2, "b", 20L)))
+    // the commit-side drift gate applies to the preview too
+    val drift = Seq((4, 0.5)).toDF("id", "score")
+    val e = intercept[IllegalArgumentException](
+      Snapshots.withBatch(spark, root, drift, Seq("id")))
+    assert(e.getMessage.contains("score"))
+    // flagged: previews the evolved union schema null-filled
+    val evolved = Snapshots.withBatch(spark, root, drift, Seq("id"), evolveSchema = true)
+    assert(evolved.columns.toSet === Set("id", "name", "amount", "score"))
+    assert(evolved.count() === 3)
+    // a batch missing the merge key is loud
+    intercept[IllegalArgumentException](
+      Snapshots.withBatch(spark, root, Seq("x").toDF("name"), Seq("id")))
+    // empty store: the preview IS the (resolved) batch
+    val root3 = tmpDir("snap-with-empty")
+    assert(Snapshots.withBatch(spark, root3, batch, Seq("id")).count() === 2)
+  }
+
+  test("history: one chain read gives each key's full timeline across tombstones, compaction and evolution") {
+    val root = tmpDir("snap-history")
+    // v1 full: two keys
+    Snapshots.commit(Seq((1, "a", 10L), (2, "b", 20L)).toDF("id", "name", "amount"), root)
+    // v2 delta: update id=1, insert id=3
+    Snapshots.commitDelta(Seq((1, "a2", 11L), (3, "c", 30L)).toDF("id", "name", "amount"), root)
+    // v3 delta: tombstone id=2
+    Snapshots.commitDelta(
+      Seq((2, "b", 20L, true)).toDF("id", "name", "amount", "_deleted"), root)
+    // v4 full (compaction): restates 1 and 3 UNCHANGED, id=2 stays gone
+    Snapshots.compact(spark, root, Seq("id"))
+    // v5 evolving delta: id=3 gains a score, loses amount
+    Snapshots.commitDelta(Seq((3, "c", 0.5)).toDF("id", "name", "score"), root,
+      evolveSchema = true)
+    val h = Snapshots.history(spark, root, Seq("id"))
+      .orderBy("id", "version").collect()
+    def ops(id: Int) = h.filter(_.getInt(h.head.fieldIndex("id")) == id)
+      .map(r => (r.getLong(0), r.getString(2)))
+    // id=1: insert at v1, update at v2; v4's unchanged restatement dropped
+    assert(ops(1).toSeq === Seq((1L, "insert"), (2L, "update")))
+    // id=2: insert at v1, tombstone delete at v3 — v4's full (where it
+    // is absent) adds NO second delete (already dead)
+    assert(ops(2).toSeq === Seq((1L, "insert"), (3L, "delete")))
+    // id=3: insert at v2, restated unchanged at v4 (dropped), evolved
+    // update at v5 carrying the union schema
+    assert(ops(3).toSeq === Seq((2L, "insert"), (5L, "update")))
+    val v5row = h.find(r => r.getLong(0) == 5L).get
+    assert(v5row.getDouble(v5row.fieldIndex("score")) === 0.5)
+    assert(v5row.isNullAt(v5row.fieldIndex("amount"))) // evolved away
+    // every row carries a commit stamp (this store is post-timestamp)
+    assert(h.forall(!_.isNullAt(1)))
+    // op is never a no-op: re-deriving each key's live state from the
+    // feed must match latest()
+    val live = h.groupBy(_.getInt(h.head.fieldIndex("id"))).map { case (id, rows) =>
+      id -> rows.maxBy(_.getLong(0)).getString(2)
+    }
+    assert(live === Map(1 -> "update", 2 -> "delete", 3 -> "update"))
+    assert(Snapshots.latest(spark, root, Seq("id")).count() === 2) // 1 and 3
+  }
+
+  test("history: a full snapshot DROPPING a live key is a synthesized delete; reappearing is an insert") {
+    val root = tmpDir("snap-history-drop")
+    Snapshots.commit(Seq((1, "a"), (2, "b")).toDF("id", "name"), root)
+    // new base omits id=2 entirely (a full REDEFINES the table)
+    Snapshots.commit(Seq((1, "a")).toDF("id", "name"), root)
+    // id=2 comes back via a delta
+    Snapshots.commitDelta(Seq((2, "b2")).toDF("id", "name"), root)
+    val h = Snapshots.history(spark, root, Seq("id")).orderBy("id", "version").collect()
+    val byId2 = h.filter(_.getInt(3) == 2).map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(byId2 === Seq((1L, "insert"), (2L, "delete"), (3L, "insert")))
+    // the synthesized delete carries null payload (no row existed in v2)
+    val del = h.find(r => r.getLong(0) == 2L && r.getInt(3) == 2).get
+    assert(del.isNullAt(del.fieldIndex("name")))
   }
 
   test("zone maps: range reads open only the segments whose stats intersect") {
@@ -135,9 +249,71 @@ class SnapshotsSpec extends SparkSpec {
     // column, not an AnalysisException from a column-less base
     val none = Snapshots.readAppendOnlyWhere(spark, root, "ts", 300L, 400L)
     assert(none.columns.contains("ts") && none.count() === 0L)
+    // a second evolution adds `src`: the all-pruned answer must carry
+    // the same null-filled UNION schema a matching read of the carrier
+    // chain returns — not the first carrier segment's narrower one
+    Snapshots.commitDelta(Seq((4L, 500L, "web")).toDF("id", "ts", "src"), root,
+      evolveSchema = true, statsCols = Seq("id", "ts"))
+    val hit = Snapshots.readAppendOnlyWhere(spark, root, "ts", 100L, 600L)
+    val miss = Snapshots.readAppendOnlyWhere(spark, root, "ts", 900L, 999L)
+    assert(miss.columns.toSeq === hit.columns.toSeq,
+      s"all-pruned schema ${miss.columns.toSeq} != matching-read schema ${hit.columns.toSeq}")
+    assert(miss.count() === 0L && hit.count() === 2L)
     // a column no segment carries is a loud error, not a vacuous empty
     intercept[IllegalArgumentException](
       Snapshots.readAppendOnlyWhere(spark, root, "nope", 1L, 2L))
+  }
+
+  test("zone maps: merge-range reads prune on the key's stats while honoring LWW and tombstones") {
+    val root = tmpDir("snap-zm-merge")
+    // base: keys 1..4 with stats
+    Snapshots.commit(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+        .toDF("id", "name", "amount"), root, statsCols = Seq("id"))
+    // v2: far-away keys — must be PRUNED for a low range
+    Snapshots.commitDelta(Seq((100L, "x", 1L), (101L, "y", 2L)).toDF("id", "name", "amount"),
+      root, statsCols = Seq("id"))
+    // v3: rewrite id=2, tombstone id=3 (intersects the low range)
+    Snapshots.commitDelta(
+      Seq((2L, "b2", 21L, false), (3L, "c", 30L, true))
+        .toDF("id", "name", "amount", "_deleted"), root, statsCols = Seq("id"))
+    // pruning decision: [1,4] opens v1+v3, not v2
+    assert(Snapshots.prunedMergeTo(spark, root, Seq("id"), "id", 1L, 4L) === Seq(1L, 3L))
+    val r = Snapshots.readMergeWhere(spark, root, Seq("id"), "id", 1L, 4L)
+      .orderBy("id").collect()
+    // LWW: id=2 is the v3 rewrite; tombstone: id=3 gone; id=1, id=4 base
+    assert(r.map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSeq
+      === Seq((1L, "a", 10L), (2L, "b2", 21L), (4L, "d", 40L)))
+    // the pruned read IS the filtered full read, row for row
+    val full = Snapshots.latest(spark, root, Seq("id"))
+      .filter(col("id") >= 1L && col("id") <= 4L).orderBy("id").collect()
+    assert(r.toSeq.map(_.toSeq) === full.toSeq.map(_.toSeq))
+    // a non-key range column is refused with the reasoning, not
+    // silently merged wrong
+    val e = intercept[IllegalArgumentException](
+      Snapshots.readMergeWhere(spark, root, Seq("id"), "amount", 0L, 50L))
+    assert(e.getMessage.contains("MERGE KEY"))
+    // all-pruned: empty answer in the SAME schema as a matching read
+    val none = Snapshots.readMergeWhere(spark, root, Seq("id"), "id", 5000L, 6000L)
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq ===
+      Snapshots.readMergeWhere(spark, root, Seq("id"), "id", 1L, 4L).columns.toSeq)
+  }
+
+  test("zone maps: merge-range reads cross schema evolution with one stable column set") {
+    val root = tmpDir("snap-zm-merge-ev")
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "name"), root, statsCols = Seq("id"))
+    Snapshots.commitDelta(Seq((500L, "m", 9L)).toDF("id", "name", "score"), root,
+      evolveSchema = true, statsCols = Seq("id"))
+    // a low range prunes the evolved segment, yet the answer still
+    // carries ITS column (the asOf union schema), null-filled
+    val low = Snapshots.readMergeWhere(spark, root, Seq("id"), "id", 0L, 10L)
+    assert(low.columns.toSet === Set("id", "name", "score"))
+    val rows = low.collect()
+    assert(rows.length === 1 && rows(0).isNullAt(rows(0).fieldIndex("score")))
+    // and the version pin reads historical merges
+    assert(Snapshots.readMergeWhere(spark, root, Seq("id"), "id", 0L, 1000L, version = 1L)
+      .count() === 1L)
   }
 
   test("zone maps: all-null stats prune; mismatched bound types are loud; floats survive widening") {
