@@ -94,11 +94,15 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }.min
     }
-    // one untimed canary exec first: the very first run of the canary
-    // plan pays its whole-stage-codegen compile, which would inflate
-    // the START checkpoint ~2x against mid/end and flag a quiet box as
-    // contended (observed: 0.34 vs 0.16/0.17 on an idle machine)
-    canaryFn.foreach(fn => try exec(fn(spark, sfDir)) catch { case _: Throwable => () })
+    // TWO untimed canary execs first: the very first run of the canary
+    // plan pays its whole-stage-codegen compile, and the second still
+    // rides the fresh JVM's JIT ramp — either would inflate the START
+    // checkpoint against mid/end (observed 0.34 vs 0.16/0.17, and
+    // 0.86 vs 0.57/0.43 on the r12 record's fresh JVM) and flag a
+    // quiet box as contended
+    canaryFn.foreach { fn =>
+      (0 until 2).foreach(_ => try exec(fn(spark, sfDir)) catch { case _: Throwable => () })
+    }
     val canaryStart = canary()
     // stable iteration order + an explicit midpoint hook
     val queriesSeq = SparkEntry.queries.toSeq
