@@ -1230,8 +1230,15 @@ object Snapshots {
       spark: SparkSession, root: String, fromV: Long, toV: Long,
       keys: Seq[String]): DataFrame = {
     require(fromV < toV, s"changes requires fromV < toV, got $fromV >= $toV")
-    val before = asOf(spark, root, fromV, keys)
-    val after = asOf(spark, root, toV, keys)
+    diffStates(asOf(spark, root, fromV, keys), asOf(spark, root, toV, keys), keys)
+  }
+
+  /** The diff core [[changes]] and [[streamChangesInto]] share: one
+    * full-outer join of two merged states on the key, rows tagged
+    * `_change ∈ {insert, update, delete}`, no-op rewrites skipped.
+    */
+  private def diffStates(
+      before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
     // the two as-of reads can straddle a schema evolution: diff over
     // the UNION of their data columns, with the side that predates
     // (or dropped) a column contributing typed nulls — so adding a
@@ -1262,5 +1269,93 @@ object Snapshots {
       .select(keys.map(col) ++ dataCols.map(c =>
         when(col("_change") === "delete", col(s"_b_$c"))
           .otherwise(col(s"_a_$c")).as(c)) :+ col("_change"): _*)
+  }
+
+  /** Continuous CDC tail — FOLLOW the store: a streaming query that
+    * polls the manifest tip and appends each new span's change feed
+    * ([[changes]]' rows plus `_from_v`/`_to_v` span stamps) to an
+    * append-only OUTPUT store. The follower side of [[streamInto]]:
+    * one store ingests continuously, any number of downstream
+    * consumers tail its changes without re-diffing by hand.
+    *
+    * Progress IS the output: the last tailed version is read off the
+    * newest output segment's `_to_v` (one small segment read per
+    * poll, no side-channel state file), and the output commit is the
+    * atomic progress publish — a poll that crashes after computing
+    * but before committing replays the SAME span next time, and a
+    * replayed span recomputes the identical rows against the
+    * identical version pair (deterministic), so the output store
+    * sees each span exactly once. Quiet spans (versions advanced,
+    * nothing changed — compactions) commit nothing; the next
+    * non-quiet poll covers the widened span in one feed.
+    *
+    * Per-poll cost: when the span holds only DELTAS, both as-of
+    * sides are first semi-joined to the span's own keys (the only
+    * keys whose state can have changed — delta segments are small),
+    * so the diff's shuffled payload is span-sized, not store-sized.
+    * A span containing a FULL snapshot falls back to the full diff:
+    * a full can retract keys no delta row names (the q9i
+    * drop-by-compaction case), which a key-bounded diff would miss.
+    * Schema evolution flows through: the output store commits with
+    * `evolveSchema = true` and the feed's columns follow the
+    * source's union schema.
+    *
+    * The driver stream is a 1-row rate tick per `pollIntervalMs`
+    * (`ticks` overrides it — tests drive polls with a MemoryStream);
+    * tick rows themselves are ignored.
+    */
+  def streamChangesInto(
+      spark: SparkSession, root: String, keys: Seq[String], outRoot: String,
+      checkpoint: String, pollIntervalMs: Long = 1000L,
+      ticks: Option[DataFrame] = None): StreamingQuery = {
+    val driver = ticks.getOrElse(
+      spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1L)
+        .option("advanceMillisPerBatch", pollIntervalMs)
+        .load())
+    driver.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) => tailOnce(spark, root, keys, outRoot) }
+      .start()
+  }
+
+  /** One poll of the CDC tail ([[streamChangesInto]]'s body; exposed
+    * for deterministic single-step tests and batch catch-ups).
+    */
+  private[graft] def tailOnce(
+      spark: SparkSession, root: String, keys: Seq[String], outRoot: String): Unit = {
+    val vs = versions(spark, root)
+    if (vs.isEmpty) return
+    val tip = vs.last._1
+    val last = versions(spark, outRoot).lastOption match {
+      case Some((ov, _, _)) =>
+        read(spark, outRoot, ov).agg(max(col("_to_v"))).head().getLong(0)
+      // bootstrap: the tail starts AT the source's first version —
+      // the baseline state is asOf(first) (consumers snapshot it
+      // themselves); the feed then carries everything after it
+      case None => vs.head._1
+    }
+    if (tip <= last) return
+    val span = vs.filter(t => t._1 > last && t._1 <= tip)
+    val feed = (if (span.exists(_._2 == "full"))
+      changes(spark, root, last, tip, keys)
+    else {
+      val spanKeys = span
+        .map { case (_, _, rel) =>
+          spark.read.parquet(s"$root/$rel").select(keys.map(col): _*) }
+        .reduce(_ unionByName _)
+        .distinct()
+      diffStates(
+        asOf(spark, root, last, keys).join(spanKeys, keys, "left_semi"),
+        asOf(spark, root, tip, keys).join(spanKeys, keys, "left_semi"), keys)
+    })
+      .withColumn("_from_v", lit(last))
+      .withColumn("_to_v", lit(tip))
+    feed.persist()
+    try {
+      if (!feed.isEmpty) {
+        commitDeltaRetrying(feed, outRoot, evolveSchema = true); ()
+      }
+    } finally { feed.unpersist(); () }
   }
 }

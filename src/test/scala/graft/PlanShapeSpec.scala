@@ -67,6 +67,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(page2.limit(5).collect().map(_.toSeq).toSeq == direct)
   }
 
+  test("store history: a single-key lookup pushes its equality into every segment scan") {
+    // the q9i scale claim: "history of key K" on a years-long chain
+    // must prune by parquet row-group stats in each segment, not
+    // scan the store — the key equality has to survive the
+    // union + window plan down to PushedFilters on every scan
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = tmpDir("plan-history")
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), root)
+    Snapshots.commitDelta(Seq((2L, "b2")).toDF("id", "name"), root)
+    val one = Snapshots.history(spark, root, Seq("id")).filter(col("id") === 2L)
+    val p = {
+      val key = "spark.sql.maxMetadataStringLength"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, "100000")
+      try one.queryExecution.executedPlan.toString
+      finally spark.conf.set(key, old)
+    }
+    val scanLines = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scanLines.size >= 2, s"expected a scan per segment:\n$p")
+    scanLines.foreach(l => assert(l.contains("EqualTo(id,2)"),
+      s"key equality not pushed into a segment scan: $l\n$p"))
+    assert(one.collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+      === Seq((1L, "insert"), (2L, "update")))
+  }
+
   test("q21: top-k per group gets the partial WindowGroupLimit pushdown") {
     // Catalyst's InferWindowGroupLimit turns the row_number()<=k filter
     // into a map-side rank limit BEFORE the hash exchange — each task

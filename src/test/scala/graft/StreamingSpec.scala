@@ -397,6 +397,89 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st0f: the CDC tail follows the store — span feeds, quiet compactions, replay-exact progress") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+
+    val root = tmpDir("st0f-src") + "/orders"
+    val out = tmpDir("st0f-out") + "/feed"
+    Snapshots.commit(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "name", "amount"), root)
+    // nothing after the baseline: a poll commits nothing
+    Snapshots.tailOnce(spark, root, Seq("id"), out)
+    assert(Snapshots.versions(spark, out).isEmpty)
+    // v2: update 1, insert 3 — the poll appends the span feed
+    Snapshots.commitDelta(Seq((1L, "a2", 11L), (3L, "c", 30L)).toDF("id", "name", "amount"), root)
+    Snapshots.tailOnce(spark, root, Seq("id"), out)
+    def feedRows(): Seq[(Long, String, Long, Long)] =
+      Snapshots.readAppendOnly(spark, out)
+        .select("id", "_change", "_from_v", "_to_v").orderBy("_to_v", "id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(feedRows() === Seq((1L, "update", 1L, 2L), (3L, "insert", 1L, 2L)))
+    // a replayed poll (crash-after-commit restart) adds NOTHING —
+    // progress is read off the output itself
+    Snapshots.tailOnce(spark, root, Seq("id"), out)
+    assert(feedRows().size === 2)
+    // a quiet compaction advances versions without changes: no commit
+    Snapshots.compact(spark, root, Seq("id"))
+    Snapshots.tailOnce(spark, root, Seq("id"), out)
+    assert(feedRows().size === 2)
+    // v4 tombstones id=2 — the span (2,4] crosses the full, so the
+    // full-diff fallback runs and still emits exactly the delete
+    Snapshots.commitDelta(
+      Seq((2L, "b", 20L, true)).toDF("id", "name", "amount", "_deleted"), root)
+    Snapshots.tailOnce(spark, root, Seq("id"), out)
+    assert(feedRows() === Seq(
+      (1L, "update", 1L, 2L), (3L, "insert", 1L, 2L), (2L, "delete", 2L, 4L)))
+    // applying the feed to the baseline reproduces the live state —
+    // the consumer-side contract of a CDC stream
+    val applied = Snapshots.asOf(spark, root, 1L, Seq("id"))
+      .withColumn("_v", lit(0L)).withColumn("_deleted", lit(false))
+      .unionByName(
+        Snapshots.readAppendOnly(spark, out)
+          .withColumn("_v", col("_to_v"))
+          .withColumn("_deleted", col("_change") === "delete")
+          .select("id", "name", "amount", "_v", "_deleted"),
+        allowMissingColumns = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("_v").desc)
+    val lives = applied.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !col("_deleted"))
+      .select("id", "name", "amount").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val direct = Snapshots.latest(spark, root, Seq("id"))
+      .select("id", "name", "amount").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(lives === direct)
+  }
+
+  test("st0f: the streaming wrapper drives polls from ticks and resumes across queries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.Snapshots
+
+    val root = tmpDir("st0f2-src") + "/orders"
+    val out = tmpDir("st0f2-out") + "/feed"
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "name"), root)
+    Snapshots.commitDelta(Seq((2L, "b")).toDF("id", "name"), root)
+    val ticks = MemoryStream[Int]
+    val q = Snapshots.streamChangesInto(spark, root, Seq("id"), out,
+      tmpDir("st0f2-ckpt"), ticks = Some(ticks.toDF()))
+    try {
+      ticks.addData(1)
+      q.processAllAvailable()
+      // bootstrap span (1, 2]: the insert of id=2
+      assert(Snapshots.readAppendOnly(spark, out).count() === 1)
+      Snapshots.commitDelta(Seq((1L, "a9")).toDF("id", "name"), root)
+      ticks.addData(2)
+      q.processAllAvailable()
+      val rows = Snapshots.readAppendOnly(spark, out)
+        .select("id", "_change", "_to_v").orderBy("_to_v")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(rows === Seq((2L, "insert", 2L), (1L, "update", 3L)))
+    } finally q.stop()
+  }
+
   test("st06: streaming ingest commits one delta per micro-batch; as-of reproduces boundaries") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
