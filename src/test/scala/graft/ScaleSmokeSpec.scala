@@ -252,4 +252,59 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(after.count() === total)
     info(f"17-frame merge over $total%d keys: $mergeSecs%.1f s, 1 shuffle; post-compact scans: $scans")
   }
+
+  test("store scale: merge-range prune opens 2 of 17 segments; history is ONE window shuffle; the tail diff is span-keyed") {
+    import graft.sources.Snapshots
+    val sf01 = "/root/testdata/sf0.01"
+    val root = tmpDir("scale-store2") + "/orders"
+    val orders = Tables.orders(spark, sf01)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+    val slice = maxKey / 16 + 1
+    Snapshots.commit(orders, root, statsCols = Seq("o_orderkey"))
+    // 16 deltas over DISJOINT key ranges — the shape zone maps exist
+    // for: a years-long chain where each import touches its own band
+    (0 until 16).foreach { i =>
+      Snapshots.commitDelta(
+        orders.filter(col("o_orderkey") >= i * slice && col("o_orderkey") < (i + 1) * slice)
+          .withColumn("o_orderstatus", lit("A")),
+        root, statsCols = Seq("o_orderkey"))
+    }
+    // a one-band merge-range read opens the base full + exactly the
+    // one delta whose recorded key range intersects — 2 scans of 17
+    val lo = 5L * slice
+    val hi = lo + slice / 2
+    val ranged = Snapshots.readMergeWhere(
+      spark, root, Seq("o_orderkey"), "o_orderkey", lo, hi)
+    val rp = ranged.queryExecution.executedPlan.toString
+    val rScans = "Scan parquet".r.findAllIn(rp).length
+    assert(rScans === 2, s"merge-range read should open base + 1 delta, saw $rScans scans:\n$rp")
+    assert(ranged.count() ===
+      orders.filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi).count())
+    assert(ranged.filter(col("o_orderstatus") =!= "A").count() === 0,
+      "every in-range key was amended by its band's delta — LWW must serve the amendment")
+    // history over the same 17-segment chain: the whole per-key
+    // timeline classifies through ONE key shuffle (the window), not
+    // one join or exchange per segment
+    val hist = Snapshots.history(spark, root, Seq("o_orderkey"))
+    val hp = hist.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(hp).length === 1,
+      s"history should be a single window shuffle:\n$hp")
+    assert(hist.filter(col("op") === "update").count() === orders.count(),
+      "every key was amended exactly once")
+    // CDC tail: the first poll bootstraps (1, 17]; a later single-delta
+    // span diffs SEMI-JOINED to the span's own keys — the span-sized
+    // shuffle the 100 TB tail depends on
+    val out = tmpDir("scale-store2-out") + "/feed"
+    Snapshots.tailOnce(spark, root, Seq("o_orderkey"), out)
+    assert(Snapshots.read(spark, out, 1L)
+      .agg(max(col("_to_v"))).head().getLong(0) === 17L)
+    Snapshots.commitDelta(
+      orders.limit(50).withColumn("o_orderstatus", lit("Z")), root,
+      statsCols = Seq("o_orderkey"))
+    Snapshots.tailOnce(spark, root, Seq("o_orderkey"), out)
+    val inc = Snapshots.read(spark, out, 2L)
+    assert(inc.count() === 50L, "the incremental span must carry exactly the delta's keys")
+    assert(inc.filter(col("_change") === "update").count() === 50L)
+  }
 }
