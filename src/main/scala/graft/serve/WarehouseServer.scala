@@ -660,6 +660,9 @@ object WarehouseServer {
           ("href" -> "/store/history") ~ ("method" -> "GET") ~
             ("rel" -> "per-entity timeline (insert/update/delete per version)") ~
             ("params" -> "keys, key?, limit, after"),
+          ("href" -> "/store/changes") ~ ("method" -> "GET") ~
+            ("rel" -> "version-pair CDC feed (what did imports from..to do)") ~
+            ("params" -> "keys, from, to?, limit, after"),
           ("href" -> "/store/commit") ~ ("method" -> "POST") ~
             ("rel" -> "import") ~ ("body" -> "{source, mode: full|delta}"),
           ("href" -> "/ann/search") ~ ("method" -> "POST") ~
@@ -1059,6 +1062,30 @@ object WarehouseServer {
                   "; or pass keys=<merge keys> for a pruned merge-range read")
             }
           page(df.orderBy(column), limit, after)
+        case ("GET", "/store/changes") =>
+          // version-pair CDC over HTTP (Snapshots.changes): "what did
+          // the imports between v_from and v_to do", keyset-paged.
+          // `to` defaults to the tip so "changes since v" is one call.
+          val keys = params.get("keys").map(_.split(',').toSeq)
+            .getOrElse(throw HttpError(400, "missing query param 'keys' (comma-separated)"))
+          val fromV = need(params, "from").toLongOption
+            .getOrElse(throw HttpError(400, s"bad from '${params("from")}'"))
+          val toV = params.get("to") match {
+            case None => Snapshots.latestVersion(spark, storeRoot)
+            case Some(v) => v.toLongOption.getOrElse(throw HttpError(400, s"bad to '$v'"))
+          }
+          val df =
+            try Snapshots.changes(spark, storeRoot, fromV, toV, keys)
+            catch {
+              case e: IllegalArgumentException =>
+                throw HttpError(400, Option(e.getMessage).getOrElse("bad version range"))
+              case e: IllegalStateException
+                  if Option(e.getMessage).exists(m =>
+                    m.contains("no full snapshot") || m.contains("lacks merge key")) =>
+                throw HttpError(400, e.getMessage)
+            }
+          page(df.orderBy(keys.map(k =>
+            org.apache.spark.sql.functions.col(k).asc): _*), limit, after)
         case ("GET", "/store/history") =>
           // per-entity timeline (Snapshots.history): one chain read
           // giving (version, commit_ts_ms, op, key..., payload...)
@@ -1411,7 +1438,8 @@ object WarehouseServer {
   // contract says 405 (nothing fails at compile time if they drift).
   private val getPaths = Set("/", "/health", "/status", "/tables", "/tables/profile",
     "/items/stats", "/items/histogram", "/items/frequencies", "/metadata/search",
-    "/queries", "/store/versions", "/store/read", "/store/read_range", "/store/history")
+    "/queries", "/store/versions", "/store/read", "/store/read_range", "/store/history",
+    "/store/changes")
   private val postPaths = Set("/cohort/query", "/cohort/population",
     "/cohort/atom-counts", "/store/commit", "/ann/search", "/ann/refresh", "/dedup/check",
     "/dedup/check_vec")

@@ -623,6 +623,21 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(get("/store/history")._1 == 400)
     assert(get("/store/history?keys=k&key=1,2")._1 == 400)
     assert(get("/store/history?keys=k&key=abc")._1 == 400)
+    // /store/changes: the version-pair CDC feed — v4's full re-base
+    // (k=1000..1009 in, everything earlier out) read as a diff
+    val (cc, cv) = get("/store/changes?keys=k&from=3&to=4")
+    assert(cc == 200, s"changes failed: $cc $cv")
+    val byOp = rows(cv).groupBy(r => (r \ "_change").asInstanceOf[JString].s)
+      .view.mapValues(_.size).toMap
+    assert(byOp("insert") == 10 && byOp("delete") == 8, s"got $byOp")
+    // `to` defaults to the tip: since v4, the only change is v5's insert batch
+    val (tc, tv) = get("/store/changes?keys=k&from=4")
+    assert(tc == 200)
+    assert(rows(tv).forall(r => (r \ "_change") == JString("insert")))
+    assert(rows(tv).size == 10)
+    // typed errors: backwards range, garbage version
+    assert(get("/store/changes?keys=k&from=4&to=4")._1 == 400)
+    assert(get("/store/changes?keys=k&from=x")._1 == 400)
   }
 
   test("merge-range reads over HTTP: keys= upgrades the tombstoned-store 409 to a pruned LWW read") {
