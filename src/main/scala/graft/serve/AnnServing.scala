@@ -245,8 +245,20 @@ object AnnServing {
           val built = build(spark, source)
           // persist under the stamp the BUILD recorded (conservative:
           // a commit racing the build makes the image immediately
-          // stale, same as the in-memory instance)
-          saveWarm(spark, built, root)
+          // stale, same as the in-memory instance). Best-effort with
+          // a LOUD stderr trail, never fatal: the index in hand is
+          // complete and correct whether or not the cache write
+          // lands — two servers cold-starting on a SHARED warmRoot
+          // race the store's publish CAS, and failing the loser's
+          // first search over a cache it doesn't need would turn a
+          // benign race into a 503 (the winner's image serves both
+          // on the next restart)
+          try saveWarm(spark, built, root)
+          catch {
+            case scala.util.control.NonFatal(e) => System.err.println(
+              s"[graft] ann warm-start image NOT persisted to $root " +
+                s"(serving continues from the in-memory index): $e")
+          }
           built
         }
     }

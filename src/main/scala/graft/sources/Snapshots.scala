@@ -1164,7 +1164,10 @@ object Snapshots {
     * null-filled, so a history row carries every column its version
     * knew plus typed nulls for the rest; commit_ts_ms is null on
     * manifest lines that predate the timestamp field ("unknown", not
-    * epoch).
+    * epoch). A batch that carried the SAME key twice has no defined
+    * within-version order here — exactly as in [[asOf]], whose
+    * last-writer-wins tie among same-version rows is equally
+    * arbitrary; keep import batches key-unique (q9a checks this).
     */
   def history(spark: SparkSession, root: String, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1303,6 +1306,14 @@ object Snapshots {
     * The driver stream is a 1-row rate tick per `pollIntervalMs`
     * (`ticks` overrides it — tests drive polls with a MemoryStream);
     * tick rows themselves are ignored.
+    *
+    * ONE tail per output store: progress is the output's tip, so two
+    * concurrent tails of the same `outRoot` would both read the same
+    * `last`, both diff the same span, and both land their commit
+    * through the OCC retry — duplicating the span's rows. Fan out
+    * consumers by READING one tailed store, not by running parallel
+    * tails into it (the same single-writer contract as
+    * [[streamInto]]'s checkpoint).
     */
   def streamChangesInto(
       spark: SparkSession, root: String, keys: Seq[String], outRoot: String,

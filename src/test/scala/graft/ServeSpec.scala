@@ -1138,6 +1138,17 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       assert(Snapshots.versions(spark, warm) == vsBefore,
         "the restarted server re-banded despite a fresh warm image")
     } finally srv3.close()
+    // ---- an UNWRITABLE warm root must not fail serving: the cache
+    // write is best-effort (loud on stderr), the built index answers
+    val blocked = s"$base/not-a-dir"
+    java.nio.file.Files.write(java.nio.file.Paths.get(blocked), "x".getBytes)
+    val srv4 = WarehouseServer.start(spark, WarehouseServer.Config(
+      dataDir = sf, annVecStoreRoot = Some(root), annWarmRoot = Some(blocked)))
+    try {
+      val (c, v) = searchOn(srv4.port, "lsh")
+      assert(c == 200, s"a failed warm-cache write must not 503 the search: $v")
+      assert(ns(v).nonEmpty)
+    } finally srv4.close()
   }
 
   test("a broken ann source answers 503 (server fault), never the request-validation 400") {
