@@ -733,8 +733,11 @@ object Knn {
     (s, d) => {
       val e = corpus(s, d)
       val cnt = e.agg(count(lit(1)).as("n"))
+      // greatest(n, 1): an EMPTY corpus would otherwise die in ANSI
+      // divide-by-zero instead of answering empty like every other
+      // entry; at n >= 1 the clamp is inert
       val thr = lower(lpad(hex(least(
-        greatest(expr(s"${64L * 4294967296L}L div n"), lit(1L)),
+        greatest(expr(s"${64L * 4294967296L}L div greatest(n, 1L)"), lit(1L)),
         lit(4294967295L))), 8, "0"))
       val q = e.crossJoin(broadcast(cnt))
         .filter(substring(
@@ -747,7 +750,7 @@ object Knn {
                   FROM embeddings),
             q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e
                   WHERE substr(md5(CAST(vec_id AS VARCHAR) || ':cq'), 1, 8)
-                    < printf('%08x', least(greatest(64 * 4294967296 // (SELECT COUNT(*) FROM e), 1), 4294967295))),
+                    < printf('%08x', least(greatest(64 * 4294967296 // greatest((SELECT COUNT(*) FROM e), 1), 1), 4294967295))),
             p AS (SELECT q.qid, e.vec_id AS nid,
                     list_sum(list_transform(list_zip(q.qe, e.embedding),
                       pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (q.qn * e.nrm) AS cos

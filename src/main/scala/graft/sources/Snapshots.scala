@@ -1307,6 +1307,11 @@ object Snapshots {
     * (`ticks` overrides it — tests drive polls with a MemoryStream);
     * tick rows themselves are ignored.
     *
+    * The SOURCE store must be merge-readable (a full base + keyed
+    * deltas — [[asOf]]'s contract, which the diff runs on): tailing a
+    * delta-only append-log store is a loud as-of error; its "feed"
+    * is the store itself.
+    *
     * ONE tail per output store: progress is the output's tip, so two
     * concurrent tails of the same `outRoot` would both read the same
     * `last`, both diff the same span, and both land their commit
