@@ -76,10 +76,15 @@ object ProbeSweep {
           for (cap <- caps; union <- Seq(true, false); sub2 <- Seq(false, true))
             yield (cap, union, sub2)
       }
+    // SPARK_GRAFT_SWEEP_TABLES overrides the solver's table count —
+    // the recall-vs-cost knob to measure when a corpus's marginal
+    // pairs (cos barely over tau) defeat the probes
+    val tables = sys.env.getOrElse("SPARK_GRAFT_SWEEP_TABLES", "0").toInt
     for ((cap, union, sub2) <- configs) {
       val t1 = System.nanoTime()
       val got = graft.dedup.Dedup.adaptiveNearDups(
-        emb, maxBucket = cap, probe1 = true, probeUnion = union, probeSub2 = sub2)
+        emb, maxBucket = cap, tables = tables,
+        probe1 = true, probeUnion = union, probeSub2 = sub2)
       if (truth.isEmpty) {
         val n = got.count()
         val dt = (System.nanoTime() - t1) / 1e9
