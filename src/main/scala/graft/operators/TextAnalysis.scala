@@ -289,6 +289,12 @@ object TextAnalysis {
     * assignment — sharing q86's raw md5(doc_id) prefix would send
     * every low-rate survivor into the train split. Pure narrow filter
     * + one partial-agg shuffle.
+    *
+    * Sources NOT named in `rates` are EXCLUDED (rate 0): a mixture
+    * recipe is an allowlist — the named weights define the corpus,
+    * and an unlisted source flowing through at an implicit 1.0 would
+    * silently swamp the mix it was omitted from. Pass an explicit
+    * `src -> 1.0` to keep a source whole.
     */
   def sampleByRates(docs: org.apache.spark.sql.DataFrame,
       rates: Map[String, Double]): org.apache.spark.sql.DataFrame = {
