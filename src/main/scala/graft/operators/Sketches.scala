@@ -271,12 +271,11 @@ object Sketches {
         explode(call_function("graft_shingle_strings", col("text"), lit(3))).as("g"))
       .select(col("source"), md5(col("g")).as("h"))
       .distinct()
-    hashBound.foreach(requirePrefilterSurvivors(h, _, "corpusMinhashOverlap"))
     val ranked = hashBound.fold(h)(b => h.filter(col("h") < lit(b)))
       .withColumn("rn", row_number().over(Window.partitionBy("source").orderBy("h")))
       .filter(col("rn") <= k)
       .groupBy("source").agg(sort_array(collect_list(col("h"))).as("sig"))
-    val nd = h.groupBy("source").agg(count(lit(1)).as("nd"))
+    val nd = ndWithGuard(h, hashBound, "corpusMinhashOverlap")
     val inter = h.as("x")
       .join(h.as("y"), col("x.h") === col("y.h") && col("x.source") < col("y.source"))
       .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
@@ -302,27 +301,39 @@ object Sketches {
       .orderBy("source_a", "source_b")
   }
 
-  /** `hashBound` is an estimator-degradation knob (fewer than k
-    * survivors widens the bottom-k variance), but a source whose
-    * EVERY shingle hash clears the bound would vanish from the ranked
-    * signatures and the inner joins downstream would silently delete
-    * all of that source's pairs — row loss, not degradation. Refuse
-    * loudly instead, naming the sources and the remedy. One extra
-    * per-source min() agg over the distinct-shingle frame, paid only
-    * when the knob is set (the bound exists to cut the SHUFFLED hash
-    * volume at 100 TB; the guard agg is partial-agg narrow on the
-    * same scan).
+  /** Per-source distinct-shingle counts — the `nd` join side both
+    * overlap paths need — with the hash-bound starvation guard folded
+    * into the SAME aggregation. `hashBound` is an estimator-degradation
+    * knob (fewer than k survivors widens the bottom-k variance), but a
+    * source whose EVERY shingle hash clears the bound would vanish
+    * from the ranked signatures and the inner joins downstream would
+    * silently delete all of that source's pairs — row loss, not
+    * degradation: refuse loudly instead, naming the sources and the
+    * remedy. When the knob is set, ONE eager agg job over the
+    * distinct-shingle frame carries `min(h)` alongside the count; the
+    * guard reads the mins off the collected result and the counts
+    * come back as a local frame (sources are few — the downstream
+    * matrix is all-pairs over them), so the guard costs no second
+    * corpus scan and the nd join side broadcasts for free. Unbounded
+    * calls stay fully lazy.
     */
-  private def requirePrefilterSurvivors(
-      h: org.apache.spark.sql.DataFrame, bound: String, op: String): Unit = {
-    val starved = h.groupBy("source").agg(min(col("h")).as("mn"))
-      .filter(col("mn") >= lit(bound)).select("source")
-      .collect().map(_.getString(0)).sorted
-    if (starved.nonEmpty)
-      throw new IllegalArgumentException(
-        s"$op: hashBound '$bound' leaves NO surviving shingle hashes for " +
-          s"source(s) ${starved.mkString(", ")} — their pairs would silently " +
-          "disappear from the overlap matrix. Raise hashBound (or pass None).")
+  private def ndWithGuard(
+      h: org.apache.spark.sql.DataFrame, hashBound: Option[String],
+      op: String): org.apache.spark.sql.DataFrame = hashBound match {
+    case None => h.groupBy("source").agg(count(lit(1)).as("nd"))
+    case Some(bound) =>
+      val rows = h.groupBy("source")
+        .agg(count(lit(1)).as("nd"), min(col("h")).as("_mn")).collect()
+      // md5 hex is ASCII, so Java string order = Spark's code-point order
+      val starved = rows.filter(_.getString(2) >= bound).map(_.getString(0)).sorted
+      if (starved.nonEmpty)
+        throw new IllegalArgumentException(
+          s"$op: hashBound '$bound' leaves NO surviving shingle hashes for " +
+            s"source(s) ${starved.mkString(", ")} — their pairs would silently " +
+            "disappear from the overlap matrix. Raise hashBound (or pass None).")
+      val spark = h.sparkSession
+      import spark.implicits._
+      rows.toSeq.map(r => (r.getString(0), r.getLong(1))).toDF("source", "nd")
   }
 
   /** The production (sketch-only) half of [[corpusMinhashOverlap]]:
@@ -347,12 +358,11 @@ object Sketches {
         explode(call_function("graft_shingle_strings", col("text"), lit(3))).as("g"))
       .select(col("source"), md5(col("g")).as("h"))
       .distinct()
-    hashBound.foreach(requirePrefilterSurvivors(h, _, "estimatedOverlap"))
     val sig = hashBound.fold(h)(b => h.filter(col("h") < lit(b)))
       .withColumn("rn", row_number().over(Window.partitionBy("source").orderBy("h")))
       .filter(col("rn") <= k)
       .groupBy("source").agg(sort_array(collect_list(col("h"))).as("sig"))
-      .join(h.groupBy("source").agg(count(lit(1)).as("nd")), "source")
+      .join(ndWithGuard(h, hashBound, "estimatedOverlap"), "source")
     val a = sig.select(col("source").as("source_a"), col("sig").as("sig_a"), col("nd").as("n_a"))
     val b = sig.select(col("source").as("source_b"), col("sig").as("sig_b"), col("nd").as("n_b"))
     a.join(b, col("source_a") < col("source_b"))

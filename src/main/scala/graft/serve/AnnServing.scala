@@ -277,7 +277,11 @@ object AnnServing {
     scala.util.Try {
       graft.sources.Snapshots.versions(spark, root)
         .filter(_._2 == "full").map(_._1).sorted.reverse
-        .flatMap { v =>
+        // lazy walk: each candidate costs a sidecar parquet head() job,
+        // so only the NEWEST matching full may be read — an eager
+        // flatMap would pay one driver job per retained full on a
+        // shared warmRoot with racing writers
+        .iterator.flatMap { v =>
           val p = new org.apache.hadoop.fs.Path(warmGeomPath(root, v))
           if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
           else {
@@ -285,7 +289,7 @@ object AnnServing {
             if (r.getString(0) != stamp) None
             else Some((v, LshGeometry(r.getInt(1), r.getInt(2), r.getBoolean(3)), r.getInt(4)))
           }
-        }.headOption.map { case (v, g, dims) =>
+        }.nextOption().map { case (v, g, dims) =>
           val banded = graft.sources.Snapshots.read(spark, root, v)
             .select("vec_id", "tbl", "bkt").persist()
           try {

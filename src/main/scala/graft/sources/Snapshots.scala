@@ -1156,9 +1156,15 @@ object Snapshots {
     *
     * Scale shape: one null-filled union over the chain's segments
     * (key filters PUSH into every parquet scan — a single-key lookup
-    * prunes by row group), one per-full anti-join for the synthetic
-    * deletes (fulls are rare — compactions), and ONE window shuffle
-    * on the key for classification. Payload equality is null-safe
+    * prunes by row group) and two key-partitioned window shuffles,
+    * INDEPENDENT of how many fulls the chain holds: a lead pass
+    * derives the synthetic deletes against the manifest's full list
+    * carried as a LITERAL array (per event row, the first full in
+    * the gap to its next event — later gap fulls are no-ops by
+    * definition), and the classification pass runs lag over events
+    * plus synths. No per-full anti-join, no per-full chain re-scan —
+    * a never-vacuumed chain with monthly compactions reads in the
+    * same two passes as a fresh one. Payload equality is null-safe
     * column compare (`<=>`), computed on the lag of the SAME window —
     * no self-join. Evolved chains read with the union schema,
     * null-filled, so a history row carries every column its version
@@ -1188,26 +1194,44 @@ object Snapshots {
     val all = frames.reduce(_.unionByName(_, allowMissingColumns = true))
     val payload = all.columns.toSeq
       .filterNot(c => keys.contains(c) || c == "_deleted" || c == "_v" || c == "_ts" || c == "_kind")
-    // synthetic deletes: per full snapshot AFTER the first version,
-    // keys live just before it but absent from it
-    val synths = chain.filter(t => t._2 == "full" && t._1 > chain.head._1)
-      .map { case (vf, _, _, ts) =>
-        val prior = lastWriterWins(
-          all.filter(col("_v") < vf)
-            .select(keys.map(col) ++ Seq(col("_deleted"), col("_v")): _*),
-          keys, "_v")
-        val inFull = all.filter(col("_v") === vf).select(keys.map(col): _*)
-        prior.join(inFull, keys, "left_anti")
-          .select(keys.map(col) ++
-            payload.map(c => lit(null).cast(all.schema(c).dataType).as(c)) ++ Seq(
-              lit(true).as("_deleted"),
-              lit(vf).as("_v"),
-              (if (ts >= 0) lit(ts) else lit(null).cast("long")).as("_ts"),
-              lit("full").as("_kind")): _*)
-      }
-    val evts = (all.select(keys.map(col) ++ payload.map(col) ++
-      Seq(col("_deleted"), col("_v"), col("_ts"), col("_kind")): _*) +: synths)
-      .reduce(_ unionByName _)
+    val base = all.select(keys.map(col) ++ payload.map(col) ++
+      Seq(col("_deleted"), col("_v"), col("_ts"), col("_kind")): _*)
+    // synthetic deletes: a key live just before a full snapshot but
+    // absent from it was retracted by that full. Single pass, not
+    // per-full: a key's state between consecutive events is its
+    // latest event, so "live just before vf and absent from vf" holds
+    // exactly when some LIVE event's version gap (v, next_v) contains
+    // vf strictly — and only the FIRST full in a gap matters (a later
+    // gap full re-retracts an already-dead key, the no-op tombstone
+    // the classification below drops anyway). The fulls list is
+    // driver-side manifest metadata, tiny by construction, so it
+    // rides into the plan as a literal struct array and the gap probe
+    // is a scalar expression on the lead window — no anti-join, no
+    // chain re-scan per full.
+    val fulls = chain.filter(t => t._2 == "full" && t._1 > chain.head._1)
+    val synths: Option[DataFrame] = if (fulls.isEmpty) None else Some {
+      val fullsArr = array(fulls.map { case (vf, _, _, ts) =>
+        struct(lit(vf).as("v"),
+          (if (ts >= 0) lit(ts) else lit(null).cast("long")).as("ts"))
+      }: _*)
+      val wLead = Window.partitionBy(keys.map(col): _*).orderBy(col("_v"))
+      base
+        .withColumn("_next_v", lead(col("_v"), 1).over(wLead))
+        .filter(!col("_deleted"))
+        // get() (not element_at) — an empty filtered array must read
+        // as "no full in the gap" (null), not an ANSI index error
+        .withColumn("_sf", get(filter(fullsArr,
+          f => f("v") > col("_v") &&
+            (col("_next_v").isNull || f("v") < col("_next_v"))), lit(0)))
+        .filter(col("_sf").isNotNull)
+        .select(keys.map(col) ++
+          payload.map(c => lit(null).cast(all.schema(c).dataType).as(c)) ++ Seq(
+            lit(true).as("_deleted"),
+            col("_sf")("v").as("_v"),
+            col("_sf")("ts").as("_ts"),
+            lit("full").as("_kind")): _*)
+    }
+    val evts = (base +: synths.toSeq).reduce(_ unionByName _)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_v"))
     // previous event's liveness and payload, over the same window
     val prevDead = lag(col("_deleted"), 1, true).over(w)
@@ -1312,13 +1336,15 @@ object Snapshots {
     * delta-only append-log store is a loud as-of error; its "feed"
     * is the store itself.
     *
-    * ONE tail per output store: progress is the output's tip, so two
-    * concurrent tails of the same `outRoot` would both read the same
-    * `last`, both diff the same span, and both land their commit
-    * through the OCC retry — duplicating the span's rows. Fan out
-    * consumers by READING one tailed store, not by running parallel
-    * tails into it (the same single-writer contract as
-    * [[streamInto]]'s checkpoint).
+    * ONE tail per output store is the intended deployment (fan out
+    * consumers by READING one tailed store, the same single-writer
+    * contract as [[streamInto]]'s checkpoint) — and the commit is
+    * FENCED so an accidental second tail degrades to wasted compute,
+    * never duplicated rows: two concurrent tails both read the same
+    * `last` and diff the same span, but the loser's publish-race
+    * retry first re-reads the output tip's `_to_v` and DROPS its
+    * span when progress already advanced past `last`, instead of
+    * blindly re-publishing the duplicate under the next version.
     */
   def streamChangesInto(
       spark: SparkSession, root: String, keys: Seq[String], outRoot: String,
@@ -1352,6 +1378,18 @@ object Snapshots {
       case None => vs.head._1
     }
     if (tip <= last) return
+    tailSpan(spark, root, keys, outRoot, last, tip, vs)
+  }
+
+  /** Compute and commit one span's feed against an ALREADY-OBSERVED
+    * (last, tip) pair — [[tailOnce]]'s body below the progress read.
+    * `private[graft]` test seam: the duplicate-span race spec replays
+    * a STALE observation after a rival tail landed the same span, and
+    * the fenced commit must drop it rather than duplicate it.
+    */
+  private[graft] def tailSpan(
+      spark: SparkSession, root: String, keys: Seq[String], outRoot: String,
+      last: Long, tip: Long, vs: Seq[(Long, String, String)]): Unit = {
     val span = vs.filter(t => t._1 > last && t._1 <= tip)
     val feed = (if (span.exists(_._2 == "full"))
       changes(spark, root, last, tip, keys)
@@ -1370,7 +1408,44 @@ object Snapshots {
     feed.persist()
     try {
       if (!feed.isEmpty) {
-        commitDeltaRetrying(feed, outRoot, evolveSchema = true); ()
+        // FENCED commit, not commitDeltaRetrying: a blind OCC retry
+        // would let TWO concurrent tails of the same output both land
+        // the same span (both read the same `last`, the loser's retry
+        // re-publishes under the next version — every span row
+        // duplicated, silently). Each attempt (1) re-reads the output
+        // tip's progress stamp and DROPS the span when max(_to_v)
+        // already moved past the `last` it was computed from — another
+        // tail landed this (or a later) span — and (2) pins the
+        // publish to the version observed AT that check via
+        // expectedVersion, so a rival commit landing between the
+        // check and the publish is a loud stale-fold/CAS failure that
+        // sends the loop back to (1), never a silent duplicate.
+        // Only a rival publish that did NOT advance progress (an
+        // operational commit on the output store) actually retries.
+        var attempt = 0
+        var done = false
+        while (!done) {
+          attempt += 1
+          val st = manifestState(spark, outRoot)
+          val progressed = st.lines.lastOption.exists { case (_, _, rel, _) =>
+            spark.read.parquet(s"$outRoot/$rel")
+              .agg(max(col("_to_v"))).head().getLong(0) > last
+          }
+          if (progressed) done = true
+          else {
+            val expected = st.lines.lastOption.map(_._1 + 1).getOrElse(1L)
+            try {
+              writeAndPublish(feed, outRoot, "delta", expectedVersion = Some(expected))
+              done = true
+            } catch {
+              case e: IllegalStateException
+                  if e.getMessage != null &&
+                    (e.getMessage.contains("manifest publish race") ||
+                      e.getMessage.contains("stale fold")) =>
+                if (attempt >= 8) throw e
+            }
+          }
+        }
       }
     } finally { feed.unpersist(); () }
   }

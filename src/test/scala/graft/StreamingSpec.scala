@@ -453,6 +453,36 @@ class StreamingSpec extends SparkSpec {
     assert(lives === direct)
   }
 
+  test("st0f: a racing second tail's stale span is fenced out, not duplicated") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+
+    val root = tmpDir("st0f3-src") + "/orders"
+    val out = tmpDir("st0f3-out") + "/feed"
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), root)
+    Snapshots.commitDelta(Seq((1L, "a2"), (3L, "c")).toDF("id", "name"), root)
+    // two concurrent tails both observe (last=1, tip=2). The winner:
+    Snapshots.tailOnce(spark, root, Seq("id"), out)
+    val landed = Snapshots.versions(spark, out)
+    assert(landed.size === 1)
+    // the loser replays its STALE observation after the winner landed —
+    // the fenced commit must read the output's advanced _to_v and DROP
+    // the span, never append the same rows under the next version
+    val vsAtObservation = Snapshots.versions(spark, root)
+    Snapshots.tailSpan(spark, root, Seq("id"), out, 1L, 2L, vsAtObservation)
+    assert(Snapshots.versions(spark, out) === landed,
+      "stale duplicate span landed in the feed")
+    assert(Snapshots.readAppendOnly(spark, out).count() === 2L)
+    // a GENUINELY new span still commits through the same fence
+    Snapshots.commitDelta(Seq((2L, "b", true)).toDF("id", "name", "_deleted"), root)
+    Snapshots.tailOnce(spark, root, Seq("id"), out)
+    assert(Snapshots.versions(spark, out).size === 2)
+    assert(Snapshots.readAppendOnly(spark, out)
+      .select("id", "_change", "_to_v").orderBy("_to_v", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      === Seq((1L, "update", 2L), (3L, "insert", 2L), (2L, "delete", 3L)))
+  }
+
   test("st0f: the streaming wrapper drives polls from ticks and resumes across queries") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
