@@ -665,6 +665,9 @@ object WarehouseServer {
             ("params" -> "keys, from, to?, limit, after"),
           ("href" -> "/store/commit") ~ ("method" -> "POST") ~
             ("rel" -> "import") ~ ("body" -> "{source, mode: full|delta}"),
+          ("href" -> "/store/excise") ~ ("method" -> "POST") ~
+            ("rel" -> "hard delete across history (PII/GDPR takedown)") ~
+            ("body" -> "{column, values: [...]}"),
           ("href" -> "/ann/search") ~ ("method" -> "POST") ~
             ("rel" -> "similarity-search") ~
             ("body" -> "{vector: [...], k?, method?: lsh|brute}"),
@@ -1320,6 +1323,69 @@ object WarehouseServer {
                   "pass \"evolve\": true in the request body"))
             }
           ("version" -> version) ~ ("mode" -> mode)
+        case ("POST", "/store/excise") =>
+          // hard delete across history (Snapshots.excise): the
+          // PII/GDPR takedown — rewrites every retained segment that
+          // carries the named rows, so history/as-of/changes at ANY
+          // version stop serving them. Body names ONE key column and
+          // the values to excise; value literals are typed from the
+          // chain's union schema so the match (and the counting
+          // pass's pushdown) compares in the column's own type.
+          import org.apache.spark.sql.functions.{col, lit}
+          import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, DoubleType, FloatType}
+          val spec = JsonMethods.parse(body(ex, cfg.maxBodyBytes))
+          val column = spec \ "column" match {
+            case JString(c) => c
+            case other => throw HttpError(400, s"excise needs a 'column' name, got $other")
+          }
+          val rawVals: Seq[String] = spec \ "values" match {
+            case JArray(vs) if vs.nonEmpty => vs.map {
+              case JString(s) => s
+              case JInt(i)    => i.toString
+              case JLong(l)   => l.toString
+              case JDouble(d) => d.toString
+              case other => throw HttpError(400, s"unsupported excise value $other")
+            }
+            case JArray(_) => throw HttpError(400, "excise 'values' must be non-empty")
+            case other => throw HttpError(400, s"excise needs a 'values' array, got $other")
+          }
+          val chain = Snapshots.versions(spark, storeRoot)
+          if (chain.isEmpty) throw HttpError(404, "the store is empty")
+          val colType = chain.iterator
+            .map(t => spark.read.parquet(s"$storeRoot/${t._3}").schema)
+            .flatMap(_.find(_.name == column)).nextOption()
+            .getOrElse(throw HttpError(400,
+              s"no segment of the store carries column '$column'")).dataType
+          val typedVals = rawVals.map { v =>
+            colType match {
+              case LongType | IntegerType | ShortType => v.toLongOption.getOrElse(
+                throw HttpError(400, s"excise value '$v' is not integral for column '$column'"))
+              case DoubleType | FloatType => v.toDoubleOption.getOrElse(
+                throw HttpError(400, s"excise value '$v' is not numeric for column '$column'"))
+              case _ => v
+            }
+          }
+          val report =
+            try Snapshots.excise(spark, storeRoot,
+              col(column).isin(typedVals.map(lit(_).cast(colType)): _*))
+            catch {
+              // a takedown naming rows the store never held is a
+              // client addressing error — surface it as not-found,
+              // never a silently-recorded no-op
+              case e: IllegalArgumentException
+                  if Option(e.getMessage).exists(_.contains("matched NO rows")) =>
+                throw HttpError(404, e.getMessage)
+              case e: IllegalArgumentException =>
+                throw HttpError(400, Option(e.getMessage).getOrElse("bad excise request"))
+              // a commit/compact/vacuum raced the republish: the store
+              // is unchanged, the client retries over the new chain
+              case e: IllegalStateException
+                  if Option(e.getMessage).exists(_.contains("manifest publish race")) =>
+                throw HttpError(409, e.getMessage + " — retry the excision")
+            }
+          ("excised" -> JArray(report.map { case (v, n) =>
+            (("version" -> v) ~ ("rows" -> n)): JValue
+          }.toList)) ~ ("total_rows" -> report.map(_._2).sum)
         case (m, p) =>
           // known path + wrong verb is 405, not 404
           val known = getPaths(p) || postPaths(p) || QueryRun.unapply(p).isDefined
@@ -1441,8 +1507,8 @@ object WarehouseServer {
     "/queries", "/store/versions", "/store/read", "/store/read_range", "/store/history",
     "/store/changes")
   private val postPaths = Set("/cohort/query", "/cohort/population",
-    "/cohort/atom-counts", "/store/commit", "/ann/search", "/ann/refresh", "/dedup/check",
-    "/dedup/check_vec")
+    "/cohort/atom-counts", "/store/commit", "/store/excise", "/ann/search", "/ann/refresh",
+    "/dedup/check", "/dedup/check_vec")
 
   /** POST /queries/{name} matcher (no other path params exist). */
   private object QueryRun {

@@ -1093,6 +1093,139 @@ object Snapshots {
     candidates.map(_._1)
   }
 
+  // ------------------------------------------------------- excision
+
+  /** Hard-delete matching rows from EVERY retained segment — the
+    * immutable-store "excision" escape hatch (the one mutation an
+    * append-only history legitimately needs: a PII/GDPR takedown on
+    * training data). [[vacuum]] deletes only SUPERSEDED segments and
+    * tombstones only hide a key from merged reads — the old payloads
+    * stay on disk and are served by [[history]]/[[asOf]]/[[read]]
+    * forever. Excision rewrites each segment that holds a matching
+    * row WITHOUT those rows and republishes the manifest with the
+    * same versions pointing at the rewritten paths, after which
+    * history/asOf/changes/readAppendOnly at ANY version show nothing
+    * for the excised rows; version numbers, commit timestamps and
+    * all non-matching rows are untouched.
+    *
+    * `condition` selects the rows to REMOVE (e.g.
+    * `col("id").isin(…)`); rows where it evaluates to NULL are kept
+    * (a null key is not a match — `!cond` alone would silently drop
+    * them). Two loud refusals: a condition referencing no columns
+    * (`lit(true)` would erase the table — that's a table drop, not a
+    * takedown), and a condition matching ZERO rows across the chain
+    * (a typo'd key must not silently no-op a legal obligation; the
+    * error names the referenced columns).
+    *
+    * Cost shape: one counting pass over the chain (the condition
+    * sits directly on each parquet scan, so row-group stats and the
+    * committed zone maps bound it) finds the segments that actually
+    * hold matches; only THOSE are read fully and rewritten —
+    * excising one entity from a years-long chain rewrites the
+    * handful of segments that ever carried it. Segments whose schema
+    * lacks a referenced column can't match (the value is null there
+    * under the chain's union semantics) and are skipped without a
+    * scan. Rewritten segments that carried a zone-map sidecar get
+    * one recomputed over the surviving rows.
+    *
+    * Crash/concurrency ordering, same discipline as every publish
+    * here: rewrites land under fresh attempt-unique directories
+    * FIRST, the manifest republish is the single-winner link-CAS
+    * SECOND (a concurrent commit/compact/vacuum in the window makes
+    * this a loud "manifest publish race" — re-run the excision over
+    * the new chain; nothing was lost and the rewritten dirs are
+    * swept as orphans), and the ORIGINAL directories delete THIRD —
+    * a crash between publish and delete leaves the un-excised
+    * originals unreferenced on disk until the next [[vacuum]]'s
+    * orphan sweep reclaims them, so follow an interrupted excision
+    * with a vacuum to finish the physical cleanup. Readers pinned on
+    * a pre-excision manifest can fail mid-job when the originals
+    * delete, exactly as with vacuum.
+    *
+    * Returns (version, rows excised) for every rewritten segment.
+    */
+  def excise(spark: SparkSession, root: String, condition: Column): Seq[(Long, Long)] =
+    exciseFrom(spark, root, condition, manifestState(spark, root))
+
+  /** One excision attempt against an explicitly-passed manifest read —
+    * `private[graft]` test seam so the excise-vs-concurrent-commit
+    * race spec can interleave a commit between the chain read and the
+    * republish (the publish CAS must fail loudly AND the rewritten
+    * dirs must be cleaned up, never a manifest that silently un-lists
+    * the concurrent commit).
+    */
+  private[graft] def exciseFrom(
+      spark: SparkSession, root: String, condition: Column,
+      st: ManifestState): Seq[(Long, Long)] = {
+    require(st.lines.nonEmpty, s"empty snapshot store at $root")
+    val hit = coalesce(condition, lit(false))
+    // resolve the condition against the chain's UNION schema once
+    // (schema-only — where(false) collapses before any scan): a
+    // column no segment carries is a loud AnalysisException here, and
+    // the resolved Filter names exactly the columns the condition
+    // reads, which gates both refusals below and the per-segment
+    // schema skip
+    val unionSchema = st.lines
+      .map { case (_, _, rel, _) => spark.read.parquet(s"$root/$rel").where(lit(false)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val refs = unionSchema.filter(hit).queryExecution.analyzed.collect {
+      case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        fl.condition.references.map(_.name).toSeq
+    }.flatten.distinct.sorted
+    require(refs.nonEmpty,
+      "excision condition references no columns — a constant predicate would erase " +
+        "(or keep) the whole table; name the rows via their key columns")
+    val matchable = st.lines.filter { case (_, _, rel, _) =>
+      val cols = spark.read.parquet(s"$root/$rel").columns
+      refs.forall(cols.contains)
+    }
+    // ONE counting job across all matchable segments: per-segment
+    // match counts, condition pushed into each scan
+    val matched: Map[Long, Long] =
+      if (matchable.isEmpty) Map.empty
+      else matchable
+        .map { case (v, _, rel, _) =>
+          spark.read.parquet(s"$root/$rel").where(hit).select(lit(v).as("_seg")) }
+        .reduce(_ unionByName _)
+        .groupBy(col("_seg")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (matched.isEmpty)
+      throw new IllegalArgumentException(
+        s"excision condition matched NO rows in $root (condition columns: " +
+          s"${refs.mkString(", ")}) — refusing to record a no-op takedown; " +
+          "check the key values (and that the columns are spelled as committed)")
+    val f = fs(spark, root)
+    val rewritten = st.lines.filter(l => matched.contains(l._1)).map {
+      case (v, kind, rel, ts) =>
+        val seg = spark.read.parquet(s"$root/$rel")
+        val newRel = s"v$v-${java.util.UUID.randomUUID.toString.take(8)}"
+        seg.filter(!hit).write.mode("errorifexists").parquet(s"$root/$newRel")
+        segmentStats(spark, root, rel).foreach { stats =>
+          writeStatsSidecar(seg, root, newRel, stats.keys.toSeq.sorted)
+        }
+        (v, kind, rel, newRel, ts)
+    }
+    val byV = rewritten.map(r => r._1 -> r._4).toMap
+    val newLines = st.lines.map { case l @ (v, kind, _, ts) =>
+      byV.get(v).map(nr => (v, kind, nr, ts)).getOrElse(l)
+    }
+    try publishAt(spark, root, st.fileNum + 1, newLines)
+    catch {
+      case e: Throwable =>
+        // lost the CAS (or failed to publish): the rewrites are
+        // unreferenced — delete them now rather than leaving cleaned
+        // copies to the orphan sweep, then surface the failure
+        rewritten.foreach { case (_, _, _, nr, _) =>
+          f.delete(new Path(root, nr), true); ()
+        }
+        throw e
+    }
+    // PII leaves the disk here — after the publish, so no manifest
+    // ever points at a deleted directory
+    rewritten.foreach { case (_, _, rel, _, _) => f.delete(new Path(root, rel), true); () }
+    rewritten.map(r => r._1 -> matched(r._1)).sortBy(_._1)
+  }
+
   /** Continuous ingest: sink a streaming frame into the store, one
     * delta version per non-empty micro-batch — the reference's
     * transactional "import batch" fed by a stream instead of a file

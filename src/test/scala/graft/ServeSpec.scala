@@ -989,6 +989,53 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     } finally srv.close()
   }
 
+  test("/store/excise: the takedown removes a key from every version over HTTP; misses are typed") {
+    import spark.implicits._
+    // destructive by design — this test owns its store and server
+    val root = tmpDir("serve-excise") + "/subjects"
+    Snapshots.commit(Seq((1L, "alice"), (2L, "bob"), (3L, "carol"))
+      .toDF("id", "name"), root)
+    Snapshots.commitDelta(Seq((2L, "bob2")).toDF("id", "name"), root)
+    val srv = WarehouseServer.start(spark, WarehouseServer.Config(
+      dataDir = sf, storeRoot = Some(root)))
+    try {
+      val b = s"http://127.0.0.1:${srv.port}"
+      def getJ(path: String): (Int, JValue) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(s"$b$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def postJ(path: String, body: String): (Int, JValue) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(s"$b$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      // before: id=2 has a two-event history
+      assert(longOf(getJ("/store/history?keys=id&key=2&limit=10")._2 \ "row_count") == 2L)
+      val (c, v) = postJ("/store/excise", """{"column": "id", "values": [2]}""")
+      assert(c == 200, s"excise failed: $v")
+      assert(longOf(v \ "total_rows") == 2L)
+      val versions = (v \ "excised").asInstanceOf[JArray].arr
+        .map(e => longOf(e \ "version"))
+      assert(versions == List(1L, 2L))
+      // after: nothing for id=2 at ANY version, over every store read
+      assert(longOf(getJ("/store/history?keys=id&key=2&limit=10")._2 \ "row_count") == 0L)
+      assert(longOf(getJ("/store/read?keys=id&version=1&limit=10")._2 \ "row_count") == 2L)
+      assert(longOf(getJ("/store/read?keys=id&limit=10")._2 \ "row_count") == 2L)
+      // versions/timestamps are preserved — the republish added no line
+      assert(getJ("/store/versions")._2.asInstanceOf[JArray].arr.size == 2)
+      // a takedown that names nothing is a 404 (never a silent no-op),
+      // bad bodies are 400s, wrong verb is a 405
+      assert(postJ("/store/excise", """{"column": "id", "values": [999]}""")._1 == 404)
+      assert(postJ("/store/excise", """{"column": "id", "values": []}""")._1 == 400)
+      assert(postJ("/store/excise", """{"values": [1]}""")._1 == 400)
+      assert(postJ("/store/excise", """{"column": "nope", "values": [1]}""")._1 == 400)
+      assert(postJ("/store/excise", """{"column": "id", "values": ["abc"]}""")._1 == 400)
+      assert(getJ("/store/excise")._1 == 405)
+    } finally srv.close()
+  }
+
   test("/ann/search over the persisted vector store: a committed ingest is served without restart; /ann/refresh rebuilds on demand") {
     import org.apache.spark.sql.functions.col
     val root = s"${tmpDir("serve-vecstore")}/corpus"

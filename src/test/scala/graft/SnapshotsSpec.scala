@@ -208,6 +208,130 @@ class SnapshotsSpec extends SparkSpec {
     assert(del.isNullAt(del.fieldIndex("name")))
   }
 
+  test("excise: a key's payloads leave every retained segment — history/asOf/changes show nothing at any version") {
+    val root = tmpDir("snap-excise")
+    // same chain shape as the history test: full, updates, tombstone,
+    // compaction, evolution — id=2's payload lives in v1 (full) and
+    // v3 (its tombstone row)
+    Snapshots.commit(Seq((1, "a", 10L), (2, "b", 20L)).toDF("id", "name", "amount"), root)
+    Snapshots.commitDelta(Seq((1, "a2", 11L), (3, "c", 30L)).toDF("id", "name", "amount"), root)
+    Snapshots.commitDelta(
+      Seq((2, "b", 20L, true)).toDF("id", "name", "amount", "_deleted"), root)
+    Snapshots.compact(spark, root, Seq("id"))
+    Snapshots.commitDelta(Seq((3, "c", 0.5)).toDF("id", "name", "score"), root,
+      evolveSchema = true)
+    val before = Snapshots.versionsWithTimes(spark, root)
+    val othersBefore = Snapshots.asOf(spark, root, 5, Seq("id"))
+      .select("id", "name").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+
+    val report = Snapshots.excise(spark, root, col("id") === 2)
+    // exactly the segments that carried id=2 rows were rewritten:
+    // v1 (the original full) and v3 (the tombstone); v4's compaction
+    // already excluded the dead key
+    assert(report === Seq((1L, 1L), (3L, 1L)))
+
+    // versions, kinds and commit stamps are untouched; only the two
+    // rewritten paths moved
+    val after = Snapshots.versionsWithTimes(spark, root)
+    assert(after.map(t => (t._1, t._2, t._4)) === before.map(t => (t._1, t._2, t._4)))
+    assert(after.zip(before).count { case (a, b) => a._3 != b._3 } === 2)
+
+    // NOTHING for id=2 anywhere: every as-of version, the raw
+    // segment reads, the full history, and version-pair changes
+    (1L to 5L).foreach { v =>
+      assert(Snapshots.asOf(spark, root, v, Seq("id")).filter(col("id") === 2).count() === 0L,
+        s"asOf($v) still serves the excised key")
+      assert(Snapshots.read(spark, root, v).filter(col("id") === 2).count() === 0L,
+        s"raw read($v) still serves the excised key")
+    }
+    assert(Snapshots.history(spark, root, Seq("id")).filter(col("id") === 2).count() === 0L)
+    assert(Snapshots.changes(spark, root, 1L, 5L, Seq("id")).filter(col("id") === 2).count() === 0L)
+
+    // every other key's state is bit-identical
+    assert(Snapshots.asOf(spark, root, 5, Seq("id"))
+      .select("id", "name").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      === othersBefore)
+    assert(Snapshots.history(spark, root, Seq("id")).filter(col("id") === 1)
+      .orderBy("version").collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+      === Seq((1L, "insert"), (2L, "update")))
+
+    // the store stays writable after excision (manifest republish is
+    // a normal publish; the next version continues the sequence)
+    assert(Snapshots.commitDelta(Seq((4, "d", 0.1)).toDF("id", "name", "score"), root) === 6L)
+  }
+
+  test("excise: append-only store — rows leave the chain and the rewritten zone map re-prunes") {
+    val root = tmpDir("snap-excise-ao")
+    Snapshots.commit(Seq((1L, "a"), (9L, "b")).toDF("id", "name"), root,
+      statsCols = Seq("id"))
+    Snapshots.commitDelta(Seq((100L, "pii"), (120L, "keep")).toDF("id", "name"), root,
+      statsCols = Seq("id"))
+    // the v2 zone map spans [100, 120]: a [90, 105] range read opens it
+    assert(Snapshots.prunedTo(spark, root, "id", 90L, 105L) === Seq(2L))
+    val report = Snapshots.excise(spark, root, col("id") === 100L)
+    assert(report === Seq((2L, 1L)))
+    assert(Snapshots.readAppendOnly(spark, root).filter(col("id") === 100L).count() === 0L)
+    assert(Snapshots.readAppendOnly(spark, root).count() === 3L)
+    // the rewritten segment's sidecar was recomputed over the
+    // SURVIVORS ([120, 120]) — the old range no longer opens it
+    assert(Snapshots.prunedTo(spark, root, "id", 90L, 105L) === Seq.empty)
+    assert(Snapshots.prunedTo(spark, root, "id", 110L, 130L) === Seq(2L))
+  }
+
+  test("excise: refusals are loud — constant predicates, no-match typos, unknown columns") {
+    val root = tmpDir("snap-excise-refuse")
+    Snapshots.commit(Seq((1, "a"), (2, "b")).toDF("id", "name"), root)
+    // a condition referencing no columns would erase (or keep) the table
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.excise(spark, root, lit(true)))
+    assert(e1.getMessage.contains("references no columns"))
+    // a typo'd key value matches nothing: refuse, never a silent no-op
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.excise(spark, root, col("id") === 999))
+    assert(e2.getMessage.contains("matched NO rows") && e2.getMessage.contains("id"))
+    // a column no segment carries dies in analysis, naming the column
+    val e3 = intercept[org.apache.spark.sql.AnalysisException](
+      Snapshots.excise(spark, root, col("no_such_col") === 1))
+    assert(e3.getMessage.contains("no_such_col"))
+    // nothing above touched the store
+    assert(Snapshots.latest(spark, root, Seq("id")).count() === 2L)
+  }
+
+  test("excise: null-evaluating rows are KEPT (a null key is not a match)") {
+    val root = tmpDir("snap-excise-null")
+    Snapshots.commit(
+      Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "nullkey"),
+        (java.lang.Long.valueOf(2L), "pii"))
+        .toDF("id", "name"), root)
+    Snapshots.excise(spark, root, col("id") === 2L)
+    val left = Snapshots.read(spark, root, 1L).select("name")
+      .collect().map(_.getString(0)).toSet
+    assert(left === Set("a", "nullkey"))
+  }
+
+  test("excise racing a concurrent commit fails loudly; the rewrites are cleaned up, nothing is lost") {
+    val root = tmpDir("snap-excise-race")
+    Snapshots.commit(Seq((1, "a"), (2, "pii")).toDF("id", "name"), root)
+    val stale = Snapshots.manifestState(spark, root)
+    // a delta lands between the excise's chain read and its republish
+    Snapshots.commitDelta(Seq((3, "c")).toDF("id", "name"), root)
+    val e = intercept[IllegalStateException](
+      Snapshots.exciseFrom(spark, root, col("id") === 2, stale))
+    assert(e.getMessage.contains("manifest publish race"))
+    // the concurrent delta is NOT un-listed and the store is intact
+    assert(Snapshots.versions(spark, root).map(_._1) === Seq(1L, 2L))
+    assert(Snapshots.latest(spark, root, Seq("id")).count() === 3L)
+    // the loser's rewritten dir was deleted — no stray segment dirs
+    // beyond the two the manifest references
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val segDirs = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+-[0-9a-f-]+"))
+    assert(segDirs.length === 2, segDirs.map(_.getPath.getName).mkString(", "))
+    // re-run over the fresh chain: succeeds and excises
+    assert(Snapshots.excise(spark, root, col("id") === 2) === Seq((1L, 1L)))
+    assert(Snapshots.latest(spark, root, Seq("id")).filter(col("id") === 2).count() === 0L)
+  }
+
   test("zone maps: range reads open only the segments whose stats intersect") {
     val root = tmpDir("snap-zonemap")
     // three disjoint id ranges + one segment without stats
