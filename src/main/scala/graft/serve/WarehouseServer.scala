@@ -664,7 +664,7 @@ object WarehouseServer {
             ("rel" -> "version-pair CDC feed (what did imports from..to do)") ~
             ("params" -> "keys, from, to?, limit, after"),
           ("href" -> "/store/commit") ~ ("method" -> "POST") ~
-            ("rel" -> "import") ~ ("body" -> "{source, mode: full|delta}"),
+            ("rel" -> "import") ~ ("body" -> "{source, mode: full|delta, evolve?, stats?, meta?}"),
           ("href" -> "/store/excise") ~ ("method" -> "POST") ~
             ("rel" -> "hard delete across history (PII/GDPR takedown)") ~
             ("body" -> "{column, values: [...]}"),
@@ -920,8 +920,13 @@ object WarehouseServer {
             case None => JNull
             case Some(r) =>
               val ms = Snapshots.manifestState(spark, r)
-              ("tip_version" -> ms.lines.lastOption.map(_._1)) ~
-                ("manifest_file" -> ms.fileNum)
+              ("tip_version" -> ms.lines.lastOption.map(_.v)) ~
+                ("manifest_file" -> ms.fileNum) ~
+                // the tip commit's provenance (who/which job/why) —
+                // answered from the manifest line, no data read
+                ("tip_meta" -> ms.lines.lastOption.map(l =>
+                  JObject(l.meta.toList.sortBy(_._1).map { case (k, v) =>
+                    k -> (JString(v): JValue) })))
           }
           ("uptime_ms" -> (System.currentTimeMillis() - startedAtMs)) ~
             ("active_job_groups" -> JArray(active.asScala.toList.sorted.map(JString(_)))) ~
@@ -986,12 +991,17 @@ object WarehouseServer {
             .getOrElse(throw HttpError(404, s"unknown query '$name'"))
           page(q.run(spark, cfg.dataDir), limit, after)
         case ("GET", "/store/versions") =>
-          JArray(Snapshots.versionsWithTimes(spark, storeRoot).map { case (v, kind, path, ts) =>
+          JArray(Snapshots.versionsWithMeta(spark, storeRoot).map { case (v, kind, path, ts, meta) =>
             val base = ("version" -> v) ~ ("kind" -> kind) ~ ("path" -> path)
             // commit_ts is omitted (not null) on lines that predate the
-            // timestamp field — "unknown", not "at the epoch"
-            (if (ts >= 0) base ~ ("commit_ts" -> java.time.Instant.ofEpochMilli(ts).toString)
-             else base): JValue
+            // timestamp field — "unknown", not "at the epoch"; meta is
+            // omitted when the commit carried none
+            val stamped =
+              if (ts >= 0) base ~ ("commit_ts" -> java.time.Instant.ofEpochMilli(ts).toString)
+              else base
+            (if (meta.nonEmpty) stamped ~ ("meta" -> JObject(
+              meta.toList.sortBy(_._1).map { case (k, mv) => k -> (JString(mv): JValue) }))
+             else stamped): JValue
           }.toList)
         case ("GET", "/store/read") =>
           val keys = params.get("keys").map(_.split(',').toSeq)
@@ -1305,12 +1315,23 @@ object WarehouseServer {
             case JNothing => Nil
             case other => throw HttpError(400, s"stats must be an array of column names, got $other")
           }
+          // commit provenance — free-form string facts stored on the
+          // manifest line, surfaced by /store/versions and /status
+          val meta: Map[String, String] = spec \ "meta" match {
+            case JObject(fields) => fields.map {
+              case (k, JString(mv)) => k -> mv
+              case (k, other) => throw HttpError(400,
+                s"meta value for '$k' must be a string, got $other")
+            }.toMap
+            case JNothing => Map.empty
+            case other => throw HttpError(400, s"meta must be a string-valued object, got $other")
+          }
           val df = spark.read.parquet(source)
           val version =
             try {
-              if (mode == "full") Snapshots.commit(df, storeRoot, statsCols = stats)
+              if (mode == "full") Snapshots.commit(df, storeRoot, statsCols = stats, meta = meta)
               else Snapshots.commitDeltaRetrying(df, storeRoot,
-                evolveSchema = evolve, statsCols = stats)
+                evolveSchema = evolve, statsCols = stats, meta = meta)
             } catch {
               // the library's drift error names ITS remedy (the
               // evolveSchema parameter); an HTTP client's actionable

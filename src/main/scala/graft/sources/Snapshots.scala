@@ -82,14 +82,32 @@ object Snapshots {
     * read — mixing a fresh file listing with stale lines is exactly
     * the lost-trim/lost-delta window the publish CAS exists to close.
     *
-    * A line is (version, kind, relative path, commit epoch-millis).
-    * The timestamp is the committer's WALL CLOCK at publish time —
-    * advisory, for [[versionAt]]'s instant→version resolution; -1 on
-    * lines inherited from manifests written before the field existed
-    * (old 3-field TSV lines stay readable forever).
+    * A line is (version, kind, relative path, commit epoch-millis,
+    * provenance meta). The timestamp is the committer's WALL CLOCK at
+    * publish time — advisory, for [[versionAt]]'s instant→version
+    * resolution; -1 on lines inherited from manifests written before
+    * the field existed (old 3-field TSV lines stay readable forever).
+    * `meta` is caller-supplied commit provenance (who imported, which
+    * batch, why — the transaction-entity facts of an immutable store),
+    * rendered as a compact-JSON 5th field whose escaping keeps the
+    * TSV line intact; 3- and 4-field lines read back with empty meta.
     */
+  private[graft] final case class ManifestLine(
+      v: Long, kind: String, rel: String, ts: Long, meta: Map[String, String])
+
   private[graft] final case class ManifestState(
-      fileNum: Long, lines: Seq[(Long, String, String, Long)])
+      fileNum: Long, lines: Seq[ManifestLine])
+
+  private def parseMeta(raw: String, mp: Path): Map[String, String] =
+    org.json4s.jackson.JsonMethods.parse(raw) match {
+      case o: org.json4s.JObject => o.obj.map {
+        case (k, org.json4s.JString(s)) => k -> s
+        case (k, other) => throw new IllegalStateException(
+          s"manifest meta value for '$k' in $mp is not a string: $other")
+      }.toMap
+      case other => throw new IllegalStateException(
+        s"manifest meta field in $mp is not a JSON object: $other")
+    }
 
   private[graft] def manifestState(spark: SparkSession, root: String): ManifestState = {
     val f = fs(spark, root)
@@ -101,26 +119,37 @@ object Snapshots {
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
         val lines = text.linesIterator.filter(_.nonEmpty).map { line =>
-          line.split("\t", 4) match {
-            case Array(v, kind, path, ts) => (v.toLong, kind, path, ts.toLong)
-            case Array(v, kind, path)     => (v.toLong, kind, path, -1L)
+          line.split("\t", 5) match {
+            case Array(v, kind, path, ts, meta) =>
+              ManifestLine(v.toLong, kind, path, ts.toLong, parseMeta(meta, mp))
+            case Array(v, kind, path, ts) => ManifestLine(v.toLong, kind, path, ts.toLong, Map.empty)
+            case Array(v, kind, path)     => ManifestLine(v.toLong, kind, path, -1L, Map.empty)
             case other => throw new IllegalStateException(
               s"malformed manifest line in $mp: '${other.mkString("\\t")}'")
           }
-        }.toSeq.sortBy(_._1)
+        }.toSeq.sortBy(_.v)
         ManifestState(n, lines)
     }
   }
 
   /** (version, kind, path) entries, version-ascending. */
   def versions(spark: SparkSession, root: String): Seq[(Long, String, String)] =
-    manifestState(spark, root).lines.map(t => (t._1, t._2, t._3))
+    manifestState(spark, root).lines.map(l => (l.v, l.kind, l.rel))
 
   /** [[versions]] plus each line's commit wall-time (epoch millis;
     * -1 when the line predates the timestamp field).
     */
   def versionsWithTimes(spark: SparkSession, root: String): Seq[(Long, String, String, Long)] =
-    manifestState(spark, root).lines
+    manifestState(spark, root).lines.map(l => (l.v, l.kind, l.rel, l.ts))
+
+  /** [[versionsWithTimes]] plus each commit's provenance meta — the
+    * caller-supplied facts ([[commit]]/[[commitDelta]]/[[compact]]'s
+    * `meta`) that answer "which import job wrote this version";
+    * empty on lines that predate the field or carried none.
+    */
+  def versionsWithMeta(
+      spark: SparkSession, root: String): Seq[(Long, String, String, Long, Map[String, String])] =
+    manifestState(spark, root).lines.map(l => (l.v, l.kind, l.rel, l.ts, l.meta))
 
   /** `private[graft]` is a test seam: the two-writer race spec drives
     * the publish step directly to interleave two writers that both
@@ -138,11 +167,11 @@ object Snapshots {
   private[graft] def appendManifest(
       spark: SparkSession, root: String, version: Long, kind: String, rel: String): Unit = {
     val st = manifestState(spark, root)
-    if (st.lines.exists(_._1 >= version))
+    if (st.lines.exists(_.v >= version))
       throw new IllegalStateException(
         s"manifest publish race: v$version already committed in $root")
     publishAt(spark, root, st.fileNum + 1,
-      st.lines :+ ((version, kind, rel, System.currentTimeMillis())))
+      st.lines :+ ManifestLine(version, kind, rel, System.currentTimeMillis(), Map.empty))
   }
 
   /** Publish `entries` as manifest file `_manifest.v<fileNum>` — the
@@ -156,10 +185,20 @@ object Snapshots {
     */
   private def publishAt(
       spark: SparkSession, root: String, fileNum: Long,
-      entries: Seq[(Long, String, String, Long)]): Unit = {
+      entries: Seq[ManifestLine]): Unit = {
     val f = fs(spark, root)
     val lines = entries
-      .map { case (v, k, p, ts) => if (ts >= 0) s"$v\t$k\t$p\t$ts" else s"$v\t$k\t$p" }
+      .map { l =>
+        // compact JSON escapes tabs/newlines inside values, so the
+        // TSV line stays one line with exactly its field count
+        val metaField =
+          if (l.meta.isEmpty) ""
+          else "\t" + org.json4s.jackson.JsonMethods.compact(
+            org.json4s.JObject(l.meta.toList.sortBy(_._1)
+              .map { case (k, v) => k -> (org.json4s.JString(v): org.json4s.JValue) }))
+        if (l.ts >= 0 || l.meta.nonEmpty) s"${l.v}\t${l.kind}\t${l.rel}\t${l.ts}$metaField"
+        else s"${l.v}\t${l.kind}\t${l.rel}"
+      }
       .mkString("", "\n", "\n")
     // write-to-tmp-then-rename: a created-but-unwritten manifest must
     // never be listable under its final name (a reader between create
@@ -264,7 +303,8 @@ object Snapshots {
     */
   private def writeAndPublish(
       df: DataFrame, root: String, kind: String, maxAttempts: Int = 1,
-      expectedVersion: Option[Long] = None, statsCols: Seq[String] = Nil): Long = {
+      expectedVersion: Option[Long] = None, statsCols: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     // ONE manifest read serves the dir naming AND the first publish
     // attempt (this path is the streaming sinks' per-micro-batch hot
@@ -272,7 +312,7 @@ object Snapshots {
     // times per commit, the exact anti-pattern readChain's comment
     // calls out); only a lost CAS pays a fresh read for its retry.
     var st = manifestState(spark, root)
-    def next(s: ManifestState): Long = s.lines.lastOption.map(_._1 + 1).getOrElse(1L)
+    def next(s: ManifestState): Long = s.lines.lastOption.map(_.v + 1).getOrElse(1L)
     val rel = s"v${next(st)}-${java.util.UUID.randomUUID.toString.take(8)}"
     validateStatsCols(df, statsCols) // BEFORE the write — a typo'd column must not cost a corpus write
     df.write.mode("errorifexists").parquet(s"$root/$rel")
@@ -304,7 +344,7 @@ object Snapshots {
       }
       try {
         publishAt(spark, root, st.fileNum + 1,
-          st.lines :+ ((v, kind, rel, System.currentTimeMillis())))
+          st.lines :+ ManifestLine(v, kind, rel, System.currentTimeMillis(), meta))
         return v
       }
       catch {
@@ -320,9 +360,18 @@ object Snapshots {
     * snapshot legitimately REDEFINES the schema (it starts a new merge
     * base), so no drift validation applies — but it refreshes the
     * delta-validation memo so the next delta is checked against it.
+    *
+    * `meta` is commit provenance — caller-supplied facts about the
+    * transaction itself (who imported, which batch/job, why), the
+    * reference store's facts-on-the-transaction-entity idea: stored
+    * on the manifest line, surfaced by [[versionsWithMeta]],
+    * [[history]]'s `commit_meta` column, and the serving layer's
+    * /store/versions, so "which import wrote v7" is answerable
+    * forever without a side channel.
     */
-  def commit(df: DataFrame, root: String, statsCols: Seq[String] = Nil): Long = {
-    val v = writeAndPublish(df, root, "full", statsCols = statsCols)
+  def commit(df: DataFrame, root: String, statsCols: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty): Long = {
+    val v = writeAndPublish(df, root, "full", statsCols = statsCols, meta = meta)
     validatedDeltaCols.put(root, (v, schemaCols(df.columns.toIndexedSeq)))
     v
   }
@@ -361,9 +410,9 @@ object Snapshots {
     */
   def commitDelta(
       df: DataFrame, root: String, evolveSchema: Boolean = false,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, meta: Map[String, String] = Map.empty): Long = {
     if (!evolveSchema) validateDeltaSchema(df, root)
-    val v = writeAndPublish(df, root, "delta", statsCols = statsCols)
+    val v = writeAndPublish(df, root, "delta", statsCols = statsCols, meta = meta)
     validatedDeltaCols.put(root, (v, schemaCols(df.columns.toIndexedSeq)))
     v
   }
@@ -376,7 +425,7 @@ object Snapshots {
     */
   private def validateDeltaSchema(df: DataFrame, root: String): Unit = {
     val cols = schemaCols(df.columns.toIndexedSeq)
-    manifestState(df.sparkSession, root).lines.lastOption.foreach { case (v, _, rel, _) =>
+    manifestState(df.sparkSession, root).lines.lastOption.foreach { case ManifestLine(v, _, rel, _, _) =>
       if (validatedDeltaCols.get(root) == (v, cols)) return
       val tip = schemaCols(df.sparkSession.read.parquet(s"$root/$rel").columns.toIndexedSeq)
       if (cols != tip) {
@@ -406,9 +455,10 @@ object Snapshots {
     */
   def commitDeltaRetrying(
       df: DataFrame, root: String, maxAttempts: Int = 8,
-      evolveSchema: Boolean = false, statsCols: Seq[String] = Nil): Long = {
+      evolveSchema: Boolean = false, statsCols: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty): Long = {
     if (!evolveSchema) validateDeltaSchema(df, root)
-    val v = writeAndPublish(df, root, "delta", maxAttempts, statsCols = statsCols)
+    val v = writeAndPublish(df, root, "delta", maxAttempts, statsCols = statsCols, meta = meta)
     validatedDeltaCols.put(root, (v, schemaCols(df.columns.toIndexedSeq)))
     v
   }
@@ -498,13 +548,13 @@ object Snapshots {
   def versionAt(spark: SparkSession, root: String, tsMs: Long): Long = {
     val lines = manifestState(spark, root).lines
     require(lines.nonEmpty, s"empty snapshot store at $root")
-    lines.filter(t => t._4 < 0 || t._4 <= tsMs).map(_._1).maxOption
+    lines.filter(l => l.ts < 0 || l.ts <= tsMs).map(_.v).maxOption
       .getOrElse {
         val first = lines.head
         throw new IllegalArgumentException(
           s"no version committed at or before ${java.time.Instant.ofEpochMilli(tsMs)} " +
-            s"in $root — the earliest commit is v${first._1} at " +
-            s"${java.time.Instant.ofEpochMilli(first._4)}")
+            s"in $root — the earliest commit is v${first.v} at " +
+            s"${java.time.Instant.ofEpochMilli(first.ts)}")
       }
   }
 
@@ -946,8 +996,8 @@ object Snapshots {
     */
   def compact(
       spark: SparkSession, root: String, keys: Seq[String],
-      statsCols: Seq[String] = Nil): Long =
-    compactFrom(spark, root, keys, versions(spark, root), statsCols)
+      statsCols: Seq[String] = Nil, meta: Map[String, String] = Map.empty): Long =
+    compactFrom(spark, root, keys, versions(spark, root), statsCols, meta)
 
   /** `private[graft]` test seam: the lost-delta race spec interleaves
     * a concurrent delta commit between the chain read and the publish
@@ -955,13 +1005,14 @@ object Snapshots {
     */
   private[graft] def compactFrom(
       spark: SparkSession, root: String, keys: Seq[String],
-      vs: Seq[(Long, String, String)], statsCols: Seq[String] = Nil): Long = {
+      vs: Seq[(Long, String, String)], statsCols: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty): Long = {
     require(vs.nonEmpty, s"empty snapshot store at $root")
     val top = vs.last._1
     // statsCols: without it a compacted time-series chain would lose
     // its zone maps (the fold has no sidecar) until new deltas arrive
     writeAndPublish(asOf(spark, root, top, keys), root, "full",
-      expectedVersion = Some(top + 1), statsCols = statsCols)
+      expectedVersion = Some(top + 1), statsCols = statsCols, meta = meta)
   }
 
   /** Retention: physically delete segments SUPERSEDED below the pin —
@@ -1041,25 +1092,25 @@ object Snapshots {
       st: ManifestState, force: Boolean = false,
       orphanGraceMs: Long = 24L * 3600 * 1000): Seq[Long] = {
     require(st.lines.nonEmpty, s"empty snapshot store at $root")
-    val latest = st.lines.last._1
+    val latest = st.lines.last.v
     if (keepAfterVersion > latest && !force)
       throw new IllegalArgumentException(
         s"keepAfterVersion $keepAfterVersion is past the latest committed version $latest " +
           s"in $root — a mistyped pin must not silently become a maximal delete; " +
           "pass force=true if intentional (treated as pin = latest)")
     val pin = math.min(keepAfterVersion, latest)
-    val base = st.lines.filter(t => t._2 == "full" && t._1 <= pin).map(_._1).maxOption
+    val base = st.lines.filter(l => l.kind == "full" && l.v <= pin).map(_.v).maxOption
       .getOrElse(throw new IllegalStateException(
         s"no full snapshot at or below version $pin in $root — nothing below the pin " +
           "is superseded (its deltas are the only copy of their rows); compact first"))
-    val (candidates, retained) = st.lines.partition(_._1 < base)
+    val (candidates, retained) = st.lines.partition(_.v < base)
     val f = fs(spark, root)
     if (candidates.nonEmpty) {
       // publish the trim FIRST (CAS at the next manifest file number,
       // with NO new data line — file numbering is decoupled from data
       // versions exactly for this), delete data SECOND
       publishAt(spark, root, st.fileNum + 1, retained)
-      candidates.foreach { case (_, _, rel, _) => f.delete(new Path(root, rel), true); () }
+      candidates.foreach { l => f.delete(new Path(root, l.rel), true); () }
     }
     // orphan sweep: data dirs no manifest references — a crashed
     // writeAndPublish attempt, or a previous vacuum that crashed
@@ -1080,7 +1131,7 @@ object Snapshots {
     // to create. The grace window stays as the second guard, for the
     // commit in flight RIGHT NOW (data on disk, line not yet
     // published — invisible to any manifest read).
-    val live = manifestState(spark, root).lines.map(_._3).toSet
+    val live = manifestState(spark, root).lines.map(_.rel).toSet
     val cutoff = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
     val dir = new Path(root)
     if (f.exists(dir)) f.listStatus(dir).foreach { s =>
@@ -1090,7 +1141,7 @@ object Snapshots {
         f.delete(s.getPath, true); ()
       }
     }
-    candidates.map(_._1)
+    candidates.map(_.v)
   }
 
   // ------------------------------------------------------- excision
@@ -1166,7 +1217,7 @@ object Snapshots {
     // reads, which gates both refusals below and the per-segment
     // schema skip
     val unionSchema = st.lines
-      .map { case (_, _, rel, _) => spark.read.parquet(s"$root/$rel").where(lit(false)) }
+      .map(l => spark.read.parquet(s"$root/${l.rel}").where(lit(false)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
     val refs = unionSchema.filter(hit).queryExecution.analyzed.collect {
       case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
@@ -1175,8 +1226,8 @@ object Snapshots {
     require(refs.nonEmpty,
       "excision condition references no columns — a constant predicate would erase " +
         "(or keep) the whole table; name the rows via their key columns")
-    val matchable = st.lines.filter { case (_, _, rel, _) =>
-      val cols = spark.read.parquet(s"$root/$rel").columns
+    val matchable = st.lines.filter { l =>
+      val cols = spark.read.parquet(s"$root/${l.rel}").columns
       refs.forall(cols.contains)
     }
     // ONE counting job across all matchable segments: per-segment
@@ -1184,8 +1235,8 @@ object Snapshots {
     val matched: Map[Long, Long] =
       if (matchable.isEmpty) Map.empty
       else matchable
-        .map { case (v, _, rel, _) =>
-          spark.read.parquet(s"$root/$rel").where(hit).select(lit(v).as("_seg")) }
+        .map(l =>
+          spark.read.parquet(s"$root/${l.rel}").where(hit).select(lit(l.v).as("_seg")))
         .reduce(_ unionByName _)
         .groupBy(col("_seg")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -1195,35 +1246,34 @@ object Snapshots {
           s"${refs.mkString(", ")}) — refusing to record a no-op takedown; " +
           "check the key values (and that the columns are spelled as committed)")
     val f = fs(spark, root)
-    val rewritten = st.lines.filter(l => matched.contains(l._1)).map {
-      case (v, kind, rel, ts) =>
-        val seg = spark.read.parquet(s"$root/$rel")
-        val newRel = s"v$v-${java.util.UUID.randomUUID.toString.take(8)}"
-        seg.filter(!hit).write.mode("errorifexists").parquet(s"$root/$newRel")
-        segmentStats(spark, root, rel).foreach { stats =>
-          writeStatsSidecar(seg, root, newRel, stats.keys.toSeq.sorted)
-        }
-        (v, kind, rel, newRel, ts)
+    val rewritten = st.lines.filter(l => matched.contains(l.v)).map { l =>
+      val seg = spark.read.parquet(s"$root/${l.rel}")
+      val newRel = s"v${l.v}-${java.util.UUID.randomUUID.toString.take(8)}"
+      seg.filter(!hit).write.mode("errorifexists").parquet(s"$root/$newRel")
+      segmentStats(spark, root, l.rel).foreach { stats =>
+        writeStatsSidecar(seg, root, newRel, stats.keys.toSeq.sorted)
+      }
+      (l, newRel)
     }
-    val byV = rewritten.map(r => r._1 -> r._4).toMap
-    val newLines = st.lines.map { case l @ (v, kind, _, ts) =>
-      byV.get(v).map(nr => (v, kind, nr, ts)).getOrElse(l)
-    }
+    val byV = rewritten.map { case (l, nr) => l.v -> nr }.toMap
+    // rewritten lines keep version, kind, stamp AND provenance meta —
+    // only the data path moves
+    val newLines = st.lines.map(l => byV.get(l.v).map(nr => l.copy(rel = nr)).getOrElse(l))
     try publishAt(spark, root, st.fileNum + 1, newLines)
     catch {
       case e: Throwable =>
         // lost the CAS (or failed to publish): the rewrites are
         // unreferenced — delete them now rather than leaving cleaned
         // copies to the orphan sweep, then surface the failure
-        rewritten.foreach { case (_, _, _, nr, _) =>
+        rewritten.foreach { case (_, nr) =>
           f.delete(new Path(root, nr), true); ()
         }
         throw e
     }
     // PII leaves the disk here — after the publish, so no manifest
     // ever points at a deleted directory
-    rewritten.foreach { case (_, _, rel, _, _) => f.delete(new Path(root, rel), true); () }
-    rewritten.map(r => r._1 -> matched(r._1)).sortBy(_._1)
+    rewritten.foreach { case (l, _) => f.delete(new Path(root, l.rel), true); () }
+    rewritten.map { case (l, _) => l.v -> matched(l.v) }.sortBy(_._1)
   }
 
   /** Continuous ingest: sink a streaming frame into the store, one
@@ -1267,8 +1317,12 @@ object Snapshots {
     * inserts/updates and the `fromV` side for deletes.
     */
   /** Per-entity history — the full timeline of every key in ONE
-    * chain read: (version, commit_ts_ms, op, key..., payload...),
-    * one row per state CHANGE of a key, ordered per key by version.
+    * chain read: (version, commit_ts_ms, op, key..., payload...,
+    * commit_meta), one row per state CHANGE of a key, ordered per key
+    * by version; `commit_meta` is the committing transaction's
+    * provenance map ([[commit]]'s `meta` — empty when none was
+    * supplied), so "which import job wrote this state" reads off the
+    * row.
     * The Datomic-ism [[changes]] (version-pair CDC) and q9d
     * (instant-addressed as-of) don't cover: "all versions of key K
     * with commit timestamps, in one call", previously a client-side
@@ -1311,9 +1365,9 @@ object Snapshots {
   def history(spark: SparkSession, root: String, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(keys.nonEmpty, "history needs at least one merge key column")
-    val chain = versionsWithTimes(spark, root)
+    val chain = manifestState(spark, root).lines
     require(chain.nonEmpty, s"empty snapshot store at $root")
-    val frames = chain.map { case (v, kind, rel, ts) =>
+    val frames = chain.map { case ManifestLine(v, kind, rel, ts, meta) =>
       val seg = spark.read.parquet(s"$root/$rel")
       val missingKeys = keys.filterNot(seg.columns.contains)
       if (missingKeys.nonEmpty) throw new IllegalStateException(
@@ -1323,12 +1377,16 @@ object Snapshots {
         .withColumn("_v", lit(v))
         .withColumn("_ts", if (ts >= 0) lit(ts) else lit(null).cast("long"))
         .withColumn("_kind", lit(kind))
+        // the committing transaction's provenance facts, manifest
+        // metadata riding the plan as a literal — no data read
+        .withColumn("_meta", typedLit(meta))
     }
     val all = frames.reduce(_.unionByName(_, allowMissingColumns = true))
     val payload = all.columns.toSeq
-      .filterNot(c => keys.contains(c) || c == "_deleted" || c == "_v" || c == "_ts" || c == "_kind")
+      .filterNot(c => keys.contains(c) || c == "_deleted" || c == "_v" || c == "_ts"
+        || c == "_kind" || c == "_meta")
     val base = all.select(keys.map(col) ++ payload.map(col) ++
-      Seq(col("_deleted"), col("_v"), col("_ts"), col("_kind")): _*)
+      Seq(col("_deleted"), col("_v"), col("_ts"), col("_kind"), col("_meta")): _*)
     // synthetic deletes: a key live just before a full snapshot but
     // absent from it was retracted by that full. Single pass, not
     // per-full: a key's state between consecutive events is its
@@ -1341,11 +1399,12 @@ object Snapshots {
     // rides into the plan as a literal struct array and the gap probe
     // is a scalar expression on the lead window — no anti-join, no
     // chain re-scan per full.
-    val fulls = chain.filter(t => t._2 == "full" && t._1 > chain.head._1)
+    val fulls = chain.filter(l => l.kind == "full" && l.v > chain.head.v)
     val synths: Option[DataFrame] = if (fulls.isEmpty) None else Some {
-      val fullsArr = array(fulls.map { case (vf, _, _, ts) =>
-        struct(lit(vf).as("v"),
-          (if (ts >= 0) lit(ts) else lit(null).cast("long")).as("ts"))
+      val fullsArr = array(fulls.map { l =>
+        struct(lit(l.v).as("v"),
+          (if (l.ts >= 0) lit(l.ts) else lit(null).cast("long")).as("ts"),
+          typedLit(l.meta).as("m"))
       }: _*)
       val wLead = Window.partitionBy(keys.map(col): _*).orderBy(col("_v"))
       base
@@ -1362,7 +1421,8 @@ object Snapshots {
             lit(true).as("_deleted"),
             col("_sf")("v").as("_v"),
             col("_sf")("ts").as("_ts"),
-            lit("full").as("_kind")): _*)
+            lit("full").as("_kind"),
+            col("_sf")("m").as("_meta")): _*)
     }
     val evts = (base +: synths.toSeq).reduce(_ unionByName _)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_v"))
@@ -1383,7 +1443,7 @@ object Snapshots {
           .otherwise(lit("update")))
       .filter(col("op").isNotNull)
       .select(Seq(col("_v").as("version"), col("_ts").as("commit_ts_ms"), col("op")) ++
-        keys.map(col) ++ payload.map(col): _*)
+        keys.map(col) ++ payload.map(col) :+ col("_meta").as("commit_meta"): _*)
   }
 
   def changes(
@@ -1560,13 +1620,13 @@ object Snapshots {
         while (!done) {
           attempt += 1
           val st = manifestState(spark, outRoot)
-          val progressed = st.lines.lastOption.exists { case (_, _, rel, _) =>
-            spark.read.parquet(s"$outRoot/$rel")
+          val progressed = st.lines.lastOption.exists { l =>
+            spark.read.parquet(s"$outRoot/${l.rel}")
               .agg(max(col("_to_v"))).head().getLong(0) > last
           }
           if (progressed) done = true
           else {
-            val expected = st.lines.lastOption.map(_._1 + 1).getOrElse(1L)
+            val expected = st.lines.lastOption.map(_.v + 1).getOrElse(1L)
             try {
               writeAndPublish(feed, outRoot, "delta", expectedVersion = Some(expected))
               done = true

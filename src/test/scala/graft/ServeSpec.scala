@@ -1033,6 +1033,29 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       assert(postJ("/store/excise", """{"column": "nope", "values": [1]}""")._1 == 400)
       assert(postJ("/store/excise", """{"column": "id", "values": ["abc"]}""")._1 == 400)
       assert(getJ("/store/excise")._1 == 405)
+
+      // commit provenance over HTTP: meta rides the commit body onto
+      // the manifest line and surfaces in /store/versions and /status
+      import spark.implicits._
+      Seq((9L, "dave")).toDF("id", "name").write.parquet(s"$root/staged-meta")
+      val (mc, mv) = postJ("/store/commit",
+        s"""{"source": "$root/staged-meta", "mode": "delta",
+             "meta": {"job": "import-99", "who": "dana"}}""")
+      assert(mc == 200, s"meta commit failed: $mv")
+      val tip = getJ("/store/versions")._2.asInstanceOf[JArray].arr.last
+      assert((tip \ "meta" \ "job") == JString("import-99"))
+      assert((tip \ "meta" \ "who") == JString("dana"))
+      // earlier commits carried no meta: the field is omitted, not null
+      val first = getJ("/store/versions")._2.asInstanceOf[JArray].arr.head
+      assert((first \ "meta") == JNothing)
+      assert((getJ("/status")._2 \ "store" \ "tip_meta" \ "job") == JString("import-99"))
+      // history rows carry commit_meta
+      val hist = getJ("/store/history?keys=id&key=9&limit=10")._2
+      val hrow = (hist \ "rows").asInstanceOf[JArray].arr.head
+      assert((hrow \ "commit_meta" \ "job") == JString("import-99"))
+      // a non-string meta value is a typed 400
+      assert(postJ("/store/commit",
+        s"""{"source": "$root/staged-meta", "meta": {"n": 1}}""")._1 == 400)
     } finally srv.close()
   }
 

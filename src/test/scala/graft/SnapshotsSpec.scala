@@ -521,6 +521,43 @@ class SnapshotsSpec extends SparkSpec {
       Set((1, "a2", 11L)))
   }
 
+  test("commit provenance: meta rides every commit form, survives republish/trim/excision, and hostile values can't break the manifest") {
+    val root = tmpDir("snap-meta")
+    // hostile values: tabs, newlines and quotes must not corrupt the
+    // TSV manifest line (compact-JSON escaping carries them)
+    val m1 = Map("job" -> "import-42", "who" -> "alice", "note" -> "tab\there\nand \"quotes\"")
+    val m2 = Map("job" -> "import-43")
+    Snapshots.commit(Seq((1, "a"), (2, "b")).toDF("id", "name"), root, meta = m1)
+    Snapshots.commitDelta(Seq((2, "b2")).toDF("id", "name"), root, meta = m2)
+    Snapshots.commitDelta(Seq((3, "c")).toDF("id", "name"), root) // no meta
+    assert(Snapshots.versionsWithMeta(spark, root).map(t => (t._1, t._5)) ===
+      Seq((1L, m1), (2L, m2), (3L, Map.empty)))
+    // history rows carry the committing transaction's meta — the
+    // "which import wrote this state" read, straight off each row
+    val h = Snapshots.history(spark, root, Seq("id")).orderBy("id", "version").collect()
+    def metaAt(id: Int, v: Long): Map[String, String] =
+      h.find(r => r.getInt(3) == id && r.getLong(0) == v).get
+        .getMap[String, String](h.head.fieldIndex("commit_meta")).toMap
+    assert(metaAt(1, 1L) === m1)
+    assert(metaAt(2, 2L) === m2)
+    assert(metaAt(3, 3L) === Map.empty)
+    // a full DROPPING a key synthesizes its delete with THE FULL's meta
+    val mC = Map("op" -> "monthly-compaction")
+    Snapshots.commit(Seq((1, "a")).toDF("id", "name"), root, meta = mC) // v4 omits 2,3
+    val h2 = Snapshots.history(spark, root, Seq("id")).orderBy("id", "version").collect()
+    val del = h2.find(r => r.getInt(3) == 2 && r.getString(2) == "delete").get
+    assert(del.getLong(0) === 4L)
+    assert(del.getMap[String, String](del.fieldIndex("commit_meta")).toMap === mC)
+    // vacuum's trimmed republish preserves the retained lines' meta
+    Snapshots.vacuum(spark, root, keepAfterVersion = 4L)
+    assert(Snapshots.versionsWithMeta(spark, root).map(t => (t._1, t._5)) === Seq((4L, mC)))
+    // excision republishes with meta intact — only the path moves
+    Snapshots.commitDelta(Seq((9, "pii")).toDF("id", "name"), root, meta = m2)
+    Snapshots.excise(spark, root, col("id") === 9)
+    assert(Snapshots.versionsWithMeta(spark, root).map(t => (t._1, t._5)) ===
+      Seq((4L, mC), (5L, m2)))
+  }
+
   test("pre-timestamp manifests stay readable; unstamped lines resolve as older than any instant") {
     val root = tmpDir("snap-oldfmt")
     Seq((1, "a", 10L)).toDF("id", "name", "amount").write.parquet(s"$root/v1-aaaa1111")
