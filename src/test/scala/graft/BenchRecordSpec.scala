@@ -43,4 +43,26 @@ class BenchRecordSpec extends AnyFunSuite {
     // and the conjunction the other way: +5 s on a 10 s query is not 3x
     assert(Bench.driftOutliers(Seq("q_big" -> 15.0), Map("q_big" -> 10.0)).isEmpty)
   }
+
+  test("confirmVerdict adjudicates flagged outliers: clean re-times = contended-suspect, slow re-times = regressions") {
+    val prior = Bench.parsePriorMins(record, "/data/sf0.1")
+    // the BENCH_r11 shape: q45 flagged at 30.4s mid-run, re-timed
+    // clean at run end — contention, and the record now says so
+    assert(Bench.confirmVerdict(
+      Seq("q45_item_stats"), Seq("q45_item_stats" -> 0.62), prior)
+      === (Seq.empty, true))
+    // a re-time STILL over the threshold survives as a confirmed
+    // regression and the run is NOT contended-suspect
+    assert(Bench.confirmVerdict(
+      Seq("q45_item_stats"), Seq("q45_item_stats" -> 6.1), prior)
+      === (Seq("q45_item_stats"), false))
+    // mixed: one clean, one slow — the slow one is the regression,
+    // and the presence of a confirmed outlier defeats the suspect label
+    assert(Bench.confirmVerdict(
+      Seq("q45_item_stats", "q83_fingerprint"),
+      Seq("q45_item_stats" -> 0.62, "q83_fingerprint" -> 7.0), prior)
+      === (Seq("q83_fingerprint"), false))
+    // no outliers flagged: nothing to confirm, never suspect
+    assert(Bench.confirmVerdict(Seq.empty, Seq.empty, prior) === (Seq.empty, false))
+  }
 }
