@@ -329,7 +329,26 @@ object AnnServing {
     * VERSION (the server rebuilds when the source's stamp moves), not
     * per request.
     */
-  def build(spark: SparkSession, source: Source): AnnServing = {
+  def build(spark: SparkSession, source: Source): AnnServing =
+    buildGeom(spark, source, None)
+
+  /** [[build]] with the TABLES dimension of the geometry overridden —
+    * the measured recall ladder's knob (PLANS.md: more tables buys
+    * candidate recall linearly in banding cost; the solver's default
+    * is calibrated for the shipped scales). Planes and the probe
+    * policy stay the solver's: tables is the one axis whose
+    * recall/cost trade is measured and monotone. Warm-start images
+    * are NOT consulted or written for overridden builds — the
+    * persisted image records only the default geometry, and loading
+    * it under a different tables count would serve the wrong index.
+    */
+  def buildWithTables(spark: SparkSession, source: Source, tables: Int): AnnServing = {
+    require(tables > 0, s"tables must be positive, got $tables")
+    buildGeom(spark, source, Some(tables))
+  }
+
+  private def buildGeom(
+      spark: SparkSession, source: Source, tablesOverride: Option[Int]): AnnServing = {
     // stamp BEFORE the read: a commit landing mid-build leaves the
     // stamp old, so the next request sees stale-and-rebuilds rather
     // than serving a half-of-the-commit corpus forever
@@ -345,7 +364,8 @@ object AnnServing {
       val n = e.count()
       val dims = Knn.embDims(e).getOrElse(
         throw new IllegalArgumentException("embeddings table has no scorable rows"))
-      val g = LshGeometry.resolve(n, Knn.SearchTau, 0, 0, probe1 = false)
+      val g0 = LshGeometry.resolve(n, Knn.SearchTau, 0, 0, probe1 = false)
+      val g = tablesOverride.fold(g0)(t => g0.copy(tables = t))
       // dims passed EXPLICITLY: lshTables would otherwise re-derive it
       // with its own head(1) job, and on a mixed-width corpus the two
       // first-scorable-row picks could disagree — hyperplanes at width

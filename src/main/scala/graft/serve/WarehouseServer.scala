@@ -670,7 +670,7 @@ object WarehouseServer {
             ("body" -> "{column, values: [...]}"),
           ("href" -> "/ann/search") ~ ("method" -> "POST") ~
             ("rel" -> "similarity-search") ~
-            ("body" -> "{vector: [...], k?, method?: lsh|brute}"),
+            ("body" -> "{vector: [...], k?, method?: lsh|brute, tables?}"),
           ("href" -> "/ann/refresh") ~ ("method" -> "POST") ~
             ("rel" -> "rebuild similarity index"),
           ("href" -> "/dedup/check_vec") ~ ("method" -> "POST") ~
@@ -848,6 +848,42 @@ object WarehouseServer {
     def annRefresh(): (Option[String], AnnServing) = annLock.synchronized {
       val old = Option(annRef.get)
       (old.map(_.sourceVersion), annSwap(old.orNull))
+    }
+    // Recall-ladder slots: a search that passes `tables` serves from
+    // an index built at THAT tables count, cached per tables value
+    // and stamped like the default slot (a moved source rebuilds it).
+    // This is the measured tables-vs-recall ladder (PLANS.md) exposed
+    // at query time: a deployment buys candidate recall for one
+    // request class without re-pinning the operator stack or paying a
+    // rebuild per request. Builds are inline under annLock (an
+    // operator/recall-audit path — the serve-while-rebuild machinery
+    // stays on the default slot) and deliberately skip the warm-start
+    // image, which records only the default geometry.
+    val annAlt = new java.util.concurrent.ConcurrentHashMap[Int, AnnServing]()
+    def annIndexAt(tables: Int): AnnServing = {
+      val v = annVersion()
+      // the default slot already serves this tables count at the
+      // current stamp: reuse it, never a duplicate corpus persist
+      val dflt = annRef.get
+      if (dflt != null && dflt.sourceVersion == v && dflt.geometry.tables == tables) dflt
+      else annLock.synchronized {
+        if (annClosed) throw HttpError(503, "server is shutting down")
+        val cur = annAlt.get(tables)
+        val v2 = annVersion()
+        if (cur != null && cur.sourceVersion == v2) cur
+        else {
+          val built =
+            try AnnServing.buildWithTables(spark, annSource, tables)
+            catch {
+              case NonFatal(e) => throw HttpError(503,
+                s"ann index build failed (server-side, not your request): " +
+                  s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+            }
+          annAlt.put(tables, built)
+          if (cur != null) cur.close()
+          built
+        }
+      }
     }
 
     // static per dataDir: computed once, not ten parquet footer reads
@@ -1166,11 +1202,24 @@ object WarehouseServer {
             case JNothing => "lsh"
             case other => throw HttpError(400, s"method must be lsh|brute, got $other")
           }
+          // the recall ladder's knob: serve this request from an index
+          // banded at `tables` tables (capped — each slot persists a
+          // corpus-sized banding; 128 is far past the measured
+          // full-recall point and a typo'd 10_000 must not OOM the
+          // server). Meaningless for brute (exact already): loud 400.
+          val tablesOpt = spec \ "tables" match {
+            case JInt(t) if t >= 1 && t <= 128 => Some(t.toInt)
+            case JNothing => None
+            case other => throw HttpError(400,
+              s"tables must be an integer in [1, 128] (the lsh recall ladder's knob), got $other")
+          }
+          if (tablesOpt.isDefined && method == "brute")
+            throw HttpError(400, "tables applies to method=lsh only — brute is already exact")
           // ONE index resolution per request (freshness check + maybe
           // rebuild happen here, as 503s); a bad vector (dims
           // mismatch, NaN, zero norm) then throws
           // IllegalArgumentException → the 400 mapping below
-          val idx = annIndex()
+          val idx = tablesOpt.fold(annIndex())(annIndexAt)
           val neighbors = idx.search(vector, k, method)
           val g = idx.geometry
           ("k" -> k) ~ ("method" -> method) ~
@@ -1510,6 +1559,8 @@ object WarehouseServer {
       () => annLock.synchronized {
         annClosed = true
         Option(annRef.get).foreach(_.close())
+        annAlt.values.forEach(_.close())
+        annAlt.clear()
       })
   }
 

@@ -754,6 +754,48 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       s"""{"vector": [${vec.mkString(",")}], "method": "ivf-nope"}""")._1 == 400)
   }
 
+  test("/ann/search tables= buys recall from per-tables cache slots; bounds and brute misuse are typed") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val vec = emb.filter(col("vec_id") === 3).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    def neighborsOf(v: JValue): List[(Long, Double)] =
+      (v \ "neighbors").asInstanceOf[JArray].arr.map { n =>
+        (longOf(n \ "vec_id"), (n \ "cos").asInstanceOf[JDouble].num)
+      }
+    def search(extra: String): (Int, JValue) =
+      post("/ann/search", s"""{"vector": [${vec.mkString(",")}], "k": 6$extra}""")
+    val (dc, dv) = search("")
+    assert(dc == 200)
+    val defaultTables = longOf(dv \ "geometry" \ "tables").toInt
+    // a rung ABOVE the solver default: the response's geometry proves
+    // the request was served from an index banded at that count, and
+    // at gate scale the higher-recall rung must dominate — its top-k
+    // equals brute's exact answer
+    val up = defaultTables * 2
+    val (hc, hv) = search(s""", "tables": $up""")
+    assert(hc == 200)
+    assert(longOf(hv \ "geometry" \ "tables").toInt == up)
+    val (bc, bv) = search(""", "method": "brute"""")
+    assert(bc == 200)
+    assert(neighborsOf(hv).map(_._1) == neighborsOf(bv).map(_._1),
+      "the doubled-tables rung must match brute exactly at this scale")
+    // the slot is CACHED: a repeat answers identically (and the
+    // response stamps the same index_version)
+    val (hc2, hv2) = search(s""", "tables": $up""")
+    assert(hc2 == 200 && neighborsOf(hv2) == neighborsOf(hv))
+    assert((hv2 \ "index_version") == (hv \ "index_version"))
+    // tables == the default geometry reuses the default slot — same
+    // answer as the plain request, no duplicate index
+    val (sc, sv) = search(s""", "tables": $defaultTables""")
+    assert(sc == 200 && neighborsOf(sv) == neighborsOf(dv))
+    // bounds and misuse: zero, over-cap, non-integer, tables+brute
+    assert(search(""", "tables": 0""")._1 == 400)
+    assert(search(""", "tables": 129""")._1 == 400)
+    assert(search(""", "tables": "many"""")._1 == 400)
+    assert(search(s""", "tables": $up, "method": "brute"""")._1 == 400)
+  }
+
   test("a page boundary inside a NaN tie run trims like any other tie — no rows lost") {
     import spark.implicits._
     // NaN sorts as the LARGEST double in Spark and all NaNs tie under
