@@ -1168,16 +1168,19 @@ object Snapshots {
     * (a typo'd key must not silently no-op a legal obligation; the
     * error names the referenced columns).
     *
-    * Cost shape: one counting pass over the chain (the condition
-    * sits directly on each parquet scan, so row-group stats and the
-    * committed zone maps bound it) finds the segments that actually
-    * hold matches; only THOSE are read fully and rewritten —
-    * excising one entity from a years-long chain rewrites the
-    * handful of segments that ever carried it. Segments whose schema
-    * lacks a referenced column can't match (the value is null there
-    * under the chain's union semantics) and are skipped without a
-    * scan. Rewritten segments that carried a zone-map sidecar get
-    * one recomputed over the surviving rows.
+    * Cost shape: one counting pass over the chain finds the segments
+    * that actually hold matches; only THOSE are read fully and
+    * rewritten — excising one entity from a years-long chain
+    * rewrites the handful of segments that ever carried it. The
+    * counting pass itself is bounded twice: the condition sits
+    * directly on each parquet scan (row-group stats prune inside
+    * every opened segment), and for the takedown's common shape —
+    * one column's equality/isin, see [[conditionBounds]] — the
+    * committed zone maps skip whole segments WITHOUT opening them.
+    * Segments whose schema lacks a referenced column can't match
+    * (the value is null there under the chain's union semantics) and
+    * are skipped without a scan. Rewritten segments that carried a
+    * zone-map sidecar get one recomputed over the surviving rows.
     *
     * Crash/concurrency ordering, same discipline as every publish
     * here: rewrites land under fresh attempt-unique directories
@@ -1197,6 +1200,73 @@ object Snapshots {
     */
   def excise(spark: SparkSession, root: String, condition: Column): Seq[(Long, Long)] =
     exciseFrom(spark, root, condition, manifestState(spark, root))
+
+  /** Conservative [lo, hi] bound of an ANALYZED excision condition,
+    * when it has the takedown's common shape — one column compared to
+    * literals: `col === v`, `col.isin(v1, …)`, or an OR of those over
+    * the SAME column. Used to consult the committed zone maps before
+    * the counting pass opens a segment; any shape this doesn't
+    * recognize (casts around the attribute, ranges, multi-column
+    * logic) returns None and the counting pass scans conservatively.
+    * Literal values convert back to their external Scala forms
+    * (Catalyst holds strings as UTF8String), matching what
+    * [[mayContain]] compares against the sidecar.
+    */
+  private[graft] def conditionBounds(
+      analyzed: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[(String, Any, Any)] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      AttributeReference, EqualTo, In, Literal, Or, Coalesce}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
+    // the excise wrapper is coalesce(cond, false): unwrap to the
+    // caller's own condition
+    def unwrap(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression = e match {
+      case Coalesce(Seq(inner, Literal(false, _))) => unwrap(inner)
+      case other => other
+    }
+    // each recognized leaf yields (column, values); the OR fold
+    // requires every leaf to name the SAME column
+    def leaves(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[(String, Seq[Any])] = e match {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        Some((a.name, Seq(convertToScala(l.value, l.dataType))))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        Some((a.name, Seq(convertToScala(l.value, l.dataType))))
+      case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        Some((a.name, vs.map { case l: Literal => convertToScala(l.value, l.dataType) }))
+      case Or(x, y) =>
+        for {
+          (cx, vx) <- leaves(x)
+          (cy, vy) <- leaves(y) if cy == cx
+        } yield (cx, vx ++ vy)
+      case _ => None
+    }
+    leaves(unwrap(analyzed)).flatMap { case (c, vs0) =>
+      // a NULL literal can never match (the wrapper's coalesce makes
+      // null comparisons false) — drop it; all-null means no bound
+      val vs = vs0.filterNot(_ == null)
+      if (vs.isEmpty) None
+      else vs.head match {
+        // bound in the domains mayContain compares: integral through
+        // Long, floating through Double, strings by code point
+        case _: Long | _: Int | _: Short | _: Byte =>
+          val ls = vs.collect { case n: Number => n.longValue() }
+          if (ls.size != vs.size) None else Some((c, ls.min, ls.max))
+        case _: Double | _: Float =>
+          val ds = vs.collect { case n: Number => n.doubleValue() }
+          if (ds.size != vs.size) None else Some((c, ds.min, ds.max))
+        case _: String =>
+          val ss = vs.collect { case s: String => s }
+          if (ss.size != vs.size) None
+          else Some((c, ss.min(codePointOrdering), ss.max(codePointOrdering)))
+        case _ => None // timestamps/decimals/binary: no zone-map domain
+      }
+    }
+  }
+
+  private val codePointOrdering: Ordering[String] =
+    (a: String, b: String) => codePointCompare(a, b)
 
   /** One excision attempt against an explicitly-passed manifest read —
     * `private[graft]` test seam so the excise-vs-concurrent-commit
@@ -1219,16 +1289,28 @@ object Snapshots {
     val unionSchema = st.lines
       .map(l => spark.read.parquet(s"$root/${l.rel}").where(lit(false)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
-    val refs = unionSchema.filter(hit).queryExecution.analyzed.collect {
-      case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        fl.condition.references.map(_.name).toSeq
-    }.flatten.distinct.sorted
+    val analyzedCond = unionSchema.filter(hit).queryExecution.analyzed.collect {
+      case fl: org.apache.spark.sql.catalyst.plans.logical.Filter => fl.condition
+    }.headOption.getOrElse(throw new IllegalStateException(
+      "excision condition did not analyze to a Filter — cannot happen for a filter() plan"))
+    val refs = analyzedCond.references.map(_.name).toSeq.distinct.sorted
     require(refs.nonEmpty,
       "excision condition references no columns — a constant predicate would erase " +
         "(or keep) the whole table; name the rows via their key columns")
+    // zone-map skip for the takedown's common shape (one column's
+    // equality / isin): a segment whose committed stats exclude every
+    // named value provably holds no match and is never even opened by
+    // the counting pass — on a years-long chain with key zone maps
+    // that is the difference between "count-scan the store" and "open
+    // the segments whose key range intersects". Conditions the bound
+    // extractor doesn't recognize just count everywhere (row-group
+    // stats still prune inside each scan via the pushed filter).
+    val bounds = conditionBounds(analyzedCond)
     val matchable = st.lines.filter { l =>
       val cols = spark.read.parquet(s"$root/${l.rel}").columns
-      refs.forall(cols.contains)
+      refs.forall(cols.contains) && bounds.forall { case (c, lo, hi) =>
+        mayContain(segmentStats(spark, root, l.rel), c, lo, hi)
+      }
     }
     // ONE counting job across all matchable segments: per-segment
     // match counts, condition pushed into each scan

@@ -218,6 +218,58 @@ class DedupAnnSpec extends SparkSpec {
     assert(v2.count() === b2.count(), "one verdict row per batch-2 doc")
   }
 
+  test("takedown composition: excising a doc from the band index leaves it ingest-consistent with a rebuild") {
+    import graft.sources.Snapshots
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 3)
+    val batch = docs.filter(col("doc_id") % 7 === 3)
+    val root = tmpDir("bandindex-excise") + "/idx"
+    Dedup.commitBandIndex(corpus, root)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Option[Long], Long, Boolean)] =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2), r.getBoolean(3))).toSet
+    // the takedown target: a corpus doc some batch doc actually dups
+    // onto if one exists (the strongest case — its absence must flip
+    // that verdict), else any indexed doc
+    val v0 = Dedup.ingestAgainstIndex(batch, corpus, root)
+    val target = v0.filter(col("dup_of").isNotNull).select("dup_of").collect()
+      .headOption.map(_.getLong(0))
+      .getOrElse(corpus.select("doc_id").head().getLong(0))
+    // GDPR composition: the corpus store AND every derived store are
+    // Snapshots stores, so one excise call each removes the payload
+    // and its DERIVED fingerprints (band keys leak membership too)
+    Snapshots.excise(spark, root, col("doc_id") === target)
+    assert(Dedup.readBandIndex(spark, root).filter(col("doc_id") === target).count() === 0L,
+      "derived band keys for the excised doc survived the takedown")
+    // the excised index serves ingest EXACTLY like an index rebuilt
+    // over the post-takedown corpus — no dangling candidates, no
+    // missing ones
+    val corpus2 = corpus.filter(col("doc_id") =!= target)
+    val rebuilt = tmpDir("bandindex-excise") + "/rebuilt"
+    Dedup.commitBandIndex(corpus2, rebuilt)
+    assert(rows(Dedup.ingestAgainstIndex(batch, corpus2, root))
+      === rows(Dedup.ingestAgainstIndex(batch, corpus2, rebuilt)))
+  }
+
+  test("takedown composition: excising a vector from the vec index keeps the (snapshot, geometry) pairing valid") {
+    import graft.sources.Snapshots
+    val emb = Tables.embeddings(spark, sf)
+    val isInc = col("vec_id") % 7 === 3
+    val (batch, corpus) = (emb.filter(isInc), emb.filter(!isInc))
+    val root = tmpDir("vecindex-excise") + "/idx"
+    Dedup.commitVecIndex(corpus, root, probe1 = true)
+    val target = corpus.select("vec_id").head().getLong(0)
+    // excise preserves version numbers, so the _geom/v<N> sidecar the
+    // reader gates on still pairs with its (rewritten) snapshot
+    Snapshots.excise(spark, root, col("vec_id") === target)
+    val corpus2 = corpus.filter(col("vec_id") =!= target)
+    val verdicts = Dedup.ingestAgainstVecIndex(batch, corpus2, root)
+    assert(verdicts.count() === batch.count(), "one verdict per batch vector")
+    // and the index holds no banded rows for the excised vector
+    assert(Snapshots.readAppendOnly(spark, root)
+      .filter(col("vec_id") === target).count() === 0L)
+  }
+
   test("q6c: bucketed incremental vec dedup vs the brute gate (recall; multiprobe monotone)") {
     val emb = Tables.embeddings(spark, sf)
     val isInc = col("vec_id") % 7 === 3

@@ -278,6 +278,60 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.prunedTo(spark, root, "id", 110L, 130L) === Seq(2L))
   }
 
+  test("excise: conditionBounds recognizes the takedown shapes and nothing it can't bound soundly") {
+    val df = Seq((1L, "a", 0.5)).toDF("id", "name", "score")
+    def analyzed(c: org.apache.spark.sql.Column) =
+      df.filter(coalesce(c, lit(false))).queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.head
+    def bounds(c: org.apache.spark.sql.Column) = Snapshots.conditionBounds(analyzed(c))
+    assert(bounds(col("id") === 7L) === Some(("id", 7L, 7L)))
+    assert(bounds(lit(7L) === col("id")) === Some(("id", 7L, 7L)))
+    assert(bounds(col("id").isin(9L, 2L, 5L)) === Some(("id", 2L, 9L)))
+    assert(bounds(col("id") === 3L || col("id") === 11L) === Some(("id", 3L, 11L)))
+    // strings bound in CODE POINT order (mayContain's compare domain):
+    // the supplementary-plane string sorts above U+FFFF there even
+    // though Java's UTF-16 compareTo would rank it lower
+    assert(bounds(col("name").isin("￿", "😀"))
+      === Some(("name", "￿", "😀")))
+    assert(bounds(col("score") === 0.25) === Some(("score", 0.25, 0.25)))
+    // unbound shapes fall back to None (conservative full count):
+    // ranges, multi-column logic, casts around the attribute
+    assert(bounds(col("id") > 5L) === None)
+    assert(bounds(col("id") === 1L || col("name") === "x") === None)
+    assert(bounds(col("score") === 1) === None) // int lit on double col: analyzer casts
+  }
+
+  test("excise: zone maps skip whole segments — the counting pass never opens a provably-clean one") {
+    val root = tmpDir("snap-excise-zm")
+    Snapshots.commit(Seq((1L, "a"), (9L, "b")).toDF("id", "name"), root,
+      statsCols = Seq("id"))
+    Snapshots.commitDelta(Seq((100L, "x"), (120L, "y")).toDF("id", "name"), root,
+      statsCols = Seq("id"))
+    // POISON v2's sidecar to claim [100, 100]: if the counting pass
+    // consults zone maps, an excise of id=120 prunes v2 unopened and
+    // refuses loudly as a no-match — were it scanning, it would find
+    // and excise the row. (Only a test corrupts a sidecar; the claim
+    // under test is exactly "pruned segments are never opened".)
+    val rel2 = Snapshots.versions(spark, root).find(_._1 == 2L).get._3
+    // through the Hadoop FS so the local-fs checksum sidecar follows
+    val hfs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val sp = new org.apache.hadoop.fs.Path(s"$root/$rel2", "_graft_stats.json")
+    val out = hfs.create(sp, true)
+    try out.write(
+      """{"id":{"type":"long","all_null":false,"min":"100","max":"100"}}""".getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalArgumentException](
+      Snapshots.excise(spark, root, col("id") === 120L))
+    assert(e.getMessage.contains("matched NO rows"))
+    // an in-bounds value opens exactly the intersecting segment
+    assert(Snapshots.excise(spark, root, col("id") === 100L) === Seq((2L, 1L)))
+    // an unbounded condition shape still counts everywhere: the
+    // poisoned map can't hide the row from a full count
+    assert(Snapshots.excise(spark, root, col("id") >= 120L && col("id") <= 120L)
+      === Seq((2L, 1L)))
+  }
+
   test("excise: refusals are loud — constant predicates, no-match typos, unknown columns") {
     val root = tmpDir("snap-excise-refuse")
     Snapshots.commit(Seq((1, "a"), (2, "b")).toDF("id", "name"), root)
