@@ -1275,17 +1275,21 @@ object Snapshots {
     * dirs must be cleaned up, never a manifest that silently un-lists
     * the concurrent commit).
     */
-  private[graft] def exciseFrom(
+  /** The counting-pass scan list: which segments COULD hold a match
+    * for `condition` — referenced columns present in the segment's
+    * schema AND (for the recognized equality/isin shapes,
+    * [[conditionBounds]]) the committed zone maps not excluding every
+    * named value. Shared by [[exciseFrom]] and the decision-as-data
+    * probe [[excisePlannedScans]]; also validates the condition
+    * (loud AnalysisException for unknown columns, refusal for
+    * constant predicates) against the chain's union schema —
+    * schema-only, where(false) collapses before any scan.
+    */
+  private def exciseCandidates(
       spark: SparkSession, root: String, condition: Column,
-      st: ManifestState): Seq[(Long, Long)] = {
+      st: ManifestState): (Column, Seq[String], Seq[ManifestLine]) = {
     require(st.lines.nonEmpty, s"empty snapshot store at $root")
     val hit = coalesce(condition, lit(false))
-    // resolve the condition against the chain's UNION schema once
-    // (schema-only — where(false) collapses before any scan): a
-    // column no segment carries is a loud AnalysisException here, and
-    // the resolved Filter names exactly the columns the condition
-    // reads, which gates both refusals below and the per-segment
-    // schema skip
     val unionSchema = st.lines
       .map(l => spark.read.parquet(s"$root/${l.rel}").where(lit(false)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -1312,6 +1316,22 @@ object Snapshots {
         mayContain(segmentStats(spark, root, l.rel), c, lo, hi)
       }
     }
+    (hit, refs, matchable)
+  }
+
+  /** The versions [[excise]]'s counting pass would open for
+    * `condition` — the pruning decision as data, the excision twin of
+    * [[prunedTo]]/[[prunedMergeTo]], for tests and operational "what
+    * would this takedown touch" checks.
+    */
+  private[graft] def excisePlannedScans(
+      spark: SparkSession, root: String, condition: Column): Seq[Long] =
+    exciseCandidates(spark, root, condition, manifestState(spark, root))._3.map(_.v)
+
+  private[graft] def exciseFrom(
+      spark: SparkSession, root: String, condition: Column,
+      st: ManifestState): Seq[(Long, Long)] = {
+    val (hit, refs, matchable) = exciseCandidates(spark, root, condition, st)
     // ONE counting job across all matchable segments: per-segment
     // match counts, condition pushed into each scan
     val matched: Map[Long, Long] =

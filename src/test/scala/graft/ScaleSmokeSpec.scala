@@ -306,5 +306,23 @@ class ScaleSmokeSpec extends SparkSpec {
     val inc = Snapshots.read(spark, out, 2L)
     assert(inc.count() === 50L, "the incremental span must carry exactly the delta's keys")
     assert(inc.filter(col("_change") === "update").count() === 50L)
+    // excision at chain scale: the takedown's counting pass opens only
+    // the segments whose committed zone maps admit the key — the base
+    // full (spans everything) plus the key's own band delta (and at
+    // most the small trailing delta, whose sampled range may cover
+    // it), never the 15 other bands
+    val key = orders
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") < 6L * slice)
+      .agg(min("o_orderkey")).head().getLong(0)
+    val planned = Snapshots.excisePlannedScans(spark, root, col("o_orderkey") === key)
+    assert(planned.contains(1L) && planned.contains(7L) && planned.size <= 3,
+      s"expected base + the key's band delta (+ at most the trailing delta), got $planned")
+    val report = Snapshots.excise(spark, root, col("o_orderkey") === key)
+    assert(report.map(_._1).toSet.subsetOf(planned.toSet),
+      "a segment outside the planned scan set was rewritten")
+    assert(report.map(_._1).toSet.contains(1L) && report.map(_._1).toSet.contains(7L))
+    assert(Snapshots.history(spark, root, Seq("o_orderkey"))
+      .filter(col("o_orderkey") === key).count() === 0L,
+      "the excised key still has history on the 18-segment chain")
   }
 }

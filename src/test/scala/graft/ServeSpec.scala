@@ -1328,6 +1328,14 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       assert(health(None) == 401)
       assert(health(Some("Bearer wrong")) == 401)
       assert(health(Some("Bearer s3kr1t")) == 200)
+      // the DESTRUCTIVE endpoint sits behind the same gate: an
+      // unauthenticated excise is a 401 before any routing runs
+      val ex = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.port}/store/excise"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"column":"id","values":[1]}""", UTF_8))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ex.statusCode() == 401)
     } finally srv.close()
   }
 
