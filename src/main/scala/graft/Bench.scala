@@ -245,12 +245,25 @@ object Bench {
     // `outliers_confirm` carries the re-times, `outliers_confirmed`
     // the survivors (real regressions), and `contended_suspect` says
     // every confirm came back clean.
+    val trialMinByName = perTrial.map { case (n, ts) => n -> ts.head }.toMap
     val confirmTimes: Seq[(String, Double)] = outliers.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        // a THROWING confirm must not adjudicate: a query that starts
+        // failing late in the run would otherwise re-time as a fast
+        // time-to-failure, clear the drift flag, and stamp the record
+        // contended_suspect — actively mislabeling a breakage as box
+        // load. No new evidence → keep the flagged trial min, so the
+        // outlier stays confirmed. (NonFatal only: VM errors abort.)
+        val t =
+          try { exec(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"WARN: outlier confirm re-run of $name threw: $e")
+              trialMinByName.getOrElse(name, Double.MaxValue)
+          }
+        name -> t
       }
     }
     val (outliersConfirmed, contendedSuspect) =

@@ -845,9 +845,28 @@ object WarehouseServer {
         else annSwap(null)
       }
     }
+    val annAlt = new java.util.concurrent.ConcurrentHashMap[Int, AnnServing]()
+    // evict EVERY alt slot whose stamp is not `v` (caller holds
+    // annLock): stale ladder indexes pin two corpus-sized persisted
+    // frames each, and without a sweep a slot is only ever revisited
+    // by a request for its exact tables count — a recall audit over a
+    // continuously-ingesting source would otherwise accrete one dead
+    // index per rung until shutdown
+    def annAltSweep(v: String): Unit = {
+      val it = annAlt.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.sourceVersion != v) { e.getValue.close(); it.remove() }
+      }
+    }
     def annRefresh(): (Option[String], AnnServing) = annLock.synchronized {
       val old = Option(annRef.get)
-      (old.map(_.sourceVersion), annSwap(old.orNull))
+      val built = annSwap(old.orNull)
+      // a refresh means the operator believes the source moved: drop
+      // every ladder slot built against older stamps now rather than
+      // when (if ever) its tables count is re-requested
+      annAltSweep(built.sourceVersion)
+      (old.map(_.sourceVersion), built)
     }
     // Recall-ladder slots: a search that passes `tables` serves from
     // an index built at THAT tables count, cached per tables value
@@ -859,18 +878,24 @@ object WarehouseServer {
     // operator/recall-audit path — the serve-while-rebuild machinery
     // stays on the default slot) and deliberately skip the warm-start
     // image, which records only the default geometry.
-    val annAlt = new java.util.concurrent.ConcurrentHashMap[Int, AnnServing]()
     def annIndexAt(tables: Int): AnnServing = {
       val v = annVersion()
       // the default slot already serves this tables count at the
-      // current stamp: reuse it, never a duplicate corpus persist
+      // current stamp: reuse it (never a duplicate corpus persist) —
+      // and close a now-shadowed alt slot for the same count, which
+      // no future request could ever reach through this fast path
       val dflt = annRef.get
-      if (dflt != null && dflt.sourceVersion == v && dflt.geometry.tables == tables) dflt
-      else annLock.synchronized {
+      if (dflt != null && dflt.sourceVersion == v && dflt.geometry.tables == tables) {
+        annLock.synchronized {
+          Option(annAlt.remove(tables)).foreach(_.close())
+        }
+        dflt
+      } else annLock.synchronized {
         if (annClosed) throw HttpError(503, "server is shutting down")
-        val cur = annAlt.get(tables)
         val v2 = annVersion()
-        if (cur != null && cur.sourceVersion == v2) cur
+        annAltSweep(v2)
+        val cur = annAlt.get(tables)
+        if (cur != null) cur // fresh: the sweep just removed every stale slot
         else {
           val built =
             try AnnServing.buildWithTables(spark, annSource, tables)
@@ -880,7 +905,6 @@ object WarehouseServer {
                   s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
             }
           annAlt.put(tables, built)
-          if (cur != null) cur.close()
           built
         }
       }
@@ -1421,23 +1445,45 @@ object WarehouseServer {
           }
           val chain = Snapshots.versions(spark, storeRoot)
           if (chain.isEmpty) throw HttpError(404, "the store is empty")
-          val colType = chain.iterator
-            .map(t => spark.read.parquet(s"$storeRoot/${t._3}").schema)
-            .flatMap(_.find(_.name == column)).nextOption()
+          // the column's type comes from the chain's UNION schema
+          // (footer reads only — where(false) never scans): an
+          // evolved chain that widened the column (int → long full
+          // redefinition) resolves to the WIDE type here, so no
+          // takedown value is ever narrowed/wrapped into silently
+          // missing the rows it names
+          val colType = chain
+            .map(t => spark.read.parquet(s"$storeRoot/${t._3}").where(lit(false)))
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+            .schema.find(_.name == column)
             .getOrElse(throw HttpError(400,
               s"no segment of the store carries column '$column'")).dataType
-          val typedVals = rawVals.map { v =>
+          // literals in the column's EXACT external type — a
+          // lit(v).cast(colType) wrapper would reach conditionBounds
+          // as Cast nodes and lose the zone-map segment skip
+          val typedVals: Seq[Any] = rawVals.map { v =>
+            def integral: Long = v.toLongOption.getOrElse(
+              throw HttpError(400, s"excise value '$v' is not integral for column '$column'"))
             colType match {
-              case LongType | IntegerType | ShortType => v.toLongOption.getOrElse(
-                throw HttpError(400, s"excise value '$v' is not integral for column '$column'"))
-              case DoubleType | FloatType => v.toDoubleOption.getOrElse(
+              case LongType    => integral
+              case IntegerType =>
+                val l = integral
+                if (l.isValidInt) l.toInt else throw HttpError(400,
+                  s"excise value '$v' overflows the store's int column '$column'")
+              case ShortType   =>
+                val l = integral
+                if (l >= Short.MinValue && l <= Short.MaxValue) l.toShort
+                else throw HttpError(400,
+                  s"excise value '$v' overflows the store's short column '$column'")
+              case DoubleType => v.toDoubleOption.getOrElse(
+                throw HttpError(400, s"excise value '$v' is not numeric for column '$column'"))
+              case FloatType => v.toFloatOption.getOrElse(
                 throw HttpError(400, s"excise value '$v' is not numeric for column '$column'"))
               case _ => v
             }
           }
           val report =
             try Snapshots.excise(spark, storeRoot,
-              col(column).isin(typedVals.map(lit(_).cast(colType)): _*))
+              col(column).isin(typedVals: _*))
             catch {
               // a takedown naming rows the store never held is a
               // client addressing error — surface it as not-found,

@@ -91,6 +91,14 @@ object Snapshots {
     * batch, why — the transaction-entity facts of an immutable store),
     * rendered as a compact-JSON 5th field whose escaping keeps the
     * TSV line intact; 3- and 4-field lines read back with empty meta.
+    *
+    * Compatibility is BACKWARD only: this reader accepts every older
+    * line form forever, but a manifest holding a meta-carrying line
+    * is not readable by pre-meta reader builds (their 4-field split
+    * binds `ts` to "ts\tjson" and dies in toLong). On a store shared
+    * with older binaries — or one that may be read after a rollback —
+    * don't pass `meta` until every reader is upgraded; meta-less
+    * commits keep writing the old wire form exactly.
     */
   private[graft] final case class ManifestLine(
       v: Long, kind: String, rel: String, ts: Long, meta: Map[String, String])
@@ -1216,25 +1224,36 @@ object Snapshots {
       analyzed: org.apache.spark.sql.catalyst.expressions.Expression)
       : Option[(String, Any, Any)] = {
     import org.apache.spark.sql.catalyst.expressions.{
-      AttributeReference, EqualTo, In, Literal, Or, Coalesce}
+      AttributeReference, Cast, EqualTo, Expression, In, Literal, Or, Coalesce}
     import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
     // the excise wrapper is coalesce(cond, false): unwrap to the
     // caller's own condition
-    def unwrap(e: org.apache.spark.sql.catalyst.expressions.Expression)
-        : org.apache.spark.sql.catalyst.expressions.Expression = e match {
+    def unwrap(e: Expression): Expression = e match {
       case Coalesce(Seq(inner, Literal(false, _))) => unwrap(inner)
       case other => other
     }
+    // a VALUE literal, folding the analyzer's widening Cast(Literal)
+    // (e.g. an Int literal compared to a Long column analyzes as
+    // Cast(lit, LongType) — constant folding happens only in the
+    // optimizer, never on this analyzed tree). An overflowing/failing
+    // cast means the value can't be bounded soundly: None, count
+    // conservatively. Casts around the ATTRIBUTE stay unrecognized —
+    // there the comparison domain is not the column's own.
+    def litOf(e: Expression): Option[Any] = e match {
+      case l: Literal => Some(convertToScala(l.value, l.dataType))
+      case c @ Cast(_: Literal, _, _, _) =>
+        scala.util.Try(convertToScala(c.eval(null), c.dataType)).toOption
+      case _ => None
+    }
     // each recognized leaf yields (column, values); the OR fold
     // requires every leaf to name the SAME column
-    def leaves(e: org.apache.spark.sql.catalyst.expressions.Expression)
-        : Option[(String, Seq[Any])] = e match {
-      case EqualTo(a: AttributeReference, l: Literal) =>
-        Some((a.name, Seq(convertToScala(l.value, l.dataType))))
-      case EqualTo(l: Literal, a: AttributeReference) =>
-        Some((a.name, Seq(convertToScala(l.value, l.dataType))))
-      case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        Some((a.name, vs.map { case l: Literal => convertToScala(l.value, l.dataType) }))
+    def leaves(e: Expression): Option[(String, Seq[Any])] = e match {
+      case EqualTo(a: AttributeReference, v) if litOf(v).isDefined =>
+        Some((a.name, Seq(litOf(v).get)))
+      case EqualTo(v, a: AttributeReference) if litOf(v).isDefined =>
+        Some((a.name, Seq(litOf(v).get)))
+      case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall(litOf(_).isDefined) =>
+        Some((a.name, vs.map(litOf(_).get)))
       case Or(x, y) =>
         for {
           (cx, vx) <- leaves(x)
@@ -1707,37 +1726,47 @@ object Snapshots {
         // would let TWO concurrent tails of the same output both land
         // the same span (both read the same `last`, the loser's retry
         // re-publishes under the next version — every span row
-        // duplicated, silently). Each attempt (1) re-reads the output
-        // tip's progress stamp and DROPS the span when max(_to_v)
-        // already moved past the `last` it was computed from — another
-        // tail landed this (or a later) span — and (2) pins the
-        // publish to the version observed AT that check via
-        // expectedVersion, so a rival commit landing between the
-        // check and the publish is a loud stale-fold/CAS failure that
-        // sends the loop back to (1), never a silent duplicate.
-        // Only a rival publish that did NOT advance progress (an
-        // operational commit on the output store) actually retries.
+        // duplicated, silently). The span's feed data is written ONCE
+        // (the manifest is the only source of truth for version →
+        // path, so re-publishing the same directory under a later
+        // version is the normal OCC shape — never one feed-sized
+        // write per retry); each PUBLISH attempt then (1) re-reads
+        // the output tip's progress stamp and DROPS the span when
+        // max(_to_v) already moved past the `last` it was computed
+        // from — another tail landed this (or a later) span, the dir
+        // becomes an orphan for the sweep — and (2) publishes through
+        // the link-CAS pinned at the fenced observation's next
+        // version, so a rival commit landing between the check and
+        // the publish fails loudly and sends the loop back to (1),
+        // never a silent duplicate. Only a rival publish that did NOT
+        // advance progress (an operational commit on the output
+        // store) actually retries.
+        val st0 = manifestState(spark, outRoot)
+        val rel = s"v${st0.lines.lastOption.map(_.v + 1).getOrElse(1L)}" +
+          s"-${java.util.UUID.randomUUID.toString.take(8)}"
+        feed.write.mode("errorifexists").parquet(s"$outRoot/$rel")
         var attempt = 0
         var done = false
+        var st = st0
         while (!done) {
           attempt += 1
-          val st = manifestState(spark, outRoot)
           val progressed = st.lines.lastOption.exists { l =>
             spark.read.parquet(s"$outRoot/${l.rel}")
               .agg(max(col("_to_v"))).head().getLong(0) > last
           }
           if (progressed) done = true
           else {
-            val expected = st.lines.lastOption.map(_.v + 1).getOrElse(1L)
+            val v = st.lines.lastOption.map(_.v + 1).getOrElse(1L)
             try {
-              writeAndPublish(feed, outRoot, "delta", expectedVersion = Some(expected))
+              publishAt(spark, outRoot, st.fileNum + 1,
+                st.lines :+ ManifestLine(v, "delta", rel, System.currentTimeMillis(), Map.empty))
               done = true
             } catch {
               case e: IllegalStateException
                   if e.getMessage != null &&
-                    (e.getMessage.contains("manifest publish race") ||
-                      e.getMessage.contains("stale fold")) =>
+                    e.getMessage.contains("manifest publish race") =>
                 if (attempt >= 8) throw e
+                st = manifestState(spark, outRoot)
             }
           }
         }

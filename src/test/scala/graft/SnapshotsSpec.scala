@@ -295,11 +295,16 @@ class SnapshotsSpec extends SparkSpec {
     assert(bounds(col("name").isin("￿", "😀"))
       === Some(("name", "￿", "😀")))
     assert(bounds(col("score") === 0.25) === Some(("score", 0.25, 0.25)))
+    // the analyzer's widening Cast around a LITERAL folds (an int
+    // literal against the double column still bounds) — the HTTP
+    // endpoint's exact-typed literals never need it, but a library
+    // caller's mixed-width condition keeps the segment skip
+    assert(bounds(col("score") === 1) === Some(("score", 1.0, 1.0)))
     // unbound shapes fall back to None (conservative full count):
-    // ranges, multi-column logic, casts around the attribute
+    // ranges, multi-column logic, casts around the ATTRIBUTE
     assert(bounds(col("id") > 5L) === None)
     assert(bounds(col("id") === 1L || col("name") === "x") === None)
-    assert(bounds(col("score") === 1) === None) // int lit on double col: analyzer casts
+    assert(bounds(col("id").cast("string") === "7") === None)
   }
 
   test("excise: zone maps skip whole segments — the counting pass never opens a provably-clean one") {
