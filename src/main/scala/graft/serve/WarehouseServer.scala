@@ -667,7 +667,9 @@ object WarehouseServer {
             ("rel" -> "import") ~ ("body" -> "{source, mode: full|delta, evolve?, stats?, meta?}"),
           ("href" -> "/store/excise") ~ ("method" -> "POST") ~
             ("rel" -> "hard delete across history (PII/GDPR takedown)") ~
-            ("body" -> "{column, values: [...]}"),
+            ("body" -> "{column, values: [...], meta?}"),
+          ("href" -> "/store/excisions") ~ ("method" -> "GET") ~
+            ("rel" -> "takedown audit trail (no excised values)"),
           ("href" -> "/ann/search") ~ ("method" -> "POST") ~
             ("rel" -> "similarity-search") ~
             ("body" -> "{vector: [...], k?, method?: lsh|brute, tables?}"),
@@ -1417,6 +1419,21 @@ object WarehouseServer {
                   "pass \"evolve\": true in the request body"))
             }
           ("version" -> version) ~ ("mode" -> mode)
+        case ("GET", "/store/excisions") =>
+          // the takedown audit trail (Snapshots.excisions): proof a
+          // GDPR excision ran — when, which columns, per-version row
+          // counts, the operator's meta — with the excised values
+          // themselves deliberately absent
+          JArray(Snapshots.excisions(spark, storeRoot).map { r =>
+            (("at" -> java.time.Instant.ofEpochMilli(r.atMs).toString) ~
+              ("columns" -> r.columns) ~
+              ("segments" -> JArray(r.segments.map { case (v, n) =>
+                (("version" -> v) ~ ("rows" -> n)): JValue
+              }.toList)) ~
+              ("rows" -> r.rows) ~
+              ("meta" -> JObject(r.meta.toList.sortBy(_._1)
+                .map { case (k, mv) => k -> (JString(mv): JValue) }))): JValue
+          }.toList)
         case ("POST", "/store/excise") =>
           // hard delete across history (Snapshots.excise): the
           // PII/GDPR takedown — rewrites every retained segment that
@@ -1481,9 +1498,21 @@ object WarehouseServer {
               case _ => v
             }
           }
+          // audit provenance for the takedown record (ticket id, who
+          // ordered it) — free-form strings; the record never carries
+          // the excised values themselves
+          val exMeta: Map[String, String] = spec \ "meta" match {
+            case JObject(fields) => fields.map {
+              case (k, JString(mv)) => k -> mv
+              case (k, other) => throw HttpError(400,
+                s"meta value for '$k' must be a string, got $other")
+            }.toMap
+            case JNothing => Map.empty
+            case other => throw HttpError(400, s"meta must be a string-valued object, got $other")
+          }
           val report =
             try Snapshots.excise(spark, storeRoot,
-              col(column).isin(typedVals: _*))
+              col(column).isin(typedVals: _*), meta = exMeta)
             catch {
               // a takedown naming rows the store never held is a
               // client addressing error — surface it as not-found,
@@ -1623,7 +1652,7 @@ object WarehouseServer {
   private val getPaths = Set("/", "/health", "/status", "/tables", "/tables/profile",
     "/items/stats", "/items/histogram", "/items/frequencies", "/metadata/search",
     "/queries", "/store/versions", "/store/read", "/store/read_range", "/store/history",
-    "/store/changes")
+    "/store/changes", "/store/excisions")
   private val postPaths = Set("/cohort/query", "/cohort/population",
     "/cohort/atom-counts", "/store/commit", "/store/excise", "/ann/search", "/ann/refresh",
     "/dedup/check", "/dedup/check_vec")

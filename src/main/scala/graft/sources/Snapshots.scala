@@ -1204,10 +1204,90 @@ object Snapshots {
     * a pre-excision manifest can fail mid-job when the originals
     * delete, exactly as with vacuum.
     *
+    * Two boundaries a takedown operator must know:
+    *  - excision rewrites THIS store's history; rows already emitted
+    *    elsewhere — a CDC feed tailed into another store
+    *    ([[streamChangesInto]]), a derived band/vector index, any
+    *    downstream copy — are not retracted by it. Those are
+    *    snapshot stores too: excise each directly (the takedown
+    *    composes; the dedup-index case is spec-proven).
+    *  - every successful excision writes an immutable audit sidecar
+    *    (`_excise.v<N>`, read back by [[excisions]]) carrying when,
+    *    which COLUMNS, per-version row counts and the caller's
+    *    `meta` (ticket id, who ordered it) — never the condition's
+    *    values, which are exactly what the takedown removed.
+    *
     * Returns (version, rows excised) for every rewritten segment.
     */
-  def excise(spark: SparkSession, root: String, condition: Column): Seq[(Long, Long)] =
-    exciseFrom(spark, root, condition, manifestState(spark, root))
+  def excise(
+      spark: SparkSession, root: String, condition: Column,
+      meta: Map[String, String] = Map.empty): Seq[(Long, Long)] =
+    exciseFrom(spark, root, condition, manifestState(spark, root), meta)
+
+  /** One excision's audit record — what a takedown auditor needs
+    * WITHOUT the data: when, which columns the condition named, how
+    * many rows left which versions, and the caller's own facts
+    * (ticket id, who ordered it). Deliberately NO condition values:
+    * the excised identifiers are exactly what the takedown removed,
+    * and an audit log that re-records them would defeat it — put an
+    * opaque reference in `meta` instead.
+    */
+  final case class ExciseRecord(
+      fileNum: Long, atMs: Long, columns: Seq[String],
+      segments: Seq[(Long, Long)], rows: Long, meta: Map[String, String])
+
+  private val ExciseLogName = "_excise\\.v(\\d+)".r
+
+  /** Every excision ever run against `root`, oldest first — each is
+    * an immutable `_excise.v<N>` sidecar written under the manifest
+    * file number the excision's republish won (unique by the publish
+    * CAS, so concurrent excisions can never collide on a name).
+    * Vacuum never deletes them: the log is the durable proof a
+    * takedown happened after the data is long gone.
+    */
+  def excisions(spark: SparkSession, root: String): Seq[ExciseRecord] = {
+    val f = fs(spark, root)
+    val dir = new Path(root)
+    if (!f.exists(dir)) return Seq.empty
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    f.listStatus(dir).toSeq
+      .flatMap(s => s.getPath.getName match {
+        case ExciseLogName(n) => Some((n.toLong, s.getPath))
+        case _ => None
+      })
+      .sortBy(_._1)
+      .map { case (n, p) =>
+        val in = f.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val j = org.json4s.jackson.JsonMethods.parse(text)
+        ExciseRecord(
+          n,
+          (j \ "at_ms").extract[Long],
+          (j \ "columns").extract[Seq[String]],
+          (j \ "segments").extract[Seq[Map[String, Long]]]
+            .map(m => (m("version"), m("rows"))),
+          (j \ "rows").extract[Long],
+          (j \ "meta").extractOpt[Map[String, String]].getOrElse(Map.empty))
+      }
+  }
+
+  private def writeExciseLog(
+      f: FileSystem, root: String, fileNum: Long, columns: Seq[String],
+      segments: Seq[(Long, Long)], meta: Map[String, String]): Unit = {
+    import org.json4s.JsonDSL._
+    val obj = ("at_ms" -> System.currentTimeMillis()) ~
+      ("columns" -> columns) ~
+      ("segments" -> segments.map { case (v, n) =>
+        (("version" -> v) ~ ("rows" -> n)): org.json4s.JValue }) ~
+      ("rows" -> segments.map(_._2).sum) ~
+      ("meta" -> org.json4s.JObject(meta.toList.sortBy(_._1)
+        .map { case (k, v) => k -> (org.json4s.JString(v): org.json4s.JValue) }))
+    val out = f.create(new Path(root, s"_excise.v$fileNum"), false)
+    try out.write(org.json4s.jackson.JsonMethods.compact(obj).getBytes("UTF-8"))
+    finally out.close()
+  }
 
   /** Conservative [lo, hi] bound of an ANALYZED excision condition,
     * when it has the takedown's common shape — one column compared to
@@ -1349,7 +1429,7 @@ object Snapshots {
 
   private[graft] def exciseFrom(
       spark: SparkSession, root: String, condition: Column,
-      st: ManifestState): Seq[(Long, Long)] = {
+      st: ManifestState, meta: Map[String, String] = Map.empty): Seq[(Long, Long)] = {
     val (hit, refs, matchable) = exciseCandidates(spark, root, condition, st)
     // ONE counting job across all matchable segments: per-segment
     // match counts, condition pushed into each scan
@@ -1391,10 +1471,25 @@ object Snapshots {
         }
         throw e
     }
+    val report = rewritten.map { case (l, _) => l.v -> matched(l.v) }.sortBy(_._1)
+    // audit record under the file number OUR publish just won —
+    // unique by the CAS, so a concurrent excision can't collide on
+    // the name, and a race LOSER never reaches this line. Ordering:
+    // publish → audit → delete originals; a crash between publish
+    // and audit leaves the excision effective but unlogged (the
+    // takedown wins over its paper trail), one between audit and
+    // delete leaves logged-with-orphaned-originals for the sweep.
+    // Best-effort-loud: a failed audit write must not fail a
+    // takedown that already took effect.
+    try writeExciseLog(f, root, st.fileNum + 1, refs, report, meta)
+    catch {
+      case scala.util.control.NonFatal(e) => System.err.println(
+        s"[graft] excision SUCCEEDED but its audit record did not write to $root: $e")
+    }
     // PII leaves the disk here — after the publish, so no manifest
     // ever points at a deleted directory
     rewritten.foreach { case (l, _) => f.delete(new Path(root, l.rel), true); () }
-    rewritten.map { case (l, _) => l.v -> matched(l.v) }.sortBy(_._1)
+    report
   }
 
   /** Continuous ingest: sink a streaming frame into the store, one

@@ -1053,9 +1053,11 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
           HttpResponse.BodyHandlers.ofString())
         (r.statusCode(), JsonMethods.parse(r.body()))
       }
-      // before: id=2 has a two-event history
+      // before: id=2 has a two-event history and no takedown ran yet
       assert(longOf(getJ("/store/history?keys=id&key=2&limit=10")._2 \ "row_count") == 2L)
-      val (c, v) = postJ("/store/excise", """{"column": "id", "values": [2]}""")
+      assert(getJ("/store/excisions")._2 == JArray(Nil))
+      val (c, v) = postJ("/store/excise",
+        """{"column": "id", "values": [2], "meta": {"ticket": "GDPR-17"}}""")
       assert(c == 200, s"excise failed: $v")
       assert(longOf(v \ "total_rows") == 2L)
       val versions = (v \ "excised").asInstanceOf[JArray].arr
@@ -1067,6 +1069,13 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       assert(longOf(getJ("/store/read?keys=id&limit=10")._2 \ "row_count") == 2L)
       // versions/timestamps are preserved — the republish added no line
       assert(getJ("/store/versions")._2.asInstanceOf[JArray].arr.size == 2)
+      // the audit trail records the takedown: columns, counts and the
+      // operator's meta — and NOT the excised value
+      val audit = getJ("/store/excisions")._2.asInstanceOf[JArray].arr
+      assert(audit.size == 1)
+      assert((audit.head \ "columns") == JArray(List(JString("id"))))
+      assert(longOf(audit.head \ "rows") == 2L)
+      assert((audit.head \ "meta" \ "ticket") == JString("GDPR-17"))
       // a takedown that names nothing is a 404 (never a silent no-op),
       // bad bodies are 400s, wrong verb is a 405
       assert(postJ("/store/excise", """{"column": "id", "values": [999]}""")._1 == 404)

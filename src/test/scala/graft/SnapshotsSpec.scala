@@ -337,6 +337,42 @@ class SnapshotsSpec extends SparkSpec {
       === Seq((2L, 1L)))
   }
 
+  test("excise: every takedown leaves an immutable audit record — columns, counts and caller meta, never values") {
+    val root = tmpDir("snap-excise-audit")
+    Snapshots.commit(Seq((1L, "a"), (2L, "pii")).toDF("id", "name"), root)
+    Snapshots.commitDelta(Seq((3L, "also-pii")).toDF("id", "name"), root)
+    assert(Snapshots.excisions(spark, root).isEmpty)
+    val m1 = Map("ticket" -> "GDPR-17", "by" -> "dpo")
+    Snapshots.excise(spark, root, col("id") === 2L, meta = m1)
+    val r1 = Snapshots.excisions(spark, root) match {
+      case Seq(r) => r
+      case other  => fail(s"expected one audit record, got $other")
+    }
+    assert(r1.columns === Seq("id"))
+    assert(r1.segments === Seq((1L, 1L)) && r1.rows === 1L)
+    assert(r1.meta === m1)
+    assert(math.abs(r1.atMs - System.currentTimeMillis()) < 60000L)
+    // a second takedown appends a SECOND record at a later file number
+    Snapshots.excise(spark, root, col("id") === 3L)
+    val recs = Snapshots.excisions(spark, root)
+    assert(recs.size === 2 && recs(0).fileNum < recs(1).fileNum)
+    assert(recs(1).meta === Map.empty)
+    // a race LOSER writes no record: the failed attempt must not
+    // fabricate audit evidence of a takedown that never took effect
+    Snapshots.commitDelta(Seq((9L, "x")).toDF("id", "name"), root)
+    val stale = Snapshots.manifestState(spark, root)
+    Snapshots.commitDelta(Seq((10L, "y")).toDF("id", "name"), root)
+    intercept[IllegalStateException](
+      Snapshots.exciseFrom(spark, root, col("id") === 9L, stale))
+    assert(Snapshots.excisions(spark, root).size === 2)
+    // compaction + vacuum delete DATA, never the audit trail — the
+    // proof outlives the store's history
+    Snapshots.compact(spark, root, Seq("id"))
+    Snapshots.vacuum(spark, root, keepAfterVersion = Snapshots.latestVersion(spark, root),
+      orphanGraceMs = 0L)
+    assert(Snapshots.excisions(spark, root).size === 2)
+  }
+
   test("excise: refusals are loud — constant predicates, no-match typos, unknown columns") {
     val root = tmpDir("snap-excise-refuse")
     Snapshots.commit(Seq((1, "a"), (2, "b")).toDF("id", "name"), root)
