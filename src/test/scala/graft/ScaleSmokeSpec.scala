@@ -253,6 +253,34 @@ class ScaleSmokeSpec extends SparkSpec {
     info(f"17-frame merge over $total%d keys: $mergeSecs%.1f s, 1 shuffle; post-compact scans: $scans")
   }
 
+  test("history across MANY fulls: two window exchanges total, never one pass per full") {
+    // the r14 rewrite's claim: synthetic deletes derive from a lead
+    // window against the manifest's fulls as a literal array, so a
+    // chain with N compactions classifies in the SAME two
+    // key-partitioned exchanges as a fresh one (the old shape paid a
+    // lastWriterWins window + anti-join PER FULL)
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val root = tmpDir("scale-hist-fulls") + "/t"
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), root)
+    (0 until 6).foreach { i =>
+      Snapshots.commitDelta(Seq((10L + i, s"d$i")).toDF("id", "name"), root)
+      // a full that restates everything minus one key — six
+      // compaction-like fulls, each a synthetic-delete source
+      Snapshots.compact(spark, root, Seq("id"))
+    }
+    val h = Snapshots.history(spark, root, Seq("id"))
+    val p = h.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2,
+      s"expected exactly 2 window exchanges on a 6-full chain, saw $exchanges:\n$p")
+    // and the classification is still right: every key has exactly one
+    // insert and no spurious synthetic deletes (compactions restate)
+    val ops = h.collect().map(r => (r.getLong(3), r.getString(2)))
+    assert(ops.count(_._2 == "insert") === ops.map(_._1).distinct.length)
+    assert(!ops.exists(_._2 == "delete"))
+  }
+
   test("store scale: merge-range prune opens 2 of 17 segments; history is ONE window shuffle; the tail diff is span-keyed") {
     import graft.sources.Snapshots
     val sf01 = "/root/testdata/sf0.01"
