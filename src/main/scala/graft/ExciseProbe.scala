@@ -27,8 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object ExciseProbe {
   def main(args: Array[String]): Unit = {
-    val d = args.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.1")
-    val bands = args.filterNot(_.startsWith("/")).headOption.map(_.toInt).getOrElse(16)
+    // plain positional args, as documented — prefix-sniffing would
+    // silently misroute a relative sfDir into the bands slot
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val bands = args.lift(1).map(_.toInt).getOrElse(16)
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")

@@ -1215,7 +1215,10 @@ object Snapshots {
     *    (`_excise.v<N>`, read back by [[excisions]]) carrying when,
     *    which COLUMNS, per-version row counts and the caller's
     *    `meta` (ticket id, who ordered it) — never the condition's
-    *    values, which are exactly what the takedown removed.
+    *    values, which are exactly what the takedown removed. A
+    *    takedown whose audit record cannot write still TAKES EFFECT
+    *    (originals deleted) and then fails loudly naming what it
+    *    rewrote — never a green return with the paper trail missing.
     *
     * Returns (version, rows excised) for every rewritten segment.
     */
@@ -1284,9 +1287,23 @@ object Snapshots {
       ("rows" -> segments.map(_._2).sum) ~
       ("meta" -> org.json4s.JObject(meta.toList.sortBy(_._1)
         .map { case (k, v) => k -> (org.json4s.JString(v): org.json4s.JValue) }))
-    val out = f.create(new Path(root, s"_excise.v$fileNum"), false)
+    // write-to-tmp then rename, like every manifest publish: a crash
+    // (or a concurrent excisions() listing) must never observe a
+    // partial record under the final name — one truncated sidecar
+    // would make the WHOLE trail unreadable forever, since vacuum
+    // deliberately never deletes these. The final name is unique (the
+    // publish CAS won this fileNum), so plain rename suffices — no
+    // second CAS needed.
+    val tmp = new Path(root,
+      s"_excise.v$fileNum.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = f.create(tmp, true)
     try out.write(org.json4s.jackson.JsonMethods.compact(obj).getBytes("UTF-8"))
     finally out.close()
+    if (!f.rename(tmp, new Path(root, s"_excise.v$fileNum"))) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(
+        s"could not publish audit record _excise.v$fileNum in $root")
+    }
   }
 
   /** Conservative [lo, hi] bound of an ANALYZED excision condition,
@@ -1475,20 +1492,30 @@ object Snapshots {
     // audit record under the file number OUR publish just won —
     // unique by the CAS, so a concurrent excision can't collide on
     // the name, and a race LOSER never reaches this line. Ordering:
-    // publish → audit → delete originals; a crash between publish
-    // and audit leaves the excision effective but unlogged (the
-    // takedown wins over its paper trail), one between audit and
-    // delete leaves logged-with-orphaned-originals for the sweep.
-    // Best-effort-loud: a failed audit write must not fail a
-    // takedown that already took effect.
-    try writeExciseLog(f, root, st.fileNum + 1, refs, report, meta)
-    catch {
-      case scala.util.control.NonFatal(e) => System.err.println(
-        s"[graft] excision SUCCEEDED but its audit record did not write to $root: $e")
-    }
+    // publish → audit attempt → delete originals; a crash between
+    // publish and audit leaves the excision effective but unlogged
+    // (the takedown wins over its paper trail), one between audit
+    // and delete leaves logged-with-orphaned-originals for the sweep.
+    val auditFailure: Option[Throwable] =
+      try { writeExciseLog(f, root, st.fileNum + 1, refs, report, meta); None }
+      catch { case scala.util.control.NonFatal(e) => Some(e) }
     // PII leaves the disk here — after the publish, so no manifest
-    // ever points at a deleted directory
+    // ever points at a deleted directory. This runs even when the
+    // audit write failed: the takedown's EFFECT always wins over its
+    // paper trail.
     rewritten.foreach { case (l, _) => f.delete(new Path(root, l.rel), true); () }
+    // effect-then-loud: a silently-missing GDPR record (a 200 whose
+    // operator closes the ticket believing the durable proof exists)
+    // is worse than a scary error — the excision is COMPLETE, the
+    // error says so and carries the report, and the remedy is to fix
+    // the store's writability and record the takedown out of band.
+    auditFailure.foreach { e =>
+      throw new IllegalStateException(
+        s"excision of $root TOOK EFFECT (rewrote ${report.map { case (v, n) =>
+          s"v$v ($n rows)" }.mkString(", ")}; originals deleted) but its audit " +
+          s"record _excise.v${st.fileNum + 1} could not be written — record the " +
+          "takedown out of band and fix the store's writability", e)
+    }
     report
   }
 

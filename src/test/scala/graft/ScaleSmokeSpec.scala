@@ -253,32 +253,43 @@ class ScaleSmokeSpec extends SparkSpec {
     info(f"17-frame merge over $total%d keys: $mergeSecs%.1f s, 1 shuffle; post-compact scans: $scans")
   }
 
-  test("history across MANY fulls: two window exchanges total, never one pass per full") {
+  test("history across MANY fulls: two window exchanges total, and every full's drops classify right") {
     // the r14 rewrite's claim: synthetic deletes derive from a lead
     // window against the manifest's fulls as a literal array, so a
-    // chain with N compactions classifies in the SAME two
-    // key-partitioned exchanges as a fresh one (the old shape paid a
-    // lastWriterWins window + anti-join PER FULL)
+    // chain with N fulls classifies in the SAME two key-partitioned
+    // exchanges as a fresh one (the old shape paid a lastWriterWins
+    // window + anti-join PER FULL) — and the semantically risky half,
+    // synthetic-delete DERIVATION, is exercised by making every full
+    // a dropping one
     import graft.sources.Snapshots
     import spark.implicits._
     val root = tmpDir("scale-hist-fulls") + "/t"
-    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), root)
-    (0 until 6).foreach { i =>
-      Snapshots.commitDelta(Seq((10L + i, s"d$i")).toDF("id", "name"), root)
-      // a full that restates everything minus one key — six
-      // compaction-like fulls, each a synthetic-delete source
-      Snapshots.compact(spark, root, Seq("id"))
+    // v1 full: keys 1..6 live. Then six fulls, the i-th dropping key
+    // i+1 while restating the still-live tail — each full is a
+    // synthetic-delete source for exactly one key
+    Snapshots.commit((1L to 6L).map(k => (k, s"n$k")).toDF("id", "name"), root)
+    (1L to 6L).foreach { dropUpTo =>
+      Snapshots.commit(
+        ((dropUpTo + 1L) to 6L).map(k => (k, s"n$k")).toDF("id", "name"), root)
     }
     val h = Snapshots.history(spark, root, Seq("id"))
     val p = h.queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 2,
-      s"expected exactly 2 window exchanges on a 6-full chain, saw $exchanges:\n$p")
-    // and the classification is still right: every key has exactly one
-    // insert and no spurious synthetic deletes (compactions restate)
-    val ops = h.collect().map(r => (r.getLong(3), r.getString(2)))
-    assert(ops.count(_._2 == "insert") === ops.map(_._1).distinct.length)
-    assert(!ops.exists(_._2 == "delete"))
+      s"expected exactly 2 window exchanges on a 7-full chain, saw $exchanges:\n$p")
+    val rows = h.collect().map(r => (r.getLong(3), r.getLong(0), r.getString(2)))
+    // key k: insert at v1, synthesized delete at v(k+1) — the FIRST
+    // full it is absent from — and nothing else (the later fulls that
+    // also lack it are no-ops on a dead key; unchanged restatements
+    // of live keys are dropped)
+    (1L to 6L).foreach { k =>
+      val tl = rows.filter(_._1 == k).map(t => (t._2, t._3)).sortBy(_._1).toSeq
+      assert(tl === Seq((1L, "insert"), (k + 1L, "delete")),
+        s"key $k timeline wrong on the many-fulls chain: $tl")
+    }
+    // the synthesized deletes carry each dropping FULL's version — six
+    // deletes across six distinct versions, one per full
+    assert(rows.count(_._3 == "delete") === 6)
   }
 
   test("store scale: merge-range prune opens 2 of 17 segments; history is ONE window shuffle; the tail diff is span-keyed") {
