@@ -44,9 +44,13 @@ object ExciseProbe {
     val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
     val slice = maxKey / bands + 1
 
+    // explicit recursive cleanup at the end — deleteOnExit only
+    // removes EMPTY directories, so it would leak two corpus-sized
+    // stores into /tmp per probe run (a tables sweep fills the disk)
+    val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
     def buildStore(tag: String): String = {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft-excise-probe-$tag")
-      tmp.toFile.deleteOnExit()
+      tmpDirs += tmp
       val root = s"$tmp/orders"
       Snapshots.commit(orders, root, statsCols = Seq("o_orderkey"))
       (0 until bands).foreach { i =>
@@ -84,6 +88,11 @@ object ExciseProbe {
         s""""bounded":{"planned_scans":${plannedA.size},"plan_sec":${fmt(planTimeA)},"excise_sec":${fmt(wallA)}},""" +
         s""""unbounded":{"planned_scans":${plannedB.size},"plan_sec":${fmt(planTimeB)},"excise_sec":${fmt(wallB)}},""" +
         s""""rewritten":${repA.map(_._1).mkString("[", ",", "]")},"rows":${repA.map(_._2).sum}}""")
+    tmpDirs.foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(t.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
     spark.stop()
   }
 }

@@ -184,6 +184,25 @@ object WarehouseServer {
     * travel as strings ("NaN"/"Infinity") rather than breaking the
     * document; binary is base64.
     */
+  /** Commit/excise provenance from a request body: the optional
+    * string-valued `meta` object, with per-key typed 400s.
+    */
+  private def parseMetaObject(spec: JValue): Map[String, String] = spec \ "meta" match {
+    case JObject(fields) => fields.map {
+      case (k, JString(mv)) => k -> mv
+      case (k, other) => throw HttpError(400,
+        s"meta value for '$k' must be a string, got $other")
+    }.toMap
+    case JNothing => Map.empty
+    case other => throw HttpError(400, s"meta must be a string-valued object, got $other")
+  }
+
+  /** A provenance map rendered key-sorted — the one JSON form every
+    * meta-bearing response uses.
+    */
+  private def metaJson(meta: Map[String, String]): JObject =
+    JObject(meta.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) })
+
   private def jval(v: Any): JValue = v match {
     case null                 => JNull
     case s: String            => JString(s)
@@ -805,6 +824,48 @@ object WarehouseServer {
     // the old index keeps answering throughout (no 503 window).
     // `/ann/refresh` keeps the synchronous path for operators who want
     // the rebuild paid at a chosen moment and the NEW index returned.
+    // ladder slots carry a last-use stamp for the LRU cap below
+    final case class AltSlot(idx: AnnServing, lastUse: java.util.concurrent.atomic.AtomicLong)
+    val annAlt = new java.util.concurrent.ConcurrentHashMap[Int, AltSlot]()
+    // at most this many LIVE ladder indexes at one stamp: each slot
+    // pins two corpus-sized persisted frames, and the [1,128] request
+    // validation bounds one request, not the ACCUMULATION — a client
+    // sweeping distinct tables values would otherwise build dozens of
+    // concurrent indexes and exhaust executor storage. Evicting LRU
+    // is benign: a re-request just rebuilds the rung.
+    val annAltCap = 4
+    // evict EVERY alt slot whose stamp is not `v` (caller holds
+    // annLock): stale ladder indexes pin two corpus-sized persisted
+    // frames each, and without a sweep a slot is only ever revisited
+    // by a request for its exact tables count — a recall audit over a
+    // continuously-ingesting source would otherwise accrete one dead
+    // index per rung until shutdown
+    def annAltSweep(v: String): Unit = {
+      val it = annAlt.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.idx.sourceVersion != v) { e.getValue.idx.close(); it.remove() }
+      }
+    }
+    def annRefresh(): (Option[String], AnnServing) = annLock.synchronized {
+      val old = Option(annRef.get)
+      val built = annSwap(old.orNull)
+      // a refresh means the operator believes the source moved: drop
+      // every ladder slot built against older stamps now rather than
+      // when (if ever) its tables count is re-requested
+      annAltSweep(built.sourceVersion)
+      (old.map(_.sourceVersion), built)
+    }
+    // Recall-ladder slots: a search that passes `tables` serves from
+    // an index built at THAT tables count, cached per tables value
+    // and stamped like the default slot (a moved source rebuilds it).
+    // This is the measured tables-vs-recall ladder (PLANS.md) exposed
+    // at query time: a deployment buys candidate recall for one
+    // request class without re-pinning the operator stack or paying a
+    // rebuild per request. Builds are inline under annLock (an
+    // operator/recall-audit path — the serve-while-rebuild machinery
+    // stays on the default slot) and deliberately skip the warm-start
+    // image, which records only the default geometry.
     val annRebuilding = new java.util.concurrent.atomic.AtomicBoolean(false)
     def annKickRebuild(): Unit = {
       // the instance whose staleness triggered this kick: the swap
@@ -824,7 +885,14 @@ object WarehouseServer {
               catch { case NonFatal(_) => null } // next stale search retries
             if (built != null) annLock.synchronized {
               if (annClosed) built.close()
-              else if (annRef.compareAndSet(basis, built)) basis.close()
+              else if (annRef.compareAndSet(basis, built)) {
+                basis.close()
+                // the swap proves the source moved: ladder slots built
+                // against older stamps are dead now — close them here
+                // rather than waiting for a request that may never
+                // re-ask for their exact tables count
+                annAltSweep(built.sourceVersion)
+              }
               else built.close() // superseded while building: keep the newer index
             }
           } finally annRebuilding.set(false)
@@ -847,49 +915,19 @@ object WarehouseServer {
         else annSwap(null)
       }
     }
-    val annAlt = new java.util.concurrent.ConcurrentHashMap[Int, AnnServing]()
-    // evict EVERY alt slot whose stamp is not `v` (caller holds
-    // annLock): stale ladder indexes pin two corpus-sized persisted
-    // frames each, and without a sweep a slot is only ever revisited
-    // by a request for its exact tables count — a recall audit over a
-    // continuously-ingesting source would otherwise accrete one dead
-    // index per rung until shutdown
-    def annAltSweep(v: String): Unit = {
-      val it = annAlt.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getValue.sourceVersion != v) { e.getValue.close(); it.remove() }
-      }
-    }
-    def annRefresh(): (Option[String], AnnServing) = annLock.synchronized {
-      val old = Option(annRef.get)
-      val built = annSwap(old.orNull)
-      // a refresh means the operator believes the source moved: drop
-      // every ladder slot built against older stamps now rather than
-      // when (if ever) its tables count is re-requested
-      annAltSweep(built.sourceVersion)
-      (old.map(_.sourceVersion), built)
-    }
-    // Recall-ladder slots: a search that passes `tables` serves from
-    // an index built at THAT tables count, cached per tables value
-    // and stamped like the default slot (a moved source rebuilds it).
-    // This is the measured tables-vs-recall ladder (PLANS.md) exposed
-    // at query time: a deployment buys candidate recall for one
-    // request class without re-pinning the operator stack or paying a
-    // rebuild per request. Builds are inline under annLock (an
-    // operator/recall-audit path — the serve-while-rebuild machinery
-    // stays on the default slot) and deliberately skip the warm-start
-    // image, which records only the default geometry.
     def annIndexAt(tables: Int): AnnServing = {
       val v = annVersion()
       // the default slot already serves this tables count at the
       // current stamp: reuse it (never a duplicate corpus persist) —
       // and close a now-shadowed alt slot for the same count, which
-      // no future request could ever reach through this fast path
+      // no future request could ever reach through this fast path.
+      // The containsKey probe keeps the common case LOCK-FREE: taking
+      // annLock just to check would park a ready default-slot answer
+      // behind a rival rung's minutes-long inline build.
       val dflt = annRef.get
       if (dflt != null && dflt.sourceVersion == v && dflt.geometry.tables == tables) {
-        annLock.synchronized {
-          Option(annAlt.remove(tables)).foreach(_.close())
+        if (annAlt.containsKey(tables)) annLock.synchronized {
+          Option(annAlt.remove(tables)).foreach(_.idx.close())
         }
         dflt
       } else annLock.synchronized {
@@ -897,8 +935,10 @@ object WarehouseServer {
         val v2 = annVersion()
         annAltSweep(v2)
         val cur = annAlt.get(tables)
-        if (cur != null) cur // fresh: the sweep just removed every stale slot
-        else {
+        if (cur != null) {
+          cur.lastUse.set(System.nanoTime())
+          cur.idx // fresh: the sweep just removed every stale slot
+        } else {
           val built =
             try AnnServing.buildWithTables(spark, annSource, tables)
             catch {
@@ -906,7 +946,16 @@ object WarehouseServer {
                 s"ann index build failed (server-side, not your request): " +
                   s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
             }
-          annAlt.put(tables, built)
+          // LRU cap on live same-stamp slots (see annAltCap)
+          while (annAlt.size() >= annAltCap) {
+            import scala.jdk.CollectionConverters._
+            val (lruK, lruS) = annAlt.entrySet().asScala
+              .minBy(_.getValue.lastUse.get()) match { case e => (e.getKey, e.getValue) }
+            annAlt.remove(lruK)
+            lruS.idx.close()
+          }
+          annAlt.put(tables,
+            AltSlot(built, new java.util.concurrent.atomic.AtomicLong(System.nanoTime())))
           built
         }
       }
@@ -986,9 +1035,7 @@ object WarehouseServer {
                 ("manifest_file" -> ms.fileNum) ~
                 // the tip commit's provenance (who/which job/why) —
                 // answered from the manifest line, no data read
-                ("tip_meta" -> ms.lines.lastOption.map(l =>
-                  JObject(l.meta.toList.sortBy(_._1).map { case (k, v) =>
-                    k -> (JString(v): JValue) })))
+                ("tip_meta" -> ms.lines.lastOption.map(l => metaJson(l.meta)))
           }
           ("uptime_ms" -> (System.currentTimeMillis() - startedAtMs)) ~
             ("active_job_groups" -> JArray(active.asScala.toList.sorted.map(JString(_)))) ~
@@ -1061,8 +1108,7 @@ object WarehouseServer {
             val stamped =
               if (ts >= 0) base ~ ("commit_ts" -> java.time.Instant.ofEpochMilli(ts).toString)
               else base
-            (if (meta.nonEmpty) stamped ~ ("meta" -> JObject(
-              meta.toList.sortBy(_._1).map { case (k, mv) => k -> (JString(mv): JValue) }))
+            (if (meta.nonEmpty) stamped ~ ("meta" -> metaJson(meta))
              else stamped): JValue
           }.toList)
         case ("GET", "/store/read") =>
@@ -1392,15 +1438,7 @@ object WarehouseServer {
           }
           // commit provenance — free-form string facts stored on the
           // manifest line, surfaced by /store/versions and /status
-          val meta: Map[String, String] = spec \ "meta" match {
-            case JObject(fields) => fields.map {
-              case (k, JString(mv)) => k -> mv
-              case (k, other) => throw HttpError(400,
-                s"meta value for '$k' must be a string, got $other")
-            }.toMap
-            case JNothing => Map.empty
-            case other => throw HttpError(400, s"meta must be a string-valued object, got $other")
-          }
+          val meta: Map[String, String] = parseMetaObject(spec)
           val df = spark.read.parquet(source)
           val version =
             try {
@@ -1431,8 +1469,7 @@ object WarehouseServer {
                 (("version" -> v) ~ ("rows" -> n)): JValue
               }.toList)) ~
               ("rows" -> r.rows) ~
-              ("meta" -> JObject(r.meta.toList.sortBy(_._1)
-                .map { case (k, mv) => k -> (JString(mv): JValue) }))): JValue
+              ("meta" -> metaJson(r.meta))): JValue
           }.toList)
         case ("POST", "/store/excise") =>
           // hard delete across history (Snapshots.excise): the
@@ -1460,20 +1497,21 @@ object WarehouseServer {
             case JArray(_) => throw HttpError(400, "excise 'values' must be non-empty")
             case other => throw HttpError(400, s"excise needs a 'values' array, got $other")
           }
-          val chain = Snapshots.versions(spark, storeRoot)
-          if (chain.isEmpty) throw HttpError(404, "the store is empty")
           // the column's type comes from the chain's UNION schema
-          // (footer reads only — where(false) never scans): an
-          // evolved chain that widened the column (int → long full
+          // (Snapshots.chainSchema — footer reads only): an evolved
+          // chain that widened the column (int → long full
           // redefinition) resolves to the WIDE type here, so no
           // takedown value is ever narrowed/wrapped into silently
           // missing the rows it names
-          val colType = chain
-            .map(t => spark.read.parquet(s"$storeRoot/${t._3}").where(lit(false)))
-            .reduce(_.unionByName(_, allowMissingColumns = true))
-            .schema.find(_.name == column)
-            .getOrElse(throw HttpError(400,
-              s"no segment of the store carries column '$column'")).dataType
+          val colType =
+            (try Snapshots.chainSchema(spark, storeRoot)
+             catch {
+               case e: IllegalArgumentException =>
+                 throw HttpError(404, Option(e.getMessage).getOrElse("the store is empty"))
+             })
+              .find(_.name == column)
+              .getOrElse(throw HttpError(400,
+                s"no segment of the store carries column '$column'")).dataType
           // literals in the column's EXACT external type — a
           // lit(v).cast(colType) wrapper would reach conditionBounds
           // as Cast nodes and lose the zone-map segment skip
@@ -1501,15 +1539,7 @@ object WarehouseServer {
           // audit provenance for the takedown record (ticket id, who
           // ordered it) — free-form strings; the record never carries
           // the excised values themselves
-          val exMeta: Map[String, String] = spec \ "meta" match {
-            case JObject(fields) => fields.map {
-              case (k, JString(mv)) => k -> mv
-              case (k, other) => throw HttpError(400,
-                s"meta value for '$k' must be a string, got $other")
-            }.toMap
-            case JNothing => Map.empty
-            case other => throw HttpError(400, s"meta must be a string-valued object, got $other")
-          }
+          val exMeta: Map[String, String] = parseMetaObject(spec)
           val report =
             try Snapshots.excise(spark, storeRoot,
               col(column).isin(typedVals: _*), meta = exMeta)
@@ -1634,7 +1664,7 @@ object WarehouseServer {
       () => annLock.synchronized {
         annClosed = true
         Option(annRef.get).foreach(_.close())
-        annAlt.values.forEach(_.close())
+        annAlt.values.forEach(_.idx.close())
         annAlt.clear()
       })
   }

@@ -1183,11 +1183,16 @@ object Snapshots {
     * counting pass itself is bounded twice: the condition sits
     * directly on each parquet scan (row-group stats prune inside
     * every opened segment), and for the takedown's common shape —
-    * one column's equality/isin, see [[conditionBounds]] — the
-    * committed zone maps skip whole segments WITHOUT opening them.
-    * Segments whose schema lacks a referenced column can't match
-    * (the value is null there under the chain's union semantics) and
-    * are skipped without a scan. Rewritten segments that carried a
+    * one column's equality/isin over non-null literals, see
+    * [[conditionBounds]] — the committed zone maps skip whole
+    * segments WITHOUT opening them, including segments that predate
+    * the column (their rows hold only nulls for it and can never
+    * equal a named value). Any OTHER condition shape counts every
+    * segment, with columns a segment lacks evaluated as the typed
+    * nulls its rows carry under the chain's union semantics — so a
+    * null-MATCHING condition (`col.isNull`) correctly excises the
+    * pre-column rows too, while a null-rejecting one folds those
+    * scans away in the optimizer. Rewritten segments that carried a
     * zone-map sidecar get one recomputed over the surviving rows.
     *
     * Crash/concurrency ordering, same discipline as every publish
@@ -1401,15 +1406,40 @@ object Snapshots {
     * constant predicates) against the chain's union schema —
     * schema-only, where(false) collapses before any scan.
     */
-  private def exciseCandidates(
-      spark: SparkSession, root: String, condition: Column,
-      st: ManifestState): (Column, Seq[String], Seq[ManifestLine]) = {
-    require(st.lines.nonEmpty, s"empty snapshot store at $root")
-    val hit = coalesce(condition, lit(false))
-    val unionSchema = st.lines
+  /** The chain's null-filled union schema — what [[asOf]]-family
+    * reads answer with on an evolved chain. Footer reads only
+    * (`where(false)` collapses before any scan); serving-layer
+    * callers use it to type request literals in the WIDE form an
+    * evolved chain resolves to.
+    */
+  def chainSchema(spark: SparkSession, root: String): org.apache.spark.sql.types.StructType = {
+    val lines = manifestState(spark, root).lines
+    require(lines.nonEmpty, s"empty snapshot store at $root")
+    lines
       .map(l => spark.read.parquet(s"$root/${l.rel}").where(lit(false)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
-    val analyzedCond = unionSchema.filter(hit).queryExecution.analyzed.collect {
+      .schema
+  }
+
+  private final case class ExcisePlan(
+      hit: Column, refs: Seq[String],
+      refTypes: Map[String, org.apache.spark.sql.types.DataType],
+      matchable: Seq[ManifestLine])
+
+  private def exciseCandidates(
+      spark: SparkSession, root: String, condition: Column,
+      st: ManifestState): ExcisePlan = {
+    require(st.lines.nonEmpty, s"empty snapshot store at $root")
+    val hit = coalesce(condition, lit(false))
+    // ONE footer-read round: the per-segment frames captured here
+    // serve the union-schema condition analysis AND the per-segment
+    // schema checks below (re-reading per check would pay a listing +
+    // footer job per segment per pass — hundreds of redundant driver
+    // jobs on a years-long chain)
+    val segFrames = st.lines.map(l => l -> spark.read.parquet(s"$root/${l.rel}"))
+    val unionFrame = segFrames.map(_._2.where(lit(false)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val analyzedCond = unionFrame.filter(hit).queryExecution.analyzed.collect {
       case fl: org.apache.spark.sql.catalyst.plans.logical.Filter => fl.condition
     }.headOption.getOrElse(throw new IllegalStateException(
       "excision condition did not analyze to a Filter — cannot happen for a filter() plan"))
@@ -1417,23 +1447,49 @@ object Snapshots {
     require(refs.nonEmpty,
       "excision condition references no columns — a constant predicate would erase " +
         "(or keep) the whole table; name the rows via their key columns")
-    // zone-map skip for the takedown's common shape (one column's
-    // equality / isin): a segment whose committed stats exclude every
-    // named value provably holds no match and is never even opened by
-    // the counting pass — on a years-long chain with key zone maps
-    // that is the difference between "count-scan the store" and "open
-    // the segments whose key range intersects". Conditions the bound
-    // extractor doesn't recognize just count everywhere (row-group
-    // stats still prune inside each scan via the pushed filter).
+    val refTypes = refs.map(c => c -> unionFrame.schema(c).dataType).toMap
+    // zone-map skip ONLY for the takedown's recognized shape (one
+    // column's equality / isin over non-null literals): there a
+    // segment lacking the column holds only nulls for it and can
+    // never match, and a segment whose committed stats exclude every
+    // named value is provably clean — neither is ever opened. On a
+    // years-long keyed chain that is "open the segments whose range
+    // intersects", not "count-scan the store". A stats sidecar whose
+    // recorded type family diverged from the union schema (the chain
+    // evolved int → double/string across a full) keeps the segment
+    // CONSERVATIVELY — mayContain's loud domain error is for typo'd
+    // reader bounds, not for a legal takedown on an evolved chain.
+    // Unrecognized shapes count EVERYWHERE — including segments that
+    // lack a referenced column, whose rows hold null there under the
+    // chain's union semantics and which a null-MATCHING condition
+    // (col.isNull) legitimately selects; those segments read with the
+    // missing refs null-filled (for null-REJECTING conditions the
+    // optimizer folds the null comparison to false and the scan
+    // collapses — the inclusion costs a footer read, not a scan).
     val bounds = conditionBounds(analyzedCond)
-    val matchable = st.lines.filter { l =>
-      val cols = spark.read.parquet(s"$root/${l.rel}").columns
-      refs.forall(cols.contains) && bounds.forall { case (c, lo, hi) =>
-        mayContain(segmentStats(spark, root, l.rel), c, lo, hi)
+    val matchable = segFrames.filter { case (l, seg) =>
+      bounds match {
+        case Some((c, lo, hi)) =>
+          seg.columns.contains(c) &&
+            scala.util.Try(mayContain(segmentStats(spark, root, l.rel), c, lo, hi))
+              .getOrElse(true)
+        case None => true
       }
-    }
-    (hit, refs, matchable)
+    }.map(_._1)
+    ExcisePlan(hit, refs, refTypes, matchable)
   }
+
+  /** A segment frame with the condition's referenced columns present:
+    * columns the segment predates (or dropped) appear as typed nulls,
+    * exactly the value the chain's union semantics give their rows —
+    * so the counting and rewrite passes evaluate the SAME predicate
+    * every merged read would.
+    */
+  private def withRefCols(
+      seg: DataFrame, refs: Seq[String],
+      refTypes: Map[String, org.apache.spark.sql.types.DataType]): DataFrame =
+    refs.foldLeft(seg)((d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(refTypes(c))))
 
   /** The versions [[excise]]'s counting pass would open for
     * `condition` — the pruning decision as data, the excision twin of
@@ -1442,19 +1498,23 @@ object Snapshots {
     */
   private[graft] def excisePlannedScans(
       spark: SparkSession, root: String, condition: Column): Seq[Long] =
-    exciseCandidates(spark, root, condition, manifestState(spark, root))._3.map(_.v)
+    exciseCandidates(spark, root, condition, manifestState(spark, root)).matchable.map(_.v)
 
   private[graft] def exciseFrom(
       spark: SparkSession, root: String, condition: Column,
       st: ManifestState, meta: Map[String, String] = Map.empty): Seq[(Long, Long)] = {
-    val (hit, refs, matchable) = exciseCandidates(spark, root, condition, st)
+    val plan = exciseCandidates(spark, root, condition, st)
+    import plan.{hit, refs, refTypes, matchable}
     // ONE counting job across all matchable segments: per-segment
-    // match counts, condition pushed into each scan
+    // match counts, condition pushed into each scan; segments that
+    // predate a referenced column evaluate it as the typed null their
+    // rows carry under union semantics
     val matched: Map[Long, Long] =
       if (matchable.isEmpty) Map.empty
       else matchable
         .map(l =>
-          spark.read.parquet(s"$root/${l.rel}").where(hit).select(lit(l.v).as("_seg")))
+          withRefCols(spark.read.parquet(s"$root/${l.rel}"), refs, refTypes)
+            .where(hit).select(lit(l.v).as("_seg")))
         .reduce(_ unionByName _)
         .groupBy(col("_seg")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -1467,7 +1527,11 @@ object Snapshots {
     val rewritten = st.lines.filter(l => matched.contains(l.v)).map { l =>
       val seg = spark.read.parquet(s"$root/${l.rel}")
       val newRel = s"v${l.v}-${java.util.UUID.randomUUID.toString.take(8)}"
-      seg.filter(!hit).write.mode("errorifexists").parquet(s"$root/$newRel")
+      // survivors keep the segment's EXACT schema: ref columns added
+      // only to evaluate the condition are projected back out
+      withRefCols(seg, refs, refTypes).filter(!hit)
+        .select(seg.columns.map(col).toIndexedSeq: _*)
+        .write.mode("errorifexists").parquet(s"$root/$newRel")
       segmentStats(spark, root, l.rel).foreach { stats =>
         writeStatsSidecar(seg, root, newRel, stats.keys.toSeq.sorted)
       }
@@ -1863,21 +1927,24 @@ object Snapshots {
         // never a silent duplicate. Only a rival publish that did NOT
         // advance progress (an operational commit on the output
         // store) actually retries.
-        val st0 = manifestState(spark, outRoot)
-        val rel = s"v${st0.lines.lastOption.map(_.v + 1).getOrElse(1L)}" +
-          s"-${java.util.UUID.randomUUID.toString.take(8)}"
-        feed.write.mode("errorifexists").parquet(s"$outRoot/$rel")
-        var attempt = 0
-        var done = false
-        var st = st0
-        while (!done) {
-          attempt += 1
-          val progressed = st.lines.lastOption.exists { l =>
-            spark.read.parquet(s"$outRoot/${l.rel}")
-              .agg(max(col("_to_v"))).head().getLong(0) > last
-          }
-          if (progressed) done = true
-          else {
+        def progressedAt(stx: ManifestState): Boolean = stx.lines.lastOption.exists { l =>
+          spark.read.parquet(s"$outRoot/${l.rel}")
+            .agg(max(col("_to_v"))).head().getLong(0) > last
+        }
+        var st = manifestState(spark, outRoot)
+        // fence BEFORE the data write: the already-landed-loser case
+        // (a rival tail committed this span while we diffed it) drops
+        // the span for the cost of one column-pruned agg, not a
+        // feed-sized parquet write destined straight for the orphan
+        // sweep
+        if (!progressedAt(st)) {
+          val rel = s"v${st.lines.lastOption.map(_.v + 1).getOrElse(1L)}" +
+            s"-${java.util.UUID.randomUUID.toString.take(8)}"
+          feed.write.mode("errorifexists").parquet(s"$outRoot/$rel")
+          var attempt = 0
+          var done = false
+          while (!done) {
+            attempt += 1
             val v = st.lines.lastOption.map(_.v + 1).getOrElse(1L)
             try {
               publishAt(spark, outRoot, st.fileNum + 1,
@@ -1889,6 +1956,10 @@ object Snapshots {
                     e.getMessage.contains("manifest publish race") =>
                 if (attempt >= 8) throw e
                 st = manifestState(spark, outRoot)
+                // a rival that landed this (or a later) span between
+                // our fence and our publish: drop — the written dir
+                // becomes an orphan for the sweep, never a duplicate
+                if (progressedAt(st)) done = true
             }
           }
         }

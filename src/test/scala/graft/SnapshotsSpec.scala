@@ -392,6 +392,44 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.latest(spark, root, Seq("id")).count() === 2L)
   }
 
+  test("excise: a null-MATCHING condition reaches segments that PREDATE the column") {
+    val root = tmpDir("snap-excise-nullmatch")
+    // v1 predates 'email' — under the chain's union semantics its
+    // rows hold null for it, so a null-matching takedown must excise
+    // them even though the segment's own schema lacks the column
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), root)
+    Snapshots.commitDelta(Seq((3L, "c", "c@example.com")).toDF("id", "name", "email"), root,
+      evolveSchema = true)
+    Snapshots.commitDelta(
+      Seq((4L, "d", null.asInstanceOf[String])).toDF("id", "name", "email"), root)
+    val report = Snapshots.excise(spark, root, col("email").isNull)
+    assert(report === Seq((1L, 2L), (3L, 1L)),
+      "the pre-column segment's rows (all null-email) must be excised too")
+    val left = Snapshots.latest(spark, root, Seq("id")).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(left === Set(3L))
+  }
+
+  test("excise: stats-type evolution prunes conservatively — never a crashed takedown") {
+    val root = tmpDir("snap-excise-statsevo")
+    // v1 records id's zone map as LONG; a later full legitimately
+    // redefines id as DOUBLE — the union schema (and so the
+    // condition's bounds) is in the double domain, which v1's
+    // integral sidecar cannot compare against. The takedown must
+    // keep v1 conservatively (and excise its matching row), not die
+    // in mayContain's typo-guard error.
+    Snapshots.commit(Seq((1L, "a"), (2L, "pii")).toDF("id", "name"), root,
+      statsCols = Seq("id"))
+    Snapshots.commit(Seq((1.0, "a"), (2.0, "pii")).toDF("id", "name"), root,
+      statsCols = Seq("id"))
+    assert(Snapshots.excisePlannedScans(spark, root, col("id") === 2.0d) === Seq(1L, 2L))
+    assert(Snapshots.excise(spark, root, col("id") === 2.0d) === Seq((1L, 1L), (2L, 1L)))
+    (1L to 2L).foreach { v =>
+      assert(Snapshots.read(spark, root, v).count() === 1L,
+        s"v$v still holds the excised row across the stats-type boundary")
+    }
+  }
+
   test("excise: null-evaluating rows are KEPT (a null key is not a match)") {
     val root = tmpDir("snap-excise-null")
     Snapshots.commit(
