@@ -1025,7 +1025,11 @@ object WarehouseServer {
             case Some(a) =>
               ("index_version" -> a.sourceVersion) ~
                 ("age_ms" -> (System.currentTimeMillis() - a.builtAtMs)) ~
-                ("rebuilding" -> annRebuilding.get)
+                ("rebuilding" -> annRebuilding.get) ~
+                // live recall-ladder slots (each pins two corpus-sized
+                // cached frames; LRU-capped) — the operational check
+                // that a tables sweep isn't holding memory
+                ("ladder_slots" -> annAlt.size())
           }
           val store: JValue = cfg.storeRoot match {
             case None => JNull

@@ -794,6 +794,16 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(search(""", "tables": 129""")._1 == 400)
     assert(search(""", "tables": "many"""")._1 == 400)
     assert(search(s""", "tables": $up, "method": "brute"""")._1 == 400)
+    // a rung SWEEP can't accumulate indexes: live same-stamp slots
+    // are LRU-capped (each pins two corpus-sized cached frames) and
+    // /status exposes the count so an operator can verify it
+    (1 to 6).filterNot(_ == defaultTables).take(5).foreach { t =>
+      assert(search(s""", "tables": $t""")._1 == 200)
+    }
+    val (sc2, sv2) = get("/status")
+    assert(sc2 == 200)
+    assert(longOf(sv2 \ "ann" \ "ladder_slots") <= 4L,
+      s"ladder slots exceeded the LRU cap: ${sv2 \ "ann"}")
   }
 
   test("a page boundary inside a NaN tie run trims like any other tie — no rows lost") {
