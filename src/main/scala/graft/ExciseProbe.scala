@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   *  - `bounded`  — `col === key`, the recognized shape: the counting
   *    pass opens only the segments whose committed zone maps admit
   *    the key (base full + the key's own band delta);
-  *  - `unbounded` — `col >= key && col <= key`, semantically the
-  *    same takedown but a range the bound extractor deliberately
-  *    does not recognize: every segment carrying the column is
-  *    counted (row-group stats still prune inside each).
+  *  - `unbounded` — `col + 0 === key`, semantically the same
+  *    takedown but an arithmetic shape the bound extractor
+  *    deliberately does not recognize: every segment carrying the
+  *    column is counted (row-group stats still prune inside each).
   *
   * Prints ONE JSON line with planned-scan counts, per-path counting
   * + total wall, and the rewritten-segment reports (which must
@@ -74,7 +74,7 @@ object ExciseProbe {
     val rootA = buildStore("bounded")
     val rootB = buildStore("unbounded")
     val boundedCond = col("o_orderkey") === key
-    val rangeCond = col("o_orderkey") >= key && col("o_orderkey") <= key
+    val rangeCond = col("o_orderkey") + 0L === key
 
     val (plannedA, planTimeA) = timed(Snapshots.excisePlannedScans(spark, rootA, boundedCond))
     val (plannedB, planTimeB) = timed(Snapshots.excisePlannedScans(spark, rootB, rangeCond))

@@ -1312,12 +1312,14 @@ object Snapshots {
   }
 
   /** Conservative [lo, hi] bound of an ANALYZED excision condition,
-    * when it has the takedown's common shape — one column compared to
-    * literals: `col === v`, `col.isin(v1, …)`, or an OR of those over
-    * the SAME column. Used to consult the committed zone maps before
-    * the counting pass opens a segment; any shape this doesn't
-    * recognize (casts around the attribute, ranges, multi-column
-    * logic) returns None and the counting pass scans conservatively.
+    * when it has a takedown's common shape — one column compared to
+    * literals: `col === v`, `col.isin(v1, …)`, an OR of those over
+    * the SAME column, or the retention form `col >= lo && col <= hi`
+    * / `col.between(lo, hi)` (strict bounds close conservatively).
+    * Used to consult the committed zone maps before the counting
+    * pass opens a segment; any shape this doesn't recognize (casts
+    * around the attribute, multi-column logic, arithmetic) returns
+    * None and the counting pass scans conservatively.
     * Literal values convert back to their external Scala forms
     * (Catalyst holds strings as UTF8String), matching what
     * [[mayContain]] compares against the sidecar.
@@ -1326,7 +1328,8 @@ object Snapshots {
       analyzed: org.apache.spark.sql.catalyst.expressions.Expression)
       : Option[(String, Any, Any)] = {
     import org.apache.spark.sql.catalyst.expressions.{
-      AttributeReference, Cast, EqualTo, Expression, In, Literal, Or, Coalesce}
+      And, AttributeReference, Cast, EqualTo, Expression, GreaterThan,
+      GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or, Coalesce}
     import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
     // the excise wrapper is coalesce(cond, false): unwrap to the
     // caller's own condition
@@ -1363,7 +1366,43 @@ object Snapshots {
         } yield (cx, vx ++ vy)
       case _ => None
     }
-    leaves(unwrap(analyzed)).flatMap { case (c, vs0) =>
+    // one comparison leaf as (column, non-null bound value, isLower);
+    // strict bounds report the literal itself — the CLOSED range is a
+    // superset of the open one, so the prune stays sound
+    def cmp(e: Expression): Option[(String, Any, Boolean)] = e match {
+      case GreaterThanOrEqual(a: AttributeReference, v) =>
+        litOf(v).filter(_ != null).map((a.name, _, true))
+      case GreaterThan(a: AttributeReference, v) =>
+        litOf(v).filter(_ != null).map((a.name, _, true))
+      case LessThanOrEqual(a: AttributeReference, v) =>
+        litOf(v).filter(_ != null).map((a.name, _, false))
+      case LessThan(a: AttributeReference, v) =>
+        litOf(v).filter(_ != null).map((a.name, _, false))
+      // literal-first forms flip the side: lit <= col bounds col below
+      case GreaterThanOrEqual(v, a: AttributeReference) =>
+        litOf(v).filter(_ != null).map((a.name, _, false))
+      case GreaterThan(v, a: AttributeReference) =>
+        litOf(v).filter(_ != null).map((a.name, _, false))
+      case LessThanOrEqual(v, a: AttributeReference) =>
+        litOf(v).filter(_ != null).map((a.name, _, true))
+      case LessThan(v, a: AttributeReference) =>
+        litOf(v).filter(_ != null).map((a.name, _, true))
+      case _ => None
+    }
+    // the retention-takedown shape: lower AND upper on ONE column
+    // (`between` desugars to exactly this). Yielded as a two-value
+    // list so the min/max normalization below orders it — an inverted
+    // range (matches nothing) just bounds conservatively wide.
+    def rangeOf(e: Expression): Option[(String, Seq[Any])] = e match {
+      case And(x, y) =>
+        for {
+          (cx, vx, lx) <- cmp(x)
+          (cy, vy, ly) <- cmp(y) if cy == cx && lx != ly
+        } yield (cx, Seq(vx, vy))
+      case _ => None
+    }
+    val unwrapped = unwrap(analyzed)
+    leaves(unwrapped).orElse(rangeOf(unwrapped)).flatMap { case (c, vs0) =>
       // a NULL literal can never match (the wrapper's coalesce makes
       // null comparisons false) — drop it; all-null means no bound
       val vs = vs0.filterNot(_ == null)

@@ -300,6 +300,17 @@ class SnapshotsSpec extends SparkSpec {
     // endpoint's exact-typed literals never need it, but a library
     // caller's mixed-width condition keeps the segment skip
     assert(bounds(col("score") === 1) === Some(("score", 1.0, 1.0)))
+    // the retention shape: closed ranges, between, literal-first
+    // comparisons, and strict bounds closing conservatively
+    assert(bounds(col("id") >= 2L && col("id") <= 9L) === Some(("id", 2L, 9L)))
+    assert(bounds(col("id").between(2L, 9L)) === Some(("id", 2L, 9L)))
+    assert(bounds(lit(2L) <= col("id") && col("id") < 9L) === Some(("id", 2L, 9L)))
+    assert(bounds(col("id") > 2L && col("id") <= 9L) === Some(("id", 2L, 9L)))
+    // an inverted range matches nothing; bounding it WIDE is sound
+    assert(bounds(col("id") >= 9L && col("id") <= 2L) === Some(("id", 2L, 9L)))
+    // two DIFFERENT columns, or two same-side bounds, never bound
+    assert(bounds(col("id") >= 2L && col("score") <= 9.0) === None)
+    assert(bounds(col("id") >= 2L && col("id") >= 9L) === None)
     // unbound shapes fall back to None (conservative full count):
     // ranges, multi-column logic, casts around the ATTRIBUTE
     assert(bounds(col("id") > 5L) === None)
@@ -332,8 +343,9 @@ class SnapshotsSpec extends SparkSpec {
     // an in-bounds value opens exactly the intersecting segment
     assert(Snapshots.excise(spark, root, col("id") === 100L) === Seq((2L, 1L)))
     // an unbounded condition shape still counts everywhere: the
-    // poisoned map can't hide the row from a full count
-    assert(Snapshots.excise(spark, root, col("id") >= 120L && col("id") <= 120L)
+    // poisoned map can't hide the row from a full count (arithmetic
+    // around the attribute defeats the bound extractor by design)
+    assert(Snapshots.excise(spark, root, col("id") + 0L === 120L)
       === Seq((2L, 1L)))
   }
 
