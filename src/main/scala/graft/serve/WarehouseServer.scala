@@ -686,7 +686,7 @@ object WarehouseServer {
             ("rel" -> "import") ~ ("body" -> "{source, mode: full|delta, evolve?, stats?, meta?}"),
           ("href" -> "/store/excise") ~ ("method" -> "POST") ~
             ("rel" -> "hard delete across history (PII/GDPR takedown)") ~
-            ("body" -> "{column, values: [...], meta?}"),
+            ("body" -> "{column, values: [...] | lo+hi, meta?}"),
           ("href" -> "/store/excisions") ~ ("method" -> "GET") ~
             ("rel" -> "takedown audit trail (no excised values)"),
           ("href" -> "/ann/search") ~ ("method" -> "POST") ~
@@ -1480,9 +1480,11 @@ object WarehouseServer {
           // PII/GDPR takedown — rewrites every retained segment that
           // carries the named rows, so history/as-of/changes at ANY
           // version stop serving them. Body names ONE key column and
-          // the values to excise; value literals are typed from the
-          // chain's union schema so the match (and the counting
-          // pass's pushdown) compares in the column's own type.
+          // either the `values` to excise (identity takedown, isin)
+          // or a closed `lo`/`hi` range (retention takedown); value
+          // literals are typed from the chain's union schema so the
+          // match (and the counting pass's pushdown and zone-map
+          // skip) compares in the column's own type.
           import org.apache.spark.sql.functions.{col, lit}
           import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, DoubleType, FloatType}
           val spec = JsonMethods.parse(body(ex, cfg.maxBodyBytes))
@@ -1490,17 +1492,28 @@ object WarehouseServer {
             case JString(c) => c
             case other => throw HttpError(400, s"excise needs a 'column' name, got $other")
           }
-          val rawVals: Seq[String] = spec \ "values" match {
-            case JArray(vs) if vs.nonEmpty => vs.map {
-              case JString(s) => s
-              case JInt(i)    => i.toString
-              case JLong(l)   => l.toString
-              case JDouble(d) => d.toString
-              case other => throw HttpError(400, s"unsupported excise value $other")
-            }
-            case JArray(_) => throw HttpError(400, "excise 'values' must be non-empty")
-            case other => throw HttpError(400, s"excise needs a 'values' array, got $other")
+          def rawOf(v: JValue, what: String): String = v match {
+            case JString(str) => str
+            case JInt(i)      => i.toString
+            case JLong(l)     => l.toString
+            case JDouble(d)   => d.toString
+            case other => throw HttpError(400, s"unsupported excise $what $other")
           }
+          val rawVals: Option[Seq[String]] = spec \ "values" match {
+            case JArray(vs) if vs.nonEmpty => Some(vs.map(rawOf(_, "value")))
+            case JArray(_) => throw HttpError(400, "excise 'values' must be non-empty")
+            case JNothing => None
+            case other => throw HttpError(400, s"excise 'values' must be an array, got $other")
+          }
+          val rawRange: Option[(String, String)] = (spec \ "lo", spec \ "hi") match {
+            case (JNothing, JNothing) => None
+            case (lo, hi) if lo != JNothing && hi != JNothing =>
+              Some((rawOf(lo, "bound"), rawOf(hi, "bound")))
+            case _ => throw HttpError(400, "excise range needs BOTH 'lo' and 'hi'")
+          }
+          if (rawVals.isDefined == rawRange.isDefined)
+            throw HttpError(400,
+              "excise takes exactly one of 'values' (identity takedown) or 'lo'/'hi' (range)")
           // the column's type comes from the chain's UNION schema
           // (Snapshots.chainSchema — footer reads only): an evolved
           // chain that widened the column (int → long full
@@ -1519,7 +1532,7 @@ object WarehouseServer {
           // literals in the column's EXACT external type — a
           // lit(v).cast(colType) wrapper would reach conditionBounds
           // as Cast nodes and lose the zone-map segment skip
-          val typedVals: Seq[Any] = rawVals.map { v =>
+          def typed(v: String): Any = {
             def integral: Long = v.toLongOption.getOrElse(
               throw HttpError(400, s"excise value '$v' is not integral for column '$column'"))
             colType match {
@@ -1540,13 +1553,17 @@ object WarehouseServer {
               case _ => v
             }
           }
+          val condition = (rawVals, rawRange) match {
+            case (Some(vs), _) => col(column).isin(vs.map(typed): _*)
+            case (_, Some((lo, hi))) => col(column) >= typed(lo) && col(column) <= typed(hi)
+            case _ => throw HttpError(400, "unreachable: exclusivity checked above")
+          }
           // audit provenance for the takedown record (ticket id, who
           // ordered it) — free-form strings; the record never carries
           // the excised values themselves
           val exMeta: Map[String, String] = parseMetaObject(spec)
           val report =
-            try Snapshots.excise(spark, storeRoot,
-              col(column).isin(typedVals: _*), meta = exMeta)
+            try Snapshots.excise(spark, storeRoot, condition, meta = exMeta)
             catch {
               // a takedown naming rows the store never held is a
               // client addressing error — surface it as not-found,

@@ -1117,6 +1117,19 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       // a non-string meta value is a typed 400
       assert(postJ("/store/commit",
         s"""{"source": "$root/staged-meta", "meta": {"n": 1}}""")._1 == 400)
+
+      // retention form: a closed lo/hi range takedown (live rows are
+      // now ids 1, 3, 9 — the range removes 3 and 9 across versions)
+      val (rc, rngv) = postJ("/store/excise", """{"column": "id", "lo": 3, "hi": 9}""")
+      assert(rc == 200, s"range excise failed: $rngv")
+      assert(longOf(rngv \ "total_rows") == 2L)
+      assert(longOf(getJ("/store/read?keys=id&limit=10")._2 \ "row_count") == 1L)
+      assert(longOf(getJ("/store/history?keys=id&key=9&limit=10")._2 \ "row_count") == 0L)
+      // exactly one of values | lo+hi, and both bounds together
+      assert(postJ("/store/excise",
+        """{"column": "id", "values": [1], "lo": 0, "hi": 2}""")._1 == 400)
+      assert(postJ("/store/excise", """{"column": "id", "lo": 0}""")._1 == 400)
+      assert(postJ("/store/excise", """{"column": "id"}""")._1 == 400)
     } finally srv.close()
   }
 
