@@ -75,22 +75,28 @@ object Warehouse {
         try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
         finally in.close()
       }
-    if (Snapshots.latestVersion(s, root) != 2L || !stampedSig.contains(sig)) {
+    // the stamp carries a store-format marker beyond the source sig:
+    // r15 added key zone maps (statsCols) to both segments, and a
+    // green v2 store built BEFORE that would otherwise be reused
+    // forever without them — the marker mismatch forces one rebuild
+    val want = s"$sig|k1"
+    if (Snapshots.latestVersion(s, root) != 2L || !stampedSig.contains(want)) {
       val p = new Path(root)
       if (f.exists(p)) f.delete(p, true)
       val orders = Tables.orders(s, d)
-      Snapshots.commit(orders, root)
+      Snapshots.commit(orders, root, statsCols = Seq("o_orderkey"),
+        meta = Map("job" -> "initial-import"))
       Snapshots.commitDelta(
         orders
           .filter(col("o_orderkey") % 10 === 3 || col("o_orderkey") % 10 === 7)
           .withColumn("o_orderstatus",
             when(col("o_orderkey") % 10 === 3, lit("R")).otherwise(col("o_orderstatus")))
           .withColumn("_deleted", col("o_orderkey") % 10 === 7),
-        root)
+        root, statsCols = Seq("o_orderkey"), meta = Map("job" -> "correction-batch"))
       // stamp LAST: a crash mid-build leaves no sidecar and the next
       // call rebuilds (the sidecar is reuse evidence, not a manifest)
       val out = f.create(sigPath, true)
-      try out.write(sig.getBytes("UTF-8")) finally out.close()
+      try out.write(want.getBytes("UTF-8")) finally out.close()
     }
     root
   }
@@ -364,5 +370,82 @@ object Warehouse {
       s"$branches ORDER BY col_name"
     })
 
-  val all: Seq[Qdef] = Seq(q94, q95, q96, q97, q98, q99, q9a, q9h)
+  /** q9i: per-entity history over the versioned store — every key's
+    * full (version, op, row) change feed from [[Snapshots.history]].
+    * The oracle re-derives the deterministic two-version store's
+    * timeline in plain SQL: v1 inserts every order, v2 updates the
+    * keys ≡ 3 (mod 10) to status 'R' and deletes the keys ≡ 7.
+    * `commit_ts_ms` (committer wall clock) and `commit_meta` (a map)
+    * are projected away — both are real but not cross-engine
+    * hashable; HistorySpec pins them.
+    */
+  private val q9i = Qdef(
+    "q9i_entity_history",
+    (s, d) =>
+      Snapshots.history(s, ensureStore(s, d), Seq("o_orderkey"))
+        .select(col("version"), col("op"), col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey", "version"),
+    Some("""SELECT CAST(1 AS BIGINT) AS version, 'insert' AS op, o_orderkey, o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'update', o_orderkey, o_custkey,
+                   'R', o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 10 = 3
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'delete', o_orderkey, o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 10 = 7
+            ORDER BY o_orderkey, version"""))
+
+  /** q9j: speculative import (`db.with`) — the status aggregate of the
+    * store AS IF a what-if batch (keys ≡ 1 mod 10 re-priced +500, keys
+    * ≡ 9 retracted) were the next delta, with nothing written. The
+    * oracle applies v2 (≡3 → 'R', drop ≡7) and the staged batch in one
+    * expression; SnapshotsSpec separately proves the manifest is
+    * untouched.
+    */
+  private val q9j = Qdef(
+    "q9j_speculative_import",
+    (s, d) => {
+      val root = ensureStore(s, d)
+      val orders = Tables.orders(s, d)
+      val batch = orders
+        .filter(col("o_orderkey") % 10 === 1 || col("o_orderkey") % 10 === 9)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 1, col("o_totalprice") + lit(500.0))
+            .otherwise(col("o_totalprice")))
+        .withColumn("_deleted", col("o_orderkey") % 10 === 9)
+      statusAgg(Snapshots.withBatch(s, root, batch, Seq("o_orderkey")))
+    },
+    Some(s"""SELECT CASE WHEN o_orderkey % 10 = 3 THEN 'R' ELSE o_orderstatus END AS status,
+                    count(*) AS n_orders,
+                    ${Qdef.DSUM("CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 500.0 ELSE o_totalprice END")} AS sum_price
+             FROM orders WHERE o_orderkey % 10 NOT IN (7, 9)
+             GROUP BY 1 ORDER BY 1"""))
+
+  /** q9k: zone-map-pruned MERGE-range read — the latest merged state
+    * restricted to a merge-key range, opening only segments whose key
+    * stats intersect (both of this store's segments span the range, so
+    * the correctness claim here is the merge-under-range semantics;
+    * SnapshotsSpec proves the pruning skips disjoint segments
+    * unopened). Oracle = v2 semantics filtered to the range.
+    */
+  private val q9k = Qdef(
+    "q9k_merge_zone_maps",
+    (s, d) =>
+      Snapshots.readMergeWhere(s, ensureStore(s, d), Seq("o_orderkey"),
+          "o_orderkey", 1000L, 5000L)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 10 = 3 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders
+            WHERE o_orderkey % 10 <> 7 AND o_orderkey BETWEEN 1000 AND 5000
+            ORDER BY o_orderkey"""))
+
+  val all: Seq[Qdef] = Seq(q94, q95, q96, q97, q98, q99, q9a, q9h, q9i, q9j, q9k)
 }
