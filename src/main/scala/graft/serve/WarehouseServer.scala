@@ -1486,7 +1486,8 @@ object WarehouseServer {
           // match (and the counting pass's pushdown and zone-map
           // skip) compares in the column's own type.
           import org.apache.spark.sql.functions.{col, lit}
-          import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, DoubleType, FloatType}
+          import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, ByteType,
+            DoubleType, FloatType, StringType, BooleanType, DecimalType, DateType, TimestampType}
           val spec = JsonMethods.parse(body(ex, cfg.maxBodyBytes))
           val column = spec \ "column" match {
             case JString(c) => c
@@ -1546,11 +1547,47 @@ object WarehouseServer {
                 if (l >= Short.MinValue && l <= Short.MaxValue) l.toShort
                 else throw HttpError(400,
                   s"excise value '$v' overflows the store's short column '$column'")
+              case ByteType =>
+                val l = integral
+                if (l >= Byte.MinValue && l <= Byte.MaxValue) l.toByte
+                else throw HttpError(400,
+                  s"excise value '$v' overflows the store's byte column '$column'")
               case DoubleType => v.toDoubleOption.getOrElse(
                 throw HttpError(400, s"excise value '$v' is not numeric for column '$column'"))
               case FloatType => v.toFloatOption.getOrElse(
                 throw HttpError(400, s"excise value '$v' is not numeric for column '$column'"))
-              case _ => v
+              case d: DecimalType =>
+                // the column's own scale, no rounding: a value with
+                // more fractional digits than the column can hold
+                // names rows that cannot exist — a typo, not a no-op
+                try new java.math.BigDecimal(v).setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
+                catch {
+                  case _: NumberFormatException => throw HttpError(400,
+                    s"excise value '$v' is not numeric for column '$column'")
+                  case _: ArithmeticException => throw HttpError(400,
+                    s"excise value '$v' has more fractional digits than " +
+                      s"decimal(${d.precision},${d.scale}) column '$column' holds")
+                }
+              case DateType =>
+                try java.sql.Date.valueOf(v)
+                catch { case _: IllegalArgumentException => throw HttpError(400,
+                  s"excise value '$v' is not a yyyy-mm-dd date for column '$column'") }
+              case TimestampType =>
+                try java.sql.Timestamp.valueOf(v.replace('T', ' '))
+                catch { case _: IllegalArgumentException => throw HttpError(400,
+                  s"excise value '$v' is not a yyyy-mm-dd hh:mm:ss[.f] timestamp " +
+                    s"for column '$column'") }
+              case StringType => v
+              case BooleanType => throw HttpError(400,
+                s"refusing a takedown keyed on boolean column '$column' — a true/false " +
+                  "match names half the table, not an entity; excise by a key column, " +
+                  "or use the library API with an explicit condition")
+              // an implicit string-vs-<type> cast would wrap the
+              // ATTRIBUTE, losing both the match semantics and the
+              // zone-map skip — refuse instead of comparing wrong
+              case other => throw HttpError(400,
+                s"excise by values/range is not supported for ${other.simpleString} " +
+                  s"column '$column' — use the library API with an explicit condition")
             }
           }
           val condition = (rawVals, rawRange) match {

@@ -57,6 +57,65 @@ object Snapshots {
 
   private val ManifestName = "_manifest\\.v(\\d+)".r
 
+  /** Highest manifest format this build reads/writes. 1 = 3/4-field
+    * TSV lines; 2 = optional compact-JSON meta 5th field. The format
+    * a store NEEDS is stamped in a `_format` sidecar before the first
+    * manifest that requires it is published, so every marker-aware
+    * reader that is too old for a store fails with a clear "upgrade
+    * required" instead of a parse crash deep in the line splitter.
+    * (Builds older than the marker itself still die in their own
+    * 4-field split on a meta line — that flag day is behind us and
+    * documented on [[manifestState]]; the marker closes the SAME trap
+    * for every format bump from now on.) Absent marker = format 1,
+    * so meta-less stores never churn a sidecar write.
+    */
+  private val SupportedManifestFormat = 2
+  private val FormatMarkerName = "_format"
+
+  private def storedFormat(f: FileSystem, root: String): Option[Int] = {
+    val p = new Path(root, FormatMarkerName)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      // an unparseable marker is itself a format we don't know —
+      // refuse with the upgrade message, never guess
+      raw.toIntOption.orElse(throw new IllegalStateException(
+        s"snapshot store $root carries format marker '$raw' this build cannot " +
+          s"parse (it reads formats <= $SupportedManifestFormat) — upgrade the " +
+          "reader before opening this store"))
+    }
+  }
+
+  /** Stamp `needed` into the `_format` marker when the store's stamp
+    * is lower (monotone — a rollback of the WRITER never downgrades
+    * the marker out from under data that still needs it). Tmp+rename
+    * so no reader sees a half-written marker; concurrent stampers
+    * write identical bytes, so whoever wins is right.
+    */
+  private def stampFormat(f: FileSystem, root: String, needed: Int): Unit = {
+    if (storedFormat(f, root).getOrElse(1) >= needed) return
+    val dest = new Path(root, FormatMarkerName)
+    val tmp = new Path(root,
+      s"$FormatMarkerName.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(needed.toString.getBytes("UTF-8")) finally out.close()
+    val qualified = f.makeQualified(dest)
+    if (qualified.toUri.getScheme == "file") {
+      // atomic replace on posix; markers are monotone so replacing a
+      // concurrent stamper's identical (or lower) value is harmless
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(f.makeQualified(tmp).toUri),
+        java.nio.file.Paths.get(qualified.toUri),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } else {
+      f.delete(dest, false)
+      if (!f.rename(tmp, dest)) { f.delete(tmp, false); () }
+    }
+  }
+
   /** Newest committed manifest as (file number, path), if any.
     * Immutable files + list-latest means a concurrent commit can never
     * leave a reader with a partial or missing manifest. The FILE
@@ -98,7 +157,11 @@ object Snapshots {
     * binds `ts` to "ts\tjson" and dies in toLong). On a store shared
     * with older binaries — or one that may be read after a rollback —
     * don't pass `meta` until every reader is upgraded; meta-less
-    * commits keep writing the old wire form exactly.
+    * commits keep writing the old wire form exactly. Writers stamp a
+    * `_format` marker before the first meta-carrying manifest, so
+    * every marker-aware build that is still too old for a FUTURE
+    * format fails with a clear "upgrade required" (see
+    * [[SupportedManifestFormat]]) instead of a line-splitter crash.
     */
   private[graft] final case class ManifestLine(
       v: Long, kind: String, rel: String, ts: Long, meta: Map[String, String])
@@ -119,6 +182,13 @@ object Snapshots {
 
   private[graft] def manifestState(spark: SparkSession, root: String): ManifestState = {
     val f = fs(spark, root)
+    // the format gate runs BEFORE any line is parsed: a store from a
+    // newer build fails here with the remedy, not in the splitter
+    storedFormat(f, root).filter(_ > SupportedManifestFormat).foreach { n =>
+      throw new IllegalStateException(
+        s"snapshot store $root is format $n but this build reads formats " +
+          s"<= $SupportedManifestFormat — upgrade the reader before opening it")
+    }
     latestManifest(f, root) match {
       case None => ManifestState(0L, Seq.empty)
       case Some((n, mp)) =>
@@ -208,6 +278,10 @@ object Snapshots {
         else s"${l.v}\t${l.kind}\t${l.rel}"
       }
       .mkString("", "\n", "\n")
+    // marker BEFORE manifest: any reader that can list the new
+    // manifest can already see the format it needs (meta-less
+    // manifests stay format 1 — no marker, no churn)
+    if (entries.exists(_.meta.nonEmpty)) stampFormat(f, root, 2)
     // write-to-tmp-then-rename: a created-but-unwritten manifest must
     // never be listable under its final name (a reader between create
     // and close would see an empty store). The ManifestName pattern
@@ -1148,6 +1222,19 @@ object Snapshots {
           && s.getModificationTime < cutoff) {
         f.delete(s.getPath, true); ()
       }
+      // stray write-then-rename temporaries: a crash between creating
+      // and renaming a manifest or excise-audit tmp file leaves it in
+      // the root forever (nothing ever references a .tmp- name). The
+      // final `_manifest.v<N>` / `_excise.v<N>` names never match
+      // these patterns, and the grace window protects a publish in
+      // flight right now.
+      if (s.isFile
+          && (n.matches("_manifest\\.v\\d+\\.tmp-[0-9a-f-]+")
+            || n.matches("_excise\\.v\\d+\\.tmp-[0-9a-f-]+")
+            || n.matches("_format\\.tmp-[0-9a-f-]+"))
+          && s.getModificationTime < cutoff) {
+        f.delete(s.getPath, false); ()
+      }
     }
     candidates.map(_.v)
   }
@@ -1541,7 +1628,8 @@ object Snapshots {
 
   private[graft] def exciseFrom(
       spark: SparkSession, root: String, condition: Column,
-      st: ManifestState, meta: Map[String, String] = Map.empty): Seq[(Long, Long)] = {
+      st: ManifestState, meta: Map[String, String] = Map.empty,
+      crashBeforeDelete: Boolean = false): Seq[(Long, Long)] = {
     val plan = exciseCandidates(spark, root, condition, st)
     import plan.{hit, refs, refTypes, matchable}
     // ONE counting job across all matchable segments: per-segment
@@ -1563,19 +1651,35 @@ object Snapshots {
           s"${refs.mkString(", ")}) — refusing to record a no-op takedown; " +
           "check the key values (and that the columns are spelled as committed)")
     val f = fs(spark, root)
-    val rewritten = st.lines.filter(l => matched.contains(l.v)).map { l =>
-      val seg = spark.read.parquet(s"$root/${l.rel}")
-      val newRel = s"v${l.v}-${java.util.UUID.randomUUID.toString.take(8)}"
-      // survivors keep the segment's EXACT schema: ref columns added
-      // only to evaluate the condition are projected back out
-      withRefCols(seg, refs, refTypes).filter(!hit)
-        .select(seg.columns.map(col).toIndexedSeq: _*)
-        .write.mode("errorifexists").parquet(s"$root/$newRel")
-      segmentStats(spark, root, l.rel).foreach { stats =>
-        writeStatsSidecar(seg, root, newRel, stats.keys.toSeq.sorted)
+    // track every attempted rewrite path so a mid-loop failure (write
+    // error, executor loss) deletes the N-1 finished copies AND the
+    // partial Nth dir immediately instead of leaving them as orphans
+    // until a vacuum sweep — the same eager cleanup the publish-race
+    // catch below applies after the loop
+    val attempted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rewritten =
+      try st.lines.filter(l => matched.contains(l.v)).map { l =>
+        val seg = spark.read.parquet(s"$root/${l.rel}")
+        val newRel = s"v${l.v}-${java.util.UUID.randomUUID.toString.take(8)}"
+        attempted += newRel
+        // survivors keep the segment's EXACT schema: ref columns added
+        // only to evaluate the condition are projected back out
+        withRefCols(seg, refs, refTypes).filter(!hit)
+          .select(seg.columns.map(col).toIndexedSeq: _*)
+          .write.mode("errorifexists").parquet(s"$root/$newRel")
+        segmentStats(spark, root, l.rel).foreach { stats =>
+          writeStatsSidecar(seg, root, newRel, stats.keys.toSeq.sorted)
+        }
+        (l, newRel)
       }
-      (l, newRel)
-    }
+      catch {
+        case e: Throwable =>
+          attempted.foreach { nr =>
+            try { f.delete(new Path(root, nr), true); () }
+            catch { case scala.util.control.NonFatal(_) => () } // best-effort; sweep reclaims
+          }
+          throw e
+      }
     val byV = rewritten.map { case (l, nr) => l.v -> nr }.toMap
     // rewritten lines keep version, kind, stamp AND provenance meta —
     // only the data path moves
@@ -1602,6 +1706,12 @@ object Snapshots {
     val auditFailure: Option[Throwable] =
       try { writeExciseLog(f, root, st.fileNum + 1, refs, report, meta); None }
       catch { case scala.util.control.NonFatal(e) => Some(e) }
+    // test seam: simulate the process dying between publish and the
+    // originals' deletion — the documented crash window whose
+    // convergence (vacuum finishes the physical cleanup, the audit
+    // record survives) SnapshotsSpec proves
+    if (crashBeforeDelete) throw new IllegalStateException(
+      "injected crash between excision publish and original-segment delete")
     // PII leaves the disk here — after the publish, so no manifest
     // ever points at a deleted directory. This runs even when the
     // audit write failed: the takedown's EFFECT always wins over its

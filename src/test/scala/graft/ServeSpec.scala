@@ -1133,6 +1133,67 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     } finally srv.close()
   }
 
+  test("/store/excise: timestamp/date/decimal takedowns compare in the column's own type; boolean and nested types are typed 400s") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // destructive by design — this test owns its store and server
+    val root = tmpDir("serve-excise-types") + "/events"
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val day = (s: String) => java.sql.Date.valueOf(s)
+    Snapshots.commit(
+      Seq(
+        (1L, ts("2020-03-01 00:00:00"), 10.50, day("2020-01-05"), true, Seq(1)),
+        (2L, ts("2021-03-01 00:00:00"), 20.25, day("2021-01-05"), false, Seq(2)),
+        (3L, ts("2022-03-01 00:00:00"), 30.75, day("2022-01-05"), true, Seq(3)),
+        (4L, ts("2023-03-01 00:00:00"), 40.00, day("2023-01-05"), false, Seq(4)))
+        .toDF("id", "at", "amt", "day", "flag", "tags")
+        .withColumn("amt", col("amt").cast("decimal(10,2)")),
+      root)
+    val srv = WarehouseServer.start(spark, WarehouseServer.Config(
+      dataDir = sf, storeRoot = Some(root)))
+    try {
+      val b = s"http://127.0.0.1:${srv.port}"
+      def getJ(path: String): (Int, JValue) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(s"$b$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def postJ(body: String): (Int, JValue) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(s"$b/store/excise"))
+          .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      // retention takedown on a TIMESTAMP column (ISO 'T' accepted)
+      val (c1, v1) = postJ(
+        """{"column": "at", "lo": "2020-01-01T00:00:00", "hi": "2020-12-31 23:59:59"}""")
+      assert(c1 == 200, s"timestamp range excise failed: $v1")
+      assert(longOf(v1 \ "total_rows") == 1L)
+      // identity takedown on a DATE column
+      val (c2, v2) = postJ("""{"column": "day", "values": ["2021-01-05"]}""")
+      assert(c2 == 200, s"date excise failed: $v2")
+      assert(longOf(v2 \ "total_rows") == 1L)
+      // identity takedown on a DECIMAL column, at the column's scale
+      val (c3, v3) = postJ("""{"column": "amt", "values": ["30.75"]}""")
+      assert(c3 == 200, s"decimal excise failed: $v3")
+      assert(longOf(v3 \ "total_rows") == 1L)
+      assert(longOf(getJ("/store/read?keys=id&limit=10")._2 \ "row_count") == 1L)
+      // typed refusals: sub-scale decimals, unparseable literals, and
+      // the two shapes excise-by-value cannot address soundly
+      val (dc, dv) = postJ("""{"column": "amt", "values": ["30.755"]}""")
+      assert(dc == 400 && JsonMethods.compact(dv).contains("fractional digits"), dv)
+      assert(postJ("""{"column": "amt", "values": ["abc"]}""")._1 == 400)
+      assert(postJ("""{"column": "at", "values": ["garbage"]}""")._1 == 400)
+      assert(postJ("""{"column": "day", "values": ["2021-13-99"]}""")._1 == 400)
+      val (bc, bv) = postJ("""{"column": "flag", "values": ["true"]}""")
+      assert(bc == 400 && JsonMethods.compact(bv).contains("boolean"), bv)
+      val (ac, av) = postJ("""{"column": "tags", "values": ["1"]}""")
+      assert(ac == 400 && JsonMethods.compact(av).contains("not supported"), av)
+      // none of the refusals touched the store
+      assert(longOf(getJ("/store/read?keys=id&limit=10")._2 \ "row_count") == 1L)
+    } finally srv.close()
+  }
+
   test("/ann/search over the persisted vector store: a committed ingest is served without restart; /ann/refresh rebuilds on demand") {
     import org.apache.spark.sql.functions.col
     val root = s"${tmpDir("serve-vecstore")}/corpus"

@@ -972,4 +972,89 @@ class SnapshotsSpec extends SparkSpec {
     assert(after.values.sum === 10L,
       s"stale derived store served the old corpus: $after (before: $before)")
   }
+
+  test("excise: a crash between publish and delete converges — the effect landed, vacuum finishes the cleanup, the audit survives") {
+    val root = tmpDir("snap-excise-crash")
+    Snapshots.commit(Seq((1L, "a"), (2L, "pii")).toDF("id", "name"), root)
+    Snapshots.commitDelta(Seq((3L, "c")).toDF("id", "name"), root)
+    val before = Snapshots.manifestState(spark, root)
+    val origRel = before.lines.find(_.v == 1L).get.rel
+    val hfs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val e = intercept[IllegalStateException](Snapshots.exciseFrom(
+      spark, root, col("id") === 2L, before, crashBeforeDelete = true))
+    assert(e.getMessage.contains("injected crash"))
+    // the takedown already TOOK EFFECT: the manifest points at the
+    // rewrite and no read at any version serves the excised key...
+    assert(Snapshots.read(spark, root, 1L).filter(col("id") === 2L).count() === 0L)
+    assert(Snapshots.history(spark, root, Seq("id")).filter(col("id") === 2L).count() === 0L)
+    assert(Snapshots.excisions(spark, root).size === 1)
+    // ...but the crash left the ORIGINAL v1 directory (with the PII)
+    // on disk as an unreferenced orphan
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(root, origRel)),
+      "precondition: the injected crash must leave the original segment behind")
+    // a later vacuum converges the physical state: the orphan goes,
+    // the audit record and every logical read stay exactly as-is
+    Snapshots.vacuum(spark, root, keepAfterVersion = Snapshots.latestVersion(spark, root),
+      orphanGraceMs = 0L)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(root, origRel)),
+      "vacuum must finish the interrupted excision's physical cleanup")
+    assert(Snapshots.excisions(spark, root).size === 1)
+    assert(Snapshots.latest(spark, root, Seq("id")).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+  }
+
+  test("vacuum sweeps stray .tmp- files from crashed publishes; final manifest and audit names stay") {
+    val root = tmpDir("snap-tmp-sweep")
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), root)
+    Snapshots.excise(spark, root, col("id") === 2L)
+    val hfs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    // a crash between create and rename leaves exactly these behind
+    val strays = Seq("_manifest.v9.tmp-deadbeef", "_excise.v9.tmp-deadbeef", "_format.tmp-deadbeef")
+    strays.foreach { n =>
+      val out = hfs.create(new org.apache.hadoop.fs.Path(root, n), true)
+      try out.write("stray".getBytes("UTF-8")) finally out.close()
+    }
+    Snapshots.vacuum(spark, root, keepAfterVersion = Snapshots.latestVersion(spark, root),
+      orphanGraceMs = 0L)
+    strays.foreach { n =>
+      assert(!hfs.exists(new org.apache.hadoop.fs.Path(root, n)), s"stray $n must be swept")
+    }
+    // the published names are untouched and the store still reads
+    assert(Snapshots.excisions(spark, root).size === 1)
+    assert(Snapshots.latest(spark, root, Seq("id")).count() === 1L)
+  }
+
+  test("manifest format marker: meta commits stamp _format; higher or garbled markers refuse with the upgrade remedy") {
+    val root = tmpDir("snap-format")
+    val hfs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, "_format")
+    // meta-less commits keep the format-1 wire form: no marker churn
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "name"), root)
+    assert(!hfs.exists(marker))
+    // the first meta-carrying publish stamps the format it needs
+    Snapshots.commitDelta(Seq((2L, "b")).toDF("id", "name"), root, meta = Map("job" -> "x"))
+    assert(hfs.exists(marker))
+    val in = hfs.open(marker)
+    val stamped = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    assert(stamped === "2")
+    assert(Snapshots.latest(spark, root, Seq("id")).count() === 2L)
+    // a store from a FUTURE build refuses BEFORE the line splitter,
+    // naming the format and the remedy
+    def overwrite(content: String): Unit = {
+      val out = hfs.create(marker, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    overwrite("3")
+    val e1 = intercept[IllegalStateException](Snapshots.versions(spark, root))
+    assert(e1.getMessage.contains("format 3") && e1.getMessage.contains("upgrade"),
+      e1.getMessage)
+    // an unparseable marker is a format we don't know — refuse, never guess
+    overwrite("banana")
+    val e2 = intercept[IllegalStateException](Snapshots.versions(spark, root))
+    assert(e2.getMessage.contains("banana") && e2.getMessage.contains("upgrade"), e2.getMessage)
+    // restoring the real format restores the read
+    overwrite("2")
+    assert(Snapshots.latest(spark, root, Seq("id")).count() === 2L)
+  }
 }
