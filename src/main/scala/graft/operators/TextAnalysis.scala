@@ -438,28 +438,36 @@ object TextAnalysis {
 
   private val bm25Terms = Seq("merge", "filter", "stream")
 
+  /** The BM25 scoring pipeline as chained DuckDB CTEs (t → base →
+    * stats → sc, ending in per-doc `score_r`) — ONE definition shared
+    * by the q8a oracle and q8g's lexical leg, so the two can never
+    * drift on the scoring arithmetic.
+    */
+  private def bm25Ctes(terms: Seq[String]): String = {
+    val tfCols = terms.map(t =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(", ")
+    val dfCols = terms.map(t =>
+      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(", ")
+    val scoreTerms = terms.map(t =>
+      s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5))
+          * (CAST(tf_$t AS DOUBLE) * 2.2)
+          / (CAST(tf_$t AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))""")
+      .mkString(" + ")
+    s"""t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+        base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, $tfCols FROM t),
+        stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl, $dfCols FROM base),
+        sc AS (SELECT doc_id, dl, ${terms.map(t => s"tf_$t").mkString(", ")},
+                 round($scoreTerms, 4) AS score_r
+               FROM base, stats)"""
+  }
+
   private val q8a = Qdef(
     "q8a_bm25",
     (s, d) => bm25(Tables.documents(s, d), bm25Terms),
-    Some {
-      val tfCols = bm25Terms.map(t =>
-        s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(", ")
-      val dfCols = bm25Terms.map(t =>
-        s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(", ")
-      val scoreTerms = bm25Terms.map(t =>
-        s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5))
-            * (CAST(tf_$t AS DOUBLE) * 2.2)
-            / (CAST(tf_$t AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))""")
-        .mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
-          base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, $tfCols FROM t),
-          stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl, $dfCols FROM base),
-          sc AS (SELECT doc_id, dl, ${bm25Terms.map(t => s"tf_$t").mkString(", ")},
-                   round($scoreTerms, 4) AS score_r
-                 FROM base, stats)
+    Some(
+      s"""WITH ${bm25Ctes(bm25Terms)}
           SELECT doc_id, dl, ${bm25Terms.map(t => s"tf_$t").mkString(", ")}, score_r
-          FROM sc ORDER BY score_r DESC, doc_id LIMIT 20"""
-    })
+          FROM sc ORDER BY score_r DESC, doc_id LIMIT 20"""))
 
   /** Default PII-shaped patterns (RE2-compatible, so the same strings
     * run in Java regex and DuckDB): email, IPv4, phone-ish digit runs.
@@ -863,6 +871,78 @@ object TextAnalysis {
                    MIN(doc_id) AS min_doc_id
             FROM k GROUP BY lang ORDER BY lang"""))
 
+  /** Hybrid retrieval — the standard RAG/curation shape: a lexical
+    * BM25 leg and a semantic embedding-ANN leg retrieve candidates
+    * independently, and reciprocal-rank fusion (RRF, Cormack et al.)
+    * merges them: fused = Σ_legs 1/(rrfK + rank), summed over the legs
+    * that returned the doc. Rank-based fusion needs no score
+    * calibration between the legs, and with fixed-arity double
+    * arithmetic over integer ranks the fused score is bit-identical
+    * across engines — no float-aggregation noise.
+    *
+    * Scale shape: the lexical leg is [[bm25]] (two scans, one
+    * constant-size stats broadcast, distributed TakeOrdered for the
+    * top-k — the rank window then runs over the k SURVIVORS, never
+    * the corpus); the semantic leg is the LSH candidate path
+    * ([[graft.ann.Knn.lshTopK]]) for ONE query vector — bucket-join
+    * sized, not corpus × corpus. The fusion join holds kLex + kSem
+    * rows. Nothing here is corpus-quadratic.
+    */
+  def hybridSearch(
+      docs: org.apache.spark.sql.DataFrame,
+      emb: org.apache.spark.sql.DataFrame,
+      terms: Seq[String],
+      queryVecId: Long,
+      kLex: Int = 20,
+      kSem: Int = 5,
+      rrfK: Int = 60,
+      probe1: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val lex = bm25(docs, terms, topN = kLex)
+      // ranking the kLex survivors: a single-partition window over a
+      // limit-k frame, NOT a global window over the corpus
+      .withColumn("bm25_rank",
+        row_number().over(Window.orderBy(col("score_r").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("bm25_rank"))
+    val sem = graft.ann.Knn.lshTopK(emb, k = kSem, probe1 = probe1,
+        queryPred = col("vec_id") === queryVecId)
+      .select(col("nid").as("doc_id"), col("rank").as("ann_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("fused",
+        coalesce(lit(1.0) / (lit(rrfK) + col("bm25_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("ann_rank")), lit(0.0)))
+      .orderBy(col("fused").desc, col("doc_id"))
+  }
+
+  /** q8g entry pins `probe1 = true` — the q71 operating point where
+    * the LSH leg's top-k is measured recall 1.0 vs brute force, so
+    * the oracle's semantic leg can be the exhaustive scan.
+    */
+  private val q8g = Qdef(
+    "q8g_hybrid_search",
+    (s, d) => hybridSearch(Tables.documents(s, d), Tables.embeddings(s, d),
+      bm25Terms, queryVecId = 0L, probe1 = true),
+    Some(
+      s"""WITH ${bm25Ctes(bm25Terms)},
+          lex AS (SELECT doc_id, bm25_rank FROM
+                    (SELECT doc_id, row_number() OVER (ORDER BY score_r DESC, doc_id) AS bm25_rank FROM sc)
+                  WHERE bm25_rank <= 20),
+          e AS (SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                FROM embeddings),
+          q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
+          p AS (SELECT e.vec_id AS nid,
+                  list_sum(list_transform(list_zip(q.qe, e.embedding),
+                    pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (q.qn * e.nrm) AS cos
+                FROM e, q WHERE e.vec_id <> q.qid),
+          sem AS (SELECT nid AS doc_id, ann_rank FROM
+                    (SELECT nid, row_number() OVER (ORDER BY cos DESC, nid) AS ann_rank FROM p)
+                  WHERE ann_rank <= 5)
+          SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, bm25_rank, ann_rank,
+                 COALESCE(CAST(1.0 AS DOUBLE) / (60 + bm25_rank), CAST(0.0 AS DOUBLE))
+                   + COALESCE(CAST(1.0 AS DOUBLE) / (60 + ann_rank), CAST(0.0 AS DOUBLE)) AS fused
+          FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+          ORDER BY fused DESC, doc_id"""))
+
   val all: Seq[Qdef] =
-    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q8a, q89, q8b, q8c, q8d, q8e, q8f)
+    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q8a, q89, q8b, q8c, q8d, q8e, q8f, q8g)
 }

@@ -236,6 +236,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled to meet its own stats:\n$p")
   }
 
+  test("q8g: hybrid fusion never goes corpus-quadratic; rank windows run on survivors") {
+    val p = plan("q8g_hybrid_search")
+    // no cartesian corpus x corpus anywhere: the only nested-loop
+    // shapes allowed are constant-size broadcasts (bm25's 1-row stats,
+    // the single query vector)
+    assert(!p.contains("CartesianProduct"), s"cartesian product in the hybrid plan:\n$p")
+    // the lexical leg's top-k is a distributed TakeOrdered, so the
+    // bm25_rank window ranks the k survivors, never the corpus
+    assert(p.contains("TakeOrderedAndProject"),
+      s"lexical top-k is not a TakeOrdered — the rank window would see the corpus:\n$p")
+  }
+
   test("q74 default: bucketed stage-1 - the quantized search has no all-pairs step") {
     // the shipped default must never scan corpus × queries: stage-1
     // candidates come from LSH buckets (compact-key shuffle), the

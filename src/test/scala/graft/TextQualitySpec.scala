@@ -225,6 +225,40 @@ class TextQualitySpec extends SparkSpec {
     }
   }
 
+  test("q8g: RRF fuses exactly the two legs' own ranks; output is fused-desc ordered") {
+    import graft.operators.TextAnalysis
+    val terms = Seq("merge", "filter", "stream")
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    // the legs, recomputed independently of the operator under test
+    val lexRank = TextAnalysis.bm25(docs, terms, topN = 20).collect()
+      .zipWithIndex.map { case (r, i) => r.getAs[Long]("doc_id") -> (i + 1L) }.toMap
+    val semRank = graft.ann.Knn.lshTopK(emb, k = 5, probe1 = true,
+        queryPred = org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .collect().map(r => r.getAs[Long]("nid") -> r.getAs[Long]("rank")).toMap
+    val fused = SparkEntry.queries("q8g_hybrid_search")(spark, sf).collect()
+    assert(fused.length === (lexRank.keySet ++ semRank.keySet).size,
+      "fusion must return the union of the legs' candidates, once each")
+    fused.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(Option(r.getAs[Any]("bm25_rank")).map(_.asInstanceOf[Long]) === lexRank.get(id))
+      assert(Option(r.getAs[Any]("ann_rank")).map(_.asInstanceOf[Long]) === semRank.get(id))
+      val expect = lexRank.get(id).map(ra => 1.0 / (60 + ra)).getOrElse(0.0) +
+        semRank.get(id).map(rb => 1.0 / (60 + rb)).getOrElse(0.0)
+      assert(r.getAs[Double]("fused") === expect, s"doc $id fused score drifted")
+    }
+    // ordering law: fused desc, doc_id asc on ties
+    val key = fused.map(r => (-r.getAs[Double]("fused"), r.getAs[Long]("doc_id"))).toSeq
+    assert(key === key.sorted, "output not (fused desc, doc_id) ordered")
+    // a doc retrieved by BOTH legs outranks one retrieved by a single
+    // leg at any deeper rank — the boost RRF exists to give
+    val both = fused.filter(r => r.getAs[Any]("bm25_rank") != null && r.getAs[Any]("ann_rank") != null)
+    both.foreach { b =>
+      assert(b.getAs[Double]("fused") >
+        math.max(1.0 / (60 + b.getAs[Long]("bm25_rank")), 1.0 / (60 + b.getAs[Long]("ann_rank"))))
+    }
+  }
+
   test("qa0: curated corpus — filters bite, dedup is total, splits are the q86 buckets") {
     import graft.functions.TextFunctions.normText
     val docs = Tables.documents(spark, sf)
