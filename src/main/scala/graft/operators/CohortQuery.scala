@@ -328,6 +328,95 @@ object CohortQuery {
                (SELECT user_id FROM t UNION SELECT user_id FROM f))
               EXCEPT SELECT user_id FROM x) z"""))
 
+  // ------------------------------------------- maintained atom counts
+  //
+  // The reference answers per-criterion counts next to every query
+  // result, and its store is import-fed: at 100 TB those counts must
+  // update O(import batch), not O(store re-scan). The state below is
+  // the multi-atom generalization of Warehouse.applyBatchToAgg's
+  // signed partials: one sparse (atom, subject, n-matching-rows) frame
+  // whose per-batch transition touches only batch-sized inputs plus
+  // one before-image semi-join — and whose presentation (subjects with
+  // n > 0 per atom) is bit-identical to recomputing [[atomCounts]]
+  // over the merged store at every version.
+
+  /** Parse `{"population": subject|visit, "atoms": [...]}` where every
+    * atom is a FIELD atom on the `orders` source (the store-fed
+    * table), to (subject key column, per-atom predicates). Loud on
+    * anything the maintained path cannot transition incrementally.
+    */
+  private[graft] def maintainedSpec(json: String): (Column, Seq[Column]) = {
+    val spec = JsonMethods.parse(json)
+    val subject = popOf(spec) match {
+      case "subject" => col("o_custkey")
+      case "visit"   => col("o_orderkey")
+      case p => throw new IllegalArgumentException(
+        s"maintained atom counts cover the orders store's populations (subject|visit), got '$p'")
+    }
+    val atoms = spec \ "atoms" match {
+      case JArray(as) if as.nonEmpty => as
+      case other => throw new IllegalArgumentException(
+        s"atom-counts needs a non-empty 'atoms' array, got $other")
+    }
+    val preds = atoms.map { a =>
+      val typ = a \ "type" match {
+        case JString(t) => t; case JNothing => "field"
+        case other => throw new IllegalArgumentException(s"bad atom type: $other")
+      }
+      require(typ == "field" && strField(a, "source") == "orders",
+        "maintained atom counts cover field atoms on the store-fed 'orders' source — " +
+          s"evaluate other atoms through the normal (recompute) path: $a")
+      predicate(strField(a, "field"), strField(a, "op"), a \ "value")
+    }
+    (subject, preds)
+  }
+
+  /** Sparse maintained state of `table`: one row per (atom index,
+    * subject) with n = how many table rows match that atom's
+    * predicate. ONE scan — the per-row atom indicators ride a single
+    * posexplode, so adding atoms never adds passes. A predicate that
+    * evaluates null on a row contributes 0 (exactly the rows
+    * `filter(pred)` would drop in [[atomCounts]]).
+    */
+  def atomState(table: DataFrame, subject: Column, preds: Seq[Column]): DataFrame =
+    table
+      .select(subject.as("subject"),
+        posexplode(array(preds.map(p => when(p, 1L).otherwise(0L)): _*)).as(Seq("atom", "m")))
+      .filter(col("m") === 1L)
+      .groupBy("atom", "subject").agg(sum("m").as("n"))
+
+  /** One import batch applied to a maintained state WITHOUT touching
+    * the base table beyond the before-image semi-join (batch keys
+    * broadcast): minus the touched keys' previous contributions, plus
+    * the surviving batch rows' — the [[graft.operators.Warehouse
+    * .applyBatchToAgg]] transition, per atom. Assumes ≤1 row per key
+    * per batch (the store's documented contract). Rows whose net n
+    * reaches 0 leave the state, so it stays sparse forever.
+    */
+  def applyBatchToAtomState(
+      state: DataFrame, prevTable: DataFrame, batch: DataFrame,
+      keys: Seq[String], subject: Column, preds: Seq[Column]): DataFrame = {
+    val b = graft.sources.Snapshots.normDeleted(batch)
+    val before = prevTable.join(b.select(keys.map(col): _*), keys, "left_semi")
+    val neg = atomState(before, subject, preds).withColumn("n", -col("n"))
+    val pos = atomState(b.filter(!col("_deleted")).drop("_deleted"), subject, preds)
+    state.unionByName(neg).unionByName(pos)
+      .groupBy("atom", "subject").agg(sum("n").as("n"))
+      .filter(col("n") =!= 0L)
+  }
+
+  /** Present a maintained state as [[atomCounts]]'s exact output
+    * shape: (atom, n_subjects), zeros included for atoms matching no
+    * subject.
+    */
+  def presentAtomCounts(spark: SparkSession, state: DataFrame, nAtoms: Int): DataFrame =
+    spark.range(nAtoms).select(col("id").cast("int").as("atom"))
+      .join(broadcast(state.filter(col("n") > 0L)
+        .groupBy("atom").agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))),
+        Seq("atom"), "left")
+      .select(col("atom"), coalesce(col("n"), lit(0L)).as("n_subjects"))
+      .orderBy("atom")
+
   val q4a: graft.Qdef = graft.Qdef(
     "q4a_cohort_json_dsl",
     (s, d) => count(s, d, demoSpec),

@@ -655,7 +655,8 @@ object WarehouseServer {
           ("href" -> "/cohort/population") ~ ("method" -> "POST") ~
             ("rel" -> "cohort-population") ~ ("params" -> "limit, after"),
           ("href" -> "/cohort/atom-counts") ~ ("method" -> "POST") ~
-            ("rel" -> "per-criterion counts") ~ ("body" -> "{population, atoms:[...]}"),
+            ("rel" -> "per-criterion counts") ~ ("body" -> "{population, atoms:[...]}") ~
+            ("params" -> "maintained? (store-fed atoms answered O(import batch) from cached state)"),
           ("href" -> "/tables/profile") ~ ("method" -> "GET") ~
             ("rel" -> "per-column census") ~ ("params" -> "source, cols?, exact?"),
           ("href" -> "/items/stats") ~ ("method" -> "GET") ~
@@ -689,6 +690,9 @@ object WarehouseServer {
             ("body" -> "{column, values: [...] | lo+hi, meta?}"),
           ("href" -> "/store/excisions") ~ ("method" -> "GET") ~
             ("rel" -> "takedown audit trail (no excised values)"),
+          ("href" -> "/tokenize") ~ ("method" -> "POST") ~
+            ("rel" -> "BPE tokenize (corpus-learned or supplied merge table; ids = code point | 0x110000+rank)") ~
+            ("body" -> "{texts: [...], n_merges? | merges?: [[l,r],...]}"),
           ("href" -> "/ann/search") ~ ("method" -> "POST") ~
             ("rel" -> "similarity-search") ~
             ("body" -> "{vector: [...], k?, method?: lsh|brute, tables?}"),
@@ -761,6 +765,97 @@ object WarehouseServer {
           Map("orders" -> view)
         case (None, None) => Map.empty
       }
+
+    // ------------------------------------------- maintained cohort state
+    //
+    // `maintained=true` on /cohort/atom-counts answers per-atom counts
+    // over the STORE's merged view from a cached sparse state that
+    // advances O(import batch) per commit (CohortQuery.atomState /
+    // applyBatchToAtomState) — the reference's headline per-criterion
+    // counts, kept fresh without re-scanning the store. The cache is
+    // keyed by the normalized spec AND the manifest lines it was built
+    // over: appended delta lines ADVANCE the state (one before-image
+    // semi-join + batch-sized work each); an appended full (compact)
+    // rebuilds from that full alone; anything that rewrites history —
+    // excision, vacuum trims — fails the prefix check and rebuilds,
+    // so a takedown can never keep serving from a pre-excision state.
+    // One slot: the operational shape is ONE standing dashboard spec;
+    // a different spec displaces the old state (logged on /status).
+    final case class CohortState(
+        specKey: String, lines: Seq[(Long, String, String)], state: DataFrame,
+        nAtoms: Int, builtAtVersion: Long, appliedBatches: Long)
+    val cohortStateRef = new java.util.concurrent.atomic.AtomicReference[CohortState](null)
+    val cohortLock = new Object
+
+    def maintainedAtomCounts(bodyStr: String): DataFrame = cohortLock.synchronized {
+      val root = cfg.storeRoot.getOrElse(throw HttpError(400,
+        "maintained atom counts answer over the snapshot store — this server has none configured"))
+      val (subject, preds) =
+        try CohortQuery.maintainedSpec(bodyStr)
+        catch { case e: IllegalArgumentException =>
+          throw HttpError(400, Option(e.getMessage).getOrElse("bad maintained atom spec")) }
+      val specKey = JsonMethods.compact(JsonMethods.parse(bodyStr))
+      val ms = Snapshots.manifestState(spark, root)
+      if (ms.lines.isEmpty) throw HttpError(404, "the store is empty — commit before querying it")
+      val lines = ms.lines.map(l => (l.v, l.kind, l.rel))
+      val keys = Seq("o_orderkey")
+      def materialize(df: DataFrame): DataFrame = { val p = df.persist(); p.count(); p }
+      def fullContent(v: Long): DataFrame = {
+        import org.apache.spark.sql.functions.col
+        Snapshots.normDeleted(Snapshots.read(spark, root, v))
+          .filter(!col("_deleted")).drop("_deleted")
+      }
+      def build(): CohortState = {
+        val tip = lines.last._1
+        CohortState(specKey, lines,
+          materialize(CohortQuery.atomState(
+            Snapshots.asOf(spark, root, tip, keys), subject, preds)),
+          preds.size, tip, 0L)
+      }
+      val cached = cohortStateRef.get
+      val next =
+        if (cached == null || cached.specKey != specKey || !lines.startsWith(cached.lines)) {
+          if (cached != null) cached.state.unpersist()
+          build()
+        } else if (lines.size == cached.lines.size) cached
+        else {
+          var st = cached.state
+          var applied = cached.appliedBatches
+          var prevV = cached.lines.last._1
+          lines.drop(cached.lines.size).foreach { case (v, kind, _) =>
+            val ns = materialize(
+              if (kind == "full")
+                // a full RESTATES the merged view (and may retract keys
+                // no delta named): the state after it is the full's own
+                CohortQuery.atomState(fullContent(v), subject, preds)
+              else
+                CohortQuery.applyBatchToAtomState(st,
+                  Snapshots.asOf(spark, root, prevV, keys),
+                  Snapshots.read(spark, root, v), keys, subject, preds))
+            st.unpersist()
+            st = ns
+            applied += 1
+            prevV = v
+          }
+          CohortState(specKey, lines, st, preds.size, cached.builtAtVersion, applied)
+        }
+      cohortStateRef.set(next)
+      CohortQuery.presentAtomCounts(spark, next.state, next.nAtoms)
+    }
+
+    // ------------------------------------------------------- tokenizer
+    //
+    // POST /tokenize serves q8e's BPE encode as a bounded control-plane
+    // call: texts in, token strings + ids out. The merge table is
+    // learned from the corpus once per n_merges (ONE q8d Spark job,
+    // then cached) — or supplied verbatim in the body; the encode
+    // itself runs DRIVER-SIDE through the same TextExprHelpers
+    // .bpeEncode the codegen'd expression calls, so a tokenize request
+    // costs zero Spark jobs after the table is warm. Token ids are
+    // deterministic from the table alone: a single-code-point token's
+    // id is its code point; a merged token's id is 0x110000 + merge
+    // rank (above the Unicode range, so the two spaces never collide).
+    val bpeTables = new java.util.concurrent.ConcurrentHashMap[Int, Seq[(String, String)]]()
 
     // the ANN serving index: built once per SOURCE VERSION on demand
     // (one corpus scan + one banding pass), then every request is a
@@ -1041,11 +1136,23 @@ object WarehouseServer {
                 // answered from the manifest line, no data read
                 ("tip_meta" -> ms.lines.lastOption.map(l => metaJson(l.meta)))
           }
+          val cohort: JValue = Option(cohortStateRef.get) match {
+            case None => JNull
+            case Some(cs) =>
+              // the incrementality evidence: built_at_version is where
+              // the full build happened; applied_batches counts the
+              // O(delta) advances since (a rebuild resets it to 0)
+              ("atoms" -> cs.nAtoms) ~
+                ("version" -> cs.lines.last._1) ~
+                ("built_at_version" -> cs.builtAtVersion) ~
+                ("applied_batches" -> cs.appliedBatches)
+          }
           ("uptime_ms" -> (System.currentTimeMillis() - startedAtMs)) ~
             ("active_job_groups" -> JArray(active.asScala.toList.sorted.map(JString(_)))) ~
             ("endpoints" -> endpoints) ~
             ("ann" -> ann) ~
-            ("store" -> store)
+            ("store" -> store) ~
+            ("cohort_state" -> cohort)
         case ("GET", "/tables") => tablesDoc
         case ("POST", "/cohort/query") =>
           scalar(CohortQuery.count(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes),
@@ -1054,8 +1161,18 @@ object WarehouseServer {
           page(CohortQuery.population(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes),
             cohortSources(params)).orderBy("subject"), limit, after)
         case ("POST", "/cohort/atom-counts") =>
-          page(CohortQuery.atomCounts(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes),
-            cohortSources(params)), limit, after)
+          params.get("maintained") match {
+            case Some("true") =>
+              if (params.contains("as_of_ts") || params.contains("speculative_import"))
+                throw HttpError(400,
+                  "maintained counts are the store's PRESENT — drop as_of_ts/speculative_import")
+              page(maintainedAtomCounts(body(ex, cfg.maxBodyBytes)), limit, after)
+            case None | Some("false") =>
+              page(CohortQuery.atomCounts(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes),
+                cohortSources(params)), limit, after)
+            case Some(other) =>
+              throw HttpError(400, s"maintained must be true|false, got '$other'")
+          }
         case ("GET", "/tables/profile") =>
           // q9h over HTTP: per-column census of an allowlisted table —
           // a control-plane aggregate whose output is bounded by the
@@ -1256,6 +1373,68 @@ object WarehouseServer {
           }
           page(df.orderBy(keys.map(k => col(k).asc) :+ col("version").asc: _*),
             limit, after)
+        case ("POST", "/tokenize") =>
+          val spec = JsonMethods.parse(body(ex, cfg.maxBodyBytes))
+          val texts = spec \ "texts" match {
+            case JArray(ts) if ts.nonEmpty => ts.map {
+              case JString(t) => t
+              case other => throw HttpError(400, s"texts must be strings, got $other")
+            }
+            case JArray(_) | JNothing =>
+              throw HttpError(400, "tokenize needs a non-empty 'texts' array")
+            case other => throw HttpError(400, s"texts must be an array, got $other")
+          }
+          if (texts.size > cfg.defaultLimit)
+            throw HttpError(400,
+              s"tokenize is a bounded control-plane call: at most ${cfg.defaultLimit} " +
+                s"texts per request, got ${texts.size}")
+          val merges: Seq[(String, String)] = spec \ "merges" match {
+            case JArray(ms) => ms.map {
+              case JArray(List(JString(l), JString(r))) if l.nonEmpty && r.nonEmpty => (l, r)
+              case other => throw HttpError(400,
+                s"each merge must be a [left, right] pair of non-empty strings, got $other")
+            }
+            case JNothing =>
+              val n = spec \ "n_merges" match {
+                case JNothing => 30
+                case JInt(i) if i >= 1 && i <= 1000 => i.toInt
+                case other => throw HttpError(400,
+                  s"n_merges must be an integer in [1, 1000], got $other")
+              }
+              bpeTables.computeIfAbsent(n, nn =>
+                graft.operators.TextAnalysis
+                  .bpeMerges(Tables.documents(spark, cfg.dataDir), nn)
+                  .map { case (l, r, _) => (l, r) })
+            case other => throw HttpError(400, s"merges must be an array of pairs, got $other")
+          }
+          // a corpus too small/uniform to learn a single merge has no
+          // tokenizer to serve — loud, with both remedies named
+          if (merges.isEmpty) throw HttpError(400,
+            "no merge table: the corpus learned zero merges — pass 'merges' explicitly " +
+              "or raise n_merges after committing documents")
+          // the EXACT map the codegen'd expression builds (duplicate
+          // pairs keep their first rank), driving the same encoder
+          val ranks = new java.util.HashMap[String, Integer](merges.size * 2)
+          merges.zipWithIndex.foreach { case ((l, r), i) =>
+            ranks.putIfAbsent(l + " " + r, Int.box(i)); ()
+          }
+          val outRank = new java.util.HashMap[String, Integer](merges.size * 2)
+          merges.zipWithIndex.foreach { case ((l, r), i) =>
+            outRank.putIfAbsent(l + r, Int.box(i)); ()
+          }
+          def idOf(tok: String): Long =
+            if (tok.codePointCount(0, tok.length) == 1) tok.codePointAt(0).toLong
+            else Option(outRank.get(tok)).map(0x110000L + _.longValue())
+              .getOrElse(-1L) // unreachable for well-formed tables; never a 500
+          val results = texts.map { t =>
+            val arr = graft.functions.TextExprHelpers.bpeEncode(
+              org.apache.spark.unsafe.types.UTF8String.fromString(t), ranks)
+            val toks = (0 until arr.numElements())
+              .map(i => arr.getUTF8String(i).toString).toList
+            (("tokens" -> JArray(toks.map(JString(_)))) ~
+              ("ids" -> JArray(toks.map(tk => JLong(idOf(tk)))))): JValue
+          }
+          ("n_merges_used" -> merges.size) ~ ("results" -> JArray(results))
         case ("POST", "/ann/search") =>
           val spec = JsonMethods.parse(body(ex, cfg.maxBodyBytes))
           val vector = spec \ "vector" match {
@@ -1719,11 +1898,19 @@ object WarehouseServer {
       // makes a still-running BACKGROUND build release its own result
       // at swap time and refuses later synchronous builds — no
       // instance can be published after this
-      () => annLock.synchronized {
-        annClosed = true
-        Option(annRef.get).foreach(_.close())
-        annAlt.values.forEach(_.idx.close())
-        annAlt.clear()
+      () => {
+        annLock.synchronized {
+          annClosed = true
+          Option(annRef.get).foreach(_.close())
+          annAlt.values.forEach(_.idx.close())
+          annAlt.clear()
+        }
+        // the maintained cohort state pins one persisted frame — same
+        // leak shape as the ANN cache on a shared long-lived session
+        cohortLock.synchronized {
+          Option(cohortStateRef.get).foreach(_.state.unpersist())
+          cohortStateRef.set(null)
+        }
       })
   }
 
@@ -1742,7 +1929,8 @@ object WarehouseServer {
     "/queries", "/store/versions", "/store/read", "/store/read_range", "/store/history",
     "/store/changes", "/store/excisions")
   private val postPaths = Set("/cohort/query", "/cohort/population",
-    "/cohort/atom-counts", "/store/commit", "/store/excise", "/ann/search", "/ann/refresh",
+    "/cohort/atom-counts", "/store/commit", "/store/excise", "/tokenize",
+    "/ann/search", "/ann/refresh",
     "/dedup/check", "/dedup/check_vec")
 
   /** POST /queries/{name} matcher (no other path params exist). */

@@ -138,4 +138,66 @@ class CohortQuerySpec extends SparkSpec {
       graft.operators.Relational.mergedEras(Tables.events(spark, sf), windowUs = 0L)
     }
   }
+
+  test("maintained atom counts equal the recompute bit-for-bit across deltas and a compaction") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val root = tmpDir("cohort-maintained")
+    val specJson =
+      """{"population": "subject", "atoms": [
+           {"source": "orders", "field": "o_orderpriority", "op": "eq", "value": "1-URGENT"},
+           {"source": "orders", "field": "o_totalprice", "op": "gt", "value": 100},
+           {"source": "orders", "field": "o_orderpriority", "op": "eq", "value": "NEVER"}]}"""
+    val (subject, preds) = CohortQuery.maintainedSpec(specJson)
+    val keys = Seq("o_orderkey")
+    def recompute(): Seq[(Int, Long)] =
+      CohortQuery.atomCounts(spark, sf, specJson,
+        sources = Map("orders" -> Snapshots.latest(spark, root, keys)))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    def present(st: org.apache.spark.sql.DataFrame): Seq[(Int, Long)] =
+      CohortQuery.presentAtomCounts(spark, st, preds.size)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+
+    // v1: two subjects, overlapping atom membership (subject 10 holds
+    // TWO urgent orders — a later single retraction must NOT drop it)
+    Snapshots.commit(Seq(
+      (1L, 10L, "1-URGENT", 150.0), (2L, 10L, "1-URGENT", 50.0),
+      (3L, 20L, "2-HIGH", 200.0), (4L, 30L, "1-URGENT", 90.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"), root)
+    var state = CohortQuery.atomState(Snapshots.latest(spark, root, keys), subject, preds)
+    assert(present(state) === recompute())
+    assert(present(state) === Seq((0, 2L), (1, 2L), (2, 0L)))
+
+    // v2 delta: retract one of subject 10's urgent orders (membership
+    // survives via the other), flip order 3 to urgent, add subject 40
+    Snapshots.commitDelta(Seq(
+      (1L, 10L, "1-URGENT", 150.0, true),
+      (3L, 20L, "1-URGENT", 200.0, false),
+      (5L, 40L, "3-LOW", 500.0, false))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice", "_deleted"), root)
+    state = CohortQuery.applyBatchToAtomState(state,
+      Snapshots.asOf(spark, root, 1L, keys), Snapshots.read(spark, root, 2L),
+      keys, subject, preds)
+    assert(present(state) === recompute())
+    assert(present(state) === Seq((0, 3L), (1, 2L), (2, 0L)))
+
+    // v3 delta: retract subject 10's LAST urgent order — it must leave
+    // atom 0 now (the n-reaches-0 transition)
+    Snapshots.commitDelta(Seq((2L, 10L, "1-URGENT", 50.0, true))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice", "_deleted"), root)
+    state = CohortQuery.applyBatchToAtomState(state,
+      Snapshots.asOf(spark, root, 2L, keys), Snapshots.read(spark, root, 3L),
+      keys, subject, preds)
+    assert(present(state) === recompute())
+    assert(present(state).head === ((0, 2L)))
+
+    // compaction appends a FULL restating the merged view: rebuilding
+    // the state from that full must land exactly where the maintained
+    // chain is
+    Snapshots.compact(spark, root, keys)
+    val fullV = Snapshots.latestVersion(spark, root)
+    val rebuilt = CohortQuery.atomState(Snapshots.read(spark, root, fullV), subject, preds)
+    assert(present(rebuilt) === present(state))
+    assert(present(rebuilt) === recompute())
+  }
 }

@@ -1133,6 +1133,128 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     } finally srv.close()
   }
 
+  test("/tokenize: endpoint encode equals the library encode token-for-token; ids are table-deterministic; bad bodies typed") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // the library truth: same corpus, same learned table, Spark encode
+    val merges = TextAnalysis.bpeMerges(Tables.documents(spark, sf), 30)
+      .map { case (l, r, _) => (l, r) }
+    assert(merges.nonEmpty)
+    val texts = Seq("Merge the stream filters", "zzq unseen-chars 42", "")
+    val lib: Map[Long, Seq[String]] = TextAnalysis.bpeTokens(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"), merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val (c, v) = post("/tokenize",
+      JsonMethods.compact(JObject("texts" -> JArray(texts.map(JString(_)).toList))))
+    assert(c == 200, s"tokenize failed: $v")
+    assert(longOf(v \ "n_merges_used") == merges.size.toLong)
+    val results = (v \ "results").asInstanceOf[JArray].arr
+    assert(results.size == texts.size)
+    results.zipWithIndex.foreach { case (res, i) =>
+      val toks = (res \ "tokens").asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s)
+      assert(toks == lib(i.toLong).toList, s"text $i drifted from the library encode")
+      // id law: single code point -> the code point; merged token ->
+      // 0x110000 + first rank whose merge concatenates to it
+      val ids = (res \ "ids").asInstanceOf[JArray].arr.map(longOf)
+      assert(ids.size == toks.size)
+      toks.zip(ids).foreach { case (tk, id) =>
+        if (tk.codePointCount(0, tk.length) == 1) assert(id == tk.codePointAt(0).toLong)
+        else assert(id == 0x110000L + merges.indexWhere { case (l, r) => l + r == tk })
+      }
+    }
+    // a supplied merge table overrides the corpus-learned one
+    val (ec, ev) = post("/tokenize",
+      """{"texts": ["abab"], "merges": [["a", "b"], ["ab", "ab"]]}""")
+    assert(ec == 200, s"explicit-merges tokenize failed: $ev")
+    val etoks = ((ev \ "results").asInstanceOf[JArray].arr.head \ "tokens")
+      .asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s)
+    assert(etoks == List("abab"))
+    assert(((ev \ "results").asInstanceOf[JArray].arr.head \ "ids")
+      .asInstanceOf[JArray].arr.map(longOf) == List(0x110000L + 1L))
+    // typed refusals
+    assert(post("/tokenize", """{}""")._1 == 400)
+    assert(post("/tokenize", """{"texts": []}""")._1 == 400)
+    assert(post("/tokenize", """{"texts": "x"}""")._1 == 400)
+    assert(post("/tokenize", """{"texts": [1]}""")._1 == 400)
+    assert(post("/tokenize", """{"texts": ["x"], "n_merges": 0}""")._1 == 400)
+    assert(post("/tokenize", """{"texts": ["x"], "merges": [["a"]]}""")._1 == 400)
+    assert(post("/tokenize", """{"texts": ["x"], "merges": [["", "b"]]}""")._1 == 400)
+    assert(get("/tokenize")._1 == 405)
+  }
+
+  test("/cohort/atom-counts?maintained=true: equals the recompute at every tip, advances O(batch) per commit, rebuilds on history rewrites") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // destructive by design — this test owns its store and server
+    val root = tmpDir("serve-maintained") + "/orders"
+    Snapshots.commit(Seq(
+      (1L, 10L, "1-URGENT", 150.0), (2L, 20L, "2-HIGH", 50.0), (3L, 30L, "1-URGENT", 90.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"), root)
+    val srv = WarehouseServer.start(spark, WarehouseServer.Config(
+      dataDir = sf, storeRoot = Some(root)))
+    try {
+      val b = s"http://127.0.0.1:${srv.port}"
+      val spec = """{"population": "subject", "atoms": [
+        {"source": "orders", "field": "o_orderpriority", "op": "eq", "value": "1-URGENT"},
+        {"source": "orders", "field": "o_totalprice", "op": "gt", "value": 100}]}"""
+      def getJ(path: String): (Int, JValue) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(s"$b$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def postJ(path: String, body: String): (Int, JValue) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(s"$b$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def countsOf(v: JValue): Seq[(Long, Long)] =
+        (v \ "rows").asInstanceOf[JArray].arr
+          .map(r => (longOf(r \ "atom"), longOf(r \ "n_subjects")))
+      def recompute(): Seq[(Long, Long)] =
+        CohortQuery.atomCounts(spark, sf, spec,
+          sources = Map("orders" -> Snapshots.latest(spark, root, Seq("o_orderkey"))))
+          .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).toSeq
+      def stateStat(): (Long, Long) = {
+        val s = getJ("/status")._2 \ "cohort_state"
+        (longOf(s \ "built_at_version"), longOf(s \ "applied_batches"))
+      }
+      // first call pays the one-time build at the tip
+      val (c1, v1) = postJ("/cohort/atom-counts?maintained=true", spec)
+      assert(c1 == 200, s"maintained atom-counts failed: $v1")
+      assert(countsOf(v1) === Seq((0L, 2L), (1L, 1L)))
+      assert(countsOf(v1) === recompute())
+      assert(stateStat() === ((1L, 0L)))
+      // a commit lands; the next call ADVANCES the state (one applied
+      // batch — the incrementality evidence), never rebuilds
+      Snapshots.commitDelta(Seq((2L, 20L, "1-URGENT", 500.0, false))
+        .toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice", "_deleted"), root)
+      val (c2, v2) = postJ("/cohort/atom-counts?maintained=true", spec)
+      assert(c2 == 200, s"advance failed: $v2")
+      assert(countsOf(v2) === Seq((0L, 3L), (1L, 2L)))
+      assert(countsOf(v2) === recompute())
+      assert(stateStat() === ((1L, 1L)))
+      // an unchanged tip serves the cached state as-is
+      assert(countsOf(postJ("/cohort/atom-counts?maintained=true", spec)._2) === countsOf(v2))
+      assert(stateStat() === ((1L, 1L)))
+      // an excision REWRITES history: the prefix check must force a
+      // rebuild (never serve excised subjects from a stale state)
+      assert(postJ("/store/excise", """{"column": "o_orderkey", "values": [3]}""")._1 == 200)
+      val (c3, v3) = postJ("/cohort/atom-counts?maintained=true", spec)
+      assert(c3 == 200, s"post-excision read failed: $v3")
+      assert(countsOf(v3) === Seq((0L, 2L), (1L, 2L)))
+      assert(countsOf(v3) === recompute())
+      assert(stateStat()._2 === 0L, "excision must reset the state to a fresh build")
+      // typed refusals: combined overrides, non-store atoms, bad flag
+      assert(postJ("/cohort/atom-counts?maintained=true&as_of_ts=2026-01-01T00:00:00Z",
+        spec)._1 == 400)
+      assert(postJ("/cohort/atom-counts?maintained=true",
+        """{"population": "subject", "atoms": [
+             {"source": "customer", "field": "c_acctbal", "op": "gt", "value": 0}]}""")._1 == 400)
+      assert(postJ("/cohort/atom-counts?maintained=banana", spec)._1 == 400)
+    } finally srv.close()
+  }
+
   test("/store/excise: timestamp/date/decimal takedowns compare in the column's own type; boolean and nested types are typed 400s") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
