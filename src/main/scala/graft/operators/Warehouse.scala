@@ -101,11 +101,59 @@ object Warehouse {
     root
   }
 
-  /** Pre-build the versioned store (idempotent) — called from Bench's
-    * untimed warm-up so q94/q95 time the AS-OF READ, not the one-time
+  // ---------------------------------------------------------------
+  // A SECOND derived store for the excision queries: same two
+  // versions as the main store, then a deterministic takedown of the
+  // keys ≡ 5 (mod 10) — so q9l/q9m can oracle-check post-excision
+  // reads without mutating the store every other q9x entry shares.
+  // ---------------------------------------------------------------
+  private def excisedRoot(sfDir: String): String =
+    s"target/graft-snapshots/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}" +
+      s"-${Integer.toHexString(sfDir.hashCode)}/orders-excised"
+
+  private def ensureExcisedStore(s: SparkSession, d: String): String = synchronized {
+    val root = excisedRoot(d)
+    val sig = graft.sources.Sources.listingSignature(s, s"$d/orders.parquet")
+    val f = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sigPath = new Path(root, "_source.sig")
+    val stampedSig =
+      if (!f.exists(sigPath)) None
+      else {
+        val in = f.open(sigPath)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    val want = s"$sig|x1"
+    // the stamp lands only AFTER the excision: a crash anywhere in the
+    // build leaves no stamp and the next call wipes and redoes it
+    if (Snapshots.latestVersion(s, root) != 2L || !stampedSig.contains(want)) {
+      val p = new Path(root)
+      if (f.exists(p)) f.delete(p, true)
+      val orders = Tables.orders(s, d)
+      Snapshots.commit(orders, root, statsCols = Seq("o_orderkey"),
+        meta = Map("job" -> "initial-import"))
+      Snapshots.commitDelta(
+        orders
+          .filter(col("o_orderkey") % 10 === 3 || col("o_orderkey") % 10 === 7)
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 10 === 3, lit("R")).otherwise(col("o_orderstatus")))
+          .withColumn("_deleted", col("o_orderkey") % 10 === 7),
+        root, statsCols = Seq("o_orderkey"), meta = Map("job" -> "correction-batch"))
+      Snapshots.excise(s, root, col("o_orderkey") % 10 === 5,
+        meta = Map("ticket" -> "TAKEDOWN-5"))
+      val out = f.create(sigPath, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+    root
+  }
+
+  /** Pre-build the versioned stores (idempotent) — called from Bench's
+    * untimed warm-up so q94/q95/q9l time the READ, not the one-time
     * store construction (which is input data, like the parquet tables).
     */
-  def warm(s: SparkSession, d: String): Unit = { ensureStore(s, d); () }
+  def warm(s: SparkSession, d: String): Unit = {
+    ensureStore(s, d); ensureExcisedStore(s, d); ()
+  }
 
   /** Root of the deterministic two-version store (building it if
     * needed) — shared with the as-of cohort query in [[Cohort]].
@@ -162,24 +210,34 @@ object Warehouse {
     * totals for EVERY node (root, each brand, each brand/type) of the
     * metadata hierarchy matching a search, in one rollup pass.
     */
+  /** The metadata-tree rollup over ANY part-shaped frame — q97 runs
+    * it over the live parquet table, and the "metadata is an imported
+    * table" equivalence (the reference's transactional metadata-write
+    * surface) runs it over a snapshot store's merged view: creating /
+    * amending / retracting metadata nodes is a [[Snapshots]] commit
+    * like any import, and every tree read reflects the store's tip
+    * (or any pinned as-of version). Spec-proven in SnapshotsSpec.
+    */
+  def metadataTree(parts: DataFrame, nameFilter: String = "widget"): DataFrame = {
+    // grouping() is only defined inside the rollup's aggregate list
+    val lvl = (lit(2) - grouping(col("p_brand")).cast("int")
+      - grouping(col("p_type")).cast("int")).cast("int")
+    parts
+      .filter(col("p_name").contains(nameFilter))
+      .rollup(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("n_items"), Tables.dsum(col("p_retailprice")).as("sum_price"),
+        lvl.as("level"))
+      .withColumn("path",
+        when(col("level") === 0, lit("(root)"))
+          .when(col("level") === 1, col("p_brand"))
+          .otherwise(concat_ws("/", col("p_brand"), col("p_type"))))
+      .select(col("level"), col("path"), col("n_items"), col("sum_price"))
+      .orderBy("level", "path")
+  }
+
   private val q97 = Qdef(
     "q97_metadata_tree",
-    (s, d) => {
-      // grouping() is only defined inside the rollup's aggregate list
-      val lvl = (lit(2) - grouping(col("p_brand")).cast("int")
-        - grouping(col("p_type")).cast("int")).cast("int")
-      Tables.part(s, d)
-        .filter(col("p_name").contains("widget"))
-        .rollup(col("p_brand"), col("p_type"))
-        .agg(count(lit(1)).as("n_items"), Tables.dsum(col("p_retailprice")).as("sum_price"),
-          lvl.as("level"))
-        .withColumn("path",
-          when(col("level") === 0, lit("(root)"))
-            .when(col("level") === 1, col("p_brand"))
-            .otherwise(concat_ws("/", col("p_brand"), col("p_type"))))
-        .select(col("level"), col("path"), col("n_items"), col("sum_price"))
-        .orderBy("level", "path")
-    },
+    (s, d) => metadataTree(Tables.part(s, d)),
     Some(s"""SELECT CAST(2 - GROUPING(p_brand) - GROUPING(p_type) AS INT) AS level,
                     CASE WHEN GROUPING(p_brand) = 1 THEN '(root)'
                          WHEN GROUPING(p_type) = 1 THEN p_brand
@@ -447,5 +505,55 @@ object Warehouse {
             WHERE o_orderkey % 10 <> 7 AND o_orderkey BETWEEN 1000 AND 5000
             ORDER BY o_orderkey"""))
 
-  val all: Seq[Qdef] = Seq(q94, q95, q96, q97, q98, q99, q9a, q9h, q9i, q9j, q9k)
+  /** q9l: the post-excision timeline — after the deterministic
+    * TAKEDOWN-5 excision, history at EVERY version shows nothing for
+    * the excised keys and everything else byte-for-byte. Oracle =
+    * q9i's three-branch union with the excised residue filtered out
+    * of the base version (the delta's keys ≡ 3/7 are disjoint from
+    * ≡ 5, so the takedown touches only v1 rows).
+    */
+  private val q9l = Qdef(
+    "q9l_entity_excision",
+    (s, d) =>
+      Snapshots.history(s, ensureExcisedStore(s, d), Seq("o_orderkey"))
+        .select(col("version"), col("op"), col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey", "version"),
+    Some("""SELECT CAST(1 AS BIGINT) AS version, 'insert' AS op, o_orderkey, o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 10 <> 5
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'update', o_orderkey, o_custkey,
+                   'R', o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 10 = 3
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'delete', o_orderkey, o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 10 = 7
+            ORDER BY o_orderkey, version"""))
+
+  /** q9m: commit provenance surfaced through the data path — each
+    * history row carries its committing transaction's meta, so
+    * "which import job wrote version v" aggregates straight off the
+    * timeline (per (version, job): row count). try_element_at: a map
+    * miss must read as null, not an ANSI error, on chains whose older
+    * lines predate the meta field.
+    */
+  private val q9m = Qdef(
+    "q9m_commit_provenance",
+    (s, d) =>
+      Snapshots.history(s, ensureStore(s, d), Seq("o_orderkey"))
+        .select(col("version"),
+          try_element_at(col("commit_meta"), lit("job")).as("job"))
+        .groupBy("version", "job").agg(count(lit(1)).as("n"))
+        .orderBy("version"),
+    Some("""SELECT CAST(1 AS BIGINT) AS version, 'initial-import' AS job, COUNT(*) AS n
+            FROM orders
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'correction-batch', COUNT(*)
+            FROM orders WHERE o_orderkey % 10 IN (3, 7)
+            ORDER BY version"""))
+
+  val all: Seq[Qdef] = Seq(q94, q95, q96, q97, q98, q99, q9a, q9h, q9i, q9j, q9k, q9l, q9m)
 }

@@ -65,4 +65,27 @@ class BenchRecordSpec extends AnyFunSuite {
     // no outliers flagged: nothing to confirm, never suspect
     assert(Bench.confirmVerdict(Seq.empty, Seq.empty, prior) === (Seq.empty, false))
   }
+
+  test("driftAdvisories is the 2x-AND->1s tier BELOW the flag — the r12 qa4 residual shape") {
+    val prior = Bench.parsePriorMins(record, "/data/sf0.1")
+    val now = Seq(
+      "q01_scan_project" -> 0.36, // stable
+      "q45_item_stats" -> 6.194,  // a 3x OUTLIER: flagged, so NOT an advisory
+      "q83_fingerprint" -> 1.80)  // 2.8x and +1.15 s: the advisory tier
+    assert(Bench.driftAdvisories(now, prior) === Seq("q83_fingerprint"))
+    assert(Bench.driftOutliers(now, prior) === Seq("q45_item_stats"))
+    // the r12 shape that motivated the tier: qa4 0.85 -> 1.97 s
+    // (2.3x, +1.12 s) was below the 3x flag so the confirm pass never
+    // saw it and a judge had to adjudicate by hand
+    assert(Bench.driftAdvisories(Seq("qa4" -> 1.97), Map("qa4" -> 0.85)) === Seq("qa4"))
+    assert(Bench.driftOutliers(Seq("qa4" -> 1.97), Map("qa4" -> 0.85)).isEmpty)
+    // both legs of the conjunction: 2.5x but only +0.75 s stays quiet,
+    // +1.5 s but under 2x stays quiet
+    assert(Bench.driftAdvisories(Seq("q_s" -> 1.25), Map("q_s" -> 0.5)).isEmpty)
+    assert(Bench.driftAdvisories(Seq("q_b" -> 11.5), Map("q_b" -> 10.0)).isEmpty)
+    // a confirmed advisory = re-time still over the advisory bar
+    assert(Bench.driftOutliers(Seq("qa4" -> 1.9), Map("qa4" -> 0.85), 2.0, 1.0)
+      === Seq("qa4"))
+    assert(Bench.driftOutliers(Seq("qa4" -> 0.9), Map("qa4" -> 0.85), 2.0, 1.0).isEmpty)
+  }
 }

@@ -1024,6 +1024,39 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.latest(spark, root, Seq("id")).count() === 1L)
   }
 
+  test("metadata is an imported table: create/amend/retract nodes flow through store commits; every tree read reflects the tip") {
+    import graft.operators.Warehouse
+    val root = tmpDir("snap-metadata")
+    def tree(df: org.apache.spark.sql.DataFrame): Seq[(Int, String, Long)] =
+      Warehouse.metadataTree(df).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // the "create study/form/item" surface IS a store commit of
+    // part-shaped metadata rows
+    Snapshots.commit(Seq(
+      (1L, "widget alpha", "B1", "T1", 10.0),
+      (2L, "widget beta", "B1", "T2", 20.0),
+      (3L, "widget gamma", "B2", "T1", 30.0),
+      (4L, "gizmo delta", "B2", "T1", 40.0)) // filtered out by name
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_retailprice"), root)
+    assert(tree(Snapshots.latest(spark, root, Seq("p_partkey"))) === Seq(
+      (0, "(root)", 3L),
+      (1, "B1", 2L), (1, "B2", 1L),
+      (2, "B1/T1", 1L), (2, "B1/T2", 1L), (2, "B2/T1", 1L)))
+    // an AMEND (move item 2 to brand B2) and a RETRACT (drop item 3)
+    // are one delta commit; the tree read follows the merged tip
+    Snapshots.commitDelta(Seq(
+      (2L, "widget beta", "B2", "T2", 20.0, false),
+      (3L, "widget gamma", "B2", "T1", 30.0, true))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_retailprice", "_deleted"), root)
+    assert(tree(Snapshots.latest(spark, root, Seq("p_partkey"))) === Seq(
+      (0, "(root)", 2L),
+      (1, "B1", 1L), (1, "B2", 1L),
+      (2, "B1/T1", 1L), (2, "B2/T2", 1L)))
+    // and the pinned as-of read still serves the PRE-amend tree — the
+    // reproducibility the reference's versioned metadata promises
+    assert(tree(Snapshots.asOf(spark, root, 1L, Seq("p_partkey"))).head === ((0, "(root)", 3L)))
+  }
+
   test("manifest format marker: meta commits stamp _format; higher or garbled markers refuse with the upgrade remedy") {
     val root = tmpDir("snap-format")
     val hfs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
