@@ -344,7 +344,15 @@ object Bench {
     val qs = perTrial.map { case (k, ts) =>
       s"\"${k.takeWhile(_ != '_')}\":${fmt(ts.head)}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_min","value":${fmt(minTotal)},"unit":"sec","estimator":"min_of_trials","queries":$qs,"contended":$contended,"outliers":$outliersJson,"outliers_confirm":$confirmJson,"outliers_confirmed":$confirmedJson,"advisories":$advisoriesJson,"advisories_confirm":$advConfirmJson,"advisories_confirmed":$advConfirmedJson,"contended_suspect":$contendedSuspect,"sf":${jstr(sfDir)}}""")
+    // the drift fields use the SAME short keys on this line for the
+    // same reason as `queries`: a contended box-hour can advisory-flag
+    // a dozen multi-second queries, and a dozen full names would push
+    // the contract JSON past the driver's capture window
+    def short(n: String): String = n.takeWhile(_ != '_')
+    def shortArr(ns: Seq[String]): String = ns.map(n => jstr(short(n))).mkString("[", ",", "]")
+    def shortMap(ts: Seq[(String, Double)]): String =
+      ts.map { case (k, v) => s"${jstr(short(k))}:${fmt(v)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_min","value":${fmt(minTotal)},"unit":"sec","estimator":"min_of_trials","queries":$qs,"contended":$contended,"outliers":${shortArr(outliers)},"outliers_confirm":${shortMap(outlierConfirmTimes)},"outliers_confirmed":${shortArr(outliersConfirmed)},"advisories":${shortArr(advisories)},"advisories_confirm":${shortMap(advisoryConfirmTimes)},"advisories_confirmed":${shortArr(advisoriesConfirmed)},"contended_suspect":$contendedSuspect,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -345,11 +345,11 @@ object CohortQuery {
     * table), to (subject key column, per-atom predicates). Loud on
     * anything the maintained path cannot transition incrementally.
     */
-  private[graft] def maintainedSpec(json: String): (Column, Seq[Column]) = {
+  private[graft] def maintainedSpec(json: String): (String, Seq[Column]) = {
     val spec = JsonMethods.parse(json)
     val subject = popOf(spec) match {
-      case "subject" => col("o_custkey")
-      case "visit"   => col("o_orderkey")
+      case "subject" => "o_custkey"
+      case "visit"   => "o_orderkey"
       case p => throw new IllegalArgumentException(
         s"maintained atom counts cover the orders store's populations (subject|visit), got '$p'")
     }

@@ -51,9 +51,61 @@ object Warehouse {
   // the path HASH rides along because sanitization is lossy: without
   // it, distinct source dirs like data/sf1 and data_sf1 collapse to
   // one root and the second caller silently reuses the first's store
-  private def snapshotRoot(sfDir: String): String =
+  private def snapshotRoot(sfDir: String, table: String = "orders"): String =
     s"target/graft-snapshots/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}" +
-      s"-${Integer.toHexString(sfDir.hashCode)}/orders"
+      s"-${Integer.toHexString(sfDir.hashCode)}/$table"
+
+  /** ONE definition of the deterministic two-version build (v1 full,
+    * v2 delta amending keys ≡ 3 and tombstoning keys ≡ 7) — shared by
+    * the main entry store and the excised variant, so the two can
+    * never drift on the recipe q9i..q9m's oracles re-derive in SQL.
+    */
+  private def buildTwoVersions(s: SparkSession, d: String, root: String): Unit = {
+    val orders = Tables.orders(s, d)
+    Snapshots.commit(orders, root, statsCols = Seq("o_orderkey"),
+      meta = Map("job" -> "initial-import"))
+    Snapshots.commitDelta(
+      orders
+        .filter(col("o_orderkey") % 10 === 3 || col("o_orderkey") % 10 === 7)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 10 === 3, lit("R")).otherwise(col("o_orderstatus")))
+        .withColumn("_deleted", col("o_orderkey") % 10 === 7),
+      root, statsCols = Seq("o_orderkey"), meta = Map("job" -> "correction-batch"))
+    ()
+  }
+
+  /** Stamp-gated idempotent (re)build: wipes and redoes `root` unless
+    * it already holds two versions AND the `_source.sig` stamp equals
+    * `want` (source listing signature + a store-format marker — see
+    * the callers). `extra` runs after the two commits, INSIDE the
+    * build (the stamp lands last, so a crash anywhere redoes it all).
+    */
+  private def ensureDerived(
+      s: SparkSession, d: String, root: String, marker: String)(
+      extra: => Unit): String = {
+    val sig = graft.sources.Sources.listingSignature(s, s"$d/orders.parquet")
+    val f = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sigPath = new Path(root, "_source.sig")
+    val stampedSig =
+      if (!f.exists(sigPath)) None
+      else {
+        val in = f.open(sigPath)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    val want = s"$sig|$marker"
+    if (Snapshots.latestVersion(s, root) != 2L || !stampedSig.contains(want)) {
+      val p = new Path(root)
+      if (f.exists(p)) f.delete(p, true)
+      buildTwoVersions(s, d, root)
+      extra
+      // stamp LAST: a crash mid-build leaves no sidecar and the next
+      // call rebuilds (the sidecar is reuse evidence, not a manifest)
+      val out = f.create(sigPath, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+    root
+  }
 
   /** Build (or reuse) the two-version store for `sfDir`. Idempotent:
     * a partial build from a killed run is wiped and redone — and so is
@@ -63,42 +115,12 @@ object Warehouse {
     * rounds; production tables get overwritten) rebuilds instead of
     * silently serving aggregates of data that no longer exists.
     */
+  // marker "k1": r15 added key zone maps (statsCols) + provenance meta
+  // to both segments, and a green v2 store built BEFORE that would
+  // otherwise be reused forever without them — the marker mismatch
+  // forces the one-time rebuild
   private def ensureStore(s: SparkSession, d: String): String = synchronized {
-    val root = snapshotRoot(d)
-    val sig = graft.sources.Sources.listingSignature(s, s"$d/orders.parquet")
-    val f = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val sigPath = new Path(root, "_source.sig")
-    val stampedSig =
-      if (!f.exists(sigPath)) None
-      else {
-        val in = f.open(sigPath)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-        finally in.close()
-      }
-    // the stamp carries a store-format marker beyond the source sig:
-    // r15 added key zone maps (statsCols) to both segments, and a
-    // green v2 store built BEFORE that would otherwise be reused
-    // forever without them — the marker mismatch forces one rebuild
-    val want = s"$sig|k1"
-    if (Snapshots.latestVersion(s, root) != 2L || !stampedSig.contains(want)) {
-      val p = new Path(root)
-      if (f.exists(p)) f.delete(p, true)
-      val orders = Tables.orders(s, d)
-      Snapshots.commit(orders, root, statsCols = Seq("o_orderkey"),
-        meta = Map("job" -> "initial-import"))
-      Snapshots.commitDelta(
-        orders
-          .filter(col("o_orderkey") % 10 === 3 || col("o_orderkey") % 10 === 7)
-          .withColumn("o_orderstatus",
-            when(col("o_orderkey") % 10 === 3, lit("R")).otherwise(col("o_orderstatus")))
-          .withColumn("_deleted", col("o_orderkey") % 10 === 7),
-        root, statsCols = Seq("o_orderkey"), meta = Map("job" -> "correction-batch"))
-      // stamp LAST: a crash mid-build leaves no sidecar and the next
-      // call rebuilds (the sidecar is reuse evidence, not a manifest)
-      val out = f.create(sigPath, true)
-      try out.write(want.getBytes("UTF-8")) finally out.close()
-    }
-    root
+    ensureDerived(s, d, snapshotRoot(d), "k1")(())
   }
 
   // ---------------------------------------------------------------
@@ -107,44 +129,15 @@ object Warehouse {
   // keys ≡ 5 (mod 10) — so q9l/q9m can oracle-check post-excision
   // reads without mutating the store every other q9x entry shares.
   // ---------------------------------------------------------------
-  private def excisedRoot(sfDir: String): String =
-    s"target/graft-snapshots/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}" +
-      s"-${Integer.toHexString(sfDir.hashCode)}/orders-excised"
-
+  // marker "x1"; the stamp lands only AFTER the excision, so a crash
+  // anywhere in build-then-excise wipes and redoes the whole thing
   private def ensureExcisedStore(s: SparkSession, d: String): String = synchronized {
-    val root = excisedRoot(d)
-    val sig = graft.sources.Sources.listingSignature(s, s"$d/orders.parquet")
-    val f = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val sigPath = new Path(root, "_source.sig")
-    val stampedSig =
-      if (!f.exists(sigPath)) None
-      else {
-        val in = f.open(sigPath)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-        finally in.close()
-      }
-    val want = s"$sig|x1"
-    // the stamp lands only AFTER the excision: a crash anywhere in the
-    // build leaves no stamp and the next call wipes and redoes it
-    if (Snapshots.latestVersion(s, root) != 2L || !stampedSig.contains(want)) {
-      val p = new Path(root)
-      if (f.exists(p)) f.delete(p, true)
-      val orders = Tables.orders(s, d)
-      Snapshots.commit(orders, root, statsCols = Seq("o_orderkey"),
-        meta = Map("job" -> "initial-import"))
-      Snapshots.commitDelta(
-        orders
-          .filter(col("o_orderkey") % 10 === 3 || col("o_orderkey") % 10 === 7)
-          .withColumn("o_orderstatus",
-            when(col("o_orderkey") % 10 === 3, lit("R")).otherwise(col("o_orderstatus")))
-          .withColumn("_deleted", col("o_orderkey") % 10 === 7),
-        root, statsCols = Seq("o_orderkey"), meta = Map("job" -> "correction-batch"))
+    val root = snapshotRoot(d, "orders-excised")
+    ensureDerived(s, d, root, "x1") {
       Snapshots.excise(s, root, col("o_orderkey") % 10 === 5,
         meta = Map("ticket" -> "TAKEDOWN-5"))
-      val out = f.create(sigPath, true)
-      try out.write(want.getBytes("UTF-8")) finally out.close()
+      ()
     }
-    root
   }
 
   /** Pre-build the versioned stores (idempotent) — called from Bench's

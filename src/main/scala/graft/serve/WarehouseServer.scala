@@ -786,25 +786,41 @@ object WarehouseServer {
         nAtoms: Int, builtAtVersion: Long, appliedBatches: Long)
     val cohortStateRef = new java.util.concurrent.atomic.AtomicReference[CohortState](null)
     val cohortLock = new Object
+    // set under cohortLock by Running.close(): a request already queued
+    // on the lock when the server closes must not persist and publish a
+    // fresh state AFTER the close hook released the old one (the same
+    // post-close leak the annClosed flag exists for)
+    var cohortClosed = false
 
     def maintainedAtomCounts(bodyStr: String): DataFrame = cohortLock.synchronized {
+      if (cohortClosed) throw HttpError(503, "server is shutting down")
       val root = cfg.storeRoot.getOrElse(throw HttpError(400,
         "maintained atom counts answer over the snapshot store — this server has none configured"))
-      val (subject, preds) =
+      val (subjectName, preds) =
         try CohortQuery.maintainedSpec(bodyStr)
         catch { case e: IllegalArgumentException =>
           throw HttpError(400, Option(e.getMessage).getOrElse("bad maintained atom spec")) }
       val specKey = JsonMethods.compact(JsonMethods.parse(bodyStr))
       val ms = Snapshots.manifestState(spark, root)
       if (ms.lines.isEmpty) throw HttpError(404, "the store is empty — commit before querying it")
+      // the maintained path is hard-wired to the orders import shape
+      // (o_orderkey merge key, subject/visit keys): a server whose
+      // store is some other table must get a typed refusal, not an
+      // UNRESOLVED_COLUMN analysis error (or silent wrong counts)
+      val chainCols = Snapshots.chainSchema(spark, root).map(_.name).toSet
+      val needCols = Seq("o_orderkey", subjectName).distinct
+      val missing = needCols.filterNot(chainCols)
+      if (missing.nonEmpty) throw HttpError(400,
+        s"maintained atom counts need an orders-shaped store (merge key o_orderkey); " +
+          s"the configured store lacks column(s) ${missing.mkString(", ")}")
+      import org.apache.spark.sql.functions.col
+      val subject = col(subjectName)
       val lines = ms.lines.map(l => (l.v, l.kind, l.rel))
       val keys = Seq("o_orderkey")
       def materialize(df: DataFrame): DataFrame = { val p = df.persist(); p.count(); p }
-      def fullContent(v: Long): DataFrame = {
-        import org.apache.spark.sql.functions.col
+      def fullContent(v: Long): DataFrame =
         Snapshots.normDeleted(Snapshots.read(spark, root, v))
           .filter(!col("_deleted")).drop("_deleted")
-      }
       def build(): CohortState = {
         val tip = lines.last._1
         CohortState(specKey, lines,
@@ -816,28 +832,46 @@ object WarehouseServer {
       val next =
         if (cached == null || cached.specKey != specKey || !lines.startsWith(cached.lines)) {
           if (cached != null) cached.state.unpersist()
+          cohortStateRef.set(null) // a failed build below must not leave a dangling ref
           build()
         } else if (lines.size == cached.lines.size) cached
         else {
           var st = cached.state
+          var builtAt = cached.builtAtVersion
           var applied = cached.appliedBatches
           var prevV = cached.lines.last._1
-          lines.drop(cached.lines.size).foreach { case (v, kind, _) =>
-            val ns = materialize(
-              if (kind == "full")
+          // exception safety: a mid-advance failure (executor loss, a
+          // racing vacuum deleting a segment under us) must unpersist
+          // whatever this loop materialized and drop the slot — the
+          // next request rebuilds cleanly instead of advancing a
+          // half-unpersisted lineage, and nothing stays cached forever
+          try {
+            lines.drop(cached.lines.size).foreach { case (v, kind, _) =>
+              if (kind == "full") {
                 // a full RESTATES the merged view (and may retract keys
                 // no delta named): the state after it is the full's own
-                CohortQuery.atomState(fullContent(v), subject, preds)
-              else
-                CohortQuery.applyBatchToAtomState(st,
+                // content — a REBUILD, so the incrementality evidence
+                // resets exactly as /status documents
+                val ns = materialize(CohortQuery.atomState(fullContent(v), subject, preds))
+                st.unpersist(); st = ns
+                builtAt = v; applied = 0L
+              } else {
+                val ns = materialize(CohortQuery.applyBatchToAtomState(st,
                   Snapshots.asOf(spark, root, prevV, keys),
                   Snapshots.read(spark, root, v), keys, subject, preds))
-            st.unpersist()
-            st = ns
-            applied += 1
-            prevV = v
+                st.unpersist(); st = ns
+                applied += 1
+              }
+              prevV = v
+            }
+          } catch {
+            case e: Throwable =>
+              try { st.unpersist(); () }
+              catch { case scala.util.control.NonFatal(_) => () }
+              cohortStateRef.set(null)
+              throw e
           }
-          CohortState(specKey, lines, st, preds.size, cached.builtAtVersion, applied)
+          CohortState(specKey, lines, st, preds.size, builtAt, applied)
         }
       cohortStateRef.set(next)
       CohortQuery.presentAtomCounts(spark, next.state, next.nAtoms)
@@ -855,7 +889,12 @@ object WarehouseServer {
     // deterministic from the table alone: a single-code-point token's
     // id is its code point; a merged token's id is 0x110000 + merge
     // rank (above the Unicode range, so the two spaces never collide).
-    val bpeTables = new java.util.concurrent.ConcurrentHashMap[Int, Seq[(String, String)]]()
+    // Cached WITH the corpus listing signature it was learned from —
+    // the same freshness discipline the ANN index applies: a
+    // regenerated documents parquet must relearn, never keep serving
+    // merges of a corpus that no longer exists.
+    val bpeTables =
+      new java.util.concurrent.ConcurrentHashMap[Int, (String, Seq[(String, String)])]()
 
     // the ANN serving index: built once per SOURCE VERSION on demand
     // (one corpus scan + one banding pass), then every request is a
@@ -1401,10 +1440,15 @@ object WarehouseServer {
                 case other => throw HttpError(400,
                   s"n_merges must be an integer in [1, 1000], got $other")
               }
-              bpeTables.computeIfAbsent(n, nn =>
-                graft.operators.TextAnalysis
+              // driver-side listing only — the freshness check itself
+              // costs no Spark job; a stale entry relearns in-request
+              val srcSig = graft.sources.Sources.listingSignature(
+                spark, s"${cfg.dataDir}/documents.parquet")
+              bpeTables.compute(n, (nn, cur) =>
+                if (cur != null && cur._1 == srcSig) cur
+                else (srcSig, graft.operators.TextAnalysis
                   .bpeMerges(Tables.documents(spark, cfg.dataDir), nn)
-                  .map { case (l, r, _) => (l, r) })
+                  .map { case (l, r, _) => (l, r) }))._2
             case other => throw HttpError(400, s"merges must be an array of pairs, got $other")
           }
           // a corpus too small/uniform to learn a single merge has no
@@ -1752,10 +1796,23 @@ object WarehouseServer {
                 catch { case _: IllegalArgumentException => throw HttpError(400,
                   s"excise value '$v' is not a yyyy-mm-dd date for column '$column'") }
               case TimestampType =>
-                try java.sql.Timestamp.valueOf(v.replace('T', ' '))
-                catch { case _: IllegalArgumentException => throw HttpError(400,
-                  s"excise value '$v' is not a yyyy-mm-dd hh:mm:ss[.f] timestamp " +
-                    s"for column '$column'") }
+                // zone-explicit strings are honored; naive wall-clock
+                // strings read in the SESSION timezone (the frame the
+                // store's instants render in) — never the JVM default,
+                // which would shift a GDPR takedown range by the
+                // host's UTC offset
+                try java.sql.Timestamp.from(
+                  try java.time.Instant.parse(v)
+                  catch {
+                    case _: java.time.format.DateTimeParseException =>
+                      java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+                        .atZone(java.time.ZoneId.of(
+                          spark.conf.get("spark.sql.session.timeZone")))
+                        .toInstant
+                  })
+                catch { case _: java.time.format.DateTimeParseException => throw HttpError(400,
+                  s"excise value '$v' is not an ISO instant or yyyy-mm-dd hh:mm:ss[.f] " +
+                    s"timestamp for column '$column'") }
               case StringType => v
               case BooleanType => throw HttpError(400,
                 s"refusing a takedown keyed on boolean column '$column' — a true/false " +
@@ -1906,8 +1963,11 @@ object WarehouseServer {
           annAlt.clear()
         }
         // the maintained cohort state pins one persisted frame — same
-        // leak shape as the ANN cache on a shared long-lived session
+        // leak shape as the ANN cache on a shared long-lived session;
+        // the closed flag stops a request queued on the lock from
+        // persisting and publishing a fresh state after this
         cohortLock.synchronized {
+          cohortClosed = true
           Option(cohortStateRef.get).foreach(_.state.unpersist())
           cohortStateRef.set(null)
         }

@@ -148,7 +148,8 @@ class CohortQuerySpec extends SparkSpec {
            {"source": "orders", "field": "o_orderpriority", "op": "eq", "value": "1-URGENT"},
            {"source": "orders", "field": "o_totalprice", "op": "gt", "value": 100},
            {"source": "orders", "field": "o_orderpriority", "op": "eq", "value": "NEVER"}]}"""
-    val (subject, preds) = CohortQuery.maintainedSpec(specJson)
+    val (subjectName, preds) = CohortQuery.maintainedSpec(specJson)
+    val subject = col(subjectName)
     val keys = Seq("o_orderkey")
     def recompute(): Seq[(Int, Long)] =
       CohortQuery.atomCounts(spark, sf, specJson,

@@ -1245,6 +1245,21 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       assert(countsOf(v3) === Seq((0L, 2L), (1L, 2L)))
       assert(countsOf(v3) === recompute())
       assert(stateStat()._2 === 0L, "excision must reset the state to a fresh build")
+      // an appended compact full is a REBUILD inside the advance loop:
+      // counts unchanged, built_at_version moves to the full, applied
+      // batches reset — the /status incrementality evidence stays honest
+      Snapshots.compact(spark, root, Seq("o_orderkey"))
+      val fullV = Snapshots.latestVersion(spark, root)
+      val (c4, v4) = postJ("/cohort/atom-counts?maintained=true", spec)
+      assert(c4 == 200 && countsOf(v4) === countsOf(v3), s"compact changed counts: $v4")
+      assert(stateStat() === ((fullV, 0L)))
+      // ...and a delta after the compact advances again from the full
+      Snapshots.commitDelta(Seq((7L, 70L, "1-URGENT", 999.0, false))
+        .toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice", "_deleted"), root)
+      val (c5, v5) = postJ("/cohort/atom-counts?maintained=true", spec)
+      assert(c5 == 200 && countsOf(v5) === Seq((0L, 3L), (1L, 3L)))
+      assert(countsOf(v5) === recompute())
+      assert(stateStat() === ((fullV, 1L)))
       // typed refusals: combined overrides, non-store atoms, bad flag
       assert(postJ("/cohort/atom-counts?maintained=true&as_of_ts=2026-01-01T00:00:00Z",
         spec)._1 == 400)
@@ -1313,6 +1328,15 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       assert(ac == 400 && JsonMethods.compact(av).contains("not supported"), av)
       // none of the refusals touched the store
       assert(longOf(getJ("/store/read?keys=id&limit=10")._2 \ "row_count") == 1L)
+      // a maintained cohort request against this NON-orders store is a
+      // typed 400 naming the missing shape, not an analysis error
+      val mr = client.send(HttpRequest.newBuilder(
+          URI.create(s"$b/cohort/atom-counts?maintained=true"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"population": "subject", "atoms": [
+               {"source": "orders", "field": "o_orderpriority", "op": "eq", "value": "1-URGENT"}]}""",
+          UTF_8)).build(), HttpResponse.BodyHandlers.ofString())
+      assert(mr.statusCode() == 400 && mr.body().contains("o_orderkey"), mr.body())
     } finally srv.close()
   }
 
