@@ -157,6 +157,84 @@ object Dedup {
     (s, d) => verifiedPairs(s, d).orderBy("id_a", "id_b"),
     Some(jaccardTwinSql(0.8)))
 
+  // ----------------------------------------- prefix-filtered set-sim
+
+  /** Exact set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo/Ma/Srikant, WWW'07; a public
+    * algorithm): candidates come from an equi-join on each doc's
+    * frequency-ordered shingle PREFIX instead of LSH bands, and
+    * unlike banding the filter is LOSSLESS. J(A,B) ≥ num/den implies
+    * overlap o = J·|A∪B| ≥ ⌈τ·max(|A|,|B|)⌉ =: α, and two sets with
+    * o ≥ α must share a token within their (|·|−α+1)-prefixes under
+    * any ONE global token order (pigeonhole: A's last α−1 tokens
+    * can't hold all ≥ α common tokens), so per-doc prefixes of
+    * ℓ_x = |x| − ⌈τ·|x|⌉ + 1 (≥ |x|−α+1 for every partner) give
+    * EXACT recall by construction — no measured operating point, no
+    * parity spec needed for the driver entry to be brute-equal.
+    *
+    * The threshold arrives as a RATIONAL (num/den) so the prefix
+    * length is integer-exact: a double ⌈0.7·sz⌉ rounds ⌈7.000…1⌉ up
+    * on the sizes where 0.7·sz is integral, silently SHORTENING the
+    * prefix below the theorem's bound (an unsound, recall-losing
+    * failure — the dangerous direction). The verify compare stays
+    * double (num/den) because both engines divide the same exact
+    * integers and compare to the same literal.
+    *
+    * Scale shape: ordering tokens rarest-first (global doc-frequency
+    * ascending) makes prefix tokens the LOW-fanout join keys — the
+    * candidate join's per-key cost is Σ df_prefix², bounded by how
+    * rare prefix tokens are, while LSH's is band-collision-bounded.
+    * The df table is a (token, count) aggregate (one shuffle on the
+    * 8-byte hash); the per-doc rank is a window over doc_id (keys =
+    * docs, no skew); verification joins full sets back per candidate
+    * only. No cross join anywhere (plan-locked). The LSH family
+    * stays the default at extreme scale — prefix filtering is the
+    * EXACT-recall complement when a takedown/compliance pass must
+    * provably find every pair, at the cost of frequency-skew
+    * sensitivity (a corpus of boilerplate shares prefixes).
+    */
+  def prefixFilteredPairs(docs: DataFrame, jNum: Int, jDen: Int): DataFrame = {
+    require(jNum > 0 && jDen > 0 && jNum <= jDen,
+      s"similarity threshold must be a rational in (0, 1]: got $jNum/$jDen")
+    val minJ = jNum.toDouble / jDen
+    val sets = docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+      .filter(col("sh").isNotNull && size(col("sh")) > 0)
+    val toks = sets.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = toks.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("tok"))))
+    // ℓ = sz − ⌈num·sz/den⌉ + 1, all-integer (DIV is integral)
+    val prefix = ranked.filter(
+      col("rn") <= col("sz") - expr(s"($jNum * sz + ${jDen - 1}) DIV $jDen") + 1)
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** q6h: the exact-recall near-dup pair set at τ = 7/10 — between
+    * q62's 0.5 and q64's 0.8, so the three rows pin three different
+    * slices of the same truth through three different candidate
+    * generators (banding ×2, prefix filter ×1). The oracle is the
+    * same quadratic twin; here it checks EXACTNESS of the lossless
+    * filter, not a measured recall point.
+    */
+  private val q6h = Qdef(
+    "q6h_dedup_prefix_join",
+    (s, d) => prefixFilteredPairs(Tables.documents(s, d), 7, 10).orderBy("id_a", "id_b"),
+    Some(jaccardTwinSql(0.7)))
+
   // ---------------------------------------------------------- simhash
 
   /** 64-bit SimHash per doc: tokens exploded once, 64 signed bit-sums
@@ -2301,5 +2379,5 @@ object Dedup {
             SELECT rep_a, rep_b, lev, edit_sim, sz_a, sz_b, n_pairs FROM w
             ORDER BY rep_a, rep_b"""))
 
-  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q6a, q6b, q6c, q6d, q6e, q6f, q6g)
+  val all: Seq[Qdef] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q6a, q6b, q6c, q6d, q6e, q6f, q6g, q6h)
 }

@@ -82,7 +82,17 @@ object Warehouse {
     */
   private def ensureDerived(
       s: SparkSession, d: String, root: String, marker: String)(
-      extra: => Unit): String = {
+      extra: => Unit): String =
+    ensureDerivedWith(s, d, root, marker) { buildTwoVersions(s, d, root); extra }
+
+  /** The stamp-gate of [[ensureDerived]] with the RECIPE a parameter —
+    * for derived stores whose build is not the shared two-version one
+    * (the evolved-schema store). Same contract: `build` runs inside
+    * the gate, the stamp lands last, any mismatch wipes and redoes.
+    */
+  private def ensureDerivedWith(
+      s: SparkSession, d: String, root: String, marker: String)(
+      build: => Unit): String = {
     val sig = graft.sources.Sources.listingSignature(s, s"$d/orders.parquet")
     val f = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
     val sigPath = new Path(root, "_source.sig")
@@ -97,8 +107,7 @@ object Warehouse {
     if (Snapshots.latestVersion(s, root) != 2L || !stampedSig.contains(want)) {
       val p = new Path(root)
       if (f.exists(p)) f.delete(p, true)
-      buildTwoVersions(s, d, root)
-      extra
+      build
       // stamp LAST: a crash mid-build leaves no sidecar and the next
       // call rebuilds (the sidecar is reuse evidence, not a manifest)
       val out = f.create(sigPath, true)
@@ -140,12 +149,38 @@ object Warehouse {
     }
   }
 
+  // ---------------------------------------------------------------
+  // A THIRD derived store for the schema-evolution read (q9p): the
+  // producer's first import predates a column, a later batch adds it
+  // with evolveSchema = true — the q9f surface, oracle-checkable
+  // because the recipe is deterministic from the source table.
+  //   v1 (full)  = orders projected to the narrow legacy schema
+  //   v2 (delta) = keys ≡ 2 (mod 10) re-submitted WITH o_channel='web'
+  // ---------------------------------------------------------------
+  // marker "e1"; the evolving delta is INSIDE the gated build, so a
+  // crash between the commits wipes and redoes both
+  private def ensureEvolvedStore(s: SparkSession, d: String): String = synchronized {
+    val root = snapshotRoot(d, "orders-evolved")
+    ensureDerivedWith(s, d, root, "e1") {
+      val narrow = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      Snapshots.commit(narrow, root, statsCols = Seq("o_orderkey"),
+        meta = Map("job" -> "legacy-import"))
+      Snapshots.commitDelta(
+        narrow.filter(col("o_orderkey") % 10 === 2)
+          .withColumn("o_channel", lit("web")),
+        root, evolveSchema = true, statsCols = Seq("o_orderkey"),
+        meta = Map("job" -> "evolved-import"))
+      ()
+    }
+  }
+
   /** Pre-build the versioned stores (idempotent) — called from Bench's
     * untimed warm-up so q94/q95/q9l time the READ, not the one-time
     * store construction (which is input data, like the parquet tables).
     */
   def warm(s: SparkSession, d: String): Unit = {
-    ensureStore(s, d); ensureExcisedStore(s, d); ()
+    ensureStore(s, d); ensureExcisedStore(s, d); ensureEvolvedStore(s, d); ()
   }
 
   /** Root of the deterministic two-version store (building it if
@@ -296,6 +331,33 @@ object Warehouse {
     state.filter(col("_n") > 0)
       .select(col("_g").as(groupName), col("_n").as(nName),
         col("_p").cast("double").as(sumName))
+      .orderBy(groupName)
+
+  /** Present a maintained state THROUGH a dimension join: the state's
+    * group key `_g` is a foreign key into `dim` (joined on `dimKey`),
+    * and the answer re-groups by `groupExpr` — a dim attribute —
+    * summing the partials (exact: counts are longs, sums stay decimal
+    * until the final cast, so folding custkey partials up to nation
+    * grain is bit-identical to aggregating the joined fact directly).
+    *
+    * This is the join-view side of incremental view maintenance done
+    * so the classic trap never arises: state keyed by a DIM ATTRIBUTE
+    * (nation name) goes stale the moment the dimension changes and
+    * repairing it costs a fact-side rescan; state keyed at the fact's
+    * JOIN-KEY granularity (custkey) never does — a dim amendment is
+    * picked up by the next present, at dim-join cost, with ZERO state
+    * maintenance (spec-pinned in PipelineOpsSpec). Scale: the state is
+    * group-cardinality-sized (≤ one row per live fact join key — far
+    * smaller than the fact), so this join is state×dim, never
+    * fact×dim; AQE broadcasts whichever side is small.
+    */
+  def presentAggVia(state: DataFrame, dim: DataFrame, dimKey: String,
+      groupExpr: org.apache.spark.sql.Column, groupName: String,
+      nName: String, sumName: String): DataFrame =
+    state.filter(col("_n") > 0)
+      .join(dim, col("_g") === col(dimKey))
+      .groupBy(groupExpr.as(groupName))
+      .agg(sum("_n").as(nName), sum("_p").cast("double").as(sumName))
       .orderBy(groupName)
 
   /** q99: incremental aggregate maintenance — the v2 state of the
@@ -548,5 +610,62 @@ object Warehouse {
             FROM orders WHERE o_orderkey % 10 IN (3, 7)
             ORDER BY version"""))
 
-  val all: Seq[Qdef] = Seq(q94, q95, q96, q97, q98, q99, q9a, q9h, q9i, q9j, q9k, q9l, q9m)
+  /** q9o: maintained aggregate over a JOIN — per-nation order count
+    * and revenue (orders ⋈ customer ⋈ nation) kept current from import
+    * batches without re-aggregating the base. The state lives at the
+    * fact's join-key granularity (o_custkey): fact deltas fold in via
+    * exactly q99's signed partials ([[applyBatchToAgg]] — one
+    * broadcast semi-join for before-images, everything else
+    * batch-sized), and the customer→nation dimensions join only at
+    * PRESENT time ([[presentAggVia]]), so dimension amendments cost
+    * zero state work and the maintained answer is bit-identical to
+    * the full recompute the oracle runs. Scale: the 100 TB fact is
+    * touched once to seed the state and once (semi-join, batch keys
+    * broadcast) per import; every present is state×dim-sized.
+    */
+  private val q9o = Qdef(
+    "q9o_maintained_join",
+    (s, d) => {
+      val root = ensureStore(s, d)
+      val base = Snapshots.read(s, root, 1L)
+      val delta = Snapshots.read(s, root, 2L)
+      val state = applyBatchToAgg(
+        aggState(base, "o_custkey", "o_totalprice"),
+        base, delta, Seq("o_orderkey"), "o_custkey", "o_totalprice")
+      presentAggVia(state,
+        Tables.customer(s, d).join(Tables.nation(s, d),
+          col("c_nationkey") === col("n_nationkey")),
+        "c_custkey", col("n_name"), "nation", "n_orders", "sum_price")
+    },
+    // the full-recompute twin over the v2-semantics store: maintained
+    // join-view == recompute, the same invariant q99 pins per-status
+    Some(s"""SELECT n_name AS nation, count(*) AS n_orders,
+                    ${Qdef.DSUM("o_totalprice")} AS sum_price
+             FROM orders
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             WHERE o_orderkey % 10 <> 7
+             GROUP BY 1 ORDER BY 1"""))
+
+  /** q9p: the evolved-chain merged read (q9f's surface on the hard
+    * oracle gate): the latest view of a store whose first import
+    * predates `o_channel` and whose evolving delta (committed with
+    * `evolveSchema = true`) added it — legacy rows answer with the
+    * column NULL-FILLED, re-submitted rows carry it, and the merge
+    * (LWW + tombstone drop) runs in the union schema. The oracle
+    * re-derives exactly that view from the raw table: ≡ 2 keys are
+    * the delta's rows ('web'), everything else the legacy null.
+    */
+  private val q9p = Qdef(
+    "q9p_evolved_read",
+    (s, d) =>
+      Snapshots.latest(s, ensureEvolvedStore(s, d), Seq("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_channel")
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   CASE WHEN o_orderkey % 10 = 2 THEN 'web' END AS o_channel
+            FROM orders ORDER BY o_orderkey"""))
+
+  val all: Seq[Qdef] =
+    Seq(q94, q95, q96, q97, q98, q99, q9a, q9h, q9i, q9j, q9k, q9l, q9m, q9o, q9p)
 }

@@ -32,6 +32,36 @@ class DedupAnnSpec extends SparkSpec {
     assert(cand.forall { case (x, y) => x < y })
   }
 
+  test("q6h: prefix-filtered pairs EQUAL brute-force truth at two thresholds (lossless filter)") {
+    // unlike q62's recall-only check, prefix filtering claims exact
+    // EQUALITY with the quadratic truth — both directions, and at a
+    // second threshold whose den divides shingle counts (the case an
+    // inexact double ceil would get wrong by shortening the prefix)
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+      .filter(col("sh").isNotNull && size(col("sh")) > 0)
+    val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val j = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("j",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+    for ((num, den) <- Seq((7, 10), (1, 2))) {
+      val truth = j.filter(col("j") >= lit(num.toDouble / den))
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Dedup.prefixFilteredPairs(Tables.documents(spark, sf), num, den)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(truth.nonEmpty, s"no true pairs at $num/$den — vacuous")
+      assert(got === truth,
+        s"prefix join at $num/$den drifted: missed ${truth -- got}, extra ${got -- truth}")
+    }
+    // a degenerate or inverted rational is a loud refusal
+    intercept[IllegalArgumentException](
+      Dedup.prefixFilteredPairs(Tables.documents(spark, sf), 11, 10))
+    intercept[IllegalArgumentException](
+      Dedup.prefixFilteredPairs(Tables.documents(spark, sf), 0, 10))
+  }
+
   test("q63: simhash chunk-candidate pairs = exact all-pairs hamming<=3 (pigeonhole recall)") {
     val sh = Dedup.simhash(Tables.documents(spark, sf))
     val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("ha"))

@@ -233,6 +233,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(operators.Sketches.estimatedOverlap(docs, hashBound = Some("g")).count() > 0)
   }
 
+  test("q9o: a dimension amendment reflects at present with ZERO state maintenance") {
+    import spark.implicits._
+    // fact: three rows over two join keys; batch re-prices k=2 and
+    // retracts k=3 (emptying join key 20 — its state row nets to 0)
+    val base = Seq((1L, 10L, 100.0), (2L, 10L, 50.0), (3L, 20L, 70.0))
+      .toDF("k", "fk", "v")
+    val batch = Seq((2L, 10L, 60.0, false), (3L, 20L, 70.0, true))
+      .toDF("k", "fk", "v", "_deleted")
+    val state = operators.Warehouse.applyBatchToAgg(
+      operators.Warehouse.aggState(base, "fk", "v"), base, batch, Seq("k"), "fk", "v")
+    val dim = Seq((10L, "alpha"), (20L, "beta")).toDF("dk", "name")
+    val out1 = operators.Warehouse
+      .presentAggVia(state, dim, "dk", col("name"), "g", "n", "s")
+      .collect()
+    // alpha: k1 (100) + re-priced k2 (60); beta: emptied, filtered out
+    assert(out1.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq(("alpha", 2L, 160.0)))
+    // amend ONLY the dim (rename) — the SAME state object presents the
+    // new name with identical partials: no fact scan, no state rebuild
+    val renamed = Seq((10L, "alpha-renamed"), (20L, "beta")).toDF("dk", "name")
+    val out2 = operators.Warehouse
+      .presentAggVia(state, renamed, "dk", col("name"), "g", "n", "s")
+      .collect()
+    assert(out2.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq(("alpha-renamed", 2L, 160.0)))
+  }
+
   test("q8f: a cap outside the 32-bit threshold domain is refused, not a silent drop cliff") {
     val docs = Tables.documents(spark, sf)
     // cap * 2^32 overflows Long at cap = 2^31: would floor thresholds

@@ -195,6 +195,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"base shuffled for the delta join:\n$p")
   }
 
+  test("q9o: join-view maintenance — fact never shuffles; present joins the state, not the fact") {
+    val p = plan("q9o_maintained_join")
+    // the before-image lookup keeps q99's shape: batch keys broadcast
+    // into a semi join, the base scanned once without an exchange
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"before-image lookup is not a broadcast semi join:\n$p")
+    // the present-time dim join runs over the group-cardinality state;
+    // a SortMergeJoin anywhere means a fact-sized side got shuffled
+    // into a join — the exact cost the join-key-grain state avoids
+    assert(!p.contains("SortMergeJoin"), s"a fact-sized shuffle join crept in:\n$p")
+  }
+
+  test("q6h: prefix join candidates come from an equi-join — no quadratic operator") {
+    val p = plan("q6h_dedup_prefix_join")
+    // the exactness theorem tempts an all-pairs fallback; the whole
+    // point is candidates via token equality (shuffle on 8-byte keys)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix join degenerated to a quadratic plan:\n$p")
+  }
+
   test("q97: metadata tree is a single rollup pass with partial aggregation") {
     val p = plan("q97_metadata_tree")
     assert(p.contains("Expand"), s"rollup lost its grouping-sets Expand:\n$p")
