@@ -63,14 +63,15 @@ object Warehouse {
   private def buildTwoVersions(s: SparkSession, d: String, root: String): Unit = {
     val orders = Tables.orders(s, d)
     Snapshots.commit(orders, root, statsCols = Seq("o_orderkey"),
-      meta = Map("job" -> "initial-import"))
+      meta = Map("job" -> "initial-import"), bloomCols = Seq("o_orderkey"))
     Snapshots.commitDelta(
       orders
         .filter(col("o_orderkey") % 10 === 3 || col("o_orderkey") % 10 === 7)
         .withColumn("o_orderstatus",
           when(col("o_orderkey") % 10 === 3, lit("R")).otherwise(col("o_orderstatus")))
         .withColumn("_deleted", col("o_orderkey") % 10 === 7),
-      root, statsCols = Seq("o_orderkey"), meta = Map("job" -> "correction-batch"))
+      root, statsCols = Seq("o_orderkey"), meta = Map("job" -> "correction-batch"),
+      bloomCols = Seq("o_orderkey"))
     ()
   }
 
@@ -124,12 +125,11 @@ object Warehouse {
     * rounds; production tables get overwritten) rebuilds instead of
     * silently serving aggregates of data that no longer exists.
     */
-  // marker "k1": r15 added key zone maps (statsCols) + provenance meta
-  // to both segments, and a green v2 store built BEFORE that would
-  // otherwise be reused forever without them — the marker mismatch
-  // forces the one-time rebuild
+  // marker "k2": r15 added key zone maps + provenance meta ("k1"),
+  // then key BLOOM sidecars for the point-lookup row — each bump
+  // forces exactly one rebuild of a store stamped under the old recipe
   private def ensureStore(s: SparkSession, d: String): String = synchronized {
-    ensureDerived(s, d, snapshotRoot(d), "k1")(())
+    ensureDerived(s, d, snapshotRoot(d), "k2")(())
   }
 
   // ---------------------------------------------------------------
@@ -138,11 +138,12 @@ object Warehouse {
   // keys ≡ 5 (mod 10) — so q9l/q9m can oracle-check post-excision
   // reads without mutating the store every other q9x entry shares.
   // ---------------------------------------------------------------
-  // marker "x1"; the stamp lands only AFTER the excision, so a crash
-  // anywhere in build-then-excise wipes and redoes the whole thing
+  // marker "x2" (follows the k-marker recipe bumps); the stamp lands
+  // only AFTER the excision, so a crash anywhere in build-then-excise
+  // wipes and redoes the whole thing
   private def ensureExcisedStore(s: SparkSession, d: String): String = synchronized {
     val root = snapshotRoot(d, "orders-excised")
-    ensureDerived(s, d, root, "x1") {
+    ensureDerived(s, d, root, "x2") {
       Snapshots.excise(s, root, col("o_orderkey") % 10 === 5,
         meta = Map("ticket" -> "TAKEDOWN-5"))
       ()
@@ -666,6 +667,32 @@ object Warehouse {
                    CASE WHEN o_orderkey % 10 = 2 THEN 'web' END AS o_channel
             FROM orders ORDER BY o_orderkey"""))
 
+  /** q9q: bloom-pruned POINT LOOKUP over the versioned store — "fetch
+    * these entities now" as a merged read that opens only segments
+    * whose key sidecars (zone map, then bloom) might hold a probed
+    * key. The probe set crosses the store's semantics on purpose:
+    * ≡ 3 keys answer with the v2 amendment ('R'), the ≡ 7 key is
+    * tombstoned and must NOT appear, one key is absent from every
+    * scale (the bloom-negative path), and the rest read through from
+    * v1. SnapshotsSpec proves the skip itself (a poisoned segment is
+    * never opened) — this row pins the merge-under-IN semantics.
+    */
+  private val q9q = Qdef(
+    "q9q_point_lookup",
+    (s, d) =>
+      Snapshots.readMergeEq(s, ensureStore(s, d), Seq("o_orderkey"), "o_orderkey",
+          Seq(3L, 41L, 500L, 777L, 941L, 1203L, 1388L, 999999999L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 10 = 3 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders
+            WHERE o_orderkey % 10 <> 7
+              AND o_orderkey IN (3, 41, 500, 777, 941, 1203, 1388, 999999999)
+            ORDER BY o_orderkey"""))
+
   val all: Seq[Qdef] =
-    Seq(q94, q95, q96, q97, q98, q99, q9a, q9h, q9i, q9j, q9k, q9l, q9m, q9o, q9p)
+    Seq(q94, q95, q96, q97, q98, q99, q9a, q9h, q9i, q9j, q9k, q9l, q9m, q9o, q9p, q9q)
 }

@@ -677,6 +677,9 @@ object WarehouseServer {
           ("href" -> "/store/read_range") ~ ("method" -> "GET") ~
             ("rel" -> "zone-map range read (append-only; keys= for merge stores)") ~
             ("params" -> "column, lo, hi, keys?, limit, after"),
+          ("href" -> "/store/read_eq") ~ ("method" -> "GET") ~
+            ("rel" -> "bloom-pruned point lookup (merged read of the probed keys)") ~
+            ("params" -> "column, values, keys, limit, after"),
           ("href" -> "/store/history") ~ ("method" -> "GET") ~
             ("rel" -> "per-entity timeline (insert/update/delete per version)") ~
             ("params" -> "keys, key?, limit, after"),
@@ -684,7 +687,8 @@ object WarehouseServer {
             ("rel" -> "version-pair CDC feed (what did imports from..to do)") ~
             ("params" -> "keys, from, to?, limit, after"),
           ("href" -> "/store/commit") ~ ("method" -> "POST") ~
-            ("rel" -> "import") ~ ("body" -> "{source, mode: full|delta, evolve?, stats?, meta?}"),
+            ("rel" -> "import") ~
+            ("body" -> "{source, mode: full|delta, evolve?, stats?, blooms?, meta?}"),
           ("href" -> "/store/excise") ~ ("method" -> "POST") ~
             ("rel" -> "hard delete across history (PII/GDPR takedown)") ~
             ("body" -> "{column, values: [...] | lo+hi, meta?}"),
@@ -1343,6 +1347,34 @@ object WarehouseServer {
                   "; or pass keys=<merge keys> for a pruned merge-range read")
             }
           page(df.orderBy(column), limit, after)
+        case ("GET", "/store/read_eq") =>
+          // bloom-pruned POINT LOOKUP over the merge-read store
+          // (Snapshots.readMergeEq): "fetch these entities now" — the
+          // merged state of the probed keys, opening only segments
+          // whose key sidecars (zone map, then bloom) might hold one.
+          // `keys` is REQUIRED: the eq form exists for merge stores
+          // (an append-only store answers point probes through
+          // read_range's lo=hi). Values parse long-else-string as one
+          // homogeneous batch — a mixed or mistyped probe surfaces in
+          // the zone-map check's loud type error (→ 400).
+          val column = need(params, "column")
+          val keys = params.get("keys").map(_.split(',').toSeq)
+            .getOrElse(throw HttpError(400, "missing query param 'keys' (comma-separated)"))
+          val raws = need(params, "values").split(',').toSeq.filter(_.nonEmpty)
+          if (raws.isEmpty) throw HttpError(400, "values must carry at least one probe")
+          val values: Seq[Any] =
+            if (raws.forall(_.toLongOption.isDefined)) raws.map(_.toLong)
+            else raws
+          val df = try Snapshots.readMergeEq(spark, storeRoot, keys, column, values)
+            catch {
+              case e: IllegalArgumentException =>
+                throw HttpError(400, Option(e.getMessage).getOrElse("bad point lookup"))
+              case e: IllegalStateException
+                  if Option(e.getMessage).exists(m =>
+                    m.contains("no full snapshot") || m.contains("lacks merge key")) =>
+                throw HttpError(400, e.getMessage)
+            }
+          page(df.orderBy(column), limit, after)
         case ("GET", "/store/changes") =>
           // version-pair CDC over HTTP (Snapshots.changes): "what did
           // the imports between v_from and v_to do", keyset-paged.
@@ -1663,15 +1695,27 @@ object WarehouseServer {
             case JNothing => Nil
             case other => throw HttpError(400, s"stats must be an array of column names, got $other")
           }
+          // optional bloom columns: point-lookup sidecar on the
+          // committed segment (Snapshots bloomCols) — feeds
+          // /store/read_eq's segment skip
+          val blooms: Seq[String] = spec \ "blooms" match {
+            case JArray(vs) => vs.map {
+              case JString(c) => c
+              case other => throw HttpError(400, s"blooms entries must be column names, got $other")
+            }
+            case JNothing => Nil
+            case other => throw HttpError(400, s"blooms must be an array of column names, got $other")
+          }
           // commit provenance — free-form string facts stored on the
           // manifest line, surfaced by /store/versions and /status
           val meta: Map[String, String] = parseMetaObject(spec)
           val df = spark.read.parquet(source)
           val version =
             try {
-              if (mode == "full") Snapshots.commit(df, storeRoot, statsCols = stats, meta = meta)
+              if (mode == "full") Snapshots.commit(df, storeRoot, statsCols = stats,
+                meta = meta, bloomCols = blooms)
               else Snapshots.commitDeltaRetrying(df, storeRoot,
-                evolveSchema = evolve, statsCols = stats, meta = meta)
+                evolveSchema = evolve, statsCols = stats, meta = meta, bloomCols = blooms)
             } catch {
               // the library's drift error names ITS remedy (the
               // evolveSchema parameter); an HTTP client's actionable
@@ -1986,8 +2030,8 @@ object WarehouseServer {
   // contract says 405 (nothing fails at compile time if they drift).
   private val getPaths = Set("/", "/health", "/status", "/tables", "/tables/profile",
     "/items/stats", "/items/histogram", "/items/frequencies", "/metadata/search",
-    "/queries", "/store/versions", "/store/read", "/store/read_range", "/store/history",
-    "/store/changes", "/store/excisions")
+    "/queries", "/store/versions", "/store/read", "/store/read_range", "/store/read_eq",
+    "/store/history", "/store/changes", "/store/excisions")
   private val postPaths = Set("/cohort/query", "/cohort/population",
     "/cohort/atom-counts", "/store/commit", "/store/excise", "/tokenize",
     "/ann/search", "/ann/refresh",

@@ -386,7 +386,7 @@ object Snapshots {
   private def writeAndPublish(
       df: DataFrame, root: String, kind: String, maxAttempts: Int = 1,
       expectedVersion: Option[Long] = None, statsCols: Seq[String] = Nil,
-      meta: Map[String, String] = Map.empty): Long = {
+      meta: Map[String, String] = Map.empty, bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     // ONE manifest read serves the dir naming AND the first publish
     // attempt (this path is the streaming sinks' per-micro-batch hot
@@ -397,11 +397,13 @@ object Snapshots {
     def next(s: ManifestState): Long = s.lines.lastOption.map(_.v + 1).getOrElse(1L)
     val rel = s"v${next(st)}-${java.util.UUID.randomUUID.toString.take(8)}"
     validateStatsCols(df, statsCols) // BEFORE the write — a typo'd column must not cost a corpus write
+    validateBloomCols(df, bloomCols)
     df.write.mode("errorifexists").parquet(s"$root/$rel")
-    // zone-map sidecar BEFORE publish: a crash here leaves an
-    // unreferenced dir for the orphan sweep, never a referenced
-    // segment with half-written stats
+    // sidecars BEFORE publish: a crash here leaves an unreferenced
+    // dir for the orphan sweep, never a referenced segment with
+    // half-written stats or blooms
     if (statsCols.nonEmpty) writeStatsSidecar(df, root, rel, statsCols)
+    if (bloomCols.nonEmpty) writeBloomSidecar(df, root, rel, bloomCols)
     // the data dir is written ONCE; only the manifest publish retries
     // (losing the CAS re-reads the chain and re-publishes the same
     // segment under the next version — the dir name keeps the first
@@ -452,8 +454,9 @@ object Snapshots {
     * forever without a side channel.
     */
   def commit(df: DataFrame, root: String, statsCols: Seq[String] = Nil,
-      meta: Map[String, String] = Map.empty): Long = {
-    val v = writeAndPublish(df, root, "full", statsCols = statsCols, meta = meta)
+      meta: Map[String, String] = Map.empty, bloomCols: Seq[String] = Nil): Long = {
+    val v = writeAndPublish(df, root, "full", statsCols = statsCols, meta = meta,
+      bloomCols = bloomCols)
     validatedDeltaCols.put(root, (v, schemaCols(df.columns.toIndexedSeq)))
     v
   }
@@ -492,9 +495,11 @@ object Snapshots {
     */
   def commitDelta(
       df: DataFrame, root: String, evolveSchema: Boolean = false,
-      statsCols: Seq[String] = Nil, meta: Map[String, String] = Map.empty): Long = {
+      statsCols: Seq[String] = Nil, meta: Map[String, String] = Map.empty,
+      bloomCols: Seq[String] = Nil): Long = {
     if (!evolveSchema) validateDeltaSchema(df, root)
-    val v = writeAndPublish(df, root, "delta", statsCols = statsCols, meta = meta)
+    val v = writeAndPublish(df, root, "delta", statsCols = statsCols, meta = meta,
+      bloomCols = bloomCols)
     validatedDeltaCols.put(root, (v, schemaCols(df.columns.toIndexedSeq)))
     v
   }
@@ -538,9 +543,10 @@ object Snapshots {
   def commitDeltaRetrying(
       df: DataFrame, root: String, maxAttempts: Int = 8,
       evolveSchema: Boolean = false, statsCols: Seq[String] = Nil,
-      meta: Map[String, String] = Map.empty): Long = {
+      meta: Map[String, String] = Map.empty, bloomCols: Seq[String] = Nil): Long = {
     if (!evolveSchema) validateDeltaSchema(df, root)
-    val v = writeAndPublish(df, root, "delta", maxAttempts, statsCols = statsCols, meta = meta)
+    val v = writeAndPublish(df, root, "delta", maxAttempts, statsCols = statsCols,
+      meta = meta, bloomCols = bloomCols)
     validatedDeltaCols.put(root, (v, schemaCols(df.columns.toIndexedSeq)))
     v
   }
@@ -880,6 +886,111 @@ object Snapshots {
         }
     }
 
+  // ------------------------------------------------ bloom sidecars
+
+  /** Per-segment bloom-filter sidecar name — the POINT-LOOKUP twin of
+    * the zone maps: min/max can only prune when keys CLUSTER by
+    * segment, while an import-ordered fact spreads any key uniformly
+    * across segments and every zone map spans the whole domain. A
+    * bloom answers "definitely absent" per value with NO false
+    * negatives, so skipping on its verdict is proof, and false
+    * positives only cost an extra open. Underscore-prefixed so the
+    * parquet reader treats it as metadata.
+    */
+  private val BloomName = "_graft_bloom.bin"
+
+  /** Bloom capacity per segment: the sketch hashes longs and strings
+    * (Spark's public BloomFilter contract); floating-point columns
+    * are refused at commit time, like timestamps for zone maps.
+    */
+  private def validateBloomCols(df: DataFrame, bloomCols: Seq[String]): Unit = {
+    val supported = Set("byte", "short", "integer", "long", "string")
+    bloomCols.foreach { c =>
+      require(df.columns.contains(c), s"bloomCols names unknown column '$c'")
+      val t = df.schema(c).dataType.typeName
+      require(supported.contains(t),
+        s"bloomCols column '$c' has type $t — bloom sidecars support integral and " +
+          "string columns (the sketch hashes longs and UTF-8 strings)")
+    }
+  }
+
+  /** Write the bloom sidecar from the WRITTEN segment (same
+    * re-read-not-re-evaluate rule as [[writeStatsSidecar]], same
+    * crash story: sidecar lands before publish, a crash leaves only
+    * an unreferenced dir). One count job sizes the filters; one
+    * aggregate job per column builds them (1% fpp — ~1.2 KB per 1 k
+    * rows per column).
+    */
+  private def writeBloomSidecar(
+      src: DataFrame, root: String, rel: String, bloomCols: Seq[String]): Unit = {
+    val df = src.sparkSession.read.parquet(s"$root/$rel")
+    val n = math.max(df.count(), 1L)
+    val filters = bloomCols.map(c => c -> df.stat.bloomFilter(col(c), n, 0.01))
+    val f = fs(df.sparkSession, root)
+    val dos = new java.io.DataOutputStream(f.create(new Path(s"$root/$rel", BloomName), true))
+    try {
+      dos.writeInt(filters.size)
+      filters.foreach { case (c, bf) =>
+        dos.writeUTF(c)
+        val buf = new java.io.ByteArrayOutputStream()
+        bf.writeTo(buf)
+        val arr = buf.toByteArray
+        dos.writeInt(arr.length)
+        dos.write(arr)
+      }
+    } finally dos.close()
+  }
+
+  /** The segment's bloom filters, or None when the commit recorded
+    * none (pre-bloom segments stay readable and are simply never
+    * bloom-pruned). A garbled sidecar is a LOUD error — silently
+    * treating corruption as "no sidecar" would disable pruning
+    * forever with every signal green.
+    */
+  private[graft] def segmentBloom(spark: SparkSession, root: String, rel: String)
+      : Option[Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
+    val f = fs(spark, root)
+    val p = new Path(s"$root/$rel", BloomName)
+    if (!f.exists(p)) None
+    else {
+      val in = new java.io.DataInputStream(f.open(p))
+      try {
+        val nCols = in.readInt()
+        Some((0 until nCols).map { _ =>
+          val c = in.readUTF()
+          val len = in.readInt()
+          val arr = new Array[Byte](len)
+          in.readFully(arr)
+          c -> org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(arr))
+        }.toMap)
+      } finally in.close()
+    }
+  }
+
+  /** Could a segment whose bloom is `bl` hold `value` in `column`?
+    * Conservative TRUE without a sidecar/entry or for types the
+    * sketch can't witness (nulls; the zone-map check that runs first
+    * is the loud gate for mistyped values). FALSE is proof of
+    * absence — blooms have no false negatives.
+    */
+  private[graft] def bloomMayContain(
+      bl: Option[Map[String, org.apache.spark.util.sketch.BloomFilter]],
+      column: String, value: Any): Boolean =
+    bl.flatMap(_.get(column)) match {
+      case None => true
+      case Some(bf) => value match {
+        case s: String => bf.mightContainString(s)
+        case n @ (_: java.lang.Long | _: java.lang.Integer |
+                  _: java.lang.Short | _: java.lang.Byte) =>
+          // the write side hashed the column's integral values
+          // widened to long (Spark's sketch does so for every
+          // integral type), so the probe widens the same way
+          bf.mightContainLong(n.asInstanceOf[Number].longValue())
+        case _ => true
+      }
+    }
+
   /** Lexicographic compare by Unicode CODE POINTS — Spark's string
     * order (UTF8String is compared as UTF-8 bytes, which sorts by code
     * point). Differs from String.compareTo exactly where surrogate
@@ -1060,6 +1171,93 @@ object Snapshots {
       .map(_._1)
   }
 
+  /** Segment keep-decision for an equality/IN read: kept iff SOME
+    * probed value survives both the zone map (range [v, v]) and the
+    * bloom. The bloom sidecar is only opened when a value passes the
+    * zone check — on a clustered store the zone maps alone settle
+    * most segments without the extra read.
+    */
+  private def eqKeeps(
+      spark: SparkSession, root: String, rel: String,
+      column: String, values: Seq[Any]): Boolean = {
+    val stats = segmentStats(spark, root, rel)
+    lazy val bloom = segmentBloom(spark, root, rel)
+    values.exists(v =>
+      mayContain(stats, column, v, v) && bloomMayContain(bloom, column, v))
+  }
+
+  /** POINT LOOKUP over a MERGE-READ store: [[latest]]/[[asOf]]
+    * restricted to `column ∈ values` where `column` is one of the
+    * MERGE KEYS, opening only segments that might hold one of the
+    * probed keys — zone maps first (range [v, v]), then the bloom
+    * sidecar ([[commit]]'s `bloomCols`), whose "definitely absent" is
+    * proof (no false negatives), not probability. The soundness
+    * argument is [[readMergeWhere]]'s: every row, rewrite and
+    * tombstone of a probed KEY carries that key value, so a segment
+    * both filters exclude provably can't supersede or retract
+    * anything the lookup returns — which is why the column must BE a
+    * merge key (refused otherwise, same as the range form).
+    *
+    * This is the 100 TB "fetch one entity now" path the range read
+    * can't serve: an import-ordered fact spreads any key uniformly,
+    * every segment's min/max spans the whole domain, and zone maps
+    * keep everything — the blooms are what turn a chain-wide scan
+    * into opening O(1) segments (1% fpp per segment per value).
+    */
+  def readMergeEq(
+      spark: SparkSession, root: String, keys: Seq[String], column: String,
+      values: Seq[Any], version: Long = -1L): DataFrame = {
+    require(keys.contains(column),
+      s"merge point lookups prune on a MERGE KEY column — '$column' is not one of " +
+        s"${keys.mkString(", ")}. A non-key column can be rewritten across versions, " +
+        "so its sidecars cannot bound where a superseding row lives; filter the " +
+        "full merge read instead")
+    require(values.nonEmpty, "readMergeEq needs at least one probe value")
+    val v = if (version < 0) latestVersion(spark, root) else version
+    val all = versions(spark, root).filter(_._1 <= v)
+    require(all.nonEmpty, s"no version <= $v in $root")
+    val baseV = all.filter(_._2 == "full").map(_._1).maxOption
+      .getOrElse(throw new IllegalStateException(s"no full snapshot <= $v in $root"))
+    val chain = all.filter(_._1 >= baseV)
+    val kept = chain.filter { case (_, _, rel) => eqKeeps(spark, root, rel, column, values) }
+    val bounded = col(column).isin(values: _*)
+    val schemaFrame = asOf(spark, root, v, keys).where(lit(false))
+    if (kept.isEmpty) schemaFrame.filter(bounded)
+    else {
+      // same per-segment pushdown as the range read: the IN filter
+      // bounds the merge KEY, so applying it below lastWriterWins
+      // cannot change any surviving row, and on the scan it reaches
+      // the parquet row-group dictionary/stats
+      val frames = kept.map { case (sv, _, rel) =>
+        val seg = spark.read.parquet(s"$root/$rel")
+        val missingKeys = keys.filterNot(seg.columns.contains)
+        if (missingKeys.nonEmpty) throw new IllegalStateException(
+          s"segment v$sv of $root lacks merge key column(s) ${missingKeys.mkString(", ")} " +
+            "— the store cannot be merge-read on these keys")
+        normDeleted(seg).filter(bounded).withColumn("_v", lit(sv))
+      }
+      lastWriterWins(
+        frames.reduce(_.unionByName(_, allowMissingColumns = true)), keys, "_v")
+        .unionByName(schemaFrame, allowMissingColumns = true)
+        .select(schemaFrame.columns.map(col).toIndexedSeq: _*)
+    }
+  }
+
+  /** The version numbers [[readMergeEq]] would open — the pruning
+    * decision as data (the point-lookup twin of [[prunedMergeTo]]).
+    */
+  private[graft] def prunedEqTo(
+      spark: SparkSession, root: String, keys: Seq[String], column: String,
+      values: Seq[Any]): Seq[Long] = {
+    val v = latestVersion(spark, root)
+    val all = versions(spark, root).filter(_._1 <= v)
+    val baseV = all.filter(_._2 == "full").map(_._1).maxOption.getOrElse(
+      throw new IllegalStateException(s"no full snapshot in $root"))
+    all.filter(_._1 >= baseV)
+      .filter { case (_, _, rel) => eqKeeps(spark, root, rel, column, values) }
+      .map(_._1)
+  }
+
   /** Read the latest version. */
   def latest(spark: SparkSession, root: String, keys: Seq[String]): DataFrame =
     asOf(spark, root, latestVersion(spark, root), keys)
@@ -1078,8 +1276,9 @@ object Snapshots {
     */
   def compact(
       spark: SparkSession, root: String, keys: Seq[String],
-      statsCols: Seq[String] = Nil, meta: Map[String, String] = Map.empty): Long =
-    compactFrom(spark, root, keys, versions(spark, root), statsCols, meta)
+      statsCols: Seq[String] = Nil, meta: Map[String, String] = Map.empty,
+      bloomCols: Seq[String] = Nil): Long =
+    compactFrom(spark, root, keys, versions(spark, root), statsCols, meta, bloomCols)
 
   /** `private[graft]` test seam: the lost-delta race spec interleaves
     * a concurrent delta commit between the chain read and the publish
@@ -1088,13 +1287,15 @@ object Snapshots {
   private[graft] def compactFrom(
       spark: SparkSession, root: String, keys: Seq[String],
       vs: Seq[(Long, String, String)], statsCols: Seq[String] = Nil,
-      meta: Map[String, String] = Map.empty): Long = {
+      meta: Map[String, String] = Map.empty, bloomCols: Seq[String] = Nil): Long = {
     require(vs.nonEmpty, s"empty snapshot store at $root")
     val top = vs.last._1
     // statsCols: without it a compacted time-series chain would lose
     // its zone maps (the fold has no sidecar) until new deltas arrive
+    // — and bloomCols likewise for the point-lookup filters
     writeAndPublish(asOf(spark, root, top, keys), root, "full",
-      expectedVersion = Some(top + 1), statsCols = statsCols, meta = meta)
+      expectedVersion = Some(top + 1), statsCols = statsCols, meta = meta,
+      bloomCols = bloomCols)
   }
 
   /** Retention: physically delete segments SUPERSEDED below the pin —
@@ -1669,6 +1870,13 @@ object Snapshots {
           .write.mode("errorifexists").parquet(s"$root/$newRel")
         segmentStats(spark, root, l.rel).foreach { stats =>
           writeStatsSidecar(seg, root, newRel, stats.keys.toSeq.sorted)
+        }
+        // blooms recompute over survivors too: carrying the ORIGINAL
+        // filter forward would be sound (false positives only), but a
+        // takedown that leaves the excised keys probeable as "maybe
+        // here" forever is the wrong default for a PII erasure
+        segmentBloom(spark, root, l.rel).foreach { bl =>
+          writeBloomSidecar(seg, root, newRel, bl.keys.toSeq.sorted)
         }
         (l, newRel)
       }

@@ -683,6 +683,59 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     } finally srv.close()
   }
 
+  test("point lookups over HTTP: blooms commit through the body, read_eq serves the merged probes") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("serve-read-eq")
+    // interleaved keys so the zone maps alone could never prune
+    spark.range(0, 50).filter(col("id") % 2 === 1)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))
+      .write.parquet(s"$root/odd")
+    spark.range(0, 50).filter(col("id") % 2 === 0)
+      .select(col("id").as("k"), (col("id") * 3).as("v"),
+        org.apache.spark.sql.functions.lit(false).as("_deleted"))
+      .write.parquet(s"$root/even")
+    val srv = WarehouseServer.start(spark, WarehouseServer.Config(
+      dataDir = sf, storeRoot = Some(root)))
+    try {
+      val b = s"http://127.0.0.1:${srv.port}"
+      def getJ(path: String): (Int, JValue) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(s"$b$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def postJ(path: String, body: String): (Int, JValue) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(s"$b$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      assert(postJ("/store/commit",
+        s"""{"source": "$root/odd", "mode": "full", "stats": ["k"], "blooms": ["k"]}""")._1 == 200)
+      assert(postJ("/store/commit",
+        s"""{"source": "$root/even", "stats": ["k"], "blooms": ["k"]}""")._1 == 200)
+      // the lookup merges probes across both segments; the library's
+      // pruning evidence confirms each probe opened ONE segment
+      val (pc, pv) = getJ("/store/read_eq?column=k&values=7,8&keys=k")
+      assert(pc == 200, s"read_eq failed: $pc $pv")
+      val got = rows(pv).map(r => (longOf(r \ "k"), longOf(r \ "v")))
+      assert(got == List((7L, 14L), (8L, 24L)), s"got $got")
+      assert(graft.sources.Snapshots.prunedEqTo(spark, root, Seq("k"), "k", Seq(7L))
+        == Seq(1L))
+      assert(graft.sources.Snapshots.prunedEqTo(spark, root, Seq("k"), "k", Seq(8L))
+        == Seq(2L))
+      // absent probe: empty 200, not an error
+      val (nc, nv) = getJ("/store/read_eq?column=k&values=9999&keys=k")
+      assert(nc == 200 && rows(nv).isEmpty)
+      // typed 400s: missing keys, non-key column, empty values, and a
+      // typo'd bloom column on commit
+      assert(getJ("/store/read_eq?column=k&values=7")._1 == 400)
+      assert(getJ("/store/read_eq?column=v&values=14&keys=k")._1 == 400)
+      assert(getJ("/store/read_eq?column=k&values=&keys=k")._1 == 400)
+      assert(postJ("/store/commit",
+        s"""{"source": "$root/even", "stats": ["k"], "blooms": ["nope"]}""")._1 == 400)
+    } finally srv.close()
+  }
+
   test("a page boundary inside a sort-key tie trims to a resumable boundary or withholds the cursor") {
     import spark.implicits._
     // g is NOT a total order: the auto-paginated /queries contract

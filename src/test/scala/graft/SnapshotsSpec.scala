@@ -569,6 +569,81 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.readMergeWhere(spark, root, Seq("id"), "id", 1L, 4L).columns.toSeq)
   }
 
+  test("blooms: point lookups prune where zone maps can't; the skip trusts the bloom's word") {
+    val root = tmpDir("snap-bloom")
+    // interleaved keys: BOTH segments' zone maps span ~[1, 100], so
+    // min/max keeps everything — the workload blooms exist for
+    Snapshots.commit((1L to 99L by 2).map(k => (k, s"o$k")).toDF("id", "name"),
+      root, statsCols = Seq("id"), bloomCols = Seq("id"))
+    Snapshots.commitDelta((2L to 100L by 2).map(k => (k, s"e$k")).toDF("id", "name"),
+      root, statsCols = Seq("id"), bloomCols = Seq("id"))
+    // the range form keeps both (overlapping zone maps); the eq form
+    // cuts to the one segment whose bloom admits the key
+    assert(Snapshots.prunedMergeTo(spark, root, Seq("id"), "id", 41L, 41L) === Seq(1L, 2L))
+    assert(Snapshots.prunedEqTo(spark, root, Seq("id"), "id", Seq(41L)) === Seq(1L))
+    assert(Snapshots.prunedEqTo(spark, root, Seq("id"), "id", Seq(41L, 42L)) === Seq(1L, 2L))
+    // the pruned lookup IS the filtered full read
+    val r = Snapshots.readMergeEq(spark, root, Seq("id"), "id", Seq(41L, 42L))
+      .orderBy("id").collect()
+    assert(r.map(x => (x.getLong(0), x.getString(1))).toSeq ===
+      Seq((41L, "o41"), (42L, "e42")))
+    // absent key: empty, in the same schema, without opening anything
+    // beyond what the sidecars admit
+    val none = Snapshots.readMergeEq(spark, root, Seq("id"), "id", Seq(9999L))
+    assert(none.count() === 0L && none.columns.toSeq === r.head.schema.fieldNames.toSeq)
+    // non-key columns are refused with the soundness reasoning
+    val e = intercept[IllegalArgumentException](
+      Snapshots.readMergeEq(spark, root, Seq("id"), "name", Seq("o41")))
+    assert(e.getMessage.contains("MERGE KEY"))
+    // PROOF the skip trusts the bloom: poison v2's sidecar with an
+    // EMPTY filter — if the eq read consulted the data it would still
+    // find 42; trusting the bloom, it must prune v2 and answer without
+    // the row. (Only a test corrupts a sidecar.)
+    val rel2 = Snapshots.versions(spark, root).find(_._1 == 2L).get._3
+    val hfs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val empty = org.apache.spark.util.sketch.BloomFilter.create(1L, 0.01)
+    val buf = new java.io.ByteArrayOutputStream(); empty.writeTo(buf)
+    val dos = new java.io.DataOutputStream(
+      hfs.create(new org.apache.hadoop.fs.Path(s"$root/$rel2", "_graft_bloom.bin"), true))
+    try { dos.writeInt(1); dos.writeUTF("id"); dos.writeInt(buf.size()); dos.write(buf.toByteArray) }
+    finally dos.close()
+    // v1's honest bloom also rejects 42 (it holds only odd keys), so
+    // the probe now opens NOTHING — and the row v2 really holds stays
+    // unseen, which is the proof the skip ran on the sidecar's word
+    assert(Snapshots.prunedEqTo(spark, root, Seq("id"), "id", Seq(42L)).isEmpty)
+    assert(Snapshots.readMergeEq(spark, root, Seq("id"), "id", Seq(42L)).count() === 0L)
+  }
+
+  test("blooms: eq reads honor LWW and tombstones; commit refusals are loud; excise recomputes") {
+    val root = tmpDir("snap-bloom2")
+    Snapshots.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"),
+      root, statsCols = Seq("id"), bloomCols = Seq("id"))
+    Snapshots.commitDelta(
+      Seq((2L, "b2", false), (3L, "c", true)).toDF("id", "name", "_deleted"),
+      root, statsCols = Seq("id"), bloomCols = Seq("id"))
+    // LWW: id=2 answers the rewrite; tombstone: id=3 absent
+    val r = Snapshots.readMergeEq(spark, root, Seq("id"), "id", Seq(2L, 3L)).collect()
+    assert(r.map(x => (x.getLong(0), x.getString(1))).toSeq === Seq((2L, "b2")))
+    // floating-point bloom columns are refused BEFORE any write
+    val e = intercept[IllegalArgumentException](
+      Snapshots.commit(Seq((0.5, 1L)).toDF("score", "id"),
+        tmpDir("snap-bloom3"), bloomCols = Seq("score")))
+    assert(e.getMessage.contains("integral"))
+    intercept[IllegalArgumentException](
+      Snapshots.commit(Seq((1L, "x")).toDF("id", "name"),
+        tmpDir("snap-bloom4"), bloomCols = Seq("nope")))
+    // a takedown recomputes the rewritten segment's bloom over the
+    // SURVIVORS: the erased key stops being probeable as "maybe here"
+    Snapshots.excise(spark, root, col("id") === 1L)
+    val rel1 = Snapshots.versions(spark, root).find(_._1 == 1L).get._3
+    val bl = Snapshots.segmentBloom(spark, root, rel1)
+    assert(bl.isDefined && bl.get.contains("id"))
+    assert(!Snapshots.bloomMayContain(bl, "id", 1L),
+      "recomputed bloom still admits the excised key")
+    assert(Snapshots.prunedEqTo(spark, root, Seq("id"), "id", Seq(1L)).isEmpty)
+    assert(Snapshots.readMergeEq(spark, root, Seq("id"), "id", Seq(1L)).count() === 0L)
+  }
+
   test("zone maps: merge-range reads cross schema evolution with one stable column set") {
     val root = tmpDir("snap-zm-merge-ev")
     Snapshots.commit(Seq((1L, "a")).toDF("id", "name"), root, statsCols = Seq("id"))
