@@ -92,19 +92,21 @@ object Knn {
     * where un-scorable rows could destroy data, carry explicit
     * isfinite guards instead.
     */
-  private val BruteTopKSql =
-    """WITH e AS (SELECT vec_id, embedding,
+  private def bruteTopKSqlWhere(neighborCond: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding, label,
                     sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
                   FROM embeddings),
             q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 10),
             p AS (SELECT q.qid, e.vec_id AS nid,
                     list_sum(list_transform(list_zip(q.qe, e.embedding),
                       pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / (q.qn * e.nrm) AS cos
-                  FROM e, q WHERE e.vec_id <> q.qid),
+                  FROM e, q WHERE e.vec_id <> q.qid AND ($neighborCond)),
             r AS (SELECT qid, nid, cos,
                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
                   FROM p)
             SELECT qid, nid, rank, cos FROM r WHERE rank <= 5 ORDER BY qid, rank"""
+
+  private val BruteTopKSql = bruteTopKSqlWhere("TRUE")
 
   private val q70 = Qdef(
     "q70_knn_brute",
@@ -251,6 +253,58 @@ object Knn {
           cosine(col("qe"), col("embedding"), col("qn"), col("nrm")).as("cos")),
       k)
   }
+
+  /** FILTERED ANN: top-k cosine neighbors restricted to corpus rows
+    * satisfying `pred` — the retrieval shape every curation/eval
+    * pipeline hits ("nearest English docs", "neighbors within this
+    * source") where post-filtering a global top-k is WRONG (a query
+    * whose global neighbors all fail the filter returns nothing) and
+    * re-ranking the whole corpus is the cost the index exists to
+    * avoid. The filter applies BELOW the banding: only rows passing
+    * `pred` (plus the query rows) bucket at all, so candidate work —
+    * and the solver's plane count, which sizes itself to the
+    * population actually searched — scales with the FILTERED corpus,
+    * the right order for selective predicates (for a predicate that
+    * keeps ~everything the unfiltered q71 path is the better plan).
+    * Query rows that fail `pred` still search (queries and filter are
+    * independent axes); their ids are excluded from the NEIGHBOR side
+    * by a compact semi-join on candidate ids.
+    */
+  def filteredTopK(
+      emb: DataFrame,
+      pred: Column,
+      k: Int = K,
+      tables: Int = 0,
+      planes: Int = 0,
+      probe1: Boolean = false,
+      queryPred: Column = col("vec_id") < 10): DataFrame = {
+    val scoped = emb.filter(pred || queryPred)
+    val e = scoped.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val eligible = emb.filter(pred).select(col("vec_id").as("nid"))
+    val cand = lshCandidatePairs(e, tables, planes, probe1, queryPred)
+      .join(eligible, Seq("nid"), "left_semi")
+    val qe = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    topK(
+      cand
+        .join(e.select(col("vec_id").as("nid"), col("embedding"), col("nrm")), "nid")
+        .join(broadcast(qe), "qid")
+        .select(col("qid"), col("nid"),
+          cosine(col("qe"), col("embedding"), col("qn"), col("nrm")).as("cos")),
+      k)
+  }
+
+  /** q75: filtered search pinned at probe1 over the `label = 1` slice
+    * — measured recall 1.0 vs the filtered brute truth at the gate
+    * scales (OracleParitySpec guards the claim, the q71 convention),
+    * so the bucketed filtered plan is row-for-row the brute answer
+    * and the DuckDB twin is the SAME one-definition top-k SQL with
+    * the neighbor condition added.
+    */
+  private val q75 = Qdef(
+    "q75_knn_filtered",
+    (s, d) => filteredTopK(Tables.embeddings(s, d), col("label") === 1, probe1 = true),
+    Some(bruteTopKSqlWhere("e.label = 1")))
 
   /** q71 entry pins `probe1 = true`: at the gate geometries the 1-bit
     * multiprobe lifts recall@5 to measured 1.0 (parity spec), so the
@@ -764,5 +818,5 @@ object Knn {
             SELECT qid, kind, nid, rank, cos FROM r WHERE kind = 'pos' OR rank <= 3
             ORDER BY qid, kind, rank"""))
 
-  val all: Seq[Qdef] = Seq(q70, q71, q72, q73, q74, qa5)
+  val all: Seq[Qdef] = Seq(q70, q71, q72, q73, q74, q75, qa5)
 }

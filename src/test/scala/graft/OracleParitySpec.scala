@@ -129,6 +129,38 @@ class OracleParitySpec extends SparkSpec {
     }
   }
 
+  test("q75: filtered ANN (probe1) equals the filtered brute truth; neighbors all pass the filter") {
+    // the recall-1.0 pin has to be re-measured PER SLICE: filtered
+    // top-5 cosines sit lower than the global top-5's (fewer
+    // competitors), so q71's global parity does not imply this one
+    for (d <- scales :+ sf01) {
+      val emb = Tables.embeddings(spark, d)
+      val en = emb.filter(col("label") === 1)
+        .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          norm2(col("embedding")).as("nn"))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          norm2(col("embedding")).as("qn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      val brute = en.crossJoin(broadcast(qs)).filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          cosine(col("qe"), col("ne"), col("qn"), col("nn")).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 5)
+        .select("qid", "nid", "rank", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(brute.nonEmpty, s"$d: vacuous filtered slice")
+      val got = topkRows(SparkEntry.queries("q75_knn_filtered")(spark, d)).toSet
+      assert(got == brute, s"$d: filtered probe1 != filtered brute "
+        + s"(missing ${brute -- got}, extra ${got -- brute})")
+      // the law the name promises, independent of recall: every
+      // returned neighbor satisfies the filter
+      val labels = emb.filter(col("label") === 1)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got.forall { case (_, nid, _, _) => labels.contains(nid) })
+    }
+  }
+
   test("double-typed corpora take the two-pass float32 transport verdict-identically") {
     // the gate parquet stores array<float>, which keeps the single
     // exact pass — the two-pass prescaled-f32 split only runs for
