@@ -781,6 +781,55 @@ class StreamingSpec extends SparkSpec {
       assert(maintained === recomputed, s"maintained state diverged at v$v")
     }
   }
+  test("st10: maintained JOIN view tracks a streamed delta chain; dim amendments cost nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.Snapshots
+    import graft.operators.Warehouse
+
+    val root = tmpDir("st10-store") + "/t"
+    Snapshots.commit(
+      Seq((1L, 10L, 10.0), (2L, 10L, 20.0), (3L, 20L, 30.0), (4L, 30L, 40.0))
+        .toDF("k", "fk", "price"), root)
+    val input = MemoryStream[JoinUpd]
+    val q = Snapshots.streamInto(input.toDF(), root, tmpDir("st10-ckpt"))
+    try {
+      // the amendment MOVES k=2 between join keys (fk 10 → 20): the
+      // signed partials must subtract the before-image from alpha's
+      // custkey partial and add the after-image to beta's
+      input.addData(JoinUpd(2L, 20L, 25.0, _deleted = false))
+      q.processAllAvailable()
+      input.addData(
+        JoinUpd(5L, 30L, 50.0, _deleted = false),
+        JoinUpd(3L, 20L, 0.0, _deleted = true))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Snapshots.latestVersion(spark, root) === 3L)
+    // the dimension is AMENDED mid-chain (a rename at v3) without any
+    // state work — presentAggVia picks it up because the state lives
+    // at the fact's join-key grain, never at the dim attribute's
+    val dims = Map(
+      2L -> Seq((10L, "alpha"), (20L, "beta"), (30L, "gamma")),
+      3L -> Seq((10L, "alpha"), (20L, "beta-renamed"), (30L, "gamma")))
+    var state = Warehouse.aggState(Snapshots.read(spark, root, 1L), "fk", "price")
+    (2L to 3L).foreach { v =>
+      state = Warehouse.applyBatchToAgg(
+        state,
+        Snapshots.asOf(spark, root, v - 1, Seq("k")),
+        Snapshots.read(spark, root, v),
+        Seq("k"), "fk", "price")
+      val dim = dims(v).toDF("dk", "name")
+      def present(st: org.apache.spark.sql.DataFrame) =
+        Warehouse.presentAggVia(st, dim, "dk", col("name"), "g", "n", "s")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      val maintained = present(state)
+      val recomputed = present(
+        Warehouse.aggState(Snapshots.asOf(spark, root, v, Seq("k")), "fk", "price"))
+      assert(maintained === recomputed, s"maintained join view diverged at v$v")
+      assert(maintained.nonEmpty)
+    }
+  }
+
   test("st08: streaming scrub + quality gate redacts PII and flags short docs per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -824,3 +873,4 @@ class StreamingSpec extends SparkSpec {
 
 /** st06 stream element: an upsert (or tombstone) for the snapshot store. */
 case class StoreUpd(k: Long, status: String, price: Double, _deleted: Boolean)
+case class JoinUpd(k: Long, fk: Long, price: Double, _deleted: Boolean)
