@@ -206,9 +206,14 @@ object Dedup {
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("df"), col("tok"))))
-    // ℓ = sz − ⌈num·sz/den⌉ + 1, all-integer (DIV is integral)
+    // ℓ = sz − ⌈num·sz/den⌉ + 1, all-integer (DIV is integral).
+    // Repartitioned on the join key so the self-join's two sides read
+    // ONE materialized exchange (ReusedExchange) instead of re-running
+    // the scan → df join → rank window per side — the lshCandidates
+    // precedent, worth a full corpus pass at any scale
     val prefix = ranked.filter(
       col("rn") <= col("sz") - expr(s"($jNum * sz + ${jDen - 1}) DIV $jDen") + 1)
+      .repartition(col("tok"))
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
