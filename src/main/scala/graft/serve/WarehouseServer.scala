@@ -1362,6 +1362,12 @@ object WarehouseServer {
             .getOrElse(throw HttpError(400, "missing query param 'keys' (comma-separated)"))
           val raws = need(params, "values").split(',').toSeq.filter(_.nonEmpty)
           if (raws.isEmpty) throw HttpError(400, "values must carry at least one probe")
+          // the endpoint is a point lookup, not a bulk export: an
+          // unbounded IN list builds an unbounded driver-side plan
+          // (and probes every bloom per value) — bound it loudly
+          if (raws.size > 1024)
+            throw HttpError(400, s"too many probe values (${raws.size} > 1024) — " +
+              "batch point lookups, or use read_range for a bulk slice")
           val values: Seq[Any] =
             if (raws.forall(_.toLongOption.isDefined)) raws.map(_.toLong)
             else raws

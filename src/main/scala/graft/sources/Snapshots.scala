@@ -1213,6 +1213,11 @@ object Snapshots {
         "so its sidecars cannot bound where a superseding row lives; filter the " +
         "full merge read instead")
     require(values.nonEmpty, "readMergeEq needs at least one probe value")
+    // a null probe can never match (isin is null-safe-false) and would
+    // NPE inside the zone-map type check — refuse it with the reason
+    require(values.forall(_ != null),
+      "readMergeEq probe values must be non-null — an IN (..., NULL) matches nothing; " +
+        "filter the full merge read for IS NULL semantics")
     val v = if (version < 0) latestVersion(spark, root) else version
     val all = versions(spark, root).filter(_._1 <= v)
     require(all.nonEmpty, s"no version <= $v in $root")

@@ -731,6 +731,9 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       assert(getJ("/store/read_eq?column=k&values=7")._1 == 400)
       assert(getJ("/store/read_eq?column=v&values=14&keys=k")._1 == 400)
       assert(getJ("/store/read_eq?column=k&values=&keys=k")._1 == 400)
+      val tooMany = (0 to 1024).mkString(",")
+      val (bc, bv) = getJ(s"/store/read_eq?column=k&values=$tooMany&keys=k")
+      assert(bc == 400 && (bv \ "error").asInstanceOf[JString].s.contains("1024"))
       assert(postJ("/store/commit",
         s"""{"source": "$root/even", "stats": ["k"], "blooms": ["nope"]}""")._1 == 400)
     } finally srv.close()

@@ -595,6 +595,11 @@ class SnapshotsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Snapshots.readMergeEq(spark, root, Seq("id"), "name", Seq("o41")))
     assert(e.getMessage.contains("MERGE KEY"))
+    // a null probe is refused with the IS NULL remedy, not an NPE in
+    // the zone-map type check
+    val en = intercept[IllegalArgumentException](
+      Snapshots.readMergeEq(spark, root, Seq("id"), "id", Seq(41L, null)))
+    assert(en.getMessage.contains("non-null"))
     // PROOF the skip trusts the bloom: poison v2's sidecar with an
     // EMPTY filter — if the eq read consulted the data it would still
     // find 42; trusting the bloom, it must prune v2 and answer without
