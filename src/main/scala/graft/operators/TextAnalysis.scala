@@ -333,6 +333,55 @@ object TextAnalysis {
           GROUP BY source ORDER BY source"""
     })
 
+  /** q8h: overlapping context-window chunking — q88's complement: the
+    * packer assembles SHORT docs into fixed windows, this op cuts
+    * LONG docs down into width-token chunks every `stride` tokens
+    * (overlap = width − stride carries context across boundaries, the
+    * standard RAG/pretraining chunker). The rule both engines
+    * implement: n_chunks = ⌈sz / stride⌉ (integral DIV — a double
+    * ceil has the q6h off-by-one exactly where stride divides sz),
+    * starts stride-aligned, every token in ≥ 1 chunk, tail chunks may
+    * run short. Scale: ONE narrow projection + a posexplode whose
+    * fan-out is sz/stride per doc — no shuffle anywhere except the
+    * oracle's total ORDER BY; `slice` on the tokens array means the
+    * text is tokenized once per doc, not once per chunk.
+    */
+  def chunkOverlap(docs: org.apache.spark.sql.DataFrame, width: Int, stride: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"need 0 < stride <= width, got width=$width stride=$stride")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("sz"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), expr(s"(sz - 1) DIV $stride"))).as("i"))
+      .select(col("doc_id"),
+        col("i").cast("long").as("chunk_id"),
+        (col("i") * stride).cast("long").as("start_tok"),
+        slice(col("t"), col("i") * stride + 1, lit(width)).as("c"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("c")).cast("long").as("n_tokens"),
+        array_join(col("c"), " ").as("chunk_text"))
+  }
+
+  private val q8h = Qdef(
+    "q8h_chunk_overlap",
+    (s, d) => chunkOverlap(Tables.documents(s, d), width = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+            s AS (SELECT doc_id, toks, len(toks) AS sz FROM t),
+            c AS (SELECT doc_id, toks,
+                    unnest(generate_series(0, (sz - 1) // 48)) AS i
+                  FROM s),
+            f AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                    CAST(i * 48 AS BIGINT) AS start_tok,
+                    toks[i*48+1 : i*48+64] AS ch
+                  FROM c)
+            SELECT doc_id, chunk_id, start_tok,
+                   CAST(len(ch) AS BIGINT) AS n_tokens,
+                   array_to_string(ch, ' ') AS chunk_text
+            FROM f ORDER BY doc_id, chunk_id"""))
+
   /** Concat-and-chunk sequence packing: per source shard, documents
     * are concatenated in doc_id order and cut into fixed
     * `budget`-token training chunks (docs may straddle a boundary —
@@ -944,5 +993,5 @@ object TextAnalysis {
           ORDER BY fused DESC, doc_id"""))
 
   val all: Seq[Qdef] =
-    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q8a, q89, q8b, q8c, q8d, q8e, q8f, q8g)
+    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q8a, q89, q8b, q8c, q8d, q8e, q8f, q8g, q8h)
 }

@@ -10,6 +10,31 @@ import org.apache.spark.sql.functions._
   */
 class TextQualitySpec extends SparkSpec {
 
+  test("q8h: chunk cover laws — aligned starts, exact lengths, ceil(sz/stride) chunks per doc") {
+    val docs = Tables.documents(spark, sf)
+    val sz = docs.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).as("sz"))
+    val ch = TextAnalysis.chunkOverlap(docs, 64, 48).join(sz, "doc_id")
+      .select("doc_id", "chunk_id", "start_tok", "n_tokens", "sz").collect()
+    assert(ch.nonEmpty)
+    ch.foreach { r =>
+      val (cid, start, n, s) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      assert(start === 48L * cid, s"chunk start not stride-aligned: $r")
+      // exact length: width-full until the tail, which takes what's left
+      assert(n === math.min(64L, s - start), s"chunk length drifted: $r")
+      assert(start < s, s"chunk starts past the doc: $r")
+    }
+    // every token covered, no phantom chunks: count = ceil(sz / stride)
+    val counts = TextAnalysis.chunkOverlap(docs, 64, 48)
+      .groupBy("doc_id").count().join(sz, "doc_id").collect()
+    counts.foreach { r =>
+      assert(r.getLong(1) === (r.getInt(2) + 47L) / 48L, s"chunk count drifted: $r")
+    }
+    // stride > width would leave token gaps — refused, not silently lossy
+    intercept[IllegalArgumentException](TextAnalysis.chunkOverlap(docs, 10, 20))
+    intercept[IllegalArgumentException](TextAnalysis.chunkOverlap(docs, 0, 0))
+  }
+
   test("graft_max_run equals the explode+groupBy mode count on every doc") {
     val docs = Tables.documents(spark, sf)
     val narrow = docs
