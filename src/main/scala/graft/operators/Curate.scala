@@ -296,5 +296,49 @@ object Curate {
             LEFT JOIN shared s USING (source)
             ORDER BY source"""))
 
-  val all: Seq[Qdef] = Seq(qa0, qa2, qa4)
+  /** qa6: split-leakage audit — which TRAIN documents share a word
+    * 5-gram with ANY test-split document under the shipped q86
+    * hash-split assignment. q67 decontaminates against an EXTERNAL
+    * benchmark; this audits the pipeline's OWN split: near-identical
+    * train/test rows inflate eval scores silently, and the audit must
+    * run on the exact split rule the pipeline ships
+    * ([[graft.functions.TextFunctions.hashSplit]]), never a
+    * re-derivation that can drift from it. Output: one row per
+    * leaking train doc with its count of 5-gram types shared with
+    * the test side (the q67 contract).
+    *
+    * Scale: the test side is the SMALL side by construction (~10% of
+    * the corpus) — its distinct shingle set broadcasts, exactly
+    * [[graft.dedup.Dedup.contaminated]]'s shape; one narrow shingle
+    * scan per side, nothing pairwise anywhere.
+    */
+  private val qa6 = Qdef(
+    "qa6_split_leakage",
+    (s, d) => {
+      val docs = Tables.documents(s, d).withColumn("split", hashSplit(col("doc_id")))
+      graft.dedup.Dedup.contaminated(
+        docs.filter(col("split") === "train"),
+        docs.filter(col("split") === "test"))
+        .orderBy("doc_id")
+    },
+    // q86's split rule verbatim feeding q67's leakage SQL verbatim —
+    // both already hash-green on their own rows
+    Some("""WITH a AS (SELECT doc_id, text,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                        ELSE 'test' END AS split
+                 FROM documents),
+            t AS (SELECT doc_id, split, string_split_regex(trim(lower(text)), '\s+') AS toks FROM a),
+            g AS (SELECT doc_id, split,
+                    list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                           toks[i+3] || ' ' || toks[i+4])) AS sh
+                  FROM t WHERE len(toks) >= 5),
+            b AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE split = 'test'),
+            c AS (SELECT doc_id, unnest(sh) AS s FROM g WHERE split = 'train')
+            SELECT doc_id, COUNT(*) AS n_shared
+            FROM c JOIN b USING (s)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[Qdef] = Seq(qa0, qa2, qa4, qa6)
 }
