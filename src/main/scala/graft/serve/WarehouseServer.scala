@@ -673,7 +673,13 @@ object WarehouseServer {
           ("href" -> "/store/versions") ~ ("method" -> "GET") ~ ("rel" -> "store versions"),
           ("href" -> "/store/read") ~ ("method" -> "GET") ~
             ("rel" -> "versioned read") ~
-            ("params" -> "keys, version?, as_of_ts?, limit, after"),
+            ("params" -> "keys, version?, as_of_ts?, tag?, limit, after"),
+          ("href" -> "/store/tags") ~ ("method" -> "GET") ~
+            ("rel" -> "named version tags"),
+          ("href" -> "/store/tag") ~ ("method" -> "POST") ~
+            ("rel" -> "name a version (immutable)") ~ ("body" -> "{name, version}"),
+          ("href" -> "/store/untag") ~ ("method" -> "POST") ~
+            ("rel" -> "remove a tag") ~ ("body" -> "{name}"),
           ("href" -> "/store/read_range") ~ ("method" -> "GET") ~
             ("rel" -> "zone-map range read (append-only; keys= for merge stores)") ~
             ("params" -> "column, lo, hi, keys?, limit, after"),
@@ -1281,13 +1287,16 @@ object WarehouseServer {
           // `as_of_ts` = ISO-8601 instant or epoch millis — the
           // instant-addressed twin of `version` (Snapshots.versionAt
           // semantics: latest commit stamped at or before it)
-          if (params.contains("as_of_ts") && params.contains("version"))
-            throw HttpError(400, "pass either 'version' or 'as_of_ts', not both")
-          val df = (params.get("version"), params.get("as_of_ts")) match {
-            case (Some(v), _) => Snapshots.asOf(spark, storeRoot,
+          if (Seq("version", "as_of_ts", "tag").count(params.contains) > 1)
+            throw HttpError(400, "pass at most one of 'version', 'as_of_ts', 'tag'")
+          val df = (params.get("version"), params.get("as_of_ts"), params.get("tag")) match {
+            case (Some(v), _, _) => Snapshots.asOf(spark, storeRoot,
               v.toLongOption.getOrElse(throw HttpError(400, s"bad version '$v'")), keys)
-            case (_, Some(raw)) =>
+            case (_, Some(raw), _) =>
               Snapshots.asOf(spark, storeRoot, versionAtOr400(parseInstantMs(raw)), keys)
+            // tag = the named as-of: an unknown tag is the library's
+            // typed error listing what exists (→ 400 via the global map)
+            case (_, _, Some(t)) => Snapshots.asOfTag(spark, storeRoot, t, keys)
             case _ => Snapshots.latest(spark, storeRoot, keys)
           }
           // `order=desc` = "latest keys first", the most common
@@ -1734,6 +1743,40 @@ object WarehouseServer {
                   "pass \"evolve\": true in the request body"))
             }
           ("version" -> version) ~ ("mode" -> mode)
+        case ("GET", "/store/tags") =>
+          // the named-release catalog: every tag as {name, version}
+          JArray(Snapshots.tags(spark, storeRoot).map { case (n, v) =>
+            (("name" -> n) ~ ("version" -> v)): JValue
+          }.toList)
+        case ("POST", "/store/tag") =>
+          // name a version ("release-2026-08" -> v12). Tags are
+          // immutable: a duplicate is a 409 (the library's message
+          // names the untag remedy), an unknown version / bad name a
+          // 400 via the global IllegalArgumentException map
+          val spec = JsonMethods.parse(body(ex, cfg.maxBodyBytes))
+          val name = spec \ "name" match {
+            case JString(n) => n
+            case other => throw HttpError(400, s"tag needs a 'name' string, got $other")
+          }
+          val version = spec \ "version" match {
+            case JInt(v) => v.toLong
+            case other => throw HttpError(400, s"tag needs an integer 'version', got $other")
+          }
+          try Snapshots.tag(spark, storeRoot, name, version)
+          catch {
+            case e: IllegalArgumentException
+                if Option(e.getMessage).exists(_.contains("already exists")) =>
+              throw HttpError(409, e.getMessage)
+          }
+          ("name" -> name) ~ ("version" -> version)
+        case ("POST", "/store/untag") =>
+          val spec = JsonMethods.parse(body(ex, cfg.maxBodyBytes))
+          val name = spec \ "name" match {
+            case JString(n) => n
+            case other => throw HttpError(400, s"untag needs a 'name' string, got $other")
+          }
+          Snapshots.untag(spark, storeRoot, name)
+          ("name" -> name) ~ ("removed" -> true)
         case ("GET", "/store/excisions") =>
           // the takedown audit trail (Snapshots.excisions): proof a
           // GDPR excision ran — when, which columns, per-version row
@@ -2037,9 +2080,10 @@ object WarehouseServer {
   private val getPaths = Set("/", "/health", "/status", "/tables", "/tables/profile",
     "/items/stats", "/items/histogram", "/items/frequencies", "/metadata/search",
     "/queries", "/store/versions", "/store/read", "/store/read_range", "/store/read_eq",
-    "/store/history", "/store/changes", "/store/excisions")
+    "/store/history", "/store/changes", "/store/excisions", "/store/tags")
   private val postPaths = Set("/cohort/query", "/cohort/population",
     "/cohort/atom-counts", "/store/commit", "/store/excise", "/tokenize",
+    "/store/tag", "/store/untag",
     "/ann/search", "/ann/refresh",
     "/dedup/check", "/dedup/check_vec")
 

@@ -1303,6 +1303,94 @@ object Snapshots {
       bloomCols = bloomCols)
   }
 
+  // ------------------------------------------------------------ tags
+
+  /** Named version tags — the human-addressable as-of: "read the
+    * store as of `release-2026-08`" instead of a raw version number
+    * every consumer must bookkeep. A tag is an IMMUTABLE pointer
+    * (`_tag.<name>` beside the manifests): re-tagging is refused —
+    * a silently moved tag would change what every pinned reader
+    * means by the name — so renames go through untag + tag, loudly.
+    * [[vacuumFrom]] refuses to delete versions a tag still
+    * addresses: retention can never quietly turn a named release
+    * into a dangling pointer.
+    */
+  private def tagFile(name: String): String = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]{0,63}") && !name.contains(".tmp-"),
+      s"tag name '$name' must match [A-Za-z0-9][A-Za-z0-9._-]{0,63} " +
+        "(it becomes a file name beside the manifests)")
+    s"_tag.$name"
+  }
+
+  def tag(spark: SparkSession, root: String, name: String, version: Long): Unit = {
+    val f = fs(spark, root)
+    val dest = new Path(root, tagFile(name))
+    require(versions(spark, root).exists(_._1 == version),
+      s"cannot tag: no version $version in $root")
+    def exists(): Nothing = throw new IllegalArgumentException(
+      s"tag '$name' already exists in $root — tags are immutable (a silently moved " +
+        "tag changes what every pinned reader means by the name); untag first or " +
+        "pick a new name")
+    if (f.exists(dest)) exists()
+    // tmp + no-replace rename: a reader never sees a half-written
+    // tag, and losing a concurrent tag race is loud, not last-wins
+    val tmp = new Path(root, s"${tagFile(name)}.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    val qualified = f.makeQualified(dest)
+    if (qualified.toUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(f.makeQualified(tmp).toUri),
+          java.nio.file.Paths.get(qualified.toUri))
+        ()
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false); exists()
+      }
+    } else if (!f.rename(tmp, dest)) { f.delete(tmp, false); exists() }
+  }
+
+  def untag(spark: SparkSession, root: String, name: String): Unit = {
+    val f = fs(spark, root)
+    val p = new Path(root, tagFile(name))
+    if (!f.exists(p))
+      throw new IllegalArgumentException(s"no tag '$name' in $root")
+    f.delete(p, false)
+    ()
+  }
+
+  /** Every tag as (name, version), name-sorted. Garbled content is a
+    * loud error (the stats/bloom sidecar convention: corruption must
+    * never read as an empty store of tags).
+    */
+  def tags(spark: SparkSession, root: String): Seq[(String, Long)] = {
+    val f = fs(spark, root)
+    val dir = new Path(root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_tag.")
+        && !s.getPath.getName.matches(".*\\.tmp-[0-9a-f-]+$"))
+      .map { s =>
+        val name = s.getPath.getName.stripPrefix("_tag.")
+        val in = f.open(s.getPath)
+        val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        name -> raw.toLongOption.getOrElse(throw new IllegalStateException(
+          s"tag '$name' in $root carries unparseable content '$raw'"))
+      }
+      .sortBy(_._1)
+  }
+
+  def tagVersion(spark: SparkSession, root: String, name: String): Long =
+    tags(spark, root).collectFirst { case (n, v) if n == name => v }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no tag '$name' in $root (tags: ${tags(spark, root).map(_._1).mkString(", ")})"))
+
+  /** [[asOf]] addressed by tag name. */
+  def asOfTag(spark: SparkSession, root: String, name: String, keys: Seq[String]): DataFrame =
+    asOf(spark, root, tagVersion(spark, root, name), keys)
+
   /** Retention: physically delete segments SUPERSEDED below the pin —
     * every version `v < B`, where `B` is the newest full snapshot at
     * or below `keepAfterVersion`. Exactly the segments no
@@ -1392,6 +1480,17 @@ object Snapshots {
         s"no full snapshot at or below version $pin in $root — nothing below the pin " +
           "is superseded (its deltas are the only copy of their rows); compact first"))
     val (candidates, retained) = st.lines.partition(_.v < base)
+    // a tag below the surviving base would dangle — readers resolve
+    // the name to a version whose segments this trim deletes. Refuse
+    // with the tags named; retention policy and release tagging have
+    // to agree explicitly, never by one silently breaking the other.
+    val pinnedTags = tags(spark, root).filter(_._2 < base)
+    if (candidates.nonEmpty && pinnedTags.nonEmpty)
+      throw new IllegalArgumentException(
+        s"vacuum at pin $pin would delete versions below v$base still addressed by " +
+          pinnedTags.map { case (n, v) => s"tag '$n' -> v$v" }.mkString(", ") +
+          s" in $root — untag them or lower keepAfterVersion; a named release must " +
+          "never become a dangling pointer")
     val f = fs(spark, root)
     if (candidates.nonEmpty) {
       // publish the trim FIRST (CAS at the next manifest file number,
@@ -1437,7 +1536,8 @@ object Snapshots {
       if (s.isFile
           && (n.matches("_manifest\\.v\\d+\\.tmp-[0-9a-f-]+")
             || n.matches("_excise\\.v\\d+\\.tmp-[0-9a-f-]+")
-            || n.matches("_format\\.tmp-[0-9a-f-]+"))
+            || n.matches("_format\\.tmp-[0-9a-f-]+")
+            || n.matches("_tag\\..+\\.tmp-[0-9a-f-]+"))
           && s.getModificationTime < cutoff) {
         f.delete(s.getPath, false); ()
       }

@@ -683,6 +683,50 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     } finally srv.close()
   }
 
+  test("version tags over HTTP: name a release, read by name, immutability is a 409") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("serve-tags")
+    spark.range(0, 5).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .write.parquet(s"$root/seed")
+    spark.range(5, 8).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .write.parquet(s"$root/more")
+    val srv = WarehouseServer.start(spark, WarehouseServer.Config(
+      dataDir = sf, storeRoot = Some(root)))
+    try {
+      val b = s"http://127.0.0.1:${srv.port}"
+      def getJ(path: String): (Int, JValue) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(s"$b$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      def postJ(path: String, body: String): (Int, JValue) = {
+        val r = client.send(HttpRequest.newBuilder(URI.create(s"$b$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), JsonMethods.parse(r.body()))
+      }
+      assert(postJ("/store/commit", s"""{"source": "$root/seed", "mode": "full"}""")._1 == 200)
+      assert(postJ("/store/tag", """{"name": "rel-1", "version": 1}""")._1 == 200)
+      assert(postJ("/store/commit", s"""{"source": "$root/more"}""")._1 == 200)
+      // the name keeps meaning v1 after the later import
+      val (rc, rv) = getJ("/store/read?keys=k&tag=rel-1")
+      assert(rc == 200 && rows(rv).size == 5, s"tagged read: $rc $rv")
+      assert(rows(getJ("/store/read?keys=k")._2).size == 8)
+      assert(getJ("/store/tags")._2.asInstanceOf[JArray].arr.size == 1)
+      // immutability over HTTP is a 409 naming the remedy; unknown
+      // tag / both-pins / bad bodies are 400s
+      val (dc, dv) = postJ("/store/tag", """{"name": "rel-1", "version": 2}""")
+      assert(dc == 409 && (dv \ "error").asInstanceOf[JString].s.contains("untag"))
+      assert(getJ("/store/read?keys=k&tag=nope")._1 == 400)
+      assert(getJ("/store/read?keys=k&tag=rel-1&version=1")._1 == 400)
+      assert(postJ("/store/tag", """{"name": "rel-1"}""")._1 == 400)
+      assert(postJ("/store/tag", """{"name": "rel-2", "version": 99}""")._1 == 400)
+      // untag, and the name stops resolving
+      assert(postJ("/store/untag", """{"name": "rel-1"}""")._1 == 200)
+      assert(getJ("/store/read?keys=k&tag=rel-1")._1 == 400)
+    } finally srv.close()
+  }
+
   test("point lookups over HTTP: blooms commit through the body, read_eq serves the merged probes") {
     import org.apache.spark.sql.functions.col
     val root = tmpDir("serve-read-eq")

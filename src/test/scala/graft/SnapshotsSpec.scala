@@ -569,6 +569,35 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.readMergeWhere(spark, root, Seq("id"), "id", 1L, 4L).columns.toSeq)
   }
 
+  test("tags: immutable named versions — as-of by name survives later imports; vacuum refuses to dangle them") {
+    val root = tmpDir("snap-tags")
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), root)
+    Snapshots.tag(spark, root, "release-1", 1L)
+    Snapshots.commitDelta(Seq((2L, "b2", false), (1L, "a", true))
+      .toDF("id", "name", "_deleted"), root)
+    Snapshots.commit(Seq((9L, "z")).toDF("id", "name"), root)
+    // the name keeps meaning v1 — byte-for-byte — after two imports
+    val r = Snapshots.asOfTag(spark, root, "release-1", Seq("id")).orderBy("id").collect()
+    assert(r.map(x => (x.getLong(0), x.getString(1))).toSeq === Seq((1L, "a"), (2L, "b")))
+    assert(Snapshots.tags(spark, root) === Seq(("release-1", 1L)))
+    // immutable: re-tagging is a loud refusal naming the remedy
+    val e1 = intercept[IllegalArgumentException](Snapshots.tag(spark, root, "release-1", 2L))
+    assert(e1.getMessage.contains("immutable") || e1.getMessage.contains("already exists"))
+    // bad names and unknown versions never write anything
+    intercept[IllegalArgumentException](Snapshots.tag(spark, root, "../escape", 1L))
+    intercept[IllegalArgumentException](Snapshots.tag(spark, root, "ok-name", 99L))
+    intercept[IllegalArgumentException](Snapshots.tagVersion(spark, root, "nope"))
+    // vacuum to the tip would delete v1's segment — refused, naming
+    // the tag; untag unblocks it
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.vacuum(spark, root, 3L, orphanGraceMs = 0L))
+    assert(e2.getMessage.contains("release-1"))
+    assert(Snapshots.asOfTag(spark, root, "release-1", Seq("id")).count() === 2L)
+    Snapshots.untag(spark, root, "release-1")
+    assert(Snapshots.vacuum(spark, root, 3L, orphanGraceMs = 0L).nonEmpty)
+    intercept[IllegalArgumentException](Snapshots.untag(spark, root, "release-1"))
+  }
+
   test("blooms: point lookups prune where zone maps can't; the skip trusts the bloom's word") {
     val root = tmpDir("snap-bloom")
     // interleaved keys: BOTH segments' zone maps span ~[1, 100], so
