@@ -651,7 +651,7 @@ object WarehouseServer {
           ("href" -> "/tables") ~ ("method" -> "GET") ~ ("rel" -> "tables"),
           ("href" -> "/cohort/query") ~ ("method" -> "POST") ~
             ("rel" -> "cohort-count") ~ ("body" -> "cohort DSL (see README)") ~
-            ("params" -> "as_of_ts?, speculative_import?, speculative_evolve?"),
+            ("params" -> "as_of_ts?, tag?, speculative_import?, speculative_evolve?"),
           ("href" -> "/cohort/population") ~ ("method" -> "POST") ~
             ("rel" -> "cohort-population") ~ ("params" -> "limit, after"),
           ("href" -> "/cohort/atom-counts") ~ ("method" -> "POST") ~
@@ -748,14 +748,20 @@ object WarehouseServer {
     // `speculative_evolve=true` opts the preview into schema
     // evolution, mirroring /store/commit's `evolve`. Mutually
     // exclusive with `as_of_ts`: a what-if overlays the PRESENT.
+    // ...and `tag=` is the NAMED as-of: cohort counts "as of
+    // release-2026-08" resolve the tag to its version and read the
+    // store there — same mutual exclusion as the other two pins.
     def cohortSources(params: Map[String, String]): graft.operators.CohortQuery.SourceOverrides =
-      (params.get("as_of_ts"), params.get("speculative_import")) match {
-        case (Some(_), Some(_)) =>
-          throw HttpError(400, "pass either 'as_of_ts' or 'speculative_import', not both")
-        case (Some(raw), None) =>
+      (params.get("as_of_ts"), params.get("speculative_import"), params.get("tag")) match {
+        case (a, s, t) if Seq(a, s, t).count(_.isDefined) > 1 =>
+          throw HttpError(400,
+            "pass at most one of 'as_of_ts', 'speculative_import', 'tag'")
+        case (Some(raw), None, None) =>
           val ver = versionAtOr400(parseInstantMs(raw))
           Map("orders" -> Snapshots.asOf(spark, storeRoot, ver, Seq("o_orderkey")))
-        case (None, Some(src)) =>
+        case (None, None, Some(t)) =>
+          Map("orders" -> Snapshots.asOfTag(spark, storeRoot, t, Seq("o_orderkey")))
+        case (None, Some(src), None) =>
           val evolve = params.get("speculative_evolve") match {
             case None          => false
             case Some("true")  => true
@@ -773,7 +779,7 @@ object WarehouseServer {
                     "pass speculative_evolve=true"))
             }
           Map("orders" -> view)
-        case (None, None) => Map.empty
+        case _ => Map.empty
       }
 
     // ------------------------------------------- maintained cohort state
@@ -1212,9 +1218,10 @@ object WarehouseServer {
         case ("POST", "/cohort/atom-counts") =>
           params.get("maintained") match {
             case Some("true") =>
-              if (params.contains("as_of_ts") || params.contains("speculative_import"))
+              if (params.contains("as_of_ts") || params.contains("speculative_import")
+                  || params.contains("tag"))
                 throw HttpError(400,
-                  "maintained counts are the store's PRESENT — drop as_of_ts/speculative_import")
+                  "maintained counts are the store's PRESENT — drop as_of_ts/speculative_import/tag")
               page(maintainedAtomCounts(body(ex, cfg.maxBodyBytes)), limit, after)
             case None | Some("false") =>
               page(CohortQuery.atomCounts(spark, cfg.dataDir, body(ex, cfg.maxBodyBytes),

@@ -1077,6 +1077,12 @@ class ServeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       // and re-running the t1 query AFTER v2 exists still answers e1 —
       // that IS the as-of claim
       assert(longOf(postJ(s"/cohort/query?as_of_ts=$t1", spec)._2 \ "n_subjects") == e1)
+      // the NAMED as-of: tag v1, and the cohort count by tag is e1 —
+      // no wall-clock or version bookkeeping on the client at all
+      assert(postJ("/store/tag", """{"name": "baseline", "version": 1}""")._1 == 200)
+      assert(longOf(postJ("/cohort/query?tag=baseline", spec)._2 \ "n_subjects") == e1)
+      assert(postJ(s"/cohort/query?tag=baseline&as_of_ts=$t1", spec)._1 == 400)
+      assert(postJ("/cohort/query?tag=ghost", spec)._1 == 400)
     } finally srv.close()
   }
 
