@@ -197,25 +197,79 @@ object Dedup {
     require(jNum > 0 && jDen > 0 && jNum <= jDen,
       s"similarity threshold must be a rational in (0, 1]: got $jNum/$jDen")
     val minJ = jNum.toDouble / jDen
+    // No doc-level emptiness filter: explode() already drops null and
+    // empty shingle sets from the candidate stage, and the
+    // verification joins below are INNER on candidate ids (a subset of
+    // exploded docs), so the filter never changed the output — but it
+    // DID triple the per-row shingling cost: pushdown rewrote
+    // isnotnull(sh) AND size(sh)>0 through the alias into two extra
+    // graft_shingle_hashes(text) evaluations inside every scan's
+    // DataFilters, on top of the projection's own.
     val sets = docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
-      .filter(col("sh").isNotNull && size(col("sh")) > 0)
+    // explode_OUTER + tok-not-null, not plain explode: Catalyst's
+    // InferFiltersFromGenerate rewrites explode(sh) into
+    // isnotnull(sh) AND size(sh)>0 scan filters through the alias —
+    // two more full shingle evaluations per document on top of the
+    // projection's (the same 3× the removed filter caused; measured
+    // in the scan's DataFilters). The rule does not fire on outer
+    // generate, and the null-row filter on the OUTPUT attribute is
+    // free. Identical rows: sh is array<long, containsNull=false>,
+    // so tok is null exactly on the synthetic row explode_outer adds
+    // for null/empty sh — the rows plain explode drops.
     val toks = sets.select(col("doc_id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("tok"))
-    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    val ranked = toks.join(dfreq, "tok")
+      explode_outer(col("sh")).as("tok"))
+      .filter(col("tok").isNotNull)
+    // df as count-over-window on the SAME exploded subtree: the old
+    // (separate scan → groupBy tok → join back) shape paid a second
+    // corpus scan + shingle re-evaluation + a corpus-sized broadcast
+    // to attach one long; the window attaches it inside the tok
+    // exchange the join needed anyway (guide §2.4 — operations keyed
+    // the same way share one exchange).
+    val ranked = toks
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("tok")))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("df"), col("tok"))))
     // ℓ = sz − ⌈num·sz/den⌉ + 1, all-integer (DIV is integral).
     // Repartitioned on the join key so the self-join's two sides read
     // ONE materialized exchange (ReusedExchange) instead of re-running
-    // the scan → df join → rank window per side — the lshCandidates
-    // precedent, worth a full corpus pass at any scale
+    // the scan → df window → rank window per side — the lshCandidates
+    // precedent, worth a full corpus pass at any scale.
+    // df ≥ 2 AFTER the rank (rn must see every token of the doc) but
+    // BEFORE the exchange: per-doc shingle sets are distinct, so
+    // df = 1 means the token lives in exactly ONE document and the
+    // equi-join below cannot pair it — dropping those rows is
+    // result-identical and removes the bulk of the prefix (most
+    // shingles are corpus-unique), shrinking the join exchange to the
+    // genuinely shareable keys (guide §2.3: shuffle fewer bytes).
     val prefix = ranked.filter(
       col("rn") <= col("sz") - expr(s"($jNum * sz + ${jDen - 1}) DIV $jDen") + 1)
+      .filter(col("df") >= 2)
+      .select(col("tok"), col("doc_id"),
+        col("sz").cast("long").as("sz"), col("rn").cast("long").as("rn"))
       .repartition(col("tok"))
+    // PPJoin positional filter, lossless (Xiao/Wang/Lin/Yu, WWW'08 —
+    // public): J ≥ num/den forces overlap o ≥ α := ⌈num·(|A|+|B|) /
+    // (num+den)⌉, and at the pair's FIRST shared token (global order,
+    // 1-based positions rn_a/rn_b over the full frequency-ordered
+    // lists) the sets share nothing earlier, so
+    // o ≤ 1 + min(|A|−rn_a, |B|−rn_b). Later shared occurrences have
+    // strictly larger rn on BOTH sides (common tokens appear in the
+    // same global order in both lists), hence a strictly tighter
+    // bound — so if ANY occurrence of a true pair passes, its first
+    // does; filtering every occurrence by the bound can only drop
+    // pairs whose overlap provably misses α. All-integer cross-mult
+    // form (den+num)·(1+min) ≥ num·(szA+szB), so no float rounding
+    // can flip a verdict. Measured at sf0.1: 202 601 → 33 276
+    // candidate pairs, final output identical (256 pairs) — the
+    // distinct exchange, the verify joins, and the jaccard evals all
+    // shrink 6× (guide §2.3: drop rows before the shuffle).
+    val alphaOk =
+      (lit(1L) + least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn"))) *
+        lit((jNum + jDen).toLong) >= lit(jNum.toLong) * (col("a.sz") + col("b.sz"))
     val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") && alphaOk)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     cands
