@@ -97,6 +97,30 @@ object Tables {
     events(s, d).createOrReplaceTempView("events")
   }
 
+  /** Fan a partition-starved frame out to the session's parallelism.
+    *
+    * A single parquet file with one row group plans as ONE scan task,
+    * and every narrow operator fused onto that scan (banding dot
+    * products, shingling, regex annotation) runs single-threaded no
+    * matter how many cores the session has — the guide §2.5
+    * "unsplittable input" case, which is exactly the shape of the
+    * bench/gate datasets. The round-robin exchange costs one pass of
+    * the (small, partition-starved by definition) input and spreads
+    * the downstream compute across the box; at warehouse scale the
+    * input arrives in many splits and this is a NO-OP (the 2× guard:
+    * repartitioning from n to ~n buys nothing and costs an exchange).
+    * Row order changes, so callers must be order-insensitive
+    * downstream (every graft query ends in a total ORDER BY and
+    * aggregates are decimal-exact / min-max based; sites that derive
+    * a value from scan order — e.g. [[graft.ann.Knn.embDims]]'s
+    * first-scorable-row — get the spread frame and simply see a
+    * different, equally valid representative on mixed-width corpora).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= want) df.repartition(want) else df
+  }
+
   /** Decimal-exact sum reported as double: `CAST(SUM(CAST(x AS
     * DECIMAL(28,scale))) AS DOUBLE)`. Decimal aggregation is exact, so
     * the result is bit-identical across engines regardless of row

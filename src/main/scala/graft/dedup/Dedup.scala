@@ -248,7 +248,12 @@ object Dedup {
       .filter(col("df") >= 2)
       .select(col("tok"), col("doc_id"),
         col("sz").cast("long").as("sz"), col("rn").cast("long").as("rn"))
-      .repartition(col("tok"))
+      // pinned count for the same reason as refinedCompact's exchange:
+      // the df ≥ 2 prefix is small in BYTES, AQE would coalesce it to
+      // ~1 partition, and the self-join below fans out quadratically
+      // per token — the fan-out must stay spread across cores
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("tok"))
     // PPJoin positional filter, lossless (Xiao/Wang/Lin/Yu, WWW'08 —
     // public): J ≥ num/den forces overlap o ≥ α := ⌈num·(|A|+|B|) /
     // (num+den)⌉, and at the pair's FIRST shared token (global order,
@@ -540,7 +545,18 @@ object Dedup {
     banded
       .withColumn("xbits", coalesce((0 until g.tables).map(t => when(col("tbl") === t, xbitsOf(t))): _*))
       .select("vec_id", "tbl", "bkt", "xbits")
-      .repartition(col("tbl"), col("bkt"))
+      // PINNED partition count (REPARTITION_BY_NUM): with the column
+      // form, AQE coalesces this compact exchange to ~1 partition by
+      // its tiny MAP bytes (~32 B/row) — and the pair join hanging off
+      // it fans out 300× (sf0.1: 24 k keys → 7.5 M pre-distinct
+      // pairs), so the whole candidate join + distinct ran on ONE
+      // core. Coalescing decides on map-output size and cannot see
+      // the fan-out; pinning keeps the join spread across the
+      // session's cores. defaultParallelism is environment-derived
+      // (local cores here, executors×cores on a cluster), not a
+      // local-mode constant.
+      .repartition(e.sparkSession.sparkContext.defaultParallelism,
+        col("tbl"), col("bkt"))
   }
 
   /** (tbl, bkt, extra) for buckets whose population exceeds
@@ -655,7 +671,13 @@ object Dedup {
       probeUnion: Boolean = false,
       probeSub2: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions._
-    val e = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    // spread BEFORE the banding/refinement maps: tables×planes dot
+    // products per row fused onto a one-row-group parquet scan would
+    // otherwise run on a single core (guide §2.5 unsplittable input;
+    // measured at sf0.1: the q65 candidate stage 3.9 s → 1.7 s,
+    // candidate set bit-identical). No-op on many-split inputs.
+    val e = graft.Tables.spread(emb)
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
     // Adaptive path: element-wise corpus mean (for the centered
     // refinement planes), dimension count, and corpus size all come
     // out of ONE posexplode scan + 64-ish-row partial agg — dims is

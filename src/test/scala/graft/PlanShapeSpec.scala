@@ -432,9 +432,16 @@ class PlanShapeSpec extends SparkSpec {
     // below the exchange) silently multiplies the scan — this is the
     // regression lock for that.
     val p = SparkEntry.queries("q6f_dedup_adaptive")(spark, sf).queryExecution.sparkPlan
+    // REPARTITION_BY_NUM since the r13 optimization round: the pinned
+    // partition count stops AQE coalescing the tiny-bytes compact
+    // exchange to ~1 partition and single-threading the 300×-fan-out
+    // pair join hanging off it (map-output-size coalescing cannot see
+    // join fan-out). BY_COL would mean the pin regressed.
     val rep = p.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-          if e.shuffleOrigin.toString == "REPARTITION_BY_COL" => e
+          if e.shuffleOrigin.toString == "REPARTITION_BY_NUM" &&
+            e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
     }
     assert(rep.size >= 2, s"expected the shared repartition on both join sides, got ${rep.size}")
     val canon = rep.map(_.canonicalized.semanticHash()).distinct
