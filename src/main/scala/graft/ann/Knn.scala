@@ -60,7 +60,11 @@ object Knn {
     */
   private[graft] val SearchTau = 0.3
 
-  /** Corpus with per-row norm; queries are the vec_id < 10 slice. */
+  /** Corpus with per-row norm; queries are the vec_id < 10 slice.
+    * (deliberately NOT spread: measured at sf0.1, the round-robin
+    * exchange costs more than the single-task per-row map saves on
+    * result-bounded ANN queries — see OPTIMIZATION_r13.md.)
+    */
   private def corpus(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))

@@ -51,9 +51,17 @@ object Dedup {
     * explode-then-aggregate semantics.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 3, perms: Int = 64): DataFrame =
+    // NO isNotNull filter on sig (r13 optimization): pushdown
+    // substituted the alias and planted a SECOND full
+    // minhash(shingles(text)) evaluation in the scan's DataFilters —
+    // doubling the family's dominant per-row compute. Null signatures
+    // (docs with < k tokens) now ride along and drop in
+    // [[bandedKeys]]' generator (band_hashes is null-intolerant, the
+    // outer-explode filter removes the synthetic row), which is every
+    // consumer's next step — the row set any join/banding consumer
+    // sees is unchanged.
     docs
       .select(col("doc_id"), minhashSig(shingleHashes(col("text"), k), perms).as("sig"))
-      .filter(col("sig").isNotNull)
 
   /** LSH banding: hash each (band, r-slice of signature) to a bucket,
     * self-join on the bucket key, keep ordered distinct pairs. bands=32,
@@ -72,11 +80,20 @@ object Dedup {
     * key pair per band per doc, computed by a narrow codegen map.
     */
   def bandedKeys(sig: DataFrame, bands: Int = LshBands, rows: Int = LshRows): DataFrame =
+    // posexplode_OUTER + null filter on the OUTPUT (the q6h lesson):
+    // plain posexplode lets InferFiltersFromGenerate plant
+    // isnotnull/size filters on band_hashes(sig) — which pushdown
+    // rewrites through the sig alias into EXTRA full
+    // minhash(shingles(text)) evaluations inside the scan. The outer
+    // form infers nothing; the bh-null filter drops exactly the
+    // synthetic rows outer-explode adds for null sigs (band array is
+    // containsNull=false), so the row set is identical.
     sig
       .select(col("doc_id"),
-        posexplode(call_function("graft_band_hashes", col("sig"), lit(bands), lit(rows))))
+        posexplode_outer(call_function("graft_band_hashes", col("sig"), lit(bands), lit(rows))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bh")
+      .filter(col("bh").isNotNull)
 
   def lshCandidates(sig: DataFrame, bands: Int = LshBands, rows: Int = LshRows): DataFrame = {
     // ONE materialized banding exchange: as separate trees the two
@@ -84,7 +101,13 @@ object Dedup {
     // minhash + banding maps; repartitioned on the join key once,
     // both sides read the same exchange (ReusedExchange) and the
     // join needs no further shuffle at all.
-    val banded = bandedKeys(sig, bands, rows).repartition(col("band"), col("bh"))
+    // pinned partition count (the refinedCompact rationale): AQE
+    // coalesces this tiny-bytes exchange to ~1 partition by map size
+    // and the self-join's quadratic per-bucket fan-out then runs on
+    // one core
+    val banded = bandedKeys(sig, bands, rows)
+      .repartition(sig.sparkSession.sparkContext.defaultParallelism,
+        col("band"), col("bh"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -1911,9 +1934,15 @@ object Dedup {
     * shingles drop at the scan stage and never ship.
     */
   def contaminated(corpus: DataFrame, benchmark: DataFrame, k: Int = 5): DataFrame = {
+    // outer-explode (the q6h lesson): InferFiltersFromGenerate would
+    // otherwise re-derive the k-gram string builder twice more into
+    // the scan's DataFilters. Identical rows: array_distinct
+    // preserves containsNull=false, so null sh ⇔ the synthetic outer
+    // row for null/short docs.
     def docShingles(df: DataFrame) = df.select(col("doc_id"),
-      explode(array_distinct(
+      explode_outer(array_distinct(
         call_function("graft_shingle_strings", col("text"), lit(k)))).as("sh"))
+      .filter(col("sh").isNotNull)
     val benchSet = docShingles(benchmark).select("sh").distinct()
     docShingles(corpus)
       .join(broadcast(benchSet), "sh")
@@ -1964,13 +1993,15 @@ object Dedup {
     * No step is ever pairwise.
     */
   def passageDedup(docs: DataFrame, width: Int = 10, maxDupFrac: Double = 0.5): DataFrame = {
+    // outer-explode (the q6h lesson; see contaminated)
     val passages = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(when(size(col("toks")) >= width,
+        explode_outer(when(size(col("toks")) >= width,
           transform(sequence(lit(0), floor(size(col("toks")) / width).cast("int") - 1),
             j => md5(concat_ws(" ", slice(col("toks"), j * width + 1, lit(width))).cast("binary"))))
           .otherwise(typedLit(Array.empty[String]))).as("phash"))
+      .filter(col("phash").isNotNull)
     // only the duplicated hashes join back (typically a small fraction
     // of distinct passages), and the count itself never ships — a
     // passage is "dup" iff its hash appears in this set

@@ -266,9 +266,15 @@ object Sketches {
       hashBound: Option[String] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"corpusMinhashOverlap: k must be positive, got $k")
+    // outer-explode (the q6h lesson): keeps InferFiltersFromGenerate
+    // from planting two extra shingle_strings evaluations in the
+    // scan's DataFilters (the null filter on the OUTPUT column drops
+    // exactly the synthetic null rows; the array is
+    // containsNull=false).
     val h = docs
       .select(col("source"),
-        explode(call_function("graft_shingle_strings", col("text"), lit(3))).as("g"))
+        explode_outer(call_function("graft_shingle_strings", col("text"), lit(3))).as("g"))
+      .filter(col("g").isNotNull)
       .select(col("source"), md5(col("g")).as("h"))
       .distinct()
     val ranked = hashBound.fold(h)(b => h.filter(col("h") < lit(b)))
@@ -353,9 +359,11 @@ object Sketches {
       hashBound: Option[String] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"estimatedOverlap: k must be positive, got $k")
+    // outer-explode — see corpusMinhashOverlap
     val h = docs
       .select(col("source"),
-        explode(call_function("graft_shingle_strings", col("text"), lit(3))).as("g"))
+        explode_outer(call_function("graft_shingle_strings", col("text"), lit(3))).as("g"))
+      .filter(col("g").isNotNull)
       .select(col("source"), md5(col("g")).as("h"))
       .distinct()
     val sig = hashBound.fold(h)(b => h.filter(col("h") < lit(b)))

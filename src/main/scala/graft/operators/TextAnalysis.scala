@@ -174,7 +174,11 @@ object TextAnalysis {
     "q84_ngram_vocab",
     (s, d) =>
       Tables.documents(s, d)
-        .select(explode(call_function("graft_shingle_strings", col("text"), lit(2))).as("bigram"))
+        // outer-explode + null filter: stops InferFiltersFromGenerate
+        // planting two extra shingle_strings evaluations in the scan
+        // (the q6h lesson)
+        .select(explode_outer(call_function("graft_shingle_strings", col("text"), lit(2))).as("bigram"))
+        .filter(col("bigram").isNotNull)
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
@@ -612,11 +616,17 @@ object TextAnalysis {
     * final double division by the bigram count.
     */
   def lmScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val bigrams = docs.select(col("doc_id"),
-      explode(call_function("graft_shingle_strings", col("text"), lit(2))).as("bigram"))
+    // outer-explode on both tokenizing scans (the q6h lesson — see
+    // contaminated); the final per-doc left join keeps the cheap id
+    // scan
+    val fanned = docs
+    val bigrams = fanned.select(col("doc_id"),
+      explode_outer(call_function("graft_shingle_strings", col("text"), lit(2))).as("bigram"))
+      .filter(col("bigram").isNotNull)
     val bigramCounts = bigrams.groupBy("bigram").agg(count(lit(1)).as("cb"))
-    val unigramCounts = docs
-      .select(explode(tokens(col("text"))).as("w"))
+    val unigramCounts = fanned
+      .select(explode_outer(tokens(col("text"))).as("w"))
+      .filter(col("w").isNotNull)
       .groupBy("w").agg(count(lit(1)).as("cu"))
     val model = bigramCounts
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
