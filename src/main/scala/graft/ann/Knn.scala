@@ -177,14 +177,20 @@ object Knn {
         lit(0).as("tbl"), lit(0L).as("bkt")).filter(lit(false))
     val d = dOpt.get
     val hp = hyperplanes(tables, planes, d, seed)
-    def bucketOf(t: Int): Column = (0 until planes)
-      .map(j => when(dotD(col("embedding"), typedLit(hp(t)(j))) > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
+    // ONE codegen'd pass computes every table's bucket (r13
+    // optimization): the old per-(table, plane) when(graft_dot(emb,
+    // typedLit) > 0) forest built tables×planes separate 64-element
+    // literals — a plan (and task binary) that grew to ~1 MB and a
+    // fold that re-read the ArrayData once per plane expression.
+    // graft_lsh_buckets carries the flattened matrix as one plan
+    // constant and emits bit-identical buckets (same per-plane
+    // sequential dot fold, Spark's NaN-greatest compare, null/
+    // mismatched-width rows still land in bucket 0 of every table).
+    val allBuckets = call_function("graft_lsh_buckets", col("embedding"),
+      typedLit(hp.flatten.map(_.toSeq).toSeq), typedLit(Seq.fill(tables * planes)(0.0)),
+      lit(planes))
     e.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("tbl"), bucketOf(t).as("bkt"))): _*)).as("e"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("e.tbl").as("tbl"), col("e.bkt").as("bkt"))
+      posexplode(allBuckets).as(Seq("tbl", "bkt")))
   }
 
   /** LSH ANN: queries meet corpus rows via a shuffle on the small

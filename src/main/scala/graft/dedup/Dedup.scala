@@ -552,8 +552,6 @@ object Dedup {
     // exactly like divergent pruning does. Stating it once here keeps
     // all four subtrees bit-identical (inference adds nothing when
     // the filter already exists).
-    val banded = graft.ann.Knn.lshTables(
-      e.filter(col("vec_id").isNotNull), g.tables, g.planes, seed = 7, dims = Some(dims))
     require(maxExtra > 0, s"refinedCompact needs maxExtra > 0 (got $maxExtra) — " +
       "use the plain path (maxBucket <= 0) when no split bits are wanted")
     val rnd = new scala.util.Random(7 * 1327 + 13)
@@ -561,13 +559,37 @@ object Dedup {
       IndexedSeq.fill(g.tables)(IndexedSeq.fill(maxExtra)(Seq.fill(dims)(rnd.nextGaussian())))
     def thresh(t: Int, j: Int): Double =
       xp(t)(j).iterator.zip(center.iterator).map { case (a, b) => a * b }.sum
-    def xbitsOf(t: Int): Column = (0 until maxExtra)
-      .map(j => when(dotD(col("embedding"), typedLit(xp(t)(j))) > lit(thresh(t, j)), lit(1L << j))
-        .otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    banded
-      .withColumn("xbits", coalesce((0 until g.tables).map(t => when(col("tbl") === t, xbitsOf(t))): _*))
-      .select("vec_id", "tbl", "bkt", "xbits")
+    // Bucket keys AND refinement bits in TWO single-pass matrix
+    // expressions on the UNEXPLODED row, zipped and exploded once
+    // (r13 optimization): the old shape exploded first and evaluated
+    // a coalesce-of-whens over per-(table, bit) dot literals — the
+    // matching table's maxExtra folds per exploded row, each
+    // re-reading the ArrayData, inside a 96-branch codegen tree and
+    // a megabyte of plan literals. Same banding draw (seed 7, the
+    // lshTables fill order), same centered sign rule (Double.compare
+    // ≡ GreaterThan, per-plane thresholds), so (tbl, bkt, xbits) are
+    // bit-identical row for row.
+    val hpB = graft.ann.Knn.hyperplanes(g.tables, g.planes, dims, seed = 7)
+    val bktArr = call_function("graft_lsh_buckets", col("embedding"),
+      typedLit(hpB.flatten.map(_.toSeq).toSeq),
+      typedLit(Seq.fill(g.tables * g.planes)(0.0)), lit(g.planes))
+    val xbArr = call_function("graft_lsh_buckets", col("embedding"),
+      typedLit(xp.flatten.map(_.toSeq).toSeq),
+      typedLit((for (t <- 0 until g.tables; j <- 0 until maxExtra) yield thresh(t, j)).toSeq),
+      lit(maxExtra))
+    e.filter(col("vec_id").isNotNull)
+      .select(col("vec_id"),
+        posexplode(arrays_zip(bktArr.as("bkt"), xbArr.as("xbits"))).as(Seq("tbl", "z")))
+      .select(col("vec_id"), col("tbl"), col("z.bkt").as("bkt"), col("z.xbits").as("xbits"))
+      // vacuous but CANONICALIZATION-CRITICAL (the vec_id-filter
+      // lesson one block up): arrays_zip types its struct fields
+      // nullable (it pads unequal lengths — never happens here, both
+      // arrays are tables-long), so the pair join INFERS
+      // isnotnull(bkt)/isnotnull(sub→xbits) into its two sides only;
+      // stating the filters once below the exchange keeps all four
+      // consumer subtrees bit-identical so they share ONE
+      // materialized exchange.
+      .filter(col("bkt").isNotNull && col("xbits").isNotNull)
       // PINNED partition count (REPARTITION_BY_NUM): with the column
       // form, AQE coalesces this compact exchange to ~1 partition by
       // its tiny MAP bytes (~32 B/row) — and the pair join hanging off
@@ -701,13 +723,23 @@ object Dedup {
     // candidate set bit-identical). No-op on many-split inputs.
     val e = graft.Tables.spread(emb)
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    // The small GEOMETRY jobs (stats scan, count, dims head) run on
+    // the UNSPREAD projection: they are timed per query invocation,
+    // and paying spread's round-robin exchange inside each of them
+    // (count alone went scan-only → scan+exchange) costs more than
+    // their single-task scans do. Values are unchanged — count and
+    // the per-dimension mean are partition-independent aggregates up
+    // to the mean's double fold order (the centered-plane thresholds
+    // re-verified hash-green at all three scales after this move),
+    // and dims is the corpus' uniform embedding width.
+    val e0 = emb.select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
     // Adaptive path: element-wise corpus mean (for the centered
     // refinement planes), dimension count, and corpus size all come
     // out of ONE posexplode scan + 64-ish-row partial agg — dims is
     // the stats row count, n is any position's count.
     val stats: Array[(Double, Long)] =
       if (maxBucket <= 0 || maxExtra <= 0) Array.empty
-      else e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      else e0.select(posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("pos").agg(avg("v").as("m"), count(lit(1)).as("n")).orderBy("pos")
         .collect().map(r => (r.getDouble(1), r.getLong(2)))
     // tables/planes = 0 (the defaults) resolve from corpus size and τ
@@ -720,7 +752,7 @@ object Dedup {
     // pinned one — planes=8 with auto tables gets the 8-plane table
     // count, never the 4-plane one.
     val g = graft.ann.LshGeometry.resolve(
-      if (stats.nonEmpty) stats.head._2 else e.count(), tau, tables, planes, probe1)
+      if (stats.nonEmpty) stats.head._2 else emb.count(), tau, tables, planes, probe1)
     // Candidate stage carries ONLY compact keys: the banding shuffle
     // and the bucket self-join never ship embedding arrays.
     val cand = (if (stats.nonEmpty) {
@@ -763,7 +795,11 @@ object Dedup {
       // side either way; when its input is expensive the caller
       // stages it (collapsedNearDups stages the collapse, q6f's
       // adaptive path materializes refinedCompact).
-      val banded = graft.ann.Knn.lshTables(e, g.tables, g.planes, seed = 7)
+      // dims from the unspread projection: lshTables' own embDims
+      // head(1) on the SPREAD frame would materialize the round-robin
+      // shuffle just to read one row
+      val banded = graft.ann.Knn.lshTables(e, g.tables, g.planes, seed = 7,
+          dims = graft.ann.Knn.embDims(e0))
         .select("vec_id", "tbl", "bkt")
       val probedA = if (!g.probe1) banded else graft.ann.Knn.probe1Expand(banded, g.planes)
       val a = probedA.as("a")

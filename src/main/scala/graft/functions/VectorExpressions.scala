@@ -262,6 +262,121 @@ case class ArgMinCell(child: Expression, cents: Seq[Seq[Double]]) extends UnaryE
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Static twin of [[LshBuckets]]' loop — all `tables` bucket keys of
+  * one embedding in ONE pass over the plane matrix (same pattern as
+  * [[ArgMinHelper]]).
+  */
+object LshBucketHelper {
+  /** planes: (tables·perTable) rows × dims, tables-outer/planes-inner
+    * (the [[graft.ann.Knn.hyperplanes]] fill order); thresh: one
+    * centering offset per plane row (all-zero for plain banding).
+    * Bit j of table t is set iff dot(x, planes(t·perTable+j)) >
+    * thresh(t·perTable+j) under SPARK's comparison (Double.compare —
+    * NaN-greatest, exactly GreaterThan's ordering, so a NaN element
+    * flips the same bits the old when(dotD > lit) tree did). A row
+    * whose length differs from the plane width gets bucket 0 in
+    * every table — the old tree's dotD returned NULL there and
+    * when().otherwise(0) landed on 0.
+    */
+  def buckets(
+      x: ArrayData, planes: Array[Array[Double]], thresh: Array[Double],
+      perTable: Int, isFloat: Boolean): Array[Long] = {
+    val tables = planes.length / perTable
+    val out = new Array[Long](tables)
+    val n = x.numElements()
+    if (planes.length == 0 || n != planes(0).length) return out
+    var t = 0
+    while (t < tables) {
+      var bkt = 0L
+      var j = 0
+      while (j < perTable) {
+        val p = planes(t * perTable + j)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          acc += (if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)) * p(i)
+          i += 1
+        }
+        if (java.lang.Double.compare(acc, thresh(t * perTable + j)) > 0) bkt |= 1L << j
+        j += 1
+      }
+      out(t) = bkt
+      t += 1
+    }
+    out
+  }
+}
+
+/** `graft_lsh_buckets(embedding, planes, thresholds, planes_per_table)`
+  * — ALL LSH table buckets of a row in one codegen'd pass.
+  *
+  * Replaces the tables×planes separate `when(graft_dot(emb, lit) > t)`
+  * expression trees the banding used to build: one plan constant
+  * (the flattened plane matrix) instead of 48–144 64-element array
+  * literals, one traversal of the embedding per plane instead of a
+  * separate codegen'd fold re-reading the ArrayData per (table,
+  * plane), and a plan/task-binary small enough to stop the
+  * "Broadcasting large task binary" warnings the literal forest
+  * caused. NULL-TOLERANT BY CONTRACT: a null embedding banded to
+  * bucket 0 in every table under the old tree (dotD null →
+  * when().otherwise(0)), so this returns the all-zero bucket array
+  * for null input rather than null — the banded row set is
+  * bit-identical.
+  */
+case class LshBuckets(
+    child: Expression, planes: Seq[Seq[Double]], threshs: Seq[Double],
+    perTable: Int) extends UnaryExpression {
+  require(perTable >= 1 && planes.nonEmpty && planes.length % perTable == 0,
+    s"plane matrix rows (${planes.length}) must be a positive multiple of planes_per_table ($perTable)")
+  require(threshs.length == planes.length,
+    s"one threshold per plane row: got ${threshs.length} for ${planes.length} rows")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_lsh_buckets"
+
+  private lazy val planeArr: Array[Array[Double]] = planes.map(_.toArray).toArray
+  private lazy val threshArr: Array[Double] = threshs.toArray
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def zeros: Array[Long] = new Array[Long](planes.length / perTable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val arr =
+      if (v == null) zeros
+      else LshBucketHelper.buckets(v.asInstanceOf[ArrayData], planeArr, threshArr,
+        perTable, isFloat)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    val pRef = ctx.addReferenceObj("planes", planeArr, "double[][]")
+    val tRef = ctx.addReferenceObj("threshs", threshArr, "double[]")
+    val arr = ctx.freshName("bkts")
+    val nTables = (planes.length / perTable).toString
+    val perT = perTable.toString
+    val isF = isFloat.toString
+    ev.copy(
+      code = code"""
+        ${c.code}
+        long[] $arr;
+        if (${c.isNull}) {
+          $arr = new long[$nTables];
+        } else {
+          $arr = graft.functions.LshBucketHelper.buckets(
+            ${c.value}, $pRef, $tRef, $perT, $isF);
+        }
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Per-session registration so `functions.call_function` can resolve
   * the graft expressions by name (called idempotently from
   * [[graft.Tables.load]], the chokepoint every query passes through).
@@ -281,6 +396,15 @@ object VectorExpressions {
       val row = ad.getArray(i)
       (0 until row.numElements()).map(row.getDouble).toSeq
     }
+  }
+
+  /** Evaluate a foldable array<double> argument (a `typedLit`
+    * threshold vector) to its Scala form at plan-build time.
+    */
+  private def litVec(e: Expression): Seq[Double] = {
+    require(e.foldable, "threshold vector must be a literal")
+    val ad = e.eval().asInstanceOf[ArrayData]
+    (0 until ad.numElements()).map(ad.getDouble).toSeq
   }
 
   /** Evaluate a foldable array<array<string>> argument (a `typedLit`
@@ -313,6 +437,9 @@ object VectorExpressions {
       es => HasNullElem(es.head)),
     ("graft_argmin_cell", "_FUNC_(a, cents) - index of nearest centroid in a literal matrix",
       es => ArgMinCell(es(0), litMatrix(es(1)))),
+    ("graft_lsh_buckets",
+      "_FUNC_(a, planes, thresholds, planes_per_table) - all LSH table buckets in one pass",
+      es => LshBuckets(es(0), litMatrix(es(1)), litVec(es(2)), litInt(es(3)))),
     ("graft_shingle_hashes", "_FUNC_(text, k) - distinct xxhash64 word k-shingles",
       es => ShingleHashes64(es(0), litInt(es(1)))),
     ("graft_minhash", "_FUNC_(shingles, perms) - MinHash signature",

@@ -362,22 +362,15 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     // the corpus buckets must arrive from the persisted parquet index...
     assert(p.contains("vecindex-lock"), s"stored vector index not scanned:\n$p")
-    // ...and hyperplane banding runs on the BATCH side only: bucketOf
-    // emits planes graft_dot calls per table, so the ingest plan must
-    // contain exactly the batch-banding dot count plus ONE for the
-    // verify cosine — a re-banded corpus would double the banding term
-    val g = dedup.Dedup.vecIndexGeometry(spark, root)
-    val (tables, planes, dims) = (g.tables, g.planes, g.dims)
-    val bN = batch.select(col("vec_id"), col("embedding"),
-      graft.functions.VectorFunctions.norm2(col("embedding")).as("nrm"))
-    val batchOnly = ann.Knn.lshTables(bN, tables, planes, seed = 7, dims = Some(dims))
-      .queryExecution.executedPlan.toString
-    val nBatch = "graft_dot".r.findAllIn(batchOnly).length
-    val nIngest = "graft_dot".r.findAllIn(p).length
-    assert(nBatch === tables * planes, s"unexpected banding dot count:\n$batchOnly")
-    assert(nIngest === nBatch + 1,
-      s"ingest computes $nIngest graft_dot vs ${nBatch + 1} expected " +
-        s"(batch banding + verify cosine) - corpus is being re-banded:\n$p")
+    // ...and hyperplane banding runs on the BATCH side only: since
+    // the r13 optimization round banding is ONE graft_lsh_buckets
+    // matrix expression per banded frame (not tables×planes
+    // graft_dot literals), so the ingest plan must contain exactly
+    // ONE banding call — a re-banded corpus would show a second
+    val nIngest = "graft_lsh_buckets".r.findAllIn(p).length
+    assert(nIngest === 1,
+      s"ingest computes $nIngest graft_lsh_buckets vs 1 expected " +
+        s"(batch banding only) - corpus is being re-banded:\n$p")
   }
 
   test("q6c default: bucketed incremental vec dedup - batch broadcasts, no cross join") {
