@@ -117,9 +117,21 @@ object Tables {
     * different, equally valid representative on mixed-width corpora).
     */
   def spread(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
+    val want = pinnedParallelism(df.sparkSession)
     if (df.rdd.getNumPartitions * 2 <= want) df.repartition(want) else df
   }
+
+  /** The partition count for pinned (AQE-uncoalescible) repartitions
+    * ahead of huge join fan-outs. `spark.sql.shuffle.partitions` —
+    * stable at plan-build time — rather than
+    * `sparkContext.defaultParallelism`, which on a dynamic-allocation
+    * cluster is evaluated before executors register and can pin
+    * exchanges to a tiny count AQE is then forbidden to fix. Every
+    * graft entry point sets shuffle.partitions to the session's core
+    * count, so the two are identical locally.
+    */
+  def pinnedParallelism(s: SparkSession): Int =
+    s.sessionState.conf.numShufflePartitions
 
   /** Decimal-exact sum reported as double: `CAST(SUM(CAST(x AS
     * DECIMAL(28,scale))) AS DOUBLE)`. Decimal aggregation is exact, so

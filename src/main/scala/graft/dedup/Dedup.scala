@@ -106,7 +106,7 @@ object Dedup {
     // and the self-join's quadratic per-bucket fan-out then runs on
     // one core
     val banded = bandedKeys(sig, bands, rows)
-      .repartition(sig.sparkSession.sparkContext.defaultParallelism,
+      .repartition(graft.Tables.pinnedParallelism(sig.sparkSession),
         col("band"), col("bh"))
     val a = banded.as("a")
     val b = banded.as("b")
@@ -275,7 +275,7 @@ object Dedup {
       // the df ≥ 2 prefix is small in BYTES, AQE would coalesce it to
       // ~1 partition, and the self-join below fans out quadratically
       // per token — the fan-out must stay spread across cores
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+      .repartition(graft.Tables.pinnedParallelism(docs.sparkSession),
         col("tok"))
     // PPJoin positional filter, lossless (Xiao/Wang/Lin/Yu, WWW'08 —
     // public): J ≥ num/den forces overlap o ≥ α := ⌈num·(|A|+|B|) /
@@ -597,10 +597,10 @@ object Dedup {
       // pairs), so the whole candidate join + distinct ran on ONE
       // core. Coalescing decides on map-output size and cannot see
       // the fan-out; pinning keeps the join spread across the
-      // session's cores. defaultParallelism is environment-derived
-      // (local cores here, executors×cores on a cluster), not a
-      // local-mode constant.
-      .repartition(e.sparkSession.sparkContext.defaultParallelism,
+      // session's cores. pinnedParallelism reads
+      // spark.sql.shuffle.partitions — stable at plan time even on a
+      // dynamic-allocation cluster, not a local-mode constant.
+      .repartition(graft.Tables.pinnedParallelism(e.sparkSession),
         col("tbl"), col("bkt"))
   }
 

@@ -61,7 +61,11 @@ class ScaleSmokeSpec extends SparkSpec {
     // every batch doc's exact text sits in the corpus 8 times: every
     // doc that has shingles at all (>= 3 tokens → a signature) must be
     // dropped with at least its 8 identical copies as matches
-    val withSig = Dedup.minhashSignatures(batch).count()
+    // count docs WITH a signature — minhashSignatures no longer drops
+    // null-signature (<3-token) rows itself, so filter here or the
+    // assertion silently depends on the testdata having no short docs
+    val withSig = Dedup.minhashSignatures(batch)
+      .filter(col("sig").isNotNull).count()
     val dropped = rows.filterNot(_.getBoolean(3))
     assert(dropped.length === withSig,
       s"expected all $withSig shingled batch docs dropped, got ${dropped.length}")

@@ -84,6 +84,9 @@ class SketchesSpec extends SparkSpec {
       import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
       val palette = Seq[Expression](
         Literal("x"), Literal(1),
+        // 1-element vector: lets graft_lsh_buckets construct (its
+        // threshold vector must match the 1-row matrix literal below)
+        Literal.create(Seq(1.0), ArrayType(DoubleType)),
         Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType)),
         Literal.create(Seq(Seq(1.0, 2.0)), ArrayType(ArrayType(DoubleType))),
         // [left, right] string pairs — the BPE merge-table shape
