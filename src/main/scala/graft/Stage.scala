@@ -76,6 +76,26 @@ object Stage {
         p
     }
 
+  /** [[apply]] WITHOUT the eager materialization job: persist + track
+    * only, so the FIRST consumer's own job populates the cache while
+    * doing its real work — one full pass over the staged pipeline
+    * instead of two. Correct only when some consumer is guaranteed to
+    * read EVERY partition before the staged frame is assumed
+    * materialized (any aggregate/join over the whole frame does);
+    * callers that need the row count as a side effect keep
+    * [[counted]]. On the reliable-checkpoint path this falls back to
+    * the eager [[apply]] — `checkpoint(eager = false)` would lose the
+    * memo's re-stage-is-a-no-op property mid-flight.
+    */
+  def lazily(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("graft.checkpointDir") match {
+      case Some(_) => apply(df)
+      case None =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        track(p)
+        p
+    }
+
   /** [[apply]] plus the staged row count. On the persist path the
     * eager materialization action doubles as the size probe — no
     * second job runs. On the checkpoint path the count is a separate

@@ -60,6 +60,14 @@ object Dedup {
     // outer-explode filter removes the synthetic row), which is every
     // consumer's next step — the row set any join/banding consumer
     // sees is unchanged.
+    //
+    // NO spread here (r14, measured): corpus-sized CALLERS spread
+    // their input instead (verifiedPairs, incrementalNearDups'
+    // corpus side — 0.49 s → 0.17 s at sf0.1 for the 64-permutation
+    // map). Inside this function the spread hurt the store-write
+    // paths: commitBandIndex inherited 32 output partitions (32 tiny
+    // segment files read back by every ingest), and tiny ingest
+    // batches paid the exchange for nothing — q6b regressed +0.5 s.
     docs
       .select(col("doc_id"), minhashSig(shingleHashes(col("text"), k), perms).as("sig"))
 
@@ -163,9 +171,18 @@ object Dedup {
     * and q66 (which must NOT pay that sort just to build edges).
     */
   def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String, minJ: Double = 0.8): DataFrame = {
-    val sets = Tables.documents(s, d)
-      .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
-    lshCandidates(minhashSignatures(Tables.documents(s, d)))
+    // ONE spread corpus frame feeds the minhash AND both shingle-set
+    // verify sides (r14): the 64-permutation minhash and the 3-shingle
+    // set builder are the family's dominant per-row compute, and fused
+    // onto the single-row-group scan each ran on ONE core (minhash
+    // measured 0.49 s -> 0.17 s at sf0.1); the identical round-robin
+    // subtree under all three consumers plans as one exchange with
+    // ReusedExchange, so the corpus is scanned and exchanged once. A
+    // no-op on multi-split inputs (spread's 2x guard); signatures and
+    // per-row shingle sets are row-order-insensitive.
+    val docs = graft.Tables.spread(Tables.documents(s, d))
+    val sets = docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+    lshCandidates(minhashSignatures(docs))
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
@@ -228,6 +245,9 @@ object Dedup {
     // isnotnull(sh) AND size(sh)>0 through the alias into two extra
     // graft_shingle_hashes(text) evaluations inside every scan's
     // DataFilters, on top of the projection's own.
+    // NOT spread (r14, measured): q6h regressed +0.34 s with a spread
+    // input — the downstream prefix window/join exchanges dominate and
+    // the round-robin exchange of text only adds a stage.
     val sets = docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
     // explode_OUTER + tok-not-null, not plain explode: Catalyst's
     // InferFiltersFromGenerate rewrites explode(sh) into
@@ -1146,12 +1166,24 @@ object Dedup {
     val keyed = rows.filter(validEmb)
       .withColumn("gk1", xxhash64(col("embedding")))
       .withColumn("gk2", hash(col("embedding")))
-    val (groups, nReps) = graft.Stage.counted(
+    val groups = graft.Stage.lazily(
       keyed
         .groupBy(col("gk1"), col("gk2"), col("embedding"))
         .agg(min("vec_id").as("rep"))
         .select(col("gk1"), col("gk2"), col("rep"), col("embedding"),
           norm2(col("embedding")).as("nrm")))
+    // ONE probe job materializes the staged groups (lazily — its own
+    // aggregate is the first full pass) AND answers both driver
+    // questions the old shape paid two jobs for: the rep count (cell
+    // sizing) and the 96-bit hash-pair collision flag (see the member
+    // join below). coalesce: an empty corpus aggregates to nulls, and
+    // the zero count must flow to the same loud no-scorable-rows
+    // error the old count-then-probe shape raised.
+    val probeRow = groups.groupBy("gk1", "gk2").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum("c"), lit(0L)).as("n"), coalesce(max("c"), lit(0L)).as("mx"))
+      .head()
+    val nReps = probeRow.getLong(0)
+    val collided = probeRow.getLong(1) > 1L
     val reps = groups.select(col("rep").as("vec_id"), col("embedding"), col("nrm"))
     val cents = graft.ann.Knn.ivfCentroids(reps, iters, cells, knownN = nReps, md5Seed = md5Seed)
     val cap =
@@ -1174,14 +1206,11 @@ object Dedup {
     // A 96-bit pair shared by two DISTINCT vectors would make the
     // hash-keyed member join ambiguous: every member of both groups
     // fans out into duplicate verdicts (one with a wrong dup_of), and
-    // the caller's verdict join fans out with it — silently. Probe the
-    // STAGED groups for colliding keys first (one partial-agg job over
-    // distinct reps, limit 1); on the ~n²/2⁹⁶ hit the member join
-    // widens to the embedding VALUE — exact, at the cost of shipping
-    // arrays on the member side of that one join, paid only when the
-    // collision actually exists.
-    val collided = groups.groupBy("gk1", "gk2").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).limit(1).collect().nonEmpty
+    // the caller's verdict join fans out with it — silently.
+    // `collided` (from the fused probe job above) flags the ~n²/2⁹⁶
+    // hit; the member join then widens to the embedding VALUE —
+    // exact, at the cost of shipping arrays on the member side of
+    // that one join, paid only when the collision actually exists.
     // expand rep verdicts to members: the (hash-key → rep) join ships
     // only (vec_id, gk1, gk2) — 24 bytes per member, never an array —
     // and the verdict join is compact (vec_id, rep) × distinct-sized
@@ -1579,7 +1608,18 @@ object Dedup {
     import spark.implicits._
     val e = corpus.select(col("vec_id"), col("embedding"),
       graft.functions.VectorFunctions.norm2(col("embedding")).as("nrm"))
-    val dims = graft.ann.Knn.embDims(e)
+    // ONE aggregate job answers BOTH geometry inputs the solver needs
+    // — the corpus count and the embedding width — where the old
+    // shape paid a head() job (embDims) plus a count() job over the
+    // same scan. first(when(scorable, size), ignoreNulls) reproduces
+    // embDims' first-scorable-row rule; on a mixed-width corpus the
+    // representative can differ by partition order, which embDims
+    // already documents as an equally valid choice.
+    val statsRow = e.agg(
+      count(lit(1)).as("n"),
+      first(when(graft.functions.VectorFunctions.scorableEmb(col("embedding")),
+        size(col("embedding"))), ignoreNulls = true).as("d")).head()
+    val dims = if (statsRow.isNullAt(1)) None else Some(statsRow.getInt(1))
     // a data-derived geometry needs data: pinning dims=0 from an empty
     // (or all-null-embedding) corpus would degenerate every future
     // ingest to one bucket
@@ -1589,7 +1629,7 @@ object Dedup {
     // the decision is pinned in the sidecar and every ingest honors
     // it, so an index built for exact-recall screening (q6d's oracle
     // operating point) keeps that property across its whole life.
-    val g = graft.ann.LshGeometry.resolve(e.count(), tau, tables, planes, probe1 = probe1)
+    val g = graft.ann.LshGeometry.resolve(statsRow.getLong(0), tau, tables, planes, probe1 = probe1)
     val v = graft.sources.Snapshots.commit(
       graft.ann.Knn.lshTables(e, g.tables, g.planes, seed = 7, dims = dims)
         .select("vec_id", "tbl", "bkt"),
@@ -1605,13 +1645,79 @@ object Dedup {
 
   private def geomPath(root: String, v: Long): String = s"$root/_geom/v$v"
 
+  /** Published-geometry memo: a (root, version) sidecar is immutable
+    * once published (never overwritten — the read gate's whole
+    * premise), so one filesystem read per JVM serves every later
+    * ingest/serve lookup of the same index version. The q6d lifecycle
+    * alone reads the same geometry three times without this.
+    */
+  private val geomMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), VecIndexGeom]()
+
+  /** The sidecar is a one-line JSON FILE written driver-side: the old
+    * 1-row parquet sidecar cost a full Spark write job per publish
+    * and a read job per geometry load — pure scheduler overhead for
+    * five scalars. Written to a temp name and renamed into place, so
+    * the existence check ([[hasGeom]]) that gates snapshot adoption
+    * can never observe a half-written sidecar; rename-to-existing
+    * fails, preserving the never-overwritten contract. Old parquet
+    * sidecars (directories) stay readable forever — see [[readGeom]].
+    */
   private def writeGeom(
       spark: org.apache.spark.sql.SparkSession,
       root: String, v: Long, g: VecIndexGeom): Unit = {
-    import spark.implicits._
-    Seq((g.tables, g.planes, g.dims, g.tau, g.probe1))
-      .toDF("tables", "planes", "dims", "tau", "probe1")
-      .write.parquet(geomPath(root, v))
+    val p = new org.apache.hadoop.fs.Path(geomPath(root, v))
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$root/_geom/.tmp-v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+    val json = String.format(java.util.Locale.ROOT,
+      """{"tables":%d,"planes":%d,"dims":%d,"tau":%s,"probe1":%b}""",
+      Int.box(g.tables), Int.box(g.planes), Int.box(g.dims),
+      g.tau.toString, Boolean.box(g.probe1))
+    val out = f.create(tmp, false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, p)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"geometry sidecar for v$v of $root already exists (sidecars are never overwritten)")
+    }
+    geomMemo.put((root, v), g)
+    ()
+  }
+
+  /** Read one version's geometry: memo → JSON file → (back-compat)
+    * the pre-r14 1-row parquet directory form.
+    */
+  private def readGeom(
+      spark: org.apache.spark.sql.SparkSession, root: String, v: Long): VecIndexGeom = {
+    val key = (root, v)
+    val hit = geomMemo.get(key)
+    if (hit != null) return hit
+    val p = new org.apache.hadoop.fs.Path(geomPath(root, v))
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val g =
+      if (f.getFileStatus(p).isDirectory) {
+        // pre-r14 sidecar: a 1-row parquet directory
+        val r = spark.read.parquet(geomPath(root, v)).head()
+        VecIndexGeom(r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getBoolean(4))
+      } else {
+        val in = f.open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        org.json4s.jackson.JsonMethods.parse(txt) match {
+          case o: org.json4s.JObject =>
+            implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+            VecIndexGeom(
+              (o \ "tables").extract[Int], (o \ "planes").extract[Int],
+              (o \ "dims").extract[Int], (o \ "tau").extract[Double],
+              (o \ "probe1").extract[Boolean])
+          case other => throw new IllegalStateException(
+            s"malformed geometry sidecar $p: $other")
+        }
+      }
+    geomMemo.put(key, g)
+    g
   }
 
   private def hasGeom(spark: org.apache.spark.sql.SparkSession, root: String, v: Long): Boolean = {
@@ -1667,8 +1773,7 @@ object Dedup {
   /** The pinned build-time geometry of the index at `root`. */
   def vecIndexGeometry(spark: org.apache.spark.sql.SparkSession, root: String): VecIndexGeom = {
     val (baseV, _) = vecBaseVersion(spark, root)
-    val r = spark.read.parquet(geomPath(root, baseV)).head()
-    VecIndexGeom(r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getBoolean(4))
+    readGeom(spark, root, baseV)
   }
 
   /** Base segment + subsequent DELTAS as one narrow union — shared by
@@ -2107,7 +2212,11 @@ object Dedup {
     */
   def incrementalNearDups(batch: DataFrame, corpus: DataFrame, minJ: Double = 0.8): DataFrame = {
     val incBands = bandedKeys(minhashSignatures(batch)).withColumnRenamed("doc_id", "inc_id")
-    val corpBands = bandedKeys(minhashSignatures(corpus)).withColumnRenamed("doc_id", "corp_id")
+    // corpus side spread (r14): the corpus-sized minhash map must not
+    // run single-task on a one-row-group scan (verifiedPairs'
+    // rationale); the tiny batch side is left alone.
+    val corpBands = bandedKeys(minhashSignatures(graft.Tables.spread(corpus)))
+      .withColumnRenamed("doc_id", "corp_id")
     val cand = broadcast(incBands).join(corpBands, Seq("band", "bh"))
       .select("inc_id", "corp_id").distinct()
     val hits = jaccardVerified(
@@ -2502,6 +2611,9 @@ object Dedup {
 
   private val q6a = Qdef(
     "q6a_dedup_blocked_edit",
+    // NOT spread (r14, measured): +0.56 s — the normalization regexes
+    // are cheap next to the blocked levenshtein join, and the exchange
+    // of text split the fused scan+collapse partial agg.
     (s, d) => collapsedEditDups(Tables.documents(s, d)).orderBy("rep_a", "rep_b"),
     Some("""WITH n AS (SELECT doc_id,
                    substr(trim(regexp_replace(lower(regexp_replace(text, '[^\x09\x0A\x0D\x20-\x7E]', '?', 'g')),

@@ -36,7 +36,7 @@ import org.apache.spark.sql.functions._
 object Curate {
 
   /** q82's quality + q81's language scores in one annotation pass. */
-  private def annotated(docs: DataFrame): DataFrame = {
+  private[graft] def annotated(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     docs
       .select(col("doc_id"), col("source"), col("text"),
@@ -70,6 +70,10 @@ object Curate {
       docs: DataFrame,
       minQuality: Double = 0.12,
       lang: String = "en"): DataFrame = {
+    // NOT spread (r14, measured twice): parallelizing the annotation
+    // costs more than it saves here — the round-robin exchange ships
+    // the text payload and splits the fused scan+partial-agg stage;
+    // qa0/qa2/qa3 each regressed 0.1-0.8 s with a spread input.
     val kept = annotated(docs)
       .filter(col("quality") >= minQuality && col("pred_lang") === lang)
     // q61's survivor rule (min doc_id per normalized digest) in one
@@ -177,8 +181,11 @@ object Curate {
     // localCheckpoint: the curated corpus survives executor loss
     // (lineage-preserving persist, or a reliable checkpoint when
     // graft.checkpointDir is set) instead of living unreplicated in
-    // executor storage.
-    val c = graft.Stage(curated(docs, minQuality, lang))
+    // executor storage. `lazily`: semanticDedup's first probe job
+    // aggregates over the survivors' semi-join, reading (and thereby
+    // caching) every curated partition — an eager count here would be
+    // a SECOND full pass over the annotation+dedup pipeline.
+    val c = graft.Stage.lazily(curated(docs, minQuality, lang))
     val survivors = emb.select(col("vec_id"), col("embedding"))
       .join(c.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
     val verdicts = graft.dedup.Dedup

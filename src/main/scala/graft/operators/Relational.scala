@@ -52,7 +52,12 @@ object Relational {
   val q03 = Qdef(
     "q03_agg_group",
     (s, d) =>
-      Tables.lineitem(s, d)
+      // spread (r14): eight decimal-exact aggregates fused onto a
+      // single-row-group scan ran on ONE core — measured 1.6 s → 0.9 s
+      // at sf0.1 including the round-robin exchange; a no-op on
+      // multi-split inputs, and decimal sums are reduction-order-exact
+      // so the result is bit-identical.
+      Tables.spread(Tables.lineitem(s, d))
         .filter(col("l_shipdate") <= ts("2000-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -506,7 +511,10 @@ object Relational {
   private val q34 = Qdef(
     "q34_cube",
     (s, d) =>
-      Tables.lineitem(s, d)
+      // spread (r14): the cube's 4× Expand fan-out sat on the
+      // single-task lineitem scan — measured 1.56 s → 0.95 s at sf0.1
+      // (q03's rationale; decimal sums keep the result bit-identical).
+      Tables.spread(Tables.lineitem(s, d))
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("l_returnflag", "l_linestatus"),

@@ -824,7 +824,12 @@ object TextAnalysis {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val merges = bpeMerges(docs, 30).map { case (l, r, _) => (l, r) }
-      bpeTokens(docs, merges)
+      // spread (r14): the per-doc BPE encode loop fused onto the
+      // single-row-group scan ran on one core — and the total ORDER BY
+      // range-samples its child, so the encode was paid twice, both
+      // times single-threaded. Measured 1.1 s → 0.5-0.75 s at sf0.1;
+      // no-op on multi-split inputs, per-row encode is row-order-free.
+      bpeTokens(Tables.spread(docs), merges)
         .select(col("doc_id"),
           size(col("tokens")).cast("long").as("n_tokens"),
           size(array_distinct(col("tokens"))).cast("long").as("n_distinct"))

@@ -211,8 +211,17 @@ object TrainingRun {
   private val qa3 = Qdef(
     "qa3_training_run",
     (s, d) =>
+      // the curated-train corpus is consumed TWICE inside packedRun
+      // (the mixture plan's stats aggregate + the instance stream),
+      // and the stats side's column-pruned twin still pays the whole
+      // regex annotation + digest-dedup shuffle (min_by carries the
+      // full row, so nothing prunes) — stage it once, lazily: the
+      // mixture stats aggregate is the first full pass and populates
+      // the cache the instance stream then reads (writeRun does the
+      // same with an explicit persist).
       packedRun(
-        Curate.curated(Tables.documents(s, d)).filter(col("split") === "train"),
+        graft.Stage.lazily(
+          Curate.curated(Tables.documents(s, d)).filter(col("split") === "train")),
         Mix.mixTargets, seed = "qa3")
         .orderBy("shard", "chunk"),
     Some {

@@ -95,6 +95,115 @@ object OptProbe {
           val full = SparkEntry.queries("qa3_training_run")(spark, d)
           t(s"qa3 r$r full exec")(noop(full))
         }
+      case "micro" =>
+        for (r <- 1 to 3) {
+          spark.catalog.clearCache()
+          val li = Tables.lineitem(spark, d)
+          t(s"micro r$r q03 as-is") {
+            noop(li.filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(Tables.dsum(col("l_quantity")).as("sum_qty"),
+                Tables.dsum(col("l_extendedprice")).as("s2"),
+                Tables.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("s3"),
+                Tables.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("s4"),
+                Tables.davg(col("l_quantity")).as("a1"),
+                Tables.davg(col("l_extendedprice")).as("a2"),
+                Tables.davg(col("l_discount"), 6).as("a3"),
+                count(lit(1)).as("n")))
+          }
+          t(s"micro r$r q03 spread") {
+            noop(Tables.spread(li).filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(Tables.dsum(col("l_quantity")).as("sum_qty"),
+                Tables.dsum(col("l_extendedprice")).as("s2"),
+                Tables.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("s3"),
+                Tables.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("s4"),
+                Tables.davg(col("l_quantity")).as("a1"),
+                Tables.davg(col("l_extendedprice")).as("a2"),
+                Tables.davg(col("l_discount"), 6).as("a3"),
+                count(lit(1)).as("n")))
+          }
+          val docs = Tables.documents(spark, d)
+          t(s"micro r$r docs scan only")(noop(docs))
+          t(s"micro r$r curated as-is")(noop(operators.Curate.curated(docs)))
+          t(s"micro r$r curated spread")(noop(operators.Curate.curated(Tables.spread(docs))))
+          t(s"micro r$r q8e as-is")(noop(SparkEntry.queries("q8e_bpe_encode")(spark, d)))
+        }
+      case "micro2" =>
+        for (r <- 1 to 3) {
+          spark.catalog.clearCache()
+          val docs = Tables.documents(spark, d)
+          val li = Tables.lineitem(spark, d)
+          t(s"micro2 r$r annotated as-is")(noop(operators.Curate.annotated(docs)))
+          t(s"micro2 r$r annotated spread")(noop(operators.Curate.annotated(Tables.spread(docs))))
+          t(s"micro2 r$r minhash as-is")(noop(dedup.Dedup.minhashSignatures(docs)))
+          t(s"micro2 r$r minhash spread")(noop(dedup.Dedup.minhashSignatures(Tables.spread(docs))))
+          t(s"micro2 r$r q34 as-is") {
+            noop(li.cube("l_returnflag", "l_linestatus")
+              .agg(count(lit(1)).as("n"), Tables.dsum(col("l_quantity")).as("sum_qty")))
+          }
+          t(s"micro2 r$r q34 spread") {
+            noop(Tables.spread(li).cube("l_returnflag", "l_linestatus")
+              .agg(count(lit(1)).as("n"), Tables.dsum(col("l_quantity")).as("sum_qty")))
+          }
+          t(s"micro2 r$r q9e h-subtree") {
+            noop(docs.select(col("source"),
+              explode_outer(call_function("graft_shingle_strings", col("text"), lit(3))).as("g"))
+              .filter(col("g").isNotNull)
+              .select(col("source"), md5(col("g")).as("h")).distinct())
+          }
+          t(s"micro2 r$r q9e h spread") {
+            noop(Tables.spread(docs).select(col("source"),
+              explode_outer(call_function("graft_shingle_strings", col("text"), lit(3))).as("g"))
+              .filter(col("g").isNotNull)
+              .select(col("source"), md5(col("g")).as("h")).distinct())
+          }
+        }
+      case "micro3" =>
+        for (r <- 1 to 3) {
+          spark.catalog.clearCache()
+          val docs = Tables.documents(spark, d)
+          val orders = Tables.orders(spark, d)
+          val merges = operators.TextAnalysis.bpeMerges(docs, 30).map { case (l, rr, _) => (l, rr) }
+          t(s"micro3 r$r q8e-enc as-is") {
+            noop(operators.TextAnalysis.bpeTokens(docs, merges)
+              .select(col("doc_id"), size(col("tokens")).cast("long").as("n"),
+                size(array_distinct(col("tokens"))).cast("long").as("nd"))
+              .orderBy("doc_id"))
+          }
+          t(s"micro3 r$r q8e-enc spread") {
+            noop(operators.TextAnalysis.bpeTokens(Tables.spread(docs), merges)
+              .select(col("doc_id"), size(col("tokens")).cast("long").as("n"),
+                size(array_distinct(col("tokens"))).cast("long").as("nd"))
+              .orderBy("doc_id"))
+          }
+          t(s"micro3 r$r q9h as-is")(noop(operators.Warehouse.profile(
+            orders, Seq("o_orderkey", "o_custkey", "o_orderstatus",
+              "o_totalprice", "o_orderdate", "o_orderpriority"))))
+          t(s"micro3 r$r q9h spread")(noop(operators.Warehouse.profile(
+            Tables.spread(orders), Seq("o_orderkey", "o_custkey", "o_orderstatus",
+              "o_totalprice", "o_orderdate", "o_orderpriority"))))
+          t(s"micro3 r$r q63 as-is")(noop(SparkEntry.queries("q63_dedup_simhash")(spark, d)))
+          t(s"micro3 r$r q8c as-is")(noop(SparkEntry.queries("q8c_lm_score")(spark, d)))
+        }
+      case "q6dingest" =>
+        val (corpus, b1, _) = dedup.Dedup.q6dSplit(Tables.embeddings(spark, d))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-probe-vecidx2")
+        val root = s"$tmp/idx"
+        try {
+          dedup.Dedup.commitVecIndex(corpus, root, probe1 = true)
+          for (r <- 1 to 3) {
+            spark.catalog.clearCache()
+            val g = t(s"q6di r$r geometry read")(dedup.Dedup.vecIndexGeometry(spark, root))
+            t(s"q6di r$r index scan")(noop(dedup.Dedup.readVecIndex(spark, root)))
+            t(s"q6di r$r full ingest")(noop(dedup.Dedup.ingestAgainstVecIndex(b1, corpus, root)))
+            println(s"geometry: $g")
+          }
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(tmp.toString)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          ()
+        }
       case other => sys.error(s"unknown probe mode $other")
     }
     spark.stop()

@@ -135,10 +135,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q14_join_anti").contains("LeftAnti"))
   }
 
-  test("minhash signatures are a pure narrow map - no shuffle") {
+  test("minhash signatures stay a narrow map above at most one round-robin fan-out") {
     val sig = dedup.Dedup.minhashSignatures(Tables.documents(spark, sf))
     val p = sig.queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange"), s"signature computation shuffles:\n$p")
+    // r14: a single RoundRobin REPARTITION_BY_NUM below the map is the
+    // deliberate spread of the single-row-group scan (no keys, no
+    // aggregation — the map itself still never shuffles); any OTHER
+    // exchange (a hash shuffle, a second exchange) is the regression
+    // this lock exists for.
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges <= 1, s"signature computation shuffles more than the spread:\n$p")
+    if (exchanges == 1)
+      assert(p.contains("Exchange RoundRobinPartitioning"),
+        s"signature computation pays a keyed shuffle, not the spread:\n$p")
     assert(p.contains("graft_minhash") || p.contains("graftminhash"),
       s"native minhash expression missing from plan:\n$p")
   }
