@@ -1189,11 +1189,18 @@ object Dedup {
     val cap =
       if (maxCell > 0) maxCell.toLong
       else math.max(4096L, (16.0 * math.sqrt(nReps.toDouble)).toLong)
-    val hot = graft.ann.Knn.assignCell(reps, cents)
-      .groupBy("cell").agg(count(lit(1)).as("sz"))
-      .filter(col("sz") > cap)
-      .orderBy(col("sz").desc).limit(5)
-      .collect()
+    // nReps <= cap short-circuits the guard job (r14): no cell can
+    // hold more rows than the whole distinct-rep set, so the scan
+    // proves nothing the probe job hasn't already — the guard runs
+    // exactly when it could fire (large corpora relative to the cap),
+    // and gate-scale queries save one driver job.
+    val hot =
+      if (nReps <= cap) Array.empty[org.apache.spark.sql.Row]
+      else graft.ann.Knn.assignCell(reps, cents)
+        .groupBy("cell").agg(count(lit(1)).as("sz"))
+        .filter(col("sz") > cap)
+        .orderBy(col("sz").desc).limit(5)
+        .collect()
     if (hot.nonEmpty)
       sys.error(
         s"semanticDedup: cell(s) over the maxCell cap $cap after exact-copy collapse — " +
@@ -1979,6 +1986,10 @@ object Dedup {
     // candidate pipeline (minhash → LSH → verify), and every CC
     // iteration joins against edges; without the checkpoint each
     // round would re-execute that upstream pipeline
+    // Eager cuts, NOT lazy (r14, measured): round 1's join reads
+    // edges on BOTH sides, so a lazy checkpoint materializes in two
+    // racing branches and the candidate pipeline can execute twice —
+    // probed at +0.2 s, reverted.
     val edges = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))), eager = true)
     var labels = cut(edges.select(col("src").as("doc_id")).distinct()

@@ -204,6 +204,21 @@ object OptProbe {
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
           ()
         }
+      case "sortcost" =>
+        for (r <- 1 to 3) {
+          spark.catalog.clearCache()
+          t(s"sc r$r q6f nosort")(noop(dedup.Dedup.adaptiveNearDups(
+            Tables.embeddings(spark, d), maxBucket = 64, probe1 = true, probeSub2 = true)))
+          spark.catalog.clearCache()
+          t(s"sc r$r q6f sorted")(noop(SparkEntry.queries("q6f_dedup_adaptive")(spark, d)))
+          spark.catalog.clearCache()
+          t(s"sc r$r q6f cutsort")(noop(graft.Stage.cut(dedup.Dedup.adaptiveNearDups(
+            Tables.embeddings(spark, d), maxBucket = 64, probe1 = true, probeSub2 = true))
+            .orderBy("id_a", "id_b")))
+          spark.catalog.clearCache()
+          val sc8c = SparkEntry.queries("q8c_lm_score")(spark, d)
+          t(s"sc r$r q8c sorted")(noop(sc8c))
+        }
       case other => sys.error(s"unknown probe mode $other")
     }
     spark.stop()
